@@ -1,0 +1,80 @@
+"""Pure-Python brute-force BM25 oracle (no Spark, no numpy tricks).
+
+The test contract mirror of the reference's golden-file discipline
+(JavaScriptWorkerTest.java:89-134 set-equality with extra/missing
+reporting; IndexerIT.java:98-105 queryability asserts): the Spark
+engine must be rank-identical to this oracle with tie-break
+(score DESC, doc_id ASC).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+from ftidx import BM25_B, BM25_K1
+from ftidx.tokenize import tokenize_doc
+
+
+class OracleIndex:
+    """In-memory inverted index built row-at-a-time — deliberately the
+    dumbest possible correct implementation."""
+
+    def __init__(self) -> None:
+        # field -> term -> {doc_id: tf}
+        self.postings: dict[str, dict[str, dict[int, int]]] = {}
+        self.doclen: dict[str, dict[int, int]] = {}
+        self.docs: set[int] = set()
+
+    @classmethod
+    def from_pandas(cls, docs: pd.DataFrame) -> "OracleIndex":
+        """docs: columns doc_id, content, lang, repo, path (live rows)."""
+        idx = cls()
+        for row in docs.itertuples(index=False):
+            fields = tokenize_doc(row.content, row.lang, row.repo, row.path)
+            idx.add(int(row.doc_id), fields)
+        return idx
+
+    def add(self, doc_id: int, fields: dict[str, list[str]]) -> None:
+        self.docs.add(doc_id)
+        for field, terms in fields.items():
+            fp = self.postings.setdefault(field, {})
+            for term, tf in Counter(terms).items():
+                fp.setdefault(term, {})[doc_id] = tf
+            self.doclen.setdefault(field, {})[doc_id] = len(terms)
+
+    def delete(self, doc_id: int) -> None:
+        self.docs.discard(doc_id)
+        for fp in self.postings.values():
+            for plist in fp.values():
+                plist.pop(doc_id, None)
+        for dl in self.doclen.values():
+            dl.pop(doc_id, None)
+
+    def bm25_scores(
+        self, terms: list[str], field: str = "code.content",
+        k1: float = BM25_K1, b: float = BM25_B,
+    ) -> dict[int, float]:
+        dl = self.doclen.get(field, {})
+        n_docs = len(dl)
+        if not n_docs:
+            return {}
+        avgdl = sum(dl.values()) / n_docs
+        scores: dict[int, float] = {}
+        for term in sorted(set(terms)):
+            plist = self.postings.get(field, {}).get(term, {})
+            df = len(plist)
+            if not df:
+                continue
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for doc_id, tf in plist.items():
+                denom = tf + k1 * (1.0 - b + b * dl[doc_id] / avgdl)
+                scores[doc_id] = scores.get(doc_id, 0.0) + idf * tf * (k1 + 1.0) / denom
+        return scores
+
+    def topk(self, terms: list[str], k: int, field: str = "code.content") -> list[tuple[int, float]]:
+        scores = self.bm25_scores(terms, field)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]

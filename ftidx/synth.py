@@ -1,0 +1,142 @@
+"""Deterministic synthetic source-code corpus (seed=42, no external data).
+
+Analog of the reference's fixture records (JavaScriptWorkerTest dirs,
+IndexerIT setup): generates the input_hint table
+``(repo, path, commit, lang, content, deleted, modified)`` with
+controlled term statistics:
+
+- a few ubiquitous hot terms (``def``/``return``/``value`` …) hitting
+  most docs — exercises hot-term salting (north_rule skew handling);
+- mid-frequency terms, rare per-group terms, and unique marker terms —
+  exercises rare-term lookup and rank stability;
+- camelCase + snake_case identifiers — exercises subtoken splitting;
+- embedded 8/14-digit timestamps, some invalid (month 02 day 30,
+  hour 24) — exercises date-normalization drop semantics (analog
+  indexer.js:30-59 + invalid-date/invalid-time fixtures);
+- sparse ``deleted=true`` rows — exercises tombstone routing
+  (analog Indexer.java:157-161).
+
+Determinism contract: every row is a pure function of its index ``i``
+(never of partition layout), so the corpus is identical at any
+parallelism level — prerequisite for the merge-determinism test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ftidx.schema import SOURCE_SCHEMA
+
+SEED = 42
+
+LANGS = ["python", "java", "javascript", "go", "text"]
+EXT = {"python": "py", "java": "java", "javascript": "js", "go": "go", "text": "txt"}
+COMMENT = {"python": "#", "java": "//", "javascript": "//", "go": "//", "text": ""}
+
+# hot terms: appear in ~90% of docs (the `the`/`def` pathology)
+HOT_TERMS = ["def", "return", "value", "data", "result"]
+# mid terms: ~10% of docs each
+MID_TERMS = [f"handler{j}" for j in range(20)]
+CAMEL_IDENTS = [
+    "parseHttpRequest",
+    "buildIndexDocument",
+    "fetchRecordById",
+    "mergePostingLists",
+    "computeBlockMax",
+    "scoreTopK",
+    "encodeVarInt",
+    "readParquetTable",
+]
+SNAKE_IDENTS = [
+    "posting_list",
+    "doc_length",
+    "term_freq",
+    "block_max_score",
+    "merge_segments",
+    "shard_router",
+    "token_stream",
+    "index_writer",
+]
+VALID_DATES = ["20240115", "20231201083015", "19991231", "20200229120000"]
+INVALID_DATES = ["20080230121500", "20240115240517", "20241301", "20240230"]
+
+
+def gen_row(i: int) -> dict:
+    rng = random.Random(SEED * 1_000_003 + i)
+    lang = LANGS[i % len(LANGS)]
+    repo = f"org{i % 37:04d}/proj{(i // 37) % 11:03d}"
+    path = f"src/mod{i % 13}/file{i:06d}.{EXT[lang]}"
+    commit = hashlib.sha1(f"{SEED}:{i}".encode()).hexdigest()
+
+    lines: list[str] = []
+    c = COMMENT[lang]
+    # embedded timestamp comment: 1 in 4 docs; 1 in 3 of those invalid
+    if i % 4 == 0:
+        pool = INVALID_DATES if i % 12 == 0 else VALID_DATES
+        lines.append(f"{c} modified {rng.choice(pool)}".strip())
+    # hot terms in ~90% of docs
+    if i % 10 != 0:
+        lines.append(" ".join(rng.sample(HOT_TERMS, rng.randint(2, len(HOT_TERMS)))))
+    # mid-frequency term
+    if rng.random() < 0.35:
+        lines.append(f"call {rng.choice(MID_TERMS)} with {rng.choice(MID_TERMS)}")
+    # identifiers (camel + snake)
+    for _ in range(rng.randint(1, 4)):
+        ident = rng.choice(CAMEL_IDENTS if rng.random() < 0.5 else SNAKE_IDENTS)
+        arg = rng.choice(SNAKE_IDENTS)
+        if lang == "python":
+            lines.append(f"def {ident}({arg}):")
+            lines.append(f"    return {arg} + {rng.randint(0, 99)}")
+        elif lang in ("java", "go", "javascript"):
+            lines.append(f"func {ident}({arg}) {{ return {arg}; }}")
+        else:
+            lines.append(f"{ident} {arg} plain words here")
+    # rare group term (one per 100 docs) + unique marker
+    lines.append(f"rareterm{i // 100:05d}")
+    if i % 97 == 0:
+        lines.append(f"uniquemarker{i:07d}")
+    # filler words
+    filler = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta"]
+    lines.append(" ".join(rng.choices(filler, k=rng.randint(3, 12))))
+
+    content = "\n".join(lines)
+    modified = datetime(
+        2024, 1 + (i % 12), 1 + (i % 28), i % 24, i % 60, tzinfo=timezone.utc
+    )
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+        "deleted": (i % 53 == 0),  # sparse tombstones
+        "modified": modified.replace(tzinfo=None),
+    }
+
+
+def synth_source(spark: SparkSession, n_files: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus: each row derived only from its
+    index, so output is partition-layout independent."""
+    nparts = partitions or min(32, max(1, n_files // 250))
+    base = spark.range(0, n_files, 1, nparts)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_row(int(i)) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["modified"] = pd.to_datetime(out["modified"])
+            yield out
+
+    return base.mapInPandas(gen, schema=SOURCE_SCHEMA)
+
+
+def synth_source_pandas(n_files: int) -> pd.DataFrame:
+    """Driver-side variant for oracles and golden tests."""
+    out = pd.DataFrame([gen_row(i) for i in range(n_files)])
+    out["modified"] = pd.to_datetime(out["modified"])
+    return out

@@ -1,0 +1,234 @@
+"""Code-aware tokenizer: the vectorized analog of the reference's
+record→field transform (indexer.js:131-202 via JavaScriptWorker.java:97-101).
+
+The reference runs a declarative rule table over MARCXML datafields and
+emits a multi-valued map ``field → [values]`` through an ``addField``
+callback. Here the "record" is a source-code file and the rules are:
+
+====================  =======================================================
+field                 rule (reference analog)
+====================  =======================================================
+code.content          lowercased ``[a-z0-9_]+`` word tokens, duplicates kept
+                      (multi-value accumulate, indexer.js:16-21)
+code.ident            compound identifiers (contain ``_`` or an internal
+                      case change), original case (direct field map,
+                      indexer.js:95-129)
+code.ident.split      camelCase/snake_case subtokens, lowercased, emitted
+                      only when splitting yields >1 part
+code.ident.split@L    same subtokens, lang-tagged — the per-format rule-set
+                      dispatch analog (indexer.js:142-148)
+meta.path.seg         lowercased path segments
+meta.repo             repo as a single term
+meta.repo.path        composite ``repo + ":" + path`` — the cross-field
+                      001a001b rule analog (indexer.js:64-79)
+meta.lang             lang as a single term
+meta.collection       facet: always ``any``; + ``dynamic`` when lang in
+                      {python, javascript}; + ``flagship`` when repo starts
+                      with ``org0000`` (conditional facet rules,
+                      indexer.js:74-75, 88-91, default 151-152)
+meta.date             8/14-digit timestamps found in content, normalized to
+                      ISO-8601 Z; invalid calendar values dropped by a
+                      parse-validate round trip (addSolrTime,
+                      indexer.js:30-59; invalid-date/-time fixtures)
+====================  =======================================================
+
+Null/binary-garbage content → content-derived fields empty, metadata
+fields still emitted, never a throw (error routing analog,
+Indexer.java:202-208). Only dotted field names are emitted (emit
+filter analog, indexer.js:194-201) — scratch keys are structural here.
+
+Two implementations, asserted equal in tests:
+
+- :func:`tokenize_doc` — pure-Python per-doc spec (golden files run
+  against this, like JavaScriptWorkerTest.java:73-87).
+- :func:`tokenize` — the Spark path: ``mapInPandas`` with pandas
+  ``.str``-vectorized ops (no per-row Python in the engine hot path,
+  per input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ftidx.schema import TOKEN_SCHEMA
+
+WORD_RE = r"[a-z0-9_]+"
+IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+# a compound identifier has a snake separator or an internal lower→upper
+# case change (parseHttpRequest) or leading acronym (HTTPServer)
+COMPOUND_RE = r"_|[a-z0-9][A-Z]|[A-Z]{2,}[a-z]"
+SUBTOKEN_RE = r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+"
+DATE_RE = r"(?<!\d)\d{8}(?:\d{6})?(?!\d)"
+
+DYNAMIC_LANGS = frozenset({"python", "javascript"})
+FLAGSHIP_PREFIX = "org0000"
+
+
+@lru_cache(maxsize=65536)
+def normalize_date(raw: str) -> str | None:
+    """8-digit → midnight instant; 14-digit → full instant; invalid
+    calendar values (month 02 day 30, hour 24) → None.
+
+    Mirrors addSolrTime's pad + parse-validate round trip
+    (indexer.js:23-59): the value survives only if strptime accepts it.
+    """
+    try:
+        if len(raw) == 8:
+            dt = datetime.strptime(raw, "%Y%m%d")
+        elif len(raw) == 14:
+            dt = datetime.strptime(raw, "%Y%m%d%H%M%S")
+        else:
+            return None
+    except ValueError:
+        return None
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def split_subtokens(ident: str) -> list[str]:
+    return [t.lower() for t in re.findall(SUBTOKEN_RE, ident)]
+
+
+def collections_for(lang: str, repo: str) -> list[str]:
+    out = ["any"]
+    if lang in DYNAMIC_LANGS:
+        out.append("dynamic")
+    if repo.startswith(FLAGSHIP_PREFIX):
+        out.append("flagship")
+    return out
+
+
+def tokenize_doc(content: str | None, lang: str, repo: str, path: str) -> dict[str, list[str]]:
+    """Pure-function spec: one doc → {field: [terms]} (duplicates kept,
+    order = occurrence order). The golden-file contract."""
+    fields: dict[str, list[str]] = {}
+    text = content or ""
+
+    fields["code.content"] = re.findall(WORD_RE, text.lower())
+
+    idents = re.findall(IDENT_RE, text)
+    compound = [t for t in idents if re.search(COMPOUND_RE, t)]
+    fields["code.ident"] = compound
+    splits: list[str] = []
+    for t in compound:
+        parts = split_subtokens(t)
+        if len(parts) > 1:
+            splits.extend(parts)
+    fields["code.ident.split"] = splits
+    fields[f"code.ident.split@{lang}"] = list(splits)
+
+    dates = [normalize_date(d) for d in re.findall(DATE_RE, text)]
+    fields["meta.date"] = [d for d in dates if d is not None]
+
+    fields["meta.path.seg"] = re.findall(r"[a-z0-9]+", path.lower())
+    fields["meta.repo"] = [repo]
+    fields["meta.repo.path"] = [f"{repo}:{path}"]
+    fields["meta.lang"] = [lang]
+    fields["meta.collection"] = collections_for(lang, repo)
+    return {k: v for k, v in fields.items() if v}
+
+
+def _explode(doc_ids: pd.Series, lists: pd.Series, field: str) -> pd.DataFrame:
+    tmp = pd.DataFrame({"doc_id": doc_ids, "term": lists})
+    out = tmp.explode("term")
+    out = out[out["term"].notna() & (out["term"] != "")]
+    out["field"] = field
+    return out[["doc_id", "field", "term"]]
+
+
+def tokenize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized batch tokenizer: pandas DataFrame with columns
+    (doc_id, content, lang, repo, path) → rows (doc_id, field, term).
+
+    Everything is pandas ``.str`` ops + explode; the only Python-level
+    loop is over *unique* date strings (memoized) — bounded by distinct
+    values, not rows.
+    """
+    content = pdf["content"].fillna("").astype(str)
+    parts: list[pd.DataFrame] = []
+
+    parts.append(_explode(pdf["doc_id"], content.str.lower().str.findall(WORD_RE), "code.content"))
+
+    # compound identifiers → keep; subtoken-split the compound ones
+    idents = _explode(pdf["doc_id"], content.str.findall(IDENT_RE), "code.ident")
+    idents = idents[idents["term"].str.contains(COMPOUND_RE, regex=True)].reset_index(drop=True)
+    parts.append(idents)
+
+    sub_lists = idents["term"].str.findall(SUBTOKEN_RE)
+    multi = sub_lists.str.len() > 1
+    subs = pd.DataFrame(
+        {"doc_id": idents["doc_id"][multi], "term": sub_lists[multi]}
+    ).explode("term")
+    subs["term"] = subs["term"].str.lower()
+    subs["field"] = "code.ident.split"
+    parts.append(subs[["doc_id", "field", "term"]])
+    # lang-tagged copy (format-dispatch analog): field name carries lang
+    lang_by_doc = pdf.set_index("doc_id")["lang"]
+    tagged = subs[["doc_id", "term"]].copy()
+    tagged["field"] = "code.ident.split@" + tagged["doc_id"].map(lang_by_doc).astype(str)
+    parts.append(tagged[["doc_id", "field", "term"]])
+
+    dates = _explode(pdf["doc_id"], content.str.findall(DATE_RE), "meta.date")
+    if len(dates):
+        dates["term"] = dates["term"].map(normalize_date)
+        dates = dates[dates["term"].notna()]
+    parts.append(dates)
+
+    parts.append(
+        _explode(pdf["doc_id"], pdf["path"].str.lower().str.findall(r"[a-z0-9]+"), "meta.path.seg")
+    )
+    parts.append(
+        pd.DataFrame({"doc_id": pdf["doc_id"], "field": "meta.repo", "term": pdf["repo"]})
+    )
+    parts.append(
+        pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "field": "meta.repo.path",
+                "term": pdf["repo"] + ":" + pdf["path"],
+            }
+        )
+    )
+    parts.append(
+        pd.DataFrame({"doc_id": pdf["doc_id"], "field": "meta.lang", "term": pdf["lang"]})
+    )
+
+    coll = pd.DataFrame({"doc_id": pdf["doc_id"], "field": "meta.collection", "term": "any"})
+    dyn = pdf["lang"].isin(DYNAMIC_LANGS)
+    flag = pdf["repo"].str.startswith(FLAGSHIP_PREFIX)
+    parts.append(coll)
+    parts.append(
+        pd.DataFrame(
+            {"doc_id": pdf["doc_id"][dyn], "field": "meta.collection", "term": "dynamic"}
+        )
+    )
+    parts.append(
+        pd.DataFrame(
+            {"doc_id": pdf["doc_id"][flag], "field": "meta.collection", "term": "flagship"}
+        )
+    )
+
+    out = pd.concat(parts, ignore_index=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["term"] = out["term"].astype(str)
+    return out
+
+
+def tokenize(docs: DataFrame) -> DataFrame:
+    """Spark entry point: docs (doc_id, content, lang, repo, path, …) →
+    token stream (doc_id, field, term).
+
+    ``mapInPandas`` keeps the whole transform inside one Arrow-batched
+    stage fused with the parquet scan — no shuffle, no per-row Python.
+    """
+    cols = docs.select("doc_id", "content", "lang", "repo", "path")
+
+    def run(batches):
+        for pdf in batches:
+            yield tokenize_batch(pdf)
+
+    return cols.mapInPandas(run, schema=TOKEN_SCHEMA)

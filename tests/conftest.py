@@ -1,0 +1,12 @@
+from __future__ import annotations
+
+import pytest
+
+from ftidx.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, app_name="ftidx-tests", shuffle_partitions=4)
+    yield s
+    s.stop()

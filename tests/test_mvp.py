@@ -1,0 +1,104 @@
+"""End-to-end MVP slice: build_flat over the synthetic corpus, BM25
+top-k rank-identical to the pure-Python oracle (IndexerIT query-assert
+analog), sha256 invariant, doc_id determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.build import build_flat, prepare_docs
+from ftidx.oracle import OracleIndex
+from ftidx.query import bm25_topk_flat, run_query_set
+from ftidx.synth import synth_source, synth_source_pandas
+
+N_FILES = 300
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    src = synth_source(spark, N_FILES, partitions=7)
+    idx = build_flat(src, n_buckets=8)
+    idx["tf"] = idx["tf"].cache()
+    idx["doclen"] = idx["doclen"].cache()
+    idx["fieldstats"] = idx["fieldstats"].cache()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, index):
+    live = index["live"].select("doc_id", "content", "lang", "repo", "path").toPandas()
+    return OracleIndex.from_pandas(live)
+
+
+QUERIES = [
+    (["def"], 10, "code.content"),              # hot term
+    (["alpha", "omega"], 10, "code.content"),   # two mid terms
+    (["rareterm00001"], 5, "code.content"),     # rare group term
+    (["uniquemarker0000097"], 3, "code.content"),
+    (["def", "return", "value", "alpha"], 15, "code.content"),
+    (["posting", "stream"], 10, "code.ident.split"),
+    (["http", "request"], 10, "code.ident.split@python"),
+    (["nosuchterm"], 5, "code.content"),        # empty result
+]
+
+
+@pytest.mark.parametrize("terms,k,field", QUERIES)
+def test_topk_matches_oracle(index, oracle, terms, k, field):
+    got = bm25_topk_flat(
+        index["tf"], index["doclen"], index["fieldstats"], terms, k=k, field=field
+    ).collect()
+    want = oracle.topk(terms, k, field=field)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_query_set_batch(spark, index, oracle):
+    rows = [(i, list(t), f, k) for i, (t, k, f) in enumerate(QUERIES)]
+    qdf = spark.createDataFrame(rows, "query_id int, terms array<string>, field string, k int")
+    res = run_query_set(qdf, index["tf"], index["doclen"], index["fieldstats"]).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for i, (terms, k, field) in enumerate(QUERIES):
+        want = oracle.topk(terms, k, field=field)
+        got = by_q.get(i, [])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], f"query {i}"
+
+
+def test_sha256_invariant(spark, index):
+    """Per-row invariant (input_hint): engine sha256 == recomputed."""
+    rows = index["docs"].select("content", "content_sha256").limit(50).collect()
+    for r in rows:
+        if r["content"] is not None:
+            assert hashlib.sha256(r["content"].encode()).hexdigest() == r["content_sha256"]
+
+
+def test_docid_deterministic_across_parallelism(spark):
+    a = prepare_docs(synth_source(spark, 120, partitions=2), n_buckets=8)
+    b = prepare_docs(synth_source(spark, 120, partitions=11), n_buckets=8)
+    pa = {(r["repo"], r["path"]): r["doc_id"] for r in a.select("repo", "path", "doc_id").collect()}
+    pb = {(r["repo"], r["path"]): r["doc_id"] for r in b.select("repo", "path", "doc_id").collect()}
+    assert pa == pb
+    assert len(set(pa.values())) == len(pa)  # no collisions
+
+
+def test_tombstones_excluded(index, oracle):
+    """Deleted docs never appear in results (S7/S8 analog)."""
+    tomb = index["deleted"]
+    got = bm25_topk_flat(
+        index["tf"], index["doclen"], index["fieldstats"], ["def"], k=50,
+        tombstones=tomb,
+    ).collect()
+    deleted_ids = {r["doc_id"] for r in tomb.collect()}
+    assert deleted_ids  # synth guarantees some tombstones
+    assert not ({r["doc_id"] for r in got} & deleted_ids)
+
+
+def test_corpus_determinism():
+    a = synth_source_pandas(50)
+    b = synth_source_pandas(50)
+    assert a.equals(b)

@@ -1,0 +1,90 @@
+"""Tokenizer tests: golden cases (JavaScriptWorkerTest analog) and
+pure-spec vs vectorized-batch equivalence."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from ftidx.synth import synth_source_pandas
+from ftidx.tokenize import normalize_date, tokenize_batch, tokenize_doc
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+def batch_to_fields(pdf_row: dict) -> dict[str, list[str]]:
+    """Run the vectorized batch path on a single doc, regroup to
+    {field: [terms]} for comparison with the pure spec."""
+    pdf = pd.DataFrame(
+        [{"doc_id": 0, "content": pdf_row["content"], "lang": pdf_row["lang"],
+          "repo": pdf_row["repo"], "path": pdf_row["path"]}]
+    )
+    out = tokenize_batch(pdf)
+    fields: dict[str, list[str]] = {}
+    for field, term in zip(out["field"], out["term"]):
+        fields.setdefault(field, []).append(term)
+    return fields
+
+
+def diff_fields(got: dict, want: dict) -> str:
+    """Set-style comparison with extra+missing reporting, exactly like
+    JavaScriptWorkerTest.java:89-134 (but multiset: duplicates count)."""
+    msgs = []
+    for f in sorted(set(got) | set(want)):
+        g, w = sorted(got.get(f, [])), sorted(want.get(f, []))
+        if g != w:
+            extra = [t for t in g if t not in w or g.count(t) > w.count(t)]
+            missing = [t for t in w if t not in g or w.count(t) > g.count(t)]
+            msgs.append(f"{f}: extra={extra} missing={missing}")
+    return "; ".join(msgs)
+
+
+@pytest.mark.parametrize("case", sorted(p.name for p in GOLDEN.iterdir() if p.is_dir()))
+def test_golden(case):
+    d = GOLDEN / case
+    meta = json.loads((d / "meta.json").read_text())
+    content = (d / "content.txt").read_text() if (d / "content.txt").exists() else None
+    expected = json.loads((d / "expected.json").read_text())
+    got = tokenize_doc(content, meta["lang"], meta["repo"], meta["path"])
+    msg = diff_fields(got, expected)
+    assert not msg, f"golden case {case}: {msg}"
+
+
+def test_batch_equals_spec_on_corpus():
+    src = synth_source_pandas(200)
+    src["doc_id"] = range(len(src))
+    batch = tokenize_batch(src[["doc_id", "content", "lang", "repo", "path"]])
+    grouped: dict[int, dict[str, list[str]]] = {}
+    for doc_id, field, term in zip(batch["doc_id"], batch["field"], batch["term"]):
+        grouped.setdefault(int(doc_id), {}).setdefault(field, []).append(term)
+    for row in src.itertuples(index=False):
+        want = tokenize_doc(row.content, row.lang, row.repo, row.path)
+        got = grouped.get(int(row.doc_id), {})
+        msg = diff_fields(got, want)
+        assert not msg, f"doc {row.doc_id}: {msg}"
+
+
+def test_normalize_date():
+    assert normalize_date("20240115") == "2024-01-15T00:00:00Z"
+    assert normalize_date("20231201083015") == "2023-12-01T08:30:15Z"
+    assert normalize_date("20200229120000") == "2020-02-29T12:00:00Z"  # leap day ok
+    assert normalize_date("20080230121500") is None  # Feb 30
+    assert normalize_date("20240115240517") is None  # hour 24
+    assert normalize_date("20241301") is None  # month 13
+    assert normalize_date("1234") is None
+
+
+def test_null_content_keeps_metadata():
+    fields = tokenize_doc(None, "python", "org0001/proj001", "src/a.py")
+    assert "code.content" not in fields  # empty lists filtered
+    assert fields["meta.repo"] == ["org0001/proj001"]
+    assert fields["meta.lang"] == ["python"]
+    assert "any" in fields["meta.collection"] and "dynamic" in fields["meta.collection"]
+
+
+def test_duplicates_kept():
+    fields = tokenize_doc("alpha alpha beta", "text", "r/p", "f.txt")
+    assert fields["code.content"].count("alpha") == 2
