@@ -1,0 +1,371 @@
+"""Persistent inverted-index build + query engine.
+
+Build topology (one pass per bucket group — the resumable unit, analog
+of the reference's transaction-per-job discipline, Indexer.java:97-116):
+
+    live docs (bucket ∈ group)
+      → tokenize (mapInPandas, fused with scan)
+      → tf = groupBy(term, field, doc_id)           [shuffle 1, map-side combined]
+      → doclen = groupBy(doc_id, field)             [shuffle 2, small]
+      → tf ⋈ doclen on (doc_id, field)              [reuses shuffle-2 partitioning]
+      → COLD terms: repartition(field, term, bucket) → sortWithinPartitions
+        → mapInPandas streaming group-encode        [shuffle 3]
+      → HOT terms (df > threshold): + salt = xxhash64(doc_id) % n_salts,
+        repartition(field, term, bucket, salt) → encode runs
+        → groupBy(field, term, bucket) merge runs   [tiny: hot terms only]
+      → union → write postings parquet, partitioned by bucket
+        (dynamic partition overwrite → idempotent → resume-safe)
+      → append ledger row per bucket (metrics + lineage)
+
+Explicit skew handling per north_rule: AQE's skew logic only splits
+join partitions; a pathological hot groupBy key (`def` in 90% of a
+10^12-doc corpus) must be salted by hand — the two-phase hot path
+above. Cold terms skip the second phase entirely.
+
+Scale notes: postings are per-(term, bucket) segments, never a single
+global row per term — at 10^12 docs a global `the` row would be ~TBs.
+Buckets are the query-side parallel unit and the resume unit. Merge
+determinism holds because every id/ordering derives from doc content
+(bucketed doc_id scheme, build.py), not partition layout.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftidx.build import (
+    BUCKET_SHIFT,
+    DEFAULT_BUCKETS,
+    doc_lengths,
+    live_docs,
+    prepare_docs,
+    term_frequencies,
+)
+from ftidx.codec import encode_postings, merge_encoded
+from ftidx.schema import CHECKPOINT_SCHEMA, POSTINGS_SCHEMA
+from ftidx.tokenize import tokenize
+from ftidx.wand import TermList, bm25_idf, score_block_max, score_exhaustive
+
+_POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
+
+
+def _encode_stream(batches):
+    """mapInPandas kernel: input sorted by (field, term, bucket, salt,
+    doc_id) within the partition; streams encoded posting rows, holding
+    back the trailing (possibly batch-spanning) group."""
+    buf: pd.DataFrame | None = None
+    for pdf in batches:
+        if buf is not None and len(buf):
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        keys = pdf[["field", "term", "bucket", "salt"]]
+        change = (keys != keys.shift()).any(axis=1).to_numpy()
+        change[0] = True
+        starts = np.flatnonzero(change)
+        if starts.size <= 1:
+            buf = pdf
+            continue
+        cut = starts[-1]
+        complete, buf = pdf.iloc[:cut], pdf.iloc[cut:].reset_index(drop=True)
+        yield _encode_groups(complete, starts[:-1])
+    if buf is not None and len(buf):
+        keys = buf[["field", "term", "bucket", "salt"]]
+        change = (keys != keys.shift()).any(axis=1).to_numpy()
+        change[0] = True
+        yield _encode_groups(buf, np.flatnonzero(change))
+
+
+def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+    ends = np.concatenate([starts[1:], [len(pdf)]])
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
+    dls = pdf["len"].to_numpy(dtype=np.int64).astype(np.uint64)
+    terms = pdf["term"].to_numpy()
+    fields = pdf["field"].to_numpy()
+    buckets = pdf["bucket"].to_numpy()
+    out = {c: [] for c in _POSTINGS_COLS}
+    for s, e in zip(starts, ends):
+        enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e])
+        out["term"].append(terms[s])
+        out["field"].append(fields[s])
+        out["bucket"].append(int(buckets[s]))
+        for key in ("df", "cf", "doc_ids", "tfs", "dls",
+                    "block_max_tf", "block_min_dl", "block_last_docid"):
+            out[key].append(enc[key])
+    return pd.DataFrame(out)
+
+
+def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel for hot-term salted runs: one group =
+    one (field, term, bucket); merge its runs exactly."""
+    if len(pdf) == 1:
+        return pdf[_POSTINGS_COLS]
+    parts = pdf.to_dict("records")
+    enc = merge_encoded(parts)
+    row = {
+        "term": pdf["term"].iloc[0],
+        "field": pdf["field"].iloc[0],
+        "bucket": int(pdf["bucket"].iloc[0]),
+        **{k: enc[k] for k in ("df", "cf", "doc_ids", "tfs", "dls",
+                               "block_max_tf", "block_min_dl", "block_last_docid")},
+    }
+    return pd.DataFrame([row])[_POSTINGS_COLS]
+
+
+def _encode_postings_df(tf_len: DataFrame, hot_terms: list[tuple[str, str]],
+                        n_salts: int, shuffle_partitions: int) -> DataFrame:
+    """tf⋈len rows → encoded postings DataFrame (cold + salted hot)."""
+    spark = tf_len.sparkSession
+    if hot_terms:
+        hot_df = spark.createDataFrame(hot_terms, "field string, term string").withColumn(
+            "is_hot", F.lit(True)
+        )
+        tf_len = tf_len.join(F.broadcast(hot_df), ["field", "term"], "left")
+    else:
+        tf_len = tf_len.withColumn("is_hot", F.lit(None).cast("boolean"))
+
+    cold = (
+        tf_len.filter(F.col("is_hot").isNull())
+        .withColumn("salt", F.lit(0))
+        .repartition(shuffle_partitions, "field", "term", "bucket")
+        .sortWithinPartitions("field", "term", "bucket", "salt", "doc_id")
+        .mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
+    )
+    hot = (
+        tf_len.filter(F.col("is_hot").isNotNull())
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int"))
+        .repartition(shuffle_partitions, "field", "term", "bucket", "salt")
+        .sortWithinPartitions("field", "term", "bucket", "salt", "doc_id")
+        .mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
+        .groupBy("field", "term", "bucket")
+        .applyInPandas(_merge_runs, schema=POSTINGS_SCHEMA)
+    )
+    return cold.unionByName(hot)
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+    bucket_group_size: int | None = None,
+    hot_df_threshold: int = 50_000,
+    n_salts: int = 8,
+    build_id: str | None = None,
+    resume: bool = True,
+    docs_ready: bool = False,
+) -> dict:
+    """Build (or resume) a persistent index under ``out_dir``.
+
+    Returns a summary dict (buckets built/skipped, totals).
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    build_id = build_id or uuid.uuid4().hex[:12]
+    manifest_path = out / "_manifest.json"
+    params = {"n_buckets": n_buckets, "version": 1}
+    if manifest_path.exists():
+        prev = json.loads(manifest_path.read_text())
+        if resume and {k: prev.get(k) for k in params} != params:
+            raise ValueError(f"resume with mismatched params: {prev} vs {params}")
+    manifest_path.write_text(json.dumps({**params, "status": "building", "build_id": build_id}))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    group_size = bucket_group_size or n_buckets  # one pass by default
+
+    docs = source if docs_ready else prepare_docs(source, n_buckets)
+
+    ledger_dir = out / "ledger"
+    done: set[int] = set()
+    if resume and ledger_dir.exists():
+        led = spark.read.parquet(str(ledger_dir))
+        done = {r["bucket"] for r in led.filter(F.col("status") == "done").select("bucket").distinct().collect()}
+
+    pending = [b for b in range(n_buckets) if b not in done]
+    built, skipped = [], sorted(done)
+    for gi in range(0, len(pending), group_size):
+        group = pending[gi : gi + group_size]
+        t0 = time.time()
+        tracking_id = uuid.uuid4().hex  # lineage analog, Indexer.java:235-246
+        docs_g = docs.filter(F.col("bucket").isin(group))
+        live = live_docs(docs_g)
+
+        tf = term_frequencies(tokenize(live)).withColumn(
+            "bucket", F.shiftright("doc_id", BUCKET_SHIFT).cast("int")
+        )
+        tf.cache()
+        # hot-term detection: map-side-combined count, tiny result
+        dfreq = tf.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+        hot = [
+            (r["field"], r["term"])
+            for r in dfreq.filter(F.col("df") > hot_df_threshold).collect()
+        ]
+        doclen = doc_lengths(tf)
+        tf_len = tf.join(doclen, ["doc_id", "field"])
+
+        postings = _encode_postings_df(tf_len, hot, n_salts, shuffle_partitions)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(str(out / "postings"))
+
+        doclen.withColumn("bucket", F.shiftright("doc_id", BUCKET_SHIFT).cast("int")) \
+            .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "doclen"))
+        docs_g.drop("content").write.mode("overwrite").partitionBy("bucket") \
+            .parquet(str(out / "docs"))
+
+        # per-bucket metrics from what was actually written (S29/S30 analog)
+        written = spark.read.parquet(str(out / "postings")).filter(F.col("bucket").isin(group))
+        met = written.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("postings_emitted"),
+            F.sum(
+                F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls")
+            ).alias("bytes_compressed"),
+            (F.max("df") / F.avg("df")).alias("skew_ratio"),
+        ).collect()
+        ndocs = {r["bucket"]: r["n"] for r in
+                 live.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+        elapsed = time.time() - t0
+        rows = [
+            (build_id, int(r["bucket"]), "done", int(ndocs.get(r["bucket"], 0)),
+             int(r["postings_emitted"]), int(r["bytes_compressed"]),
+             float(r["skew_ratio"]), elapsed, tracking_id)
+            for r in met
+        ]
+        # buckets in the group with zero live docs still get a ledger row
+        for b in group:
+            if b not in {r[1] for r in rows}:
+                rows.append((build_id, b, "done", 0, 0, 0, 1.0, elapsed, tracking_id))
+        spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode("append").parquet(str(ledger_dir))
+        tf.unpersist()
+        built.extend(group)
+
+    # finalize: global field stats from all doclen partitions
+    doclen_all = spark.read.parquet(str(out / "doclen"))
+    stats = doclen_all.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").alias("total_len"),
+        (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    stats.write.mode("overwrite").parquet(str(out / "stats"))
+    manifest_path.write_text(
+        json.dumps({**params, "status": "done", "build_id": build_id})
+    )
+    return {"built": built, "skipped": skipped, "n_buckets": n_buckets, "build_id": build_id}
+
+
+class FtIndex:
+    """Query-side handle on a persisted index.
+
+    ``topk`` collects the (few, term-filtered) postings rows to the
+    driver and scores in numpy — the low-latency path; parquet
+    row-group stats + dictionary filters make the term predicate an
+    efficient pushdown. ``topk_distributed`` scores per bucket inside
+    executors and take-orders globally — the 100 TB path where even
+    one term's postings exceed driver memory.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = Path(path)
+        self.manifest = json.loads((self.path / "_manifest.json").read_text())
+        self._postings = spark.read.parquet(str(self.path / "postings"))
+        self.stats = {
+            r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
+            for r in spark.read.parquet(str(self.path / "stats")).collect()
+        }
+        self._tombstones: set[int] = set()
+        tomb_dir = self.path / "tombstones"
+        if tomb_dir.exists():
+            self._tombstones = {
+                r["doc_id"] for r in spark.read.parquet(str(tomb_dir)).collect()
+            }
+
+    # -- maintenance -----------------------------------------------------
+    def delete(self, doc_ids: list[int]) -> None:
+        """Tombstone docs (delete-by-id analog, Indexer.java:219-222):
+        appended to a side table, anti-filtered at query time until
+        :func:`ftidx.maintenance.compact` folds them in."""
+        df = self.spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+        df.write.mode("append").parquet(str(self.path / "tombstones"))
+        self._tombstones.update(int(d) for d in doc_ids)
+
+    # -- queries ---------------------------------------------------------
+    def _term_lists(self, terms: list[str], field: str):
+        qterms = sorted(set(terms))
+        rows = (
+            self._postings.filter(
+                (F.col("field") == field) & F.col("term").isin(qterms)
+            )
+            .select("term", "df", "cf", "doc_ids", "tfs", "dls",
+                    "block_max_tf", "block_min_dl", "block_last_docid")
+            .collect()
+        )
+        n_docs, avgdl = self.stats.get(field, (0, 1.0))
+        by_term: dict[str, list[dict]] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r.asDict())
+        lists = []
+        for term, trows in by_term.items():
+            df_global = sum(int(r["df"]) for r in trows)
+            lists.append(TermList(term, trows, bm25_idf(n_docs, df_global)))
+        return lists, avgdl
+
+    def topk(self, terms: list[str], k: int = 10, field: str = "code.content",
+             kernel: str = "block_max") -> list[tuple[int, float]]:
+        lists, avgdl = self._term_lists(terms, field)
+        if not lists:
+            return []
+        fn = score_block_max if kernel == "block_max" else score_exhaustive
+        extra = len(self._tombstones)
+        ids, scores = fn(lists, avgdl, k + extra)
+        out = [
+            (int(i), float(s))
+            for i, s in zip(ids.astype(np.int64), scores)
+            if int(i) not in self._tombstones
+        ]
+        return out[:k]
+
+    def topk_distributed(self, terms: list[str], k: int = 10,
+                         field: str = "code.content") -> DataFrame:
+        """Score inside executors, one task per bucket; global top-k via
+        TakeOrderedAndProject. df/idf are global (two-pass: tiny df agg
+        broadcast into the scoring closure)."""
+        qterms = sorted(set(terms))
+        prows = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(qterms)
+        )
+        df_by_term = {
+            r["term"]: int(r["df_global"])
+            for r in prows.groupBy("term").agg(F.sum("df").alias("df_global")).collect()
+        }
+        n_docs, avgdl = self.stats.get(field, (0, 1.0))
+        idfs = {t: bm25_idf(n_docs, d) for t, d in df_by_term.items()}
+        tombs = self._tombstones
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            lists = []
+            for term, grp in pdf.groupby("term", sort=True):
+                lists.append(TermList(term, grp.to_dict("records"), idfs[term]))
+            ids, scores = score_block_max(lists, avgdl, k + len(tombs))
+            out = pd.DataFrame({"doc_id": ids.astype(np.int64), "score": scores})
+            if tombs:
+                out = out[~out["doc_id"].isin(list(tombs))]
+            return out.head(k)
+
+        per_bucket = prows.groupBy("bucket").applyInPandas(
+            score_bucket, schema="doc_id long, score double"
+        )
+        return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def open_index(spark: SparkSession, path: str) -> FtIndex:
+    return FtIndex(spark, path)

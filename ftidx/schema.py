@@ -63,6 +63,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("cf", T.LongType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
         T.StructField("block_max_tf", T.ArrayType(T.LongType()), False),
         T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),
         T.StructField("block_last_docid", T.ArrayType(T.LongType()), False),

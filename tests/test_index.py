@@ -1,0 +1,164 @@
+"""Persistent index: build → query parity with oracle, salted hot
+terms, partition-layout determinism, resume-from-checkpoint."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.index import build_index, open_index
+from ftidx.oracle import OracleIndex
+from ftidx.synth import synth_source
+
+N_FILES = 400
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "main")
+    src = synth_source(spark, N_FILES, partitions=5)
+    # low hot threshold → `def`/`return`/… take the salted path
+    summary = build_index(
+        spark, src, out, n_buckets=8, hot_df_threshold=50, n_salts=4
+    )
+    return out, summary
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, built):
+    out, _ = built
+    docs = spark.read.parquet(f"{out}/docs")
+    src = synth_source(spark, N_FILES, partitions=5)
+    live = (
+        src.filter((~F.col("deleted")) & F.col("content").isNotNull())
+        .join(docs.select("repo", "path", "doc_id"), ["repo", "path"])
+        .select("doc_id", "content", "lang", "repo", "path")
+        .toPandas()
+    )
+    assert len(live) > 300
+    return OracleIndex.from_pandas(live)
+
+
+QUERIES = [
+    (["def"], 10, "code.content"),
+    (["def", "return", "value"], 12, "code.content"),
+    (["alpha", "omega"], 10, "code.content"),
+    (["rareterm00001"], 5, "code.content"),
+    (["def", "rareterm00002"], 8, "code.content"),
+    (["posting", "stream"], 10, "code.ident.split"),
+    (["zzz_nothing"], 5, "code.content"),
+]
+
+
+@pytest.mark.parametrize("terms,k,field", QUERIES)
+@pytest.mark.parametrize("kernel", ["exhaustive", "block_max"])
+def test_topk_matches_oracle(spark, built, oracle, terms, k, field, kernel):
+    idx = open_index(spark, built[0])
+    got = idx.topk(terms, k=k, field=field, kernel=kernel)
+    want = oracle.topk(terms, k, field=field)
+    assert [d for d, _ in got] == [d for d, _ in want], f"{kernel} {terms}"
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_topk_distributed_matches(spark, built, oracle):
+    idx = open_index(spark, built[0])
+    for terms, k, field in QUERIES[:4]:
+        got = [(r["doc_id"], r["score"]) for r in idx.topk_distributed(terms, k, field).collect()]
+        want = oracle.topk(terms, k, field=field)
+        assert [d for d, _ in got] == [d for d, _ in want], terms
+
+
+def test_hot_terms_were_salted(spark, built):
+    """The ledger must show skew handled: hot terms exist and the
+    postings table still has ONE row per (term, field, bucket)."""
+    out, _ = built
+    postings = spark.read.parquet(f"{out}/postings")
+    dup = (
+        postings.groupBy("term", "field", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0
+    hot_df = postings.filter(
+        (F.col("term") == "def") & (F.col("field") == "code.content")
+    ).agg(F.sum("df")).collect()[0][0]
+    assert hot_df > 50  # it was indeed above the salting threshold
+
+
+def test_build_layout_determinism(spark, tmp_path, built):
+    """Same corpus, different input partitioning + bucket group size →
+    byte-identical postings (merge determinism, SURVEY §5)."""
+    out2 = str(tmp_path / "idx2")
+    src = synth_source(spark, N_FILES, partitions=13)
+    build_index(spark, src, out2, n_buckets=8, hot_df_threshold=50,
+                n_salts=4, bucket_group_size=3)
+
+    def dump(path):
+        rows = (
+            spark.read.parquet(f"{path}/postings")
+            .select("term", "field", "bucket", "df", "cf", "doc_ids", "tfs", "dls")
+            .collect()
+        )
+        return {
+            (r["term"], r["field"], r["bucket"]):
+                (r["df"], r["cf"], bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]))
+            for r in rows
+        }
+
+    assert dump(built[0]) == dump(out2)
+
+
+def test_resume_skips_done_buckets(spark, tmp_path, built):
+    """Kill half the build (drop ledger rows + partitions), rerun with
+    resume → only missing buckets rebuilt, results identical."""
+    out, _ = built
+    out2 = str(tmp_path / "idx_resume")
+    shutil.copytree(out, out2)
+    # simulate a crash: buckets 4..7 never completed
+    led = spark.read.parquet(f"{out2}/ledger").filter(F.col("bucket") < 4).collect()
+    shutil.rmtree(f"{out2}/ledger")
+    for b in range(4, 8):
+        shutil.rmtree(f"{out2}/postings/bucket={b}", ignore_errors=True)
+        shutil.rmtree(f"{out2}/doclen/bucket={b}", ignore_errors=True)
+    spark.createDataFrame(led, schema=spark.read.parquet(f"{out}/ledger").schema) \
+        .write.parquet(f"{out2}/ledger")
+
+    src = synth_source(spark, N_FILES, partitions=5)
+    summary = build_index(spark, src, out2, n_buckets=8, hot_df_threshold=50, n_salts=4)
+    assert sorted(summary["built"]) == [4, 5, 6, 7]
+    assert sorted(summary["skipped"]) == [0, 1, 2, 3]
+
+    a = open_index(spark, out)
+    b = open_index(spark, out2)
+    assert a.topk(["def", "value"], 10) == b.topk(["def", "value"], 10)
+
+
+def test_delete_tombstones(spark, built, oracle):
+    idx = open_index(spark, built[0])
+    top = idx.topk(["def"], 3)
+    victim = top[0][0]
+    idx.delete([victim])
+    after = idx.topk(["def"], 3)
+    assert victim not in [d for d, _ in after]
+    # distributed path honors tombstones too
+    dist = [r["doc_id"] for r in idx.topk_distributed(["def"], 3).collect()]
+    assert victim not in dist
+    # fresh handle reads the tombstone table from disk
+    idx2 = open_index(spark, built[0])
+    assert victim not in [d for d, _ in idx2.topk(["def"], 3)]
+
+
+def test_ledger_metrics(spark, built):
+    out, summary = built
+    led = spark.read.parquet(f"{out}/ledger")
+    rows = led.collect()
+    assert {r["bucket"] for r in rows} == set(range(8))
+    assert all(r["status"] == "done" for r in rows)
+    assert sum(r["postings_emitted"] for r in rows) > 0
+    assert sum(r["bytes_compressed"] for r in rows) > 0
+    assert all(r["skew_ratio"] >= 1.0 for r in rows)
+    assert all(r["tracking_id"] for r in rows)
