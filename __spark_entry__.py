@@ -15,10 +15,14 @@ tags, date normalization) is covered by the pytest golden files
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 K1 = 1.2
 B = 0.75
@@ -197,6 +201,157 @@ def q_composite_field(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline ops (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from ftidx.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from ftidx.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=16, shingle_n=3)
+
+
+def q_dedup_lsh_bands(spark, sf_dir):
+    from ftidx.dedup import lsh_bands, minhash_signatures
+
+    return lsh_bands(minhash_signatures(_docs(spark, sf_dir), 16, 3), band_size=4)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from ftidx.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from ftidx.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    from ftidx.dedup import simhash, simhash_near_pairs
+
+    return simhash_near_pairs(simhash(_docs(spark, sf_dir)), max_hamming=3)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from ftidx.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb, query, k=20)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    from ftidx.ann import hyperplane_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hyperplane_buckets(emb, n_planes=8)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # approximate by construction → rows-only check (no oracle)
+    from ftidx.ann import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_cosine_topk(emb, query, k=10, n_planes=8)
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    # LSH-bucketed exact-cosine near-dup pairs → rows-only check
+    from ftidx.ann import embedding_near_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_pairs(emb, threshold=0.35, n_planes=4)
+
+
+def q_token_counts(spark, sf_dir):
+    from ftidx.textops import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark, sf_dir):
+    from ftidx.textops import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from ftidx.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    from ftidx.textops import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+# shared oracle CTEs ---------------------------------------------------------
+
+_TOKPOS_CTE = """
+tokpos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9_]+') AS arr
+          FROM documents)
+  ) WHERE term <> ''
+)
+"""
+
+_SHINGLE_CTE = _TOKPOS_CTE + """,
+led AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM tokpos
+),
+sh AS (
+  SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+  FROM led WHERE t2 IS NOT NULL
+)
+"""
+
+_MINHASH_CTE = _SHINGLE_CTE + """,
+seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+),
+sigs AS (
+  SELECT doc_id, seed, min(md5(shingle || '#' || seed::VARCHAR)) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+)
+"""
+
+_SIMHASH_BITS_SQL = ",\n".join(
+    f"sum(CASE WHEN substring(md5(term), {p}, 1) IN "
+    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{p}"
+    for p in range(1, 17)
+)
+_SIMHASH_CONCAT_SQL = " || ".join(
+    f"(CASE WHEN v{p} > 0 THEN '1' ELSE '0' END)" for p in range(1, 17)
+)
+
+_EMB_FLAT_CTE = """
+flat AS (
+  SELECT vec_id, x::DOUBLE AS x, i FROM (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -242,6 +397,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tombstone_antijoin": q_tombstone_antijoin,
         "multivalue_accumulate": q_multivalue_accumulate,
         "composite_field": q_composite_field,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_bands": q_dedup_lsh_bands,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
     }
 
 
@@ -300,5 +469,177 @@ def oracle_sql() -> dict[str, str]:
         "composite_field": """
             SELECT source || ':' || lang AS source_lang, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
+                   count(*) AS n_copies,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash": f"""
+            WITH {_MINHASH_CTE}
+            SELECT doc_id, seed, minhash FROM sigs
+        """,
+        "dedup_lsh_bands": f"""
+            WITH {_MINHASH_CTE}
+            SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                   md5(string_agg(seed::VARCHAR || ':' || minhash, '|'
+                       ORDER BY seed::VARCHAR || ':' || minhash)) AS band_hash
+            FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLE_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 5) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 5) >= 0.05
+        """,
+        "dedup_simhash": f"""
+            WITH {_TOKPOS_CTE},
+            votes AS (
+              SELECT doc_id, {_SIMHASH_BITS_SQL}
+              FROM tokpos GROUP BY doc_id
+            )
+            SELECT doc_id, {_SIMHASH_CONCAT_SQL} AS simhash FROM votes
+        """,
+        "simhash_near_pairs": f"""
+            WITH {_TOKPOS_CTE},
+            votes AS (
+              SELECT doc_id, {_SIMHASH_BITS_SQL}
+              FROM tokpos GROUP BY doc_id
+            ),
+            sim AS (SELECT doc_id, {_SIMHASH_CONCAT_SQL} AS simhash FROM votes),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE substring(a.simhash, 1, 4) = substring(b.simhash, 1, 4)
+                 OR substring(a.simhash, 5, 4) = substring(b.simhash, 5, 4)
+                 OR substring(a.simhash, 9, 4) = substring(b.simhash, 9, 4)
+                 OR substring(a.simhash, 13, 4) = substring(b.simhash, 13, 4)
+            )
+            SELECT doc_a, doc_b,
+                   ({" + ".join(f"(substring(sa,{p},1) <> substring(sb,{p},1))::INT" for p in range(1, 17))}) AS hamming
+            FROM pairs
+            WHERE ({" + ".join(f"(substring(sa,{p},1) <> substring(sb,{p},1))::INT" for p in range(1, 17))}) <= 3
+        """,
+        "ann_cosine_topk": f"""
+            WITH {_EMB_FLAT_CTE},
+            q AS (SELECT i, x AS qx FROM flat WHERE vec_id = 0),
+            dots AS (
+              SELECT f.vec_id, sum(f.x * q.qx) AS dot,
+                     sum(f.x * f.x) AS na, sum(q.qx * q.qx) AS nq
+              FROM flat f JOIN q USING (i) GROUP BY f.vec_id
+            ),
+            scored AS (
+              SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 5) AS cosine
+              FROM dots
+            )
+            SELECT vec_id, cosine FROM (
+              SELECT vec_id, cosine,
+                     row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+              FROM scored
+            ) WHERE rn <= 20
+        """,
+        "ann_lsh_buckets": f"""
+            WITH {_EMB_FLAT_CTE},
+            signs AS (
+              SELECT p.plane, d.i,
+                     CASE WHEN substring(md5('p' || p.plane::VARCHAR || '#' ||
+                          (d.i - 1)::VARCHAR), 1, 1)
+                          IN ('8','9','a','b','c','d','e','f')
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM (SELECT unnest(range(0, 8)) AS plane) p
+              CROSS JOIN (SELECT DISTINCT i FROM flat) d
+            ),
+            proj AS (
+              SELECT f.vec_id, s.plane, sum(f.x * s.s) AS dot
+              FROM flat f JOIN signs s USING (i)
+              GROUP BY f.vec_id, s.plane
+            ),
+            bits AS (
+              SELECT vec_id, plane, CASE WHEN dot > 0 THEN '1' ELSE '0' END AS bit
+              FROM proj
+            )
+            SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+            FROM bits GROUP BY vec_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS n_word_tokens,
+                   list_sum(list_transform(
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> ''),
+                     w -> ceil(length(w) / 4.0)::INT))::INT AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH {_TOK_CTE},
+            stats AS (
+              SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq,
+                     round(avg(length(term)), 5) AS avg_token_len
+              FROM tok GROUP BY doc_id
+            ),
+            base AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     round(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+                           / greatest(length(text), 1), 5) AS alnum_ratio
+              FROM documents
+            )
+            SELECT b.doc_id, b.n_chars,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.n_uniq, 0) AS n_uniq,
+                   coalesce(s.avg_token_len, 0.0) AS avg_token_len,
+                   b.alnum_ratio,
+                   round(coalesce(s.n_uniq, 0)::DOUBLE / greatest(coalesce(s.n_tokens, 0), 1), 5) AS uniq_ratio,
+                   round(0.4 * least(coalesce(s.n_tokens, 0) / 64.0, 1.0)
+                         + 0.3 * (coalesce(s.n_uniq, 0)::DOUBLE / greatest(coalesce(s.n_tokens, 0), 1))
+                         + 0.3 * b.alnum_ratio, 5) AS quality
+            FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id
+        """,
+        "lang_id": f"""
+            WITH {_TOK_CTE},
+            markers(cand_lang, term) AS (VALUES
+              ('en','the'),('en','a'),('en','of'),('en','and'),
+              ('es','el'),('es','la'),('es','de'),('es','y'),
+              ('de','der'),('de','die'),('de','das'),('de','und'),
+              ('fr','le'),('fr','la'),('fr','et'),('fr','les')
+            ),
+            hits AS (
+              SELECT t.doc_id, m.cand_lang, count(*) AS hits
+              FROM tok t JOIN markers m USING (term)
+              GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT doc_id, cand_lang AS pred_lang, hits FROM (
+                SELECT doc_id, cand_lang, hits,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hits DESC, cand_lang) AS rn
+                FROM hits
+              ) WHERE rn = 1
+            )
+            SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang,
+                   coalesce(b.hits, 0) AS hits
+            FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        """,
+        "fingerprints": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(array_to_string(w, ' ')) AS fp_full,
+                   md5(array_to_string(w[1:8], ' ')) AS fp_prefix
+            FROM words
         """,
     }

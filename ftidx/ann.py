@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force cosine top-k: JVM-side
+  ``F.zip_with``/``F.aggregate`` dot products (sequential left fold →
+  deterministic and engine-portable), `TakeOrderedAndProject` for the
+  top-k. The exactness baseline.
+- :func:`hyperplane_buckets` / :func:`lsh_cosine_topk` — the scale
+  path: random-hyperplane (SRP) LSH. Hyperplane components are
+  deterministic ±1 derived from md5(plane, dim) — reproducible across
+  engines and runs, no RNG state. At 100 TB the bucketed variant turns
+  an all-pairs scan into an equi-join on a short bit signature; recall
+  is tunable via n_planes / n_tables.
+- :func:`embedding_near_pairs` — near-duplicate detection by cosine ≥
+  threshold within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_cosine(df: DataFrame, vec_col: str, query: list[float],
+                out_col: str = "cosine") -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_col, F.round(_dot(v, q) / (_norm(v) * _norm(q)), 5))
+
+
+def cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force exact top-k by cosine, tie-break (cosine DESC, id ASC)."""
+    scored = with_cosine(embeddings.select(id_col, vec_col), vec_col, query)
+    return (
+        scored.select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _plane_sign(plane: int, dim: int):
+    """Deterministic ±1: first hex nibble of md5('p<plane>#<dim>')."""
+    h = F.md5(F.concat_ws("#", F.lit(f"p{plane}"), F.lit(str(dim))))
+    return F.when(F.substring(h, 1, 1).isin(*"89abcdef"), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int | None = None) -> DataFrame:
+    """SRP-LSH signature: bit j = sign(Σ_i ±1(j,i) · v_i). Output
+    (id, bucket) with bucket a '0'/'1' string of length n_planes."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for j in range(n_planes):
+        signs = F.array(*[_plane_sign(j, i) for i in range(dim)])
+        proj = _dot(v, signs)
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    return embeddings.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only vectors whose SRP bucket is within
+    Hamming distance 1 of the query's bucket (probing n_planes+1
+    buckets). Recall < 1 by design; exactness is cosine_topk's job."""
+    dim = len(query)
+    buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col, dim)
+    import hashlib
+
+    def sign(j, i):
+        return 1.0 if int(hashlib.md5(f"p{j}#{i}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+
+    qbits = "".join(
+        "1" if sum(sign(j, i) * query[i] for i in range(dim)) > 0 else "0"
+        for j in range(n_planes)
+    )
+    probes = [qbits] + [
+        qbits[:j] + ("0" if qbits[j] == "1" else "1") + qbits[j + 1:]
+        for j in range(n_planes)
+    ]
+    cand = embeddings.join(
+        F.broadcast(buckets.filter(F.col("bucket").isin(probes)).select(id_col)), id_col
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                         n_planes: int = 8, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucketed candidate join + exact
+    cosine verify (id_a < id_b, cosine ≥ threshold)."""
+    buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    j = pairs.join(va, "id_a").join(vb, "id_b")
+    da = F.transform(F.col("va"), lambda x: x.cast("double"))
+    db = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    cos = F.round(_dot(da, db) / (_norm(da) * _norm(db)), 5)
+    return (
+        j.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

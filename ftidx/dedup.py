@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale corpus curation.
+
+First-class components alongside the index engine: at 10^12-file
+scale, dedup runs on the same tokenized representation the indexer
+already produces. All operators are pure DataFrame compositions
+(JVM-side, codegen'd) — no Python in the hot path; hashes are md5/sha2
+built-ins so results are engine-portable (the DuckDB oracle reproduces
+them bit-for-bit).
+
+Scale notes per operator:
+
+- exact: one groupBy on a 128-bit hash — shuffle is |corpus| rows of
+  ~50 bytes; skew-free (hashes are uniform).
+- minhash/LSH: signature build is explode(seeds) × shingles — wide but
+  map-side combinable (min per (doc, seed)); candidate generation
+  joins on band hash, which is uniform by construction. The classic
+  hot-shingle problem (boilerplate headers shared by millions of docs)
+  is handled by dropping shingles with document frequency above
+  ``max_shingle_df`` BEFORE the join — the standard frequency-cap
+  trick; dropped shingles barely affect Jaccard but unskew the join.
+- simhash: per-doc constant work (16 conditional sums), embarrassingly
+  parallel, no joins.
+- n-gram Jaccard: exact pairwise on LSH/shingle candidates only —
+  never all-pairs.
+- embedding cosine: see ann.py; pair generation via bucketed join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9_]+"
+
+
+def tokens_with_pos(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: keeper = min doc_id
+    (deterministic), n_copies, members list."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("doc_id")),
+                            lambda x: x.cast("string")),
+                ",",
+            ).alias("members"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc."""
+    tok = tokens_with_pos(docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    for i in range(1, n):
+        tok = tok.withColumn(f"_t{i}", F.lead("term", i).over(w))
+    parts = [F.col("term")] + [F.col(f"_t{i}") for i in range(1, n)]
+    return (
+        tok.filter(F.col(f"_t{n - 1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2,
+    max_shingle_df: int | None = None, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for all pairs sharing ≥1 (non-hot)
+    shingle. Output: doc_a < doc_b, jaccard rounded to 5 decimals."""
+    sh = shingles(docs, n, text_col, id_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df).select("shingle")
+        )
+        sh_join = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh_join = sh
+    a = sh_join.alias("a")
+    b = sh_join.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 5),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature rows (doc_id, seed, minhash): minhash =
+    lexicographic min of md5(shingle || '#' || seed). String-min over
+    md5 hex is a valid uniform permutation surrogate and portable
+    across engines."""
+    sh = shingles(docs, shingle_n, text_col, id_col)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded.withColumn(
+            "h", F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed").cast("string")))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(sigs: DataFrame, band_size: int = 4) -> DataFrame:
+    """Band rows (doc_id, band, band_hash): md5 of the band's ordered
+    minhashes."""
+    return (
+        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(F.array_join(F.array_sort(
+                F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash")))
+            ), "|")).alias("band_hash")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from band collisions (doc_a < doc_b)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhashes per pair."""
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("hb"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(F.avg((F.col("ha") == F.col("hb")).cast("double")), 5).alias("est_jaccard")
+        )
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash: bit p = majority vote over token occurrences of
+    bit p of md5(term) (hex nibble ≥ 8 ⇒ +1 else −1), tf-weighted by
+    keeping duplicates. Output (doc_id, simhash) as a '0'/'1' string."""
+    tok = tokens_with_pos(docs, text_col, id_col).withColumn("h", F.md5("term"))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", p, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{p}")
+        for p in range(1, 17)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    bits = [F.when(F.col(f"v{p}") > 0, "1").otherwise("0") for p in range(1, 17)]
+    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation via the 4-table trick: split the 16-bit
+    signature into 4 nibbles; pairs within distance ≤ 2 must agree on
+    ≥ 2 nibbles — join on each nibble, verify exact distance."""
+    parts = sim.select(
+        "doc_id", "simhash",
+        *[F.substring("simhash", 1 + 4 * i, 4).alias(f"p{i}") for i in range(4)],
+    )
+    cands = None
+    for i in range(4):
+        a = parts.alias("a")
+        b = parts.alias("b")
+        c = a.join(b, (F.col(f"a.p{i}") == F.col(f"b.p{i}"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    # exact Hamming distance over the 16 chars
+    dist = sum(
+        (F.substring("sa", p, 1) != F.substring("sb", p, 1)).cast("int")
+        for p in range(1, 17)
+    )
+    return (
+        cands.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data curation: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure DataFrame compositions (codegen'd, shuffle only where an agg
+needs one); formulas use round() so the DuckDB oracle reproduces the
+doubles exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9_]+"
+
+# word-level language markers (the n-gram-profile approach at word
+# granularity; deterministic + oracle-portable)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "y"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "et", "les"],
+}
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens vs regex word tokens vs BPE-ish subword count
+    (every run of ≤4 chars counts — a cheap proxy for byte-pair units:
+    ceil(len/4) per word)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    words = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != "")
+    bpe = F.aggregate(
+        words, F.lit(0), lambda acc, wd: acc + F.ceil(F.length(wd) / F.lit(4.0)).cast("int")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("n_ws_tokens"),
+        F.size(words).alias("n_word_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality heuristics: length, mean word length, distinct-token
+    ratio, alnum ratio; combined score in [0, 1] (rounded)."""
+    tok = _tokens(docs, text_col, id_col)
+    stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_uniq"),
+        F.round(F.avg(F.length("term")), 5).alias("avg_token_len"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
+            / F.greatest(F.length(text_col), F.lit(1)),
+            5,
+        ).alias("alnum_ratio"),
+    )
+    j = base.join(stats, "doc_id", "left").fillna(
+        {"n_tokens": 0, "n_uniq": 0, "avg_token_len": 0.0}
+    )
+    uniq_ratio = F.col("n_uniq") / F.greatest(F.col("n_tokens"), F.lit(1))
+    len_score = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    score = F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * uniq_ratio + F.lit(0.3) * F.col("alnum_ratio"),
+        5,
+    )
+    return j.select(
+        "doc_id", "n_chars", "n_tokens", "n_uniq", "avg_token_len", "alnum_ratio",
+        F.round(uniq_ratio, 5).alias("uniq_ratio"), score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: argmax of marker hits per language,
+    ties → lexicographically smaller lang, no hits → 'und'."""
+    spark = docs.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, m) for lang, ms in LANG_MARKERS.items() for m in ms],
+        "cand_lang string, term string",
+    )
+    tok = _tokens(docs, text_col, id_col)
+    hits = (
+        tok.join(F.broadcast(markers), "term")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "hits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .fillna({"pred_lang": "und", "hits": 0})
+    )
+
+
+def fingerprints(docs: DataFrame, prefix_tokens: int = 8,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of token-normalized text (whitespace/
+    case canonicalized) + md5 of the first-k-token prefix (cheap
+    rolling-hash analog for container-level dedup)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(words, " ")).alias("fp_full"),
+        F.md5(F.array_join(F.slice(words, 1, prefix_tokens), " ")).alias("fp_prefix"),
+    )

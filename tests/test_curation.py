@@ -1,0 +1,147 @@
+"""Unit tests for the training-data curation operators (dedup /
+similarity / text analysis) with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.ann import cosine_topk, embedding_near_pairs, hyperplane_buckets, lsh_cosine_topk
+from ftidx.dedup import (
+    exact_dedup,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from ftidx.textops import fingerprints, lang_id, quality_scores, token_counts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, near),                      # near dup of 0
+        (3, "completely different text about spark shuffle partitions"),
+        (4, "el gato la casa de la ciudad y el perro"),
+        (5, "der hund und die katze das haus und der baum"),
+        (6, ""),                        # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = {r["keeper"]: r for r in exact_dedup(docs).collect()}
+    assert groups[0]["n_copies"] == 2 and groups[0]["members"] == "0,1"
+    assert groups[2]["n_copies"] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()}
+    assert pairs[(0, 1)] == 1.0           # exact dup
+    assert 0.3 < pairs[(0, 2)] < 1.0      # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_pipeline(docs):
+    sigs = minhash_signatures(docs, n_hashes=16, shingle_n=3).cache()
+    assert sigs.filter(F.col("doc_id") == 6).count() == 0  # empty doc, no shingles
+    bands = lsh_bands(sigs, band_size=4)
+    cands = lsh_candidate_pairs(bands)
+    got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert (0, 1) in got                  # exact dup always collides
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in minhash_jaccard_estimate(sigs, cands).collect()}
+    assert est[(0, 1)] == 1.0
+
+
+def test_simhash(docs):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sims[0] == sims[1]
+    assert len(sims[0]) == 16 and set(sims[0]) <= {"0", "1"}
+    ham02 = sum(a != b for a, b in zip(sims[0], sims[2]))
+    ham03 = sum(a != b for a, b in zip(sims[0], sims[3]))
+    assert ham02 <= ham03  # near-dup closer than unrelated
+    near = {(r["doc_a"], r["doc_b"]) for r in
+            simhash_near_pairs(simhash(docs), max_hamming=2).collect()}
+    assert (0, 1) in near
+
+
+def test_shingles_empty_doc(docs):
+    assert shingles(docs, 3).filter(F.col("doc_id") == 6).count() == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    base = rng.normal(size=8)
+    for i in range(30):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + rng.normal(size=8) * 0.01]))  # near dup
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]]
+    top = cosine_topk(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 100 and top[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+    assert top[1]["vec_id"] == 101 and top[1]["cosine"] > 0.99
+
+
+def test_lsh_ann_finds_near_dup(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]]
+    got = [r["vec_id"] for r in lsh_cosine_topk(emb, q, k=3, n_planes=6).collect()]
+    assert 100 in got and 101 in got  # same bucket (or 1-probe away) by construction
+
+
+def test_embedding_near_pairs(emb):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_pairs(emb, threshold=0.9, n_planes=4).collect()}
+    assert (100, 101) in pairs and pairs[(100, 101)] > 0.99
+
+
+def test_hyperplane_bucket_shape(emb):
+    b = hyperplane_buckets(emb, n_planes=5).collect()
+    assert all(len(r["bucket"]) == 5 and set(r["bucket"]) <= {"0", "1"} for r in b)
+
+
+def test_token_counts(docs):
+    rows = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert rows[0]["n_ws_tokens"] == 13 == rows[0]["n_word_tokens"]
+    assert rows[6]["n_ws_tokens"] == 0 and rows[6]["n_bpe_tokens"] == 0
+    assert rows[0]["n_bpe_tokens"] >= rows[0]["n_word_tokens"]
+
+
+def test_quality_scores(docs):
+    rows = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert rows[6]["quality"] == 0.0
+    assert 0 < rows[3]["quality"] <= 1.0
+    assert rows[3]["uniq_ratio"] == 1.0  # all distinct terms
+
+
+def test_lang_id(docs):
+    rows = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[4] == "es"
+    assert rows[5] == "de"
+    assert rows[6] == "und"
+
+
+def test_fingerprints(docs):
+    rows = {r["doc_id"]: r for r in fingerprints(docs).collect()}
+    assert rows[0]["fp_full"] == rows[1]["fp_full"]
+    assert rows[0]["fp_full"] != rows[2]["fp_full"]
+    assert rows[0]["fp_prefix"] == rows[2]["fp_prefix"]  # differ only at token 9
