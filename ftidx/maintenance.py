@@ -1,0 +1,164 @@
+"""Index maintenance: tombstone compaction and incremental upsert.
+
+Reference analogs: delete-by-id (Indexer.java:219-222 → S8), upsert by
+unique key (solrClient.add replaces by id, Indexer.java:224-229 → S24/
+Q9). The steady-state model is Lucene-like: queries anti-filter a
+small tombstone set; compaction folds tombstones into the postings by
+a decode→filter→re-encode pass over only the buckets that contain
+deleted docs (bucket = doc_id >> 40, so the affected partition set is
+known without scanning).
+
+Upsert = delete + reindex of the changed docs' buckets: because doc
+ids are content-addressed ranks within a bucket, replacing a doc's
+content re-ranks the bucket — so incremental upsert rebuilds the
+affected buckets only (cheap: corpus/n_buckets docs each), reusing
+build_index's resume machinery by clearing those buckets' ledger rows.
+At 10^12-file scale this is the same partial-rebuild pattern an
+Iceberg MERGE would drive.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftidx.build import BUCKET_SHIFT
+from ftidx.codec import encode_postings
+from ftidx.schema import POSTINGS_SCHEMA
+from ftidx.wand import TermList
+
+_POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
+
+
+def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
+    """Fold the tombstone table into the postings: rewrite only the
+    buckets containing deleted docs; drop the tombstone table after."""
+    path = Path(index_path)
+    tomb_dir = path / "tombstones"
+    if not tomb_dir.exists():
+        return {"buckets_rewritten": [], "docs_removed": 0}
+    tombs = spark.read.parquet(str(tomb_dir)).select("doc_id").distinct()
+    tomb_ids = {int(r["doc_id"]) for r in tombs.collect()}
+    if not tomb_ids:
+        shutil.rmtree(tomb_dir)
+        return {"buckets_rewritten": [], "docs_removed": 0}
+    buckets = sorted({d >> BUCKET_SHIFT for d in tomb_ids})
+
+    postings = spark.read.parquet(str(path / "postings"))
+    affected = postings.filter(F.col("bucket").isin(buckets))
+    tomb_arr = np.array(sorted(tomb_ids), dtype=np.uint64)
+
+    def rewrite(batches):
+        for pdf in batches:
+            out = {c: [] for c in _POSTINGS_COLS}
+            for row in pdf.to_dict("records"):
+                tl = TermList(row["term"], [row], 0.0)
+                ids, tfs, dls = tl.decode_all()
+                keep = ~np.isin(ids, tomb_arr)
+                if not keep.any():
+                    continue  # term vanishes from this bucket
+                enc = encode_postings(ids[keep], tfs[keep], dls[keep])
+                out["term"].append(row["term"])
+                out["field"].append(row["field"])
+                out["bucket"].append(int(row["bucket"]))
+                for k in ("df", "cf", "doc_ids", "tfs", "dls",
+                          "block_max_tf", "block_min_dl", "block_last_docid"):
+                    out[k].append(enc[k])
+            yield pd.DataFrame(out)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rewritten = affected.mapInPandas(rewrite, schema=POSTINGS_SCHEMA)
+    rewritten.write.mode("overwrite").partitionBy("bucket").parquet(str(path / "postings"))
+
+    # doclen + docs: plain anti-join rewrites for affected buckets
+    tomb_b = F.broadcast(tombs)
+    doclen = spark.read.parquet(str(path / "doclen"))
+    (doclen.filter(F.col("bucket").isin(buckets))
+     .join(tomb_b, "doc_id", "left_anti")
+     .write.mode("overwrite").partitionBy("bucket").parquet(str(path / "doclen")))
+    docs = spark.read.parquet(str(path / "docs"))
+    (docs.filter(F.col("bucket").isin(buckets))
+     .join(tomb_b, "doc_id", "left_anti")
+     .write.mode("overwrite").partitionBy("bucket").parquet(str(path / "docs")))
+
+    # refresh global stats
+    doclen_all = spark.read.parquet(str(path / "doclen"))
+    stats = doclen_all.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").alias("total_len"),
+        (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    stats.write.mode("overwrite").parquet(str(path / "stats"))
+    shutil.rmtree(tomb_dir)
+    return {"buckets_rewritten": buckets, "docs_removed": len(tomb_ids)}
+
+
+def upsert(spark: SparkSession, index_path: str, new_source: DataFrame,
+           **build_kwargs) -> dict:
+    """Re-index the buckets touched by changed/new docs.
+
+    ``new_source`` is the full updated source table (input_hint schema);
+    change detection is by content_sha256 against the stored docs table
+    (the per-row invariant makes this a cheap join), then the affected
+    buckets' ledger rows are cleared and build_index resumes over them.
+    """
+    from ftidx.build import prepare_docs
+    from ftidx.index import build_index
+
+    import json
+
+    path = Path(index_path)
+    n_buckets = json.loads((path / "_manifest.json").read_text())["n_buckets"]
+    old = spark.read.parquet(str(path / "docs")).select(
+        "repo", "path",
+        F.col("content_sha256").alias("old_sha"),
+        F.col("deleted").alias("old_deleted"),
+        F.col("bucket").alias("old_bucket"),
+    )
+    new = prepare_docs(new_source, n_buckets).select(
+        "repo", "path",
+        F.col("content_sha256").alias("new_sha"),
+        F.col("deleted").alias("new_deleted"),
+        F.col("bucket").alias("new_bucket"),
+    )
+    # full outer: adds, removes, and edits all mark their bucket(s) dirty
+    # (a content edit changes `commit` → the doc may hop buckets, so
+    # both the old and new bucket are rebuilt)
+    j = old.join(new, ["repo", "path"], "full")
+    diff = j.filter(
+        F.col("old_sha").isNull()
+        | F.col("new_sha").isNull()
+        | (F.col("new_sha") != F.col("old_sha"))
+        | (F.col("new_deleted") != F.col("old_deleted"))
+    )
+    dirty = sorted(
+        int(r["b"])
+        for r in diff.select(
+            F.explode(F.array_compact(F.array("old_bucket", "new_bucket"))).alias("b")
+        ).distinct().collect()
+    )
+    if not dirty:
+        return {"buckets_rebuilt": [], "skipped": "no changes"}
+
+    # drop dirty partitions up front: dynamic overwrite only replaces
+    # partitions present in the NEW output, so a bucket that becomes
+    # empty must not leave stale files behind
+    for b in dirty:
+        for sub in ("postings", "doclen", "docs"):
+            shutil.rmtree(path / sub / f"bucket={b}", ignore_errors=True)
+
+    # clear ledger rows for dirty buckets → build_index resumes them
+    ledger_dir = path / "ledger"
+    led = spark.read.parquet(str(ledger_dir))
+    kept = led.filter(~F.col("bucket").isin(dirty)).collect()
+    shutil.rmtree(ledger_dir)
+    if kept:
+        spark.createDataFrame(kept, led.schema).write.parquet(str(ledger_dir))
+    summary = build_index(spark, new_source, str(path),
+                          n_buckets=n_buckets, resume=True, **build_kwargs)
+    return {"buckets_rebuilt": summary["built"], "skipped": summary["skipped"]}

@@ -78,60 +78,50 @@ class TermList:
         dls = np.concatenate([varint_decode(r["dls"]) for r in self.rows])
         return ids, tfs, dls
 
-    def block_table(self, avgdl: float):
-        """Global sorted block table: (starts, lasts, ubs, row_idx,
-        blk_idx). Segments cover disjoint doc-id ranges, so sorting all
-        blocks by last-doc-id yields a consistent global order; a
-        block's start is inferred as previous-block-last + 1 (a
-        superset of its true range — safe for upper bounds)."""
-        lasts_l, ubs_l, row_l, blk_l = [], [], [], []
-        for ri, r in enumerate(self.rows):
+    def segment_tables(self, avgdl: float):
+        """Per-segment block tables: list of (starts, lasts, ubs).
+
+        Within a segment, blocks are sorted and disjoint by
+        construction (codec sorts by doc_id), so a block's start can be
+        inferred as previous-block-last + 1 (superset of its true
+        range — safe for upper bounds). Segments themselves MAY overlap
+        in doc-id range (streaming hash-id deltas); a doc lives in
+        exactly one segment, so a doc's bound within a term is the MAX
+        over segments' covering blocks — handled in score_block_max."""
+        tables = []
+        for r in self.rows:
             bl = np.asarray(r["block_last_docid"], dtype=np.uint64)
             if bl.size == 0:
+                tables.append(None)
                 continue
             bmt = np.asarray(r["block_max_tf"], dtype=np.float64)
             bmd = np.asarray(r["block_min_dl"], dtype=np.float64)
             ub = self.idf * bmt * (BM25_K1 + 1.0) / (
                 bmt + BM25_K1 * (1.0 - BM25_B + BM25_B * bmd / avgdl)
             )
-            lasts_l.append(bl)
-            ubs_l.append(ub)
-            row_l.append(np.full(bl.size, ri, dtype=np.int64))
-            blk_l.append(np.arange(bl.size, dtype=np.int64))
-        if not lasts_l:
-            z = np.empty(0, np.uint64)
-            zi = np.empty(0, np.int64)
-            return z, z, np.empty(0, np.float64), zi, zi
-        lasts = np.concatenate(lasts_l)
-        ubs = np.concatenate(ubs_l)
-        rows = np.concatenate(row_l)
-        blks = np.concatenate(blk_l)
-        order = np.argsort(lasts, kind="stable")
-        lasts, ubs, rows, blks = lasts[order], ubs[order], rows[order], blks[order]
-        starts = np.empty_like(lasts)
-        starts[0] = 0
-        starts[1:] = lasts[:-1] + np.uint64(1)
-        return starts, lasts, ubs, rows, blks
+            st = np.empty_like(bl)
+            st[0] = 0
+            st[1:] = bl[:-1] + np.uint64(1)
+            tables.append((st, bl, ub))
+        return tables
 
-    def decode_blocks(self, keep_rows: np.ndarray, keep_blks: np.ndarray):
-        """Decode only the given (row, block) pairs."""
+    def decode_blocks(self, keep_per_row: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode only blocks flagged in keep_per_row (bool mask per
+        segment, or None to skip the segment)."""
         ids_out, tfs_out, dls_out = [], [], []
-        for ri, r in enumerate(self.rows):
-            nb = len(r["block_last_docid"])
-            sel_blks = np.sort(keep_blks[keep_rows == ri])
-            if sel_blks.size == 0:
+        for r, mask in zip(self.rows, keep_per_row):
+            if mask is None or not mask.any():
                 continue
+            nb = len(r["block_last_docid"])
             ids = delta_decode(varint_decode(r["doc_ids"]))
             tfs = varint_decode(r["tfs"])
             dls = varint_decode(r["dls"])
-            if sel_blks.size == nb:
+            if mask.all():
                 ids_out.append(ids)
                 tfs_out.append(tfs)
                 dls_out.append(dls)
                 continue
             n = ids.size
-            mask = np.zeros(nb, dtype=bool)
-            mask[sel_blks] = True
             edges = np.minimum(np.arange(0, (nb + 1) * BLOCK, BLOCK), n)
             sel = np.repeat(mask, np.diff(edges))
             ids_out.append(ids[sel])
@@ -176,35 +166,49 @@ def score_block_max(lists: list[TermList], avgdl: float, k: int):
     ids0, tfs0, dls0 = lists[0].decode_all()
     c0 = bm25_contrib(tfs0, dls0, lists[0].idf, avgdl)
     theta = float(np.partition(c0, c0.size - k)[c0.size - k]) if c0.size >= k else -np.inf
-
-    tables = [tl.block_table(avgdl) for tl in lists]
     if theta == -np.inf:
         return score_exhaustive(lists, avgdl, k)
 
-    # elementary intervals over all block boundaries
-    bounds = np.unique(np.concatenate(
-        [t[0] for t in tables] + [t[1] + np.uint64(1) for t in tables]
-    ))
+    term_tables = [tl.segment_tables(avgdl) for tl in lists]
+
+    # elementary intervals over every segment's block boundaries
+    pieces = []
+    for tables in term_tables:
+        for t in tables:
+            if t is not None:
+                pieces.append(t[0])
+                pieces.append(t[1] + np.uint64(1))
+    bounds = np.unique(np.concatenate(pieces))
+
+    # per-interval bound: Σ_terms max_segments ub(covering block)
     total_ub = np.zeros(bounds.size, dtype=np.float64)
-    for starts, lasts, ubs, _, _ in tables:
-        if starts.size == 0:
-            continue
-        blk = np.searchsorted(starts, bounds, side="right") - 1
-        safe = np.clip(blk, 0, None)
-        valid = (blk >= 0) & (bounds <= lasts[safe])
-        total_ub[valid] += ubs[safe[valid]]
+    for tables in term_tables:
+        term_ub = np.zeros(bounds.size, dtype=np.float64)
+        for t in tables:
+            if t is None:
+                continue
+            starts, lasts, ubs = t
+            blk = np.searchsorted(starts, bounds, side="right") - 1
+            safe = np.clip(blk, 0, None)
+            valid = (blk >= 0) & (bounds <= lasts[safe])
+            seg_ub = np.zeros(bounds.size, dtype=np.float64)
+            seg_ub[valid] = ubs[safe[valid]]
+            np.maximum(term_ub, seg_ub, out=term_ub)
+        total_ub += term_ub
     surviving = total_ub >= theta
     surv_cum = np.concatenate(([0], np.cumsum(surviving)))
 
     per_term = []
-    for tl, (starts, lasts, ubs, rows, blks) in zip(lists, tables):
-        if starts.size == 0:
-            z = np.empty(0, np.uint64)
-            per_term.append((z, np.empty(0, np.float64)))
-            continue
-        lo = np.searchsorted(bounds, starts, side="right") - 1
-        hi = np.searchsorted(bounds, lasts, side="right") - 1
-        keep = (surv_cum[hi + 1] - surv_cum[np.clip(lo, 0, None)]) > 0
-        ids, tfs, dls = tl.decode_blocks(rows[keep], blks[keep])
+    for tl, tables in zip(lists, term_tables):
+        keep_per_row = []
+        for t in tables:
+            if t is None:
+                keep_per_row.append(None)
+                continue
+            starts, lasts, _ = t
+            lo = np.searchsorted(bounds, starts, side="right") - 1
+            hi = np.searchsorted(bounds, lasts, side="right") - 1
+            keep_per_row.append((surv_cum[hi + 1] - surv_cum[np.clip(lo, 0, None)]) > 0)
+        ids, tfs, dls = tl.decode_blocks(keep_per_row)
         per_term.append((ids, bm25_contrib(tfs, dls, tl.idf, avgdl)))
     return _accumulate(per_term, k)

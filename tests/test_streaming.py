@@ -1,0 +1,111 @@
+"""Structured Streaming micro-batch indexing: arriving files → delta
+segments → merge-on-read queries; tombstone routing; restart resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.oracle import OracleIndex
+from ftidx.streaming import (
+    prepare_docs_hashid,
+    query_with_deltas,
+    start_indexing_stream,
+)
+from ftidx.synth import synth_source
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    return str(src), str(tmp_path / "stream_idx")
+
+
+def _write_chunk(spark, src_dir, lo, hi, name):
+    synth_source(spark, hi, partitions=2).filter(
+        F.col("path") >= ""
+    ).limit(hi).subtract(synth_source(spark, lo, partitions=2).limit(lo)) \
+        .write.parquet(f"{src_dir}/{name}")
+
+
+def test_stream_indexes_and_queries(spark, dirs):
+    src_dir, idx_dir = dirs
+    all_src = synth_source(spark, 120, partitions=2).cache()
+    chunk1 = all_src.filter(F.xxhash64("path") % 2 == 0)
+    chunk2 = all_src.filter(F.xxhash64("path") % 2 != 0)
+    chunk1.write.parquet(f"{src_dir}/c1")
+
+    q = start_indexing_stream(spark, f"{src_dir}/c*", idx_dir, n_buckets=4,
+                              trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+        r1 = query_with_deltas(spark, idx_dir, ["def", "alpha"], k=10)
+        assert r1  # chunk-1 docs queryable
+
+        chunk2.write.mode("append").parquet(f"{src_dir}/c2")
+        q.processAllAvailable()
+        r2 = query_with_deltas(spark, idx_dir, ["def", "alpha"], k=10)
+    finally:
+        q.stop()
+
+    # oracle over ALL live docs with the streaming id scheme
+    live = prepare_docs_hashid(all_src, 4).filter(
+        (~F.col("deleted")) & F.col("content").isNotNull()
+    )
+    oracle = OracleIndex.from_pandas(
+        live.select("doc_id", "content", "lang", "repo", "path").toPandas()
+    )
+    want = oracle.topk(["def", "alpha"], 10)
+    assert [d for d, _ in r2] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(r2, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_stream_tombstones(spark, dirs):
+    src_dir, idx_dir = dirs
+    src = synth_source(spark, 120, partitions=2).cache()
+    src.write.parquet(f"{src_dir}/c1")
+    q = start_indexing_stream(spark, f"{src_dir}/c*", idx_dir, n_buckets=4,
+                              trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+        r1 = query_with_deltas(spark, idx_dir, ["def"], k=5)
+        victim = r1[0][0]
+        # a delete arrives on the stream: same (repo, path, commit), deleted=true
+        live = prepare_docs_hashid(src, 4)
+        vic_row = live.filter(F.col("doc_id") == victim) \
+            .select("repo", "path", "commit", "lang", "content", "modified")
+        tomb = vic_row.withColumn("deleted", F.lit(True)) \
+            .select("repo", "path", "commit", "lang", "content", "deleted", "modified")
+        tomb.write.mode("append").parquet(f"{src_dir}/c2")
+        q.processAllAvailable()
+        r2 = query_with_deltas(spark, idx_dir, ["def"], k=5)
+    finally:
+        q.stop()
+    assert victim not in [d for d, _ in r2]
+
+
+def test_stream_restart_resumes(spark, dirs):
+    """Restarting the stream must not re-index acknowledged input
+    (checkpointed offsets = the reference's committed queue state)."""
+    src_dir, idx_dir = dirs
+    src = synth_source(spark, 60, partitions=2)
+    src.write.parquet(f"{src_dir}/c1")
+    q = start_indexing_stream(spark, f"{src_dir}/c*", idx_dir, n_buckets=4,
+                              trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pathlib import Path
+
+    n_deltas_1 = len(list((Path(idx_dir) / "deltas").iterdir()))
+    q2 = start_indexing_stream(spark, f"{src_dir}/c*", idx_dir, n_buckets=4,
+                               trigger_seconds=1)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    n_deltas_2 = len(list((Path(idx_dir) / "deltas").iterdir()))
+    assert n_deltas_2 == n_deltas_1  # nothing re-processed

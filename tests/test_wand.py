@@ -1,0 +1,82 @@
+"""Direct kernel tests for wand.py: block-max pruning must equal
+exhaustive scoring, including the overlapping-segment case (streaming
+hash-id deltas) that the naive chained-start block table got wrong."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ftidx.codec import encode_postings
+from ftidx.wand import TermList, bm25_idf, score_block_max, score_exhaustive
+
+
+def make_list(term, segments, n_docs_corpus):
+    """segments: list of {doc_id: (tf, dl)} dicts (disjoint doc sets)."""
+    rows = []
+    total_df = 0
+    for seg in segments:
+        ids = np.array(sorted(seg), dtype=np.uint64)
+        tfs = np.array([seg[d][0] for d in sorted(seg)], dtype=np.uint64)
+        dls = np.array([seg[d][1] for d in sorted(seg)], dtype=np.uint64)
+        rows.append(encode_postings(ids, tfs, dls))
+        total_df += len(seg)
+    return TermList(term, rows, bm25_idf(n_docs_corpus, total_df))
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_blockmax_equals_exhaustive_overlapping_segments(data):
+    rng_seed = data.draw(st.integers(0, 10_000))
+    rng = np.random.default_rng(rng_seed)
+    n_corpus = 2000
+    k = data.draw(st.integers(1, 20))
+    n_terms = data.draw(st.integers(1, 4))
+    lists = []
+    for t in range(n_terms):
+        n_segs = data.draw(st.integers(1, 3))
+        # overlapping id ranges across segments, disjoint membership
+        all_ids = rng.choice(n_corpus, size=min(n_corpus, 50 + 200 * t), replace=False)
+        seg_assign = rng.integers(0, n_segs, size=all_ids.size)
+        segments = []
+        for s in range(n_segs):
+            ids = all_ids[seg_assign == s]
+            segments.append({
+                int(d): (int(rng.integers(1, 8)), int(rng.integers(5, 100)))
+                for d in ids
+            })
+        segments = [s for s in segments if s]
+        if not segments:
+            segments = [{0: (1, 10)}]
+        lists.append(make_list(f"t{t}", segments, n_corpus))
+    avgdl = 40.0
+    ids_a, sc_a = score_exhaustive(lists, avgdl, k)
+    ids_b, sc_b = score_block_max(lists, avgdl, k)
+    assert ids_a.tolist() == ids_b.tolist()
+    np.testing.assert_allclose(sc_a, sc_b, rtol=1e-12)
+
+
+def test_blockmax_multiblock_pruning_correct():
+    """Lists long enough to span many 128-doc blocks: pruning actually
+    fires and results still match."""
+    rng = np.random.default_rng(3)
+    n = 5000
+    lists = []
+    for t, df in [("hot", 4000), ("mid", 800), ("rare", 30)]:
+        ids = np.sort(rng.choice(n * 2, size=df, replace=False)).astype(np.uint64)
+        tfs = rng.integers(1, 6, size=df).astype(np.uint64)
+        dls = rng.integers(10, 80, size=df).astype(np.uint64)
+        lists.append(TermList(t, [encode_postings(ids, tfs, dls)], bm25_idf(n, df)))
+    ids_a, sc_a = score_exhaustive(lists, 40.0, 10)
+    ids_b, sc_b = score_block_max(lists, 40.0, 10)
+    assert ids_a.tolist() == ids_b.tolist()
+    np.testing.assert_allclose(sc_a, sc_b, rtol=1e-12)
+
+
+def test_single_term_and_empty():
+    lists = [make_list("x", [{5: (2, 20), 9: (1, 10)}], 100)]
+    ids, sc = score_block_max(lists, 15.0, 5)
+    assert ids.tolist() == score_exhaustive(lists, 15.0, 5)[0].tolist()
+    assert score_block_max([], 15.0, 5)[0].size == 0

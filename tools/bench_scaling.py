@@ -1,0 +1,137 @@
+"""Scaling-efficiency evidence for the north rule: the identical index
+build at two parallelism levels (local[N] vs local[4N] — the sandbox
+stand-in for N vs 4N executors), same deterministic input, reporting
+throughput at both and efficiency = (thr_4N / thr_N) / 4.
+
+Each level runs in a FRESH process/JVM (no warm-cache bleed); timing
+excludes session startup and corpus generation (the corpus is written
+to parquet once, then both builds read the same files).
+
+Usage: python tools/bench_scaling.py [n_files] [N] [out_md]
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import json, os, sys, time, shutil
+sys.path.insert(0, {repo!r})
+from ftidx.session import get_spark
+from ftidx.index import build_index
+from ftidx.synth import synth_source
+
+cores = int(sys.argv[1])
+src_path = sys.argv[2]
+out_root = sys.argv[3]
+
+spark = get_spark(cores=cores, app_name=f"scale-{{cores}}")
+src = spark.read.parquet(src_path)
+n = src.count()
+idx_dir = os.path.join(out_root, f"idx_{{cores}}")
+shutil.rmtree(idx_dir, ignore_errors=True)
+t0 = time.time()
+build_index(spark, src, idx_dir, n_buckets=64, hot_df_threshold=100_000,
+            bucket_group_size=64)
+elapsed = time.time() - t0
+print(json.dumps({{"cores": cores, "n_files": n, "sec": elapsed,
+                   "files_per_sec": n / elapsed}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, src_path: str, out_root: str, n_files: int) -> dict:
+    script = WORKER.format(repo=str(REPO))
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, "-c", script, str(cores), src_path, out_root],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker {cores} failed:\n{proc.stderr[-3000:]}")
+    return json.loads(lines[-1])
+
+
+def main():
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    out_md = Path(sys.argv[3]) if len(sys.argv) > 3 else REPO / "BENCH" / "BASELINE.md"
+    n_big = n_small * 4
+
+    tmp = tempfile.mkdtemp(prefix="ftidx_scale_")
+    # generate the corpus ONCE (deterministic, seed=42) and persist it
+    gen = WORKER_GEN.format(repo=str(REPO))
+    subprocess.run([sys.executable, "-c", gen, str(n_files), tmp],
+                   check=True, timeout=1800)
+    src_path = f"{tmp}/src"
+
+    r_small = run_level(n_small, src_path, tmp, n_files)
+    r_big = run_level(n_big, src_path, tmp, n_files)
+    eff = (r_big["files_per_sec"] / r_small["files_per_sec"]) / (n_big / n_small)
+
+    result = {
+        "n_files": n_files,
+        "small": r_small,
+        "big": r_big,
+        "scaling_efficiency": round(eff, 4),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    out_md.parent.mkdir(parents=True, exist_ok=True)
+    now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
+    out_md.write_text(f"""# BENCH/BASELINE — scaling efficiency evidence
+
+North rule: index-build throughput scaling efficiency ≥ 0.8 from N to
+4N parallelism. No real cluster exists in this sandbox, so the same
+job runs at two `local[N]` levels (fresh JVM each) on the same
+deterministic synthetic corpus (seed=42, written to parquet once and
+read by both runs).
+
+Measured {now}:
+
+| level | cores | files | wall sec | files/sec |
+|---|---|---|---|---|
+| N  | {r_small['cores']} | {r_small['n_files']} | {r_small['sec']:.2f} | {r_small['files_per_sec']:.1f} |
+| 4N | {r_big['cores']} | {r_big['n_files']} | {r_big['sec']:.2f} | {r_big['files_per_sec']:.1f} |
+
+**Scaling efficiency** = ({r_big['files_per_sec']:.1f} / {r_small['files_per_sec']:.1f}) / {n_big // n_small}
+= **{eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+
+Build configuration: `build_index(n_buckets=64, bucket_group_size=64,
+hot_df_threshold=100000)` — one bucket-group pass, salted hot-term
+merge enabled, postings/doclen/docs written as parquet partitioned by
+bucket. Timing excludes SparkSession startup and corpus generation.
+
+Reproduce: `python tools/bench_scaling.py {n_files} {n_small}`
+""")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+WORKER_GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from ftidx.session import get_spark
+from ftidx.synth import synth_source
+n = int(sys.argv[1]); out = sys.argv[2]
+spark = get_spark(cores=8, app_name="gen")
+synth_source(spark, n, partitions=64).write.mode("overwrite").parquet(out + "/src")
+spark.stop()
+"""
+
+
+if __name__ == "__main__":
+    main()
