@@ -192,13 +192,25 @@ def build_index(
         led = spark.read.parquet(str(ledger_dir))
         done = {r["bucket"] for r in led.filter(F.col("status") == "done").select("bucket").distinct().collect()}
 
+    import os
+
+    timing = os.environ.get("FTIDX_TIMING")
+
+    def _t(label, t0):
+        if timing:
+            print(f"[ftidx-timing] {label:24s} {time.time() - t0:7.2f}s", flush=True)
+        return time.time()
+
     pending = [b for b in range(n_buckets) if b not in done]
     built, skipped = [], sorted(done)
     for gi in range(0, len(pending), group_size):
         group = pending[gi : gi + group_size]
         t0 = time.time()
         tracking_id = uuid.uuid4().hex  # lineage analog, Indexer.java:235-246
-        docs_g = docs.filter(F.col("bucket").isin(group))
+        # cache the prepared docs slice: the window-ranked id assignment
+        # would otherwise recompute for tokenize, the docs write, and
+        # metrics (3× source scans)
+        docs_g = docs.filter(F.col("bucket").isin(group)).cache()
         live = live_docs(docs_g)
 
         tf = term_frequencies(tokenize(live)).withColumn(
@@ -211,28 +223,46 @@ def build_index(
             (r["field"], r["term"])
             for r in dfreq.filter(F.col("df") > hot_df_threshold).collect()
         ]
-        doclen = doc_lengths(tf)
+        tp = _t("tokenize+tf+hot", t0)
+        doclen = doc_lengths(tf).cache()
         tf_len = tf.join(doclen, ["doc_id", "field"])
 
+        # repartition by bucket before partitioned writes: without this,
+        # every write task touches every bucket → tasks × buckets tiny
+        # files (kills both write throughput here and scan throughput
+        # later); with it, file count == bucket count per table
         postings = _encode_postings_df(tf_len, hot, n_salts, shuffle_partitions)
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(str(out / "postings"))
+        postings.repartition(len(group), "bucket") \
+            .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "postings"))
+        tp = _t("encode+write postings", tp)
 
         doclen.withColumn("bucket", F.shiftright("doc_id", BUCKET_SHIFT).cast("int")) \
+            .repartition(len(group), "bucket") \
             .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "doclen"))
-        docs_g.drop("content").write.mode("overwrite").partitionBy("bucket") \
-            .parquet(str(out / "docs"))
+        tp = _t("write doclen", tp)
+        docs_g.drop("content").repartition(len(group), "bucket") \
+            .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "docs"))
+        tp = _t("write docs", tp)
 
-        # per-bucket metrics from what was actually written (S29/S30 analog)
+        # per-bucket metrics from what was actually written (S29/S30
+        # analog), one job: postings stats ⋈ doc counts
         written = spark.read.parquet(str(out / "postings")).filter(F.col("bucket").isin(group))
-        met = written.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("postings_emitted"),
-            F.sum(
-                F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls")
-            ).alias("bytes_compressed"),
-            (F.max("df") / F.avg("df")).alias("skew_ratio"),
-        ).collect()
-        ndocs = {r["bucket"]: r["n"] for r in
-                 live.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+        wr_dl = spark.read.parquet(str(out / "doclen")).filter(F.col("bucket").isin(group))
+        met = (
+            written.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("postings_emitted"),
+                F.sum(
+                    F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls")
+                ).alias("bytes_compressed"),
+                (F.max("df") / F.avg("df")).alias("skew_ratio"),
+            )
+            .join(
+                wr_dl.groupBy("bucket").agg(F.countDistinct("doc_id").alias("n")),
+                "bucket", "left",
+            )
+            .collect()
+        )
+        ndocs = {r["bucket"]: int(r["n"] or 0) for r in met}
         elapsed = time.time() - t0
         rows = [
             (build_id, int(r["bucket"]), "done", int(ndocs.get(r["bucket"], 0)),
@@ -246,6 +276,9 @@ def build_index(
                 rows.append((build_id, b, "done", 0, 0, 0, 1.0, elapsed, tracking_id))
         spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode("append").parquet(str(ledger_dir))
         tf.unpersist()
+        doclen.unpersist()
+        docs_g.unpersist()
+        _t("metrics+ledger", tp)
         built.extend(group)
 
     # finalize: global field stats from all doclen partitions

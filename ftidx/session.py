@@ -26,6 +26,16 @@ def get_spark(
     """
     ncores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     master = f"local[{ncores}]"
+    # Pin per-worker native thread pools to 1: Spark already provides
+    # process-level parallelism (one Python worker per task slot), and
+    # numpy/pandas/pyarrow otherwise each spawn cpu_count() threads PER
+    # worker — n_workers × n_cpus threads thrash the box and make the
+    # pandas-UDF stages anti-scale. Python workers inherit the driver's
+    # env in local mode; on a real cluster set these via
+    # spark.executorEnv.* (same rationale).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "ARROW_IO_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

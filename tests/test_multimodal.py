@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests: schemas, batch shapes, determinism, and
+the real-backend NotImplementedError gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.multimodal import (
+    audio_features,
+    image_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, 30).cache()
+
+
+def test_image_features(media):
+    feats = image_features(media).collect()
+    assert len(feats) == len([r for r in media.collect() if r["kind"] == "image"])
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert 0 <= r["mean_byte"] <= 255
+        assert 0 < r["entropy_bits"] <= 8.0
+        assert len(r["phash"]) == 64 and set(r["phash"]) <= {"0", "1"}
+        assert len(r["payload_sha256"]) == 64
+
+
+def test_image_features_deterministic(media):
+    a = {r["media_id"]: r["phash"] for r in image_features(media).collect()}
+    b = {r["media_id"]: r["phash"] for r in image_features(media).collect()}
+    assert a == b
+
+
+def test_resize(media):
+    thumbs = resize_images(media, w=8, h=8).collect()
+    assert all(len(bytes(r["thumb"])) == 64 for r in thumbs)
+    assert all(r["thumb_w"] == 8 and r["thumb_h"] == 8 for r in thumbs)
+
+
+def test_frame_sampling(media):
+    frames = sample_frames(media, every_ms=1000).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # 3000ms videos at 1000ms → 3 frames each
+    assert all(sorted(v) == [0, 1, 2] for v in by_media.values())
+    # frames differ (hash-seeded per index)
+    f0 = [bytes(r["frame"]) for r in frames if r["frame_idx"] == 0]
+    f1 = [bytes(r["frame"]) for r in frames if r["frame_idx"] == 1]
+    assert f0[0] != f1[0]
+
+
+def test_audio_features(media):
+    rows = audio_features(media).collect()
+    assert rows and all("ahash" in r.asDict() for r in rows)
+
+
+def test_real_backend_gated(media):
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        image_features(media, backend="real")
+    with pytest.raises(NotImplementedError, match="av"):
+        sample_frames(media, backend="real")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        audio_features(media, backend="real")
