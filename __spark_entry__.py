@@ -352,6 +352,95 @@ flat AS (
 
 
 # --------------------------------------------------------------------------
+# standard-operator checklist (SURVEY §2 table: aggs, joins, windows,
+# set ops, sessionization) over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped: multi-agg groupBy with map-side combine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """Broadcast small-dim join: orders ⋈ customer, revenue by segment."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_window_topk_orders(spark, sf_dir):
+    """Top-3 orders per customer: partitioned window + row_number."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windowed agg (batch shape of the streaming op)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = e.withColumn("new_s", flag).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operators: customers with orders above/below thresholds via
+    intersect/except on key sets."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.filter(F.col("o_totalprice") > 200000).select("o_custkey").distinct()
+    recent = o.filter(F.col("o_orderdate") >= "1997-01-01").select("o_custkey").distinct()
+    both = big.intersect(recent).withColumn("class", F.lit("big_recent"))
+    only_big = big.exceptAll(recent).withColumn("class", F.lit("big_only"))
+    return both.unionByName(only_big).groupBy("class").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -411,6 +500,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "window_topk_orders": q_window_topk_orders,
+        "events_tumbling": q_events_tumbling,
+        "sessionize": q_sessionize,
+        "set_ops": q_set_ops,
     }
 
 
@@ -629,6 +724,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang,
                    coalesce(b.hits, 0) AS hits
             FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 5) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "broadcast_dim_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "window_topk_orders": """
+            SELECT o_custkey, rk, o_orderkey, price FROM (
+              SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders
+            ) WHERE rk <= 3
+        """,
+        "events_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%SZ') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM lagged
+            ),
+            sessions AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+            FROM sessions GROUP BY user_id
+        """,
+        "set_ops": """
+            WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000),
+            recent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+            SELECT class, count(*) AS n FROM (
+              SELECT o_custkey, 'big_recent' AS class FROM (
+                SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM recent)
+              UNION ALL
+              SELECT o_custkey, 'big_only' AS class FROM (
+                SELECT o_custkey FROM big EXCEPT ALL SELECT o_custkey FROM recent)
+            ) GROUP BY class
         """,
         "fingerprints": """
             WITH words AS (

@@ -4,18 +4,21 @@ Build topology (one pass per bucket group — the resumable unit, analog
 of the reference's transaction-per-job discipline, Indexer.java:97-116):
 
     live docs (bucket ∈ group)
-      → tokenize (mapInPandas, fused with scan)
-      → tf = groupBy(term, field, doc_id)           [shuffle 1, map-side combined]
-      → doclen = groupBy(doc_id, field)             [shuffle 2, small]
-      → tf ⋈ doclen on (doc_id, field)              [reuses shuffle-2 partitioning]
+      → tokenize_tf (mapInPandas fused with the scan: tokenize AND
+        per-doc tf/dl aggregation inside the kernel — docs are
+        batch-local, so the raw-token shuffle and the tf⋈doclen join
+        never exist; shuffle volume is |distinct (doc,field,term)|,
+        not |tokens|)
       → COLD terms: repartition(field, term, bucket) → sortWithinPartitions
-        → mapInPandas streaming group-encode        [shuffle 3]
+        → mapInPandas streaming group-encode        [the one big shuffle]
       → HOT terms (df > threshold): + salt = xxhash64(doc_id) % n_salts,
         repartition(field, term, bucket, salt) → encode runs
         → groupBy(field, term, bucket) merge runs   [tiny: hot terms only]
-      → union → write postings parquet, partitioned by bucket
-        (dynamic partition overwrite → idempotent → resume-safe)
-      → append ledger row per bucket (metrics + lineage)
+      → union → write postings / doclen / docs parquet CONCURRENTLY
+        (independent sinks over the materialized cache; partitioned by
+        bucket, dynamic partition overwrite → idempotent → resume-safe)
+      → append ledger row per bucket (metrics + lineage; the metrics
+        scan reads a persisted n_bytes column, never the blobs)
 
 Explicit skew handling per north_rule: AQE's skew logic only splits
 join partitions; a pathological hot groupBy key (`def` in 90% of a
@@ -41,17 +44,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ftidx.build import (
-    BUCKET_SHIFT,
-    DEFAULT_BUCKETS,
-    doc_lengths,
-    live_docs,
-    prepare_docs,
-    term_frequencies,
-)
+from ftidx.build import BUCKET_SHIFT, DEFAULT_BUCKETS, live_docs, prepare_docs
 from ftidx.codec import encode_postings, merge_encoded
 from ftidx.schema import CHECKPOINT_SCHEMA, POSTINGS_SCHEMA
-from ftidx.tokenize import tokenize
+from ftidx.tokenize import tokenize_tf
 from ftidx.wand import TermList, bm25_idf, score_block_max, score_exhaustive
 
 _POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
@@ -152,6 +148,46 @@ def _encode_postings_df(tf_len: DataFrame, hot_terms: list[tuple[str, str]],
     return cold.unionByName(hot)
 
 
+def _write_ledger_rows(ledger_dir: Path, rows: list[tuple]) -> None:
+    """Append ledger rows driver-side via pyarrow — a ~KB file does not
+    warrant a Spark job (saves a scheduler round-trip per group)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ledger_dir.mkdir(parents=True, exist_ok=True)
+    names = [f.name for f in CHECKPOINT_SCHEMA.fields]
+    table = pa.table(
+        {n: [r[i] for r in rows] for i, n in enumerate(names)},
+        schema=pa.schema([
+            ("build_id", pa.string()), ("bucket", pa.int32()),
+            ("status", pa.string()), ("n_docs", pa.int64()),
+            ("postings_emitted", pa.int64()), ("bytes_compressed", pa.int64()),
+            ("skew_ratio", pa.float64()), ("elapsed_sec", pa.float64()),
+            ("tracking_id", pa.string()),
+        ]),
+    )
+    pq.write_table(table, ledger_dir / f"part-{uuid.uuid4().hex}.parquet")
+
+
+def _write_stats_rows(stats_dir: Path, rows) -> None:
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(stats_dir, ignore_errors=True)
+    stats_dir.mkdir(parents=True, exist_ok=True)
+    table = pa.table(
+        {
+            "field": [r["field"] for r in rows],
+            "n_docs": [int(r["n_docs"]) for r in rows],
+            "total_len": [int(r["total_len"]) for r in rows],
+            "avgdl": [float(r["avgdl"]) for r in rows],
+        }
+    )
+    pq.write_table(table, stats_dir / "part-0.parquet")
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -213,56 +249,87 @@ def build_index(
         docs_g = docs.filter(F.col("bucket").isin(group)).cache()
         live = live_docs(docs_g)
 
-        tf = term_frequencies(tokenize(live)).withColumn(
+        # fused tokenize → per-doc (tf, dl): no raw-token shuffle, no
+        # doclen join — the kernel aggregates doc-locally (tokenize.py)
+        tf_len = tokenize_tf(live).withColumnRenamed("dl", "len").withColumn(
             "bucket", F.shiftright("doc_id", BUCKET_SHIFT).cast("int")
         )
-        tf.cache()
-        # hot-term detection: map-side-combined count, tiny result
-        dfreq = tf.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+        tf_len.cache()
+        # ONE job materializes the doc + tf caches AND detects hot terms
+        # (map-side-combined count, thresholded before collect). Doing
+        # this before the concurrent write jobs also prevents them from
+        # racing to build the cache.
+        dfreq = tf_len.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
         hot = [
             (r["field"], r["term"])
             for r in dfreq.filter(F.col("df") > hot_df_threshold).collect()
         ]
         tp = _t("tokenize+tf+hot", t0)
-        doclen = doc_lengths(tf).cache()
-        tf_len = tf.join(doclen, ["doc_id", "field"])
+        # doclen table: map-side-combined agg (len is constant per group)
+        doclen = tf_len.groupBy("doc_id", "field", "bucket").agg(F.max("len").alias("len"))
 
         # repartition by bucket before partitioned writes: without this,
         # every write task touches every bucket → tasks × buckets tiny
         # files (kills both write throughput here and scan throughput
-        # later); with it, file count == bucket count per table
-        postings = _encode_postings_df(tf_len, hot, n_salts, shuffle_partitions)
-        postings.repartition(len(group), "bucket") \
-            .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "postings"))
-        tp = _t("encode+write postings", tp)
-
-        doclen.withColumn("bucket", F.shiftright("doc_id", BUCKET_SHIFT).cast("int")) \
-            .repartition(len(group), "bucket") \
-            .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "doclen"))
-        tp = _t("write doclen", tp)
-        docs_g.drop("content").repartition(len(group), "bucket") \
-            .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "docs"))
-        tp = _t("write docs", tp)
-
-        # per-bucket metrics from what was actually written (S29/S30
-        # analog), one job: postings stats ⋈ doc counts
-        written = spark.read.parquet(str(out / "postings")).filter(F.col("bucket").isin(group))
-        wr_dl = spark.read.parquet(str(out / "doclen")).filter(F.col("bucket").isin(group))
-        met = (
-            written.groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("postings_emitted"),
-                F.sum(
-                    F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls")
-                ).alias("bytes_compressed"),
-                (F.max("df") / F.avg("df")).alias("skew_ratio"),
-            )
-            .join(
-                wr_dl.groupBy("bucket").agg(F.countDistinct("doc_id").alias("n")),
-                "bucket", "left",
-            )
-            .collect()
+        # later); with it, file count == bucket count per table.
+        # n_bytes is persisted so the metrics pass reads a pruned column
+        # instead of re-scanning the blobs.
+        postings = _encode_postings_df(tf_len, hot, n_salts, shuffle_partitions).withColumn(
+            "n_bytes",
+            F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
         )
-        ndocs = {r["bucket"]: int(r["n"] or 0) for r in met}
+
+        # the three sinks are independent once the caches exist — submit
+        # them as concurrent Spark jobs (threads share the scheduler) so
+        # the small doclen/docs writes hide under the postings encode
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write_postings():
+            postings.repartition(len(group), "bucket") \
+                .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "postings"))
+
+        def write_doclen():
+            doclen.select("doc_id", "field", "len", "bucket") \
+                .repartition(len(group), "bucket") \
+                .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "doclen"))
+
+        def write_docs():
+            docs_g.drop("content").repartition(len(group), "bucket") \
+                .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "docs"))
+
+        def postings_metrics():
+            # per-bucket metrics from what was actually written (S29/S30
+            # analog) — column-pruned scan: bucket, df, n_bytes only;
+            # chained after the postings write inside the same thread so
+            # it overlaps with the docs/doclen writes
+            write_postings()
+            written = spark.read.parquet(str(out / "postings")).filter(
+                F.col("bucket").isin(group)
+            )
+            return written.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("postings_emitted"),
+                F.sum("n_bytes").alias("bytes_compressed"),
+                (F.max("df") / F.avg("df")).alias("skew_ratio"),
+            ).collect()
+
+        def ndocs_metrics():
+            # doc counts straight from the cached tf/dl frame — no read-back
+            return doclen.groupBy("bucket").agg(
+                F.countDistinct("doc_id").alias("n")
+            ).collect()
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_met = ex.submit(postings_metrics)
+            f_dl = ex.submit(write_doclen)
+            f_docs = ex.submit(write_docs)
+            f_nd = ex.submit(ndocs_metrics)
+            met = f_met.result()
+            nd = f_nd.result()
+            f_dl.result()
+            f_docs.result()
+        tp = _t("encode+write+metrics", tp)
+
+        ndocs = {r["bucket"]: int(r["n"]) for r in nd}
         elapsed = time.time() - t0
         rows = [
             (build_id, int(r["bucket"]), "done", int(ndocs.get(r["bucket"], 0)),
@@ -274,21 +341,21 @@ def build_index(
         for b in group:
             if b not in {r[1] for r in rows}:
                 rows.append((build_id, b, "done", 0, 0, 0, 1.0, elapsed, tracking_id))
-        spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode("append").parquet(str(ledger_dir))
-        tf.unpersist()
-        doclen.unpersist()
+        _write_ledger_rows(ledger_dir, rows)
+        tf_len.unpersist()
         docs_g.unpersist()
-        _t("metrics+ledger", tp)
+        _t("ledger", tp)
         built.extend(group)
 
-    # finalize: global field stats from all doclen partitions
+    # finalize: global field stats from all doclen partitions (agg in
+    # Spark, tiny result written driver-side — no extra write job)
     doclen_all = spark.read.parquet(str(out / "doclen"))
     stats = doclen_all.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("len").alias("total_len"),
         (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
-    )
-    stats.write.mode("overwrite").parquet(str(out / "stats"))
+    ).collect()
+    _write_stats_rows(out / "stats", stats)
     manifest_path.write_text(
         json.dumps({**params, "status": "done", "build_id": build_id})
     )

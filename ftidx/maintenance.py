@@ -72,7 +72,10 @@ def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
             yield pd.DataFrame(out)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    rewritten = affected.mapInPandas(rewrite, schema=POSTINGS_SCHEMA)
+    rewritten = affected.mapInPandas(rewrite, schema=POSTINGS_SCHEMA).withColumn(
+        "n_bytes",
+        F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
+    )
     rewritten.write.mode("overwrite").partitionBy("bucket").parquet(str(path / "postings"))
 
     # doclen + docs: plain anti-join rewrites for affected buckets

@@ -32,10 +32,10 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ftidx.build import doc_lengths, live_docs, term_frequencies
+from ftidx.build import live_docs
 from ftidx.index import _encode_postings_df
 from ftidx.schema import SOURCE_SCHEMA
-from ftidx.tokenize import tokenize
+from ftidx.tokenize import tokenize_tf
 
 
 def prepare_docs_hashid(source: DataFrame, n_buckets: int) -> DataFrame:
@@ -77,9 +77,13 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, index_path: str,
 
     live = live_docs(docs)
     bucket_of = live.select("doc_id", "bucket")
-    tf = term_frequencies(tokenize(live)).join(bucket_of, "doc_id")
-    doclen = doc_lengths(tf)
-    tf_len = tf.join(doclen, ["doc_id", "field"])
+    # fused tokenize→tf/dl kernel (no token shuffle, no doclen join)
+    tf_len = (
+        tokenize_tf(live)
+        .withColumnRenamed("dl", "len")
+        .join(bucket_of, "doc_id")
+    )
+    doclen = tf_len.groupBy("doc_id", "field").agg(F.max("len").alias("len"))
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     postings = _encode_postings_df(tf_len, [], 1, shuffle_parts)
     postings.write.mode("overwrite").parquet(str(out / "deltas" / f"batch={epoch_id}"))
@@ -135,13 +139,15 @@ def query_with_deltas(spark: SparkSession, index_path: str, terms: list[str],
 
     from ftidx.wand import TermList, bm25_idf, score_block_max
 
+    pcols = ["term", "field", "df", "cf", "doc_ids", "tfs", "dls",
+             "block_max_tf", "block_min_dl", "block_last_docid"]
     base_dir = Path(index_path) / "postings"
     frames = []
     if base_dir.exists():
-        frames.append(spark.read.parquet(str(base_dir)).drop("bucket"))
+        frames.append(spark.read.parquet(str(base_dir)).select(pcols))
     delta = read_delta_postings(spark, index_path)
     if delta is not None:
-        frames.append(delta.drop("bucket"))
+        frames.append(delta.select(pcols))
     if not frames:
         return []
     postings = frames[0]

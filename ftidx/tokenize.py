@@ -232,3 +232,61 @@ def tokenize(docs: DataFrame) -> DataFrame:
             yield tokenize_batch(pdf)
 
     return cols.mapInPandas(run, schema=TOKEN_SCHEMA)
+
+
+def tokenize_tf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch tokenize + doc-local aggregation: since every doc is fully
+    contained in its batch, tf per (doc, field, term) and dl per
+    (doc, field) are computed INSIDE the kernel — the map-side-combine
+    that removes the raw-token shuffle (corpus-tokens rows) and the
+    tf⋈doclen join from the build entirely. Output:
+    (doc_id, field, term, tf, dl)."""
+    import numpy as np
+
+    tokens = tokenize_batch(pdf)
+    if not len(tokens):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "field": pd.Series(dtype=object),
+             "term": pd.Series(dtype=object), "tf": pd.Series(dtype="int64"),
+             "dl": pd.Series(dtype="int64")}
+        )
+    # string-keyed pandas groupby is the slow path at millions of rows;
+    # factorize to dense ints and aggregate with np.unique instead
+    doc_codes, doc_uniq = pd.factorize(tokens["doc_id"])
+    fld_codes, fld_uniq = pd.factorize(tokens["field"])
+    trm_codes, trm_uniq = pd.factorize(tokens["term"])
+    n_f, n_t = len(fld_uniq), len(trm_uniq)
+
+    df_key = doc_codes.astype(np.int64) * n_f + fld_codes
+    tf_key = df_key * n_t + trm_codes
+    tf_uniq, tf_counts = np.unique(tf_key, return_counts=True)
+    dfk = tf_uniq // n_t
+    dl_uniq, dl_counts = np.unique(df_key, return_counts=True)
+    # map each tf row's (doc, field) to its dl via searchsorted (dl_uniq sorted)
+    dl_for_tf = dl_counts[np.searchsorted(dl_uniq, dfk)]
+
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(doc_uniq)[(dfk // n_f)].astype("int64"),
+            "field": np.asarray(fld_uniq)[(dfk % n_f)],
+            "term": np.asarray(trm_uniq)[(tf_uniq % n_t)],
+            "tf": tf_counts.astype("int64"),
+            "dl": dl_for_tf.astype("int64"),
+        }
+    )
+
+
+TF_SCHEMA = "doc_id long, field string, term string, tf long, dl long"
+
+
+def tokenize_tf(docs: DataFrame) -> DataFrame:
+    """Fused tokenize → per-doc tf/dl (no shuffle). The build's hot
+    path; equivalence with term_frequencies(tokenize(…)) is asserted in
+    tests."""
+    cols = docs.select("doc_id", "content", "lang", "repo", "path")
+
+    def run(batches):
+        for pdf in batches:
+            yield tokenize_tf_batch(pdf)
+
+    return cols.mapInPandas(run, schema=TF_SCHEMA)

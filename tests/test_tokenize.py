@@ -67,6 +67,24 @@ def test_batch_equals_spec_on_corpus():
         assert not msg, f"doc {row.doc_id}: {msg}"
 
 
+def test_tokenize_tf_batch_parity():
+    """Fused tf/dl kernel == groupby over the raw token stream."""
+    from ftidx.tokenize import tokenize_tf_batch
+
+    src = synth_source_pandas(150)
+    src["doc_id"] = range(len(src))
+    pdf = src[["doc_id", "content", "lang", "repo", "path"]]
+    tokens = tokenize_batch(pdf)
+    fused = tokenize_tf_batch(pdf)
+    want_tf = tokens.groupby(["doc_id", "field", "term"]).size()
+    want_dl = tokens.groupby(["doc_id", "field"]).size()
+    assert len(fused) == len(want_tf)
+    got = fused.set_index(["doc_id", "field", "term"])
+    for (d, f, t), row in got.iterrows():
+        assert row["tf"] == want_tf[(d, f, t)]
+        assert row["dl"] == want_dl[(d, f)]
+
+
 def test_normalize_date():
     assert normalize_date("20240115") == "2024-01-15T00:00:00Z"
     assert normalize_date("20231201083015") == "2023-12-01T08:30:15Z"
