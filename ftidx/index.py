@@ -243,28 +243,31 @@ def build_index(
         group = pending[gi : gi + group_size]
         t0 = time.time()
         tracking_id = uuid.uuid4().hex  # lineage analog, Indexer.java:235-246
-        # cache the prepared docs slice: the window-ranked id assignment
-        # would otherwise recompute for tokenize, the docs write, and
-        # metrics (3× source scans)
-        docs_g = docs.filter(F.col("bucket").isin(group)).cache()
+        docs_g = docs.filter(F.col("bucket").isin(group))
         live = live_docs(docs_g)
 
         # fused tokenize → per-doc (tf, dl): no raw-token shuffle, no
-        # doclen join — the kernel aggregates doc-locally (tokenize.py)
-        tf_len = tokenize_tf(live).withColumnRenamed("dl", "len").withColumn(
+        # doclen join — the kernel aggregates doc-locally (tokenize.py).
+        # The result is STAGED to columnar parquet, not .cache()d: a
+        # deserialized-row cache of ~50M string rows costs ~10× the
+        # tokenize itself to build (measured via event log), while a
+        # snappy parquet stage writes fast and every downstream reader
+        # (dfreq, encode, doclen) scans it column-pruned.
+        stage_dir = out / "_tf_stage"
+        tokenize_tf(live).withColumnRenamed("dl", "len").withColumn(
             "bucket", F.shiftright("doc_id", BUCKET_SHIFT).cast("int")
-        )
-        tf_len.cache()
-        # ONE job materializes the doc + tf caches AND detects hot terms
-        # (map-side-combined count, thresholded before collect). Doing
-        # this before the concurrent write jobs also prevents them from
-        # racing to build the cache.
+        ).write.mode("overwrite").parquet(str(stage_dir))
+        tf_len = spark.read.parquet(str(stage_dir))
+        tp = _t("tokenize+stage", t0)
+
+        # hot-term detection: column-pruned (field, term) scan of the
+        # stage, map-side-combined count, thresholded before collect
         dfreq = tf_len.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
         hot = [
             (r["field"], r["term"])
             for r in dfreq.filter(F.col("df") > hot_df_threshold).collect()
         ]
-        tp = _t("tokenize+tf+hot", t0)
+        tp = _t("hot detect", tp)
         # doclen table: map-side-combined agg (len is constant per group)
         doclen = tf_len.groupBy("doc_id", "field", "bucket").agg(F.max("len").alias("len"))
 
@@ -342,8 +345,9 @@ def build_index(
             if b not in {r[1] for r in rows}:
                 rows.append((build_id, b, "done", 0, 0, 0, 1.0, elapsed, tracking_id))
         _write_ledger_rows(ledger_dir, rows)
-        tf_len.unpersist()
-        docs_g.unpersist()
+        import shutil as _shutil
+
+        _shutil.rmtree(stage_dir, ignore_errors=True)
         _t("ledger", tp)
         built.extend(group)
 
