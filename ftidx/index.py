@@ -392,6 +392,11 @@ class FtIndex:
             self._tombstones = {
                 r["doc_id"] for r in spark.read.parquet(str(tomb_dir)).collect()
             }
+        # driver-side posting-list cache for hot query serving: repeat
+        # queries hit numpy directly, no Spark job. Bounded by entry
+        # count; the 100 TB cold path is topk_distributed.
+        self._term_cache: dict[tuple[str, str], list[dict]] = {}
+        self._term_cache_max = 4096
 
     # -- maintenance -----------------------------------------------------
     def delete(self, doc_ids: list[int]) -> None:
@@ -403,22 +408,35 @@ class FtIndex:
         self._tombstones.update(int(d) for d in doc_ids)
 
     # -- queries ---------------------------------------------------------
+    def _fetch_term_rows(self, terms: list[str], field: str) -> dict[str, list[dict]]:
+        """Term rows via the driver cache; only cache misses touch Spark."""
+        missing = [t for t in terms if (field, t) not in self._term_cache]
+        if missing:
+            fetched = (
+                self._postings.filter(
+                    (F.col("field") == field) & F.col("term").isin(missing)
+                )
+                .select("term", "df", "cf", "doc_ids", "tfs", "dls",
+                        "block_max_tf", "block_min_dl", "block_last_docid")
+                .collect()
+            )
+            if len(self._term_cache) + len(missing) > self._term_cache_max:
+                self._term_cache.clear()
+            grouped: dict[str, list[dict]] = {t: [] for t in missing}
+            for r in fetched:
+                grouped[r["term"]].append(r.asDict())
+            for t, rows in grouped.items():
+                self._term_cache[(field, t)] = rows
+        return {t: self._term_cache[(field, t)] for t in terms}
+
     def _term_lists(self, terms: list[str], field: str):
         qterms = sorted(set(terms))
-        rows = (
-            self._postings.filter(
-                (F.col("field") == field) & F.col("term").isin(qterms)
-            )
-            .select("term", "df", "cf", "doc_ids", "tfs", "dls",
-                    "block_max_tf", "block_min_dl", "block_last_docid")
-            .collect()
-        )
+        by_term = self._fetch_term_rows(qterms, field)
         n_docs, avgdl = self.stats.get(field, (0, 1.0))
-        by_term: dict[str, list[dict]] = {}
-        for r in rows:
-            by_term.setdefault(r["term"], []).append(r.asDict())
         lists = []
         for term, trows in by_term.items():
+            if not trows:
+                continue
             df_global = sum(int(r["df"]) for r in trows)
             lists.append(TermList(term, trows, bm25_idf(n_docs, df_global)))
         return lists, avgdl
