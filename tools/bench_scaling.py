@@ -34,7 +34,10 @@ cores = int(sys.argv[1])
 src_path = sys.argv[2]
 out_root = sys.argv[3]
 
-spark = get_spark(cores=cores, app_name=f"scale-{{cores}}")
+# identical shuffle partitioning at both levels: same work decomposition,
+# only the slot count differs (matches how a real cluster is tuned —
+# partition count follows data size, not executor count)
+spark = get_spark(cores=cores, app_name=f"scale-{{cores}}", shuffle_partitions=96)
 src = spark.read.parquet(src_path)
 n = src.count()
 idx_dir = os.path.join(out_root, f"idx_{{cores}}")
@@ -73,8 +76,11 @@ def run_level(cores: int, src_path: str, out_root: str, n_files: int,
 
 
 def main():
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
-    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    # defaults chosen for a 32-CPU box with external load: a pandas-UDF
+    # stage runs ~2 threads per task slot (JVM side + Python worker), so
+    # local[12] is the largest level that does not self-oversubscribe
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     out_md = Path(sys.argv[3]) if len(sys.argv) > 3 else REPO / "BENCH" / "BASELINE.md"
     n_big = n_small * 4
 
