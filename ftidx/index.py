@@ -117,6 +117,110 @@ def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame([row])[_POSTINGS_COLS]
 
 
+DOCLEN_FIELD_PREFIX = "__dl__"
+
+
+def _bucket_local_encode(batches):
+    """mapInPandas kernel for the bucket-local build strategy: input is
+    raw docs hash-partitioned by bucket (the ONLY shuffle — raw docs
+    are ~25× smaller than the tf rows the grouped strategy shuffles).
+    The kernel tokenizes, aggregates tf/dl, sorts, and emits each
+    bucket's fully-encoded postings — the Lucene segment-writer model.
+
+    Hot terms are structurally bounded here: a term's group is capped
+    at the bucket size (corpus / n_buckets), so no salting is needed on
+    this path (the explicit two-phase salted merge lives in
+    :func:`_encode_postings_df` for the grouped/streaming path).
+
+    Per-(bucket, field) document lengths are emitted as pseudo-postings
+    rows under field ``__dl__<field>`` (ids blob + lens blob) so the
+    build has ONE sink; build_index explodes them into the doclen table
+    afterwards.
+
+    Determinism: output rows are keyed by content-derived (bucket,
+    field, term) and each bucket lands in exactly one partition (hash
+    of the bucket value), so bytes are identical at any parallelism.
+    """
+    from ftidx.tokenize import tokenize_tf_batch
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    if not len(pdf):
+        return
+    tf = tokenize_tf_batch(pdf[["doc_id", "content", "lang", "repo", "path"]])
+    if not len(tf):
+        return
+    tf["bucket"] = (tf["doc_id"].to_numpy() >> BUCKET_SHIFT).astype("int32")
+
+    doc_ids = tf["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+    tfs = tf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
+    dls = tf["dl"].to_numpy(dtype=np.int64).astype(np.uint64)
+    buckets = tf["bucket"].to_numpy()
+    fld_codes, fld_uniq = pd.factorize(tf["field"])
+    trm_codes, trm_uniq = pd.factorize(tf["term"])
+
+    order = np.lexsort((doc_ids, trm_codes, fld_codes, buckets))
+    doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+    buckets, fld_codes, trm_codes = buckets[order], fld_codes[order], trm_codes[order]
+
+    group_key = (buckets.astype(np.int64) * len(fld_uniq) + fld_codes) * len(trm_uniq) + trm_codes
+    change = np.empty(group_key.size, dtype=bool)
+    change[0] = True
+    np.not_equal(group_key[1:], group_key[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    ends = np.concatenate([starts[1:], [group_key.size]])
+
+    out = {c: [] for c in _POSTINGS_COLS}
+    # per-(bucket, field) doclen accumulation
+    dl_acc: dict[tuple[int, int], list] = {}
+    for s, e in zip(starts, ends):
+        enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e])
+        b, fc, tc = int(buckets[s]), int(fld_codes[s]), int(trm_codes[s])
+        out["term"].append(trm_uniq[tc])
+        out["field"].append(fld_uniq[fc])
+        out["bucket"].append(b)
+        for key in ("df", "cf", "doc_ids", "tfs", "dls",
+                    "block_max_tf", "block_min_dl", "block_last_docid"):
+            out[key].append(enc[key])
+        dl_acc.setdefault((b, fc), []).append((doc_ids[s:e], dls[s:e]))
+
+    # doclen pseudo-rows: one per (bucket, field), ids + lens blobs
+    for (b, fc), pairs in sorted(dl_acc.items()):
+        ids = np.concatenate([p[0] for p in pairs])
+        lens = np.concatenate([p[1] for p in pairs])
+        uniq_ids, first_idx = np.unique(ids, return_index=True)
+        uniq_lens = lens[first_idx]
+        enc = encode_postings(uniq_ids, uniq_lens, uniq_lens)
+        out["term"].append("*")
+        out["field"].append(DOCLEN_FIELD_PREFIX + str(fld_uniq[fc]))
+        out["bucket"].append(b)
+        for key in ("df", "cf", "doc_ids", "tfs", "dls",
+                    "block_max_tf", "block_min_dl", "block_last_docid"):
+            out[key].append(enc[key])
+    yield pd.DataFrame(out)
+
+
+def _explode_doclen(batches):
+    """Pseudo doclen postings rows → (doc_id, field, len, bucket)."""
+    from ftidx.codec import decode_postings
+
+    for pdf in batches:
+        frames = []
+        for row in pdf.to_dict("records"):
+            ids, lens = decode_postings(row["doc_ids"], row["tfs"])
+            frames.append(pd.DataFrame({
+                "doc_id": ids.astype("int64"),
+                "field": row["field"][len(DOCLEN_FIELD_PREFIX):],
+                "len": lens.astype("int64"),
+                "bucket": int(row["bucket"]),
+            }))
+        yield (pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "field": pd.Series(dtype=object),
+             "len": pd.Series(dtype="int64"), "bucket": pd.Series(dtype="int32")}))
+
+
 def _encode_postings_df(tf_len: DataFrame, hot_terms: list[tuple[str, str]],
                         n_salts: int, shuffle_partitions: int) -> DataFrame:
     """tf⋈len rows → encoded postings DataFrame (cold + salted hot)."""
@@ -246,91 +350,60 @@ def build_index(
         docs_g = docs.filter(F.col("bucket").isin(group))
         live = live_docs(docs_g)
 
-        # fused tokenize → per-doc (tf, dl): no raw-token shuffle, no
-        # doclen join — the kernel aggregates doc-locally (tokenize.py).
-        # The result is STAGED to columnar parquet, not .cache()d: a
-        # deserialized-row cache of ~50M string rows costs ~10× the
-        # tokenize itself to build (measured via event log), while a
-        # snappy parquet stage writes fast and every downstream reader
-        # (dfreq, encode, doclen) scans it column-pruned.
-        stage_dir = out / "_tf_stage"
-        tokenize_tf(live).withColumnRenamed("dl", "len").withColumn(
-            "bucket", F.shiftright("doc_id", BUCKET_SHIFT).cast("int")
-        ).write.mode("overwrite").parquet(str(stage_dir))
-        tf_len = spark.read.parquet(str(stage_dir))
-        tp = _t("tokenize+stage", t0)
-
-        # hot-term detection: column-pruned (field, term) scan of the
-        # stage, map-side-combined count, thresholded before collect
-        dfreq = tf_len.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
-        hot = [
-            (r["field"], r["term"])
-            for r in dfreq.filter(F.col("df") > hot_df_threshold).collect()
-        ]
-        tp = _t("hot detect", tp)
-        # doclen table: map-side-combined agg (len is constant per group)
-        doclen = tf_len.groupBy("doc_id", "field", "bucket").agg(F.max("len").alias("len"))
-
-        # repartition by bucket before partitioned writes: without this,
-        # every write task touches every bucket → tasks × buckets tiny
-        # files (kills both write throughput here and scan throughput
-        # later); with it, file count == bucket count per table.
-        # n_bytes is persisted so the metrics pass reads a pruned column
-        # instead of re-scanning the blobs.
-        postings = _encode_postings_df(tf_len, hot, n_salts, shuffle_partitions).withColumn(
-            "n_bytes",
-            F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
+        # ---- bucket-local strategy (default): shuffle RAW DOCS by
+        # bucket (the minimal shuffle — raw docs are ~25× smaller than
+        # their tf rows), then ONE kernel tokenizes, aggregates, sorts
+        # and encodes each bucket's postings — the Lucene segment-writer
+        # model. tf rows never hit the shuffle system; doclen rides
+        # along as pseudo-postings rows (see _bucket_local_encode).
+        postings = (
+            live.select("doc_id", "bucket", "content", "lang", "repo", "path")
+            .repartition(len(group), "bucket")
+            .mapInPandas(_bucket_local_encode, schema=POSTINGS_SCHEMA)
+            .withColumn(
+                "n_bytes",
+                F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
+            )
         )
 
-        # the three sinks are independent once the caches exist — submit
-        # them as concurrent Spark jobs (threads share the scheduler) so
-        # the small doclen/docs writes hide under the postings encode
         from concurrent.futures import ThreadPoolExecutor
 
-        def write_postings():
-            postings.repartition(len(group), "bucket") \
-                .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "postings"))
-
-        def write_doclen():
-            doclen.select("doc_id", "field", "len", "bucket") \
-                .repartition(len(group), "bucket") \
-                .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "doclen"))
+        def postings_and_metrics():
+            postings.write.mode("overwrite").partitionBy("bucket") \
+                .parquet(str(out / "postings"))
+            # metrics from what was actually written (S29/S30 analog):
+            # column-pruned scan (bucket, field, df, n_bytes); the
+            # __dl__ pseudo-rows double as per-bucket doc counts
+            written = spark.read.parquet(str(out / "postings")).filter(
+                F.col("bucket").isin(group)
+            )
+            real = written.filter(~F.col("field").startswith(DOCLEN_FIELD_PREFIX))
+            met = real.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("postings_emitted"),
+                F.sum("n_bytes").alias("bytes_compressed"),
+                (F.max("df") / F.avg("df")).alias("skew_ratio"),
+            ).collect()
+            nd = written.filter(F.col("field").startswith(DOCLEN_FIELD_PREFIX)) \
+                .groupBy("bucket").agg(F.max("df").alias("n")).collect()
+            # doclen table: explode the pseudo-rows (tiny input)
+            (written.filter(F.col("field").startswith(DOCLEN_FIELD_PREFIX))
+             .select("field", "bucket", "doc_ids", "tfs")
+             .mapInPandas(_explode_doclen,
+                          schema="doc_id long, field string, len long, bucket int")
+             .repartition(len(group), "bucket")
+             .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "doclen")))
+            return met, nd
 
         def write_docs():
             docs_g.drop("content").repartition(len(group), "bucket") \
                 .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "docs"))
 
-        def postings_metrics():
-            # per-bucket metrics from what was actually written (S29/S30
-            # analog) — column-pruned scan: bucket, df, n_bytes only;
-            # chained after the postings write inside the same thread so
-            # it overlaps with the docs/doclen writes
-            write_postings()
-            written = spark.read.parquet(str(out / "postings")).filter(
-                F.col("bucket").isin(group)
-            )
-            return written.groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("postings_emitted"),
-                F.sum("n_bytes").alias("bytes_compressed"),
-                (F.max("df") / F.avg("df")).alias("skew_ratio"),
-            ).collect()
-
-        def ndocs_metrics():
-            # doc counts straight from the cached tf/dl frame — no read-back
-            return doclen.groupBy("bucket").agg(
-                F.countDistinct("doc_id").alias("n")
-            ).collect()
-
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            f_met = ex.submit(postings_metrics)
-            f_dl = ex.submit(write_doclen)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_met = ex.submit(postings_and_metrics)
             f_docs = ex.submit(write_docs)
-            f_nd = ex.submit(ndocs_metrics)
-            met = f_met.result()
-            nd = f_nd.result()
-            f_dl.result()
+            met, nd = f_met.result()
             f_docs.result()
-        tp = _t("encode+write+metrics", tp)
+        tp = _t("encode+write+metrics", t0)
 
         ndocs = {r["bucket"]: int(r["n"]) for r in nd}
         elapsed = time.time() - t0
@@ -345,9 +418,6 @@ def build_index(
             if b not in {r[1] for r in rows}:
                 rows.append((build_id, b, "done", 0, 0, 0, 1.0, elapsed, tracking_id))
         _write_ledger_rows(ledger_dir, rows)
-        import shutil as _shutil
-
-        _shutil.rmtree(stage_dir, ignore_errors=True)
         _t("ledger", tp)
         built.extend(group)
 

@@ -162,3 +162,37 @@ def test_ledger_metrics(spark, built):
     assert sum(r["bytes_compressed"] for r in rows) > 0
     assert all(r["skew_ratio"] >= 1.0 for r in rows)
     assert all(r["tracking_id"] for r in rows)
+
+
+def test_grouped_salted_strategy_agrees(spark, tmp_path, built):
+    """The grouped+salted encode path (streaming/micro-batch) must
+    produce byte-identical postings to the bucket-local build path for
+    the same corpus — cross-validates both topologies AND the salted
+    hot-term merge."""
+    from pyspark.sql import functions as F
+
+    from ftidx.build import BUCKET_SHIFT, live_docs, prepare_docs
+    from ftidx.index import DOCLEN_FIELD_PREFIX, _encode_postings_df
+    from ftidx.tokenize import tokenize_tf
+
+    src = synth_source(spark, N_FILES, partitions=5)
+    live = live_docs(prepare_docs(src, 8))
+    tf_len = tokenize_tf(live).withColumnRenamed("dl", "len").withColumn(
+        "bucket", F.shiftright("doc_id", BUCKET_SHIFT).cast("int")
+    )
+    dfreq = tf_len.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+    hot = [(r["field"], r["term"]) for r in dfreq.filter(F.col("df") > 50).collect()]
+    assert hot  # the synthetic corpus must exercise the salted path
+    grouped = {
+        (r["term"], r["field"], r["bucket"]):
+            (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]))
+        for r in _encode_postings_df(tf_len, hot, 4, 8).collect()
+    }
+    bucket_local = {
+        (r["term"], r["field"], r["bucket"]):
+            (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]))
+        for r in spark.read.parquet(f"{built[0]}/postings")
+        .filter(~F.col("field").startswith(DOCLEN_FIELD_PREFIX))
+        .collect()
+    }
+    assert grouped == bucket_local
