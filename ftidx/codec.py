@@ -26,11 +26,10 @@ BLOCK = 128
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized."""
-    arr = np.ascontiguousarray(values, dtype=np.uint64)
+def _varint_encode_with_sizes(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128 encode → (byte buffer, per-value byte counts)."""
     if arr.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(arr.size, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += arr >= t
@@ -43,7 +42,14 @@ def varint_encode(values: np.ndarray) -> bytes:
         payload = (arr[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
         out[offsets[mask] + j] = payload.astype(np.uint8) | cont
-    return out.tobytes()
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    buf, _ = _varint_encode_with_sizes(arr)
+    return buf.tobytes()
 
 
 def varint_decode(blob: bytes) -> np.ndarray:
@@ -124,6 +130,66 @@ def decode_postings(
     if dls_blob is None:
         return ids, tfs
     return ids, tfs, varint_decode(dls_blob)
+
+
+def encode_many(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+    starts: np.ndarray, ends: np.ndarray,
+) -> dict[str, list]:
+    """Encode MANY posting lists in one vectorized pass.
+
+    Inputs are the whole partition's rows, group g occupying
+    [starts[g], ends[g]) and already sorted by doc_id within each
+    group. Per-group delta-gap (first value absolute), one global
+    varint pass per blob, per-group byte-range slicing, and block
+    metadata via ``reduceat`` — byte-identical to calling
+    :func:`encode_postings` per group, but ~two orders of magnitude
+    less per-group Python overhead (this is what makes millions of
+    tiny term groups affordable).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    n = doc_ids.size
+    G = starts.size
+    change = np.zeros(n, dtype=bool)
+    change[starts] = True
+    gaps = np.empty_like(doc_ids)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    gaps[starts] = doc_ids[starts]
+
+    out: dict[str, list] = {k: [] for k in (
+        "df", "cf", "doc_ids", "tfs", "dls",
+        "block_max_tf", "block_min_dl", "block_last_docid")}
+
+    dfs = (ends - starts).astype(np.int64)
+    out["df"] = dfs.tolist()
+    out["cf"] = np.add.reduceat(tfs.astype(np.int64), starts).tolist()
+
+    for name, arr in (("doc_ids", gaps), ("tfs", tfs), ("dls", dls)):
+        buf, nbytes = _varint_encode_with_sizes(arr)
+        byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+        raw = buf.tobytes()
+        bs = byte_off[starts]
+        be = byte_off[ends]
+        out[name] = [raw[s:e] for s, e in zip(bs, be)]
+
+    # block metadata: global block starts tile the whole array exactly
+    nblocks = -(-dfs // BLOCK)
+    total_b = int(nblocks.sum())
+    grp_of_b = np.repeat(np.arange(G), nblocks)
+    b_in_grp = np.arange(total_b) - np.repeat(np.cumsum(nblocks) - nblocks, nblocks)
+    b_start = starts[grp_of_b] + BLOCK * b_in_grp
+    b_end = np.minimum(b_start + BLOCK, ends[grp_of_b])
+    bmax_tf = np.maximum.reduceat(tfs, b_start).astype(np.int64)
+    bmin_dl = np.minimum.reduceat(dls, b_start).astype(np.int64)
+    blast = doc_ids[b_end - 1].astype(np.int64)
+    cuts = np.cumsum(nblocks)[:-1]
+    out["block_max_tf"] = [a for a in np.split(bmax_tf, cuts)]
+    out["block_min_dl"] = [a for a in np.split(bmin_dl, cuts)]
+    out["block_last_docid"] = [a for a in np.split(blast, cuts)]
+    return out
 
 
 def merge_encoded(parts: list[dict]) -> dict:

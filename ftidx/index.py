@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ftidx.build import BUCKET_SHIFT, DEFAULT_BUCKETS, live_docs, prepare_docs
-from ftidx.codec import encode_postings, merge_encoded
+from ftidx.codec import encode_many, encode_postings, merge_encoded
 from ftidx.schema import CHECKPOINT_SCHEMA, POSTINGS_SCHEMA
 from ftidx.tokenize import tokenize_tf
 from ftidx.wand import TermList, bm25_idf, score_block_max, score_exhaustive
@@ -172,33 +172,34 @@ def _bucket_local_encode(batches):
     starts = np.flatnonzero(change)
     ends = np.concatenate([starts[1:], [group_key.size]])
 
-    out = {c: [] for c in _POSTINGS_COLS}
-    # per-(bucket, field) doclen accumulation
-    dl_acc: dict[tuple[int, int], list] = {}
-    for s, e in zip(starts, ends):
-        enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e])
-        b, fc, tc = int(buckets[s]), int(fld_codes[s]), int(trm_codes[s])
-        out["term"].append(trm_uniq[tc])
-        out["field"].append(fld_uniq[fc])
-        out["bucket"].append(b)
-        for key in ("df", "cf", "doc_ids", "tfs", "dls",
-                    "block_max_tf", "block_min_dl", "block_last_docid"):
-            out[key].append(enc[key])
-        dl_acc.setdefault((b, fc), []).append((doc_ids[s:e], dls[s:e]))
+    # one vectorized pass for ALL term groups (codec.encode_many —
+    # per-group encode calls would dominate at millions of tiny groups)
+    enc = encode_many(doc_ids, tfs, dls, starts, ends)
+    out = {
+        "term": list(trm_uniq[trm_codes[starts]]),
+        "field": list(fld_uniq[fld_codes[starts]]),
+        "bucket": [int(b) for b in buckets[starts]],
+        **enc,
+    }
 
-    # doclen pseudo-rows: one per (bucket, field), ids + lens blobs
-    for (b, fc), pairs in sorted(dl_acc.items()):
-        ids = np.concatenate([p[0] for p in pairs])
-        lens = np.concatenate([p[1] for p in pairs])
-        uniq_ids, first_idx = np.unique(ids, return_index=True)
-        uniq_lens = lens[first_idx]
-        enc = encode_postings(uniq_ids, uniq_lens, uniq_lens)
+    # doclen pseudo-rows: one per (bucket, field) — contiguous segments
+    # in the sort order; docs repeat per term, dedup via np.unique
+    bf_key = buckets.astype(np.int64) * len(fld_uniq) + fld_codes
+    bf_change = np.empty(bf_key.size, dtype=bool)
+    bf_change[0] = True
+    np.not_equal(bf_key[1:], bf_key[:-1], out=bf_change[1:])
+    bf_starts = np.flatnonzero(bf_change)
+    bf_ends = np.concatenate([bf_starts[1:], [bf_key.size]])
+    for s, e in zip(bf_starts, bf_ends):
+        uniq_ids, first_idx = np.unique(doc_ids[s:e], return_index=True)
+        uniq_lens = dls[s:e][first_idx]
+        penc = encode_postings(uniq_ids, uniq_lens, uniq_lens)
         out["term"].append("*")
-        out["field"].append(DOCLEN_FIELD_PREFIX + str(fld_uniq[fc]))
-        out["bucket"].append(b)
+        out["field"].append(DOCLEN_FIELD_PREFIX + str(fld_uniq[fld_codes[s]]))
+        out["bucket"].append(int(buckets[s]))
         for key in ("df", "cf", "doc_ids", "tfs", "dls",
                     "block_max_tf", "block_min_dl", "block_last_docid"):
-            out[key].append(enc[key])
+            out[key].append(penc[key])
     yield pd.DataFrame(out)
 
 
