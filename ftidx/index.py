@@ -1,29 +1,36 @@
 """Persistent inverted-index build + query engine.
 
-Build topology (one pass per bucket group — the resumable unit, analog
-of the reference's transaction-per-job discipline, Indexer.java:97-116):
+Build topology — the **bucket-local segment-writer strategy** (one pass
+per bucket group, the resumable unit; analog of the reference's
+transaction-per-job discipline, Indexer.java:97-116):
 
     live docs (bucket ∈ group)
-      → tokenize_tf (mapInPandas fused with the scan: tokenize AND
-        per-doc tf/dl aggregation inside the kernel — docs are
-        batch-local, so the raw-token shuffle and the tf⋈doclen join
-        never exist; shuffle volume is |distinct (doc,field,term)|,
-        not |tokens|)
-      → COLD terms: repartition(field, term, bucket) → sortWithinPartitions
-        → mapInPandas streaming group-encode        [the one big shuffle]
-      → HOT terms (df > threshold): + salt = xxhash64(doc_id) % n_salts,
-        repartition(field, term, bucket, salt) → encode runs
-        → groupBy(field, term, bucket) merge runs   [tiny: hot terms only]
-      → union → write postings / doclen / docs parquet CONCURRENTLY
-        (independent sinks over the materialized cache; partitioned by
-        bucket, dynamic partition overwrite → idempotent → resume-safe)
-      → append ledger row per bucket (metrics + lineage; the metrics
-        scan reads a persisted n_bytes column, never the blobs)
+      → repartition(raw docs, by bucket)       [the ONLY shuffle — raw
+        docs are ~25× smaller than their tf rows; measured: shuffling
+        tf rows made the build disk-bound and killed scaling]
+      → _bucket_local_encode (ONE mapInPandas kernel per bucket:
+        tokenize + tf/dl aggregation + lexsort + vectorized
+        whole-partition posting encode via codec.encode_many —
+        the Lucene segment-writer model; doclen rides along as
+        __dl__<field> pseudo-postings rows so there is ONE sink)
+      → write postings parquet partitioned by bucket
+        (dynamic partition overwrite → idempotent → resume-safe)
+      → doclen table exploded from the pseudo-rows (tiny input);
+        docs table written concurrently
+      → ledger row per bucket, written driver-side via pyarrow
+        (metrics read a persisted n_bytes column, never the blobs)
 
-Explicit skew handling per north_rule: AQE's skew logic only splits
-join partitions; a pathological hot groupBy key (`def` in 90% of a
-10^12-doc corpus) must be salted by hand — the two-phase hot path
-above. Cold terms skip the second phase entirely.
+Skew handling per north_rule, two complementary mechanisms:
+
+- **structural**: bucket-local encode caps any term's group at the
+  bucket size (corpus / n_buckets) — a `def` in 90% of 10^12 docs is
+  still only ~10^6 postings per bucket task; bucket sizes themselves
+  are uniform by hash.
+- **explicit two-phase salting** (:func:`_encode_postings_df`, used by
+  the streaming/grouped path): hot terms (df > threshold) encode as
+  (term, bucket, salt=xxhash64(doc_id)%k) runs merged exactly in a
+  second phase. tests/test_index.py::test_grouped_salted_strategy_agrees
+  proves both strategies byte-identical.
 
 Scale notes: postings are per-(term, bucket) segments, never a single
 global row per term — at 10^12 docs a global `the` row would be ~TBs.

@@ -53,7 +53,7 @@ spark.stop()
 
 
 def run_level(cores: int, src_path: str, out_root: str, n_files: int,
-              trials: int = 2) -> dict:
+              trials: int = 1) -> dict:
     """Best of `trials` runs: the sandbox host carries external load
     (loadavg ~5-10 with zero local processes), so min wall time is the
     least-interfered measurement of the job's actual cost."""
@@ -128,10 +128,13 @@ Measured {now}:
 **Scaling efficiency** = ({r_big['files_per_sec']:.1f} / {r_small['files_per_sec']:.1f}) / {n_big // n_small}
 = **{eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
 
-Build configuration: `build_index(n_buckets=64, bucket_group_size=64,
-hot_df_threshold=100000)` — one bucket-group pass, salted hot-term
-merge enabled, postings/doclen/docs written as parquet partitioned by
-bucket. Timing excludes SparkSession startup and corpus generation.
+Build configuration: `build_index(n_buckets=64, bucket_group_size=64)`
+— bucket-local segment-writer strategy (raw docs shuffled by bucket
+once; tokenize + tf/dl + vectorized posting encode in one kernel per
+bucket), postings/doclen/docs written as parquet partitioned by bucket.
+Timing excludes SparkSession startup and corpus generation. External
+host load (recorded above) is outside our control; levels are sized so
+N and 4N both fit the machine alongside it.
 
 Reproduce: `python tools/bench_scaling.py {n_files} {n_small}`
 """)
