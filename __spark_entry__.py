@@ -77,7 +77,7 @@ def q_field_stats(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("len").alias("total_len"),
-            (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+            F.round((F.sum("len") / F.count(F.lit(1))).cast("double"), 5).alias("avgdl"),
         )
     )
 
@@ -225,7 +225,10 @@ def q_dedup_lsh_bands(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from ftidx.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+    # hot-shingle cap ON (default 256) — the 100 TB-safe configuration;
+    # the oracle applies the same df cap before its pair join
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05,
+                               max_shingle_df=256)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -416,8 +419,11 @@ def q_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # timestamp subtraction keeps fractional seconds (unix_timestamp
+    # truncates to whole seconds and mis-splits sub-second gaps vs epoch(ts));
+    # interval comparison is exact and timezone-free for TIMESTAMP_NTZ
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flag = F.when(gap.isNull() | (gap > F.expr("INTERVAL 1800 SECOND")), 1).otherwise(0)
     sessions = e.withColumn("new_s", flag).withColumn(
         "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -524,7 +530,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK_CTE},
             dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id)
             SELECT count(*) AS n_docs, sum(len) AS total_len,
-                   sum(len)::DOUBLE / count(*) AS avgdl
+                   round(sum(len)::DOUBLE / count(*), 5) AS avgdl
             FROM dl
         """,
         "bm25_scores": _BM25_CTE + "SELECT doc_id, score_r FROM bm25",
@@ -585,9 +591,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLE_CTE},
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 256),
+            shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

@@ -78,10 +78,18 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.2,
-    max_shingle_df: int | None = None, text_col: str = "text", id_col: str = "doc_id",
+    max_shingle_df: int | None = 256, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for all pairs sharing ≥1 (non-hot)
-    shingle. Output: doc_a < doc_b, jaccard rounded to 5 decimals."""
+    shingle. Output: doc_a < doc_b, jaccard rounded to 5 decimals.
+
+    ``max_shingle_df`` defaults ON (256): a boilerplate shingle shared
+    by 10^6 docs makes the self-join quadratic; dropping shingles with
+    document frequency above the cap bounds join fan-out at
+    ``max_shingle_df**2`` per shingle. Pass ``None`` to opt out
+    (exact pair recall, toy inputs only). Jaccard denominators still
+    use the uncapped shingle sets, so reported similarity is exact for
+    every emitted pair."""
     sh = shingles(docs, n, text_col, id_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:

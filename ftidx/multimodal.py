@@ -178,7 +178,8 @@ def audio_features(media: DataFrame, backend: str = "fake") -> DataFrame:
     if backend == "real":
         _require_real_backend("audio", "soundfile")
     return image_features(
-        media.withColumn("kind", F.lit("image")).filter(F.lit(True)), backend="fake"
+        media.filter(F.col("kind") == "audio").withColumn("kind", F.lit("image")),
+        backend="fake",
     ).withColumnRenamed("phash", "ahash")
 
 

@@ -147,6 +147,8 @@ def _accumulate(per_term, k: int):
 
 
 def score_exhaustive(lists: list[TermList], avgdl: float, k: int):
+    if k <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
     per_term = []
     for tl in sorted(lists, key=lambda t: (t.df, t.term)):
         ids, tfs, dls = tl.decode_all()
@@ -157,7 +159,7 @@ def score_exhaustive(lists: list[TermList], avgdl: float, k: int):
 def score_block_max(lists: list[TermList], avgdl: float, k: int):
     """Block-max pruned scoring; exact (see module docstring)."""
     lists = sorted(lists, key=lambda t: (t.df, t.term))
-    if not lists:
+    if not lists or k <= 0:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     if len(lists) == 1:
         return score_exhaustive(lists, avgdl, k)

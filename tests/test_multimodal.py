@@ -59,6 +59,9 @@ def test_frame_sampling(media):
 def test_audio_features(media):
     rows = audio_features(media).collect()
     assert rows and all("ahash" in r.asDict() for r in rows)
+    # only audio rows produce features — not images/videos relabeled
+    audio_ids = {r["media_id"] for r in media.collect() if r["kind"] == "audio"}
+    assert {r["media_id"] for r in rows} == audio_ids
 
 
 def test_real_backend_gated(media):

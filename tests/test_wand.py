@@ -80,3 +80,14 @@ def test_single_term_and_empty():
     ids, sc = score_block_max(lists, 15.0, 5)
     assert ids.tolist() == score_exhaustive(lists, 15.0, 5)[0].tolist()
     assert score_block_max([], 15.0, 5)[0].size == 0
+
+
+def test_k_zero_returns_empty():
+    """k=0 must return empty, not crash (np.partition kth bound)."""
+    lists = [make_list("x", [{5: (2, 20), 9: (1, 10)}], 100),
+             make_list("y", [{5: (1, 20), 7: (3, 30)}], 100)]
+    for fn in (score_block_max, score_exhaustive):
+        ids, sc = fn(lists, 15.0, 0)
+        assert ids.size == 0 and sc.size == 0
+        ids, sc = fn(lists, 15.0, -1)
+        assert ids.size == 0 and sc.size == 0
