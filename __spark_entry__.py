@@ -259,7 +259,8 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    # approximate by construction → rows-only check (no oracle)
+    # approximate vs exhaustive, but deterministic by construction
+    # (md5-derived hyperplanes) → full DuckDB oracle
     from ftidx.ann import lsh_cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -268,7 +269,8 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_embedding_near_pairs(spark, sf_dir):
-    # LSH-bucketed exact-cosine near-dup pairs → rows-only check
+    # LSH-bucketed exact-cosine near-dup pairs; deterministic buckets
+    # (md5-derived hyperplanes) → full DuckDB oracle
     from ftidx.ann import embedding_near_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -335,13 +337,22 @@ sigs AS (
 )
 """
 
+# 64-bit SimHash: bit j = bit (3 - j%4) of hex nibble (1 + j//4) of
+# md5(term); vote = tf-weighted sum of (2*bit - 1). Mirrors
+# ftidx.dedup.simhash exactly (instr is 1-based haystack-first in both
+# engines; // is DuckDB integer division — ::INT would round).
+_SIMHASH_NBITS = 64
 _SIMHASH_BITS_SQL = ",\n".join(
-    f"sum(CASE WHEN substring(md5(term), {p}, 1) IN "
-    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{p}"
-    for p in range(1, 17)
+    "sum(2 * (((instr('0123456789abcdef', substring(md5(term), "
+    f"{1 + j // 4}, 1)) - 1) // {1 << (3 - j % 4)}) % 2) - 1) AS v{j}"
+    for j in range(_SIMHASH_NBITS)
 )
 _SIMHASH_CONCAT_SQL = " || ".join(
-    f"(CASE WHEN v{p} > 0 THEN '1' ELSE '0' END)" for p in range(1, 17)
+    f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)" for j in range(_SIMHASH_NBITS)
+)
+_SIMHASH_HAMMING_SQL = " + ".join(
+    f"(substring(sa,{p},1) <> substring(sb,{p},1))::INT"
+    for p in range(1, _SIMHASH_NBITS + 1)
 )
 
 _EMB_FLAT_CTE = """
@@ -352,6 +363,36 @@ flat AS (
   )
 )
 """
+
+
+def _ann_bucket_cte(n_planes: int) -> str:
+    """SRP-LSH bucket CTE chunk (after WITH): mirrors
+    ftidx.ann.hyperplane_buckets — sign(j,i) = ±1 from first hex nibble
+    of md5('p<j>#<i>'), bucket = concat of sign(proj) bits. DuckDB
+    subscripts are 1-based, hence (i - 1)."""
+    return f"""{_EMB_FLAT_CTE},
+            signs AS (
+              SELECT p.plane, d.i,
+                     CASE WHEN substring(md5('p' || p.plane::VARCHAR || '#' ||
+                          (d.i - 1)::VARCHAR), 1, 1)
+                          IN ('8','9','a','b','c','d','e','f')
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM (SELECT unnest(range(0, {n_planes})) AS plane) p
+              CROSS JOIN (SELECT DISTINCT i FROM flat) d
+            ),
+            proj AS (
+              SELECT f.vec_id, s.plane, sum(f.x * s.s) AS dot
+              FROM flat f JOIN signs s USING (i)
+              GROUP BY f.vec_id, s.plane
+            ),
+            bits AS (
+              SELECT vec_id, plane, CASE WHEN dot > 0 THEN '1' ELSE '0' END AS bit
+              FROM proj
+            ),
+            buckets AS (
+              SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+              FROM bits GROUP BY vec_id
+            )"""
 
 
 # --------------------------------------------------------------------------
@@ -624,15 +665,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.simhash AS sa, b.simhash AS sb
               FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-              WHERE substring(a.simhash, 1, 4) = substring(b.simhash, 1, 4)
-                 OR substring(a.simhash, 5, 4) = substring(b.simhash, 5, 4)
-                 OR substring(a.simhash, 9, 4) = substring(b.simhash, 9, 4)
-                 OR substring(a.simhash, 13, 4) = substring(b.simhash, 13, 4)
+              WHERE substring(a.simhash, 1, 16) = substring(b.simhash, 1, 16)
+                 OR substring(a.simhash, 17, 16) = substring(b.simhash, 17, 16)
+                 OR substring(a.simhash, 33, 16) = substring(b.simhash, 33, 16)
+                 OR substring(a.simhash, 49, 16) = substring(b.simhash, 49, 16)
             )
-            SELECT doc_a, doc_b,
-                   ({" + ".join(f"(substring(sa,{p},1) <> substring(sb,{p},1))::INT" for p in range(1, 17))}) AS hamming
+            SELECT doc_a, doc_b, ({_SIMHASH_HAMMING_SQL}) AS hamming
             FROM pairs
-            WHERE ({" + ".join(f"(substring(sa,{p},1) <> substring(sb,{p},1))::INT" for p in range(1, 17))}) <= 3
+            WHERE ({_SIMHASH_HAMMING_SQL}) <= 3
         """,
         "ann_cosine_topk": f"""
             WITH {_EMB_FLAT_CTE},
@@ -653,27 +693,53 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 20
         """,
         "ann_lsh_buckets": f"""
-            WITH {_EMB_FLAT_CTE},
-            signs AS (
-              SELECT p.plane, d.i,
-                     CASE WHEN substring(md5('p' || p.plane::VARCHAR || '#' ||
-                          (d.i - 1)::VARCHAR), 1, 1)
-                          IN ('8','9','a','b','c','d','e','f')
-                          THEN 1.0 ELSE -1.0 END AS s
-              FROM (SELECT unnest(range(0, 8)) AS plane) p
-              CROSS JOIN (SELECT DISTINCT i FROM flat) d
+            WITH {_ann_bucket_cte(8)}
+            SELECT vec_id, bucket FROM buckets
+        """,
+        "ann_lsh_topk": f"""
+            WITH {_ann_bucket_cte(8)},
+            q AS (SELECT bucket AS qb FROM buckets WHERE vec_id = 0),
+            cand AS (
+              SELECT b.vec_id FROM buckets b CROSS JOIN q
+              WHERE ({" + ".join(f"(substring(b.bucket,{p},1) <> substring(q.qb,{p},1))::INT" for p in range(1, 9))}) <= 1
             ),
-            proj AS (
-              SELECT f.vec_id, s.plane, sum(f.x * s.s) AS dot
-              FROM flat f JOIN signs s USING (i)
-              GROUP BY f.vec_id, s.plane
+            qv AS (SELECT i, x AS qx FROM flat WHERE vec_id = 0),
+            dots AS (
+              SELECT f.vec_id, sum(f.x * qv.qx) AS dot,
+                     sum(f.x * f.x) AS na, sum(qv.qx * qv.qx) AS nq
+              FROM flat f JOIN qv USING (i)
+              WHERE f.vec_id IN (SELECT vec_id FROM cand)
+              GROUP BY f.vec_id
             ),
-            bits AS (
-              SELECT vec_id, plane, CASE WHEN dot > 0 THEN '1' ELSE '0' END AS bit
-              FROM proj
+            scored AS (
+              SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 5) AS cosine
+              FROM dots
             )
-            SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
-            FROM bits GROUP BY vec_id
+            SELECT vec_id, cosine FROM (
+              SELECT vec_id, cosine,
+                     row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+              FROM scored
+            ) WHERE rn <= 10
+        """,
+        "embedding_near_pairs": f"""
+            WITH {_ann_bucket_cte(4)},
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM buckets a JOIN buckets b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ),
+            dots AS (
+              SELECT p.id_a, p.id_b, sum(fa.x * fb.x) AS dot,
+                     sum(fa.x * fa.x) AS na, sum(fb.x * fb.x) AS nb
+              FROM pairs p
+              JOIN flat fa ON fa.vec_id = p.id_a
+              JOIN flat fb ON fb.vec_id = p.id_b AND fb.i = fa.i
+              GROUP BY p.id_a, p.id_b
+            )
+            SELECT id_a, id_b,
+                   round(dot / (sqrt(na) * sqrt(nb)), 5) AS cosine
+            FROM dots
+            WHERE round(dot / (sqrt(na) * sqrt(nb)), 5) >= 0.35
         """,
         "token_counts": """
             SELECT doc_id,

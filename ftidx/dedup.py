@@ -182,47 +182,82 @@ def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash: bit p = majority vote over token occurrences of
-    bit p of md5(term) (hex nibble ≥ 8 ⇒ +1 else −1), tf-weighted by
-    keeping duplicates. Output (doc_id, simhash) as a '0'/'1' string."""
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # Manku-style: hamming ≤ bands-1 ⇒ ≥1 band matches exactly
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """64-bit SimHash (Charikar): bit j = majority vote over token
+    occurrences of bit j of md5(term)'s first n_bits/4 hex nibbles,
+    tf-weighted by keeping duplicate tokens. Output (doc_id, simhash)
+    as a '0'/'1' string of length n_bits.
+
+    64 bits (vs a toy 16) is what makes banded candidate generation
+    usable at corpus scale: each 16-bit band has 2^16 values, so
+    random-band collisions are ~n²/65536 per band instead of ~n²/16."""
+    n_nib = n_bits // 4
     tok = tokens_with_pos(docs, text_col, id_col).withColumn("h", F.md5("term"))
-    votes = [
-        F.sum(
-            F.when(F.substring("h", p, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"v{p}")
-        for p in range(1, 17)
-    ]
+    # nibble values computed once per token, shared by their 4 bit-votes
+    for p in range(1, n_nib + 1):
+        tok = tok.withColumn(
+            f"n{p}",
+            F.expr(f"instr('0123456789abcdef', substring(h, {p}, 1)) - 1"),
+        )
+    votes = []
+    for j in range(n_bits):
+        p, shift = 1 + j // 4, 3 - j % 4  # MSB-first within each nibble
+        bit = F.shiftright(F.col(f"n{p}"), shift).bitwiseAND(F.lit(1))
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
     agg = tok.groupBy("doc_id").agg(*votes)
-    bits = [F.when(F.col(f"v{p}") > 0, "1").otherwise("0") for p in range(1, 17)]
+    bits = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(n_bits)]
     return agg.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+def simhash_band_candidates(sim: DataFrame, n_bands: int = SIMHASH_BANDS) -> DataFrame:
+    """Candidate pairs whose signatures agree on ≥1 of n_bands equal
+    bit-ranges. By pigeonhole, every pair within Hamming distance
+    ≤ n_bands−1 appears; random unrelated pairs collide on a 16-bit
+    band with probability ~2^-16 — the equi-join stays near-linear.
 
-    Candidate generation via the 4-table trick: split the 16-bit
-    signature into 4 nibbles; pairs within distance ≤ 2 must agree on
-    ≥ 2 nibbles — join on each nibble, verify exact distance."""
-    parts = sim.select(
+    Scale shape: n_bands shuffles keyed by (band_id, band_bits) — a
+    uniform short key — then a distinct. Never all-pairs."""
+    n_bits = SIMHASH_BITS
+    width = n_bits // n_bands
+    banded = sim.select(
         "doc_id", "simhash",
-        *[F.substring("simhash", 1 + 4 * i, 4).alias(f"p{i}") for i in range(4)],
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"),
+                         F.substring("simhash", 1 + width * i, width).alias("bits"))
+                for i in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bits") == F.col("b.bits"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"))
+        .distinct()
     )
-    cands = None
-    for i in range(4):
-        a = parts.alias("a")
-        b = parts.alias("b")
-        c = a.join(b, (F.col(f"a.p{i}") == F.col(f"b.p{i}"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"),
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming
+    (requires max_hamming ≤ SIMHASH_BANDS−1 for exact recall):
+    banded candidate generation, then exact Hamming verify."""
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds banded recall guarantee "
+            f"(≤ {SIMHASH_BANDS - 1}); raise SIMHASH_BANDS or lower the threshold"
         )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
-    # exact Hamming distance over the 16 chars
+    cands = simhash_band_candidates(sim)
     dist = sum(
         (F.substring("sa", p, 1) != F.substring("sb", p, 1)).cast("int")
-        for p in range(1, 17)
+        for p in range(1, SIMHASH_BITS + 1)
     )
     return (
         cands.withColumn("hamming", dist)

@@ -332,6 +332,14 @@ def build_index(
     shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     group_size = bucket_group_size or n_buckets  # one pass by default
 
+    # S26 schema gate: abort the whole pass on drift BEFORE any job runs
+    # (analog Indexer.java:164-168 — unknown field in the sink is fatal,
+    # not retried; silent drift would poison every bucket)
+    from ftidx.schema import DOCS_SCHEMA, SOURCE_SCHEMA, assert_schema
+
+    assert_schema(source, DOCS_SCHEMA if docs_ready else SOURCE_SCHEMA,
+                  "build_index source")
+
     docs = source if docs_ready else prepare_docs(source, n_buckets)
 
     ledger_dir = out / "ledger"
@@ -458,6 +466,19 @@ class FtIndex:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = Path(path)
+        # driver-side posting-list cache for hot query serving: repeat
+        # queries hit numpy directly, no Spark job. LRU-bounded by entry
+        # count; the 100 TB cold path is topk_distributed.
+        self._term_cache: dict[tuple[str, str], list[dict]] = {}
+        self._term_cache_max = 4096
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Re-read manifest/postings/stats/tombstones and drop the term
+        cache. Call after maintenance ops (compact_tombstones,
+        compact_deltas, upsert) rewrite the index under this path — a
+        stale handle would otherwise keep serving cached postings/idf."""
+        spark = self.spark
         self.manifest = json.loads((self.path / "_manifest.json").read_text())
         self._postings = spark.read.parquet(str(self.path / "postings"))
         self.stats = {
@@ -468,13 +489,11 @@ class FtIndex:
         tomb_dir = self.path / "tombstones"
         if tomb_dir.exists():
             self._tombstones = {
-                r["doc_id"] for r in spark.read.parquet(str(tomb_dir)).collect()
+                r["doc_id"]
+                for r in spark.read.option("recursiveFileLookup", "true")
+                .parquet(str(tomb_dir)).collect()
             }
-        # driver-side posting-list cache for hot query serving: repeat
-        # queries hit numpy directly, no Spark job. Bounded by entry
-        # count; the 100 TB cold path is topk_distributed.
-        self._term_cache: dict[tuple[str, str], list[dict]] = {}
-        self._term_cache_max = 4096
+        self._term_cache.clear()
 
     # -- maintenance -----------------------------------------------------
     def delete(self, doc_ids: list[int]) -> None:
@@ -498,14 +517,21 @@ class FtIndex:
                         "block_max_tf", "block_min_dl", "block_last_docid")
                 .collect()
             )
-            if len(self._term_cache) + len(missing) > self._term_cache_max:
-                self._term_cache.clear()
+            # LRU eviction: drop oldest entries only (insertion order =
+            # recency, maintained below), never the whole cache
+            while len(self._term_cache) + len(missing) > self._term_cache_max:
+                self._term_cache.pop(next(iter(self._term_cache)))
             grouped: dict[str, list[dict]] = {t: [] for t in missing}
             for r in fetched:
                 grouped[r["term"]].append(r.asDict())
             for t, rows in grouped.items():
                 self._term_cache[(field, t)] = rows
-        return {t: self._term_cache[(field, t)] for t in terms}
+        out = {}
+        for t in terms:
+            rows = self._term_cache.pop((field, t))  # re-insert → most recent
+            self._term_cache[(field, t)] = rows
+            out[t] = rows
+        return out
 
     def _term_lists(self, terms: list[str], field: str):
         qterms = sorted(set(terms))

@@ -27,7 +27,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ftidx.build import BUCKET_SHIFT
 from ftidx.codec import encode_postings
 from ftidx.schema import POSTINGS_SCHEMA
 from ftidx.wand import TermList
@@ -35,19 +34,62 @@ from ftidx.wand import TermList
 _POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
 
 
+def _has_files(d: Path) -> bool:
+    return d.exists() and any(d.iterdir())
+
+
 def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
     """Fold the tombstone table into the postings: rewrite only the
-    buckets containing deleted docs; drop the tombstone table after."""
+    buckets containing deleted docs; drop resolved tombstones after.
+
+    Buckets are resolved by joining tombstone ids against the doclen
+    table's (doc_id, bucket) map — NOT by ``doc_id >> BUCKET_SHIFT``,
+    which is only valid for batch rank-assigned ids (streaming docs
+    carry content-hash ids whose high bits are unrelated to their
+    bucket). Ids that resolve to no bucket (already gone, or still only
+    in un-compacted deltas) are RETAINED in the tombstone table so the
+    query-time anti-filter keeps masking them.
+
+    Refuses to run while streamed deltas exist: delta segments would
+    keep serving deleted docs after the tombstone table was dropped.
+    Run :func:`compact_deltas` first. Open ``FtIndex`` handles cache
+    postings/stats — call ``FtIndex.refresh()`` (or reopen) after."""
     path = Path(index_path)
+    if _has_files(path / "deltas"):
+        raise ValueError(
+            "compact_tombstones: streamed deltas exist under "
+            f"{path / 'deltas'}; run compact_deltas first so deleted "
+            "docs cannot resurface from delta segments"
+        )
     tomb_dir = path / "tombstones"
     if not tomb_dir.exists():
-        return {"buckets_rewritten": [], "docs_removed": 0}
-    tombs = spark.read.parquet(str(tomb_dir)).select("doc_id").distinct()
-    tomb_ids = {int(r["doc_id"]) for r in tombs.collect()}
-    if not tomb_ids:
+        return {"buckets_rewritten": [], "docs_removed": 0, "unresolved": 0}
+    tombs = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tomb_dir)).select("doc_id").distinct()
+    )
+    all_tomb_ids = {int(r["doc_id"]) for r in tombs.collect()}
+    if not all_tomb_ids:
         shutil.rmtree(tomb_dir)
-        return {"buckets_rewritten": [], "docs_removed": 0}
-    buckets = sorted({d >> BUCKET_SHIFT for d in tomb_ids})
+        return {"buckets_rewritten": [], "docs_removed": 0, "unresolved": 0}
+
+    # resolve id → bucket through doclen (covers batch ids AND folded
+    # streaming hash ids); unresolved ids stay tombstoned
+    id_bucket = (
+        spark.read.parquet(str(path / "doclen"))
+        .select("doc_id", "bucket").distinct()
+        .join(F.broadcast(tombs), "doc_id")
+        .collect()
+        if _has_files(path / "doclen") else []
+    )
+    tomb_ids = {int(r["doc_id"]) for r in id_bucket}
+    unresolved = sorted(all_tomb_ids - tomb_ids)
+    if not tomb_ids:
+        _rewrite_tombstones(tomb_dir, unresolved)
+        return {"buckets_rewritten": [], "docs_removed": 0,
+                "unresolved": len(unresolved)}
+    buckets = sorted({int(r["bucket"]) for r in id_bucket})
+    tombs = spark.createDataFrame([(d,) for d in sorted(tomb_ids)], "doc_id long")
 
     postings = spark.read.parquet(str(path / "postings"))
     affected = postings.filter(F.col("bucket").isin(buckets))
@@ -84,21 +126,137 @@ def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
     (doclen.filter(F.col("bucket").isin(buckets))
      .join(tomb_b, "doc_id", "left_anti")
      .write.mode("overwrite").partitionBy("bucket").parquet(str(path / "doclen")))
-    docs = spark.read.parquet(str(path / "docs"))
-    (docs.filter(F.col("bucket").isin(buckets))
-     .join(tomb_b, "doc_id", "left_anti")
-     .write.mode("overwrite").partitionBy("bucket").parquet(str(path / "docs")))
+    if _has_files(path / "docs"):  # absent for streaming-only indexes
+        docs = spark.read.parquet(str(path / "docs"))
+        (docs.filter(F.col("bucket").isin(buckets))
+         .join(tomb_b, "doc_id", "left_anti")
+         .write.mode("overwrite").partitionBy("bucket").parquet(str(path / "docs")))
 
-    # refresh global stats
+    _refresh_stats(spark, path)
+    _rewrite_tombstones(tomb_dir, unresolved)
+    return {"buckets_rewritten": buckets, "docs_removed": len(tomb_ids),
+            "unresolved": len(unresolved)}
+
+
+def _refresh_stats(spark: SparkSession, path: Path) -> None:
+    from ftidx.index import _write_stats_rows
+
     doclen_all = spark.read.parquet(str(path / "doclen"))
     stats = doclen_all.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("len").alias("total_len"),
         (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
-    )
-    stats.write.mode("overwrite").parquet(str(path / "stats"))
+    ).collect()
+    _write_stats_rows(path / "stats", stats)
+
+
+def _rewrite_tombstones(tomb_dir: Path, unresolved: list[int]) -> None:
+    """Replace the tombstone table with the unresolved subset (flat
+    layout — driver-side pyarrow, the set is small by definition)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     shutil.rmtree(tomb_dir)
-    return {"buckets_rewritten": buckets, "docs_removed": len(tomb_ids)}
+    if unresolved:
+        tomb_dir.mkdir(parents=True)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(unresolved, type=pa.int64())}),
+            tomb_dir / "unresolved.parquet",
+        )
+
+
+def _merge_segments_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one group = one (field, term, bucket) with
+    ≥1 segment rows (base + delta batches). Decode all runs, drop
+    duplicate doc_ids (first wins — replays carry identical content
+    thanks to content-addressed ids, so this also makes compaction
+    idempotent under a crash-rerun), re-encode as ONE segment."""
+    rows = pdf.to_dict("records")
+    if len(rows) == 1:
+        return pdf[_POSTINGS_COLS]
+    from ftidx.codec import decode_postings
+
+    parts = [decode_postings(r["doc_ids"], r["tfs"], r["dls"]) for r in rows]
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    _, first = np.unique(ids, return_index=True)
+    enc = encode_postings(ids[first], tfs[first], dls[first])
+    row = {
+        "term": rows[0]["term"], "field": rows[0]["field"],
+        "bucket": int(rows[0]["bucket"]),
+        **{k: enc[k] for k in ("df", "cf", "doc_ids", "tfs", "dls",
+                               "block_max_tf", "block_min_dl", "block_last_docid")},
+    }
+    return pd.DataFrame([row])[_POSTINGS_COLS]
+
+
+def compact_deltas(spark: SparkSession, index_path: str) -> dict:
+    """Fold streamed delta segments into the base index (the delta
+    compaction streaming.py's merge-on-read model promises).
+
+    Per affected bucket: base + delta posting rows merge to one segment
+    per (field, term) — decode → doc-id dedup → re-encode — written via
+    dynamic partition overwrite; delta doclen rows union into the base
+    doclen partitions; stats refresh; delta dirs removed last, so a
+    crash mid-compaction replays into the same end state (doc-id dedup
+    makes the merge idempotent). Scale shape: one shuffle of affected
+    buckets' postings keyed by (field, term, bucket) — O(delta + the
+    buckets it touches), never O(corpus). Open ``FtIndex`` handles must
+    ``refresh()`` (or reopen) afterwards."""
+    path = Path(index_path)
+    deltas = path / "deltas"
+    if not _has_files(deltas):
+        return {"buckets_compacted": [], "segments_folded": 0}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    delta_p = (
+        spark.read.option("basePath", str(deltas))
+        .parquet(str(deltas / "batch=*")).select(_POSTINGS_COLS)
+    )
+    n_segments = delta_p.count()
+    buckets = sorted(
+        int(r["bucket"]) for r in delta_p.select("bucket").distinct().collect()
+    )
+    frames = [delta_p]
+    if _has_files(path / "postings"):
+        frames.append(
+            spark.read.parquet(str(path / "postings"))
+            .filter(F.col("bucket").isin(buckets)).select(_POSTINGS_COLS)
+        )
+    merged = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+    (
+        merged.repartition(max(len(buckets), 1), "bucket")
+        .groupBy("field", "term", "bucket")
+        .applyInPandas(_merge_segments_dedup, schema=POSTINGS_SCHEMA)
+        .withColumn("n_bytes", F.octet_length("doc_ids") + F.octet_length("tfs")
+                    + F.octet_length("dls"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(str(path / "postings"))
+    )
+
+    dl_frames = [
+        spark.read.option("basePath", str(path / "delta_doclen"))
+        .parquet(str(path / "delta_doclen" / "batch=*"))
+        .select("doc_id", "field", "len", "bucket")
+    ]
+    if _has_files(path / "doclen"):
+        dl_frames.append(
+            spark.read.parquet(str(path / "doclen"))
+            .filter(F.col("bucket").isin(buckets))
+            .select("doc_id", "field", "len", "bucket")
+        )
+    dl = dl_frames[0] if len(dl_frames) == 1 else dl_frames[0].unionByName(dl_frames[1])
+    (
+        dl.dropDuplicates(["doc_id", "field"])
+        .repartition(max(len(buckets), 1), "bucket")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(str(path / "doclen"))
+    )
+    _refresh_stats(spark, path)
+    shutil.rmtree(deltas)
+    shutil.rmtree(path / "delta_doclen", ignore_errors=True)
+    return {"buckets_compacted": buckets, "segments_folded": int(n_segments)}
 
 
 def upsert(spark: SparkSession, index_path: str, new_source: DataFrame,

@@ -21,6 +21,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ftidx.schema import SOURCE_SCHEMA, assert_schema
+
+
+def preflight(spark: SparkSession, location: str,
+              check_schema: bool = True) -> DataFrame:
+    """Pre-flight gate (S4): verify the source exists and is readable
+    BEFORE any job is submitted — the analog of the reference pinging
+    Solr before draining the queue (Indexer.java:90-94: a dead sink
+    aborts the pass up front instead of failing mid-drain).
+
+    Raises ``RuntimeError`` with the location when the table/path is
+    missing or unreadable; optionally fail-fast on schema drift too
+    (S26 — the gate build_index also applies). Returns the DataFrame
+    so callers go straight to the build."""
+    try:
+        df = read_source(spark, location)
+        df.schema  # parquet: forces footer read; iceberg: table load
+    except Exception as e:
+        raise RuntimeError(
+            f"preflight failed: source {location!r} does not exist or is "
+            f"not readable ({type(e).__name__}: {e})"
+        ) from None
+    if check_schema:
+        assert_schema(df, SOURCE_SCHEMA, f"source {location!r}")
+    return df
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:

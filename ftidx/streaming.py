@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ftidx.build import live_docs
 from ftidx.index import _encode_postings_df
-from ftidx.schema import SOURCE_SCHEMA
+from ftidx.schema import SOURCE_SCHEMA, assert_schema
 from ftidx.tokenize import tokenize_tf
 
 
@@ -69,13 +69,31 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, index_path: str,
     """
     spark = batch_df.sparkSession
     out = Path(index_path)
+    # S26 schema gate: a drifted producer fails the batch immediately
+    # (analog Indexer.java:164-168) instead of writing poisoned deltas
+    assert_schema(batch_df, SOURCE_SCHEMA, f"microbatch epoch={epoch_id}")
     docs = prepare_docs_hashid(batch_df, n_buckets)
 
-    tombs = docs.filter(F.col("deleted")).select("doc_id")
+    tombs = docs.filter(F.col("deleted")).select("doc_id").distinct()
     if tombs.limit(1).count():
         tombs.write.mode("overwrite").parquet(str(out / "tombstones" / f"batch={epoch_id}"))
 
     live = live_docs(docs)
+    # At-least-once producers can re-deliver a (repo, path, commit) row in
+    # a LATER micro-batch (same-epoch replay is already idempotent via the
+    # epoch-keyed overwrite). doc_id is the content-addressed identity, so:
+    # (a) within-batch duplicates collapse to one row; (b) rows whose id is
+    # already in an earlier delta are dropped by an anti-join against the
+    # (column-pruned) delta doc-id set. Without this, the same doc lands in
+    # two delta segments — breaking wand.TermList's one-segment-per-doc
+    # assumption and double-counting its score. At 10^12 scale the seen-set
+    # read becomes an indexed id-ledger or Bloom filter; the plan shape
+    # (broadcast-able anti-join on a uniform key) is unchanged.
+    live = live.dropDuplicates(["doc_id"])
+    seen_dir = out / "delta_doclen"
+    if seen_dir.exists() and any(seen_dir.iterdir()):
+        seen = spark.read.parquet(str(seen_dir)).select("doc_id").distinct()
+        live = live.join(seen, "doc_id", "left_anti")
     bucket_of = live.select("doc_id", "bucket")
     # fused tokenize→tf/dl kernel (no token shuffle, no doclen join)
     tf_len = (
@@ -83,7 +101,9 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, index_path: str,
         .withColumnRenamed("dl", "len")
         .join(bucket_of, "doc_id")
     )
-    doclen = tf_len.groupBy("doc_id", "field").agg(F.max("len").alias("len"))
+    # bucket kept so compact_deltas can fold these rows into the
+    # bucket-partitioned base doclen table without re-deriving it
+    doclen = tf_len.groupBy("doc_id", "field", "bucket").agg(F.max("len").alias("len"))
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     postings = _encode_postings_df(tf_len, [], 1, shuffle_parts)
     postings.write.mode("overwrite").parquet(str(out / "deltas" / f"batch={epoch_id}"))
@@ -188,9 +208,12 @@ def query_with_deltas(spark: SparkSession, index_path: str, terms: list[str],
     tomb_ids: set[int] = set()
     tomb_dir = Path(index_path) / "tombstones"
     if tomb_dir.exists() and any(tomb_dir.iterdir()):
+        # recursive lookup: tombstones may be flat (FtIndex.delete /
+        # compaction leftovers) or batch=N subdirs (streaming) — or both
         tomb_ids = {
             int(r["doc_id"])
-            for r in spark.read.parquet(str(tomb_dir)).collect()
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tomb_dir)).collect()
         }
     ids, scores = score_block_max(lists, avgdl, k + len(tomb_ids))
     out = [

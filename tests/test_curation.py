@@ -66,13 +66,46 @@ def test_minhash_lsh_pipeline(docs):
 def test_simhash(docs):
     sims = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sims[0] == sims[1]
-    assert len(sims[0]) == 16 and set(sims[0]) <= {"0", "1"}
+    assert len(sims[0]) == 64 and set(sims[0]) <= {"0", "1"}
     ham02 = sum(a != b for a, b in zip(sims[0], sims[2]))
     ham03 = sum(a != b for a, b in zip(sims[0], sims[3]))
     assert ham02 <= ham03  # near-dup closer than unrelated
     near = {(r["doc_a"], r["doc_b"]) for r in
             simhash_near_pairs(simhash(docs), max_hamming=2).collect()}
     assert (0, 1) in near
+
+
+def test_simhash_candidate_set_is_sparse(spark):
+    """64-bit banding must NOT degenerate to ~all-pairs: on 300 random
+    distinct docs, band collisions are a tiny fraction of n(n-1)/2
+    (the 16-bit nibble scheme emitted ~28% of all pairs)."""
+    import random
+
+    from ftidx.dedup import simhash_band_candidates
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(2000)]
+    rows = [(i, " ".join(rng.sample(vocab, 40))) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = simhash(docs)
+    n_cand = simhash_band_candidates(sim).count()
+    all_pairs = 300 * 299 // 2
+    assert n_cand < all_pairs * 0.02, f"{n_cand} candidates of {all_pairs} pairs"
+    # exact dups still guaranteed: append a copy of doc 0
+    docs2 = docs.union(spark.createDataFrame([(999, rows[0][1])],
+                                             "doc_id long, text string"))
+    near = {(r["doc_a"], r["doc_b"])
+            for r in simhash_near_pairs(simhash(docs2), max_hamming=3).collect()}
+    assert (0, 999) in near
+
+
+def test_simhash_max_hamming_guard():
+    import pytest as _pytest
+
+    from ftidx.dedup import SIMHASH_BANDS
+
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(None, max_hamming=SIMHASH_BANDS)
 
 
 def test_shingles_empty_doc(docs):

@@ -1,0 +1,55 @@
+"""Fail-fast gates: S26 schema-mismatch abort (analog
+Indexer.java:164-168 — unknown field is fatal, not retried) and the S4
+pre-flight source existence check (analog solrClient.ping(),
+Indexer.java:90-94)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.index import build_index
+from ftidx.sources import preflight
+from ftidx.streaming import index_microbatch
+from ftidx.synth import synth_source
+
+
+def test_build_index_rejects_drifted_source(spark, tmp_path):
+    src = synth_source(spark, 30).drop("commit")  # missing column
+    with pytest.raises(ValueError, match="schema mismatch"):
+        build_index(spark, src, str(tmp_path / "idx"), n_buckets=2)
+    # renamed/extra column is drift too
+    src2 = synth_source(spark, 30).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        build_index(spark, src2, str(tmp_path / "idx2"), n_buckets=2)
+
+
+def test_build_index_rejects_type_drift(spark, tmp_path):
+    src = synth_source(spark, 30).withColumn("deleted", F.col("deleted").cast("int"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        build_index(spark, src, str(tmp_path / "idx"), n_buckets=2)
+
+
+def test_microbatch_rejects_drifted_batch(spark, tmp_path):
+    bad = synth_source(spark, 10).drop("lang")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        index_microbatch(bad, 0, str(tmp_path / "sidx"), n_buckets=2)
+
+
+def test_preflight_missing_source(spark, tmp_path):
+    with pytest.raises(RuntimeError, match="does not exist or is not readable"):
+        preflight(spark, str(tmp_path / "nope"))
+
+
+def test_preflight_ok_and_schema_check(spark, tmp_path):
+    good = str(tmp_path / "good")
+    synth_source(spark, 20).write.parquet(good)
+    df = preflight(spark, good)
+    assert df.count() == 20
+
+    drifted = str(tmp_path / "drifted")
+    synth_source(spark, 20).drop("lang").write.parquet(drifted)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        preflight(spark, drifted)
+    # existence-only mode still passes on drifted schema
+    assert preflight(spark, drifted, check_schema=False) is not None

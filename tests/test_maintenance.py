@@ -100,6 +100,95 @@ def test_upsert_equals_fresh_build(spark, tmp_path):
     assert _dump(spark, out) == _dump(spark, out2)
 
 
+def test_compact_deltas_folds_into_base(spark, tmp_path):
+    """Streamed deltas fold into base buckets; merge-on-read results
+    are preserved exactly and the plain FtIndex path now sees them."""
+    from ftidx.index import FtIndex
+    from ftidx.maintenance import compact_deltas
+    from ftidx.streaming import index_microbatch, query_with_deltas
+
+    out = str(tmp_path / "idx")
+    base_src = synth_source(spark, 150)
+    build_index(spark, base_src, out, n_buckets=4, hot_df_threshold=50)
+
+    extra = synth_source(spark, 210).join(
+        base_src.select("repo", "path"), ["repo", "path"], "left_anti"
+    ).cache()
+    b1 = extra.filter(F.xxhash64("path") % 2 == 0)
+    b2 = extra.filter(F.xxhash64("path") % 2 != 0)
+    index_microbatch(b1, 0, out, n_buckets=4)
+    index_microbatch(b2, 1, out, n_buckets=4)
+
+    before = query_with_deltas(spark, out, ["def", "alpha"], k=10)
+    assert any(d >= (1 << 40) for d, _ in before)  # hash-id docs present
+
+    res = compact_deltas(spark, out)
+    assert res["buckets_compacted"] and res["segments_folded"] > 0
+    assert not (tmp_path / "idx" / "deltas").exists()
+    assert not (tmp_path / "idx" / "delta_doclen").exists()
+
+    after_mor = query_with_deltas(spark, out, ["def", "alpha"], k=10)
+    assert [d for d, _ in after_mor] == [d for d, _ in before]
+    for (_, a), (_, b) in zip(after_mor, before):
+        assert a == pytest.approx(b, rel=1e-9)
+    # the base-only serving path agrees now
+    idx = FtIndex(spark, out)
+    plain = idx.topk(["def", "alpha"], 10)
+    assert [d for d, _ in plain] == [d for d, _ in before]
+
+
+def test_compact_tombstones_with_streaming_ids(spark, tmp_path):
+    """compact_tombstones must refuse while deltas exist, resolve hash
+    ids via doclen after delta compaction, and retain unresolved ids."""
+    from ftidx.maintenance import compact_deltas
+    from ftidx.streaming import index_microbatch, query_with_deltas
+
+    out = str(tmp_path / "idx")
+    base_src = synth_source(spark, 120)
+    build_index(spark, base_src, out, n_buckets=4, hot_df_threshold=50)
+    extra = synth_source(spark, 160).join(
+        base_src.select("repo", "path"), ["repo", "path"], "left_anti"
+    )
+    index_microbatch(extra, 0, out, n_buckets=4)
+
+    hits = query_with_deltas(spark, out, ["def"], k=10)
+    victim = next(d for d, _ in hits if d >= (1 << 40))  # a streamed doc
+    garbage = 999_999_999_999_999_999
+    spark.createDataFrame([(victim,), (garbage,)], "doc_id long") \
+        .write.parquet(f"{out}/tombstones/batch=7")
+
+    with pytest.raises(ValueError, match="compact_deltas first"):
+        compact_tombstones(spark, out)
+
+    compact_deltas(spark, out)
+    res = compact_tombstones(spark, out)
+    # victim resolves (via doclen) and is removed; the garbage id — and
+    # any deleted-on-arrival stream rows that were never indexed — stay
+    # tombstoned rather than being silently dropped
+    assert res["docs_removed"] == 1 and res["unresolved"] >= 1
+    after = query_with_deltas(spark, out, ["def"], k=10)
+    assert victim not in [d for d, _ in after]
+    kept = {r["doc_id"] for r in spark.read
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{out}/tombstones").collect()}
+    assert garbage in kept and victim not in kept
+
+
+def test_ftindex_refresh_after_compaction(spark, tmp_path):
+    """A live handle serves stale cached postings until refresh()."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 150), out, n_buckets=4, hot_df_threshold=50)
+    idx = open_index(spark, out)
+    pre = idx.topk(["def"], 5)
+    victims = [d for d, _ in pre[:2]]
+    idx.delete(victims)
+    compact_tombstones(spark, out)
+    idx.refresh()
+    post = idx.topk(["def"], 5)
+    assert not (set(d for d, _ in post) & set(victims))
+    assert idx.stats["code.content"][0] < 150 + 1  # stats reloaded
+
+
 def test_upsert_noop(spark, tmp_path):
     out = str(tmp_path / "idx")
     src = synth_source(spark, 120)

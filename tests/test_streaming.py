@@ -86,6 +86,33 @@ def test_stream_tombstones(spark, dirs):
     assert victim not in [d for d, _ in r2]
 
 
+def test_redelivered_rows_not_double_indexed(spark, tmp_path):
+    """At-least-once producers may re-deliver the same (repo, path,
+    commit) rows in a LATER micro-batch: the cross-batch anti-join must
+    drop them, or the doc lands in two delta segments and its BM25
+    score double-counts."""
+    from ftidx.streaming import index_microbatch
+
+    out = str(tmp_path / "sidx")
+    src = synth_source(spark, 80, partitions=2).cache()
+    index_microbatch(src, 0, out, n_buckets=4)
+    once = query_with_deltas(spark, out, ["def", "alpha"], k=10)
+
+    # the whole batch arrives again as epoch 1 (plus within-batch dups)
+    index_microbatch(src.union(src.limit(10)), 1, out, n_buckets=4)
+    twice = query_with_deltas(spark, out, ["def", "alpha"], k=10)
+    assert [d for d, _ in twice] == [d for d, _ in once]
+    for (_, a), (_, b) in zip(twice, once):
+        assert a == pytest.approx(b, rel=1e-12)
+
+    # no duplicate doc ids across delta doclen batches
+    dl = spark.read.option("basePath", f"{out}/delta_doclen") \
+        .parquet(f"{out}/delta_doclen/batch=*")
+    per_doc_field = dl.groupBy("doc_id", "field").count() \
+        .filter(F.col("count") > 1).count()
+    assert per_doc_field == 0
+
+
 def test_stream_restart_resumes(spark, dirs):
     """Restarting the stream must not re-index acknowledged input
     (checkpointed offsets = the reference's committed queue state)."""
