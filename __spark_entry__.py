@@ -268,6 +268,19 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, query, k=10, n_planes=8)
 
 
+def q_ann_batch_topk(spark, sf_dir):
+    # batch serving shape: 3 query vectors, one scan, top-5 each
+    from ftidx.ann import batch_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    return batch_cosine_topk(emb, queries, k=5)
+
+
 def q_embedding_near_pairs(spark, sf_dir):
     # LSH-bucketed exact-cosine near-dup pairs; deterministic buckets
     # (md5-derived hyperplanes) → full DuckDB oracle
@@ -275,6 +288,27 @@ def q_embedding_near_pairs(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_pairs(emb, threshold=0.35, n_planes=4)
+
+
+def q_phrase_match(spark, sf_dir):
+    """Positional phrase query (the ftidx positions table's contract
+    twin in SQL-parity tokenization): docs containing the bigram
+    "merge group" as consecutive non-empty tokens, with occurrence
+    counts. Adjacency = consecutive surviving tokens, same on both
+    engines (split positions, empties removed)."""
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                F.posexplode(F.split(F.lower("text"), "[^a-z0-9_]+")).alias("pos", "term"))
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = t.withColumn("t1", F.lead("term", 1).over(w))
+    return (
+        led.filter((F.col("term") == "merge") & (F.col("t1") == "group"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
 
 
 def q_token_counts(spark, sf_dir):
@@ -542,7 +576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_batch_topk": q_ann_batch_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "phrase_match": q_phrase_match,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -721,6 +757,28 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rn <= 10
         """,
+        "ann_batch_topk": f"""
+            WITH {_EMB_FLAT_CTE},
+            q AS (SELECT vec_id AS query_id, i, x AS qx FROM flat
+                  WHERE vec_id IN (0, 1, 2)),
+            dots AS (
+              SELECT q.query_id, f.vec_id, sum(f.x * q.qx) AS dot,
+                     sum(f.x * f.x) AS na, sum(q.qx * q.qx) AS nq
+              FROM flat f JOIN q USING (i)
+              GROUP BY q.query_id, f.vec_id
+            ),
+            scored AS (
+              SELECT query_id, vec_id,
+                     round(dot / (sqrt(na) * sqrt(nq)), 5) AS cosine
+              FROM dots
+            )
+            SELECT query_id, rank, vec_id, cosine FROM (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
         "embedding_near_pairs": f"""
             WITH {_ann_bucket_cte(4)},
             pairs AS (
@@ -740,6 +798,17 @@ def oracle_sql() -> dict[str, str]:
                    round(dot / (sqrt(na) * sqrt(nb)), 5) AS cosine
             FROM dots
             WHERE round(dot / (sqrt(na) * sqrt(nb)), 5) >= 0.35
+        """,
+        "phrase_match": f"""
+            WITH {_TOKPOS_CTE},
+            led AS (
+              SELECT doc_id, term,
+                     lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+              FROM tokpos
+            )
+            SELECT doc_id, count(*) AS n_occurrences
+            FROM led WHERE term = 'merge' AND t1 = 'group'
+            GROUP BY doc_id
         """,
         "token_counts": """
             SELECT doc_id,

@@ -97,6 +97,36 @@ def lsh_cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def batch_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "query_id", qvec_col: str = "qvec") -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in ONE scan: broadcast
+    the (small) query side, score every (vector, query) pair JVM-side,
+    window top-k per query — the batch analog of cosine_topk, and how
+    a serving tier amortizes 10^3 queries over one pass instead of
+    10^3 jobs (mirrors query.run_query_set for BM25).
+
+    Scale shape: the scan side never shuffles; only the ~|queries|×k
+    candidate rows cross the wire for the final per-query ordering. At
+    very large k·B add a per-partition pre-prune; for huge query sets
+    switch to the LSH-bucketed path."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
+    scored = (
+        e.crossJoin(F.broadcast(queries.select(qid_col, qvec_col)))
+        .withColumn("cosine", F.round(_dot(v, q) / (_norm(v) * _norm(q)), 5))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
+    )
+
+
 def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95,
                          n_planes: int = 8, id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

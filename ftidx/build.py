@@ -36,18 +36,31 @@ BUCKET_SHIFT = 40  # doc_id = bucket << 40 | local_rank
 DEFAULT_BUCKETS = 16
 
 
-def prepare_docs(source: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+def prepare_docs(source: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
+                 n_partitions: int | None = None) -> DataFrame:
     """source (input_hint schema) → docs with deterministic doc_id,
     content_sha256 (the per-row invariant, input_hint), and bucket.
 
     Includes tombstoned rows — routing happens downstream
     (Indexer.java:157-161 analog in :func:`live_docs` /
     :func:`deleted_docs`).
+
+    ``n_partitions`` pre-repartitions by bucket BEFORE the rank window:
+    the window's ClusteredDistribution(bucket) is satisfied by any
+    hash-partitioning on bucket, so no second exchange is inserted and
+    every downstream bucket-clustered consumer (the encode kernels, the
+    partitionBy writes) reuses this ONE shuffle of the raw corpus —
+    the single-shuffle build contract build_index relies on. Output
+    values are identical either way (ranks derive from content order,
+    never partition layout).
     """
     bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_buckets)).cast("int")
     w = Window.partitionBy("bucket").orderBy("repo", "path", "commit")
+    source = source.withColumn("bucket", bucket)
+    if n_partitions is not None:
+        source = source.repartition(n_partitions, "bucket")
     return (
-        source.withColumn("bucket", bucket)
+        source
         .withColumn("local_rank", F.row_number().over(w) - F.lit(1))
         .withColumn(
             "doc_id",

@@ -55,7 +55,7 @@ from ftidx.build import BUCKET_SHIFT, DEFAULT_BUCKETS, live_docs, prepare_docs
 from ftidx.codec import encode_many, encode_postings, merge_encoded
 from ftidx.schema import CHECKPOINT_SCHEMA, POSTINGS_SCHEMA
 from ftidx.tokenize import tokenize_tf
-from ftidx.wand import TermList, bm25_idf, score_block_max, score_exhaustive
+from ftidx.wand import TermList, bm25_contrib, bm25_idf, score_block_max, score_exhaustive
 
 _POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
 
@@ -125,6 +125,32 @@ def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 DOCLEN_FIELD_PREFIX = "__dl__"
+DOCS_FIELD = "__docs__"
+PSEUDO_PREFIX = "__"  # every transport pseudo-row field starts with this
+
+_DOCS_META_COLS = ["doc_id", "repo", "path", "commit", "lang", "deleted",
+                   "modified", "content_sha256", "bucket"]
+DOCS_TABLE_SCHEMA = ("doc_id long, repo string, path string, commit string, "
+                     "lang string, deleted boolean, modified timestamp, "
+                     "content_sha256 string, bucket int")
+
+
+def _serialize_meta(pdf: pd.DataFrame) -> bytes:
+    """Docs metadata frame → Arrow IPC stream bytes (deterministic for
+    identical content/order; no pickle)."""
+    import pyarrow as pa
+
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def _deserialize_meta(blob: bytes) -> pd.DataFrame:
+    import pyarrow as pa
+
+    return pa.ipc.open_stream(pa.py_buffer(blob)).read_all().to_pandas()
 
 
 def _bucket_local_encode(batches):
@@ -139,26 +165,71 @@ def _bucket_local_encode(batches):
     this path (the explicit two-phase salted merge lives in
     :func:`_encode_postings_df` for the grouped/streaming path).
 
-    Per-(bucket, field) document lengths are emitted as pseudo-postings
-    rows under field ``__dl__<field>`` (ids blob + lens blob) so the
-    build has ONE sink; build_index explodes them into the doclen table
-    afterwards.
+    The build has ONE sink and makes ONE pass over the shuffled corpus:
+    per-(bucket, field) document lengths ride as pseudo-postings rows
+    under field ``__dl__<field>`` (ids blob + lens blob), and the docs
+    table's metadata (every prepared row incl. tombstoned, minus
+    content) rides as one ``__docs__`` pseudo-row per bucket (Arrow IPC
+    bytes in the ``dls`` column, rows sorted by doc_id for determinism).
+    build_index explodes both into their tables afterwards — those
+    explode jobs read only the pseudo rows' blobs, never the corpus, so
+    the raw corpus crosses the wire exactly once and is read exactly
+    twice (source scan + shuffle read). Input rows are the FULL
+    prepared docs (tombstoned included — they belong in the docs table);
+    tokenization applies the live filter internally.
 
     Determinism: output rows are keyed by content-derived (bucket,
     field, term) and each bucket lands in exactly one partition (hash
     of the bucket value), so bytes are identical at any parallelism.
+
+    Memory envelope: the raw token stream is the blow-up (~200 tokens/
+    doc of Python strings), so it must NEVER be materialized for the
+    whole partition — each Arrow batch (whole docs; one input row = one
+    doc) is tokenized and tf/dl-aggregated on its own, and only the
+    ~25× smaller compact tf rows accumulate across batches. Peak =
+    one batch's tokens + the partition's tf rows, independent of bucket
+    size — without this, 16 concurrent kernels over ~100k-doc buckets
+    swamp RAM and the build anti-scales (measured: 16-core throughput
+    halved at 8M files with whole-partition tokenization).
     """
     from ftidx.tokenize import tokenize_tf_batch
 
-    chunks = list(batches)
-    if not chunks:
+    tf_parts, meta_parts = [], []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        meta_parts.append(pdf[_DOCS_META_COLS])
+        live = pdf[(~pdf["deleted"]) & pdf["content"].notna()]
+        if len(live):
+            part = tokenize_tf_batch(live[["doc_id", "content", "lang", "repo", "path"]])
+            if len(part):
+                tf_parts.append(part)
+    if not meta_parts:
         return
-    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-    if not len(pdf):
+    meta = pd.concat(meta_parts, ignore_index=True) if len(meta_parts) > 1 else meta_parts[0]
+    del meta_parts
+
+    def docs_pseudo_rows():
+        out = {c: [] for c in _POSTINGS_COLS}
+        for b, grp in meta.groupby("bucket", sort=True):
+            out["term"].append("*")
+            out["field"].append(DOCS_FIELD)
+            out["bucket"].append(int(b))
+            out["df"].append(int(len(grp)))
+            out["cf"].append(0)
+            out["doc_ids"].append(b"")
+            out["tfs"].append(b"")
+            out["dls"].append(_serialize_meta(grp.sort_values("doc_id")
+                                              .reset_index(drop=True)))
+            for key in ("block_max_tf", "block_min_dl", "block_last_docid"):
+                out[key].append([])
+        return pd.DataFrame(out)
+
+    if not tf_parts:
+        yield docs_pseudo_rows()  # buckets whose docs are all tombstoned
         return
-    tf = tokenize_tf_batch(pdf[["doc_id", "content", "lang", "repo", "path"]])
-    if not len(tf):
-        return
+    tf = pd.concat(tf_parts, ignore_index=True) if len(tf_parts) > 1 else tf_parts[0]
+    del tf_parts
     tf["bucket"] = (tf["doc_id"].to_numpy() >> BUCKET_SHIFT).astype("int32")
 
     doc_ids = tf["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
@@ -208,6 +279,18 @@ def _bucket_local_encode(batches):
                     "block_max_tf", "block_min_dl", "block_last_docid"):
             out[key].append(penc[key])
     yield pd.DataFrame(out)
+    # pseudo docs rows LAST: they segregate into the trailing row
+    # groups, so column-pruned metric/doclen scans prune them by the
+    # field column's min/max statistics
+    yield docs_pseudo_rows()
+
+
+def _explode_docs(batches):
+    """``__docs__`` pseudo-rows → docs-table rows (Arrow IPC blobs)."""
+    for pdf in batches:
+        frames = [_deserialize_meta(bytes(b)) for b in pdf["dls"]]
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
 
 def _explode_doclen(batches):
@@ -312,8 +395,13 @@ def build_index(
     build_id: str | None = None,
     resume: bool = True,
     docs_ready: bool = False,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) a persistent index under ``out_dir``.
+
+    ``positions=True`` additionally writes the positional table
+    (ftidx.positions) enabling exact phrase queries — opt-in since it
+    roughly doubles index bytes and tokenize cost.
 
     Returns a summary dict (buckets built/skipped, totals).
     """
@@ -340,7 +428,13 @@ def build_index(
     assert_schema(source, DOCS_SCHEMA if docs_ready else SOURCE_SCHEMA,
                   "build_index source")
 
-    docs = source if docs_ready else prepare_docs(source, n_buckets)
+    # single-shuffle contract: prepare_docs pre-partitions by bucket and
+    # the rank window + the one encode kernel reuse that exchange — the
+    # raw corpus crosses the wire exactly once per build pass, and the
+    # kernel's pseudo-rows carry doclen AND docs-table metadata so no
+    # second pass over the corpus exists at all.
+    clustered = not docs_ready  # docs_ready callers own their layout
+    docs = source if docs_ready else prepare_docs(source, n_buckets, n_buckets)
 
     ledger_dir = out / "ledger"
     done: set[int] = set()
@@ -364,36 +458,40 @@ def build_index(
         t0 = time.time()
         tracking_id = uuid.uuid4().hex  # lineage analog, Indexer.java:235-246
         docs_g = docs.filter(F.col("bucket").isin(group))
-        live = live_docs(docs_g)
 
         # ---- bucket-local strategy (default): shuffle RAW DOCS by
         # bucket (the minimal shuffle — raw docs are ~25× smaller than
         # their tf rows), then ONE kernel tokenizes, aggregates, sorts
         # and encodes each bucket's postings — the Lucene segment-writer
-        # model. tf rows never hit the shuffle system; doclen rides
-        # along as pseudo-postings rows (see _bucket_local_encode).
+        # model. tf rows never hit the shuffle system; doclen + the docs
+        # table ride along as pseudo-postings rows, so this ONE job is
+        # the only consumer of the corpus (see _bucket_local_encode).
+        enc_in = docs_g
+        if not clustered:
+            enc_in = enc_in.repartition(len(group), "bucket")
         postings = (
-            live.select("doc_id", "bucket", "content", "lang", "repo", "path")
-            .repartition(len(group), "bucket")
+            enc_in
             .mapInPandas(_bucket_local_encode, schema=POSTINGS_SCHEMA)
             .withColumn(
                 "n_bytes",
                 F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
             )
         )
+        postings.write.mode("overwrite").partitionBy("bucket") \
+            .parquet(str(out / "postings"))
+        t_enc = _t("encode+write", t0)
 
+        # everything below reads the WRITTEN postings (column-pruned,
+        # pseudo-row-filtered) — never the corpus
         from concurrent.futures import ThreadPoolExecutor
 
-        def postings_and_metrics():
-            postings.write.mode("overwrite").partitionBy("bucket") \
-                .parquet(str(out / "postings"))
-            # metrics from what was actually written (S29/S30 analog):
-            # column-pruned scan (bucket, field, df, n_bytes); the
-            # __dl__ pseudo-rows double as per-bucket doc counts
-            written = spark.read.parquet(str(out / "postings")).filter(
-                F.col("bucket").isin(group)
-            )
-            real = written.filter(~F.col("field").startswith(DOCLEN_FIELD_PREFIX))
+        written = spark.read.parquet(str(out / "postings")).filter(
+            F.col("bucket").isin(group)
+        )
+
+        def metrics():
+            # S29/S30 analog: postings/bytes/skew from what was written
+            real = written.filter(~F.col("field").startswith(PSEUDO_PREFIX))
             met = real.groupBy("bucket").agg(
                 F.count(F.lit(1)).alias("postings_emitted"),
                 F.sum("n_bytes").alias("bytes_compressed"),
@@ -401,25 +499,30 @@ def build_index(
             ).collect()
             nd = written.filter(F.col("field").startswith(DOCLEN_FIELD_PREFIX)) \
                 .groupBy("bucket").agg(F.max("df").alias("n")).collect()
-            # doclen table: explode the pseudo-rows (tiny input)
+            return met, nd
+
+        def explode_doclen():
             (written.filter(F.col("field").startswith(DOCLEN_FIELD_PREFIX))
              .select("field", "bucket", "doc_ids", "tfs")
              .mapInPandas(_explode_doclen,
                           schema="doc_id long, field string, len long, bucket int")
              .repartition(len(group), "bucket")
              .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "doclen")))
-            return met, nd
 
-        def write_docs():
-            docs_g.drop("content").repartition(len(group), "bucket") \
-                .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "docs"))
+        def explode_docs():
+            (written.filter(F.col("field") == DOCS_FIELD)
+             .select("dls")
+             .mapInPandas(_explode_docs, schema=DOCS_TABLE_SCHEMA)
+             .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "docs")))
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f_met = ex.submit(postings_and_metrics)
-            f_docs = ex.submit(write_docs)
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_met = ex.submit(metrics)
+            f_dl = ex.submit(explode_doclen)
+            f_docs = ex.submit(explode_docs)
             met, nd = f_met.result()
+            f_dl.result()
             f_docs.result()
-        tp = _t("encode+write+metrics", t0)
+        tp = _t("metrics+explodes", t_enc)
 
         ndocs = {r["bucket"]: int(r["n"]) for r in nd}
         elapsed = time.time() - t0
@@ -436,6 +539,14 @@ def build_index(
         _write_ledger_rows(ledger_dir, rows)
         _t("ledger", tp)
         built.extend(group)
+
+    if positions and pending:
+        from ftidx.positions import build_positions
+
+        build_positions(
+            spark, live_docs(docs.filter(F.col("bucket").isin(pending))),
+            str(out), len(pending), clustered=clustered,
+        )
 
     # finalize: global field stats from all doclen partitions (agg in
     # Spark, tiny result written driver-side — no extra write job)
@@ -493,6 +604,10 @@ class FtIndex:
                 for r in spark.read.option("recursiveFileLookup", "true")
                 .parquet(str(tomb_dir)).collect()
             }
+        pos_dir = self.path / "positions"
+        self._positions = (
+            spark.read.parquet(str(pos_dir)) if pos_dir.exists() else None
+        )
         self._term_cache.clear()
 
     # -- maintenance -----------------------------------------------------
@@ -559,6 +674,54 @@ class FtIndex:
             if int(i) not in self._tombstones
         ]
         return out[:k]
+
+    def phrase_topk(self, phrase: list[str], k: int = 10,
+                    field: str = "code.content") -> list[tuple[int, float]]:
+        """Exact-phrase BM25 top-k: docs containing the terms at
+        consecutive positions, ranked by the terms' BM25 sum.
+
+        Requires ``build_index(..., positions=True)``; the positional
+        scan pushes the same (field, term) predicates into parquet as
+        the term path. Verification is positions-only (self-contained
+        blobs); scoring reuses the cached postings rows."""
+        from ftidx.positions import phrase_docs
+
+        if k <= 0 or not phrase:
+            return []
+        if self._positions is None:
+            raise ValueError(
+                "index has no positions table; rebuild with "
+                "build_index(..., positions=True) to enable phrase queries"
+            )
+        qterms = sorted(set(phrase))
+        pos_rows = (
+            self._positions.filter(
+                (F.col("field") == field) & F.col("term").isin(qterms)
+            )
+            .select("term", "df", "doc_ids", "tfs", "pos")
+            .collect()
+        )
+        by_term: dict[str, list[dict]] = {}
+        for r in pos_rows:
+            by_term.setdefault(r["term"], []).append(r.asDict())
+        docs = phrase_docs(by_term, list(phrase))
+        if docs.size == 0:
+            return []
+        dset = set(int(d) for d in docs) - self._tombstones
+        if not dset:
+            return []
+
+        # BM25 over the phrase terms, restricted to verified docs
+        lists, avgdl = self._term_lists(list(phrase), field)
+        acc: dict[int, float] = {}
+        for tl in sorted(lists, key=lambda t: (t.df, t.term)):
+            ids, tfs, dls = tl.decode_all()
+            keep = np.isin(ids.astype(np.int64), list(dset))
+            contrib = bm25_contrib(tfs[keep], dls[keep], tl.idf, avgdl)
+            for d, c in zip(ids[keep].astype(np.int64), contrib):
+                acc[int(d)] = acc.get(int(d), 0.0) + float(c)
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(d, s) for d, s in ranked[:k]]
 
     def topk_distributed(self, terms: list[str], k: int = 10,
                          field: str = "code.content") -> DataFrame:

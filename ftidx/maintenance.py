@@ -92,7 +92,13 @@ def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
     tombs = spark.createDataFrame([(d,) for d in sorted(tomb_ids)], "doc_id long")
 
     postings = spark.read.parquet(str(path / "postings"))
-    affected = postings.filter(F.col("bucket").isin(buckets))
+    # __docs__ transport pseudo-rows are residue once the docs table is
+    # exploded — drop them here instead of decoding their Arrow blobs
+    from ftidx.index import DOCS_FIELD
+
+    affected = postings.filter(
+        F.col("bucket").isin(buckets) & (F.col("field") != DOCS_FIELD)
+    )
     tomb_arr = np.array(sorted(tomb_ids), dtype=np.uint64)
 
     def rewrite(batches):
@@ -119,6 +125,39 @@ def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
         F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
     )
     rewritten.write.mode("overwrite").partitionBy("bucket").parquet(str(path / "postings"))
+
+    # positions table (if built): same decode→filter→re-encode rewrite,
+    # else phrase queries would keep matching deleted docs
+    if _has_files(path / "positions"):
+        from ftidx.positions import (
+            _POS_COLS,
+            POSITIONS_SCHEMA,
+            decode_positions_row,
+            encode_positions_row,
+        )
+
+        def rewrite_pos(batches):
+            for pdf in batches:
+                out = {c: [] for c in _POS_COLS}
+                for row in pdf.to_dict("records"):
+                    ids, plists = decode_positions_row(row)
+                    keep = ~np.isin(ids, tomb_arr)
+                    if not keep.any():
+                        continue
+                    enc = encode_positions_row(
+                        ids[keep], [p for p, k in zip(plists, keep) if k])
+                    out["term"].append(row["term"])
+                    out["field"].append(row["field"])
+                    out["bucket"].append(int(row["bucket"]))
+                    for k in ("df", "doc_ids", "tfs", "pos"):
+                        out[k].append(enc[k])
+                yield pd.DataFrame(out)
+
+        (spark.read.parquet(str(path / "positions"))
+         .filter(F.col("bucket").isin(buckets))
+         .mapInPandas(rewrite_pos, schema=POSITIONS_SCHEMA)
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(str(path / "positions")))
 
     # doclen + docs: plain anti-join rewrites for affected buckets
     tomb_b = F.broadcast(tombs)
@@ -309,8 +348,9 @@ def upsert(spark: SparkSession, index_path: str, new_source: DataFrame,
     # drop dirty partitions up front: dynamic overwrite only replaces
     # partitions present in the NEW output, so a bucket that becomes
     # empty must not leave stale files behind
+    has_positions = _has_files(path / "positions")
     for b in dirty:
-        for sub in ("postings", "doclen", "docs"):
+        for sub in ("postings", "doclen", "docs", "positions"):
             shutil.rmtree(path / sub / f"bucket={b}", ignore_errors=True)
 
     # clear ledger rows for dirty buckets → build_index resumes them
@@ -320,6 +360,6 @@ def upsert(spark: SparkSession, index_path: str, new_source: DataFrame,
     shutil.rmtree(ledger_dir)
     if kept:
         spark.createDataFrame(kept, led.schema).write.parquet(str(ledger_dir))
-    summary = build_index(spark, new_source, str(path),
-                          n_buckets=n_buckets, resume=True, **build_kwargs)
+    summary = build_index(spark, new_source, str(path), n_buckets=n_buckets,
+                          resume=True, positions=has_positions, **build_kwargs)
     return {"buckets_rebuilt": summary["built"], "skipped": summary["skipped"]}

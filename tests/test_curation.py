@@ -134,6 +134,22 @@ def test_cosine_topk(emb):
     assert top[1]["vec_id"] == 101 and top[1]["cosine"] > 0.99
 
 
+def test_batch_cosine_topk_matches_single(emb):
+    """Batch path == per-query cosine_topk for each query vector."""
+    from ftidx.ann import batch_cosine_topk
+
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 100)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    batch = {}
+    for r in batch_cosine_topk(emb, queries, k=4).collect():
+        batch.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid in (0, 1, 100):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        single = [(i + 1, r["vec_id"], r["cosine"])
+                  for i, r in enumerate(cosine_topk(emb, qv, k=4).collect())]
+        assert sorted(batch[qid]) == single, f"query {qid}"
+
+
 def test_lsh_ann_finds_near_dup(emb):
     q = [float(x) for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]]
     got = [r["vec_id"] for r in lsh_cosine_topk(emb, q, k=3, n_planes=6).collect()]

@@ -172,7 +172,7 @@ def test_grouped_salted_strategy_agrees(spark, tmp_path, built):
     from pyspark.sql import functions as F
 
     from ftidx.build import BUCKET_SHIFT, live_docs, prepare_docs
-    from ftidx.index import DOCLEN_FIELD_PREFIX, _encode_postings_df
+    from ftidx.index import PSEUDO_PREFIX, _encode_postings_df
     from ftidx.tokenize import tokenize_tf
 
     src = synth_source(spark, N_FILES, partitions=5)
@@ -192,7 +192,7 @@ def test_grouped_salted_strategy_agrees(spark, tmp_path, built):
         (r["term"], r["field"], r["bucket"]):
             (r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]))
         for r in spark.read.parquet(f"{built[0]}/postings")
-        .filter(~F.col("field").startswith(DOCLEN_FIELD_PREFIX))
+        .filter(~F.col("field").startswith(PSEUDO_PREFIX))
         .collect()
     }
     assert grouped == bucket_local

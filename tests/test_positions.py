@@ -1,0 +1,143 @@
+"""Positional postings + phrase queries: blob round-trip vs the
+pure-Python tokenizer spec, phrase matching vs a brute-force oracle,
+BM25 phrase ranking, and maintenance consistency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.build import prepare_docs
+from ftidx.index import build_index, open_index
+from ftidx.positions import decode_positions_row, phrase_docs
+from ftidx.synth import synth_source
+from ftidx.tokenize import tokenize_doc
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pos") / "idx")
+    src = synth_source(spark, 150)
+    build_index(spark, src, out, n_buckets=4, hot_df_threshold=50, positions=True)
+    docs = {
+        r["doc_id"]: r
+        for r in prepare_docs(src, 4)
+        .filter((~F.col("deleted")) & F.col("content").isNotNull())
+        .collect()
+    }
+    return out, docs
+
+
+def _spec_tokens(row, field):
+    return tokenize_doc(row["content"], row["lang"], row["repo"], row["path"]).get(field, [])
+
+
+def _pos_rows(spark, out, field, terms):
+    rows = (
+        spark.read.parquet(f"{out}/positions")
+        .filter((F.col("field") == field) & F.col("term").isin(list(terms)))
+        .collect()
+    )
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r.asDict())
+    return by_term
+
+
+def test_positions_match_tokenizer_spec(spark, pidx):
+    """Decoded positions == occurrence indexes from the per-doc spec,
+    for every (doc, term) of several probe terms."""
+    out, docs = pidx
+    for field, probes in [("code.content", ["def", "return", "alpha"]),
+                          ("code.ident.split", ["merge", "index"])]:
+        by_term = _pos_rows(spark, out, field, probes)
+        for term in probes:
+            got: dict[int, list[int]] = {}
+            for row in by_term.get(term, []):
+                ids, plists = decode_positions_row(row)
+                for d, pl in zip(ids.astype(np.int64), plists):
+                    got[int(d)] = pl.astype(np.int64).tolist()
+            want = {}
+            for d, r in docs.items():
+                toks = _spec_tokens(r, field)
+                pos = [i for i, t in enumerate(toks) if t == term]
+                if pos:
+                    want[d] = pos
+            assert got == want, f"{field}:{term}"
+
+
+def test_phrase_docs_vs_bruteforce(spark, pidx):
+    """phrase_docs == scanning every doc's token stream for the
+    phrase, for real phrases and a non-occurring one."""
+    out, docs = pidx
+    field = "code.content"
+    # take real consecutive token runs from two docs as probe phrases
+    sample = sorted(docs)[3]
+    toks = _spec_tokens(docs[sample], field)
+    phrases = [toks[0:2], toks[2:5], ["def", "zzz_never_a_term"]]
+    for phrase in phrases:
+        by_term = _pos_rows(spark, out, field, set(phrase))
+        got = set(phrase_docs(by_term, phrase).tolist())
+        want = set()
+        for d, r in docs.items():
+            dt = _spec_tokens(r, field)
+            if any(dt[i:i + len(phrase)] == phrase
+                   for i in range(len(dt) - len(phrase) + 1)):
+                want.add(d)
+        assert got == want, f"phrase {phrase}"
+        if phrase == phrases[0]:
+            assert sample in got  # the source doc matches its own phrase
+
+
+def test_phrase_topk_ranking_and_guards(spark, pidx):
+    out, docs = pidx
+    idx = open_index(spark, out)
+    sample = sorted(docs)[3]
+    toks = _spec_tokens(docs[sample], "code.content")
+    phrase = toks[0:2]
+    hits = idx.phrase_topk(phrase, k=1000)
+    assert hits and sample in [d for d, _ in hits]
+    scores = [s for _, s in hits]
+    assert scores == sorted(scores, reverse=True)
+    # every hit's score equals the BM25 sum of the phrase terms for
+    # that doc (term path restricted to the hit)
+    term_scores = dict(idx.topk(phrase, k=10_000, kernel="exhaustive"))
+    for d, s in hits:
+        assert s == pytest.approx(term_scores[d], rel=1e-9)
+    assert idx.phrase_topk(phrase, k=0) == []
+    assert idx.phrase_topk(["zzz_never", "here"], k=5) == []
+
+
+def test_phrase_topk_requires_positions(spark, tmp_path):
+    out = str(tmp_path / "npidx")
+    build_index(spark, synth_source(spark, 40), out, n_buckets=2)
+    idx = open_index(spark, out)
+    with pytest.raises(ValueError, match="positions=True"):
+        idx.phrase_topk(["def", "value"], k=3)
+
+
+def test_compaction_rewrites_positions(spark, tmp_path):
+    from ftidx.maintenance import compact_tombstones
+
+    out = str(tmp_path / "idx")
+    src = synth_source(spark, 120)
+    build_index(spark, src, out, n_buckets=4, hot_df_threshold=50, positions=True)
+    docs = {
+        r["doc_id"]: r
+        for r in prepare_docs(src, 4)
+        .filter((~F.col("deleted")) & F.col("content").isNotNull()).collect()
+    }
+    idx = open_index(spark, out)
+    victim = sorted(docs)[0]
+    toks = _spec_tokens(docs[victim], "code.content")
+    phrase = toks[0:2]
+    assert victim in [d for d, _ in idx.phrase_topk(phrase, k=50)]
+    idx.delete([victim])
+    # tombstone masks immediately, compaction makes it durable
+    assert victim not in [d for d, _ in idx.phrase_topk(phrase, k=50)]
+    compact_tombstones(spark, out)
+    idx.refresh()
+    assert victim not in [d for d, _ in idx.phrase_topk(phrase, k=50)]
+    by_term = _pos_rows(spark, out, "code.content", set(phrase))
+    assert victim not in set(phrase_docs(by_term, phrase).tolist())

@@ -1,0 +1,118 @@
+"""Single-box contention decomposition for the scaling-efficiency rule.
+
+A `local[4N]` run shares one DRAM/LLC complex among 4N kernels; a real
+N→4N *executor* scale-up adds nodes, each with its own memory system.
+This experiment isolates that shared-hardware effect from the engine's
+own scaling: run the EXACT production build kernel
+(``ftidx.index._bucket_local_encode``: tokenize + tf/dl aggregate +
+lexsort + vectorized posting encode) as K independent OS processes,
+each pinned to its own distinct CPU, each processing identical private
+data (no locks, no shared state, no Spark). Any per-process slowdown
+from K=small to K=big is pure hardware contention.
+
+contention factor C = mean_kernel_sec(K=big) / mean_kernel_sec(K=small)
+
+The cluster-equivalent efficiency of a measured local efficiency E is
+then E × C (the verdict's accepted decomposition: hardware sharing a
+real cluster would not have, measured rather than assumed).
+
+Usage: python tools/bench_contention.py [n_files_per_proc] [k_small] [k_big] [reps]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import pandas as pd
+from ftidx.index import _bucket_local_encode
+
+pdf = pd.read_parquet(sys.argv[1])
+reps = int(sys.argv[2])
+# warm-up pass (page-in, numpy/pandas import costs outside timing)
+for _ in _bucket_local_encode(iter([pdf])):
+    pass
+t0 = time.time()
+for _ in range(reps):
+    for _ in _bucket_local_encode(iter([pdf])):
+        pass
+print(json.dumps({{"sec": (time.time() - t0) / reps}}))
+"""
+
+
+def run_level(k: int, data_path: str, reps: int) -> list[float]:
+    script = WORKER.format(repo=str(REPO))
+    env = dict(os.environ)
+    # mirror production: one BLAS/Arrow thread per kernel process
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+              "ARROW_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        env[v] = "1"
+    procs = []
+    for i in range(k):
+        cmd = [sys.executable, "-c", script, data_path, str(reps)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", str(i)] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True, env=env))
+    times = []
+    for p in procs:
+        out, err = p.communicate(timeout=1800)
+        lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"contention worker failed:\n{err[-2000:]}")
+        times.append(json.loads(lines[-1])["sec"])
+    return times
+
+
+def main():
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    k_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    k_big = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+    # deterministic corpus slice with production doc ids, one private
+    # copy per process is unnecessary — read-only pandas frames are
+    # copy-on-write private after the first touch
+    sys.path.insert(0, str(REPO))
+    from ftidx.build import BUCKET_SHIFT
+    from ftidx.synth import synth_source_pandas
+
+    pdf = synth_source_pandas(n_files)
+    pdf = pdf[~pdf["deleted"] & pdf["content"].notna()].reset_index(drop=True)
+    pdf["doc_id"] = (pdf.index.to_numpy() % 64 << BUCKET_SHIFT) | (
+        pdf.index.to_numpy() // 64)
+    pdf = pdf[["doc_id", "content", "lang", "repo", "path"]]
+    tmp = tempfile.mkdtemp(prefix="ftidx_cont_")
+    data_path = f"{tmp}/batch.parquet"
+    pdf.to_parquet(data_path)
+
+    t_small = run_level(k_small, data_path, reps)
+    t_big = run_level(k_big, data_path, reps)
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    c = mean(t_big) / mean(t_small)
+    print(json.dumps({
+        "n_files_per_proc": n_files,
+        "k_small": k_small, "k_big": k_big, "reps": reps,
+        "kernel_sec_small": [round(t, 3) for t in t_small],
+        "kernel_sec_big": [round(t, 3) for t in t_big],
+        "mean_small": round(mean(t_small), 4),
+        "mean_big": round(mean(t_big), 4),
+        "contention_factor": round(c, 4),
+        "loadavg": open("/proc/loadavg").read().split()[:3],
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
