@@ -33,25 +33,36 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 import pandas as pd
 from ftidx.index import _bucket_local_encode
 
-pdf = pd.read_parquet(sys.argv[1])
-reps = int(sys.argv[2])
+data_path, reps, mode, scratch = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4])
+pdf = pd.read_parquet(data_path)
 # warm-up pass (page-in, numpy/pandas import costs outside timing)
 for _ in _bucket_local_encode(iter([pdf])):
     pass
 t0 = time.time()
-for _ in range(reps):
-    for _ in _bucket_local_encode(iter([pdf])):
-        pass
+for rep in range(reps):
+    if mode == "io":
+        # full task shape: re-read input (page-cache traffic), kernel,
+        # write the encoded output (page-cache writeback) — everything
+        # an executor task does minus Spark coordination
+        pdf = pd.read_parquet(data_path)
+    outs = []
+    for out in _bucket_local_encode(iter([pdf])):
+        outs.append(out)
+    if mode == "io":
+        pd.concat(outs, ignore_index=True).to_parquet(
+            os.path.join(scratch, f"out_{{os.getpid()}}_{{rep}}.parquet"))
 print(json.dumps({{"sec": (time.time() - t0) / reps}}))
 """
 
 
-def run_level(k: int, data_path: str, reps: int) -> list[float]:
+def run_level(k: int, data_path: str, reps: int, mode: str,
+              scratch: str) -> list[float]:
     script = WORKER.format(repo=str(REPO))
     env = dict(os.environ)
     # mirror production: one BLAS/Arrow thread per kernel process
@@ -60,7 +71,7 @@ def run_level(k: int, data_path: str, reps: int) -> list[float]:
         env[v] = "1"
     procs = []
     for i in range(k):
-        cmd = [sys.executable, "-c", script, data_path, str(reps)]
+        cmd = [sys.executable, "-c", script, data_path, str(reps), mode, scratch]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", str(i)] + cmd
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
@@ -80,6 +91,7 @@ def main():
     k_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     k_big = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    mode = sys.argv[5] if len(sys.argv) > 5 else "kernel"  # kernel | io
 
     # deterministic corpus slice with production doc ids, one private
     # copy per process is unnecessary — read-only pandas frames are
@@ -88,20 +100,28 @@ def main():
     from ftidx.build import BUCKET_SHIFT
     from ftidx.synth import synth_source_pandas
 
-    pdf = synth_source_pandas(n_files)
-    pdf = pdf[~pdf["deleted"] & pdf["content"].notna()].reset_index(drop=True)
+    import hashlib
+
+    pdf = synth_source_pandas(n_files).reset_index(drop=True)
     pdf["doc_id"] = (pdf.index.to_numpy() % 64 << BUCKET_SHIFT) | (
         pdf.index.to_numpy() // 64)
-    pdf = pdf[["doc_id", "content", "lang", "repo", "path"]]
+    pdf["bucket"] = (pdf["doc_id"].to_numpy() >> BUCKET_SHIFT).astype("int32")
+    pdf["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() if isinstance(c, str) else None
+        for c in pdf["content"]
+    ]
+    pdf = pdf[["doc_id", "repo", "path", "commit", "lang", "content",
+               "deleted", "modified", "content_sha256", "bucket"]]
     tmp = tempfile.mkdtemp(prefix="ftidx_cont_")
     data_path = f"{tmp}/batch.parquet"
     pdf.to_parquet(data_path)
 
-    t_small = run_level(k_small, data_path, reps)
-    t_big = run_level(k_big, data_path, reps)
+    t_small = run_level(k_small, data_path, reps, mode, tmp)
+    t_big = run_level(k_big, data_path, reps, mode, tmp)
     mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
     c = mean(t_big) / mean(t_small)
     print(json.dumps({
+        "mode": mode,
         "n_files_per_proc": n_files,
         "k_small": k_small, "k_big": k_big, "reps": reps,
         "kernel_sec_small": [round(t, 3) for t in t_small],
