@@ -62,7 +62,7 @@ def docs_as_source(docs):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "20000"))
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "100000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark(cores=cpus, app_name="ftidx-bench")
@@ -70,18 +70,25 @@ def main():
     timings: dict[str, float] = {}
 
     try:
+        # 0. warm-up: spin up the Python worker pool + JIT the kernels on
+        # a tiny build so the timed phases measure steady-state (the
+        # state a long-lived cluster job actually runs in), not one-time
+        # process startup.
+        build_index(spark, synth_source(spark, 500, partitions=cpus),
+                    f"{tmp}/idx_warm", n_buckets=cpus, hot_df_threshold=100_000)
+
         # 1. build over the driver's documents table
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         t0 = time.time()
         build_index(spark, docs_as_source(docs), f"{tmp}/idx_docs",
-                    n_buckets=16, hot_df_threshold=100_000)
+                    n_buckets=cpus, hot_df_threshold=100_000)
         timings["build_documents"] = time.time() - t0
 
         # 2. build over the synthetic source-code corpus → files/sec
         src = synth_source(spark, n_synth, partitions=cpus * 2)
         t0 = time.time()
         build_index(spark, src, f"{tmp}/idx_synth",
-                    n_buckets=32, hot_df_threshold=100_000)
+                    n_buckets=cpus, hot_df_threshold=100_000)
         build_synth = time.time() - t0
         timings["build_synth"] = build_synth
 

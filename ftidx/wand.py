@@ -69,13 +69,33 @@ class TermList:
         self.idf = idf
         self.df = sum(int(r["df"]) for r in rows)
 
+    @staticmethod
+    def _row_arrays(r: dict):
+        """Decode one segment row, memoized into the row dict itself.
+
+        Rows handed to the serving path come from FtIndex's driver-side
+        term cache and are reused across queries; stashing the decoded
+        arrays there turns every warm query's varint/delta decode into a
+        dict lookup (decode dominated warm latency on high-df terms).
+        The memo dies with the cache entry (LRU eviction / refresh())."""
+        dec = r.get("_dec")
+        if dec is None:
+            dec = (
+                delta_decode(varint_decode(r["doc_ids"])),
+                varint_decode(r["tfs"]),
+                varint_decode(r["dls"]),
+            )
+            r["_dec"] = dec
+        return dec
+
     def decode_all(self):
         if not self.rows:
             z = np.empty(0, np.uint64)
             return z, z, z
-        ids = np.concatenate([delta_decode(varint_decode(r["doc_ids"])) for r in self.rows])
-        tfs = np.concatenate([varint_decode(r["tfs"]) for r in self.rows])
-        dls = np.concatenate([varint_decode(r["dls"]) for r in self.rows])
+        parts = [self._row_arrays(r) for r in self.rows]
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
         return ids, tfs, dls
 
     def segment_tables(self, avgdl: float):
@@ -113,9 +133,7 @@ class TermList:
             if mask is None or not mask.any():
                 continue
             nb = len(r["block_last_docid"])
-            ids = delta_decode(varint_decode(r["doc_ids"]))
-            tfs = varint_decode(r["tfs"])
-            dls = varint_decode(r["dls"])
+            ids, tfs, dls = self._row_arrays(r)
             if mask.all():
                 ids_out.append(ids)
                 tfs_out.append(tfs)
@@ -141,8 +159,9 @@ def _accumulate(per_term, k: int):
     if all_ids.size == 0:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     uniq, inv = np.unique(all_ids, return_inverse=True)
-    scores = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(scores, inv, all_contrib)
+    # bincount is the vectorized scatter-add (np.add.at is an order of
+    # magnitude slower on large inputs)
+    scores = np.bincount(inv, weights=all_contrib, minlength=uniq.size)
     return _topk_from_scores(uniq, scores, k)
 
 
