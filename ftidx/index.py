@@ -591,11 +591,18 @@ class FtIndex:
         stale handle would otherwise keep serving cached postings/idf."""
         spark = self.spark
         self.manifest = json.loads((self.path / "_manifest.json").read_text())
-        self._postings = spark.read.parquet(str(self.path / "postings"))
+        # postings/stats may be absent: a delete_by_query(match_all=True)
+        # truncation leaves a valid, empty index behind
+        postings_dir = self.path / "postings"
+        if postings_dir.exists() and any(postings_dir.iterdir()):
+            self._postings = spark.read.parquet(str(postings_dir))
+        else:
+            self._postings = spark.createDataFrame([], POSTINGS_SCHEMA)
+        stats_dir = self.path / "stats"
         self.stats = {
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
-            for r in spark.read.parquet(str(self.path / "stats")).collect()
-        }
+            for r in spark.read.parquet(str(stats_dir)).collect()
+        } if stats_dir.exists() and any(stats_dir.iterdir()) else {}
         self._tombstones: set[int] = set()
         tomb_dir = self.path / "tombstones"
         if tomb_dir.exists():
@@ -618,6 +625,19 @@ class FtIndex:
         df = self.spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
         df.write.mode("append").parquet(str(self.path / "tombstones"))
         self._tombstones.update(int(d) for d in doc_ids)
+
+    def delete_by_query(self, *, terms: list[str] | None = None,
+                        field: str = "code.content", where: str | None = None,
+                        match_all: bool = False) -> dict:
+        """Predicate-driven delete (Solr ``deleteByQuery`` analog) —
+        see :func:`ftidx.maintenance.delete_by_query`. The handle
+        refreshes itself so subsequent queries see the deletes."""
+        from ftidx.maintenance import delete_by_query
+
+        out = delete_by_query(self.spark, str(self.path), terms=terms,
+                              field=field, where=where, match_all=match_all)
+        self.refresh()
+        return out
 
     # -- queries ---------------------------------------------------------
     def _fetch_term_rows(self, terms: list[str], field: str) -> dict[str, list[dict]]:

@@ -298,6 +298,105 @@ def compact_deltas(spark: SparkSession, index_path: str) -> dict:
     return {"buckets_compacted": buckets, "segments_folded": int(n_segments)}
 
 
+def delete_by_query(
+    spark: SparkSession,
+    index_path: str,
+    *,
+    terms: list[str] | None = None,
+    field: str = "code.content",
+    where: str | None = None,
+    match_all: bool = False,
+) -> dict:
+    """Predicate-driven delete — Solr ``deleteByQuery`` analog
+    (IndexerIT.java:40 exercises ``deleteByQuery("*:*")``).
+
+    Three query shapes, checked in order:
+
+    - ``match_all=True`` (the ``*:*`` case): truncate the index — all
+      data tables and the ledger are removed; the manifest (bucket
+      topology) survives so the next ``build_index`` call refills the
+      same layout, mirroring Solr clearing a collection but keeping its
+      schema.
+    - ``terms``: tombstone every doc whose ``field`` contains ANY of
+      the terms. Doc ids are resolved from the postings themselves with
+      an executor-side decode (``mapInPandas`` over the term-filtered
+      rows — parquet prunes on the pushed (field, term) predicate, and
+      nothing is collected to the driver).
+    - ``where``: a SQL predicate over the docs table's metadata columns
+      (``repo, path, commit, lang, deleted, modified, content_sha256,
+      bucket``) — e.g. ``"repo = 'octo/spark'"`` deletes a whole repo.
+
+    Deletes land as tombstones (same side table as delete-by-id), so
+    they are visible to queries immediately via the anti-filter and are
+    folded into the postings by :func:`compact_tombstones`. Open
+    ``FtIndex`` handles must ``refresh()`` to see them.
+    """
+    path = Path(index_path)
+    modes = sum([match_all, terms is not None, where is not None])
+    if modes != 1:
+        raise ValueError(
+            "delete_by_query: give exactly one of match_all, terms, where")
+
+    if match_all:
+        n_docs = 0
+        if _has_files(path / "doclen"):
+            n_docs = (
+                spark.read.parquet(str(path / "doclen"))
+                .select("doc_id").distinct().count()
+            )
+        for sub in ("postings", "doclen", "docs", "positions", "tombstones",
+                    "deltas", "delta_doclen", "stats", "ledger"):
+            shutil.rmtree(path / sub, ignore_errors=True)
+        return {"mode": "match_all", "docs_deleted": n_docs}
+
+    if terms is not None:
+        if not terms:
+            return {"mode": "terms", "docs_deleted": 0}
+        qterms = sorted(set(terms))
+        frames = []
+        if _has_files(path / "postings"):
+            frames.append(spark.read.parquet(str(path / "postings")))
+        if _has_files(path / "deltas"):
+            frames.append(
+                spark.read.option("basePath", str(path / "deltas"))
+                .parquet(str(path / "deltas" / "batch=*"))
+            )
+        if not frames:
+            return {"mode": "terms", "docs_deleted": 0}
+        rows = frames[0] if len(frames) == 1 else frames[0].unionByName(
+            frames[1], allowMissingColumns=True)
+        hit = rows.filter(
+            (F.col("field") == field) & F.col("term").isin(qterms)
+        ).select("doc_ids")
+
+        def decode_ids(batches):
+            from ftidx.codec import delta_decode, varint_decode
+
+            for pdf in batches:
+                for blob in pdf["doc_ids"]:
+                    ids = delta_decode(varint_decode(blob)).astype(np.int64)
+                    yield pd.DataFrame({"doc_id": ids})
+
+        matched = hit.mapInPandas(decode_ids, schema="doc_id long").distinct()
+    else:
+        if not _has_files(path / "docs"):
+            raise ValueError(
+                "delete_by_query(where=...) needs the docs table; this "
+                "index has none (streaming-only) — delete by terms or id")
+        matched = (
+            spark.read.parquet(str(path / "docs"))
+            .filter(where).select("doc_id").distinct()
+        )
+
+    matched = matched.cache()
+    n = matched.count()
+    if n:
+        matched.write.mode("append").parquet(str(path / "tombstones"))
+    matched.unpersist()
+    return {"mode": "terms" if terms is not None else "where",
+            "docs_deleted": n}
+
+
 def upsert(spark: SparkSession, index_path: str, new_source: DataFrame,
            **build_kwargs) -> dict:
     """Re-index the buckets touched by changed/new docs.

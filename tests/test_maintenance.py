@@ -195,3 +195,79 @@ def test_upsert_noop(spark, tmp_path):
     build_index(spark, src, out, n_buckets=4, hot_df_threshold=50)
     res = upsert(spark, out, src, hot_df_threshold=50)
     assert res["buckets_rebuilt"] == []
+
+
+def test_delete_by_query_terms(spark, tmp_path):
+    """Tombstone every doc containing a term; queries stop returning
+    them immediately and compaction folds them in."""
+    from ftidx.maintenance import delete_by_query
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4, hot_df_threshold=50)
+    idx = open_index(spark, out)
+    victims = {d for d, _ in idx.topk(["alpha"], k=10**6, kernel="exhaustive")}
+    assert victims
+
+    res = idx.delete_by_query(terms=["alpha"])
+    assert res["mode"] == "terms" and res["docs_deleted"] == len(victims)
+    assert idx.topk(["alpha"], 10) == []
+    # unrelated docs still served
+    survivors = idx.topk(["def"], 20)
+    assert survivors and not ({d for d, _ in survivors} & victims)
+
+    folded = compact_tombstones(spark, out)
+    assert folded["docs_removed"] == len(victims)
+    idx.refresh()
+    assert idx.topk(["alpha"], 10) == []
+
+
+def test_delete_by_query_where(spark, tmp_path):
+    """Metadata predicate over the docs table (delete a whole repo)."""
+    from ftidx.maintenance import delete_by_query
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4, hot_df_threshold=50)
+    docs = spark.read.parquet(f"{out}/docs")
+    repo = docs.select("repo").first()["repo"]
+    repo_ids = {r["doc_id"] for r in docs.filter(F.col("repo") == repo)
+                .select("doc_id").collect()}
+
+    res = delete_by_query(spark, out, where=f"repo = '{repo}'")
+    assert res["docs_deleted"] == len(repo_ids)
+    idx = open_index(spark, out)
+    hits = idx.topk(["def"], k=10**6, kernel="exhaustive")
+    assert hits and not ({d for d, _ in hits} & repo_ids)
+
+
+def test_delete_by_query_match_all(spark, tmp_path):
+    """*:* truncation (IndexerIT.java:40): empty but valid index that a
+    rebuild refills."""
+    from ftidx.maintenance import delete_by_query
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 100), out, n_buckets=4, hot_df_threshold=50)
+    n_live = (
+        spark.read.parquet(f"{out}/doclen").select("doc_id").distinct().count()
+    )
+    res = delete_by_query(spark, out, match_all=True)
+    assert res["docs_deleted"] == n_live > 0
+
+    idx = open_index(spark, out)
+    assert idx.topk(["def"], 10) == []
+
+    # refill the same layout (ledger was cleared, so nothing is skipped)
+    build_index(spark, synth_source(spark, 100), out, n_buckets=4, hot_df_threshold=50)
+    idx.refresh()
+    assert idx.topk(["def"], 10)
+
+
+def test_delete_by_query_mode_validation(spark, tmp_path):
+    from ftidx.maintenance import delete_by_query
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 50), out, n_buckets=2, hot_df_threshold=50)
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_by_query(spark, out)
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_by_query(spark, out, terms=["a"], match_all=True)
+    assert delete_by_query(spark, out, terms=[])["docs_deleted"] == 0
