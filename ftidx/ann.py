@@ -48,10 +48,17 @@ def cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     )
 
 
-def _plane_sign(plane: int, dim: int):
-    """Deterministic ±1: first hex nibble of md5('p<plane>#<dim>')."""
-    h = F.md5(F.concat_ws("#", F.lit(f"p{plane}"), F.lit(str(dim))))
-    return F.when(F.substring(h, 1, 1).isin(*"89abcdef"), F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_sign(plane: int, i: int) -> float:
+    """Deterministic ±1 for hyperplane component (plane, i): first hex
+    nibble of md5('p<plane>#<i>') ≥ 8 → +1. Computed driver-side at
+    plan-build time — the values are constants, so baking them in as
+    plain literals keeps the plan at one literal per component instead
+    of a 5-node md5/substring/when expression tree per component
+    (n_planes × dim of those bloated analysis time at dim≈1024)."""
+    import hashlib
+
+    h = hashlib.md5(f"p{plane}#{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) >= 8 else -1.0
 
 
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
@@ -64,7 +71,7 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = []
     for j in range(n_planes):
-        signs = F.array(*[_plane_sign(j, i) for i in range(dim)])
+        signs = F.array(*[F.lit(_plane_sign(j, i)) for i in range(dim)])
         proj = _dot(v, signs)
         bits.append(F.when(proj > 0, "1").otherwise("0"))
     return embeddings.select(F.col(id_col), F.concat(*bits).alias("bucket"))
@@ -78,13 +85,8 @@ def lsh_cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     buckets). Recall < 1 by design; exactness is cosine_topk's job."""
     dim = len(query)
     buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col, dim)
-    import hashlib
-
-    def sign(j, i):
-        return 1.0 if int(hashlib.md5(f"p{j}#{i}".encode()).hexdigest()[0], 16) >= 8 else -1.0
-
     qbits = "".join(
-        "1" if sum(sign(j, i) * query[i] for i in range(dim)) > 0 else "0"
+        "1" if sum(_plane_sign(j, i) * query[i] for i in range(dim)) > 0 else "0"
         for j in range(n_planes)
     )
     probes = [qbits] + [

@@ -1,0 +1,151 @@
+"""HTTP query-serving daemon over a persisted index.
+
+The reference runs as a long-lived microservice whose liveness is
+observable over HTTP (S31 health analog — the app-server status
+endpoint the reference's deployment probes) while the indexing loop
+runs inside it. ftidx splits those roles: builds/streaming are Spark
+jobs, and THIS module is the serving tier — a thin stdlib HTTP front
+over a warm :class:`ftidx.index.FtIndex` handle, whose driver-side
+term cache gives ~10-20 ms warm top-k without a Spark job per request.
+
+Endpoints (all JSON):
+
+- ``GET /health``        → status, build_id, per-field doc counts
+- ``GET /search?q=a+b&field=code.content&k=10`` → BM25 top-k
+- ``GET /phrase?q=a+b&k=10``  → exact-phrase top-k (positional index)
+- ``GET /stats``         → field statistics (n_docs, avgdl)
+- ``POST /refresh``      → re-open the handle after maintenance ops
+
+Scale shape: one server process serves one index replica; the index
+directory is immutable between maintenance ops, so replicas scale
+horizontally behind any balancer with no coordination. Requests are
+serialized through a lock — the handle's cache is not thread-safe and
+queries are short; run more replicas, not more threads, for QPS.
+
+Run: ``python -m ftidx.server /path/to/index --port 8080``
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def _make_handler(idx, lock: threading.Lock):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; serving logs belong to WSGI tiers
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            qs = parse_qs(u.query)
+            try:
+                if u.path == "/health":
+                    with lock:
+                        fields = {f: n for f, (n, _) in idx.stats.items()}
+                    self._json(200, {
+                        "status": "ok",
+                        "build_id": idx.manifest.get("build_id"),
+                        "n_buckets": idx.manifest.get("n_buckets"),
+                        "fields": fields,
+                    })
+                elif u.path == "/stats":
+                    with lock:
+                        stats = {f: {"n_docs": n, "avgdl": a}
+                                 for f, (n, a) in idx.stats.items()}
+                    self._json(200, stats)
+                elif u.path in ("/search", "/phrase"):
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    k = int(qs.get("k", ["10"])[0])
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        if u.path == "/search":
+                            hits = idx.topk(terms, k=k, field=field)
+                        else:
+                            hits = idx.phrase_topk(terms, k=k, field=field)
+                    self._json(200, {"hits": [
+                        {"doc_id": d, "score": s} for d, s in hits
+                    ]})
+                else:
+                    self._json(404, {"error": "unknown path"})
+            except ValueError as e:  # bad k, missing positions table, ...
+                self._json(400, {"error": str(e)})
+
+        def do_POST(self):
+            if urlparse(self.path).path == "/refresh":
+                with lock:
+                    idx.refresh()
+                self._json(200, {"status": "refreshed"})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+    return Handler
+
+
+class FtServer:
+    """Owns the HTTP server; ``start()`` serves on a daemon thread (the
+    test/embedded mode), ``serve_forever()`` blocks (the CLI mode)."""
+
+    def __init__(self, idx, host: str = "127.0.0.1", port: int = 0):
+        self._lock = threading.Lock()
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(idx, self._lock))
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "FtServer":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def main() -> None:
+    import argparse
+
+    from ftidx.index import open_index
+    from ftidx.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("index_path")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--cores", type=int, default=4)
+    args = ap.parse_args()
+
+    spark = get_spark(cores=args.cores, app_name="ftidx-server")
+    idx = open_index(spark, args.index_path)
+    srv = FtServer(idx, args.host, args.port)
+    print(f"ftidx serving {args.index_path} on "
+          f"http://{srv.host}:{srv.port} (/health /search /phrase /stats)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

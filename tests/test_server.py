@@ -1,0 +1,85 @@
+"""Serving daemon: health + query endpoints over a warm FtIndex
+(S31 analog — the reference is probed over HTTP for liveness while
+serving; here the same surface also answers top-k queries)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from ftidx.index import build_index, open_index
+from ftidx.server import FtServer
+from ftidx.synth import synth_source
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("srv") / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50, positions=True)
+    idx = open_index(spark, out)
+    srv = FtServer(idx).start()
+    yield srv, idx
+    srv.stop()
+
+
+def test_health(served):
+    srv, idx = served
+    status, body = _get(f"http://{srv.host}:{srv.port}/health")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert body["build_id"] == idx.manifest["build_id"]
+    assert body["fields"]["code.content"] == idx.stats["code.content"][0]
+
+
+def test_search_matches_handle(served):
+    srv, idx = served
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/search?q=def+return&k=5")
+    assert status == 200
+    expect = idx.topk(["def", "return"], k=5)
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+
+
+def test_phrase_endpoint(served):
+    srv, idx = served
+    status, body = _get(f"http://{srv.host}:{srv.port}/phrase?q=def+main&k=5")
+    assert status == 200
+    expect = idx.phrase_topk(["def", "main"], k=5)
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+
+
+def test_stats_and_errors(served):
+    srv, _ = served
+    status, body = _get(f"http://{srv.host}:{srv.port}/stats")
+    assert status == 200 and "code.content" in body
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"http://{srv.host}:{srv.port}/search")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"http://{srv.host}:{srv.port}/nope")
+    assert e.value.code == 404
+
+
+def test_refresh_after_delete(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, body = _get(f"{base}/search?q=def&k=1")
+    victim = body["hits"][0]["doc_id"]
+    idx.delete([victim])  # handle-side delete is visible immediately
+    _, body2 = _get(f"{base}/search?q=def&k=1")
+    assert body2["hits"][0]["doc_id"] != victim
+
+    req = urllib.request.Request(f"{base}/refresh", method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["status"] == "refreshed"
+    _, body3 = _get(f"{base}/search?q=def&k=1")
+    assert body3["hits"][0]["doc_id"] != victim
