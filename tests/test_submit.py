@@ -1,0 +1,51 @@
+"""Deployment shape: spark-submit --py-files with the packaged zip
+(north rule: the job runs via spark-submit --py-files on a cluster —
+here proven in a fresh JVM with NO repo on PYTHONPATH, so every import
+must come from the zip)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_build(spark, tmp_path):
+    sys.path.insert(0, str(REPO / "tools"))
+    from package_pyfiles import build_zip
+
+    zip_path = build_zip(tmp_path / "ftidx.zip")
+    src_dir = tmp_path / "src"
+    from ftidx.synth import synth_source
+
+    synth_source(spark, 300).write.parquet(str(src_dir))
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", str(zip_path),
+         str(REPO / "tools" / "submit_build.py"),
+         "--source", str(src_dir), "--out", str(tmp_path / "idx"),
+         "--n-buckets", "4"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1])
+    assert summary["built"] == [0, 1, 2, 3]
+
+    # the produced index is a normal index: query it from THIS session
+    from ftidx.index import open_index
+
+    idx = open_index(spark, str(tmp_path / "idx"))
+    assert idx.topk(["def"], k=5)

@@ -1,0 +1,29 @@
+"""Package the ftidx library as a --py-files zip for spark-submit.
+
+    python tools/package_pyfiles.py [dist/ftidx.zip]
+
+Only library modules ship — tests, tools and the driver contract stay
+behind. Executors unpack the zip onto their PYTHONPATH, so the cluster
+needs no pip install of this repo (the north-rule deployment shape).
+"""
+
+from __future__ import annotations
+
+import sys
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def build_zip(out: Path) -> Path:
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted((REPO / "ftidx").rglob("*.py")):
+            zf.write(py, py.relative_to(REPO))
+    return out
+
+
+if __name__ == "__main__":
+    dest = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "dist" / "ftidx.zip"
+    print(build_zip(dest))

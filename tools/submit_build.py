@@ -1,0 +1,68 @@
+"""spark-submit job entry point: build an index over a source table.
+
+The north-rule deployment shape: ``ftidx`` ships to executors as a
+zip via ``--py-files`` (no install step on the cluster), the driver
+script is THIS file, and all configuration arrives as CLI args — the
+same contract as the reference's container entrypoint taking its env
+config (reference: docker/Dockerfile + AppConfig), re-expressed as a
+Spark application.
+
+Package + submit:
+
+    python tools/package_pyfiles.py dist/ftidx.zip
+    spark-submit --master local[8] \
+        --py-files dist/ftidx.zip \
+        tools/submit_build.py \
+        --source /path/to/source_parquet --out /path/to/index \
+        --n-buckets 64 [--positions] [--build-id abc123]
+
+On a real cluster only ``--master``/deploy-mode change; the job is
+self-contained (the zip carries every ftidx module, executors unpack
+it onto their PYTHONPATH automatically).
+
+The source table must match the input_hint schema
+(repo, path, commit, lang, content, deleted, modified) — the S26
+schema gate aborts before any job otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--source", required=True,
+                    help="parquet dir or Iceberg table name (auto-detected)")
+    ap.add_argument("--out", required=True, help="index output dir")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--positions", action="store_true")
+    ap.add_argument("--build-id", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    # SparkSession comes from spark-submit's conf — do NOT build one
+    # with local-mode defaults here, or cluster submission breaks.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("ftidx-build").getOrCreate()
+
+    from ftidx.index import build_index
+    from ftidx.sources import preflight, read_source
+
+    preflight(spark, args.source)
+    source = read_source(spark, args.source)
+    summary = build_index(
+        spark, source, args.out,
+        n_buckets=args.n_buckets,
+        positions=args.positions,
+        build_id=args.build_id,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
