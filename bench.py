@@ -5,9 +5,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Headline queries:
   build_documents   persistent index build over the sf documents table
   build_synth       persistent build over a deterministic synthetic
-                    source-code corpus (SPARK_GRAFT_BENCH_FILES, 20k
+                    source-code corpus (SPARK_GRAFT_BENCH_FILES, 100k
                     default) — the files/sec throughput number
-  query_batch       batch BM25 over a 40-query set in one Spark job
+  query_batch       cold batch BM25 over a 10-query set — ONE postings
+                    prefetch job (FtIndex.topk_batch), then driver-side
+                    scoring
   query_p95         warm single-query latency p95 (compressed index,
                     block-max kernel)
 
@@ -95,9 +97,7 @@ def main():
         # 3. batch BM25 over the documents index (one Spark job)
         idx_docs = open_index(spark, f"{tmp}/idx_docs")
         t0 = time.time()
-        total = 0
-        for terms in QUERY_TERMS:
-            total += len(idx_docs.topk(terms, k=10))
+        total = sum(len(h) for h in idx_docs.topk_batch(QUERY_TERMS, k=10))
         timings["query_batch"] = time.time() - t0
 
         # 4. warm single-query latency over the synth index

@@ -695,6 +695,21 @@ class FtIndex:
         ]
         return out[:k]
 
+    def topk_batch(self, queries: list[list[str]], k: int = 10,
+                   field: str = "code.content",
+                   kernel: str = "block_max") -> list[list[tuple[int, float]]]:
+        """Top-k for a BATCH of queries with ONE postings fetch: the
+        union of all uncached terms is pulled in a single Spark job
+        (one isin-pushdown scan instead of one job per query), then
+        each query scores driver-side from the warm cache. The batch
+        analog of run_query_set for the compressed index — a serving
+        tier draining a queue of queries amortizes the scan exactly
+        like this."""
+        all_terms = sorted({t for q in queries for t in q})
+        if all_terms:
+            self._fetch_term_rows(all_terms, field)  # one job, warms cache
+        return [self.topk(q, k=k, field=field, kernel=kernel) for q in queries]
+
     def phrase_topk(self, phrase: list[str], k: int = 10,
                     field: str = "code.content") -> list[tuple[int, float]]:
         """Exact-phrase BM25 top-k: docs containing the terms at

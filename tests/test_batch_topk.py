@@ -1,0 +1,17 @@
+"""topk_batch == per-query topk, with one prefetch job."""
+
+from __future__ import annotations
+
+from ftidx.index import build_index, open_index
+from ftidx.synth import synth_source
+
+
+def test_topk_batch_matches_sequential(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    queries = [["def", "return"], ["alpha"], ["nosuchterm"], [],
+               ["def", "alpha", "sigma"]]
+    batch = open_index(spark, out).topk_batch(queries, k=7)
+    seq_idx = open_index(spark, out)
+    assert batch == [seq_idx.topk(q, k=7) for q in queries]
