@@ -281,6 +281,18 @@ def q_ann_batch_topk(spark, sf_dir):
     return batch_cosine_topk(emb, queries, k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF cell-probed ANN: hash-sampled centroids, nearest-cell
+    # assignment, probe the query's 4 nearest cells, exact cosine over
+    # survivors — deterministic (md5-sampled centroids, cosines rounded
+    # to 5 before every argmax) → full DuckDB oracle
+    from ftidx.ann import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_cosine_topk(emb, query, k=10, n_centroids=16, n_probe=4)
+
+
 def q_embedding_near_pairs(spark, sf_dir):
     # LSH-bucketed exact-cosine near-dup pairs; deterministic buckets
     # (md5-derived hyperplanes) → full DuckDB oracle
@@ -577,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_batch_topk": q_ann_batch_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "phrase_match": q_phrase_match,
         "token_counts": q_token_counts,
@@ -778,6 +791,54 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "ann_ivf_topk": f"""
+            WITH {_EMB_FLAT_CTE},
+            cents AS (
+              SELECT vec_id AS cid FROM embeddings
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+            ),
+            cflat AS (
+              SELECT c.cid, f.i, f.x FROM flat f JOIN cents c ON f.vec_id = c.cid
+            ),
+            qv AS (SELECT i, x AS qx FROM flat WHERE vec_id = 0),
+            adots AS (
+              SELECT f.vec_id, c.cid, sum(f.x * c.x) AS dot,
+                     sum(f.x * f.x) AS na, sum(c.x * c.x) AS nc
+              FROM flat f JOIN cflat c USING (i) GROUP BY f.vec_id, c.cid
+            ),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY round(dot / (sqrt(na) * sqrt(nc)), 5) DESC, cid) AS rn
+                FROM adots) WHERE rn = 1
+            ),
+            pdots AS (
+              SELECT c.cid, sum(c.x * q.qx) AS dot,
+                     sum(c.x * c.x) AS nc, sum(q.qx * q.qx) AS nq
+              FROM cflat c JOIN qv q USING (i) GROUP BY c.cid
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (
+                  ORDER BY round(dot / (sqrt(nc) * sqrt(nq)), 5) DESC, cid) AS rn
+                FROM pdots) WHERE rn <= 4
+            ),
+            dots AS (
+              SELECT f.vec_id, sum(f.x * q.qx) AS dot,
+                     sum(f.x * f.x) AS na, sum(q.qx * q.qx) AS nq
+              FROM flat f JOIN qv q USING (i)
+              WHERE f.vec_id IN (SELECT vec_id FROM assign
+                                 WHERE cid IN (SELECT cid FROM probes))
+              GROUP BY f.vec_id
+            )
+            SELECT vec_id, cosine FROM (
+              SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 5) AS cosine,
+                     row_number() OVER (
+                       ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 5) DESC,
+                                vec_id) AS rn
+              FROM dots) WHERE rn <= 10
         """,
         "embedding_near_pairs": f"""
             WITH {_ann_bucket_cte(4)},

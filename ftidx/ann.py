@@ -12,6 +12,10 @@
   is tunable via n_planes / n_tables.
 - :func:`embedding_near_pairs` — near-duplicate detection by cosine ≥
   threshold within LSH buckets.
+- :func:`ivf_centroids` / :func:`ivf_assign` / :func:`ivf_cosine_topk`
+  — IVF cell-probed ANN: hash-sampled coarse centroids (deterministic,
+  no RNG), nearest-cell inverted lists, exact cosine only over the
+  probed cells' vectors.
 """
 
 from __future__ import annotations
@@ -155,3 +159,75 @@ def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF 'coarse quantizer' centroids: the n_centroids
+    vectors with the smallest md5(id) — a hash-random sample,
+    reproducible across engines with no RNG state. At 100 TB a hash
+    sample is the standard first-epoch init; iterative k-means
+    refinement is an optional offline job that would only move the
+    cell boundaries, not the algorithm shape. Executes as
+    TakeOrderedAndProject (top-N by hash), never a global sort."""
+    return (
+        embeddings
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
+        .limit(n_centroids)
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine → the IVF
+    inverted lists (vec_id, centroid_id). One broadcast crossJoin
+    against the (tiny) centroid set, argmax per vector via window —
+    the scan side never shuffles; only |vectors| × |centroids| scored
+    rows exist transiently inside the stage. Cosine is rounded to 5
+    decimals BEFORE the argmax (ties then break on centroid_id) so the
+    cell assignment is stable across engines' float summation orders."""
+    from pyspark.sql import Window
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    scored = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", F.round(_dot(v, c) / (_norm(v) * _norm(c)), 5))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+                    n_centroids: int = 16, n_probe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: score only vectors whose cell is among
+    the query's n_probe nearest centroids. The 100 TB shape: centroids
+    broadcast everywhere, the corpus scan prunes to probed cells
+    (partition the inverted lists by centroid_id on disk and this
+    becomes partition pruning), exact cosine only over the survivors.
+    Recall is tunable via n_centroids / n_probe; exactness is
+    cosine_topk's job."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    c = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    probes = (
+        cents.withColumn(
+            "q_cos", F.round(_dot(c, q) / (_norm(c) * _norm(q)), 5))
+        .orderBy(F.desc("q_cos"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    cand = (
+        embeddings.join(assigned, id_col)
+        .join(F.broadcast(probes), "centroid_id")
+        .select(id_col, vec_col)
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col)

@@ -167,6 +167,28 @@ def test_hyperplane_bucket_shape(emb):
     assert all(len(r["bucket"]) == 5 and set(r["bucket"]) <= {"0", "1"} for r in b)
 
 
+def test_ivf_topk(emb):
+    """Probing ALL cells == exhaustive; few-cell probing still finds
+    the planted near-dup (it shares vec 100's cell by construction)."""
+    from ftidx.ann import cosine_topk, ivf_assign, ivf_centroids, ivf_cosine_topk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_cosine_topk(emb, q, k=5, n_centroids=4, n_probe=4).collect()]
+    exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=5).collect()]
+    assert full == exact
+
+    probed = [r["vec_id"]
+              for r in ivf_cosine_topk(emb, q, k=3, n_centroids=4, n_probe=1).collect()]
+    assert 100 in probed and 101 in probed
+
+    # every vector lands in exactly one cell
+    cents = ivf_centroids(emb, 4)
+    assigned = ivf_assign(emb, cents).collect()
+    assert len(assigned) == emb.count()
+    assert len({r["vec_id"] for r in assigned}) == emb.count()
+
+
 def test_token_counts(docs):
     rows = {r["doc_id"]: r for r in token_counts(docs).collect()}
     assert rows[0]["n_ws_tokens"] == 13 == rows[0]["n_word_tokens"]
