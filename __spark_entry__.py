@@ -136,6 +136,43 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_bm25_topk_and(spark, sf_dir):
+    # conjunctive BM25 with exclusion (Solr `+spark +merge +window
+    # -slow`): docs containing ALL query terms and NOT the excluded
+    # term, ranked by the query terms' BM25 sum — engine twin:
+    # FtIndex.topk(mode="and", exclude=[...]) / bm25_topk_flat(
+    # require_all=True, exclude=[...])
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    m = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = m.join(F.broadcast(dfreq), "term").join(dl, "doc_id").crossJoin(F.broadcast(stats))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        j.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 5).alias("score_r"),
+             F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == len(BM25_TERMS))
+    )
+    xdocs = tf.filter(F.col("term") == "slow").select("doc_id").distinct()
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        scored.join(xdocs, "doc_id", "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r")
+    )
+
+
 def q_docid_projection(spark, sf_dir):
     # S9 doc-id synthesis + input_hint sha256 invariant
     return _docs(spark, sf_dir).select(
@@ -573,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_stats": q_field_stats,
         "bm25_scores": q_bm25_scores,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_and": q_bm25_topk_and,
         "docid_projection": q_docid_projection,
         "date_normalize": q_date_normalize,
         "collection_facet": q_collection_facet,
@@ -629,6 +667,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
                      doc_id, score_r
               FROM bm25
+            ) WHERE rank <= 10
+        """,
+        "bm25_topk_and": _BM25_CTE.replace(
+            "bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r "
+            "FROM scored GROUP BY doc_id)",
+            "bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r "
+            "FROM scored GROUP BY doc_id HAVING count(*) = 3)") + """
+            SELECT rank, doc_id, score_r FROM (
+              SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+                     doc_id, score_r
+              FROM bm25
+              WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf
+                                   WHERE term = 'slow')
             ) WHERE rank <= 10
         """,
         "docid_projection": """

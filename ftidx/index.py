@@ -55,7 +55,8 @@ from ftidx.build import BUCKET_SHIFT, DEFAULT_BUCKETS, live_docs, prepare_docs
 from ftidx.codec import encode_many, encode_postings, merge_encoded
 from ftidx.schema import CHECKPOINT_SCHEMA, POSTINGS_SCHEMA
 from ftidx.tokenize import tokenize_tf
-from ftidx.wand import TermList, bm25_contrib, bm25_idf, score_block_max, score_exhaustive
+from ftidx.wand import (TermList, bm25_contrib, bm25_idf, score_block_max,
+                        score_boolean, score_exhaustive)
 
 _POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
 
@@ -681,13 +682,25 @@ class FtIndex:
         return lists, avgdl
 
     def topk(self, terms: list[str], k: int = 10, field: str = "code.content",
-             kernel: str = "block_max") -> list[tuple[int, float]]:
+             kernel: str = "block_max", mode: str = "or",
+             exclude: list[str] | None = None) -> list[tuple[int, float]]:
+        """``mode="and"`` requires every term (conjunctive BM25);
+        ``exclude`` drops docs containing any of those terms — the
+        Solr ``+must -not`` query surface beyond bag-of-words OR."""
         lists, avgdl = self._term_lists(terms, field)
         if not lists:
             return []
-        fn = score_block_max if kernel == "block_max" else score_exhaustive
+        if mode == "and" and len(lists) < len(set(terms)):
+            return []  # a required term matches nothing anywhere
         extra = len(self._tombstones)
-        ids, scores = fn(lists, avgdl, k + extra)
+        if mode == "and" or exclude:
+            xlists, _ = self._term_lists(exclude, field) if exclude else ([], 0)
+            ids, scores = score_boolean(lists, avgdl, k + extra,
+                                        require_all=(mode == "and"),
+                                        exclude_lists=xlists)
+        else:
+            fn = score_block_max if kernel == "block_max" else score_exhaustive
+            ids, scores = fn(lists, avgdl, k + extra)
         out = [
             (int(i), float(s))
             for i, s in zip(ids.astype(np.int64), scores)

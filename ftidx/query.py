@@ -87,8 +87,21 @@ def bm25_topk_flat(
     k: int = 10,
     field: str = "code.content",
     tombstones: DataFrame | None = None,
+    require_all: bool = False,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
+    """``require_all`` keeps only docs matching EVERY query term
+    (n_terms_hit already rides on the aggregate — the filter is free);
+    ``exclude`` anti-joins docs containing any excluded term."""
     scored = bm25_score_terms(tf, doclen, fieldstats, terms, field)
+    if require_all:
+        scored = scored.filter(
+            F.col("n_terms_hit") == len(set(terms)))
+    if exclude:
+        xdocs = tf.filter(
+            (F.col("field") == field) & F.col("term").isin(sorted(set(exclude)))
+        ).select("doc_id").distinct()
+        scored = scored.join(xdocs, "doc_id", "left_anti")
     if tombstones is not None:
         # delete-by-id analog (Indexer.java:219-222): anti-join beats a
         # rewrite when deletes are sparse; maintenance.compact() folds

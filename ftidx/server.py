@@ -65,15 +65,21 @@ def _make_handler(idx, lock: threading.Lock):
                                  for f, (n, a) in idx.stats.items()}
                     self._json(200, stats)
                 elif u.path in ("/search", "/phrase"):
-                    terms = qs.get("q", [""])[0].split()
+                    raw = qs.get("q", [""])[0].split()
+                    # Solr-ish boolean surface: '-term' excludes,
+                    # mode=and requires every (non-excluded) term
+                    exclude = [t[1:] for t in raw if t.startswith("-") and t[1:]]
+                    terms = [t.lstrip("+") for t in raw if not t.startswith("-")]
                     if not terms:
                         self._json(400, {"error": "missing q"})
                         return
                     k = int(qs.get("k", ["10"])[0])
                     field = qs.get("field", ["code.content"])[0]
+                    mode = qs.get("mode", ["or"])[0]
                     with lock:
                         if u.path == "/search":
-                            hits = idx.topk(terms, k=k, field=field)
+                            hits = idx.topk(terms, k=k, field=field,
+                                            mode=mode, exclude=exclude or None)
                         else:
                             hits = idx.phrase_topk(terms, k=k, field=field)
                     self._json(200, {"hits": [

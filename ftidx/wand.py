@@ -175,6 +175,41 @@ def score_exhaustive(lists: list[TermList], avgdl: float, k: int):
     return _accumulate(per_term, k)
 
 
+def score_boolean(lists: list[TermList], avgdl: float, k: int,
+                  require_all: bool = False,
+                  exclude_lists: list[TermList] | None = None):
+    """Boolean-filtered BM25 top-k: optional conjunctive semantics
+    (doc must contain EVERY query term) and term exclusion (Solr's
+    ``+must -not`` surface beyond plain OR). Scoring is the same BM25
+    sum over the query terms; the boolean part only shrinks the
+    candidate set, so it composes with the cached decode like the
+    exhaustive kernel. Block-max pruning is NOT used here: its
+    threshold logic bounds OR scores and would be unsound under a
+    conjunctive filter."""
+    if k <= 0 or not lists:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    per_term = []
+    for tl in sorted(lists, key=lambda t: (t.df, t.term)):
+        ids, tfs, dls = tl.decode_all()
+        per_term.append((ids, bm25_contrib(tfs, dls, tl.idf, avgdl)))
+    all_ids = np.concatenate([ids for ids, _ in per_term])
+    all_contrib = np.concatenate([c for _, c in per_term])
+    if all_ids.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.bincount(inv, weights=all_contrib, minlength=uniq.size)
+    mask = np.ones(uniq.size, dtype=bool)
+    if require_all:
+        # a doc appears at most once per term (one owning segment), so
+        # its multiplicity across the concat == number of matched terms
+        mask &= np.bincount(inv, minlength=uniq.size) == len(per_term)
+    for xl in exclude_lists or ():
+        xids, _, _ = xl.decode_all()
+        if xids.size:
+            mask &= ~np.isin(uniq, xids)
+    return _topk_from_scores(uniq[mask], scores[mask], k)
+
+
 def score_block_max(lists: list[TermList], avgdl: float, k: int):
     """Block-max pruned scoring; exact (see module docstring)."""
     lists = sorted(lists, key=lambda t: (t.df, t.term))

@@ -196,3 +196,41 @@ def test_grouped_salted_strategy_agrees(spark, tmp_path, built):
         .collect()
     }
     assert grouped == bucket_local
+
+
+def test_boolean_and_exclude(spark, tmp_path):
+    """Conjunctive + exclusion retrieval: compressed path == flat
+    DataFrame path (rank-identical, scores to 1e-9)."""
+    from ftidx.build import build_flat
+    from ftidx.query import bm25_topk_flat
+
+    src = synth_source(spark, 200)
+    out = str(tmp_path / "idx")
+    build_index(spark, src, out, n_buckets=4, hot_df_threshold=50)
+    idx = open_index(spark, out)
+    flat = build_flat(src, n_buckets=4)
+    for name in ("tf", "doclen", "fieldstats"):
+        flat[name] = flat[name].cache()
+
+    terms = ["def", "alpha", "sigma"]
+    got_and = idx.topk(terms, k=15, mode="and")
+    exp_and = [(r["doc_id"], r["score"]) for r in bm25_topk_flat(
+        flat["tf"], flat["doclen"], flat["fieldstats"], terms, k=15,
+        require_all=True).collect()]
+    assert [d for d, _ in got_and] == [d for d, _ in exp_and]
+    assert got_and and all(
+        abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got_and, exp_and))
+    # AND is a strict subset of OR results
+    or_docs = {d for d, _ in idx.topk(terms, k=10**6, kernel="exhaustive")}
+    assert {d for d, _ in got_and} <= or_docs
+
+    got_ex = idx.topk(["def"], k=15, exclude=["alpha"])
+    exp_ex = [(r["doc_id"], r["score"]) for r in bm25_topk_flat(
+        flat["tf"], flat["doclen"], flat["fieldstats"], ["def"], k=15,
+        exclude=["alpha"]).collect()]
+    assert [d for d, _ in got_ex] == [d for d, _ in exp_ex]
+    alpha_docs = {d for d, _ in idx.topk(["alpha"], k=10**6, kernel="exhaustive")}
+    assert got_ex and not ({d for d, _ in got_ex} & alpha_docs)
+
+    # a required term that matches nothing -> empty
+    assert idx.topk(["def", "zzzznope"], mode="and") == []

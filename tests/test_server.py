@@ -83,3 +83,15 @@ def test_refresh_after_delete(served):
         assert json.loads(r.read())["status"] == "refreshed"
     _, body3 = _get(f"{base}/search?q=def&k=1")
     assert body3["hits"][0]["doc_id"] != victim
+
+
+def test_boolean_search_endpoint(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, body = _get(f"{base}/search?q=def+alpha&mode=and&k=5")
+    expect = idx.topk(["def", "alpha"], k=5, mode="and")
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+
+    _, body = _get(f"{base}/search?q=def+-alpha&k=5")
+    expect = idx.topk(["def"], k=5, exclude=["alpha"])
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
