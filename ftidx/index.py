@@ -599,11 +599,47 @@ class FtIndex:
             self._postings = spark.read.parquet(str(postings_dir))
         else:
             self._postings = spark.createDataFrame([], POSTINGS_SCHEMA)
+        # streamed delta segments (merge-on-read): union them in so the
+        # serving surface (topk/topk_batch/server) answers over base +
+        # deltas without waiting for compact_deltas; the WAND kernels
+        # already handle multiple segments per term with overlapping
+        # id ranges (streaming hash ids)
+        deltas_dir = self.path / "deltas"
+        if deltas_dir.exists() and any(deltas_dir.iterdir()):
+            delta = (
+                spark.read.option("basePath", str(deltas_dir))
+                .parquet(str(deltas_dir / "batch=*")).select(_POSTINGS_COLS)
+            )
+            self._postings = (
+                self._postings.select(_POSTINGS_COLS).unionByName(delta)
+            )
         stats_dir = self.path / "stats"
         self.stats = {
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
             for r in spark.read.parquet(str(stats_dir)).collect()
         } if stats_dir.exists() and any(stats_dir.iterdir()) else {}
+        # delta doclen shifts the collection stats (n_docs, avgdl):
+        # recompute across base + delta — a cheap agg over two skinny
+        # tables, only paid when deltas exist
+        ddl_dir = self.path / "delta_doclen"
+        if ddl_dir.exists() and any(ddl_dir.iterdir()):
+            frames = [
+                spark.read.option("basePath", str(ddl_dir))
+                .parquet(str(ddl_dir / "batch=*")).select("doc_id", "field", "len")
+            ]
+            dl_dir = self.path / "doclen"
+            if dl_dir.exists() and any(dl_dir.iterdir()):
+                frames.append(spark.read.parquet(str(dl_dir))
+                              .select("doc_id", "field", "len"))
+            dl = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+            self.stats = {
+                r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
+                for r in dl.dropDuplicates(["doc_id", "field"])
+                .groupBy("field")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"))
+                .collect()
+            }
         self._tombstones: set[int] = set()
         tomb_dir = self.path / "tombstones"
         if tomb_dir.exists():

@@ -136,3 +136,24 @@ def test_stream_restart_resumes(spark, dirs):
         q2.stop()
     n_deltas_2 = len(list((Path(idx_dir) / "deltas").iterdir()))
     assert n_deltas_2 == n_deltas_1  # nothing re-processed
+
+
+def test_ftindex_serves_deltas(spark, tmp_path):
+    """The serving handle answers over base + streamed deltas without
+    waiting for compaction, rank-identical to query_with_deltas."""
+    from ftidx.index import build_index, open_index
+    from ftidx.streaming import index_microbatch
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 100), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    base_only = idx.topk(["def", "alpha"], k=10)
+
+    extra = synth_source(spark, 140).subtract(synth_source(spark, 100))
+    index_microbatch(extra, 0, out, n_buckets=4)
+    idx.refresh()
+    merged = idx.topk(["def", "alpha"], k=10)
+    expect = query_with_deltas(spark, out, ["def", "alpha"], k=10)
+    assert merged == expect
+    assert merged != base_only  # streamed docs shifted the ranking
