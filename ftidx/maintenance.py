@@ -68,28 +68,43 @@ def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
         spark.read.option("recursiveFileLookup", "true")
         .parquet(str(tomb_dir)).select("doc_id").distinct()
     )
-    all_tomb_ids = {int(r["doc_id"]) for r in tombs.collect()}
-    if not all_tomb_ids:
+    if not tombs.limit(1).count():
         shutil.rmtree(tomb_dir)
         return {"buckets_rewritten": [], "docs_removed": 0, "unresolved": 0}
 
     # resolve id → bucket through doclen (covers batch ids AND folded
-    # streaming hash ids); unresolved ids stay tombstoned
-    id_bucket = (
-        spark.read.parquet(str(path / "doclen"))
-        .select("doc_id", "bucket").distinct()
-        .join(F.broadcast(tombs), "doc_id")
-        .collect()
-        if _has_files(path / "doclen") else []
-    )
-    tomb_ids = {int(r["doc_id"]) for r in id_bucket}
-    unresolved = sorted(all_tomb_ids - tomb_ids)
-    if not tomb_ids:
-        _rewrite_tombstones(tomb_dir, unresolved)
+    # streaming hash ids); unresolved ids stay tombstoned. Both sides
+    # stay DataFrames — nothing about the tombstone set ever lands on
+    # the driver, so the pass is bounded by executor memory per bucket,
+    # not by driver memory (mass deletes — whole repos — are fine).
+    if _has_files(path / "doclen"):
+        id_bucket = (
+            spark.read.parquet(str(path / "doclen"))
+            .select("doc_id", "bucket").distinct()
+            .join(tombs, "doc_id")
+        )
+    else:
+        id_bucket = spark.createDataFrame([], "doc_id long, bucket int")
+    # materialize the id→bucket map to disk BEFORE any table rewrite:
+    # it derives from doclen, which this pass overwrites — a cached
+    # plan that recomputed after the rewrite would resolve to the
+    # already-deleted (now absent) ids and silently skip the cleanup
+    idmap_dir = path / "_compact_idmap"
+    shutil.rmtree(idmap_dir, ignore_errors=True)
+    id_bucket.write.parquet(str(idmap_dir))
+    id_bucket = spark.read.parquet(str(idmap_dir))
+    n_resolved = id_bucket.count()
+    unresolved_df = tombs.join(id_bucket.select("doc_id"), "doc_id", "left_anti")
+    n_unresolved = unresolved_df.count()
+    if not n_resolved:
+        _replace_tombstones(spark, tomb_dir, unresolved_df, n_unresolved)
+        shutil.rmtree(idmap_dir, ignore_errors=True)
         return {"buckets_rewritten": [], "docs_removed": 0,
-                "unresolved": len(unresolved)}
-    buckets = sorted({int(r["bucket"]) for r in id_bucket})
-    tombs = spark.createDataFrame([(d,) for d in sorted(tomb_ids)], "doc_id long")
+                "unresolved": n_unresolved}
+    # the bucket list is bounded by n_buckets — safe to collect
+    buckets = sorted(
+        int(r["bucket"]) for r in id_bucket.select("bucket").distinct().collect()
+    )
 
     postings = spark.read.parquet(str(path / "postings"))
     # __docs__ transport pseudo-rows are residue once the docs table is
@@ -99,30 +114,39 @@ def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
     affected = postings.filter(
         F.col("bucket").isin(buckets) & (F.col("field") != DOCS_FIELD)
     )
-    tomb_arr = np.array(sorted(tomb_ids), dtype=np.uint64)
 
-    def rewrite(batches):
-        for pdf in batches:
-            out = {c: [] for c in _POSTINGS_COLS}
-            for row in pdf.to_dict("records"):
-                tl = TermList(row["term"], [row], 0.0)
-                ids, tfs, dls = tl.decode_all()
-                keep = ~np.isin(ids, tomb_arr)
-                if not keep.any():
-                    continue  # term vanishes from this bucket
-                enc = encode_postings(ids[keep], tfs[keep], dls[keep])
-                out["term"].append(row["term"])
-                out["field"].append(row["field"])
-                out["bucket"].append(int(row["bucket"]))
-                for k in ("df", "cf", "doc_ids", "tfs", "dls",
-                          "block_max_tf", "block_min_dl", "block_last_docid"):
-                    out[k].append(enc[k])
-            yield pd.DataFrame(out)
+    # cogrouped rewrite: each bucket's posting rows meet ONLY that
+    # bucket's tombstone ids inside the kernel — no global tombstone
+    # array in any closure
+    def rewrite_cg(pdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        tomb_arr = np.sort(tpdf["doc_id"].to_numpy(dtype=np.int64)
+                           .astype(np.uint64))
+        out = {c: [] for c in _POSTINGS_COLS}
+        for row in pdf.to_dict("records"):
+            tl = TermList(row["term"], [row], 0.0)
+            ids, tfs, dls = tl.decode_all()
+            keep = ~np.isin(ids, tomb_arr)
+            if not keep.any():
+                continue  # term vanishes from this bucket
+            enc = encode_postings(ids[keep], tfs[keep], dls[keep])
+            out["term"].append(row["term"])
+            out["field"].append(row["field"])
+            out["bucket"].append(int(row["bucket"]))
+            for k in ("df", "cf", "doc_ids", "tfs", "dls",
+                      "block_max_tf", "block_min_dl", "block_last_docid"):
+                out[k].append(enc[k])
+        return pd.DataFrame(out)[_POSTINGS_COLS] if out["term"] else \
+            pd.DataFrame({c: [] for c in _POSTINGS_COLS})
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    rewritten = affected.mapInPandas(rewrite, schema=POSTINGS_SCHEMA).withColumn(
-        "n_bytes",
-        F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
+    rewritten = (
+        affected.groupBy("bucket")
+        .cogroup(id_bucket.groupBy("bucket"))
+        .applyInPandas(rewrite_cg, schema=POSTINGS_SCHEMA)
+        .withColumn(
+            "n_bytes",
+            F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
+        )
     )
     rewritten.write.mode("overwrite").partitionBy("bucket").parquet(str(path / "postings"))
 
@@ -136,45 +160,52 @@ def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
             encode_positions_row,
         )
 
-        def rewrite_pos(batches):
-            for pdf in batches:
-                out = {c: [] for c in _POS_COLS}
-                for row in pdf.to_dict("records"):
-                    ids, plists = decode_positions_row(row)
-                    keep = ~np.isin(ids, tomb_arr)
-                    if not keep.any():
-                        continue
-                    enc = encode_positions_row(
-                        ids[keep], [p for p, k in zip(plists, keep) if k])
-                    out["term"].append(row["term"])
-                    out["field"].append(row["field"])
-                    out["bucket"].append(int(row["bucket"]))
-                    for k in ("df", "doc_ids", "tfs", "pos"):
-                        out[k].append(enc[k])
-                yield pd.DataFrame(out)
+        def rewrite_pos_cg(pdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+            tomb_arr = np.sort(tpdf["doc_id"].to_numpy(dtype=np.int64)
+                               .astype(np.uint64))
+            out = {c: [] for c in _POS_COLS}
+            for row in pdf.to_dict("records"):
+                ids, plists = decode_positions_row(row)
+                keep = ~np.isin(ids, tomb_arr)
+                if not keep.any():
+                    continue
+                enc = encode_positions_row(
+                    ids[keep], [p for p, k in zip(plists, keep) if k])
+                out["term"].append(row["term"])
+                out["field"].append(row["field"])
+                out["bucket"].append(int(row["bucket"]))
+                for k in ("df", "doc_ids", "tfs", "pos"):
+                    out[k].append(enc[k])
+            return pd.DataFrame(out)[_POS_COLS] if out["term"] else \
+                pd.DataFrame({c: [] for c in _POS_COLS})
 
         (spark.read.parquet(str(path / "positions"))
          .filter(F.col("bucket").isin(buckets))
-         .mapInPandas(rewrite_pos, schema=POSITIONS_SCHEMA)
+         .groupBy("bucket")
+         .cogroup(id_bucket.groupBy("bucket"))
+         .applyInPandas(rewrite_pos_cg, schema=POSITIONS_SCHEMA)
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(str(path / "positions")))
 
     # doclen + docs: plain anti-join rewrites for affected buckets
-    tomb_b = F.broadcast(tombs)
+    # (no forced broadcast — AQE picks the strategy, so a mass delete
+    # whose id set exceeds broadcast size still plans correctly)
+    tomb_ids_df = id_bucket.select("doc_id")
     doclen = spark.read.parquet(str(path / "doclen"))
     (doclen.filter(F.col("bucket").isin(buckets))
-     .join(tomb_b, "doc_id", "left_anti")
+     .join(tomb_ids_df, "doc_id", "left_anti")
      .write.mode("overwrite").partitionBy("bucket").parquet(str(path / "doclen")))
     if _has_files(path / "docs"):  # absent for streaming-only indexes
         docs = spark.read.parquet(str(path / "docs"))
         (docs.filter(F.col("bucket").isin(buckets))
-         .join(tomb_b, "doc_id", "left_anti")
+         .join(tomb_ids_df, "doc_id", "left_anti")
          .write.mode("overwrite").partitionBy("bucket").parquet(str(path / "docs")))
 
     _refresh_stats(spark, path)
-    _rewrite_tombstones(tomb_dir, unresolved)
-    return {"buckets_rewritten": buckets, "docs_removed": len(tomb_ids),
-            "unresolved": len(unresolved)}
+    _replace_tombstones(spark, tomb_dir, unresolved_df, n_unresolved)
+    shutil.rmtree(idmap_dir, ignore_errors=True)
+    return {"buckets_rewritten": buckets, "docs_removed": n_resolved,
+            "unresolved": n_unresolved}
 
 
 def _refresh_stats(spark: SparkSession, path: Path) -> None:
@@ -189,19 +220,19 @@ def _refresh_stats(spark: SparkSession, path: Path) -> None:
     _write_stats_rows(path / "stats", stats)
 
 
-def _rewrite_tombstones(tomb_dir: Path, unresolved: list[int]) -> None:
-    """Replace the tombstone table with the unresolved subset (flat
-    layout — driver-side pyarrow, the set is small by definition)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+def _replace_tombstones(spark: SparkSession, tomb_dir: Path,
+                        unresolved_df: DataFrame, n_unresolved: int) -> None:
+    """Replace the tombstone table with the unresolved subset. Written
+    through Spark to a sibling dir, then swapped in — the unresolved
+    set (streamed deletes pending delta compaction) is unbounded in
+    principle, so it never rides through the driver."""
+    staged = tomb_dir.with_name(tomb_dir.name + "_staged")
+    shutil.rmtree(staged, ignore_errors=True)
+    if n_unresolved:
+        unresolved_df.select("doc_id").write.parquet(str(staged))
     shutil.rmtree(tomb_dir)
-    if unresolved:
-        tomb_dir.mkdir(parents=True)
-        pq.write_table(
-            pa.table({"doc_id": pa.array(unresolved, type=pa.int64())}),
-            tomb_dir / "unresolved.parquet",
-        )
+    if n_unresolved:
+        staged.rename(tomb_dir)
 
 
 def _merge_segments_dedup(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -91,3 +91,49 @@ def test_k_zero_returns_empty():
         assert ids.size == 0 and sc.size == 0
         ids, sc = fn(lists, 15.0, -1)
         assert ids.size == 0 and sc.size == 0
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_boolean_kernel_vs_bruteforce(data):
+    """score_boolean == per-doc brute force for random conjunctive /
+    exclusion queries over random segmented lists."""
+    from ftidx.wand import bm25_contrib, score_boolean
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+    n_corpus = 500
+    k = data.draw(st.integers(1, 15))
+    n_terms = data.draw(st.integers(1, 3))
+    require_all = data.draw(st.booleans())
+    with_exclude = data.draw(st.booleans())
+
+    def rand_list(name, lo, hi):
+        ids = rng.choice(n_corpus, size=int(rng.integers(lo, hi)), replace=False)
+        seg = {int(d): (int(rng.integers(1, 6)), int(rng.integers(5, 60)))
+               for d in ids}
+        return make_list(name, [seg] if seg else [{0: (1, 10)}], n_corpus)
+
+    lists = [rand_list(f"t{t}", 20, 120) for t in range(n_terms)]
+    excl = [rand_list("x0", 10, 80)] if with_exclude else []
+    avgdl = 30.0
+
+    ids_k, sc_k = score_boolean(lists, avgdl, k, require_all=require_all,
+                                exclude_lists=excl)
+
+    # brute force in plain dicts
+    scores, hits = {}, {}
+    for tl in lists:
+        ids, tfs, dls = tl.decode_all()
+        for d, c in zip(ids.tolist(),
+                        bm25_contrib(tfs, dls, tl.idf, avgdl).tolist()):
+            scores[d] = scores.get(d, 0.0) + c
+            hits[d] = hits.get(d, 0) + 1
+    banned = set()
+    for xl in excl:
+        banned |= set(xl.decode_all()[0].tolist())
+    cand = [d for d in scores
+            if d not in banned and (not require_all or hits[d] == len(lists))]
+    expect = sorted(cand, key=lambda d: (-scores[d], d))[:k]
+    assert ids_k.tolist() == expect
+    np.testing.assert_allclose(
+        sc_k, [scores[d] for d in expect], rtol=1e-12)
