@@ -808,13 +808,20 @@ class FtIndex:
         return [(d, s) for d, s in ranked[:k]]
 
     def topk_distributed(self, terms: list[str], k: int = 10,
-                         field: str = "code.content") -> DataFrame:
+                         field: str = "code.content", mode: str = "or",
+                         exclude: list[str] | None = None) -> DataFrame:
         """Score inside executors, one task per bucket; global top-k via
         TakeOrderedAndProject. df/idf are global (two-pass: tiny df agg
-        broadcast into the scoring closure)."""
+        broadcast into the scoring closure).
+
+        Boolean semantics (``mode="and"``, ``exclude``) are valid
+        per-bucket: a doc's postings live entirely in its one bucket
+        (batch rank ids and streamed hash ids are both bucket-keyed),
+        so the per-bucket conjunction/exclusion equals the global one."""
         qterms = sorted(set(terms))
+        xterms = sorted(set(exclude or []))
         prows = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin(qterms)
+            (F.col("field") == field) & F.col("term").isin(qterms + xterms)
         )
         df_by_term = {
             r["term"]: int(r["df_global"])
@@ -823,12 +830,26 @@ class FtIndex:
         n_docs, avgdl = self.stats.get(field, (0, 1.0))
         idfs = {t: bm25_idf(n_docs, d) for t, d in df_by_term.items()}
         tombs = self._tombstones
+        n_required = len(qterms) if mode == "and" else 0
+        qset, xset = set(qterms), set(xterms)
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            lists = []
+            lists, xlists = [], []
             for term, grp in pdf.groupby("term", sort=True):
-                lists.append(TermList(term, grp.to_dict("records"), idfs[term]))
-            ids, scores = score_block_max(lists, avgdl, k + len(tombs))
+                tl = TermList(term, grp.to_dict("records"), idfs[term])
+                if term in qset:
+                    lists.append(tl)
+                if term in xset:
+                    xlists.append(tl)
+            if n_required and len(lists) < n_required:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            if n_required or xlists:
+                ids, scores = score_boolean(
+                    lists, avgdl, k + len(tombs),
+                    require_all=bool(n_required), exclude_lists=xlists)
+            else:
+                ids, scores = score_block_max(lists, avgdl, k + len(tombs))
             out = pd.DataFrame({"doc_id": ids.astype(np.int64), "score": scores})
             if tombs:
                 out = out[~out["doc_id"].isin(list(tombs))]

@@ -234,3 +234,25 @@ def test_boolean_and_exclude(spark, tmp_path):
 
     # a required term that matches nothing -> empty
     assert idx.topk(["def", "zzzznope"], mode="and") == []
+
+
+def test_topk_distributed_boolean(spark, tmp_path):
+    """Distributed boolean == driver-side boolean (per-bucket
+    conjunction is globally valid: one bucket owns all a doc's rows)."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    terms = ["def", "alpha", "sigma"]
+    got = [(r["doc_id"], r["score"]) for r in
+           idx.topk_distributed(terms, k=12, mode="and").collect()]
+    expect = idx.topk(terms, k=12, mode="and")
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, expect))
+
+    got_x = [(r["doc_id"], r["score"]) for r in
+             idx.topk_distributed(["def"], k=12, exclude=["alpha"]).collect()]
+    expect_x = idx.topk(["def"], k=12, exclude=["alpha"])
+    assert [d for d, _ in got_x] == [d for d, _ in expect_x]
+
+    assert idx.topk_distributed(["def", "zzzznope"], k=5, mode="and").count() == 0
