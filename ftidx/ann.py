@@ -67,15 +67,18 @@ def _plane_sign(plane: int, i: int) -> float:
 
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int | None = None) -> DataFrame:
+                       dim: int | None = None, table: int = 0) -> DataFrame:
     """SRP-LSH signature: bit j = sign(Σ_i ±1(j,i) · v_i). Output
-    (id, bucket) with bucket a '0'/'1' string of length n_planes."""
+    (id, bucket) with bucket a '0'/'1' string of length n_planes.
+    ``table`` selects an independent hyperplane family (plane ids are
+    offset by table·n_planes) — the multi-table recall knob."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    off = table * n_planes
     bits = []
     for j in range(n_planes):
-        signs = F.array(*[F.lit(_plane_sign(j, i)) for i in range(dim)])
+        signs = F.array(*[F.lit(_plane_sign(off + j, i)) for i in range(dim)])
         proj = _dot(v, signs)
         bits.append(F.when(proj > 0, "1").otherwise("0"))
     return embeddings.select(F.col(id_col), F.concat(*bits).alias("bucket"))
@@ -83,23 +86,31 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
 
 def lsh_cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
                     n_planes: int = 8, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding", n_tables: int = 1) -> DataFrame:
     """Approximate top-k: score only vectors whose SRP bucket is within
     Hamming distance 1 of the query's bucket (probing n_planes+1
-    buckets). Recall < 1 by design; exactness is cosine_topk's job."""
+    buckets), unioned across ``n_tables`` independent hyperplane
+    families. Recall < 1 by design and rises with n_tables (each table
+    gives a near neighbor another chance to share the query's bucket);
+    exactness is cosine_topk's job."""
     dim = len(query)
-    buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col, dim)
-    qbits = "".join(
-        "1" if sum(_plane_sign(j, i) * query[i] for i in range(dim)) > 0 else "0"
-        for j in range(n_planes)
-    )
-    probes = [qbits] + [
-        qbits[:j] + ("0" if qbits[j] == "1" else "1") + qbits[j + 1:]
-        for j in range(n_planes)
-    ]
-    cand = embeddings.join(
-        F.broadcast(buckets.filter(F.col("bucket").isin(probes)).select(id_col)), id_col
-    )
+    cand_ids = None
+    for t in range(n_tables):
+        buckets = hyperplane_buckets(
+            embeddings, n_planes, id_col, vec_col, dim, table=t)
+        off = t * n_planes
+        qbits = "".join(
+            "1" if sum(_plane_sign(off + j, i) * query[i]
+                       for i in range(dim)) > 0 else "0"
+            for j in range(n_planes)
+        )
+        probes = [qbits] + [
+            qbits[:j] + ("0" if qbits[j] == "1" else "1") + qbits[j + 1:]
+            for j in range(n_planes)
+        ]
+        ids_t = buckets.filter(F.col("bucket").isin(probes)).select(id_col)
+        cand_ids = ids_t if cand_ids is None else cand_ids.unionByName(ids_t)
+    cand = embeddings.join(F.broadcast(cand_ids.distinct()), id_col)
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
@@ -135,19 +146,25 @@ def batch_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
 def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95,
                          n_planes: int = 8, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         n_tables: int = 1) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucketed candidate join + exact
-    cosine verify (id_a < id_b, cosine ≥ threshold)."""
-    buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
+    cosine verify (id_a < id_b, cosine ≥ threshold); candidates union
+    across ``n_tables`` independent hyperplane families."""
+    pairs = None
+    for t in range(n_tables):
+        buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col,
+                                     table=t)
+        a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+        b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+        p = (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
     va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     j = pairs.join(va, "id_a").join(vb, "id_b")

@@ -216,3 +216,24 @@ def test_fingerprints(docs):
     assert rows[0]["fp_full"] == rows[1]["fp_full"]
     assert rows[0]["fp_full"] != rows[2]["fp_full"]
     assert rows[0]["fp_prefix"] == rows[2]["fp_prefix"]  # differ only at token 9
+
+
+def test_lsh_multi_table_recall(emb):
+    """More tables ⊇ candidates → per-rank cosine never worse, and the
+    planted near-dup survives; table=0 reproduces the single-table
+    plane family exactly (back-compat with the oracle)."""
+    from ftidx.ann import hyperplane_buckets, lsh_cosine_topk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]]
+    one = lsh_cosine_topk(emb, q, k=5, n_planes=6, n_tables=1).collect()
+    three = lsh_cosine_topk(emb, q, k=5, n_planes=6, n_tables=3).collect()
+    assert {r["vec_id"] for r in three} >= set()
+    for r1, r3 in zip(one, three):
+        assert r3["cosine"] >= r1["cosine"]
+    assert {100, 101} <= {r["vec_id"] for r in three}
+
+    b0 = hyperplane_buckets(emb, n_planes=4).collect()
+    b0_explicit = hyperplane_buckets(emb, n_planes=4, table=0).collect()
+    assert sorted(map(tuple, b0)) == sorted(map(tuple, b0_explicit))
+    b1 = hyperplane_buckets(emb, n_planes=4, table=1).collect()
+    assert sorted(map(tuple, b0)) != sorted(map(tuple, b1))
