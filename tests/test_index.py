@@ -256,3 +256,28 @@ def test_topk_distributed_boolean(spark, tmp_path):
     assert [d for d, _ in got_x] == [d for d, _ in expect_x]
 
     assert idx.topk_distributed(["def", "zzzznope"], k=5, mode="and").count() == 0
+
+
+def test_term_predicate_pushdown(spark, tmp_path):
+    """The serving fetch's (field, term) predicate must reach the
+    parquet scan (PushedFilters), and the scan must prune to the query
+    columns — regression guard for the plan shape the engine's
+    low-latency path depends on."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 100), out, n_buckets=2,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    plan = (
+        idx._postings.filter(
+            (F.col("field") == "code.content") & F.col("term").isin(["def", "alpha"])
+        )
+        .select("term", "df", "doc_ids")
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    )
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "field" in pushed and "term" in pushed, pushed
+    # column pruning: content blobs not in ReadSchema
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "tfs" not in read and "dls" not in read, read
