@@ -173,6 +173,20 @@ def q_bm25_topk_and(spark, sf_dir):
     )
 
 
+def q_facet_lang(spark, sf_dir):
+    # Solr facet.field analog (engine twin: FtIndex.facet_counts):
+    # language facet over docs matching ANY of the query terms
+    tok = _tokens(spark, sf_dir)
+    matched = tok.filter(F.col("term").isin("spark", "merge")) \
+        .select("doc_id").distinct()
+    return (
+        _docs(spark, sf_dir).join(matched, "doc_id")
+        .groupBy(F.col("lang").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+    )
+
+
 def q_docid_projection(spark, sf_dir):
     # S9 doc-id synthesis + input_hint sha256 invariant
     return _docs(spark, sf_dir).select(
@@ -611,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
+        "facet_lang": q_facet_lang,
         "docid_projection": q_docid_projection,
         "date_normalize": q_date_normalize,
         "collection_facet": q_collection_facet,
@@ -681,6 +696,16 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf
                                    WHERE term = 'slow')
             ) WHERE rank <= 10
+        """,
+        "facet_lang": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+              SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'merge')
+            )
+            SELECT d.lang AS value, count(*) AS n_docs
+            FROM documents d JOIN matched USING (doc_id)
+            GROUP BY d.lang
+            ORDER BY n_docs DESC, value
         """,
         "docid_projection": """
             SELECT source || ':' || doc_id AS doc_key, sha256(text) AS text_sha256

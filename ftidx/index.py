@@ -807,6 +807,43 @@ class FtIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return [(d, s) for d, s in ranked[:k]]
 
+    def facet_counts(self, terms: list[str], facet: str = "lang",
+                     field: str = "code.content",
+                     k_facets: int = 20) -> DataFrame:
+        """Facet counts over the docs matching ANY query term (Solr's
+        ``facet.field`` surface): returns (facet value, n_docs) for the
+        top ``k_facets`` values, ties broken by value. Fully
+        distributed: matching ids are decoded from the term-filtered
+        postings inside executors (pushdown scan, no driver collect),
+        then joined to the docs table's metadata column — at 10^12 docs
+        the join is id-keyed against the bucket-partitioned docs table."""
+        qterms = sorted(set(terms))
+        hit = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(qterms)
+        ).select("doc_ids")
+
+        def decode_ids(batches):
+            from ftidx.codec import delta_decode, varint_decode
+
+            for pdf in batches:
+                for blob in pdf["doc_ids"]:
+                    ids = delta_decode(varint_decode(blob)).astype(np.int64)
+                    yield pd.DataFrame({"doc_id": ids})
+
+        matched = hit.mapInPandas(decode_ids, schema="doc_id long").distinct()
+        if self._tombstones:
+            tomb = self.spark.createDataFrame(
+                [(int(d),) for d in sorted(self._tombstones)], "doc_id long")
+            matched = matched.join(F.broadcast(tomb), "doc_id", "left_anti")
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        return (
+            docs.join(matched, "doc_id")
+            .groupBy(F.col(facet).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("value"))
+            .limit(k_facets)
+        )
+
     def topk_distributed(self, terms: list[str], k: int = 10,
                          field: str = "code.content", mode: str = "or",
                          exclude: list[str] | None = None) -> DataFrame:

@@ -281,3 +281,30 @@ def test_term_predicate_pushdown(spark, tmp_path):
     # column pruning: content blobs not in ReadSchema
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "tfs" not in read and "dls" not in read, read
+
+
+def test_facet_counts(spark, tmp_path):
+    """Facets over matching docs == brute-force recount from the docs
+    table; tombstoned docs drop out."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    got = {r["value"]: r["n_docs"] for r in
+           idx.facet_counts(["def", "alpha"], facet="lang").collect()}
+
+    matched = {d for d, _ in idx.topk(["def", "alpha"], k=10**6,
+                                      kernel="exhaustive")}
+    docs = spark.read.parquet(f"{out}/docs").collect()
+    expect: dict[str, int] = {}
+    for r in docs:
+        if r["doc_id"] in matched:
+            expect[r["lang"]] = expect.get(r["lang"], 0) + 1
+    assert got == expect and got
+
+    victim = next(iter(matched))
+    vlang = next(r["lang"] for r in docs if r["doc_id"] == victim)
+    idx.delete([victim])
+    got2 = {r["value"]: r["n_docs"] for r in
+            idx.facet_counts(["def", "alpha"], facet="lang").collect()}
+    assert got2[vlang] == expect[vlang] - 1
