@@ -12,6 +12,8 @@ Endpoints (all JSON):
 
 - ``GET /health``        → status, build_id, per-field doc counts
 - ``GET /search?q=a+b&field=code.content&k=10`` → BM25 top-k
+  (``mode=and`` for conjunctive, ``-term`` tokens exclude)
+- ``GET /facet?q=a+b&facet=lang``  → facet counts over matching docs
 - ``GET /phrase?q=a+b&k=10``  → exact-phrase top-k (positional index)
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``POST /refresh``      → re-open the handle after maintenance ops
@@ -64,6 +66,22 @@ def _make_handler(idx, lock: threading.Lock):
                         stats = {f: {"n_docs": n, "avgdl": a}
                                  for f, (n, a) in idx.stats.items()}
                     self._json(200, stats)
+                elif u.path == "/facet":
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    facet = qs.get("facet", ["lang"])[0]
+                    field = qs.get("field", ["code.content"])[0]
+                    k = int(qs.get("k", ["20"])[0])
+                    with lock:
+                        rows = idx.facet_counts(
+                            terms, facet=facet, field=field, k_facets=k
+                        ).collect()
+                    self._json(200, {"facets": [
+                        {"value": r["value"], "n_docs": r["n_docs"]}
+                        for r in rows
+                    ]})
                 elif u.path in ("/search", "/phrase"):
                     raw = qs.get("q", [""])[0].split()
                     # Solr-ish boolean surface: '-term' excludes,

@@ -95,3 +95,12 @@ def test_boolean_search_endpoint(served):
     _, body = _get(f"{base}/search?q=def+-alpha&k=5")
     expect = idx.topk(["def"], k=5, exclude=["alpha"])
     assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+
+
+def test_facet_endpoint(served):
+    srv, idx = served
+    _, body = _get(f"http://{srv.host}:{srv.port}/facet?q=def&facet=lang")
+    expect = [(r["value"], r["n_docs"])
+              for r in idx.facet_counts(["def"], facet="lang").collect()]
+    assert [(f["value"], f["n_docs"]) for f in body["facets"]] == expect
+    assert body["facets"]
