@@ -47,6 +47,18 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # contract sanity up front: every queries() value must be callable,
+    # every oracle key must name a query, and (loudly, not fatally)
+    # report queries lacking an oracle — a malformed dict otherwise
+    # crashes mid-run and truncates the report silently
+    bad = [k for k, v in qs.items() if not callable(v)]
+    if bad:
+        raise SystemExit(f"non-callable queries() entries: {bad}")
+    orphans = sorted(set(oracles) - set(qs))
+    if orphans:
+        raise SystemExit(f"oracle_sql() keys with no queries() entry: {orphans}")
+    for k in sorted(set(qs) - set(oracles)):
+        print(f"NOTE: {k} has no oracle (rows-only check)")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
