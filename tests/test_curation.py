@@ -227,7 +227,7 @@ def test_lsh_multi_table_recall(emb):
     q = [float(x) for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]]
     one = lsh_cosine_topk(emb, q, k=5, n_planes=6, n_tables=1).collect()
     three = lsh_cosine_topk(emb, q, k=5, n_planes=6, n_tables=3).collect()
-    assert {r["vec_id"] for r in three} >= set()
+    assert len(three) >= len(one)
     for r1, r3 in zip(one, three):
         assert r3["cosine"] >= r1["cosine"]
     assert {100, 101} <= {r["vec_id"] for r in three}
