@@ -173,6 +173,53 @@ def q_bm25_topk_and(spark, sf_dir):
     )
 
 
+def q_bm25_multifield(spark, sf_dir):
+    # multi-field weighted BM25 (edismax qf analog, engine twin:
+    # FtIndex.topk_fields): text terms at weight 1.0 + the keyword
+    # field lang='en' at weight 0.5 (keyword fields have tf=1, dl=1,
+    # avgdl=1 — the meta.* shape the tokenizer emits)
+    docs = _docs(spark, sf_dir)
+    text_scored = _bm25_scored(spark, sf_dir).select(
+        "doc_id", F.col("score_r").alias("text_score"))
+    n_docs = docs.count()
+    df_en = docs.filter(F.col("lang") == "en").count()
+    idf = F.lit(__import__("math").log(1.0 + (n_docs - df_en + 0.5) / (df_en + 0.5)))
+    kw_contrib = idf * F.lit(1.0) * F.lit(K1 + 1.0) / (
+        F.lit(1.0) + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.lit(1.0) / F.lit(1.0))
+    )
+    kw = docs.filter(F.col("lang") == "en").select(
+        "doc_id", (F.lit(0.5) * kw_contrib).alias("kw_score"))
+    combined = (
+        text_scored.join(kw, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("text_score"), F.lit(0.0))
+                + F.coalesce(F.col("kw_score"), F.lit(0.0)), 5).alias("score_r"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r")
+    )
+
+
+def q_fuzzy_vocab(spark, sf_dir):
+    # fuzzy term expansion (Solr term~ analog, engine twin:
+    # FtIndex.fuzzy_terms): vocabulary terms within 1 edit of the
+    # misspelling 'mergs', ranked (distance, df DESC, term)
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.length("term") >= 4) & (F.length("term") <= 6))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit("mergs")))
+        .filter(F.col("dist") <= 1)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+    )
+
+
 def q_facet_lang(spark, sf_dir):
     # Solr facet.field analog (engine twin: FtIndex.facet_counts):
     # language facet over docs matching ANY of the query terms
@@ -626,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "facet_lang": q_facet_lang,
+        "fuzzy_vocab": q_fuzzy_vocab,
+        "bm25_multifield": q_bm25_multifield,
         "docid_projection": q_docid_projection,
         "date_normalize": q_date_normalize,
         "collection_facet": q_collection_facet,
@@ -696,6 +745,40 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf
                                    WHERE term = 'slow')
             ) WHERE rank <= 10
+        """,
+        "bm25_multifield": _BM25_CTE + f""",
+            stats2 AS (SELECT count(*) AS n_docs,
+                              count(*) FILTER (lang = 'en') AS df_en
+                       FROM documents),
+            kw AS (
+              SELECT d.doc_id,
+                     0.5 * ln(1.0 + (s.n_docs - s.df_en + 0.5) / (s.df_en + 0.5))
+                         * 1.0 * {K1 + 1.0}
+                         / (1.0 + {K1} * ({1.0 - B} + {B} * 1.0 / 1.0)) AS kw_score
+              FROM documents d CROSS JOIN stats2 s WHERE d.lang = 'en'
+            ),
+            combined AS (
+              SELECT coalesce(b.doc_id, kw.doc_id) AS doc_id,
+                     round(coalesce(b.score_r, 0.0) + coalesce(kw.kw_score, 0.0), 5)
+                       AS score_r
+              FROM bm25 b FULL OUTER JOIN kw ON b.doc_id = kw.doc_id
+            )
+            SELECT rank, doc_id, score_r FROM (
+              SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+                     doc_id, score_r
+              FROM combined
+            ) WHERE rank <= 10
+        """,
+        "fuzzy_vocab": f"""
+            WITH {_TOK_CTE},
+            vocab AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+            )
+            SELECT term, df, levenshtein(term, 'mergs') AS dist
+            FROM vocab
+            WHERE length(term) BETWEEN 4 AND 6
+              AND levenshtein(term, 'mergs') <= 1
+            ORDER BY dist, df DESC, term
         """,
         "facet_lang": f"""
             WITH {_TOK_CTE},

@@ -807,6 +807,61 @@ class FtIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return [(d, s) for d, s in ranked[:k]]
 
+    def topk_fields(self, terms: list[str],
+                    fields: dict[str, float] | None = None,
+                    k: int = 10) -> list[tuple[int, float]]:
+        """Multi-field weighted BM25 top-k (Solr edismax ``qf``:
+        ``code.ident.split^2 code.content``): each field scores with
+        its own idf/avgdl, the weight scales its contribution, docs
+        sum across fields. Fields with no matching terms contribute
+        nothing (a doc only matching the low-weight field still
+        ranks)."""
+        from ftidx.wand import score_weighted_fields
+
+        fields = fields or {"code.content": 1.0, "code.ident.split": 2.0}
+        triples = []
+        for field, w in fields.items():
+            lists, avgdl = self._term_lists(terms, field)
+            if lists:
+                triples.append((float(w), lists, avgdl))
+        if not triples:
+            return []
+        extra = len(self._tombstones)
+        ids, scores = score_weighted_fields(triples, k + extra)
+        out = [
+            (int(i), float(s))
+            for i, s in zip(ids.astype(np.int64), scores)
+            if int(i) not in self._tombstones
+        ]
+        return out[:k]
+
+    def fuzzy_terms(self, term: str, field: str = "code.content",
+                    max_dist: int = 1, limit: int = 10) -> list[tuple[str, int, int]]:
+        """Fuzzy term expansion (Solr ``term~`` analog): vocabulary
+        terms within ``max_dist`` edits, ranked (distance ASC, df DESC,
+        term ASC). Returns (term, df_global, distance).
+
+        Plan shape: the vocabulary scan reads only (term, df) —
+        column-pruned parquet — aggregates df per term (map-side
+        combinable), prunes by the length band |len(t)−len(q)| ≤ d
+        BEFORE the quadratic levenshtein, all JVM-side codegen. At
+        10^12 docs the vocabulary is sublinear in the corpus and this
+        is one cheap scan; compose the expansion with topk() to answer
+        misspelled queries."""
+        band = (F.length("term") >= len(term) - max_dist) & (
+            F.length("term") <= len(term) + max_dist)
+        vocab = (
+            self._postings.filter(F.col("field") == field)
+            .filter(~F.col("term").startswith(PSEUDO_PREFIX))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .filter(band)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
+            .filter(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(limit)
+        )
+        return [(r["term"], int(r["df"]), int(r["dist"])) for r in vocab.collect()]
+
     def facet_counts(self, terms: list[str], facet: str = "lang",
                      field: str = "code.content",
                      k_facets: int = 20) -> DataFrame:

@@ -175,6 +175,26 @@ def score_exhaustive(lists: list[TermList], avgdl: float, k: int):
     return _accumulate(per_term, k)
 
 
+def score_weighted_fields(field_lists, k: int):
+    """Multi-field weighted BM25 (the edismax ``qf`` analog): score =
+    Σ_fields w_f · BM25_f(doc) — each field keeps its own idf/avgdl
+    statistics, the weight scales the field's contribution.
+
+    ``field_lists``: iterable of (weight, lists, avgdl) triples.
+    Exhaustive over the cached decode (block-max bounds are per-field;
+    a cross-field threshold would need combined bounds — not worth it
+    until single-field pruning is the bottleneck)."""
+    if k <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    per_term = []
+    for weight, lists, avgdl in field_lists:
+        for tl in sorted(lists, key=lambda t: (t.df, t.term)):
+            ids, tfs, dls = tl.decode_all()
+            per_term.append(
+                (ids, weight * bm25_contrib(tfs, dls, tl.idf, avgdl)))
+    return _accumulate(per_term, k)
+
+
 def score_boolean(lists: list[TermList], avgdl: float, k: int,
                   require_all: bool = False,
                   exclude_lists: list[TermList] | None = None):

@@ -308,3 +308,42 @@ def test_facet_counts(spark, tmp_path):
     got2 = {r["value"]: r["n_docs"] for r in
             idx.facet_counts(["def", "alpha"], facet="lang").collect()}
     assert got2[vlang] == expect[vlang] - 1
+
+
+def test_topk_fields_weighted(spark, tmp_path):
+    """Multi-field weighted BM25 == weighted sum of per-field scores."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    terms = ["def", "alpha"]
+    weights = {"code.content": 1.0, "code.ident.split": 2.5}
+    got = idx.topk_fields(terms, weights, k=12)
+
+    acc: dict[int, float] = {}
+    for field, w in weights.items():
+        for d, s in idx.topk(terms, k=10**6, field=field, kernel="exhaustive"):
+            acc[d] = acc.get(d, 0.0) + w * s
+    expect = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, expect))
+    assert got
+
+
+def test_fuzzy_terms(spark, tmp_path):
+    """Fuzzy expansion finds 1-edit vocabulary neighbors and composes
+    with topk to answer misspelled queries."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    got = idx.fuzzy_terms("deff")  # misspelling of 'def'
+    assert got and got[0][0] == "def" and got[0][2] == 1
+    assert all(d <= 1 for _, _, d in got)
+    # exact term -> itself at distance 0 first
+    exact = idx.fuzzy_terms("def")
+    assert exact[0] == ("def", exact[0][1], 0)
+    # compose: expanded query returns hits
+    expanded = [t for t, _, _ in got[:3]]
+    assert idx.topk(expanded, k=5)
+    assert idx.fuzzy_terms("zzzzzzzzzz") == []
