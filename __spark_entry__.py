@@ -220,6 +220,38 @@ def q_fuzzy_vocab(spark, sf_dir):
     )
 
 
+def q_bm25_topk_filtered(spark, sf_dir):
+    # Solr fq analog (engine twin: FtIndex.topk_where): BM25 rank
+    # restricted to docs passing a metadata predicate; the filter binds
+    # BEFORE the top-k cut
+    scored = _bm25_scored(spark, sf_dir)
+    keep = _docs(spark, sf_dir).filter(F.col("n_chars") >= 300).select("doc_id")
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        scored.join(keep, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r")
+    )
+
+
+def q_match_stats(spark, sf_dir):
+    # Solr stats component analog (engine twin: FtIndex.match_stats):
+    # aggregate a metadata column over the query's match set
+    tok = _tokens(spark, sf_dir)
+    matched = tok.filter(F.col("term").isin(BM25_TERMS)) \
+        .select("doc_id").distinct()
+    return (
+        _docs(spark, sf_dir).join(matched, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.count_distinct("lang").alias("n_values"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def q_facet_lang(spark, sf_dir):
     # Solr facet.field analog (engine twin: FtIndex.facet_counts):
     # language facet over docs matching ANY of the query terms
@@ -673,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "facet_lang": q_facet_lang,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
+        "match_stats": q_match_stats,
         "fuzzy_vocab": q_fuzzy_vocab,
         "bm25_multifield": q_bm25_multifield,
         "docid_projection": q_docid_projection,
@@ -779,6 +813,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(term) BETWEEN 4 AND 6
               AND levenshtein(term, 'mergs') <= 1
             ORDER BY dist, df DESC, term
+        """,
+        "bm25_topk_filtered": _BM25_CTE + """
+            SELECT rank, doc_id, score_r FROM (
+              SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+                     doc_id, score_r
+              FROM bm25 JOIN documents USING (doc_id)
+              WHERE n_chars >= 300
+            ) WHERE rank <= 10
+        """,
+        "match_stats": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+              SELECT DISTINCT doc_id FROM tok
+              WHERE term IN ('spark', 'merge', 'window')
+            )
+            SELECT count(*) AS n_matched,
+                   count(DISTINCT lang) AS n_values,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents JOIN matched USING (doc_id)
         """,
         "facet_lang": f"""
             WITH {_TOK_CTE},

@@ -835,6 +835,91 @@ class FtIndex:
         ]
         return out[:k]
 
+    def topk_where(self, terms: list[str], where: str, k: int = 10,
+                   field: str = "code.content") -> DataFrame:
+        """Filtered top-k (Solr ``fq`` analog): BM25 rank among docs
+        matching the query terms AND a metadata predicate over the docs
+        table (``"lang = 'python' AND NOT deleted"``). The filter
+        applies BEFORE the top-k cut — a doc outside the predicate
+        never displaces one inside it.
+
+        Scale shape: per-bucket scoring inside executors (every
+        matching doc, no per-bucket cut — the predicate could eliminate
+        any prefix), id-keyed join against the predicate-filtered docs
+        table (the filter pushes into the parquet scan), global
+        TakeOrderedAndProject."""
+        qterms = sorted(set(terms))
+        prows = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(qterms)
+        )
+        df_by_term = {
+            r["term"]: int(r["df_global"])
+            for r in prows.groupBy("term").agg(F.sum("df").alias("df_global")).collect()
+        }
+        n_docs, avgdl = self.stats.get(field, (0, 1.0))
+        idfs = {t: bm25_idf(n_docs, d) for t, d in df_by_term.items()}
+        tombs = self._tombstones
+
+        def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = []
+            for term, grp in pdf.groupby("term", sort=True):
+                tl = TermList(term, grp.to_dict("records"), idfs[term])
+                ids, tfs, dls = tl.decode_all()
+                per_term.append((ids, bm25_contrib(tfs, dls, tl.idf, avgdl)))
+            if not per_term:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            import numpy as _np
+
+            all_ids = _np.concatenate([i for i, _ in per_term])
+            all_c = _np.concatenate([c for _, c in per_term])
+            uniq, inv = _np.unique(all_ids, return_inverse=True)
+            scores = _np.bincount(inv, weights=all_c, minlength=uniq.size)
+            out = pd.DataFrame({"doc_id": uniq.astype(_np.int64),
+                                "score": scores})
+            if tombs:
+                out = out[~out["doc_id"].isin(list(tombs))]
+            return out
+
+        scored = prows.groupBy("bucket").applyInPandas(
+            score_all, schema="doc_id long, score double")
+        keep = (
+            self.spark.read.parquet(str(self.path / "docs"))
+            .filter(where).select("doc_id")
+        )
+        return (
+            scored.join(keep, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        )
+
+    def match_stats(self, terms: list[str], stat_col: str = "lang",
+                    field: str = "code.content") -> DataFrame:
+        """Solr stats-component analog: aggregate a docs-table column
+        over the query's matching docs (count distinct values, min/max
+        for orderable columns). Same distributed shape as
+        :meth:`facet_counts` — executor-side id decode, id-keyed join."""
+        qterms = sorted(set(terms))
+        hit = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(qterms)
+        ).select("doc_ids")
+
+        def decode_ids(batches):
+            from ftidx.codec import delta_decode, varint_decode
+
+            for pdf in batches:
+                for blob in pdf["doc_ids"]:
+                    ids = delta_decode(varint_decode(blob)).astype(np.int64)
+                    yield pd.DataFrame({"doc_id": ids})
+
+        matched = hit.mapInPandas(decode_ids, schema="doc_id long").distinct()
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        return docs.join(matched, "doc_id").agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.count_distinct(stat_col).alias("n_values"),
+            F.min(stat_col).alias("min_value"),
+            F.max(stat_col).alias("max_value"),
+        )
+
     def fuzzy_terms(self, term: str, field: str = "code.content",
                     max_dist: int = 1, limit: int = 10) -> list[tuple[str, int, int]]:
         """Fuzzy term expansion (Solr ``term~`` analog): vocabulary

@@ -347,3 +347,30 @@ def test_fuzzy_terms(spark, tmp_path):
     expanded = [t for t, _, _ in got[:3]]
     assert idx.topk(expanded, k=5)
     assert idx.fuzzy_terms("zzzzzzzzzz") == []
+
+
+def test_topk_where_and_match_stats(spark, tmp_path):
+    """Predicate-filtered top-k: filter applies before the cut; stats
+    aggregate over the match set."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    got = [(r["doc_id"], r["score"]) for r in
+           idx.topk_where(["def"], "lang = 'python'", k=8).collect()]
+
+    # brute force: all scores, keep python docs, top 8
+    all_hits = dict(idx.topk(["def"], k=10**6, kernel="exhaustive"))
+    py_ids = {r["doc_id"] for r in
+              spark.read.parquet(f"{out}/docs")
+              .filter("lang = 'python'").collect()}
+    expect = sorted(((d, s) for d, s in all_hits.items() if d in py_ids),
+                    key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    assert got and all(d in py_ids for d, _ in got)
+    # the predicate genuinely removed candidates from the match set
+    assert any(d not in py_ids for d in all_hits)
+
+    stats = idx.match_stats(["def"], stat_col="lang").collect()[0]
+    assert stats["n_matched"] == len(all_hits)
+    assert stats["n_values"] >= 2
