@@ -14,6 +14,8 @@ Endpoints (all JSON):
 - ``GET /search?q=a+b&field=code.content&k=10`` → BM25 top-k
   (``mode=and`` for conjunctive, ``-term`` tokens exclude)
 - ``GET /facet?q=a+b&facet=lang``  → facet counts over matching docs
+- ``GET /fuzzy?term=deff&d=1``  → fuzzy vocabulary expansion
+- ``qf=fieldA^2,fieldB`` on /search → multi-field weighted BM25
 - ``GET /phrase?q=a+b&k=10``  → exact-phrase top-k (positional index)
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``POST /refresh``      → re-open the handle after maintenance ops
@@ -66,6 +68,19 @@ def _make_handler(idx, lock: threading.Lock):
                         stats = {f: {"n_docs": n, "avgdl": a}
                                  for f, (n, a) in idx.stats.items()}
                     self._json(200, stats)
+                elif u.path == "/fuzzy":
+                    term = qs.get("term", [""])[0]
+                    if not term:
+                        self._json(400, {"error": "missing term"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    d = int(qs.get("d", ["1"])[0])
+                    with lock:
+                        out = idx.fuzzy_terms(term, field=field, max_dist=d)
+                    self._json(200, {"terms": [
+                        {"term": t, "df": df, "dist": dist}
+                        for t, df, dist in out
+                    ]})
                 elif u.path == "/facet":
                     terms = qs.get("q", [""])[0].split()
                     if not terms:
@@ -94,12 +109,22 @@ def _make_handler(idx, lock: threading.Lock):
                     k = int(qs.get("k", ["10"])[0])
                     field = qs.get("field", ["code.content"])[0]
                     mode = qs.get("mode", ["or"])[0]
+                    # qf=fieldA^2,fieldB^0.5 → multi-field weighted BM25
+                    qf = qs.get("qf", [""])[0]
+                    weights = None
+                    if qf:
+                        weights = {}
+                        for part in qf.split(","):
+                            f_name, _, boost = part.partition("^")
+                            weights[f_name.strip()] = float(boost or 1.0)
                     with lock:
-                        if u.path == "/search":
+                        if u.path != "/search":
+                            hits = idx.phrase_topk(terms, k=k, field=field)
+                        elif weights:
+                            hits = idx.topk_fields(terms, weights, k=k)
+                        else:
                             hits = idx.topk(terms, k=k, field=field,
                                             mode=mode, exclude=exclude or None)
-                        else:
-                            hits = idx.phrase_topk(terms, k=k, field=field)
                     self._json(200, {"hits": [
                         {"doc_id": d, "score": s} for d, s in hits
                     ]})

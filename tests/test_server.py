@@ -104,3 +104,16 @@ def test_facet_endpoint(served):
               for r in idx.facet_counts(["def"], facet="lang").collect()]
     assert [(f["value"], f["n_docs"]) for f in body["facets"]] == expect
     assert body["facets"]
+
+
+def test_fuzzy_and_qf_endpoints(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, body = _get(f"{base}/fuzzy?term=deff")
+    assert body["terms"] and body["terms"][0]["term"] == "def"
+
+    qf = "code.content^1,code.ident.split^2"
+    _, body = _get(f"{base}/search?q=def+alpha&qf={qf}&k=5")
+    expect = idx.topk_fields(["def", "alpha"],
+                             {"code.content": 1.0, "code.ident.split": 2.0}, k=5)
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
