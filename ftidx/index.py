@@ -564,6 +564,15 @@ def build_index(
     return {"built": built, "skipped": skipped, "n_buckets": n_buckets, "build_id": build_id}
 
 
+def _entry_cost(rows: list[dict]) -> int:
+    """Approximate resident bytes of a cached term entry: blobs plus
+    the decoded uint64 arrays wand memoizes onto the rows (~8×/stream
+    → ~9× blob bytes overall), plus per-row dict overhead."""
+    blob = sum(
+        len(r["doc_ids"]) + len(r["tfs"]) + len(r["dls"]) for r in rows)
+    return blob * 9 + 1024 * max(len(rows), 1)
+
+
 class FtIndex:
     """Query-side handle on a persisted index.
 
@@ -580,9 +589,17 @@ class FtIndex:
         self.path = Path(path)
         # driver-side posting-list cache for hot query serving: repeat
         # queries hit numpy directly, no Spark job. LRU-bounded by entry
-        # count; the 100 TB cold path is topk_distributed.
-        self._term_cache: dict[tuple[str, str], list[dict]] = {}
+        # count AND bytes (FTIDX_CACHE_MB, default 512 — decoded arrays
+        # dominate); the 100 TB cold path is topk_distributed.
+        from collections import OrderedDict
+
+        self._term_cache: OrderedDict[tuple[str, str], list[dict]] = OrderedDict()
         self._term_cache_max = 4096
+        import os as _os
+
+        self._term_cache_max_bytes = int(
+            _os.environ.get("FTIDX_CACHE_MB", "512")) * 1024 * 1024
+        self._cache_bytes = 0
         self.refresh()
 
     def refresh(self) -> None:
@@ -653,6 +670,7 @@ class FtIndex:
             spark.read.parquet(str(pos_dir)) if pos_dir.exists() else None
         )
         self._term_cache.clear()
+        self._cache_bytes = 0
 
     # -- maintenance -----------------------------------------------------
     def delete(self, doc_ids: list[int]) -> None:
@@ -680,6 +698,7 @@ class FtIndex:
     def _fetch_term_rows(self, terms: list[str], field: str) -> dict[str, list[dict]]:
         """Term rows via the driver cache; only cache misses touch Spark."""
         missing = [t for t in terms if (field, t) not in self._term_cache]
+        grouped: dict[str, list[dict]] = {}
         if missing:
             fetched = (
                 self._postings.filter(
@@ -689,20 +708,32 @@ class FtIndex:
                         "block_max_tf", "block_min_dl", "block_last_docid")
                 .collect()
             )
-            # LRU eviction: drop oldest entries only (insertion order =
-            # recency, maintained below), never the whole cache
-            while len(self._term_cache) + len(missing) > self._term_cache_max:
-                self._term_cache.pop(next(iter(self._term_cache)))
-            grouped: dict[str, list[dict]] = {t: [] for t in missing}
+            grouped = {t: [] for t in missing}
             for r in fetched:
                 grouped[r["term"]].append(r.asDict())
-            for t, rows in grouped.items():
-                self._term_cache[(field, t)] = rows
         out = {}
         for t in terms:
-            rows = self._term_cache.pop((field, t))  # re-insert → most recent
-            self._term_cache[(field, t)] = rows
+            key = (field, t)
+            if key in self._term_cache:
+                rows = self._term_cache.pop(key)  # re-insert → most recent
+                self._cache_bytes -= _entry_cost(rows)
+            else:
+                rows = grouped.get(t, [])
             out[t] = rows
+            self._term_cache[key] = rows
+            self._cache_bytes += _entry_cost(rows)
+        # LRU eviction, BYTE-aware: entries end up carrying decoded
+        # numpy arrays (~9× the varint blob — wand memoizes into the
+        # row dicts), so an entry-count cap alone would let a few
+        # thousand high-df terms exhaust driver memory. Drop oldest
+        # until under both budgets; `out` keeps its references, so the
+        # current query is unaffected even if its own entries fall out.
+        while self._term_cache and (
+            len(self._term_cache) > self._term_cache_max
+            or self._cache_bytes > self._term_cache_max_bytes
+        ):
+            _, old_rows = self._term_cache.popitem(last=False)
+            self._cache_bytes -= _entry_cost(old_rows)
         return out
 
     def _term_lists(self, terms: list[str], field: str):

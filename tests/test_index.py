@@ -374,3 +374,24 @@ def test_topk_where_and_match_stats(spark, tmp_path):
     stats = idx.match_stats(["def"], stat_col="lang").collect()[0]
     assert stats["n_matched"] == len(all_hits)
     assert stats["n_values"] >= 2
+
+
+def test_term_cache_byte_eviction(spark, tmp_path):
+    """Byte-aware LRU: with a tiny byte budget the cache evicts rather
+    than grow, results stay correct, and accounting never goes
+    negative."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    baseline = {q: idx.topk(list(q), k=5) for q in
+                (("def",), ("alpha",), ("sigma", "def"), ("value",))}
+
+    idx2 = open_index(spark, out)
+    idx2._term_cache_max_bytes = 8 * 1024  # a couple of entries at most
+    for _ in range(3):
+        for q, expect in baseline.items():
+            assert idx2.topk(list(q), k=5) == expect
+    assert idx2._cache_bytes >= 0
+    assert idx2._cache_bytes <= 8 * 1024 or len(idx2._term_cache) <= 1
+    assert len(idx2._term_cache) < 6
