@@ -252,6 +252,18 @@ def q_match_stats(spark, sf_dir):
     )
 
 
+def q_doc_term_vector(spark, sf_dir):
+    # Solr termvectors component analog (engine twin:
+    # FtIndex.doc_term_vector): one doc's terms with tf, ranked
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.filter(F.col("doc_id") == 0)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(25)
+    )
+
+
 def q_facet_lang(spark, sf_dir):
     # Solr facet.field analog (engine twin: FtIndex.facet_counts):
     # language facet over docs matching ANY of the query terms
@@ -705,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "facet_lang": q_facet_lang,
+        "doc_term_vector": q_doc_term_vector,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "match_stats": q_match_stats,
         "fuzzy_vocab": q_fuzzy_vocab,
@@ -833,6 +846,14 @@ def oracle_sql() -> dict[str, str]:
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars
             FROM documents JOIN matched USING (doc_id)
+        """,
+        "doc_term_vector": f"""
+            WITH {_TOK_CTE}
+            SELECT term, count(*) AS tf FROM tok
+            WHERE doc_id = 0
+            GROUP BY term
+            ORDER BY tf DESC, term
+            LIMIT 25
         """,
         "facet_lang": f"""
             WITH {_TOK_CTE},

@@ -1015,6 +1015,80 @@ class FtIndex:
             .limit(k_facets)
         )
 
+    def doc_term_vector(self, doc_id: int, field: str = "code.content",
+                        top_m: int = 50) -> list[tuple[str, int]]:
+        """Per-doc term vector (Solr termvectors component): the doc's
+        terms with tf, ranked (tf DESC, term ASC). The index is
+        term-major (no forward table by design — a forward index would
+        double build cost for a rarely-hot path), so this is a scan of
+        the doc's ONE bucket partition: partition pruning keeps it at
+        O(bucket), executor-side decode keeps the driver at top_m rows."""
+        bucket = self._bucket_of(doc_id)
+        rows = self._postings.filter(~F.col("field").startswith(PSEUDO_PREFIX))
+        if bucket is not None:
+            rows = rows.filter(F.col("bucket") == bucket)
+        rows = rows.filter(F.col("field") == field).select("term", "doc_ids", "tfs")
+        target = np.uint64(doc_id)
+
+        def find_doc(batches):
+            from ftidx.codec import delta_decode, varint_decode
+
+            for pdf in batches:
+                terms_out, tfs_out = [], []
+                for term, id_blob, tf_blob in zip(
+                        pdf["term"], pdf["doc_ids"], pdf["tfs"]):
+                    ids = delta_decode(varint_decode(id_blob))
+                    pos = np.searchsorted(ids, target)
+                    if pos < ids.size and ids[pos] == target:
+                        terms_out.append(term)
+                        tfs_out.append(int(varint_decode(tf_blob)[pos]))
+                yield pd.DataFrame({"term": terms_out, "tf": tfs_out})
+
+        got = (
+            rows.mapInPandas(find_doc, schema="term string, tf long")
+            .orderBy(F.desc("tf"), F.asc("term")).limit(top_m).collect()
+        )
+        return [(r["term"], int(r["tf"])) for r in got]
+
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       field: str = "code.content",
+                       max_query_terms: int = 12) -> list[tuple[int, float]]:
+        """More-like-this (Solr MLT component): rank other docs by BM25
+        against the source doc's most significant terms (highest
+        tf·idf, ties by term), excluding the source itself."""
+        tv = self.doc_term_vector(doc_id, field=field, top_m=200)
+        if not tv:
+            return []
+        n_docs, _ = self.stats.get(field, (0, 1.0))
+        by_term = self._fetch_term_rows([t for t, _ in tv], field)
+        scored_terms = sorted(
+            (
+                (-tf * bm25_idf(n_docs, sum(int(r["df"]) for r in by_term[t])), t)
+                for t, tf in tv
+                if by_term[t]
+            ),
+        )[:max_query_terms]
+        qterms = [t for _, t in scored_terms]
+        hits = self.topk(qterms, k=k + 1, field=field)
+        return [(d, s) for d, s in hits if d != doc_id][:k]
+
+    def _bucket_of(self, doc_id: int) -> int | None:
+        """Bucket owning ``doc_id``, resolved via the doclen table (one
+        column-pruned, predicate-pushed lookup). NOT derived from
+        ``doc_id >> BUCKET_SHIFT``: that is only valid for batch rank
+        ids, and a streaming hash id aliases into a plausible bucket
+        once per ~65k ids — a silently-empty term vector. None when the
+        id is unknown (caller scans every bucket)."""
+        dl_dir = self.path / "doclen"
+        if dl_dir.exists() and any(dl_dir.iterdir()):
+            row = (
+                self.spark.read.parquet(str(dl_dir))
+                .filter(F.col("doc_id") == doc_id).select("bucket").first()
+            )
+            if row is not None:
+                return int(row["bucket"])
+        return None
+
     def topk_distributed(self, terms: list[str], k: int = 10,
                          field: str = "code.content", mode: str = "or",
                          exclude: list[str] | None = None) -> DataFrame:

@@ -395,3 +395,30 @@ def test_term_cache_byte_eviction(spark, tmp_path):
     assert idx2._cache_bytes >= 0
     assert idx2._cache_bytes <= 8 * 1024 or len(idx2._term_cache) <= 1
     assert len(idx2._term_cache) < 6
+
+
+def test_term_vector_and_mlt(spark, tmp_path):
+    """Termvectors match the flat tf frame; MLT ranks docs similar to
+    the source without returning the source."""
+    from ftidx.build import build_flat
+
+    src = synth_source(spark, 200)
+    out = str(tmp_path / "idx")
+    build_index(spark, src, out, n_buckets=4, hot_df_threshold=50)
+    idx = open_index(spark, out)
+    doc = idx.topk(["def"], k=1)[0][0]
+
+    tv = dict(idx.doc_term_vector(doc, top_m=1000))
+    flat = build_flat(src, n_buckets=4)
+    expect = {
+        r["term"]: r["tf"]
+        for r in flat["tf"].filter(
+            (F.col("doc_id") == doc) & (F.col("field") == "code.content")
+        ).collect()
+    }
+    assert tv == expect and tv
+
+    mlt = idx.more_like_this(doc, k=5)
+    assert mlt and doc not in [d for d, _ in mlt]
+    scores = [s for _, s in mlt]
+    assert scores == sorted(scores, reverse=True)
