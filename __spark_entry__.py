@@ -264,6 +264,26 @@ def q_doc_term_vector(spark, sf_dir):
     )
 
 
+def q_first_snippet(spark, sf_dir):
+    # Solr highlighting analog (engine twin: textops.snippets): fixed
+    # window around the first occurrence of the earliest query term
+    from ftidx.textops import snippets
+
+    return snippets(_docs(spark, sf_dir), ["spark", "merge"], window=30)
+
+
+def q_suggest_vocab(spark, sf_dir):
+    # Solr suggester analog (engine twin: FtIndex.suggest_terms):
+    # prefix autocomplete over the vocabulary, ranked by df
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.filter(F.col("term").startswith("sc"))
+        .groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+    )
+
+
 def q_facet_lang(spark, sf_dir):
     # Solr facet.field analog (engine twin: FtIndex.facet_counts):
     # language facet over docs matching ANY of the query terms
@@ -717,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "facet_lang": q_facet_lang,
+        "suggest_vocab": q_suggest_vocab,
+        "first_snippet": q_first_snippet,
         "doc_term_vector": q_doc_term_vector,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "match_stats": q_match_stats,
@@ -854,6 +876,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY tf DESC, term
             LIMIT 25
+        """,
+        "first_snippet": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     least(
+                       CASE WHEN position('merge' IN lower(text)) > 0
+                            THEN position('merge' IN lower(text))
+                            ELSE 1099511627776 END,
+                       CASE WHEN position('spark' IN lower(text)) > 0
+                            THEN position('spark' IN lower(text))
+                            ELSE 1099511627776 END
+                     ) AS first_pos
+              FROM documents
+            )
+            SELECT doc_id, first_pos,
+                   substring(text, greatest(1, first_pos - 30), 60) AS snippet
+            FROM pos WHERE first_pos < 1099511627776
+        """,
+        "suggest_vocab": f"""
+            WITH {_TOK_CTE}
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok
+            WHERE term LIKE 'sc%'
+            GROUP BY term
+            ORDER BY df DESC, term
+            LIMIT 10
         """,
         "facet_lang": f"""
             WITH {_TOK_CTE},

@@ -978,6 +978,23 @@ class FtIndex:
         )
         return [(r["term"], int(r["df"]), int(r["dist"])) for r in vocab.collect()]
 
+    def suggest_terms(self, prefix: str, field: str = "code.content",
+                      limit: int = 10) -> list[tuple[str, int]]:
+        """Prefix autocomplete (Solr suggester analog): vocabulary
+        terms starting with ``prefix``, ranked (df DESC, term ASC).
+        The startswith predicate pushes into the parquet scan as a
+        range filter on the dictionary-sorted term column."""
+        if not prefix:
+            return []
+        vocab = (
+            self._postings.filter(F.col("field") == field)
+            .filter(F.col("term").startswith(prefix))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+        )
+        return [(r["term"], int(r["df"])) for r in vocab.collect()]
+
     def facet_counts(self, terms: list[str], facet: str = "lang",
                      field: str = "code.content",
                      k_facets: int = 20) -> DataFrame:

@@ -68,6 +68,17 @@ def _make_handler(idx, lock: threading.Lock):
                         stats = {f: {"n_docs": n, "avgdl": a}
                                  for f, (n, a) in idx.stats.items()}
                     self._json(200, stats)
+                elif u.path == "/suggest":
+                    prefix = qs.get("prefix", [""])[0]
+                    if not prefix:
+                        self._json(400, {"error": "missing prefix"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        out = idx.suggest_terms(prefix, field=field)
+                    self._json(200, {"terms": [
+                        {"term": t, "df": df} for t, df in out
+                    ]})
                 elif u.path == "/fuzzy":
                     term = qs.get("term", [""])[0]
                     if not term:

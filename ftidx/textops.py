@@ -121,3 +121,36 @@ def fingerprints(docs: DataFrame, prefix_tokens: int = 8,
         F.md5(F.array_join(words, " ")).alias("fp_full"),
         F.md5(F.array_join(F.slice(words, 1, prefix_tokens), " ")).alias("fp_prefix"),
     )
+
+
+def snippets(docs: DataFrame, terms: list[str], window: int = 40,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Highlighting analog (Solr hl component): for docs containing ANY
+    query term, a fixed-width snippet centered on the FIRST occurrence
+    of the earliest-matching term (case-insensitive). Pure JVM column
+    expressions — position via instr over lowered text, so the scan
+    stays in whole-stage codegen; emits (id, first_pos, snippet).
+
+    first_pos is 1-based (SQL position semantics); docs matching no
+    term are dropped."""
+    low = F.lower(F.col(text_col))
+    # instr == 0 → no match; map to +inf analog so least() picks a hit
+    BIG = 1 << 40
+    positions = [
+        F.when(F.instr(low, t.lower()) > 0, F.instr(low, t.lower()))
+        .otherwise(F.lit(BIG))
+        for t in sorted(set(terms))
+    ]
+    first_pos = F.least(*positions) if len(positions) > 1 else positions[0]
+    start = F.greatest(F.lit(1), first_pos - F.lit(window))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .withColumn("first_pos", first_pos)
+        .filter(F.col("first_pos") < BIG)
+        .select(
+            "doc_id",
+            "first_pos",
+            F.col(text_col).cast("string").substr(
+                start, F.lit(2 * window)).alias("snippet"),
+        )
+    )

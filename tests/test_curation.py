@@ -237,3 +237,30 @@ def test_lsh_multi_table_recall(emb):
     assert sorted(map(tuple, b0)) == sorted(map(tuple, b0_explicit))
     b1 = hyperplane_buckets(emb, n_planes=4, table=1).collect()
     assert sorted(map(tuple, b0)) != sorted(map(tuple, b1))
+
+
+def test_snippets(docs):
+    from ftidx.textops import snippets
+
+    out = snippets(docs, ["merge", "spark"], window=20).collect()
+    assert out
+    for r in out:
+        s = r["snippet"].lower()
+        assert "merge" in s or "spark" in s or r["first_pos"] <= 20
+        assert len(r["snippet"]) <= 40
+
+
+def test_suggest_terms(spark, tmp_path):
+    from ftidx.index import build_index, open_index
+    from ftidx.synth import synth_source
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 150), out, n_buckets=2,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    got = idx.suggest_terms("re")
+    assert got and all(t.startswith("re") for t, _ in got)
+    dfs = [d for _, d in got]
+    assert dfs == sorted(dfs, reverse=True)
+    assert idx.suggest_terms("") == []
+    assert idx.suggest_terms("zzzzzz") == []

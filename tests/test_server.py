@@ -117,3 +117,11 @@ def test_fuzzy_and_qf_endpoints(served):
     expect = idx.topk_fields(["def", "alpha"],
                              {"code.content": 1.0, "code.ident.split": 2.0}, k=5)
     assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+
+
+def test_suggest_endpoint(served):
+    srv, idx = served
+    _, body = _get(f"http://{srv.host}:{srv.port}/suggest?prefix=re")
+    expect = idx.suggest_terms("re")
+    assert [(t["term"], t["df"]) for t in body["terms"]] == expect
+    assert body["terms"]
