@@ -284,6 +284,17 @@ def q_suggest_vocab(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    # decontamination scan (training-data op): corpus docs sharing >=5
+    # word 3-gram shingles with any of the first three docs as probes
+    from ftidx.dedup import contamination
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("probe_id"), "text")
+    return contamination(docs, probes, n=3, min_hits=5)
+
+
 def q_facet_lang(spark, sf_dir):
     # Solr facet.field analog (engine twin: FtIndex.facet_counts):
     # language facet over docs matching ANY of the query terms
@@ -737,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "facet_lang": q_facet_lang,
+        "contamination": q_contamination,
         "suggest_vocab": q_suggest_vocab,
         "first_snippet": q_first_snippet,
         "doc_term_vector": q_doc_term_vector,
@@ -901,6 +913,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY df DESC, term
             LIMIT 10
+        """,
+        "contamination": f"""
+            WITH {_SHINGLE_CTE},
+            probe AS (
+              SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id < 3
+            )
+            SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+            FROM sh c JOIN probe p USING (shingle)
+            GROUP BY c.doc_id, p.probe_id
+            HAVING count(*) >= 5
         """,
         "facet_lang": f"""
             WITH {_TOK_CTE},

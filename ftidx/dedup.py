@@ -264,3 +264,32 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
+                  min_hits: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id", probe_id_col: str = "probe_id",
+                  probe_text_col: str = "text") -> DataFrame:
+    """Decontamination scan: corpus docs sharing ≥ ``min_hits`` word
+    n-gram shingles with ANY probe document (the standard test-set /
+    benchmark contamination check before training). Output
+    (doc_id, probe_id, n_shared) per contaminated (doc, probe) pair.
+
+    Scale shape: the probe side is tiny (an eval set) — its shingles
+    broadcast; the corpus side streams through one shingle explode and
+    a broadcast-hash join, no corpus shuffle. Long probes at 100 TB:
+    pre-hash shingles to 64-bit ints so the broadcast is compact."""
+    corpus_sh = shingles(docs, n, text_col, id_col)
+    probe_sh = (
+        shingles(
+            probes.select(F.col(probe_id_col).alias(id_col),
+                          F.col(probe_text_col).alias(text_col)),
+            n, text_col, id_col)
+        .withColumnRenamed("doc_id", "probe_id")
+    )
+    return (
+        corpus_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_hits)
+    )

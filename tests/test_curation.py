@@ -264,3 +264,18 @@ def test_suggest_terms(spark, tmp_path):
     assert dfs == sorted(dfs, reverse=True)
     assert idx.suggest_terms("") == []
     assert idx.suggest_terms("zzzzzz") == []
+
+
+def test_contamination(spark, docs):
+    """A probe copied from a corpus doc is flagged; unrelated probes
+    are not."""
+    from ftidx.dedup import contamination
+
+    probes = spark.createDataFrame(
+        [(0, "quick brown fox jumps over the lazy dog"),   # inside doc 0/1
+         (1, "totally unrelated benchmark question text here")],
+        "probe_id long, text string")
+    hits = {(r["doc_id"], r["probe_id"]): r["n_shared"]
+            for r in contamination(docs, probes, n=4).collect()}
+    assert (0, 0) in hits and (1, 0) in hits  # doc 0 and its exact dup
+    assert all(p != 1 for _, p in hits)
