@@ -1,0 +1,97 @@
+"""End-to-end training-corpus curation: quality gate → exact dedup →
+near-dup removal → decontamination, composed from the individual
+operators (textops/dedup) as one lazy DataFrame pipeline.
+
+This is the shape a pre-training data job actually runs: each stage
+consumes the previous stage's survivors, all stages are shuffle-
+minimal (quality is a pure filter; exact dedup one groupBy on md5;
+near-dup a banded LSH join, never all-pairs; decontamination a
+broadcast join against the tiny eval set), and nothing is collected —
+the result is a DataFrame you write wherever the training pipeline
+reads from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ftidx.dedup import (
+    contamination,
+    exact_dedup,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+)
+from ftidx.textops import quality_scores
+
+
+def near_dup_losers(docs: DataFrame, threshold: float = 0.8,
+                    n_hashes: int = 32, band_size: int = 4,
+                    shingle_n: int = 3) -> DataFrame:
+    """Docs to DROP for near-duplication: MinHash+LSH candidates whose
+    estimated Jaccard ≥ threshold, keeping the lowest doc_id of each
+    pair (transitively: a doc survives unless some smaller-id doc
+    holds it). Returns one column ``doc_id``."""
+    sigs = minhash_signatures(docs, n_hashes=n_hashes, shingle_n=shingle_n)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, band_size=band_size))
+    est = minhash_jaccard_estimate(sigs, cands)
+    return (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))  # doc_a < doc_b: keep a
+        .distinct()
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    probes: DataFrame | None = None,
+    *,
+    min_tokens: int = 5,
+    min_quality: float = 0.2,
+    near_dup_threshold: float = 0.8,
+    contamination_ngram: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed pipeline; returns the surviving docs (same schema
+    as the input). Stages:
+
+    1. quality gate: ≥ min_tokens word tokens and composite quality
+       ≥ min_quality (one token-stats agg, then a filter)
+    2. exact dedup: keep one doc per md5(text) group
+    3. near-dup: MinHash+LSH, drop the higher-id member of each
+       ≥ threshold pair
+    4. decontamination (when ``probes`` given): drop docs sharing an
+       n-gram shingle with any probe
+    """
+    q = quality_scores(docs, text_col=text_col, id_col=id_col)
+    keep_q = q.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    ).select("doc_id")
+    stage1 = docs.join(
+        keep_q.withColumnRenamed("doc_id", id_col), id_col)
+
+    keepers = exact_dedup(stage1, text_col=text_col, id_col=id_col) \
+        .select(F.col("keeper").alias(id_col))
+    stage2 = stage1.join(keepers, id_col)
+
+    losers = near_dup_losers(stage2, threshold=near_dup_threshold) \
+        .withColumnRenamed("doc_id", id_col)
+    stage3 = stage2.join(losers, id_col, "left_anti")
+
+    if probes is not None:
+        dirty = contamination(
+            stage3, probes, n=contamination_ngram,
+            text_col=text_col, id_col=id_col,
+        ).select(id_col).distinct()
+        stage3 = stage3.join(dirty, id_col, "left_anti")
+    return stage3
+
+
+def curation_report(docs: DataFrame, clean: DataFrame,
+                    id_col: str = "doc_id") -> dict:
+    """Counts in/out (two cheap count jobs; run after the pipeline)."""
+    n_in, n_out = docs.count(), clean.count()
+    return {"docs_in": n_in, "docs_out": n_out, "dropped": n_in - n_out}

@@ -279,3 +279,21 @@ def test_contamination(spark, docs):
             for r in contamination(docs, probes, n=4).collect()}
     assert (0, 0) in hits and (1, 0) in hits  # doc 0 and its exact dup
     assert all(p != 1 for _, p in hits)
+
+
+def test_curate_corpus_pipeline(spark, docs):
+    """Composed curation: quality gate drops the empty doc, exact dedup
+    drops the copy, decontamination drops the probe-matching docs."""
+    from ftidx.curate import curate_corpus, curation_report
+
+    probes = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "probe_id long, text string")
+    clean = curate_corpus(docs, probes, min_tokens=3, min_quality=0.0,
+                          contamination_ngram=4)
+    ids = {r["doc_id"] for r in clean.collect()}
+    assert 6 not in ids          # empty doc fails the quality gate
+    assert not ({0, 1} & ids)    # 0 matches the probe; 1 is its dup
+    assert 3 in ids and 4 in ids # unrelated docs survive
+    rep = curation_report(docs, clean)
+    assert rep["docs_in"] == 7 and rep["docs_out"] == len(ids)
