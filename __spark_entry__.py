@@ -1192,20 +1192,29 @@ def oracle_sql() -> dict[str, str]:
             ),
             base AS (
               SELECT doc_id, length(text) AS n_chars,
-                     round(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
-                           / greatest(length(text), 1), 5) AS alnum_ratio
+                     length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_chars
               FROM documents
+            ),
+            ints AS (
+              SELECT b.doc_id, b.n_chars,
+                     coalesce(s.n_tokens, 0) AS n_tokens,
+                     coalesce(s.n_uniq, 0) AS n_uniq,
+                     coalesce(s.avg_token_len, 0.0) AS avg_token_len,
+                     greatest(coalesce(s.n_tokens, 0), 1)::BIGINT AS t,
+                     greatest(b.n_chars, 1)::BIGINT AS c,
+                     coalesce(s.n_uniq, 0)::BIGINT AS u,
+                     b.alnum_chars::BIGINT AS a,
+                     least(coalesce(s.n_tokens, 0), 64)::BIGINT AS m
+              FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id
             )
-            SELECT b.doc_id, b.n_chars,
-                   coalesce(s.n_tokens, 0) AS n_tokens,
-                   coalesce(s.n_uniq, 0) AS n_uniq,
-                   coalesce(s.avg_token_len, 0.0) AS avg_token_len,
-                   b.alnum_ratio,
-                   round(coalesce(s.n_uniq, 0)::DOUBLE / greatest(coalesce(s.n_tokens, 0), 1), 5) AS uniq_ratio,
-                   round(0.4 * least(coalesce(s.n_tokens, 0) / 64.0, 1.0)
-                         + 0.3 * (coalesce(s.n_uniq, 0)::DOUBLE / greatest(coalesce(s.n_tokens, 0), 1))
-                         + 0.3 * b.alnum_ratio, 5) AS quality
-            FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id
+            -- quality as ONE division of exact integers (num/den over
+            -- common denominator 640*t*c) — float sums of ratios differ
+            -- from Spark by 1 ulp at round(.,5) boundaries
+            SELECT doc_id, n_chars, n_tokens, n_uniq, avg_token_len,
+                   round(a::DOUBLE / c, 5) AS alnum_ratio,
+                   round(u::DOUBLE / t, 5) AS uniq_ratio,
+                   (((4*m*t*c + 192*u*c + 192*a*t) * 100000 + (640*t*c) // 2) // (640*t*c))::DOUBLE / 100000.0 AS quality
+            FROM ints
         """,
         "lang_id": f"""
             WITH {_TOK_CTE},

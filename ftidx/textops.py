@@ -62,23 +62,40 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).alias("n_chars"),
-        F.round(
-            F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
-            / F.greatest(F.length(text_col), F.lit(1)),
-            5,
-        ).alias("alnum_ratio"),
+        F.length(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+        ).alias("_alnum_chars"),
     )
     j = base.join(stats, "doc_id", "left").fillna(
         {"n_tokens": 0, "n_uniq": 0, "avg_token_len": 0.0}
     )
     uniq_ratio = F.col("n_uniq") / F.greatest(F.col("n_tokens"), F.lit(1))
-    len_score = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
-    score = F.round(
-        F.lit(0.4) * len_score + F.lit(0.3) * uniq_ratio + F.lit(0.3) * F.col("alnum_ratio"),
-        5,
-    )
+    # composite = 0.4·min(t,64)/64 + 0.3·u/t + 0.3·a/c, computed as ONE
+    # division of exact integers (num/den over common denominator
+    # 640·t·c) — a float sum of three rounded ratios differs between
+    # engines by 1 ulp often enough to flip round(...,5) at scale
+    # (observed at sf0.1), while a single BIGINT/BIGINT division is
+    # IEEE-identical everywhere
+    t = F.greatest(F.col("n_tokens"), F.lit(1)).cast("long")
+    c = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    u = F.col("n_uniq").cast("long")
+    a = F.col("_alnum_chars").cast("long")
+    m = F.least(F.col("n_tokens"), F.lit(64)).cast("long")
+    num = F.lit(4) * m * t * c + F.lit(192) * u * c + F.lit(192) * a * t
+    den = F.lit(640) * t * c
+    # round-half-up at 5 decimals in INTEGER arithmetic: num/den can
+    # land exactly on .xxxxx5 (it did: 1975680/3072000 = 0.643125) and
+    # there Spark's round (decimal-string HALF_UP) and DuckDB's
+    # (binary-double round) disagree; (num·10⁵ + den/2) div den is
+    # exact and engine-identical (den is always even; fits long for
+    # docs up to ~10⁶ chars × 5·10⁵ tokens)
+    alnum_ratio = F.round(a.cast("double") / c.cast("double"), 5)
+    j = j.withColumn("_qnum", num * F.lit(100_000) + (den / F.lit(2)).cast("long")) \
+         .withColumn("_qden", den)
+    score = (F.expr("_qnum div _qden").cast("double") / F.lit(100_000.0))
     return j.select(
-        "doc_id", "n_chars", "n_tokens", "n_uniq", "avg_token_len", "alnum_ratio",
+        "doc_id", "n_chars", "n_tokens", "n_uniq", "avg_token_len",
+        alnum_ratio.alias("alnum_ratio"),
         F.round(uniq_ratio, 5).alias("uniq_ratio"), score.alias("quality"),
     )
 
