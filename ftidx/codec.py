@@ -185,10 +185,13 @@ def encode_many(
     bmax_tf = np.maximum.reduceat(tfs, b_start).astype(np.int64)
     bmin_dl = np.minimum.reduceat(dls, b_start).astype(np.int64)
     blast = doc_ids[b_end - 1].astype(np.int64)
-    cuts = np.cumsum(nblocks)[:-1]
-    out["block_max_tf"] = [a for a in np.split(bmax_tf, cuts)]
-    out["block_min_dl"] = [a for a in np.split(bmin_dl, cuts)]
-    out["block_last_docid"] = [a for a in np.split(blast, cuts)]
+    # plain slice views, not np.split: array_split pays ~µs of
+    # swapaxes/validation per chunk, which dominates at millions of
+    # tiny term groups (measured ~0.7 s of a 4 s kernel on 20k files)
+    boff = np.concatenate(([0], np.cumsum(nblocks)))
+    out["block_max_tf"] = [bmax_tf[boff[g]:boff[g + 1]] for g in range(G)]
+    out["block_min_dl"] = [bmin_dl[boff[g]:boff[g + 1]] for g in range(G)]
+    out["block_last_docid"] = [blast[boff[g]:boff[g + 1]] for g in range(G)]
     return out
 
 

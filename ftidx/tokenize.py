@@ -52,6 +52,7 @@ import re
 from datetime import datetime
 from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -64,6 +65,10 @@ IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
 COMPOUND_RE = r"_|[a-z0-9][A-Z]|[A-Z]{2,}[a-z]"
 SUBTOKEN_RE = r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+"
 DATE_RE = r"(?<!\d)\d{8}(?:\d{6})?(?!\d)"
+
+_WORD_C = re.compile(WORD_RE)
+_IDENT_C = re.compile(IDENT_RE)
+_SUB_C = re.compile(SUBTOKEN_RE)
 
 DYNAMIC_LANGS = frozenset({"python", "javascript"})
 FLAGSHIP_PREFIX = "org0000"
@@ -140,6 +145,48 @@ def _explode(doc_ids: pd.Series, lists: pd.Series, field: str) -> pd.DataFrame:
     return out[["doc_id", "field", "term"]]
 
 
+# one-scan tokenization: `.str.findall` pays per-row Python overhead
+# (lambda dispatch + one list object per row) that dominated the encode
+# kernel (~1.5 s of a 4 s kernel on 20k files). Joining the batch with
+# a sentinel TOKEN and running a single C-level findall removes it: the
+# sentinel matches the token regex, so doc boundaries survive in the
+# token stream itself and assignment is one cumsum. Exact, not
+# probabilistic: if any document contains the sentinel as a substring
+# (checked with one C substring count), we fall back to per-row findall.
+_SENT = "qzqzqftidxsentinelqzqzq"
+_SEP = "\x00" + _SENT + "\x00"  # \x00 never matches a token regex
+
+
+def _findall_joined(texts: "pd.Series", creg) -> tuple[np.ndarray, np.ndarray]:
+    """Tokens of every text in one regex pass. Returns (row_idx, term)
+    arrays, row_idx into texts' positional order. ``creg`` must match
+    ``_SENT`` as exactly one token (true for the word/ident/subtoken
+    regexes: the sentinel is one unbroken lowercase run)."""
+    vals = texts.tolist()
+    if not vals:
+        return np.empty(0, np.int64), np.empty(0, object)
+    joined = _SEP.join(vals)
+    if joined.count(_SENT) != len(vals) - 1:  # sentinel inside a doc
+        rows, terms = [], []
+        for i, v in enumerate(vals):
+            for t in creg.findall(v):
+                rows.append(i)
+                terms.append(t)
+        return np.asarray(rows, np.int64), np.asarray(terms, object)
+    toks = np.asarray(creg.findall(joined), dtype=object)
+    is_sent = toks == _SENT
+    row_idx = np.cumsum(is_sent)
+    keep = ~is_sent
+    return row_idx[keep].astype(np.int64), toks[keep]
+
+
+def _explode_joined(doc_ids: pd.Series, texts: pd.Series, creg,
+                    field: str) -> pd.DataFrame:
+    row_idx, terms = _findall_joined(texts, creg)
+    ids = doc_ids.to_numpy()[row_idx]
+    return pd.DataFrame({"doc_id": ids, "field": field, "term": terms})
+
+
 def tokenize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized batch tokenizer: pandas DataFrame with columns
     (doc_id, content, lang, repo, path) → rows (doc_id, field, term).
@@ -151,19 +198,26 @@ def tokenize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     content = pdf["content"].fillna("").astype(str)
     parts: list[pd.DataFrame] = []
 
-    parts.append(_explode(pdf["doc_id"], content.str.lower().str.findall(WORD_RE), "code.content"))
+    parts.append(
+        _explode_joined(pdf["doc_id"], content.str.lower(), _WORD_C, "code.content"))
 
     # compound identifiers → keep; subtoken-split the compound ones
-    idents = _explode(pdf["doc_id"], content.str.findall(IDENT_RE), "code.ident")
-    idents = idents[idents["term"].str.contains(COMPOUND_RE, regex=True)].reset_index(drop=True)
+    id_row, id_terms = _findall_joined(content, _IDENT_C)
+    id_docs = pdf["doc_id"].to_numpy()[id_row]
+    compound = pd.Series(id_terms).str.contains(COMPOUND_RE, regex=True).to_numpy(
+        dtype=bool) if id_terms.size else np.empty(0, bool)
+    idents = pd.DataFrame({"doc_id": id_docs[compound], "field": "code.ident",
+                           "term": id_terms[compound]})
     parts.append(idents)
 
-    sub_lists = idents["term"].str.findall(SUBTOKEN_RE)
-    multi = sub_lists.str.len() > 1
-    subs = pd.DataFrame(
-        {"doc_id": idents["doc_id"][multi], "term": sub_lists[multi]}
-    ).explode("term")
-    subs["term"] = subs["term"].str.lower()
+    sub_row, sub_terms = _findall_joined(idents["term"], _SUB_C)
+    counts = np.bincount(sub_row, minlength=len(idents)) if len(idents) else np.empty(0, np.int64)
+    multi = counts[sub_row] > 1 if sub_row.size else np.empty(0, bool)
+    subs = pd.DataFrame({
+        "doc_id": idents["doc_id"].to_numpy()[sub_row[multi]],
+        "term": pd.Series(sub_terms[multi]).str.lower().to_numpy()
+        if multi.any() else np.empty(0, object),
+    })
     subs["field"] = "code.ident.split"
     parts.append(subs[["doc_id", "field", "term"]])
     # lang-tagged copy (format-dispatch analog): field name carries lang
