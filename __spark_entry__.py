@@ -520,6 +520,91 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_phrase_near(spark, sf_dir):
+    """Proximity query ("merge window"~5 analog, unordered): docs where
+    an occurrence of 'merge' and one of 'window' sit ≤5 token positions
+    apart; per doc the minimum distance and the number of qualifying
+    occurrence pairs. The SQL-parity twin of FtIndex.near_topk's
+    positional verification."""
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                F.posexplode(F.split(F.lower("text"), "[^a-z0-9_]+")).alias("pos", "term"))
+        .filter(F.col("term") != "")
+    )
+    a = t.filter(F.col("term") == "merge").select("doc_id", F.col("pos").alias("pa"))
+    b = t.filter(F.col("term") == "window").select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .withColumn("dist", F.abs(F.col("pa") - F.col("pb")))
+        .filter(F.col("dist") <= 5)
+        .groupBy("doc_id")
+        .agg(F.min("dist").alias("min_dist"), F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_collapse_by_source(spark, sf_dir):
+    """Field collapse (Solr group.field): best BM25 match per source
+    container — FtIndex.topk_grouped's contract twin."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        _bm25_scored(spark, sf_dir)
+        .join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "score_r")
+    )
+
+
+def q_sorted_page(spark, sf_dir):
+    """Solr sort+start+rows: the match set ordered by a metadata column
+    (lang ASC) with score DESC / id ASC tiebreakers, second page of 10
+    — FtIndex.search_sorted's contract twin."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.orderBy(F.asc("lang"), F.desc("score_r"), F.asc("doc_id"))
+    return (
+        _bm25_scored(spark, sf_dir)
+        .join(docs, "doc_id")
+        .withColumn("page_rank", F.row_number().over(w))
+        .filter((F.col("page_rank") > 10) & (F.col("page_rank") <= 20))
+        .select("page_rank", "doc_id", "lang", "score_r")
+    )
+
+
+def q_chunk_spans(spark, sf_dir):
+    from ftidx.textops import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir), size=32, stride=24)
+
+
+def q_repetition(spark, sf_dir):
+    from ftidx.textops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_scrub(spark, sf_dir):
+    """PII/link scrub over a deterministically augmented corpus (the
+    synthetic docs carry no emails/URLs, so every 7th doc gets one of
+    each appended — making the redaction path actually fire)."""
+    from ftidx.textops import scrub_text
+
+    aug = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" mail user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com or https://ex.com/p/"),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return scrub_text(aug)
+
+
 # shared oracle CTEs ---------------------------------------------------------
 
 _TOKPOS_CTE = """
@@ -775,6 +860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "phrase_match": q_phrase_match,
+        "phrase_near": q_phrase_near,
+        "collapse_by_source": q_collapse_by_source,
+        "sorted_page": q_sorted_page,
+        "chunk_spans": q_chunk_spans,
+        "repetition": q_repetition,
+        "scrub": q_scrub,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1173,6 +1264,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_occurrences
             FROM led WHERE term = 'merge' AND t1 = 'group'
             GROUP BY doc_id
+        """,
+        "phrase_near": f"""
+            WITH {_TOKPOS_CTE}
+            SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_dist,
+                   count(*) AS n_pairs
+            FROM tokpos a JOIN tokpos b ON a.doc_id = b.doc_id
+            WHERE a.term = 'merge' AND b.term = 'window'
+              AND abs(a.pos - b.pos) <= 5
+            GROUP BY a.doc_id
+        """,
+        "collapse_by_source": _BM25_CTE + """
+            SELECT source, doc_id, score_r FROM (
+              SELECT d.source, b.doc_id, b.score_r,
+                     row_number() OVER (PARTITION BY d.source
+                                        ORDER BY b.score_r DESC, b.doc_id) AS rn
+              FROM bm25 b JOIN documents d USING (doc_id)
+            ) WHERE rn = 1
+        """,
+        "sorted_page": _BM25_CTE + """
+            SELECT page_rank, doc_id, lang, score_r FROM (
+              SELECT row_number() OVER (ORDER BY d.lang, b.score_r DESC,
+                                        b.doc_id) AS page_rank,
+                     b.doc_id, d.lang, b.score_r
+              FROM bm25 b JOIN documents d USING (doc_id)
+            ) WHERE page_rank > 10 AND page_rank <= 20
+        """,
+        "chunk_spans": """
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            sized AS (SELECT doc_id, w, len(w) AS n FROM arr WHERE len(w) > 0),
+            k AS (
+              SELECT doc_id, w, n,
+                     unnest(generate_series(0,
+                       CASE WHEN n <= 32 THEN 0
+                            ELSE ceil((n - 32) / 24.0)::INT END)) AS chunk_idx
+              FROM sized
+            )
+            SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_token,
+                   least(32, n - chunk_idx * 24) AS n_tokens,
+                   md5(array_to_string(
+                     list_slice(w, chunk_idx * 24 + 1, chunk_idx * 24 + 32),
+                     ' ')) AS chunk_hash
+            FROM k
+        """,
+        "repetition": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   GROUP BY doc_id, term),
+            per AS (SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_uniq,
+                           max(tf) AS top_tf FROM tf GROUP BY doc_id),
+            arr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i + 1]) AS b
+              FROM arr
+            ),
+            bstat AS (SELECT doc_id, len(b) AS n_bigrams,
+                             len(list_distinct(b)) AS n_uniq_bigrams FROM bg)
+            SELECT doc_id, n_tokens, n_uniq, top_tf, n_bigrams,
+                   floor(((n_tokens - n_uniq)::DOUBLE * 200000.0
+                          + greatest(n_tokens, 1))
+                         / (greatest(n_tokens, 1) * 2.0)) / 100000.0
+                     AS dup_token_ratio,
+                   floor((top_tf::DOUBLE * 200000.0 + greatest(n_tokens, 1))
+                         / (greatest(n_tokens, 1) * 2.0)) / 100000.0
+                     AS top_token_ratio,
+                   floor(((n_bigrams - n_uniq_bigrams)::DOUBLE * 200000.0
+                          + greatest(n_bigrams, 1))
+                         / (greatest(n_bigrams, 1) * 2.0)) / 100000.0
+                     AS dup_bigram_ratio
+            FROM per JOIN bstat USING (doc_id)
+        """,
+        "scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0
+                       THEN ' mail user' || doc_id::VARCHAR
+                            || '@example.com or https://ex.com/p/'
+                            || doc_id::VARCHAR
+                       ELSE '' END AS text
+              FROM documents
+            ),
+            step AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, 'https?://[^ \t\n]+', '<URL>', 'g')
+                       AS urls_gone
+              FROM aug
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+                   len(regexp_extract_all(urls_gone,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+                   md5(regexp_replace(urls_gone,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                     '<EMAIL>', 'g')) AS clean_hash
+            FROM step
         """,
         "token_counts": """
             SELECT doc_id,

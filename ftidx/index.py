@@ -790,6 +790,49 @@ class FtIndex:
             self._fetch_term_rows(all_terms, field)  # one job, warms cache
         return [self.topk(q, k=k, field=field, kernel=kernel) for q in queries]
 
+    def _positions_by_term(self, qterms: list[str],
+                           field: str) -> dict[str, list[dict]]:
+        """Positional rows for a term set, grouped by term — one
+        pushdown scan (field + term isin predicates reach parquet)."""
+        if self._positions is None:
+            raise ValueError(
+                "index has no positions table; rebuild with "
+                "build_index(..., positions=True) to enable phrase queries"
+            )
+        pos_rows = (
+            self._positions.filter(
+                (F.col("field") == field) & F.col("term").isin(qterms)
+            )
+            .select("term", "df", "doc_ids", "tfs", "pos")
+            .collect()
+        )
+        by_term: dict[str, list[dict]] = {}
+        for r in pos_rows:
+            by_term.setdefault(r["term"], []).append(r.asDict())
+        return by_term
+
+    def _bm25_over_docs(self, terms: list[str], field: str,
+                        verified: np.ndarray,
+                        k: int) -> list[tuple[int, float]]:
+        """BM25 (sum over ``terms``) restricted to a verified doc set,
+        ranked (score DESC, id ASC) — the scoring tail shared by the
+        positional query surfaces. Reuses cached postings rows."""
+        if verified.size == 0:
+            return []
+        dset = set(int(d) for d in verified) - self._tombstones
+        if not dset:
+            return []
+        lists, avgdl = self._term_lists(list(terms), field)
+        acc: dict[int, float] = {}
+        for tl in sorted(lists, key=lambda t: (t.df, t.term)):
+            ids, tfs, dls = tl.decode_all()
+            keep = np.isin(ids.astype(np.int64), list(dset))
+            contrib = bm25_contrib(tfs[keep], dls[keep], tl.idf, avgdl)
+            for d, c in zip(ids[keep].astype(np.int64), contrib):
+                acc[int(d)] = acc.get(int(d), 0.0) + float(c)
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(d, s) for d, s in ranked[:k]]
+
     def phrase_topk(self, phrase: list[str], k: int = 10,
                     field: str = "code.content") -> list[tuple[int, float]]:
         """Exact-phrase BM25 top-k: docs containing the terms at
@@ -803,40 +846,25 @@ class FtIndex:
 
         if k <= 0 or not phrase:
             return []
-        if self._positions is None:
-            raise ValueError(
-                "index has no positions table; rebuild with "
-                "build_index(..., positions=True) to enable phrase queries"
-            )
-        qterms = sorted(set(phrase))
-        pos_rows = (
-            self._positions.filter(
-                (F.col("field") == field) & F.col("term").isin(qterms)
-            )
-            .select("term", "df", "doc_ids", "tfs", "pos")
-            .collect()
-        )
-        by_term: dict[str, list[dict]] = {}
-        for r in pos_rows:
-            by_term.setdefault(r["term"], []).append(r.asDict())
+        by_term = self._positions_by_term(sorted(set(phrase)), field)
         docs = phrase_docs(by_term, list(phrase))
-        if docs.size == 0:
-            return []
-        dset = set(int(d) for d in docs) - self._tombstones
-        if not dset:
-            return []
+        return self._bm25_over_docs(list(phrase), field, docs, k)
 
-        # BM25 over the phrase terms, restricted to verified docs
-        lists, avgdl = self._term_lists(list(phrase), field)
-        acc: dict[int, float] = {}
-        for tl in sorted(lists, key=lambda t: (t.df, t.term)):
-            ids, tfs, dls = tl.decode_all()
-            keep = np.isin(ids.astype(np.int64), list(dset))
-            contrib = bm25_contrib(tfs[keep], dls[keep], tl.idf, avgdl)
-            for d, c in zip(ids[keep].astype(np.int64), contrib):
-                acc[int(d)] = acc.get(int(d), 0.0) + float(c)
-        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-        return [(d, s) for d, s in ranked[:k]]
+    def near_topk(self, terms: list[str], window: int = 5, k: int = 10,
+                  field: str = "code.content") -> list[tuple[int, float]]:
+        """Proximity BM25 top-k (Solr ``"a b"~N`` slop analog,
+        unordered): docs where some occurrence of every term falls in
+        a span of ≤ ``window`` token positions, ranked by BM25 sum.
+        Same positional-scan + cached-postings-scoring shape as
+        :meth:`phrase_topk`; verification is the exact
+        minimum-covering-window check in :func:`ftidx.positions.near_docs`."""
+        from ftidx.positions import near_docs
+
+        if k <= 0 or not terms:
+            return []
+        by_term = self._positions_by_term(sorted(set(terms)), field)
+        docs = near_docs(by_term, list(terms), window)
+        return self._bm25_over_docs(list(terms), field, docs, k)
 
     def topk_fields(self, terms: list[str],
                     fields: dict[str, float] | None = None,
@@ -879,6 +907,23 @@ class FtIndex:
         any prefix), id-keyed join against the predicate-filtered docs
         table (the filter pushes into the parquet scan), global
         TakeOrderedAndProject."""
+        scored = self._scored_df(terms, field)
+        keep = (
+            self.spark.read.parquet(str(self.path / "docs"))
+            .filter(where).select("doc_id")
+        )
+        return (
+            scored.join(keep, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        )
+
+    def _scored_df(self, terms: list[str], field: str) -> DataFrame:
+        """Distributed full scoring of every matching doc: (doc_id,
+        score) with tombstones dropped. Per-bucket BM25 inside
+        executors via applyInPandas — globally valid because one
+        bucket owns all of a doc's postings rows. The shared engine
+        under :meth:`topk_where`, :meth:`topk_grouped` and
+        :meth:`search_sorted`."""
         qterms = sorted(set(terms))
         prows = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(qterms)
@@ -912,15 +957,67 @@ class FtIndex:
                 out = out[~out["doc_id"].isin(list(tombs))]
             return out
 
-        scored = prows.groupBy("bucket").applyInPandas(
+        return prows.groupBy("bucket").applyInPandas(
             score_all, schema="doc_id long, score double")
-        keep = (
-            self.spark.read.parquet(str(self.path / "docs"))
-            .filter(where).select("doc_id")
+
+    def topk_grouped(self, terms: list[str], group_col: str = "lang",
+                     k_groups: int = 10, group_limit: int = 1,
+                     field: str = "code.content") -> DataFrame:
+        """Field collapse (Solr ``group.field`` / ``collapse`` analog):
+        within each value of a docs-table column, keep the
+        ``group_limit`` best-scoring matches, then return the top
+        ``k_groups`` groups ordered by their best doc's score.
+
+        Returns (group value, rank-in-group, doc_id, score). Scale
+        shape: the per-bucket scored set joins the docs table id-keyed
+        (only ``doc_id`` + ``group_col`` read — column-pruned scan),
+        the within-group cut is one window over data partitioned by
+        the group column, and the group ordering is a
+        TakeOrderedAndProject on the post-cut (≤ groups×limit) rows."""
+        from pyspark.sql import Window
+
+        scored = self._scored_df(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs")).select(
+            "doc_id", F.col(group_col).alias("group_value"))
+        within = Window.partitionBy("group_value").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        best = (
+            scored.join(docs, "doc_id")
+            .withColumn("group_rank", F.row_number().over(within))
+            .filter(F.col("group_rank") <= group_limit)
         )
+        head = Window.partitionBy("group_value")
         return (
-            scored.join(keep, "doc_id")
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            best.withColumn("best_score", F.max("score").over(head))
+            .orderBy(F.desc("best_score"), F.asc("group_value"),
+                     F.asc("group_rank"))
+            .limit(k_groups * group_limit)
+            .select("group_value", "group_rank", "doc_id", "score")
+        )
+
+    def search_sorted(self, terms: list[str], sort_col: str,
+                      ascending: bool = True, start: int = 0,
+                      rows: int = 10,
+                      field: str = "code.content") -> DataFrame:
+        """Solr ``sort=<col> asc/desc&start=&rows=`` analog: the match
+        set ordered by a docs-table column (score DESC then id ASC as
+        tiebreakers — fully deterministic), one page returned.
+
+        Returns (doc_id, sort value, score). Deep paging note: this is
+        offset paging; at 10^12 docs a crawler should cursor by the
+        last (sort_value, doc_id) tuple instead (add a
+        ``WHERE (sort_value, doc_id) > (...)`` via :meth:`topk_where`)
+        — offset N still scores all matches but only ships start+rows
+        rows to the driver via the global TakeOrdered."""
+        scored = self._scored_df(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs")).select(
+            "doc_id", F.col(sort_col).alias("sort_value"))
+        key = F.asc("sort_value") if ascending else F.desc("sort_value")
+        return (
+            scored.join(docs, "doc_id")
+            .orderBy(key, F.desc("score"), F.asc("doc_id"))
+            .offset(start).limit(rows)
+            .select("doc_id", "sort_value", "score")
         )
 
     def match_stats(self, terms: list[str], stat_col: str = "lang",

@@ -215,13 +215,12 @@ def decode_positions_row(row: dict) -> tuple[np.ndarray, list[np.ndarray]]:
     return ids, [np.cumsum(d) for d in np.split(deltas, cuts)]
 
 
-def phrase_docs(pos_rows_by_term: dict[str, list[dict]],
-                phrase: list[str]) -> np.ndarray:
-    """Exact phrase verification from positions rows alone: ascending
-    doc ids containing the phrase terms at consecutive positions.
-    A term with no rows (absent from the field) ⇒ empty result."""
+def _per_term_doc_positions(pos_rows_by_term: dict[str, list[dict]],
+                            terms: list[str]) -> list[dict[int, np.ndarray]] | None:
+    """Decode each term's rows into {doc_id: ascending positions};
+    ``None`` if any term is entirely absent (empty intersection)."""
     per_term: list[dict[int, np.ndarray]] = []
-    for t in phrase:
+    for t in terms:
         doc_pos: dict[int, np.ndarray] = {}
         for row in pos_rows_by_term.get(t, []):
             ids, plists = decode_positions_row(row)
@@ -231,8 +230,65 @@ def phrase_docs(pos_rows_by_term: dict[str, list[dict]],
                 # segment is the norm; merge defensively)
                 doc_pos[int(d)] = pl if prev is None else np.union1d(prev, pl)
         if not doc_pos:
-            return np.empty(0, dtype=np.int64)
+            return None
         per_term.append(doc_pos)
+    return per_term
+
+
+def near_docs(pos_rows_by_term: dict[str, list[dict]],
+              terms: list[str], window: int) -> np.ndarray:
+    """Unordered proximity ("a b"~N analog): ascending doc ids where
+    some choice of one occurrence per term spans ≤ ``window`` token
+    positions (max chosen position − min chosen position ≤ window).
+
+    Verification is the classic minimum-covering-window two-pointer
+    over the merged, label-tagged position stream — O(total
+    occurrences) per candidate doc, exact for any term count."""
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    per_term = _per_term_doc_positions(pos_rows_by_term, list(terms))
+    if per_term is None:
+        return np.empty(0, dtype=np.int64)
+    cand = set(per_term[0])
+    for dp in per_term[1:]:
+        cand &= set(dp)
+    out = []
+    for d in sorted(cand):
+        pos = np.concatenate([dp[d] for dp in per_term]).astype(np.int64)
+        lab = np.concatenate([
+            np.full(per_term[i][d].size, i, dtype=np.int32) for i in range(n)])
+        order = np.argsort(pos, kind="stable")
+        pos, lab = pos[order], lab[order]
+        need, have, counts = n, 0, np.zeros(n, dtype=np.int64)
+        left, hit = 0, False
+        for right in range(pos.size):
+            if counts[lab[right]] == 0:
+                have += 1
+            counts[lab[right]] += 1
+            while have == need:
+                if pos[right] - pos[left] <= window:
+                    hit = True
+                    break
+                counts[lab[left]] -= 1
+                if counts[lab[left]] == 0:
+                    have -= 1
+                left += 1
+            if hit:
+                break
+        if hit:
+            out.append(d)
+    return np.asarray(out, dtype=np.int64)
+
+
+def phrase_docs(pos_rows_by_term: dict[str, list[dict]],
+                phrase: list[str]) -> np.ndarray:
+    """Exact phrase verification from positions rows alone: ascending
+    doc ids containing the phrase terms at consecutive positions.
+    A term with no rows (absent from the field) ⇒ empty result."""
+    per_term = _per_term_doc_positions(pos_rows_by_term, list(phrase))
+    if per_term is None:
+        return np.empty(0, dtype=np.int64)
 
     cand = set(per_term[0])
     for dp in per_term[1:]:

@@ -17,6 +17,9 @@ Endpoints (all JSON):
 - ``GET /fuzzy?term=deff&d=1``  → fuzzy vocabulary expansion
 - ``qf=fieldA^2,fieldB`` on /search → multi-field weighted BM25
 - ``GET /phrase?q=a+b&k=10``  → exact-phrase top-k (positional index)
+- ``slop=N`` on /phrase → unordered proximity ("a b"~N) instead of exact
+- ``group=lang`` on /search → field collapse (best docs per group)
+- ``sort=path asc&start=10`` on /search → metadata sort + offset paging
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``POST /refresh``      → re-open the handle after maintenance ops
 
@@ -128,9 +131,40 @@ def _make_handler(idx, lock: threading.Lock):
                         for part in qf.split(","):
                             f_name, _, boost = part.partition("^")
                             weights[f_name.strip()] = float(boost or 1.0)
+                    slop = int(qs.get("slop", ["0"])[0])
+                    group = qs.get("group", [""])[0]
+                    sort = qs.get("sort", [""])[0]
                     with lock:
                         if u.path != "/search":
-                            hits = idx.phrase_topk(terms, k=k, field=field)
+                            if slop > 0:
+                                hits = idx.near_topk(terms, window=slop,
+                                                     k=k, field=field)
+                            else:
+                                hits = idx.phrase_topk(terms, k=k, field=field)
+                        elif group:
+                            rows = idx.topk_grouped(
+                                terms, group_col=group, k_groups=k,
+                                field=field).collect()
+                            self._json(200, {"groups": [
+                                {"value": r["group_value"],
+                                 "rank": r["group_rank"],
+                                 "doc_id": r["doc_id"],
+                                 "score": r["score"]} for r in rows
+                            ]})
+                            return
+                        elif sort:
+                            col, _, direction = sort.partition(" ")
+                            start = int(qs.get("start", ["0"])[0])
+                            rows = idx.search_sorted(
+                                terms, col,
+                                ascending=(direction != "desc"),
+                                start=start, rows=k, field=field).collect()
+                            self._json(200, {"docs": [
+                                {"doc_id": r["doc_id"],
+                                 "sort_value": str(r["sort_value"]),
+                                 "score": r["score"]} for r in rows
+                            ]})
+                            return
                         elif weights:
                             hits = idx.topk_fields(terms, weights, k=k)
                         else:

@@ -140,6 +140,112 @@ def fingerprints(docs: DataFrame, prefix_tokens: int = 8,
     )
 
 
+def _ratio5_expr(num, den):
+    """round-half-up(num/den, 5) as floor((num·2·10⁵ + den)/(2·den))
+    — engine-identical where a native round() can flip on .xxxxx5
+    boundaries (same instability class as quality_scores' composite).
+    The operands stay exact in binary64 (≲2·10¹⁰ for any realistic
+    doc), so IEEE correctly-rounded division + floor gives the same
+    bits on Spark and DuckDB when the oracle mirrors this expression
+    verbatim."""
+    n = num.cast("double")
+    d = den.cast("double")
+    return (F.floor((n * F.lit(200_000.0) + d) / (d * F.lit(2.0)))
+            / F.lit(100_000.0))
+
+
+def chunk_tokens(docs: DataFrame, size: int = 64, stride: int = 48,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Passage chunking for training pipelines: overlapping
+    token windows of ``size`` tokens every ``stride`` tokens (the
+    covering set — the last chunk may be short), one row per chunk
+    with a content hash for downstream chunk-level dedup.
+
+    Pure array expressions (split → sequence → slice → md5), fully
+    whole-stage-codegen; the explode multiplies rows by ~n/stride but
+    never shuffles — chunking stays partition-local, which is the
+    property that matters at 100 TB (chunk then write, no exchange).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                     lambda x: x != "")
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    words.alias("_w")).withColumn("_n", F.size("_w"))
+    d = d.filter(F.col("_n") > 0)
+    last = F.when(
+        F.col("_n") <= size, F.lit(0)
+    ).otherwise(F.ceil((F.col("_n") - F.lit(size)) / F.lit(float(stride))).cast("int"))
+    d = d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), last)))
+    start = F.col("chunk_idx") * stride
+    return d.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_token"),
+        F.least(F.lit(size), F.col("_n") - start).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(F.slice("_w", start + 1, size), " ")).alias("chunk_hash"),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText family
+    of filters): duplicate-token fraction, top-token fraction, and
+    duplicate-bigram fraction per doc. High values flag boilerplate /
+    degenerate generations before they reach a training set.
+
+    Token stats ride one explode + two map-side-combinable aggs;
+    bigram stats are pure array expressions (no second explode). All
+    ratios use exact integer half-up rounding (see ``_ratio5_expr``)
+    so the DuckDB oracle reproduces every double bit-for-bit."""
+    tok = _tokens(docs, text_col, id_col)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    per = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("tf").alias("top_tf"),
+    )
+    words = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                     lambda x: x != "")
+    big = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w")).select(
+        "doc_id",
+        F.expr("transform(sequence(0, greatest(size(_w) - 2, -1)), "
+               "i -> concat(_w[i], ' ', _w[i + 1]))").alias("_bg"),
+    ).select(
+        "doc_id",
+        F.size("_bg").alias("n_bigrams"),
+        F.size(F.array_distinct("_bg")).alias("n_uniq_bigrams"),
+    )
+    j = per.join(big, "doc_id")
+    t = F.greatest(F.col("n_tokens"), F.lit(1))
+    b = F.greatest(F.col("n_bigrams"), F.lit(1))
+    return j.select(
+        "doc_id", "n_tokens", "n_uniq", "top_tf", "n_bigrams",
+        _ratio5_expr(F.col("n_tokens") - F.col("n_uniq"), t).alias("dup_token_ratio"),
+        _ratio5_expr(F.col("top_tf"), t).alias("top_token_ratio"),
+        _ratio5_expr(F.col("n_bigrams") - F.col("n_uniq_bigrams"), b).alias("dup_bigram_ratio"),
+    )
+
+
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_RE = "https?://[^ \\t\\n]+"
+
+
+def scrub_text(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII/link scrubbing: count and redact emails and URLs (the
+    standard pre-training privacy pass). Emits per-doc redaction
+    counts and the md5 of the scrubbed text (URLs first — an email
+    inside a URL counts once, as the URL). Pure regexp column
+    expressions — codegen'd, partition-local, no shuffle."""
+    urls_gone = F.regexp_replace(F.col(text_col), URL_RE, "<URL>")
+    clean = F.regexp_replace(urls_gone, EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(urls_gone, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
 def snippets(docs: DataFrame, terms: list[str], window: int = 40,
              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Highlighting analog (Solr hl component): for docs containing ANY

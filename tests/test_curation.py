@@ -297,3 +297,63 @@ def test_curate_corpus_pipeline(spark, docs):
     assert 3 in ids and 4 in ids # unrelated docs survive
     rep = curation_report(docs, clean)
     assert rep["docs_in"] == 7 and rep["docs_out"] == len(ids)
+
+
+def test_chunk_tokens(spark):
+    from ftidx.textops import chunk_tokens
+
+    # 10 tokens, size 4, stride 3 → starts 0,3,6 cover 0..9 (last=ceil(6/3)=2)
+    rows = [(0, "a b c d e f g h i j"), (1, "x y"), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_tokens"])
+        for r in chunk_tokens(docs, size=4, stride=3).collect()
+    )
+    assert got == [(0, 0, 0, 4), (0, 1, 3, 4), (0, 2, 6, 4),
+                   (1, 0, 0, 2)]  # empty doc emits nothing
+    # chunk hashes: overlapping windows differ, identical docs agree
+    h = {(r["doc_id"], r["chunk_idx"]): r["chunk_hash"]
+         for r in chunk_tokens(docs, size=4, stride=3).collect()}
+    assert h[(0, 0)] != h[(0, 1)]
+    # the union of chunks covers every token index
+    covered = set()
+    for _, _, s, n in [g for g in got if g[0] == 0]:
+        covered |= set(range(s, s + n))
+    assert covered == set(range(10))
+
+
+def test_repetition_stats(spark):
+    from ftidx.textops import repetition_stats
+
+    rows = [(0, "a a a a b"),            # heavy repetition
+            (1, "one two three four")]   # all distinct
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in repetition_stats(docs).collect()}
+    assert r[0]["n_tokens"] == 5 and r[0]["n_uniq"] == 2 and r[0]["top_tf"] == 4
+    assert r[0]["dup_token_ratio"] == 0.6      # (5-2)/5
+    assert r[0]["top_token_ratio"] == 0.8      # 4/5
+    # bigrams of doc0: aa aa aa ab → 4 total, 2 distinct → 0.5 dup
+    assert r[0]["n_bigrams"] == 4 and r[0]["dup_bigram_ratio"] == 0.5
+    assert r[1]["dup_token_ratio"] == 0.0
+    assert r[1]["top_token_ratio"] == 0.25
+    assert r[1]["dup_bigram_ratio"] == 0.0
+
+
+def test_scrub_text(spark):
+    from ftidx.textops import scrub_text
+
+    rows = [(0, "write to bob@corp.io or see https://x.io/a?b=1 now"),
+            (1, "plain text"),
+            (2, "https://a.b/c https://d.e/f me@you.com")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in scrub_text(docs).collect()}
+    assert (r[0]["n_emails"], r[0]["n_urls"]) == (1, 1)
+    assert (r[1]["n_emails"], r[1]["n_urls"]) == (0, 0)
+    assert (r[2]["n_emails"], r[2]["n_urls"]) == (1, 2)
+    # scrubbed text is deterministic: same input → same hash; an
+    # untouched doc hashes to md5(text)
+    import hashlib
+
+    assert r[1]["clean_hash"] == hashlib.md5(b"plain text").hexdigest()
+    assert r[0]["clean_hash"] == hashlib.md5(
+        b"write to <EMAIL> or see <URL> now").hexdigest()

@@ -422,3 +422,57 @@ def test_term_vector_and_mlt(spark, tmp_path):
     assert mlt and doc not in [d for d, _ in mlt]
     scores = [s for _, s in mlt]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_topk_grouped_collapse(spark, built):
+    """Field collapse: best doc per group, groups ordered by best
+    score; group_limit widens within-group depth."""
+    idx = open_index(spark, built[0])
+    got = idx.topk_grouped(["def"], group_col="lang", k_groups=10,
+                           group_limit=1).collect()
+    all_hits = dict(idx.topk(["def"], k=10**6, kernel="exhaustive"))
+    meta = {r["doc_id"]: r["lang"] for r in
+            spark.read.parquet(f"{built[0]}/docs").collect()}
+    # brute force: best (score desc, id asc) per lang
+    best = {}
+    for d, s in all_hits.items():
+        g = meta[d]
+        if g not in best or (-s, d) < (-best[g][1], best[g][0]):
+            best[g] = (d, s)
+    expect = sorted(((g, d, s) for g, (d, s) in best.items()),
+                    key=lambda t: (-t[2], t[0]))
+    assert [(r["group_value"], r["doc_id"]) for r in got] == \
+        [(g, d) for g, d, _ in expect[:10]]
+    assert all(r["group_rank"] == 1 for r in got)
+
+    # group_limit=2: second-best of the top group is present and ranked 2
+    got2 = idx.topk_grouped(["def"], group_col="lang", k_groups=3,
+                            group_limit=2).collect()
+    top_group = expect[0][0]
+    in_top = [r for r in got2 if r["group_value"] == top_group]
+    assert [r["group_rank"] for r in in_top] == [1, 2]
+    two_best = sorted(((d, s) for d, s in all_hits.items()
+                       if meta[d] == top_group),
+                      key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [r["doc_id"] for r in in_top] == [d for d, _ in two_best]
+
+
+def test_search_sorted_pagination(spark, built):
+    """Solr sort/start/rows: metadata ordering with deterministic
+    tiebreak, pages abut with no overlap or gap."""
+    idx = open_index(spark, built[0])
+    all_hits = dict(idx.topk(["def"], k=10**6, kernel="exhaustive"))
+    meta = {r["doc_id"]: r["path"] for r in
+            spark.read.parquet(f"{built[0]}/docs").collect()}
+    expect = sorted(((meta[d], -s, d) for d, s in all_hits.items()))
+    p1 = idx.search_sorted(["def"], "path", start=0, rows=5).collect()
+    p2 = idx.search_sorted(["def"], "path", start=5, rows=5).collect()
+    got = [(r["sort_value"], r["doc_id"]) for r in p1 + p2]
+    assert got == [(v, d) for v, _, d in expect[:10]]
+    # descending flips the sort column but keeps tiebreakers
+    # (score DESC, id ASC): stable two-pass sort builds the oracle
+    d1 = idx.search_sorted(["def"], "path", ascending=False, rows=3).collect()
+    rev = sorted(((meta[d], -s, d) for d, s in all_hits.items()))
+    rev.sort(key=lambda t: t[0], reverse=True)
+    assert [(r["sort_value"], r["doc_id"]) for r in d1] == \
+        [(v, d) for v, _, d in rev[:3]]

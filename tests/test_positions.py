@@ -141,3 +141,56 @@ def test_compaction_rewrites_positions(spark, tmp_path):
     assert victim not in [d for d, _ in idx.phrase_topk(phrase, k=50)]
     by_term = _pos_rows(spark, out, "code.content", set(phrase))
     assert victim not in set(phrase_docs(by_term, phrase).tolist())
+
+
+def test_near_docs_vs_bruteforce(spark, pidx):
+    """near_docs == brute-force minimum-span check over every doc's
+    token stream, across windows and term counts."""
+    from ftidx.positions import near_docs
+
+    out, docs = pidx
+    field = "code.content"
+    sample = sorted(docs)[5]
+    toks = _spec_tokens(docs[sample], field)
+    # pairs at controlled distances plus a 3-term probe
+    probes = [([toks[0], toks[4]], 4), ([toks[0], toks[4]], 3),
+              ([toks[1], toks[7]], 10), ([toks[0], toks[2], toks[5]], 6),
+              (["def", "zzz_never_a_term"], 50)]
+    for terms, window in probes:
+        by_term = _pos_rows(spark, out, field, set(terms))
+        got = set(near_docs(by_term, terms, window).tolist())
+        want = set()
+        for d, r in docs.items():
+            dt = _spec_tokens(r, field)
+            pos = [[i for i, t in enumerate(dt) if t == q] for q in terms]
+            if any(not p for p in pos):
+                continue
+            # brute force: try every combination's span
+            import itertools
+
+            if min(max(c) - min(c) for c in itertools.product(*pos)) <= window:
+                want.add(d)
+        assert got == want, f"near {terms}~{window}"
+
+
+def test_near_topk_ranking(spark, pidx):
+    out, docs = pidx
+    idx = open_index(spark, out)
+    sample = sorted(docs)[5]
+    toks = _spec_tokens(docs[sample], "code.content")
+    terms = [toks[0], toks[4]]
+    hits = idx.near_topk(terms, window=4, k=1000)
+    assert sample in [d for d, _ in hits]
+    # window=0 requires all terms at ONE position — impossible for
+    # distinct terms, so the result must be empty
+    if terms[0] != terms[1]:
+        assert idx.near_topk(terms, window=0, k=1000) == []
+    # scores equal the plain BM25 sum restricted to verified docs
+    term_scores = dict(idx.topk(terms, k=10_000, kernel="exhaustive"))
+    for d, s in hits:
+        assert s == pytest.approx(term_scores[d], rel=1e-9)
+    # wider window only adds docs
+    wide = {d for d, _ in idx.near_topk(terms, window=50, k=10_000)}
+    assert {d for d, _ in hits} <= wide
+    assert idx.near_topk(terms, k=0) == []
+    assert idx.near_topk([], k=5) == []

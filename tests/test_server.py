@@ -125,3 +125,30 @@ def test_suggest_endpoint(served):
     expect = idx.suggest_terms("re")
     assert [(t["term"], t["df"]) for t in body["terms"]] == expect
     assert body["terms"]
+
+
+def test_slop_group_sort_endpoints(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    # proximity: slop widens the exact-phrase result set
+    status, near = _get(f"{base}/phrase?q=def+main&k=50&slop=8")
+    assert status == 200
+    expect = idx.near_topk(["def", "main"], window=8, k=50)
+    assert [(h["doc_id"], h["score"]) for h in near["hits"]] == expect
+    _, exact = _get(f"{base}/phrase?q=def+main&k=50")
+    assert {h["doc_id"] for h in exact["hits"]} <= \
+        {h["doc_id"] for h in near["hits"]}
+
+    # field collapse
+    status, grp = _get(f"{base}/search?q=def&group=lang&k=5")
+    assert status == 200
+    expect_g = idx.topk_grouped(["def"], group_col="lang", k_groups=5).collect()
+    assert [(g["value"], g["doc_id"]) for g in grp["groups"]] == \
+        [(r["group_value"], r["doc_id"]) for r in expect_g]
+
+    # metadata sort + paging
+    status, page = _get(f"{base}/search?q=def&sort=path+asc&start=3&k=4")
+    assert status == 200
+    expect_s = idx.search_sorted(["def"], "path", start=3, rows=4).collect()
+    assert [p["doc_id"] for p in page["docs"]] == \
+        [r["doc_id"] for r in expect_s]
