@@ -309,6 +309,25 @@ def q_facet_lang(spark, sf_dir):
     )
 
 
+def q_facet_range(spark, sf_dir):
+    """Range faceting (Solr facet.range): docs matching any BM25 term
+    histogrammed over n_chars in [0, 2000) buckets of 100 —
+    FtIndex.facet_range's contract twin."""
+    matched = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("term").isin(BM25_TERMS))
+        .select("doc_id").distinct()
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    bucket = (F.floor(F.col("n_chars") / F.lit(100.0)) * F.lit(100.0))
+    return (
+        docs.join(matched, "doc_id")
+        .filter((F.col("n_chars") >= 0) & (F.col("n_chars") < 2000))
+        .groupBy(bucket.alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_docid_projection(spark, sf_dir):
     # S9 doc-id synthesis + input_hint sha256 invariant
     return _docs(spark, sf_dir).select(
@@ -833,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "facet_lang": q_facet_lang,
+        "facet_range": q_facet_range,
         "contamination": q_contamination,
         "suggest_vocab": q_suggest_vocab,
         "first_snippet": q_first_snippet,
@@ -1024,6 +1044,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN matched USING (doc_id)
             GROUP BY d.lang
             ORDER BY n_docs DESC, value
+        """,
+        "facet_range": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+              SELECT DISTINCT doc_id FROM tok
+              WHERE term IN ('spark', 'merge', 'window')
+            )
+            SELECT floor(d.n_chars / 100.0) * 100.0 AS bucket_start,
+                   count(*) AS n_docs
+            FROM documents d JOIN matched USING (doc_id)
+            WHERE d.n_chars >= 0 AND d.n_chars < 2000
+            GROUP BY 1
         """,
         "docid_projection": """
             SELECT source || ':' || doc_id AS doc_key, sha256(text) AS text_sha256

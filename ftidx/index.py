@@ -1025,21 +1025,10 @@ class FtIndex:
         """Solr stats-component analog: aggregate a docs-table column
         over the query's matching docs (count distinct values, min/max
         for orderable columns). Same distributed shape as
-        :meth:`facet_counts` — executor-side id decode, id-keyed join."""
-        qterms = sorted(set(terms))
-        hit = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin(qterms)
-        ).select("doc_ids")
-
-        def decode_ids(batches):
-            from ftidx.codec import delta_decode, varint_decode
-
-            for pdf in batches:
-                for blob in pdf["doc_ids"]:
-                    ids = delta_decode(varint_decode(blob)).astype(np.int64)
-                    yield pd.DataFrame({"doc_id": ids})
-
-        matched = hit.mapInPandas(decode_ids, schema="doc_id long").distinct()
+        :meth:`facet_counts` — executor-side id decode, id-keyed join
+        (tombstones now excluded, consistent with every other
+        match-set surface)."""
+        matched = self._matched_ids(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
         return docs.join(matched, "doc_id").agg(
             F.count(F.lit(1)).alias("n_matched"),
@@ -1102,6 +1091,21 @@ class FtIndex:
         postings inside executors (pushdown scan, no driver collect),
         then joined to the docs table's metadata column — at 10^12 docs
         the join is id-keyed against the bucket-partitioned docs table."""
+        matched = self._matched_ids(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        return (
+            docs.join(matched, "doc_id")
+            .groupBy(F.col(facet).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("value"))
+            .limit(k_facets)
+        )
+
+    def _matched_ids(self, terms: list[str], field: str) -> DataFrame:
+        """Distinct ids of docs matching ANY query term, tombstones
+        dropped — decoded from the term-filtered postings INSIDE
+        executors (pushdown scan, no driver collect). The shared match
+        set under facets, range facets, stats and export."""
         qterms = sorted(set(terms))
         hit = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(qterms)
@@ -1120,14 +1124,47 @@ class FtIndex:
             tomb = self.spark.createDataFrame(
                 [(int(d),) for d in sorted(self._tombstones)], "doc_id long")
             matched = matched.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return matched
+
+    def facet_range(self, terms: list[str], facet: str = "n_chars",
+                    start: float = 0, end: float = 1 << 30,
+                    gap: float = 100, field: str = "code.content") -> DataFrame:
+        """Range faceting (Solr ``facet.range``): matching docs
+        histogrammed over a numeric docs-table column into
+        ``[start, end)`` buckets of width ``gap``; returns
+        (bucket_start, n_docs), empty buckets omitted (Solr's
+        mincount=1). Same distributed match-set shape as
+        :meth:`facet_counts`; the bucketing is one codegen'd floor
+        expression, the histogram one map-side-combinable groupBy."""
+        matched = self._matched_ids(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
+        col = F.col(facet).cast("double")
+        bucket_start = (F.floor((col - F.lit(float(start))) / F.lit(float(gap)))
+                        * F.lit(float(gap)) + F.lit(float(start)))
         return (
             docs.join(matched, "doc_id")
-            .groupBy(F.col(facet).alias("value"))
+            .filter((col >= float(start)) & (col < float(end)))
+            .groupBy(bucket_start.alias("bucket_start"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy(F.desc("n_docs"), F.asc("value"))
-            .limit(k_facets)
+            .orderBy(F.asc("bucket_start"))
         )
+
+    def export_matches(self, terms: list[str], out_dir: str,
+                       field: str = "code.content",
+                       columns: list[str] | None = None) -> int:
+        """Export handler (Solr ``/export`` streaming analog): write
+        every doc matching ANY query term to parquet, fully
+        distributed — match ids decode inside executors, the docs-table
+        join is id-keyed, and rows stream straight to the sink without
+        ever visiting the driver. Returns the exported row count (read
+        back from the sink's footer metadata — no second scan of the
+        data pages)."""
+        matched = self._matched_ids(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        if columns:
+            docs = docs.select("doc_id", *[c for c in columns if c != "doc_id"])
+        docs.join(matched, "doc_id").write.mode("overwrite").parquet(out_dir)
+        return self.spark.read.parquet(out_dir).count()
 
     def doc_term_vector(self, doc_id: int, field: str = "code.content",
                         top_m: int = 50) -> list[tuple[str, int]]:

@@ -95,6 +95,24 @@ def _make_handler(idx, lock: threading.Lock):
                         {"term": t, "df": df, "dist": dist}
                         for t, df, dist in out
                     ]})
+                elif u.path == "/facet_range":
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    col = qs.get("col", ["n_chars"])[0]
+                    lo = float(qs.get("start", ["0"])[0])
+                    hi = float(qs.get("end", [str(1 << 30)])[0])
+                    gap = float(qs.get("gap", ["100"])[0])
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        rows = idx.facet_range(
+                            terms, facet=col, start=lo, end=hi, gap=gap,
+                            field=field).collect()
+                    self._json(200, {"buckets": [
+                        {"start": r["bucket_start"], "n_docs": r["n_docs"]}
+                        for r in rows
+                    ]})
                 elif u.path == "/facet":
                     terms = qs.get("q", [""])[0].split()
                     if not terms:

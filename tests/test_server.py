@@ -152,3 +152,16 @@ def test_slop_group_sort_endpoints(served):
     expect_s = idx.search_sorted(["def"], "path", start=3, rows=4).collect()
     assert [p["doc_id"] for p in page["docs"]] == \
         [r["doc_id"] for r in expect_s]
+
+
+def test_facet_range_endpoint(served):
+    srv, idx = served
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/facet_range"
+        f"?q=def&col=bucket&start=0&end=4&gap=1")
+    assert status == 200
+    expect = idx.facet_range(["def"], facet="bucket", start=0, end=4,
+                             gap=1).collect()
+    assert [(b["start"], b["n_docs"]) for b in body["buckets"]] == \
+        [(r["bucket_start"], r["n_docs"]) for r in expect]
+    assert body["buckets"]  # the corpus populates low buckets
