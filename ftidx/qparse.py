@@ -1,0 +1,190 @@
+"""Lucene/Solr query-string parser + executor.
+
+The reference's users speak Solr query syntax (rawrepo-solr-indexer
+delegates queries to Solr; IndexerIT probes with `field:term` strings)
+— this module lets them paste those strings at the ftidx engine:
+
+    idx.query_string('+code.content:merge -slow "group by"~2 boost^2')
+
+Supported grammar (the subset the reference's observed surface plus
+the first things a Solr user reaches for):
+
+- ``term`` — optional (should) clause; contributes score when present
+- ``+term`` / ``-term`` — required / prohibited
+- ``field:term`` — per-clause field override (default field otherwise)
+- ``"a b c"`` — exact phrase (positional verification, required)
+- ``"a b"~N`` — unordered proximity within N token positions
+- ``term^2.5`` — boost: scales the clause's BM25 contribution
+- ``field:"a b"~N`` — all of the above compose
+
+Semantics (documented deviations from full Lucene, chosen to keep
+execution a single pass over cached postings):
+
+- Non-negated phrases are REQUIRED (Lucene would let a bare phrase be
+  optional; a should-phrase needs per-doc phrase frequency to score,
+  which the positional verifier doesn't produce).
+- A phrase scores as the BM25 sum of its terms (same rule as
+  :meth:`ftidx.index.FtIndex.phrase_topk`).
+- If the query has no required clause, a doc qualifies by matching at
+  least one should clause (standard OR behavior).
+
+Execution mirrors the serving topk path: one postings fetch for the
+union of terms (cache-warm), one positions fetch for the phrases,
+numpy accumulation with per-clause presence masks — no per-row Python,
+no Spark job per clause.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+_CLAUSE_RE = re.compile(
+    r'([+-]?)'                                  # occur
+    r'(?:([A-Za-z0-9_.]+):)?'                   # field override
+    r'(?:"([^"]*)"(?:~(\d+))?'                  # phrase, optional slop
+    r'|([^\s"^]+))'                             # or bare term
+    r'(?:\^(\d+(?:\.\d+)?))?'                   # boost
+)
+
+
+@dataclass
+class Clause:
+    occur: str                      # '', '+', '-'
+    field: str | None               # None → default field
+    terms: list[str]                # 1 for a term clause, ≥1 for phrase
+    is_phrase: bool = False
+    slop: int = 0                   # 0 = exact adjacency
+    boost: float = 1.0
+
+
+def parse_query(q: str) -> list[Clause]:
+    """Parse a query string into clauses. Unparseable fragments
+    (stray quotes, bare operators) are dropped rather than raised —
+    the lenient behavior a search box needs."""
+    clauses: list[Clause] = []
+    for m in _CLAUSE_RE.finditer(q):
+        occur, fld, phrase, slop, term, boost = m.groups()
+        if phrase is not None:
+            terms = [t for t in re.split(r"\s+", phrase.lower()) if t]
+            if not terms:
+                continue
+            clauses.append(Clause(occur, fld, terms, is_phrase=len(terms) > 1,
+                                  slop=int(slop or 0),
+                                  boost=float(boost or 1.0)))
+        elif term:
+            clauses.append(Clause(occur, fld, [term.lower()],
+                                  boost=float(boost or 1.0)))
+    return clauses
+
+
+def execute(idx, q: str, k: int = 10,
+            default_field: str = "code.content") -> list[tuple[int, float]]:
+    """Run a parsed query against an :class:`ftidx.index.FtIndex`.
+
+    One cached-postings accumulation scores every non-prohibited term
+    clause (boost-scaled, per-field idf/avgdl); required clauses and
+    phrase verifications become numpy masks over the candidate ids;
+    prohibited terms/phrases mask out."""
+    from ftidx.positions import near_docs, phrase_docs
+    from ftidx.wand import bm25_contrib
+
+    if k <= 0:
+        return []
+    clauses = parse_query(q)
+    if not clauses:
+        return []
+
+    # single-term "phrases" act as plain term clauses
+    for c in clauses:
+        if not c.is_phrase and len(c.terms) == 1:
+            c.is_phrase = False
+
+    term_clauses = [c for c in clauses if not c.is_phrase]
+    phrase_clauses = [c for c in clauses if c.is_phrase]
+
+    # --- phrase verification (positional) -------------------------------
+    must_sets: list[set[int]] = []      # each must contain the doc
+    not_sets: list[set[int]] = []      # doc must be in none
+    for c in phrase_clauses:
+        fld = c.field or default_field
+        by_term = idx._positions_by_term(sorted(set(c.terms)), fld)
+        docs = (near_docs(by_term, c.terms, c.slop) if c.slop > 0
+                else phrase_docs(by_term, c.terms))
+        s = set(int(d) for d in docs)
+        (not_sets if c.occur == "-" else must_sets).append(s)
+
+    # --- term scoring over cached postings ------------------------------
+    # group scored terms by field so each field keeps its own stats
+    pos_terms: dict[str, list[Clause]] = {}
+    for c in term_clauses:
+        if c.occur != "-":
+            pos_terms.setdefault(c.field or default_field, []).append(c)
+    # phrase terms contribute to scoring too (non-negated phrases)
+    phrase_score_terms: dict[str, list[str]] = {}
+    for c in phrase_clauses:
+        if c.occur != "-":
+            phrase_score_terms.setdefault(
+                c.field or default_field, []).extend(c.terms)
+
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []
+    presence: list[tuple[str, np.ndarray]] = []   # (occur, ids) per term clause
+    for fld in sorted(set(pos_terms) | set(phrase_score_terms)):
+        wanted = sorted({t for c in pos_terms.get(fld, []) for t in c.terms}
+                        | set(phrase_score_terms.get(fld, [])))
+        lists, avgdl = idx._term_lists(wanted, fld)
+        by_name = {tl.term: tl for tl in lists}
+        boosts: dict[str, float] = {}
+        for c in pos_terms.get(fld, []):
+            boosts[c.terms[0]] = boosts.get(c.terms[0], 0.0) + c.boost
+        for t in phrase_score_terms.get(fld, []):
+            boosts[t] = boosts.get(t, 0.0) + 1.0
+        for t, w in sorted(boosts.items()):
+            tl = by_name.get(t)
+            if tl is None:
+                continue
+            ids, tfs, dls = tl.decode_all()
+            per_term.append((ids, w * bm25_contrib(tfs, dls, tl.idf, avgdl)))
+        for c in pos_terms.get(fld, []):
+            tl = by_name.get(c.terms[0])
+            ids = tl.decode_all()[0] if tl is not None else np.empty(0, np.uint64)
+            presence.append((c.occur, ids))
+
+    # prohibited term clauses (never scored)
+    for c in term_clauses:
+        if c.occur == "-":
+            fld = c.field or default_field
+            lists, _ = idx._term_lists(c.terms, fld)
+            ids = lists[0].decode_all()[0] if lists else np.empty(0, np.uint64)
+            presence.append(("-", ids))
+
+    if not per_term:
+        return []
+    all_ids = np.concatenate([i for i, _ in per_term])
+    all_c = np.concatenate([c for _, c in per_term])
+    if all_ids.size == 0:
+        return []
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.bincount(inv, weights=all_c, minlength=uniq.size)
+
+    mask = np.ones(uniq.size, dtype=bool)
+    for occur, ids in presence:
+        if occur == "+":
+            mask &= np.isin(uniq, ids)
+        elif occur == "-" and ids.size:
+            mask &= ~np.isin(uniq, ids)
+    u64 = uniq.astype(np.int64)
+    for s in must_sets:
+        mask &= np.isin(u64, np.fromiter(s, np.int64, len(s))) if s else False
+    for s in not_sets:
+        if s:
+            mask &= ~np.isin(u64, np.fromiter(s, np.int64, len(s)))
+
+    tombs = idx._tombstones
+    ranked = sorted(
+        ((int(d), float(s)) for d, s in zip(u64[mask], scores[mask])
+         if int(d) not in tombs),
+        key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]

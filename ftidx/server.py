@@ -16,6 +16,8 @@ Endpoints (all JSON):
 - ``GET /facet?q=a+b&facet=lang``  → facet counts over matching docs
 - ``GET /fuzzy?term=deff&d=1``  → fuzzy vocabulary expansion
 - ``qf=fieldA^2,fieldB`` on /search → multi-field weighted BM25
+- ``GET /query?q=...`` → full Lucene/Solr query-string syntax
+  (``+must -not field:term "a b"~slop term^boost``) via ftidx.qparse
 - ``GET /phrase?q=a+b&k=10``  → exact-phrase top-k (positional index)
 - ``slop=N`` on /phrase → unordered proximity ("a b"~N) instead of exact
 - ``group=lang`` on /search → field collapse (best docs per group)
@@ -128,6 +130,20 @@ def _make_handler(idx, lock: threading.Lock):
                     self._json(200, {"facets": [
                         {"value": r["value"], "n_docs": r["n_docs"]}
                         for r in rows
+                    ]})
+                elif u.path == "/query":
+                    # full Lucene/Solr query-string syntax (qparse):
+                    # +must -not field:term "a b"~slop term^boost
+                    q = qs.get("q", [""])[0]
+                    if not q.strip():
+                        self._json(400, {"error": "missing q"})
+                        return
+                    k = int(qs.get("k", ["10"])[0])
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        hits = idx.query_string(q, k=k, field=field)
+                    self._json(200, {"hits": [
+                        {"doc_id": d, "score": s} for d, s in hits
                     ]})
                 elif u.path in ("/search", "/phrase"):
                     raw = qs.get("q", [""])[0].split()

@@ -1,0 +1,117 @@
+"""Query-string parser + executor: grammar unit tests, then execution
+cross-checked against the engine's dedicated surfaces (topk / boolean /
+phrase / near / multi-field) — every syntax feature must agree with the
+API it sugar-coats."""
+
+from __future__ import annotations
+
+import pytest
+
+from ftidx.index import build_index, open_index
+from ftidx.qparse import Clause, parse_query
+from ftidx.synth import synth_source
+
+
+def test_parse_grammar():
+    cs = parse_query('+code.content:merge -slow "group by"~2 boost^2.5')
+    assert cs[0] == Clause("+", "code.content", ["merge"])
+    assert cs[1] == Clause("-", None, ["slow"])
+    assert cs[2] == Clause("", None, ["group", "by"], is_phrase=True, slop=2)
+    assert cs[3] == Clause("", None, ["boost"], boost=2.5)
+
+    # phrase boost, field phrase, single-term quotes, case folding
+    cs = parse_query('f.x:"A B" "one" MiXeD')
+    assert cs[0] == Clause("", "f.x", ["a", "b"], is_phrase=True)
+    assert cs[1] == Clause("", None, ["one"])            # not a phrase
+    assert cs[2] == Clause("", None, ["mixed"])
+
+    # junk tolerated, empty results
+    assert parse_query("") == []
+    assert parse_query('""') == []
+    assert parse_query("   ") == []
+
+
+@pytest.fixture(scope="module")
+def qidx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("qp") / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50, positions=True)
+    return open_index(spark, out)
+
+
+def test_qs_or_and_not(qidx):
+    big = 10**6
+    assert qidx.query_string("def return", k=20) == \
+        qidx.topk(["def", "return"], k=20)
+    assert qidx.query_string("+def +return", k=20) == \
+        qidx.topk(["def", "return"], k=20, mode="and")
+    assert qidx.query_string("def -return", k=20) == \
+        qidx.topk(["def"], k=20, exclude=["return"])
+    # mixed must/should: required term filters, both score
+    got = qidx.query_string("+def value", k=big)
+    s_def = dict(qidx.topk(["def"], k=big, kernel="exhaustive"))
+    s_val = dict(qidx.topk(["value"], k=big, kernel="exhaustive"))
+    expect = sorted(((d, s + s_val.get(d, 0.0)) for d, s in s_def.items()),
+                    key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, gs), (_, ws) in zip(got, expect):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_qs_phrase_and_slop(qidx):
+    assert qidx.query_string('"def main"', k=30) == \
+        qidx.phrase_topk(["def", "main"], k=30)
+    assert qidx.query_string('"def main"~6', k=30) == \
+        qidx.near_topk(["def", "main"], window=6, k=30)
+    # negated phrase: OR matches minus the phrase docs
+    got = {d for d, _ in qidx.query_string('def -"def main"', k=10**6)}
+    phrase_docs = {d for d, _ in qidx.phrase_topk(["def", "main"], k=10**6)}
+    all_def = {d for d, _ in qidx.topk(["def"], k=10**6)}
+    assert got == all_def - phrase_docs
+
+
+def test_qs_boost_and_field(qidx):
+    big = 10**6
+    s_def = dict(qidx.topk(["def"], k=big, kernel="exhaustive"))
+    s_val = dict(qidx.topk(["value"], k=big, kernel="exhaustive"))
+    got = qidx.query_string("def^3 value", k=big)
+    expect = {}
+    for d, s in s_def.items():
+        expect[d] = expect.get(d, 0.0) + 3.0 * s
+    for d, s in s_val.items():
+        expect[d] = expect.get(d, 0.0) + s
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+    # per-clause field override == dedicated-field query
+    assert qidx.query_string("code.ident.split:merge", k=15) == \
+        qidx.topk(["merge"], k=15, field="code.ident.split")
+
+
+def test_qs_guards(qidx):
+    assert qidx.query_string("", k=5) == []
+    assert qidx.query_string("zzz_nothing", k=5) == []
+    assert qidx.query_string("def", k=0) == []
+    # required term that matches nothing empties the result
+    assert qidx.query_string("+zzz_nothing def", k=5) == []
+
+
+def test_qs_http_endpoint(spark, qidx):
+    import json
+    import urllib.request
+
+    from ftidx.server import FtServer
+
+    srv = FtServer(qidx).start()
+    try:
+        url = (f"http://{srv.host}:{srv.port}/query?"
+               "q=%2Bdef%20-slow%20value%5E2&k=10")
+        with urllib.request.urlopen(url, timeout=10) as r:
+            body = json.loads(r.read())
+        expect = qidx.query_string("+def -slow value^2", k=10)
+        assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+        assert expect  # the probe query matches something
+    finally:
+        srv.stop()
