@@ -309,6 +309,41 @@ def q_facet_lang(spark, sf_dir):
     )
 
 
+def q_facet_pivot(spark, sf_dir):
+    """Pivot faceting (Solr facet.pivot=lang,source — engine twin:
+    FtIndex.facet_pivot): hierarchical (lang, source) counts over docs
+    matching ANY query term."""
+    tok = _tokens(spark, sf_dir)
+    matched = tok.filter(F.col("term").isin("spark", "merge")) \
+        .select("doc_id").distinct()
+    return (
+        _docs(spark, sf_dir).join(matched, "doc_id")
+        .groupBy(F.col("lang").alias("value1"), F.col("source").alias("value2"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("value1"), F.asc("value2"))
+    )
+
+
+def q_facet_stats(spark, sf_dir):
+    """Stats-over-facet (Solr stats.field+stats.facet / JSON facet aggs
+    — engine twin: FtIndex.facet_metric_stats): per-language
+    count/sum/avg/min/max of n_chars over docs matching ANY query
+    term."""
+    tok = _tokens(spark, sf_dir)
+    matched = tok.filter(F.col("term").isin("spark", "merge")) \
+        .select("doc_id").distinct()
+    return (
+        _docs(spark, sf_dir).join(matched, "doc_id")
+        .groupBy(F.col("lang").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"),
+             F.round(F.avg("n_chars"), 5).alias("avg_chars"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+    )
+
+
 def q_facet_range(spark, sf_dir):
     """Range faceting (Solr facet.range): docs matching any BM25 term
     histogrammed over n_chars in [0, 2000) buckets of 100 —
@@ -525,6 +560,39 @@ def q_quality_scores(spark, sf_dir):
     from ftidx.textops import quality_scores
 
     return quality_scores(_docs(spark, sf_dir))
+
+
+def q_dup_components(spark, sf_dir):
+    """Global duplicate clusters (dedup.connected_components over
+    SimHash band near-pairs): per-doc component id + keeper verdict.
+    The Spark side iterates distributed min-label propagation; the
+    oracle is a recursive-CTE transitive closure — same fixpoint."""
+    from ftidx.dedup import dedup_clusters, simhash, simhash_near_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = simhash_near_pairs(simhash(docs), max_hamming=3) \
+        .select("doc_a", "doc_b")
+    return dedup_clusters(docs, pairs)
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment
+    (textops.hash_split): md5-bin hashing, stable under corpus growth —
+    the per-doc assignment is the contract, not just the proportions."""
+    from ftidx.textops import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "lang", "split")
+
+
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing (textops.pack_sequences): concat-and-chunk at
+    seq_len=512 in doc-id order; per-doc global token offset plus
+    first/last training-sequence ids. The Spark side computes the global
+    running sum with the partitioned two-phase prefix scan (no
+    single-partition window); the oracle is the plain global window."""
+    from ftidx.textops import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512)
 
 
 def q_lang_id(spark, sf_dir):
@@ -852,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "facet_lang": q_facet_lang,
+        "facet_pivot": q_facet_pivot,
+        "facet_stats": q_facet_stats,
         "facet_range": q_facet_range,
         "contamination": q_contamination,
         "suggest_vocab": q_suggest_vocab,
@@ -888,6 +958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub": q_scrub,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
+        "corpus_split": q_corpus_split,
+        "seq_pack": q_seq_pack,
+        "dup_components": q_dup_components,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1045,6 +1118,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.lang
             ORDER BY n_docs DESC, value
         """,
+        "facet_pivot": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+              SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'merge')
+            )
+            SELECT d.lang AS value1, d.source AS value2, count(*) AS n_docs
+            FROM documents d JOIN matched USING (doc_id)
+            GROUP BY d.lang, d.source
+            ORDER BY n_docs DESC, value1, value2
+        """,
+        "facet_stats": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+              SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'merge')
+            )
+            SELECT d.lang AS value, count(*) AS n_docs,
+                   sum(d.n_chars) AS sum_chars,
+                   round(avg(d.n_chars), 5) AS avg_chars,
+                   min(d.n_chars) AS min_chars,
+                   max(d.n_chars) AS max_chars
+            FROM documents d JOIN matched USING (doc_id)
+            GROUP BY d.lang
+            ORDER BY n_docs DESC, value
+        """,
         "facet_range": f"""
             WITH {_TOK_CTE},
             matched AS (
@@ -1148,6 +1245,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, ({_SIMHASH_HAMMING_SQL}) AS hamming
             FROM pairs
             WHERE ({_SIMHASH_HAMMING_SQL}) <= 3
+        """,
+        "dup_components": f"""
+            WITH RECURSIVE {_TOKPOS_CTE},
+            votes AS (
+              SELECT doc_id, {_SIMHASH_BITS_SQL}
+              FROM tokpos GROUP BY doc_id
+            ),
+            sim AS (SELECT doc_id, {_SIMHASH_CONCAT_SQL} AS simhash FROM votes),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE substring(a.simhash, 1, 16) = substring(b.simhash, 1, 16)
+                 OR substring(a.simhash, 17, 16) = substring(b.simhash, 17, 16)
+                 OR substring(a.simhash, 33, 16) = substring(b.simhash, 33, 16)
+                 OR substring(a.simhash, 49, 16) = substring(b.simhash, 49, 16)
+            ),
+            np AS (
+              SELECT doc_a, doc_b FROM cand
+              WHERE ({_SIMHASH_HAMMING_SQL}) <= 3
+            ),
+            sym AS (
+              SELECT doc_a AS s, doc_b AS d FROM np
+              UNION ALL SELECT doc_b, doc_a FROM np
+            ),
+            reach AS (
+              SELECT s AS doc_id, d AS r FROM sym
+              UNION
+              SELECT reach.doc_id, sym.d FROM reach
+              JOIN sym ON sym.s = reach.r
+            ),
+            comp AS (
+              SELECT doc_id, least(doc_id, min(r)) AS component
+              FROM reach GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "ann_cosine_topk": f"""
             WITH {_EMB_FLAT_CTE},
@@ -1402,6 +1538,40 @@ def oracle_sql() -> dict[str, str]:
                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
                      '<EMAIL>', 'g')) AS clean_hash
             FROM step
+        """,
+        "corpus_split": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     (instr('0123456789abcdef',
+                            substring(md5(doc_id::VARCHAR || ':42'), 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef',
+                            substring(md5(doc_id::VARCHAR || ':42'), 2, 1)) - 1) AS bin
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN bin < 204 THEN 'train'
+                        WHEN bin < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "seq_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9_]+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS start_token
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_token,
+                   (start_token // 512)::BIGINT AS seq_first,
+                   ((start_token + n_tokens - 1) // 512)::BIGINT AS seq_last
+            FROM c WHERE n_tokens > 0
         """,
         "token_counts": """
             SELECT doc_id,

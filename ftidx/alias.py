@@ -1,0 +1,65 @@
+"""Index aliases: zero-downtime publish of a rebuilt index.
+
+Solr deployments never point clients at a core directly — they point at
+a collection ALIAS and atomically retarget it after a rebuild (Solr's
+CREATEALIAS / the classic ``index.swap``; the reference's deploy loop
+rebuilds into a fresh core and flips, rawrepo-solr-indexer README's
+"worker pointed at the next collection" operational pattern). The
+engine analog: an alias is a symlink next to the index directories;
+``publish`` retargets it ATOMICALLY (``os.rename`` of a pre-built
+symlink — readers either see the old index or the new one, never a
+half-written dir), so a serving `FtIndex` replica can reopen the alias
+between requests and pick up a freshly built generation without
+downtime.
+
+At 100 TB the pattern is the same, with the symlink replaced by a
+pointer object in the catalog (an Iceberg table property or a one-row
+manifest); the atomicity requirement — publish is a single pointer
+CAS, never an in-place mutation of served files — is what this module
+encodes and what the tests pin.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from pathlib import Path
+
+
+def publish(alias_path: str | os.PathLike, index_dir: str | os.PathLike) -> str:
+    """Atomically retarget ``alias_path`` to ``index_dir``.
+
+    The target must be an existing built index (manifest present) —
+    publishing a half-built directory is refused, the alias keeps
+    serving the previous generation. Returns the resolved target."""
+    target = Path(index_dir).resolve()
+    if not (target / "_manifest.json").exists():
+        raise FileNotFoundError(
+            f"refusing to publish {target}: no _manifest.json (index not "
+            "finished building?)")
+    alias = Path(alias_path)
+    alias.parent.mkdir(parents=True, exist_ok=True)
+    if alias.exists() and not alias.is_symlink():
+        raise ValueError(f"{alias} exists and is not an alias symlink")
+    tmp = alias.parent / f".{alias.name}.tmp-{uuid.uuid4().hex[:8]}"
+    os.symlink(target, tmp)
+    os.rename(tmp, alias)  # atomic on POSIX: readers see old XOR new
+    return str(target)
+
+
+def resolve(alias_path: str | os.PathLike) -> str:
+    """The index directory an alias currently serves."""
+    alias = Path(alias_path)
+    if not alias.is_symlink():
+        raise FileNotFoundError(f"{alias} is not an alias")
+    return str(alias.resolve())
+
+
+def open_alias(spark, alias_path: str | os.PathLike):
+    """Open a serving handle through an alias. The handle binds to the
+    generation current at open time (an immutable dir — consistent
+    reads for its lifetime); call again after a publish to serve the
+    new generation."""
+    from ftidx.index import FtIndex
+
+    return FtIndex(spark, resolve(alias_path))

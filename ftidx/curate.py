@@ -27,21 +27,29 @@ from ftidx.dedup import (
 from ftidx.textops import quality_scores
 
 
-def near_dup_losers(docs: DataFrame, threshold: float = 0.8,
-                    n_hashes: int = 32, band_size: int = 4,
-                    shingle_n: int = 3) -> DataFrame:
-    """Docs to DROP for near-duplication: MinHash+LSH candidates whose
-    estimated Jaccard ≥ threshold, keeping the lowest doc_id of each
-    pair (transitively: a doc survives unless some smaller-id doc
-    holds it). Returns one column ``doc_id``."""
+def near_dup_pairs(docs: DataFrame, threshold: float = 0.8,
+                   n_hashes: int = 32, band_size: int = 4,
+                   shingle_n: int = 3) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b): MinHash+LSH candidates
+    whose estimated Jaccard ≥ threshold — the shared pair source for
+    pairwise-loser and cluster-transitive dedup."""
     sigs = minhash_signatures(docs, n_hashes=n_hashes, shingle_n=shingle_n)
     cands = lsh_candidate_pairs(lsh_bands(sigs, band_size=band_size))
     est = minhash_jaccard_estimate(sigs, cands)
-    return (
-        est.filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("doc_b").alias("doc_id"))  # doc_a < doc_b: keep a
-        .distinct()
-    )
+    return est.filter(F.col("est_jaccard") >= threshold)         .select("doc_a", "doc_b").distinct()
+
+
+def near_dup_losers(docs: DataFrame, threshold: float = 0.8,
+                    n_hashes: int = 32, band_size: int = 4,
+                    shingle_n: int = 3) -> DataFrame:
+    """Docs to DROP for near-duplication: the higher-id member of each
+    ≥ threshold pair (a doc survives unless some smaller-id doc holds
+    it). Returns one column ``doc_id``. For clusters wider than one
+    hop, prefer ``transitive=True`` on :func:`curate_corpus` — pairwise
+    losers keep a doc whose only matches were themselves dropped."""
+    pairs = near_dup_pairs(docs, threshold=threshold, n_hashes=n_hashes,
+                           band_size=band_size, shingle_n=shingle_n)
+    return pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
 
 def curate_corpus(
@@ -52,6 +60,7 @@ def curate_corpus(
     min_quality: float = 0.2,
     near_dup_threshold: float = 0.8,
     contamination_ngram: int = 8,
+    transitive: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -61,8 +70,11 @@ def curate_corpus(
     1. quality gate: ≥ min_tokens word tokens and composite quality
        ≥ min_quality (one token-stats agg, then a filter)
     2. exact dedup: keep one doc per md5(text) group
-    3. near-dup: MinHash+LSH, drop the higher-id member of each
-       ≥ threshold pair
+    3. near-dup: MinHash+LSH; with ``transitive=False`` drop the
+       higher-id member of each ≥ threshold pair, with
+       ``transitive=True`` run connected components over the pair graph
+       and keep exactly one doc (the min id) per duplicate CLUSTER —
+       the full-closure dedup a production corpus wants
     4. decontamination (when ``probes`` given): drop docs sharing an
        n-gram shingle with any probe
     """
@@ -77,9 +89,18 @@ def curate_corpus(
         .select(F.col("keeper").alias(id_col))
     stage2 = stage1.join(keepers, id_col)
 
-    losers = near_dup_losers(stage2, threshold=near_dup_threshold) \
-        .withColumnRenamed("doc_id", id_col)
-    stage3 = stage2.join(losers, id_col, "left_anti")
+    if transitive:
+        from ftidx.dedup import dedup_clusters
+
+        pairs = near_dup_pairs(stage2, threshold=near_dup_threshold)
+        keep = dedup_clusters(stage2, pairs, id_col=id_col) \
+            .filter(F.col("keep")) \
+            .select(F.col("doc_id").alias(id_col))
+        stage3 = stage2.join(keep, id_col)
+    else:
+        losers = near_dup_losers(stage2, threshold=near_dup_threshold) \
+            .withColumnRenamed("doc_id", id_col)
+        stage3 = stage2.join(losers, id_col, "left_anti")
 
     if probes is not None:
         dirty = contamination(

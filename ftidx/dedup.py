@@ -293,3 +293,77 @@ def contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_hits)
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Global duplicate clusters from pairwise matches: (doc_id,
+    component) where component = min doc_id reachable through the pair
+    graph. Pairs from any candidate generator (LSH bands, SimHash
+    bands, embedding buckets) feed straight in.
+
+    Pairwise output alone under-deduplicates: A~B and B~C without A~C
+    splits one cluster in two keepers. The fix is connected components
+    as distributed min-label propagation: each round every node adopts
+    the minimum label among itself and its neighbours (one symmetric
+    union + groupBy-min per round — no driver-side graph, no union-find
+    state), converging in O(cluster diameter) rounds. Duplicate
+    clusters are near-cliques (every member matches the same content),
+    so the diameter is tiny and this beats the O(log n) large-star /
+    small-star alternation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") on constant factors; for adversarially
+    chain-shaped graphs raise ``max_iter`` or switch to the star
+    rounds. Convergence is detected by the label sum — monotone
+    non-increasing, so equality IS convergence: one cheap agg per
+    round instead of a full frame comparison.
+
+    Each iteration localCheckpoints the frame to cut the lineage — an
+    iterative plan otherwise grows without bound in Catalyst.
+    """
+    a, b = pairs.columns[0], pairs.columns[1]
+    edges = (pairs.select(F.col(a).cast("long").alias("src"),
+                          F.col(b).cast("long").alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    edges = edges.select(F.least("src", "dst").alias("lo"),
+                         F.greatest("src", "dst").alias("hi")).distinct()
+    # label table: every node starts as its own component
+    labels = (edges.select(F.col("lo").alias("doc_id"))
+              .union(edges.select(F.col("hi")))
+              .distinct()
+              .withColumn("component", F.col("doc_id")))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        # propagate: every node adopts the min component among itself
+        # and all its neighbours (one symmetric explode + groupBy-min —
+        # the fused star round)
+        lab_lo = labels.withColumnRenamed("doc_id", "lo") \
+                       .withColumnRenamed("component", "c_lo")
+        lab_hi = labels.withColumnRenamed("doc_id", "hi") \
+                       .withColumnRenamed("component", "c_hi")
+        e = edges.join(lab_lo, "lo").join(lab_hi, "hi")
+        upd = (e.select(F.col("lo").alias("doc_id"),
+                        F.least("c_lo", "c_hi").alias("component"))
+               .union(e.select(F.col("hi").alias("doc_id"),
+                               F.least("c_lo", "c_hi").alias("component")))
+               .union(labels)
+               .groupBy("doc_id").agg(F.min("component").alias("component")))
+        labels = upd.localCheckpoint(eager=True)
+        s = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cluster-aware dedup verdict: every doc joined to its duplicate
+    component (docs in no pair form singleton components), keeper =
+    component min. The drop set is exactly ``keep == false`` — transitive
+    closure included, unlike pairwise-loser dedup."""
+    comp = connected_components(pairs)
+    out = (docs.select(F.col(id_col).alias("doc_id"))
+           .join(comp, "doc_id", "left")
+           .withColumn("component",
+                       F.coalesce("component", F.col("doc_id"))))
+    return out.withColumn("keep", (F.col("component") == F.col("doc_id")))

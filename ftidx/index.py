@@ -1075,6 +1075,40 @@ class FtIndex:
         )
         return [(r["term"], int(r["df"]), int(r["dist"])) for r in vocab.collect()]
 
+    def spellcheck(self, terms: list[str], field: str = "code.content",
+                   max_dist: int = 2) -> dict:
+        """Spellcheck component analog (Solr ``spellcheck.collate``):
+        each query term present in the vocabulary maps to itself;
+        absent terms map to their best fuzzy correction (distance ASC,
+        df DESC, term ASC — :meth:`fuzzy_terms` ranking). Returns
+        ``{"terms": [(term, correction, df, dist)], "collation":
+        corrected query string, "changed": bool}``; an absent term with
+        no correction within ``max_dist`` keeps itself with df=0 (the
+        collation still runs, it just matches nothing — Solr's
+        maxCollationTries=0 behavior).
+
+        One vocabulary-scan job per UNKNOWN term only — known terms are
+        answered from the cached per-term df lookup, so the common
+        all-terms-correct case costs no job at all."""
+        out = []
+        changed = False
+        for t in terms:
+            rows = self._fetch_term_rows([t], field).get(t)
+            if rows:
+                out.append((t, t, int(sum(r["df"] for r in rows)), 0))
+                continue
+            cands = self.fuzzy_terms(t, field=field, max_dist=max_dist,
+                                     limit=1)
+            if cands:
+                c, df, dist = cands[0]
+                out.append((t, c, df, dist))
+                changed = changed or c != t
+            else:
+                out.append((t, t, 0, 0))
+        return {"terms": out,
+                "collation": " ".join(c for _, c, _, _ in out),
+                "changed": changed}
+
     def suggest_terms(self, prefix: str, field: str = "code.content",
                       limit: int = 10) -> list[tuple[str, int]]:
         """Prefix autocomplete (Solr suggester analog): vocabulary
@@ -1158,6 +1192,54 @@ class FtIndex:
             .groupBy(bucket_start.alias("bucket_start"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.asc("bucket_start"))
+        )
+
+    def facet_pivot(self, terms: list[str],
+                    fields: tuple[str, str] = ("lang", "repo"),
+                    field: str = "code.content",
+                    k_facets: int = 50) -> DataFrame:
+        """Pivot faceting (Solr ``facet.pivot=f1,f2``): hierarchical
+        value-pair counts over the match set, top ``k_facets`` pairs by
+        count (ties by value). Same distributed shape as
+        :meth:`facet_counts` — ids decode inside executors, one
+        id-keyed join to the bucket-partitioned docs table, one
+        map-side-combinable groupBy on the pair. A deeper pivot is the
+        same plan with more grouping columns; the shuffle key stays
+        uniform because the doc side, not the value side, carries the
+        cardinality."""
+        matched = self._matched_ids(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        f1, f2 = fields
+        return (
+            docs.join(matched, "doc_id")
+            .groupBy(F.col(f1).alias("value1"), F.col(f2).alias("value2"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("value1"), F.asc("value2"))
+            .limit(k_facets)
+        )
+
+    def facet_metric_stats(self, terms: list[str], facet: str = "lang",
+                           field: str = "code.content") -> DataFrame:
+        """Stats-over-facet (Solr ``stats.field`` + ``stats.facet`` /
+        JSON facet aggregations): per facet bucket over the match set,
+        count / sum / avg / min / max of the per-doc token length — the
+        engine's own doclen, so no content rescan. docs and doclen are
+        both bucket-partitioned and id-keyed, so the two joins
+        co-locate; the final groupBy is map-side-combinable on a
+        low-cardinality key."""
+        matched = self._matched_ids(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        dl = (self.spark.read.parquet(str(self.path / "doclen"))
+              .filter(F.col("field") == field).select("doc_id", "len"))
+        return (
+            docs.join(matched, "doc_id").join(dl, "doc_id")
+            .groupBy(F.col(facet).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("len").alias("sum_len"),
+                 F.round(F.avg("len"), 5).alias("avg_len"),
+                 F.min("len").alias("min_len"),
+                 F.max("len").alias("max_len"))
+            .orderBy(F.desc("n_docs"), F.asc("value"))
         )
 
     def export_matches(self, terms: list[str], out_dir: str,
@@ -1250,6 +1332,24 @@ class FtIndex:
             if row is not None:
                 return int(row["bucket"])
         return None
+
+    def get_doc(self, doc_id: int) -> dict | None:
+        """Real-time-get analog (Solr ``/get``): the metadata row for
+        one doc id — tombstone-aware, bucket-pruned (the docs table is
+        partitioned by bucket, so the lookup reads exactly one
+        partition's footers plus the id-predicate-pushed pages).
+        Streamed delta docs carry postings only until compact_deltas
+        folds them into base buckets; before that this returns None for
+        them, matching the docs-table-backed facet/export surfaces."""
+        if doc_id in self._tombstones:
+            return None
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        q = docs.filter(F.col("doc_id") == doc_id)
+        b = self._bucket_of(doc_id)
+        if b is not None:
+            q = q.filter(F.col("bucket") == b)
+        row = q.first()
+        return row.asDict() if row is not None else None
 
     def topk_distributed(self, terms: list[str], k: int = 10,
                          field: str = "code.content", mode: str = "or",

@@ -2,15 +2,19 @@
 Arrow-batched decode / feature-extract / resize / frame-sample stages.
 
 The Spark-side plumbing (schemas, partitioning, Pandas-UDF signatures,
-batch shapes) is real and tested; the actual media codecs are NOT in
-this container, so the decode kernels are stubbed two ways:
+batch shapes) is real and tested. Decode backends:
 
+- ``backend="native"``: REAL decode for the formats a pure
+  numpy/stdlib stack can honestly own — uncompressed 24-bit BMP
+  (struct header parse + padded-row pixel array) and PCM WAV (stdlib
+  ``wave``). Features/resize then run on actual pixels/samples.
 - ``backend="fake"`` (default): a deterministic, pure-numpy fake
   decoder driven by a hash of the payload — stable outputs for tests
-  and benchmarks of the plumbing.
+  and benchmarks of the plumbing, independent of payload format.
 - ``backend="real"``: raises ``NotImplementedError`` with the exact
   dependency needed (PIL / soundfile / av) — the marked integration
-  point for a production image/audio stack.
+  point for compressed formats (PNG/JPEG/MP3/H.264) whose codecs are
+  not in this container.
 
 Scale notes: media rows are orders of magnitude wider than text rows,
 so every operator here (a) keeps payloads in Arrow binary columns
@@ -89,28 +93,131 @@ def _fake_pixels(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
 
 
+# ---------------------------------------------------------------- native
+# real pure-python codecs for the formats that need no external library
+
+def bmp_encode(px: np.ndarray) -> bytes:
+    """Grayscale (H, W) uint8 plane → uncompressed 24-bit BMP bytes
+    (BGR triples, 4-byte-padded rows, bottom-up — the classic DIB)."""
+    import struct
+
+    h, w = px.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):
+        body += np.repeat(px[r], 3).astype(np.uint8).tobytes()
+        body += b"\x00" * pad
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return hdr + info + bytes(body)
+
+
+def bmp_decode(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → grayscale (H, W) uint8 plane (ITU
+    BT.601 luma). Raises on non-BMP or compressed/other-depth DIBs —
+    those route to the `real` backend's codec gate."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", b, 14)
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got "
+                                  f"bpp={bpp}, compression={comp})")
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    arr = np.frombuffer(b, np.uint8, count=stride * abs(h), offset=off)
+    px = arr.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        px = px[::-1]
+    lum = (0.114 * px[..., 0] + 0.587 * px[..., 1] + 0.299 * px[..., 2])
+    return lum.round().astype(np.uint8)
+
+
+def wav_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(b: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (int16 mono samples, rate). Multi-channel input
+    is averaged to mono; compressed WAV raises (stdlib wave only does
+    PCM — honest gate, same contract as bmp_decode)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(b), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV")
+        raw = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
+        nch = f.getnchannels()
+        if nch > 1:
+            raw = raw.reshape(-1, nch).mean(axis=1).astype(np.int16)
+        return raw, f.getframerate()
+
+
+def _nn_downsample(px: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbour resample — deterministic, shape-agnostic."""
+    ys = np.linspace(0, px.shape[0] - 1, h).round().astype(int)
+    xs = np.linspace(0, px.shape[1] - 1, w).round().astype(int)
+    return px[np.ix_(ys, xs)]
+
+
+def _plane_features(plane: np.ndarray) -> tuple[float, float, float, str]:
+    """(mean, std, entropy_bits, 8×8 average-hash) of a uint8 plane."""
+    flat = plane.reshape(-1)
+    counts = np.bincount(flat, minlength=256)
+    p = counts[counts > 0] / flat.size
+    entropy = float(-(p * np.log2(p)).sum())
+    small = _nn_downsample(plane, 8, 8)
+    bits = (small > small.mean()).reshape(-1)
+    phash = "".join("1" if x else "0" for x in bits)
+    return float(flat.mean()), float(flat.std()), entropy, phash
+
+
 def image_features(media: DataFrame, backend: str = "fake") -> DataFrame:
-    """Per-image features: byte stats + entropy + an 8×8 average-hash
-    perceptual fingerprint (on the fake-decoded plane)."""
+    """Per-image features: stats + entropy + an 8×8 average-hash
+    perceptual fingerprint. ``backend="fake"``: byte-level stats over
+    the raw payload + hash-seeded plane for the phash.
+    ``backend="native"``: REAL stats over the bmp_decode'd pixel plane
+    (uncompressed 24-bit BMP; other formats raise through the codec
+    gate)."""
     if backend == "real":
         _require_real_backend("image", "Pillow")
+    native = backend == "native"
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                arr = np.frombuffer(b, dtype=np.uint8)
-                if arr.size:
-                    counts = np.bincount(arr, minlength=256)
-                    p = counts[counts > 0] / arr.size
-                    entropy = float(-(p * np.log2(p)).sum())
-                    mean, std = float(arr.mean()), float(arr.std())
+                if native:
+                    plane = bmp_decode(b)
+                    mean, std, entropy, phash = _plane_features(plane)
                 else:
-                    entropy, mean, std = 0.0, 0.0, 0.0
-                px = _fake_pixels(b)
-                bits = (px > px.mean()).flatten()
-                phash = "".join("1" if x else "0" for x in bits)
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    if arr.size:
+                        counts = np.bincount(arr, minlength=256)
+                        p = counts[counts > 0] / arr.size
+                        entropy = float(-(p * np.log2(p)).sum())
+                        mean, std = float(arr.mean()), float(arr.std())
+                    else:
+                        entropy, mean, std = 0.0, 0.0, 0.0
+                    px = _fake_pixels(b)
+                    bits = (px > px.mean()).flatten()
+                    phash = "".join("1" if x else "0" for x in bits)
                 rows.append(
                     (int(mid),
                      hashlib.sha256(b).hexdigest() if b else None,
@@ -130,16 +237,23 @@ def image_features(media: DataFrame, backend: str = "fake") -> DataFrame:
 
 def resize_images(media: DataFrame, w: int = 8, h: int = 8,
                   backend: str = "fake") -> DataFrame:
-    """Thumbnail stage: payload → fixed-size plane (fake decoder)."""
+    """Thumbnail stage: payload → fixed-size grayscale plane.
+    ``native`` decodes real BMP pixels and nearest-neighbour
+    resamples; ``fake`` emits the hash-seeded plane."""
     if backend == "real":
         _require_real_backend("image", "Pillow")
+    native = backend == "native"
 
     def kernel(batches):
         for pdf in batches:
-            rows = [
-                (int(mid), _fake_pixels(bytes(p or b""), w, h).tobytes(), w, h)
-                for mid, p in zip(pdf["media_id"], pdf["payload"])
-            ]
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p or b"")
+                if native:
+                    thumb = _nn_downsample(bmp_decode(b), h, w)
+                else:
+                    thumb = _fake_pixels(b, w, h)
+                rows.append((int(mid), thumb.tobytes(), w, h))
             yield pd.DataFrame(rows, columns=["media_id", "thumb", "thumb_w", "thumb_h"])
 
     return (
@@ -174,13 +288,75 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
 
 
 def audio_features(media: DataFrame, backend: str = "fake") -> DataFrame:
-    """Audio feature stub: byte-level stats stand in for PCM stats."""
+    """Audio features. ``fake``: byte-level stats stand in for PCM
+    stats. ``native``: wav_decode the payload (16-bit PCM) and compute
+    REAL sample stats — mean/std in sample units, entropy over the
+    8-bit-quantized amplitude histogram, and a 64-bit envelope hash
+    (|amplitude| per 64 time buckets vs its mean) as the ahash."""
     if backend == "real":
         _require_real_backend("audio", "soundfile")
-    return image_features(
-        media.filter(F.col("kind") == "audio").withColumn("kind", F.lit("image")),
-        backend="fake",
-    ).withColumnRenamed("phash", "ahash")
+    audio = media.filter(F.col("kind") == "audio")
+    if backend != "native":
+        return image_features(
+            audio.withColumn("kind", F.lit("image")), backend=backend,
+        ).withColumnRenamed("phash", "ahash")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p or b"")
+                samples, _rate = wav_decode(b)
+                q = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
+                counts = np.bincount(q, minlength=256)
+                pr = counts[counts > 0] / max(q.size, 1)
+                entropy = float(-(pr * np.log2(pr)).sum()) if q.size else 0.0
+                env = np.abs(samples.astype(np.float64))
+                env = _nn_downsample(env.reshape(-1, 1), 64, 1).reshape(-1)
+                bits = env > env.mean() if env.size else np.zeros(64, bool)
+                rows.append(
+                    (int(mid),
+                     hashlib.sha256(b).hexdigest() if b else None,
+                     len(b),
+                     round(float(samples.mean()) if samples.size else 0.0, 5),
+                     round(float(samples.std()) if samples.size else 0.0, 5),
+                     round(entropy, 5),
+                     "".join("1" if x else "0" for x in bits))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            )
+
+    return (
+        audio.select("media_id", "payload")
+        .mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+        .withColumnRenamed("phash", "ahash")
+    )
+
+
+def synth_native_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic REAL media table: actual BMP images and PCM WAV
+    clips (synthesized gradients/tones, seed-addressed) for the native
+    backend's end-to-end decode tests."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(2000 + i)
+        if i % 2 == 0:
+            h, w = 16 + (i % 3) * 8, 24 + (i % 4) * 8
+            px = ((np.add.outer(np.arange(h), np.arange(w)) * (3 + i))
+                  % 256).astype(np.uint8)
+            px ^= rng.integers(0, 8, size=px.shape, dtype=np.uint8)
+            rows.append((i, "image", bytearray(bmp_encode(px)),
+                         "image/bmp", w, h, None))
+        else:
+            t = np.arange(1600 + (i % 5) * 400)
+            tone = (3000 * np.sin(2 * np.pi * t * (110 + 13 * i) / 8000)
+                    + rng.normal(0, 120, t.size))
+            samples = np.clip(tone, -32768, 32767).astype(np.int16)
+            rows.append((i, "audio", bytearray(wav_encode(samples)),
+                         "audio/wav", None, None,
+                         int(1000 * t.size / 8000)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:

@@ -23,6 +23,12 @@ Endpoints (all JSON):
 - ``group=lang`` on /search → field collapse (best docs per group)
 - ``sort=path asc&start=10`` on /search → metadata sort + offset paging
 - ``GET /stats``         → field statistics (n_docs, avgdl)
+- ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
+- ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
+  (Solr stats.field + stats.facet)
+- ``GET /facet_range?q=a&col=n&start=0&end=100&gap=10`` → range facets
+- ``GET /spellcheck?q=teh+quik`` → corrections + collated query
+- ``GET /get?id=123``    → real-time-get of one doc's metadata row
 - ``POST /refresh``      → re-open the handle after maintenance ops
 
 Scale shape: one server process serves one index replica; the index
@@ -129,6 +135,77 @@ def _make_handler(idx, lock: threading.Lock):
                         ).collect()
                     self._json(200, {"facets": [
                         {"value": r["value"], "n_docs": r["n_docs"]}
+                        for r in rows
+                    ]})
+                elif u.path == "/spellcheck":
+                    q = qs.get("q", [""])[0].split()
+                    if not q:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    d = int(qs.get("d", ["2"])[0])
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        res = idx.spellcheck(q, field=field, max_dist=d)
+                    self._json(200, {
+                        "collation": res["collation"],
+                        "changed": res["changed"],
+                        "terms": [
+                            {"term": t, "correction": c, "df": df,
+                             "dist": dist}
+                            for t, c, df, dist in res["terms"]
+                        ]})
+                elif u.path == "/get":
+                    try:
+                        doc_id = int(qs.get("id", [""])[0])
+                    except ValueError:
+                        self._json(400, {"error": "missing/invalid id"})
+                        return
+                    with lock:
+                        row = idx.get_doc(doc_id)
+                    if row is None:
+                        self._json(404, {"error": "not found",
+                                         "doc_id": doc_id})
+                    else:
+                        row = {k: (v.isoformat() if hasattr(v, "isoformat")
+                                   else v) for k, v in row.items()}
+                        self._json(200, {"doc": row})
+                elif u.path == "/pivot":
+                    # Solr facet.pivot: hierarchical two-level counts
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    fields = qs.get("pivot", ["lang,repo"])[0].split(",")
+                    if len(fields) != 2:
+                        self._json(400, {"error": "pivot needs two fields"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    k = int(qs.get("k", ["50"])[0])
+                    with lock:
+                        rows = idx.facet_pivot(
+                            terms, fields=tuple(fields), field=field,
+                            k_facets=k).collect()
+                    self._json(200, {"pivot": [
+                        {"value1": r["value1"], "value2": r["value2"],
+                         "n_docs": r["n_docs"]}
+                        for r in rows
+                    ]})
+                elif u.path == "/facet_stats":
+                    # Solr stats.field + stats.facet: per-bucket
+                    # count/sum/avg/min/max of doc token length
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    facet = qs.get("facet", ["lang"])[0]
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        rows = idx.facet_metric_stats(
+                            terms, facet=facet, field=field).collect()
+                    self._json(200, {"stats": [
+                        {"value": r["value"], "n_docs": r["n_docs"],
+                         "sum_len": r["sum_len"], "avg_len": r["avg_len"],
+                         "min_len": r["min_len"], "max_len": r["max_len"]}
                         for r in rows
                     ]})
                 elif u.path == "/query":

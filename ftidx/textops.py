@@ -277,3 +277,90 @@ def snippets(docs: DataFrame, terms: list[str], window: int = 40,
                 start, F.lit(2 * window)).alias("snippet"),
         )
     )
+
+def hash_split(docs: DataFrame, weights: dict[str, float] | None = None,
+               seed: int = 42, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment (the standard
+    pre-training corpus split): each doc hashes to one of 256 bins via
+    md5(id ':' seed); cumulative weight thresholds over the bin space
+    pick the split. Pure column expressions — no shuffle, no state, and
+    the SAME doc lands in the SAME split on any cluster, any partition
+    layout, any engine (the bin formula is portable SQL: md5 + instr
+    arithmetic, mirrored verbatim by the DuckDB oracle).
+
+    Adding data never reassigns existing docs (hash-based, not
+    rank-based) — the property that matters when a 100 TB corpus grows
+    between training runs. Analog of the reference's deterministic
+    doc-id synthesis discipline (Indexer.java uses stable ids so
+    re-runs converge); here the stability is of the split assignment.
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    # bin in [0, 256) from the first two hex digits of the salted md5
+    hexv = lambda i: (F.instr(F.lit("0123456789abcdef"),
+                              F.substring(F.col("_h"), i, 1)) - 1)
+    d = docs.withColumn(
+        "_h", F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                                F.lit(str(seed)))))
+    d = d.withColumn("_bin", (hexv(1) * 16 + hexv(2)).cast("int"))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        thr = int(acc * 256)
+        cond = F.col("_bin") < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return d.withColumn("split", split).drop("_h", "_bin")
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   partitions: int = 32) -> DataFrame:
+    """Sequence packing for LLM training: concatenate the corpus in
+    doc-id order and cut fixed ``seq_len``-token training sequences;
+    emit, per doc, its global token offset and the first/last sequence
+    it lands in (a doc may span sequences — the standard
+    concat-then-chunk packing, zero padding waste).
+
+    The global running sum is the textbook scale trap: one
+    ``Window.orderBy(id)`` collapses to a SINGLE partition at 10^12
+    docs. Instead: range-repartition by id, cumsum WITHIN each
+    partition (window keyed by partition id — parallel), collect only
+    the P per-partition totals (a few KB at any corpus size), prefix-sum
+    them on the driver, and broadcast-join the offsets back. Two narrow
+    passes + one tiny broadcast — the same decomposition a cluster uses
+    for parallel prefix-scan.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                     lambda x: x != "")
+    d = (docs.select(F.col(id_col).alias("doc_id"),
+                     F.size(words).cast("long").alias("n_tokens"))
+         .repartitionByRange(partitions, "doc_id")
+         .withColumn("_pid", F.spark_partition_id()))
+    w = (Window.partitionBy("_pid").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("_cum", F.sum("n_tokens").over(w)).cache()
+    totals = {r["_pid"]: r["tot"] for r in
+              d.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += int(totals[pid])
+    off = docs.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    start = F.col("_off") + F.col("_cum") - F.col("n_tokens")
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .filter(F.col("n_tokens") > 0)
+        .select("doc_id", "n_tokens", start.alias("start_token"))
+        # integer `div`, not floor(double /): exact past 2^53 total tokens
+        .select(
+            "doc_id", "n_tokens", "start_token",
+            F.expr(f"start_token div {int(seq_len)}").alias("seq_first"),
+            F.expr(f"(start_token + n_tokens - 1) div {int(seq_len)}")
+             .alias("seq_last"),
+        )
+    )

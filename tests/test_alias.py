@@ -1,0 +1,64 @@
+"""Alias publish/swap: atomic retargeting of the serving pointer
+(Solr CREATEALIAS / index.swap analog)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ftidx.alias import open_alias, publish, resolve
+from ftidx.index import build_index
+from ftidx.synth import synth_source
+
+
+@pytest.fixture(scope="module")
+def two_generations(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("alias")
+    g1, g2 = root / "gen1", root / "gen2"
+    build_index(spark, synth_source(spark, 120, partitions=4),
+                str(g1), n_buckets=4)
+    build_index(spark, synth_source(spark, 200, partitions=4),
+                str(g2), n_buckets=4)
+    return root, g1, g2
+
+
+def test_publish_and_reopen(spark, two_generations):
+    root, g1, g2 = two_generations
+    alias = root / "live"
+    publish(alias, g1)
+    assert resolve(alias) == str(g1.resolve())
+    idx = open_alias(spark, alias)
+    n1 = idx.stats["code.content"][0]
+
+    # a handle opened before the swap keeps serving its generation;
+    # a reopen after the swap sees the new one — no downtime window
+    publish(alias, g2)
+    assert resolve(alias) == str(g2.resolve())
+    assert idx.stats["code.content"][0] == n1
+    idx2 = open_alias(spark, alias)
+    assert idx2.stats["code.content"][0] > n1
+    assert idx2.topk(["def"], k=3)
+
+
+def test_publish_refuses_unbuilt_dir(two_generations):
+    root, g1, _ = two_generations
+    alias = root / "live2"
+    empty = root / "halfbuilt"
+    empty.mkdir(exist_ok=True)
+    with pytest.raises(FileNotFoundError):
+        publish(alias, empty)
+    # refused publish never created or moved the alias
+    assert not os.path.lexists(alias)
+    publish(alias, g1)
+    with pytest.raises(FileNotFoundError):
+        publish(alias, empty)
+    assert resolve(alias) == str(g1.resolve())
+
+
+def test_publish_refuses_non_symlink(two_generations):
+    root, g1, _ = two_generations
+    clash = root / "dirclash"
+    clash.mkdir()
+    with pytest.raises(ValueError):
+        publish(clash, g1)

@@ -357,3 +357,113 @@ def test_scrub_text(spark):
     assert r[1]["clean_hash"] == hashlib.md5(b"plain text").hexdigest()
     assert r[0]["clean_hash"] == hashlib.md5(
         b"write to <EMAIL> or see <URL> now").hexdigest()
+
+
+def test_hash_split(spark):
+    from ftidx.textops import hash_split
+
+    docs = spark.createDataFrame([(i, "t") for i in range(400)],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert len(out) == 400
+    counts = {}
+    for s in out.values():
+        counts[s] = counts.get(s, 0) + 1
+    # 80/10/10 within loose tolerance on 400 docs
+    assert counts["train"] > 260 and counts["val"] > 10 and counts["test"] > 10
+    # stability under corpus growth: adding docs never reassigns old ones
+    bigger = spark.createDataFrame([(i, "t") for i in range(800)],
+                                   "doc_id long, text string")
+    out2 = {r["doc_id"]: r["split"] for r in hash_split(bigger).collect()}
+    assert all(out2[i] == out[i] for i in range(400))
+    # a different seed produces a different assignment somewhere
+    out3 = {r["doc_id"]: r["split"]
+            for r in hash_split(docs, seed=7).collect()}
+    assert any(out3[i] != out[i] for i in range(400))
+
+
+def test_pack_sequences(spark):
+    from ftidx.textops import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(cnt)))
+            for i, cnt in enumerate([5, 3, 0, 4, 8, 2])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_sequences(docs, seq_len=4, partitions=3).collect()}
+    # empty doc is dropped, others present
+    assert set(got) == {0, 1, 3, 4, 5}
+    # offsets are the exact global prefix sums in doc-id order
+    expect_start = {0: 0, 1: 5, 3: 8, 4: 12, 5: 20}
+    for d, s in expect_start.items():
+        assert got[d]["start_token"] == s, (d, dict(got[d].asDict()))
+    # seq spans: doc 0 covers tokens [0,5) → seqs 0..1; doc 4 [12,20) → 3..4
+    assert (got[0]["seq_first"], got[0]["seq_last"]) == (0, 1)
+    assert (got[4]["seq_first"], got[4]["seq_last"]) == (3, 4)
+    assert (got[5]["seq_first"], got[5]["seq_last"]) == (5, 5)
+    # invariant under partition count (the two-phase scan is exact)
+    got1 = {r["doc_id"]: (r["start_token"], r["seq_first"], r["seq_last"])
+            for r in pack_sequences(docs, seq_len=4, partitions=1).collect()}
+    assert got1 == {d: (r["start_token"], r["seq_first"], r["seq_last"])
+                    for d, r in got.items()}
+
+
+def test_connected_components(spark):
+    from ftidx.dedup import connected_components, dedup_clusters
+
+    # two chains and one singleton pair: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (21, 20), (20, 21)],
+        "doc_a long, doc_b long")
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]],
+                                 "doc_id long")
+    verdict = {r["doc_id"]: (r["component"], r["keep"])
+               for r in dedup_clusters(docs, pairs).collect()}
+    # transitive closure: ONE keeper for the 4-chain (pairwise-loser
+    # dedup would keep both 1 and 3)
+    assert verdict[1] == (1, True)
+    assert verdict[2] == (1, False) and verdict[4] == (1, False)
+    assert verdict[99] == (99, True)   # unpaired doc is its own keeper
+    assert sum(1 for c, k in verdict.values() if k) == 4
+
+
+def test_connected_components_long_chain(spark):
+    from ftidx.dedup import connected_components
+
+    # a 12-node path exercises multi-round convergence + early stop
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "a long, b long")
+    comp = connected_components(pairs).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 13
+
+
+def test_curate_transitive_vs_pairwise(spark):
+    from ftidx.curate import curate_corpus
+
+    # a / b / c form a near-dup CHAIN (a~b, b~c, a!~c is possible):
+    # pairwise keeps any doc whose matches were all dropped; transitive
+    # keeps exactly one per cluster
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base),
+        (2, base + " extra1"),
+        (3, base + " extra1 extra2"),
+        (9, "совершенно unrelated text about parquet footers and "
+            "bloom filters plus columnar page statistics metadata"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out_t = {r["doc_id"] for r in
+             curate_corpus(docs, min_tokens=2, min_quality=0.0,
+                           near_dup_threshold=0.5,
+                           transitive=True).collect()}
+    assert 1 in out_t and 9 in out_t
+    assert out_t & {2, 3} == set()   # whole cluster collapses to doc 1
+    out_p = {r["doc_id"] for r in
+             curate_corpus(docs, min_tokens=2, min_quality=0.0,
+                           near_dup_threshold=0.5).collect()}
+    assert 1 in out_p and 9 in out_p and 2 not in out_p

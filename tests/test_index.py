@@ -514,3 +514,60 @@ def test_facet_range_and_export(spark, built, tmp_path):
         assert n2 == n - 1
     finally:
         idx._tombstones.discard(victim)  # module-scoped fixture: restore
+
+
+def test_facet_pivot_and_metric_stats(spark, built):
+    """Pivot counts == brute-force (lang, repo) recount; stats facet ==
+    brute-force doclen aggregation per lang."""
+    idx = open_index(spark, built[0])
+    all_hits = {d for d, _ in idx.topk(["def"], k=10**6,
+                                       kernel="exhaustive")}
+    docs = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{built[0]}/docs").collect()}
+    got = {(r["value1"], r["value2"]): r["n_docs"] for r in
+           idx.facet_pivot(["def"], fields=("lang", "repo"),
+                           k_facets=10**6).collect()}
+    want: dict[tuple, int] = {}
+    for d in all_hits:
+        k = (docs[d]["lang"], docs[d]["repo"])
+        want[k] = want.get(k, 0) + 1
+    assert got == want and got
+
+    # Solr-default top-N: the k_facets cut is the count-desc prefix.
+    top = [((r["value1"], r["value2"]), r["n_docs"]) for r in
+           idx.facet_pivot(["def"], fields=("lang", "repo"),
+                           k_facets=5).collect()]
+    full_sorted = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert top == full_sorted[:5]
+
+    dl = {r["doc_id"]: r["len"] for r in
+          spark.read.parquet(f"{built[0]}/doclen")
+          .filter("field = 'code.content'").collect()}
+    stats = {r["value"]: r for r in
+             idx.facet_metric_stats(["def"], facet="lang").collect()}
+    by_lang: dict[str, list[int]] = {}
+    for d in all_hits:
+        by_lang.setdefault(docs[d]["lang"], []).append(dl[d])
+    assert set(stats) == set(by_lang)
+    for lang, lens in by_lang.items():
+        r = stats[lang]
+        assert r["n_docs"] == len(lens)
+        assert r["sum_len"] == sum(lens)
+        assert r["min_len"] == min(lens) and r["max_len"] == max(lens)
+        assert abs(r["avg_len"] - sum(lens) / len(lens)) < 1e-4
+
+
+def test_spellcheck_and_get_doc(spark, built):
+    idx = open_index(spark, built[0])
+    res = idx.spellcheck(["def", "deff", "zzzzqqqxx"])
+    by = {t: (c, df, dist) for t, c, df, dist in res["terms"]}
+    assert by["def"][0] == "def" and by["def"][2] == 0 and by["def"][1] > 0
+    assert by["deff"][0] == "def" and by["deff"][2] == 1
+    assert by["zzzzqqqxx"] == ("zzzzqqqxx", 0, 0)  # nothing within 2 edits
+    assert res["changed"]
+    assert res["collation"] == "def def zzzzqqqxx"
+
+    some = idx.topk(["def"], k=1)[0][0]
+    row = idx.get_doc(some)
+    assert row is not None and row["doc_id"] == some and row["path"]
+    assert idx.get_doc(999_999_999_999) is None

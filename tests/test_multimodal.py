@@ -71,3 +71,69 @@ def test_real_backend_gated(media):
         sample_frames(media, backend="real")
     with pytest.raises(NotImplementedError, match="soundfile"):
         audio_features(media, backend="real")
+
+
+def test_native_bmp_roundtrip_and_features(spark):
+    import numpy as np
+
+    from ftidx.multimodal import (bmp_decode, bmp_encode, image_features,
+                                  resize_images, synth_native_media)
+
+    # codec round-trip: encode → decode reproduces the plane exactly
+    px = (np.add.outer(np.arange(13), np.arange(17)) % 256).astype(np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(px)), px)
+
+    media = synth_native_media(spark, 12).cache()
+    feats = {r["media_id"]: r for r in image_features(
+        media, backend="native").collect()}
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert set(feats) == {i for i in range(12) if i % 2 == 0}
+    for mid, r in feats.items():
+        plane = bmp_decode(bytes(rows[mid]["payload"]))
+        assert plane.shape == (rows[mid]["height"], rows[mid]["width"])
+        assert abs(r["mean_byte"] - plane.mean()) < 1e-4
+        assert abs(r["std_byte"] - plane.std()) < 1e-4
+        assert len(r["phash"]) == 64 and set(r["phash"]) <= {"0", "1"}
+
+    thumbs = {r["media_id"]: r for r in resize_images(
+        media, w=6, h=4, backend="native").collect()}
+    for mid, r in thumbs.items():
+        t = np.frombuffer(bytes(r["thumb"]), dtype=np.uint8).reshape(4, 6)
+        plane = bmp_decode(bytes(rows[mid]["payload"]))
+        # corners of an NN downsample are the source corners
+        assert t[0, 0] == plane[0, 0] and t[-1, -1] == plane[-1, -1]
+
+
+def test_native_wav_features(spark):
+    import numpy as np
+
+    from ftidx.multimodal import (audio_features, synth_native_media,
+                                  wav_decode, wav_encode)
+
+    samples = (1000 * np.sin(np.arange(800) / 7.0)).astype(np.int16)
+    out, rate = wav_decode(wav_encode(samples, rate=8000))
+    assert rate == 8000 and np.array_equal(out, samples)
+
+    media = synth_native_media(spark, 12).cache()
+    feats = {r["media_id"]: r for r in audio_features(
+        media, backend="native").collect()}
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert set(feats) == {i for i in range(12) if i % 2 == 1}
+    for mid, r in feats.items():
+        s, _ = wav_decode(bytes(rows[mid]["payload"]))
+        assert abs(r["mean_byte"] - s.mean()) < 1e-4
+        assert abs(r["std_byte"] - s.std()) < 1e-4
+        assert len(r["ahash"]) == 64
+
+
+def test_native_gate_on_compressed(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from ftidx.multimodal import bmp_decode, wav_decode
+
+    with _pt.raises(ValueError):
+        bmp_decode(b"\x89PNG not a bmp at all padding padding padding "
+                   b"padding padding padding")
+    with _pt.raises(Exception):
+        wav_decode(b"ID3 mp3-ish garbage that wave cannot parse")

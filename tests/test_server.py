@@ -165,3 +165,39 @@ def test_facet_range_endpoint(served):
     assert [(b["start"], b["n_docs"]) for b in body["buckets"]] == \
         [(r["bucket_start"], r["n_docs"]) for r in expect]
     assert body["buckets"]  # the corpus populates low buckets
+
+
+def test_pivot_and_facet_stats_endpoints(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, body = _get(f"{base}/pivot?q=def&pivot=lang,repo")
+    expect = [(r["value1"], r["value2"], r["n_docs"]) for r in
+              idx.facet_pivot(["def"], fields=("lang", "repo")).collect()]
+    assert [(p["value1"], p["value2"], p["n_docs"])
+            for p in body["pivot"]] == expect and body["pivot"]
+
+    _, body = _get(f"{base}/facet_stats?q=def&facet=lang")
+    expect = [(r["value"], r["n_docs"], r["sum_len"]) for r in
+              idx.facet_metric_stats(["def"], facet="lang").collect()]
+    assert [(s["value"], s["n_docs"], s["sum_len"])
+            for s in body["stats"]] == expect and body["stats"]
+
+
+def test_spellcheck_and_get_endpoints(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, body = _get(f"{base}/spellcheck?q=def+deff")
+    assert body["collation"] == "def def" and body["changed"]
+    by_term = {t["term"]: t for t in body["terms"]}
+    assert by_term["def"]["dist"] == 0 and by_term["def"]["df"] > 0
+    assert by_term["deff"]["correction"] == "def" and by_term["deff"]["dist"] == 1
+
+    some_id = idx.topk(["def"], k=1)[0][0]
+    _, body = _get(f"{base}/get?id={some_id}")
+    assert body["doc"]["doc_id"] == some_id and body["doc"]["path"]
+    import urllib.error
+    try:
+        code, _body = _get(f"{base}/get?id=999999999999")
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
