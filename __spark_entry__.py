@@ -264,6 +264,56 @@ def q_doc_term_vector(spark, sf_dir):
     )
 
 
+def q_mlt(spark, sf_dir):
+    """More-like-this (Solr MLT component — engine twin:
+    FtIndex.more_like_this): seed = min doc_id; its top-8 terms by
+    tf·idf (rounded, ties term ASC) become the query; BM25 over the
+    corpus with the seed excluded, top 10. Every stage is the
+    data-dependent version of the fixed-term BM25 pipeline: the query
+    terms come out of a window over the seed's term vector instead of
+    a literal list, so the oracle mirrors with one extra CTE."""
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    seed = _docs(spark, sf_dir).agg(F.min("doc_id").alias("seed_id"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    # seed term vector scored by tf*idf against corpus-wide df
+    dfreq_all = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tw = Window.orderBy(F.desc("tsel"), F.asc("term"))
+    qterms = (
+        tf.join(F.broadcast(seed), tf.doc_id == F.col("seed_id"))
+        .select("term", F.col("tf").alias("seed_tf"))
+        .join(dfreq_all, "term").crossJoin(F.broadcast(stats))
+        .withColumn("tsel", F.round(F.col("seed_tf") * idf, 5))
+        .withColumn("trank", F.row_number().over(tw))
+        .filter(F.col("trank") <= 8).select("term")
+    )
+    m = tf.join(F.broadcast(qterms), "term")
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = (m.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
+         .crossJoin(F.broadcast(stats)))
+    contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        j.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 5).alias("score_r"))
+        .join(F.broadcast(seed), F.col("doc_id") == F.col("seed_id"),
+              "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r")
+    )
+
+
 def q_first_snippet(spark, sf_dir):
     # Solr highlighting analog (engine twin: textops.snippets): fixed
     # window around the first occurrence of the earliest query term
@@ -340,6 +390,25 @@ def q_facet_stats(spark, sf_dir):
              F.round(F.avg("n_chars"), 5).alias("avg_chars"),
              F.min("n_chars").alias("min_chars"),
              F.max("n_chars").alias("max_chars"))
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+    )
+
+
+def q_facet_percentiles(spark, sf_dir):
+    """Stats-facet percentiles (Solr stats ``percentiles=`` — engine
+    twin: FtIndex.facet_metric_stats(percentiles=[...])): exact
+    linear-interpolated p50/p95 of n_chars per language over the match
+    set. Spark `percentile` and DuckDB `quantile_cont` share the
+    rank = p·(n−1) interpolation definition — verified bit-identical."""
+    tok = _tokens(spark, sf_dir)
+    matched = tok.filter(F.col("term").isin("spark", "merge")) \
+        .select("doc_id").distinct()
+    return (
+        _docs(spark, sf_dir).join(matched, "doc_id")
+        .groupBy(F.col("lang").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.percentile("n_chars", 0.5), 5).alias("p50_chars"),
+             F.round(F.percentile("n_chars", 0.95), 5).alias("p95_chars"))
         .orderBy(F.desc("n_docs"), F.asc("value"))
     )
 
@@ -659,6 +728,36 @@ def q_sorted_page(spark, sf_dir):
     )
 
 
+def q_cursor_page(spark, sf_dir):
+    """Solr cursorMark keyset paging (engine twin: FtIndex.search_after):
+    the cursor is row 10's full sort tuple (lang, score, doc_id); the
+    page is the next 10 matches strictly beyond it — same rows as
+    sorted_page's offset page, produced by the predicate path that
+    stays O(rows) at any depth instead of O(start+rows)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    scored = _bm25_scored(spark, sf_dir).join(docs, "doc_id")
+    w = Window.orderBy(F.asc("lang"), F.desc("score_r"), F.asc("doc_id"))
+    cur = (scored.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 10)
+           .select(F.col("lang").alias("c_lang"),
+                   F.col("score_r").alias("c_score"),
+                   F.col("doc_id").alias("c_id")))
+    beyond = (
+        (F.col("lang") > F.col("c_lang"))
+        | ((F.col("lang") == F.col("c_lang"))
+           & ((F.col("score_r") < F.col("c_score"))
+              | ((F.col("score_r") == F.col("c_score"))
+                 & (F.col("doc_id") > F.col("c_id")))))
+    )
+    pw = Window.orderBy(F.asc("lang"), F.desc("score_r"), F.asc("doc_id"))
+    return (
+        scored.crossJoin(F.broadcast(cur)).filter(beyond)
+        .withColumn("page_rank", F.row_number().over(pw))
+        .filter(F.col("page_rank") <= 10)
+        .select("page_rank", "doc_id", "lang", "score_r")
+    )
+
+
 def q_chunk_spans(spark, sf_dir):
     from ftidx.textops import chunk_tokens
 
@@ -922,11 +1021,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": q_facet_lang,
         "facet_pivot": q_facet_pivot,
         "facet_stats": q_facet_stats,
+        "facet_percentiles": q_facet_percentiles,
         "facet_range": q_facet_range,
         "contamination": q_contamination,
         "suggest_vocab": q_suggest_vocab,
         "first_snippet": q_first_snippet,
         "doc_term_vector": q_doc_term_vector,
+        "mlt": q_mlt,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "match_stats": q_match_stats,
         "fuzzy_vocab": q_fuzzy_vocab,
@@ -953,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_near": q_phrase_near,
         "collapse_by_source": q_collapse_by_source,
         "sorted_page": q_sorted_page,
+        "cursor_page": q_cursor_page,
         "chunk_spans": q_chunk_spans,
         "repetition": q_repetition,
         "scrub": q_scrub,
@@ -1073,6 +1175,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY tf DESC, term
             LIMIT 25
         """,
+        "mlt": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+            seed AS (SELECT min(doc_id) AS seed_id FROM documents),
+            dfreq_all AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            qterms AS (
+              SELECT term FROM (
+                SELECT t.term,
+                       row_number() OVER (
+                         ORDER BY round(t.tf * ln(1.0 + (s.n_docs - d.df + 0.5)
+                                                  / (d.df + 0.5)), 5) DESC,
+                                  t.term) AS trank
+                FROM tf t JOIN seed ON t.doc_id = seed.seed_id
+                JOIN dfreq_all d USING (term) CROSS JOIN stats s
+              ) WHERE trank <= 8
+            ),
+            m AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+            dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+            scored AS (
+              SELECT m.doc_id,
+                     ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {K1 + 1.0}
+                       / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)) AS contrib
+              FROM m JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+              WHERE m.doc_id != (SELECT seed_id FROM seed)
+            ),
+            bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r FROM scored GROUP BY doc_id)
+            SELECT rank, doc_id, score_r FROM (
+              SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+                     doc_id, score_r
+              FROM bm25
+            ) WHERE rank <= 10
+        """,
         "first_snippet": """
             WITH pos AS (
               SELECT doc_id, text,
@@ -1138,6 +1275,18 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(d.n_chars), 5) AS avg_chars,
                    min(d.n_chars) AS min_chars,
                    max(d.n_chars) AS max_chars
+            FROM documents d JOIN matched USING (doc_id)
+            GROUP BY d.lang
+            ORDER BY n_docs DESC, value
+        """,
+        "facet_percentiles": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+              SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'merge')
+            )
+            SELECT d.lang AS value, count(*) AS n_docs,
+                   round(quantile_cont(d.n_chars, 0.5), 5) AS p50_chars,
+                   round(quantile_cont(d.n_chars, 0.95), 5) AS p95_chars
             FROM documents d JOIN matched USING (doc_id)
             GROUP BY d.lang
             ORDER BY n_docs DESC, value
@@ -1457,6 +1606,29 @@ def oracle_sql() -> dict[str, str]:
                      b.doc_id, d.lang, b.score_r
               FROM bm25 b JOIN documents d USING (doc_id)
             ) WHERE page_rank > 10 AND page_rank <= 20
+        """,
+        "cursor_page": _BM25_CTE + """,
+            sm AS (
+              SELECT b.doc_id, d.lang, b.score_r
+              FROM bm25 b JOIN documents d USING (doc_id)
+            ),
+            cur AS (
+              SELECT lang AS c_lang, score_r AS c_score, doc_id AS c_id
+              FROM (
+                SELECT *, row_number() OVER (ORDER BY lang, score_r DESC,
+                                             doc_id) AS rn
+                FROM sm
+              ) WHERE rn = 10
+            )
+            SELECT page_rank, doc_id, lang, score_r FROM (
+              SELECT row_number() OVER (ORDER BY lang, score_r DESC,
+                                        doc_id) AS page_rank,
+                     s.doc_id, s.lang, s.score_r
+              FROM sm s CROSS JOIN cur c
+              WHERE s.lang > c.c_lang
+                 OR (s.lang = c.c_lang AND (s.score_r < c.c_score
+                     OR (s.score_r = c.c_score AND s.doc_id > c.c_id)))
+            ) WHERE page_rank <= 10
         """,
         "chunk_spans": """
             WITH arr AS (

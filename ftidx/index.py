@@ -1031,6 +1031,49 @@ class FtIndex:
             .select("doc_id", "sort_value", "score")
         )
 
+    def search_after(self, terms: list[str], sort_col: str,
+                     after: tuple | None = None, ascending: bool = True,
+                     rows: int = 10,
+                     field: str = "code.content") -> DataFrame:
+        """Solr ``cursorMark`` analog — keyset deep paging. ``after``
+        is the full sort tuple of the previous page's LAST row,
+        ``(sort_value, score, doc_id)`` (None = first page); the page
+        is every match strictly beyond it in ``(sort_value asc/desc,
+        score DESC, doc_id ASC)`` order.
+
+        Why this exists next to :meth:`search_sorted`: offset paging
+        ranks ``start + rows`` rows per page — page 10^5 of a corpus
+        crawl re-ranks a million rows, and a concurrent upsert shifts
+        rows so pages skip or repeat docs. The keyset predicate is
+        applied BEFORE the global TakeOrdered, so every page is the
+        same O(matches) scan + O(rows) heap regardless of depth, and a
+        doc is visited exactly once even if the index is rewritten
+        between pages (Solr documents the same guarantee for
+        cursorMark vs start=). The score component is float64 compared
+        for exact equality — safe because the cursor is a value the
+        engine itself emitted (same bits round-trip through the
+        driver; the HTTP tier ships it as ``float.hex``)."""
+        scored = self._scored_df(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs")).select(
+            "doc_id", F.col(sort_col).alias("sort_value"))
+        j = scored.join(docs, "doc_id")
+        if after is not None:
+            sv, sc, did = after
+            svc, scc, idc = (F.col("sort_value"), F.col("score"),
+                             F.col("doc_id"))
+            beyond = (svc > F.lit(sv)) if ascending else (svc < F.lit(sv))
+            j = j.filter(
+                beyond | ((svc == F.lit(sv))
+                          & ((scc < F.lit(sc))
+                             | ((scc == F.lit(sc)) & (idc > F.lit(did)))))
+            )
+        key = F.asc("sort_value") if ascending else F.desc("sort_value")
+        return (
+            j.orderBy(key, F.desc("score"), F.asc("doc_id"))
+            .limit(rows)
+            .select("doc_id", "sort_value", "score")
+        )
+
     def match_stats(self, terms: list[str], stat_col: str = "lang",
                     field: str = "code.content") -> DataFrame:
         """Solr stats-component analog: aggregate a docs-table column
@@ -1219,26 +1262,40 @@ class FtIndex:
         )
 
     def facet_metric_stats(self, terms: list[str], facet: str = "lang",
-                           field: str = "code.content") -> DataFrame:
+                           field: str = "code.content",
+                           percentiles: list[float] | None = None
+                           ) -> DataFrame:
         """Stats-over-facet (Solr ``stats.field`` + ``stats.facet`` /
         JSON facet aggregations): per facet bucket over the match set,
         count / sum / avg / min / max of the per-doc token length — the
         engine's own doclen, so no content rescan. docs and doclen are
         both bucket-partitioned and id-keyed, so the two joins
         co-locate; the final groupBy is map-side-combinable on a
-        low-cardinality key."""
+        low-cardinality key.
+
+        ``percentiles`` (Solr stats ``percentiles=``) appends exact
+        linear-interpolated quantile columns ``p<pp>_len``. Exact
+        percentile is NOT map-side-combinable (it gathers each group's
+        values); fine here because groups are facet buckets — for a
+        high-cardinality facet at 100 TB switch to
+        ``F.percentile_approx`` (t-digest, combinable) and accept the
+        approximation."""
         matched = self._matched_ids(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
         dl = (self.spark.read.parquet(str(self.path / "doclen"))
               .filter(F.col("field") == field).select("doc_id", "len"))
+        aggs = [F.count(F.lit(1)).alias("n_docs"),
+                F.sum("len").alias("sum_len"),
+                F.round(F.avg("len"), 5).alias("avg_len"),
+                F.min("len").alias("min_len"),
+                F.max("len").alias("max_len")]
+        for p in percentiles or []:
+            aggs.append(F.round(F.percentile("len", p), 5)
+                        .alias(f"p{int(round(p * 100)):02d}_len"))
         return (
             docs.join(matched, "doc_id").join(dl, "doc_id")
             .groupBy(F.col(facet).alias("value"))
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("len").alias("sum_len"),
-                 F.round(F.avg("len"), 5).alias("avg_len"),
-                 F.min("len").alias("min_len"),
-                 F.max("len").alias("max_len"))
+            .agg(*aggs)
             .orderBy(F.desc("n_docs"), F.asc("value"))
         )
 

@@ -493,3 +493,89 @@ def upsert(spark: SparkSession, index_path: str, new_source: DataFrame,
     summary = build_index(spark, new_source, str(path), n_buckets=n_buckets,
                           resume=True, positions=has_positions, **build_kwargs)
     return {"buckets_rebuilt": summary["built"], "skipped": summary["skipped"]}
+
+
+# Columns a doc can change WITHOUT touching postings: stored-only,
+# never tokenized (tokenize.py indexes content + repo/path/lang/commit
+# derived fields). Everything else must re-index via `upsert` — the
+# same split Solr makes internally: atomic update of an indexed field
+# re-indexes the whole document from stored fields.
+STORED_ONLY_COLS = frozenset({"modified"})
+
+
+def update_fields(spark: SparkSession, index_path: str,
+                  updates: dict[int, dict]) -> dict:
+    """Atomic partial document update (Solr atomic update, stored-only
+    fast path): set metadata columns for specific doc ids by rewriting
+    ONLY the docs-table partitions of the affected buckets — postings,
+    doclen and positions untouched, so query results and scores are
+    bitwise unchanged.
+
+    ``updates`` maps doc_id → {column: new_value}; every entry must use
+    the same column set (one join plan), and every column must be in
+    ``STORED_ONLY_COLS`` — an indexed column raises with the pointer to
+    :func:`upsert`, which is the re-index path.
+
+    Scale shape: the update set broadcast-joins against only the
+    affected buckets' docs partitions (partition-pruned scan); merged
+    rows are STAGED to a sibling directory first and the live
+    partitions swapped per-bucket afterwards — the read plan is never
+    live while its own input is overwritten (the lazy-recompute
+    failure), and a crash between swaps leaves each bucket wholly old
+    or wholly new, never mixed. O(affected buckets), never O(corpus).
+    Open handles must ``refresh()``.
+    """
+    if not updates:
+        return {"updated": 0, "buckets": []}
+    cols = None
+    for did, kv in updates.items():
+        if cols is None:
+            cols = sorted(kv)
+        elif sorted(kv) != cols:
+            raise ValueError("all updates must set the same column set")
+        if any(v is None for v in kv.values()):
+            raise ValueError("None values not supported (delete the "
+                             "column from the dict instead)")
+    bad = [c for c in cols if c not in STORED_ONLY_COLS]
+    if bad:
+        raise ValueError(
+            f"column(s) {bad} are indexed (tokenized into postings); "
+            "in-place update would desync the index — use "
+            "ftidx.maintenance.upsert to re-index those docs")
+
+    path = Path(index_path)
+    docs_dir = path / "docs"
+    all_docs = spark.read.parquet(str(docs_dir))
+    upd_rows = [(int(d), *[kv[c] for c in cols]) for d, kv in updates.items()]
+    upd_schema = ", ".join(
+        ["doc_id long"] + [f"_new_{i} " + ({
+            "modified": "timestamp"}.get(c, "string")) for i, c in
+            enumerate(cols)])
+    upd = spark.createDataFrame(upd_rows, upd_schema)
+
+    buckets = sorted(
+        int(r["bucket"]) for r in
+        all_docs.join(F.broadcast(upd), "doc_id")
+        .select("bucket").distinct().collect()
+    )
+    if not buckets:
+        return {"updated": 0, "buckets": []}
+
+    part = all_docs.filter(F.col("bucket").isin(buckets))
+    merged = part.join(F.broadcast(upd), "doc_id", "left")
+    for i, c in enumerate(cols):
+        merged = merged.withColumn(
+            c, F.coalesce(F.col(f"_new_{i}"), F.col(c)))
+    merged = merged.select(*all_docs.columns)
+
+    tmp = path / "docs_upd_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.partitionBy("bucket").parquet(str(tmp))
+    n = 0
+    for b in buckets:
+        src, dst = tmp / f"bucket={b}", docs_dir / f"bucket={b}"
+        shutil.rmtree(dst, ignore_errors=True)
+        src.rename(dst)
+        n += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"updated": len(upd_rows), "buckets": buckets}

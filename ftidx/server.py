@@ -22,6 +22,8 @@ Endpoints (all JSON):
 - ``slop=N`` on /phrase → unordered proximity ("a b"~N) instead of exact
 - ``group=lang`` on /search → field collapse (best docs per group)
 - ``sort=path asc&start=10`` on /search → metadata sort + offset paging
+- ``sort=path asc&cursor=*`` on /search → cursorMark keyset paging
+  (response carries ``next_cursor``; pass it back for the next page)
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
@@ -265,10 +267,43 @@ def _make_handler(idx, lock: threading.Lock):
                             return
                         elif sort:
                             col, _, direction = sort.partition(" ")
+                            asc = direction != "desc"
+                            cursor = qs.get("cursor", [""])[0]
+                            if cursor:
+                                # Solr cursorMark: "*" = first page, else
+                                # the opaque tuple the previous response
+                                # returned as next_cursor
+                                after = None
+                                if cursor != "*":
+                                    sv, sc_hex, did = cursor.rsplit("|", 2)
+                                    try:
+                                        sv = int(sv)
+                                    except ValueError:
+                                        try:
+                                            sv = float(sv)
+                                        except ValueError:
+                                            pass
+                                    after = (sv, float.fromhex(sc_hex),
+                                             int(did))
+                                rows = idx.search_after(
+                                    terms, col, after=after, ascending=asc,
+                                    rows=k, field=field).collect()
+                                nxt = None
+                                if rows:
+                                    last = rows[-1]
+                                    nxt = (f"{last['sort_value']}|"
+                                           f"{float(last['score']).hex()}|"
+                                           f"{last['doc_id']}")
+                                self._json(200, {"docs": [
+                                    {"doc_id": r["doc_id"],
+                                     "sort_value": str(r["sort_value"]),
+                                     "score": r["score"]} for r in rows
+                                ], "next_cursor": nxt})
+                                return
                             start = int(qs.get("start", ["0"])[0])
                             rows = idx.search_sorted(
                                 terms, col,
-                                ascending=(direction != "desc"),
+                                ascending=asc,
                                 start=start, rows=k, field=field).collect()
                             self._json(200, {"docs": [
                                 {"doc_id": r["doc_id"],

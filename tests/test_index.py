@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import shutil
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -516,6 +517,46 @@ def test_facet_range_and_export(spark, built, tmp_path):
         idx._tombstones.discard(victim)  # module-scoped fixture: restore
 
 
+def test_search_after_cursor_paging(spark, built):
+    """Solr cursorMark: keyset pages tile the full sorted match set
+    exactly — no overlap, no gap, any depth — and agree with offset
+    paging row-for-row."""
+    idx = open_index(spark, built[0])
+    all_hits = dict(idx.topk(["def"], k=10**6, kernel="exhaustive"))
+    meta = {r["doc_id"]: r["path"] for r in
+            spark.read.parquet(f"{built[0]}/docs").collect()}
+    expect = sorted(((meta[d], -s, d) for d, s in all_hits.items()))
+
+    pages, after = [], None
+    while True:
+        rows = idx.search_after(["def"], "path", after=after,
+                                rows=7).collect()
+        if not rows:
+            break
+        pages.extend(rows)
+        last = rows[-1]
+        after = (last["sort_value"], last["score"], last["doc_id"])
+    assert [(r["sort_value"], r["doc_id"]) for r in pages] == \
+        [(v, d) for v, _, d in expect]
+
+    # page 2 via cursor == page 2 via offset
+    p1 = idx.search_after(["def"], "path", rows=5).collect()
+    c = (p1[-1]["sort_value"], p1[-1]["score"], p1[-1]["doc_id"])
+    by_cursor = idx.search_after(["def"], "path", after=c, rows=5).collect()
+    by_offset = idx.search_sorted(["def"], "path", start=5, rows=5).collect()
+    assert [r["doc_id"] for r in by_cursor] == \
+        [r["doc_id"] for r in by_offset]
+
+    # descending cursor paging
+    d1 = idx.search_after(["def"], "path", ascending=False, rows=3).collect()
+    c = (d1[-1]["sort_value"], d1[-1]["score"], d1[-1]["doc_id"])
+    d2 = idx.search_after(["def"], "path", after=c, ascending=False,
+                          rows=3).collect()
+    off = idx.search_sorted(["def"], "path", ascending=False, start=3,
+                            rows=3).collect()
+    assert [r["doc_id"] for r in d2] == [r["doc_id"] for r in off]
+
+
 def test_facet_pivot_and_metric_stats(spark, built):
     """Pivot counts == brute-force (lang, repo) recount; stats facet ==
     brute-force doclen aggregation per lang."""
@@ -555,6 +596,16 @@ def test_facet_pivot_and_metric_stats(spark, built):
         assert r["sum_len"] == sum(lens)
         assert r["min_len"] == min(lens) and r["max_len"] == max(lens)
         assert abs(r["avg_len"] - sum(lens) / len(lens)) < 1e-4
+
+    # percentiles: exact linear interpolation == numpy's default
+    pst = {r["value"]: r for r in
+           idx.facet_metric_stats(["def"], facet="lang",
+                                  percentiles=[0.5, 0.95]).collect()}
+    for lang, lens in by_lang.items():
+        want50 = float(np.percentile(lens, 50))
+        want95 = float(np.percentile(lens, 95))
+        assert abs(pst[lang]["p50_len"] - want50) < 1e-4, lang
+        assert abs(pst[lang]["p95_len"] - want95) < 1e-4, lang
 
 
 def test_spellcheck_and_get_doc(spark, built):

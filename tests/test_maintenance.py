@@ -271,3 +271,51 @@ def test_delete_by_query_mode_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="exactly one"):
         delete_by_query(spark, out, terms=["a"], match_all=True)
     assert delete_by_query(spark, out, terms=[])["docs_deleted"] == 0
+
+
+def test_update_fields_stored_only(spark, tmp_path):
+    """Atomic partial update: stored-only column changes land in the
+    docs table for exactly the targeted docs; postings are bitwise
+    untouched; indexed columns are refused with the upsert pointer."""
+    import datetime
+
+    from ftidx.maintenance import update_fields
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=8)
+    idx = open_index(spark, out)
+    hits_before = idx.topk(["def"], 10)
+    postings_before = _dump(spark, out)
+
+    targets = [d for d, _ in hits_before[:2]]
+    stamp = datetime.datetime(2031, 1, 2, 3, 4, 5)
+    res = update_fields(spark, out,
+                        {d: {"modified": stamp} for d in targets})
+    assert res["updated"] == 2
+    assert set(res["buckets"]) == {d >> 40 for d in targets}
+
+    docs = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    for d in targets:
+        assert docs[d]["modified"] == stamp
+    untouched = [d for d in docs if d not in targets]
+    assert all(docs[d]["modified"] != stamp for d in untouched)
+    # identity columns of updated docs survive the rewrite
+    assert all(docs[d]["content_sha256"] is not None for d in targets)
+
+    # postings bitwise identical, scores unchanged
+    assert _dump(spark, out) == postings_before
+    idx.refresh()
+    assert idx.topk(["def"], 10) == hits_before
+
+    # indexed column → refused, pointing at upsert
+    with pytest.raises(ValueError, match="upsert"):
+        update_fields(spark, out, {targets[0]: {"lang": "go"}})
+    # mixed column sets → refused
+    with pytest.raises(ValueError, match="same column set"):
+        update_fields(spark, out, {
+            targets[0]: {"modified": stamp},
+            targets[1]: {}})
+    # unknown doc ids: no-op, no partitions rewritten
+    assert update_fields(spark, out, {10**15 + 7: {"modified": stamp}}) \
+        == {"updated": 0, "buckets": []}

@@ -153,6 +153,17 @@ def test_slop_group_sort_endpoints(served):
     assert [p["doc_id"] for p in page["docs"]] == \
         [r["doc_id"] for r in expect_s]
 
+    # cursorMark keyset paging: two cursor pages == first 8 offset rows
+    status, c1 = _get(f"{base}/search?q=def&sort=path+asc&cursor=*&k=4")
+    assert status == 200 and c1["next_cursor"]
+    from urllib.parse import quote
+    status, c2 = _get(f"{base}/search?q=def&sort=path+asc"
+                      f"&cursor={quote(c1['next_cursor'])}&k=4")
+    assert status == 200
+    expect_c = idx.search_sorted(["def"], "path", start=0, rows=8).collect()
+    assert [p["doc_id"] for p in c1["docs"] + c2["docs"]] == \
+        [r["doc_id"] for r in expect_c]
+
 
 def test_facet_range_endpoint(served):
     srv, idx = served
