@@ -977,6 +977,80 @@ def q_set_ops(spark, sf_dir):
     )
 
 
+def q_bm25_boosted(spark, sf_dir):
+    """Additive function boost (Solr ``bf=`` — engine twin:
+    FtIndex.topk_boosted): final = BM25 + 0.1·ln(1 + n_chars), top 10.
+    Both components rounded to 5 before the sum so the cross-engine
+    ordering is over identical values."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.orderBy(F.desc("final_r"), F.asc("doc_id"))
+    return (
+        _bm25_scored(spark, sf_dir).join(docs, "doc_id")
+        .withColumn("boost_r", F.round(
+            F.lit(0.1) * F.log(F.lit(1.0) + F.col("n_chars")), 5))
+        .withColumn("final_r", F.round(F.col("score_r") + F.col("boost_r"), 5))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r", "boost_r", "final_r")
+    )
+
+
+def q_score_explain(spark, sf_dir):
+    """Score decomposition (Solr debugQuery — engine twin:
+    FtIndex.explain): per-term tf/df/dl/contrib for the global BM25
+    top-1 doc. The contract is the breakdown itself: each term row must
+    re-derive the exact contribution the ranked sum was built from."""
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    top1 = (_bm25_scored(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select(F.col("doc_id").alias("t_id")))
+    m = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        m.join(F.broadcast(top1), m.doc_id == F.col("t_id"))
+        .join(F.broadcast(dfreq), "term").join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", "df", "dl",
+                F.round(idf, 5).alias("idf_r"),
+                F.round(contrib, 5).alias("contrib_r"))
+        .orderBy("term")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (textops.stratified_sample):
+    keep 50% of en, 25% of zh, 75% of es, 10% of everything else — the
+    corpus-mixing step of a pre-training pipeline. The per-doc keep
+    decision (md5 6-hex-digit threshold) is the contract."""
+    from ftidx.textops import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "zh": 0.25, "es": 0.75},
+        default_fraction=0.1).select("doc_id", "lang")
+
+
+def q_unigram_loglik(spark, sf_dir):
+    """Per-doc mean unigram log-likelihood under the corpus MLE model
+    (textops.unigram_loglik) — the cheap perplexity proxy for quality
+    ranking."""
+    from ftidx.textops import unigram_loglik
+
+    return unigram_loglik(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1061,6 +1135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
+        "unigram_loglik": q_unigram_loglik,
+        "bm25_boosted": q_bm25_boosted,
+        "score_explain": q_score_explain,
         "seq_pack": q_seq_pack,
         "dup_components": q_dup_components,
         "lang_id": q_lang_id,
@@ -1725,6 +1803,77 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bin < 230 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     (((((instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 2, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 3, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 4, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 5, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 6, 1)) - 1) AS bin
+              FROM documents
+            )
+            SELECT doc_id, lang FROM b
+            WHERE bin < CASE lang WHEN 'en' THEN 8388608
+                                  WHEN 'zh' THEN 4194304
+                                  WHEN 'es' THEN 12582912
+                                  ELSE 1677721 END
+        """,
+        "unigram_loglik": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+            tot AS (SELECT count(*)::DOUBLE AS total FROM tok)
+            SELECT doc_id, sum(tf)::BIGINT AS dl,
+                   round(sum(tf * ln(cf / total)) / sum(tf), 5) AS avg_ll
+            FROM tf JOIN cf USING (term) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "bm25_boosted": _BM25_CTE + """,
+            boosted AS (
+              SELECT b.doc_id, b.score_r,
+                     round(0.1 * ln(1.0 + d.n_chars), 5) AS boost_r
+              FROM bm25 b JOIN documents d USING (doc_id)
+            )
+            SELECT rank, doc_id, score_r, boost_r, final_r FROM (
+              SELECT doc_id, score_r, boost_r,
+                     round(score_r + boost_r, 5) AS final_r,
+                     row_number() OVER (
+                       ORDER BY round(score_r + boost_r, 5) DESC, doc_id
+                     ) AS rank
+              FROM boosted
+            ) WHERE rank <= 10
+        """,
+        "score_explain": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+            m AS (SELECT * FROM tf WHERE term IN ('spark', 'merge', 'window')),
+            dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+            scored AS (
+              SELECT m.doc_id,
+                     ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {K1 + 1.0}
+                       / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)) AS contrib
+              FROM m JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+            ),
+            bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r FROM scored GROUP BY doc_id),
+            top1 AS (
+              SELECT doc_id AS t_id FROM bm25
+              ORDER BY score_r DESC, doc_id LIMIT 1
+            )
+            SELECT m.doc_id, m.term, m.tf, d.df, dl.dl,
+                   round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 5) AS idf_r,
+                   round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                         * m.tf * {K1 + 1.0}
+                         / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)), 5) AS contrib_r
+            FROM m JOIN top1 ON m.doc_id = top1.t_id
+            JOIN dfreq d USING (term) JOIN dl ON m.doc_id = dl.doc_id
+            CROSS JOIN stats s
+            ORDER BY m.term
         """,
         "seq_pack": """
             WITH t AS (

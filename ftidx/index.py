@@ -928,6 +928,65 @@ class FtIndex:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         )
 
+    def topk_boosted(self, terms: list[str], boost_expr: str, k: int = 10,
+                     field: str = "code.content") -> DataFrame:
+        """Additive function boost (Solr ``bf=`` / edismax boost
+        function): final = BM25 + ``boost_expr`` evaluated over the
+        doc's stored metadata columns (e.g. ``0.1 * ln(1 + n_chars)``
+        or a recency decay over ``modified``). The canonical Solr use:
+        keep relevance but nudge fresher / richer docs up.
+
+        Scale shape: the distributed per-bucket scorer produces
+        (doc_id, score); the boost is a codegen'd column expression
+        over an id-keyed join with the docs table (both sides
+        bucket-partitioned, column-pruned to doc_id + the expr's
+        inputs), and the cut is one global TakeOrderedAndProject —
+        no driver materialization of the match set."""
+        scored = self._scored_df(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        return (
+            scored.join(docs, "doc_id")
+            .withColumn("boost", F.expr(boost_expr).cast("double"))
+            .withColumn("final", F.col("score") + F.col("boost"))
+            .orderBy(F.desc("final"), F.asc("doc_id")).limit(k)
+            .select("doc_id", "score", "boost", "final")
+        )
+
+    def explain(self, terms: list[str], doc_id: int,
+                field: str = "code.content") -> dict:
+        """Score decomposition (Solr ``debugQuery=true`` explain): how
+        this doc's BM25 total breaks into per-term contributions —
+        tf, global df, idf, dl and contrib per matched query term.
+        Runs off the same driver term cache as :meth:`topk` (postings
+        for the query terms are already resident after the search the
+        user is debugging), so no Spark job: decode + one binary
+        search per term."""
+        lists, avgdl = self._term_lists(terms, field)
+        out, total = [], 0.0
+        n_docs, _ = self.stats.get(field, (0, 1.0))
+        for tl in lists:
+            ids, tfs, dls = tl.decode_all()
+            pos = np.searchsorted(ids, doc_id) if ids.size else 0
+            # streamed delta segments may interleave id ranges →
+            # decode_all output is per-segment sorted, not globally;
+            # fall back to a linear probe when the bsearch misses.
+            hit = pos < ids.size and ids[pos] == doc_id
+            if not hit:
+                where = np.nonzero(ids == doc_id)[0]
+                if where.size == 0:
+                    continue
+                pos = int(where[0])
+            tf, dl = int(tfs[pos]), int(dls[pos])
+            contrib = float(bm25_contrib(
+                np.array([tf]), np.array([dl]), tl.idf, avgdl)[0])
+            total += contrib
+            out.append({"term": tl.term, "tf": tf, "df": tl.df,
+                        "idf": round(tl.idf, 6), "dl": dl,
+                        "contrib": round(contrib, 6)})
+        return {"doc_id": int(doc_id), "field": field,
+                "n_docs": n_docs, "avgdl": avgdl,
+                "score": round(total, 6), "terms": out}
+
     def _scored_df(self, terms: list[str], field: str) -> DataFrame:
         """Distributed full scoring of every matching doc: (doc_id,
         score) with tombstones dropped. Per-bucket BM25 inside

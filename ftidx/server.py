@@ -24,6 +24,10 @@ Endpoints (all JSON):
 - ``sort=path asc&start=10`` on /search → metadata sort + offset paging
 - ``sort=path asc&cursor=*`` on /search → cursorMark keyset paging
   (response carries ``next_cursor``; pass it back for the next page)
+- ``bf=0.1*ln(1+n_chars)`` on /search → additive function boost
+  (Solr bf=; expression over stored metadata columns)
+- ``GET /explain?q=a+b&id=123`` → per-term BM25 score decomposition
+  (Solr debugQuery explain)
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
@@ -224,6 +228,16 @@ def _make_handler(idx, lock: threading.Lock):
                     self._json(200, {"hits": [
                         {"doc_id": d, "score": s} for d, s in hits
                     ]})
+                elif u.path == "/explain":
+                    terms = qs.get("q", [""])[0].split()
+                    did = qs.get("id", [""])[0]
+                    if not terms or not did:
+                        self._json(400, {"error": "need q and id"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        out = idx.explain(terms, int(did), field=field)
+                    self._json(200, out)
                 elif u.path in ("/search", "/phrase"):
                     raw = qs.get("q", [""])[0].split()
                     # Solr-ish boolean surface: '-term' excludes,
@@ -247,6 +261,7 @@ def _make_handler(idx, lock: threading.Lock):
                     slop = int(qs.get("slop", ["0"])[0])
                     group = qs.get("group", [""])[0]
                     sort = qs.get("sort", [""])[0]
+                    bf = qs.get("bf", [""])[0]
                     with lock:
                         if u.path != "/search":
                             if slop > 0:
@@ -309,6 +324,17 @@ def _make_handler(idx, lock: threading.Lock):
                                 {"doc_id": r["doc_id"],
                                  "sort_value": str(r["sort_value"]),
                                  "score": r["score"]} for r in rows
+                            ]})
+                            return
+                        elif bf:
+                            # Solr bf= additive boost function over
+                            # stored metadata columns
+                            rows = idx.topk_boosted(
+                                terms, bf, k=k, field=field).collect()
+                            self._json(200, {"docs": [
+                                {"doc_id": r["doc_id"], "score": r["score"],
+                                 "boost": r["boost"], "final": r["final"]}
+                                for r in rows
                             ]})
                             return
                         elif weights:

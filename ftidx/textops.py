@@ -364,3 +364,74 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
              .alias("seq_last"),
         )
     )
+
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "lang", seed: int = 42,
+                      id_col: str = "doc_id",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling (the corpus-mixing step of a
+    pre-training pipeline: "keep 80% of python, 20% of markdown, …").
+    A doc is kept iff the first six hex digits of md5(id ':' seed) —
+    a uniform draw in [0, 16^6) — fall below floor(fraction · 16^6)
+    for its stratum. Pure column expressions: no shuffle, no state,
+    no sampleBy's RNG-order dependence — the SAME doc survives on any
+    cluster, any partition layout, any engine (the formula is portable
+    SQL, mirrored digit-by-digit by the DuckDB oracle).
+
+    Growing the corpus never flips existing docs in or out (hash-based,
+    not rank-based), and raising a stratum's fraction strictly grows
+    its sample — both properties rank-based samplers lose on re-runs.
+    Strata absent from ``fractions`` fall to ``default_fraction``."""
+    hexv = lambda i: (F.instr(F.lit("0123456789abcdef"),
+                              F.substring(F.col("_h"), i, 1)) - 1)
+    d = docs.withColumn(
+        "_h", F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                                F.lit(str(seed)))))
+    binv = hexv(1)
+    for i in range(2, 7):
+        binv = binv * 16 + hexv(i)
+    thr = None
+    space = 16 ** 6
+    for name, frac in sorted(fractions.items()):
+        t = F.lit(int(frac * space))
+        cond = F.col(strata_col) == F.lit(name)
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(int(default_fraction * space)) if thr is None \
+        else thr.otherwise(F.lit(int(default_fraction * space)))
+    return (
+        d.withColumn("_bin", binv.cast("long"))
+        .filter(F.col("_bin") < thr)
+        .drop("_h", "_bin")
+    )
+
+
+def unigram_loglik(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc mean unigram log-likelihood under the corpus's own MLE
+    unigram model — the cheap perplexity proxy used to rank documents
+    for quality filtering (a doc of common words scores high; rare-
+    token noise, base64 blobs and wrong-language text score low).
+
+    avg_ll(d) = Σ_t tf(d,t)·ln(cf(t)/total) / dl(d), rounded to 5.
+
+    Scale shape: one tokenize pass feeds both the per-doc tf and the
+    corpus cf aggregations (both map-side-combinable); the tf↔cf join
+    is term-keyed — at 100 TB broadcast the top-V vocabulary instead
+    and floor OOV terms, the standard truncation. No Python in the
+    plan: explode + two groupBys + one join, all codegen'd."""
+    tok = _tokens(docs, text_col, id_col)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tf.join(cf, "term").crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.round(
+                (F.sum(F.col("tf") * F.log(F.col("cf")
+                                           / F.col("total").cast("double")))
+                 / F.sum("tf")), 5).alias("avg_ll"),
+        )
+    )

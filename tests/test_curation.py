@@ -467,3 +467,52 @@ def test_curate_transitive_vs_pairwise(spark):
              curate_corpus(docs, min_tokens=2, min_quality=0.0,
                            near_dup_threshold=0.5).collect()}
     assert 1 in out_p and 9 in out_p and 2 not in out_p
+
+
+def test_stratified_sample(spark):
+    from ftidx.textops import stratified_sample
+
+    rows = [(i, "t", ["en", "zh", "es", "xx"][i % 4]) for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    frac = {"en": 0.5, "zh": 0.25, "es": 0.75}
+    out = stratified_sample(docs, frac, default_fraction=0.1)
+    kept = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    by_lang = {}
+    for _, lang in kept:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    # 1000 docs per stratum → binomial σ ≲ 14; allow 5σ
+    assert abs(by_lang["en"] - 500) < 75
+    assert abs(by_lang["zh"] - 250) < 75
+    assert abs(by_lang["es"] - 750) < 75
+    assert abs(by_lang.get("xx", 0) - 100) < 55
+    # deterministic: same call → same set
+    again = {(r["doc_id"], r["lang"]) for r in
+             stratified_sample(docs, frac, default_fraction=0.1).collect()}
+    assert again == kept
+    # monotone: raising a fraction only ADDS docs to that stratum
+    more = {r["doc_id"] for r in
+            stratified_sample(docs, {**frac, "en": 0.8},
+                              default_fraction=0.1)
+            .filter("lang = 'en'").collect()}
+    en_before = {d for d, lang in kept if lang == "en"}
+    assert en_before <= more and len(more) > len(en_before)
+
+
+def test_unigram_loglik(spark):
+    import math
+
+    from ftidx.textops import unigram_loglik
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_loglik(docs).collect()}
+    # corpus: a×3, b×1, c×1 → total 5
+    p = {"a": 3 / 5, "b": 1 / 5, "c": 1 / 5}
+    want1 = (2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    want2 = (math.log(p["a"]) + math.log(p["c"])) / 2
+    assert out[1]["dl"] == 3 and abs(out[1]["avg_ll"] - want1) < 1e-4
+    assert out[2]["dl"] == 2 and abs(out[2]["avg_ll"] - want2) < 1e-4
+    assert 3 not in out  # empty doc has no tokens, no row
+    # common-word docs score higher than rare-word docs
+    assert out[1]["avg_ll"] != out[2]["avg_ll"]

@@ -622,3 +622,44 @@ def test_spellcheck_and_get_doc(spark, built):
     row = idx.get_doc(some)
     assert row is not None and row["doc_id"] == some and row["path"]
     assert idx.get_doc(999_999_999_999) is None
+
+
+def test_explain_decomposition(spark, built):
+    """Solr debugQuery analog: explain()'s per-term contribs re-derive
+    the exact score topk ranked by, for hits and for a no-match doc."""
+    out, _ = built
+    idx = open_index(spark, out)
+    terms = ["def", "spark"]
+    hits = idx.topk(terms, k=3)
+    assert hits
+    for doc_id, score in hits:
+        ex = idx.explain(terms, doc_id)
+        assert ex["doc_id"] == doc_id
+        assert abs(ex["score"] - score) < 1e-4
+        got = sum(t["contrib"] for t in ex["terms"])
+        assert abs(got - score) < 1e-4
+        for t in ex["terms"]:
+            assert t["tf"] >= 1 and t["df"] >= 1 and t["dl"] >= 1
+    # a doc that matches nothing decomposes to zero terms
+    ex0 = idx.explain(["zzzznotaterm"], hits[0][0])
+    assert ex0["terms"] == [] and ex0["score"] == 0.0
+
+
+def test_topk_boosted(spark, built):
+    """bf= additive boost: final == score + boost per row, ordering is
+    by final, and a zero boost reproduces the unboosted distributed
+    ranking."""
+    out, _ = built
+    idx = open_index(spark, out)
+    terms = ["def", "spark"]
+    rows = idx.topk_boosted(terms, "0.001 * length(path)", k=10).collect()
+    assert rows
+    finals = [r["final"] for r in rows]
+    assert finals == sorted(finals, reverse=True)
+    for r in rows:
+        assert abs(r["final"] - (r["score"] + r["boost"])) < 1e-12
+        assert r["boost"] > 0
+    zero = idx.topk_boosted(terms, "0.0", k=10).collect()
+    plain = idx.topk(terms, k=10)
+    assert [(r["doc_id"], round(r["score"], 6)) for r in zero] == \
+        [(d, round(s, 6)) for d, s in plain]

@@ -212,3 +212,34 @@ def test_spellcheck_and_get_endpoints(served):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 404
+
+
+def test_explain_endpoint(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _get(f"{base}/search?q=def+spark&k=1")
+    assert status == 200 and body["hits"]
+    top = body["hits"][0]
+    status, ex = _get(f"{base}/explain?q=def+spark&id={top['doc_id']}")
+    assert status == 200
+    assert ex["doc_id"] == top["doc_id"]
+    assert abs(ex["score"] - top["score"]) < 1e-4
+    assert {t["term"] for t in ex["terms"]} <= {"def", "spark"}
+    code = 200
+    try:
+        _get(f"{base}/explain?q=def")
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+
+def test_boost_function_param(served):
+    srv, _ = served
+    base = f"http://{srv.host}:{srv.port}"
+    url = f"{base}/search?q=def+spark&k=5&bf=0.001%20*%20length(path)"
+    status, body = _get(url)
+    assert status == 200 and body["docs"]
+    for d in body["docs"]:
+        assert abs(d["final"] - (d["score"] + d["boost"])) < 1e-12
+    finals = [d["final"] for d in body["docs"]]
+    assert finals == sorted(finals, reverse=True)
