@@ -1051,6 +1051,67 @@ def q_unigram_loglik(spark, sf_dir):
     return unigram_loglik(_docs(spark, sf_dir))
 
 
+def q_collocations(spark, sf_dir):
+    """Adjacent-bigram PMI collocation mining (textops.collocations):
+    all bigrams with count ≥ 10 and their pointwise mutual information
+    — threshold, not top-k, so the result set has no float-tie
+    boundary."""
+    from ftidx.textops import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=10)
+
+
+def q_terms_component(spark, sf_dir):
+    """Solr TermsComponent (engine twin: FtIndex.terms_enum): vocab
+    terms with prefix 's', df ≥ 3, ranked df DESC / term ASC, top
+    30."""
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.col("term").startswith("s"))
+        .groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+    )
+
+
+def q_bm25_elevated(spark, sf_dir):
+    """Query elevation (Solr QueryElevationComponent — engine twin:
+    FtIndex.topk_elevated): the two smallest matching doc ids are
+    pinned to ranks 1-2 in id order; organic BM25 (elevated ids
+    removed) fills ranks 3+; top 10 overall."""
+    scored = _bm25_scored(spark, sf_dir)
+    we = Window.orderBy(F.asc("doc_id"))
+    elev = (
+        scored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= 2)
+        .withColumn("elevated", F.lit(1))
+    )
+    wo = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    org = (
+        scored.join(elev.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("rank", F.row_number().over(wo) + F.lit(2))
+        .withColumn("elevated", F.lit(0))
+    )
+    cols = ["rank", "doc_id", "score_r", "elevated"]
+    return (
+        elev.select(*cols).unionByName(org.select(*cols))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def q_ann_sq_topk(spark, sf_dir):
+    # int8 scalar-quantized cosine top-k (ann.sq_cosine_topk):
+    # deterministic (floor-based quantization, integer-exact dot) →
+    # full DuckDB oracle
+    from ftidx.ann import sq_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sq_cosine_topk(emb, query, k=20)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1139,6 +1200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_loglik": q_unigram_loglik,
         "bm25_boosted": q_bm25_boosted,
         "score_explain": q_score_explain,
+        "collocations": q_collocations,
+        "terms_component": q_terms_component,
+        "bm25_elevated": q_bm25_elevated,
+        "ann_sq_topk": q_ann_sq_topk,
         "seq_pack": q_seq_pack,
         "dup_components": q_dup_components,
         "lang_id": q_lang_id,
@@ -1874,6 +1939,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN dfreq d USING (term) JOIN dl ON m.doc_id = dl.doc_id
             CROSS JOIN stats s
             ORDER BY m.term
+        """,
+        "collocations": f"""
+            WITH {_TOKPOS_CTE},
+            seq AS (
+              SELECT doc_id, term,
+                     lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+              FROM tokpos
+            ),
+            big AS (
+              SELECT term AS a, nxt AS b, count(*) AS c_ab
+              FROM seq WHERE nxt IS NOT NULL
+              GROUP BY term, nxt HAVING count(*) >= 10
+            ),
+            uni AS (SELECT term, count(*) AS c FROM tokpos GROUP BY term),
+            tot AS (SELECT count(*)::DOUBLE AS n_tok FROM tokpos),
+            nb AS (SELECT count(*)::DOUBLE AS n_big FROM seq WHERE nxt IS NOT NULL)
+            SELECT a, b, c_ab,
+                   round(ln((c_ab / n_big)
+                            / ((ua.c / n_tok) * (ub.c / n_tok))), 5) AS pmi
+            FROM big JOIN uni ua ON big.a = ua.term
+            JOIN uni ub ON big.b = ub.term
+            CROSS JOIN tot CROSS JOIN nb
+        """,
+        "terms_component": f"""
+            WITH {_TOK_CTE},
+            v AS (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM tok GROUP BY term)
+            SELECT term, df, rank FROM (
+              SELECT term, df,
+                     row_number() OVER (ORDER BY df DESC, term) AS rank
+              FROM v WHERE term LIKE 's%' AND df >= 3
+            ) WHERE rank <= 30
+        """,
+        "bm25_elevated": _BM25_CTE + """,
+            elev AS (
+              SELECT * FROM (
+                SELECT row_number() OVER (ORDER BY doc_id) AS rank,
+                       doc_id, score_r, 1 AS elevated
+                FROM bm25
+              ) WHERE rank <= 2
+            ),
+            org AS (
+              SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) + 2 AS rank,
+                     doc_id, score_r, 0 AS elevated
+              FROM bm25
+              WHERE doc_id NOT IN (SELECT doc_id FROM elev)
+            )
+            SELECT rank, doc_id, score_r, elevated FROM elev
+            UNION ALL
+            SELECT rank, doc_id, score_r, elevated FROM org WHERE rank <= 10
+        """,
+        "ann_sq_topk": f"""
+            WITH {_EMB_FLAT_CTE},
+            sc AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale
+                   FROM flat GROUP BY vec_id),
+            qv AS (
+              SELECT f.vec_id, f.i,
+                     CASE WHEN s.scale = 0 THEN 0
+                          ELSE floor(f.x / s.scale + 0.5) END AS q
+              FROM flat f JOIN sc s USING (vec_id)
+            ),
+            qq AS (SELECT i, q AS qx FROM qv WHERE vec_id = 0),
+            dots AS (
+              SELECT v.vec_id, sum(v.q * q2.qx) AS dot,
+                     sum(v.q * v.q) AS na, sum(q2.qx * q2.qx) AS nq
+              FROM qv v JOIN qq q2 USING (i) GROUP BY v.vec_id
+            )
+            SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 5) AS cosine
+            FROM dots ORDER BY cosine DESC, vec_id LIMIT 20
         """,
         "seq_pack": """
             WITH t AS (

@@ -1228,6 +1228,64 @@ class FtIndex:
         )
         return [(r["term"], int(r["df"])) for r in vocab.collect()]
 
+    def terms_enum(self, field: str = "code.content",
+                   prefix: str | None = None, regex: str | None = None,
+                   mincount: int = 1, limit: int = 10,
+                   sort: str = "count") -> list[tuple[str, int]]:
+        """Vocabulary enumeration (Solr TermsComponent, ``/terms``):
+        indexed terms with their global df, filtered by ``prefix``
+        (terms.prefix) and/or ``regex`` (terms.regex), df ≥
+        ``mincount`` (terms.mincount), ranked by df DESC (terms.sort=
+        count, the default) or term ASC (terms.sort=index), truncated
+        at ``limit``.
+
+        Scale shape: a pruned parquet scan of the postings table's
+        (field, term, df) columns — the posting blobs never leave disk
+        (ReadSchema excludes them), the prefix predicate pushes down
+        as a range filter on the dictionary-sorted term column, and
+        the global df sum + top-limit cut are one map-side-combinable
+        groupBy + TakeOrdered."""
+        vocab = self._postings.filter(F.col("field") == field)
+        if prefix:
+            vocab = vocab.filter(F.col("term").startswith(prefix))
+        if regex:
+            vocab = vocab.filter(F.col("term").rlike(regex))
+        vocab = (
+            vocab.groupBy("term").agg(F.sum("df").alias("df"))
+            .filter(F.col("df") >= mincount)
+        )
+        order = ([F.desc("df"), F.asc("term")] if sort == "count"
+                 else [F.asc("term")])
+        rows = vocab.orderBy(*order).limit(limit).collect()
+        return [(r["term"], int(r["df"])) for r in rows]
+
+    def topk_elevated(self, terms: list[str], elevate: list[int],
+                      k: int = 10, field: str = "code.content",
+                      ) -> list[dict]:
+        """Query elevation (Solr QueryElevationComponent): the doc ids
+        in ``elevate`` are pinned to the top of the result list in the
+        given order — even when they match no query term (Solr
+        forceElevation; such docs carry score 0.0) — and the organic
+        BM25 ranking fills the remaining slots, elevated ids removed so
+        nothing appears twice. Each hit dict carries ``elevated`` so a
+        UI can badge pins, mirroring Solr's ``[elevated]`` transformer.
+
+        Serving-path economics match :meth:`topk`: the organic ranking
+        is the same cached-postings kernel (over-fetched by
+        len(elevate) to keep k organic candidates), and each pinned
+        doc's score is one binary-search probe of postings already
+        resident in the term cache — no extra Spark job."""
+        pins = [int(d) for d in dict.fromkeys(elevate)
+                if int(d) not in self._tombstones]
+        organic = self.topk(terms, k=k + len(pins), field=field)
+        out = [{"doc_id": d,
+                "score": self.explain(terms, d, field=field)["score"],
+                "elevated": True} for d in pins]
+        pinned = set(pins)
+        out.extend({"doc_id": d, "score": s, "elevated": False}
+                   for d, s in organic if d not in pinned)
+        return out[:k]
+
     def facet_counts(self, terms: list[str], facet: str = "lang",
                      field: str = "code.content",
                      k_facets: int = 20) -> DataFrame:

@@ -28,6 +28,10 @@ Endpoints (all JSON):
   (Solr bf=; expression over stored metadata columns)
 - ``GET /explain?q=a+b&id=123`` → per-term BM25 score decomposition
   (Solr debugQuery explain)
+- ``elevate=3,17`` on /search → query elevation: those ids pinned to
+  the top in order, organic ranking fills (Solr QueryElevationComponent)
+- ``GET /terms?prefix=sp&mincount=2&limit=20&sort=count`` → vocabulary
+  enumeration (Solr TermsComponent)
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
@@ -93,6 +97,22 @@ def _make_handler(idx, lock: threading.Lock):
                     field = qs.get("field", ["code.content"])[0]
                     with lock:
                         out = idx.suggest_terms(prefix, field=field)
+                    self._json(200, {"terms": [
+                        {"term": t, "df": df} for t, df in out
+                    ]})
+                elif u.path == "/terms":
+                    # Solr TermsComponent: vocabulary enumeration with
+                    # prefix/regex/mincount/limit/sort
+                    field = qs.get("field", ["code.content"])[0]
+                    prefix = qs.get("prefix", [None])[0]
+                    regex = qs.get("regex", [None])[0]
+                    mincount = int(qs.get("mincount", ["1"])[0])
+                    limit = int(qs.get("limit", ["10"])[0])
+                    sort = qs.get("sort", ["count"])[0]
+                    with lock:
+                        out = idx.terms_enum(
+                            field=field, prefix=prefix, regex=regex,
+                            mincount=mincount, limit=limit, sort=sort)
                     self._json(200, {"terms": [
                         {"term": t, "df": df} for t, df in out
                     ]})
@@ -262,6 +282,7 @@ def _make_handler(idx, lock: threading.Lock):
                     group = qs.get("group", [""])[0]
                     sort = qs.get("sort", [""])[0]
                     bf = qs.get("bf", [""])[0]
+                    elevate = qs.get("elevate", [""])[0]
                     with lock:
                         if u.path != "/search":
                             if slop > 0:
@@ -325,6 +346,15 @@ def _make_handler(idx, lock: threading.Lock):
                                  "sort_value": str(r["sort_value"]),
                                  "score": r["score"]} for r in rows
                             ]})
+                            return
+                        elif elevate:
+                            # Solr QueryElevationComponent: pinned ids
+                            # first (in order), organic fills the rest
+                            pins = [int(x) for x in elevate.split(",")
+                                    if x.strip()]
+                            rows = idx.topk_elevated(
+                                terms, pins, k=k, field=field)
+                            self._json(200, {"docs": rows})
                             return
                         elif bf:
                             # Solr bf= additive boost function over

@@ -435,3 +435,59 @@ def unigram_loglik(docs: DataFrame, text_col: str = "text",
                  / F.sum("tf")), 5).alias("avg_ll"),
         )
     )
+
+
+def collocations(docs: DataFrame, min_count: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adjacent-bigram collocation mining by pointwise mutual
+    information — the corpus-analysis step that surfaces multi-word
+    units ("new york", "machine learning") for tokenizer vocabulary
+    design and boilerplate detection in a pre-training pipeline.
+
+    pmi(a,b) = ln( (c_ab / N_bigrams) / ((c_a / N_tok) · (c_b / N_tok)) )
+
+    over bigrams with c_ab ≥ ``min_count`` (threshold, not top-k: the
+    result set is deterministic with no float-tie boundary). Returns
+    (a, b, c_ab, pmi) rounded to 5.
+
+    Scale shape: bigrams come from ``lead(term)`` over a per-doc
+    window — one shuffle keyed by doc_id (bounded partitions: docs are
+    the unit), NOT a positional self-join. Unigram and bigram counts
+    are map-side-combinable groupBys; the two count joins are
+    term-keyed against the post-threshold bigram set, which is tiny
+    (collocations are the head of the distribution), so at 100 TB both
+    joins broadcast the bigram side."""
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT))
+            .alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = (
+        tok.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    big = (
+        seq.groupBy(F.col("term").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("n_tok"))
+    n_big = seq.agg(F.count(F.lit(1)).cast("double").alias("n_big"))
+    ua = uni.select(F.col("term").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("b"), F.col("c").alias("c_b"))
+    return (
+        big.join(ua, "a").join(ub, "b")
+        .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(n_big))
+        .select(
+            "a", "b", "c_ab",
+            F.round(F.log((F.col("c_ab") / F.col("n_big"))
+                          / ((F.col("c_a") / F.col("n_tok"))
+                             * (F.col("c_b") / F.col("n_tok")))), 5)
+            .alias("pmi"),
+        )
+    )

@@ -516,3 +516,60 @@ def test_unigram_loglik(spark):
     assert 3 not in out  # empty doc has no tokens, no row
     # common-word docs score higher than rare-word docs
     assert out[1]["avg_ll"] != out[2]["avg_ll"]
+
+
+def test_collocations(spark):
+    import math
+
+    from ftidx.textops import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york city"), (2, "york new and new york"),
+         (3, "the end")],
+        "doc_id long, text string")
+    out = {(r["a"], r["b"]): r for r in
+           collocations(docs, min_count=2).collect()}
+    # bigrams: doc1: (new,york) (york,new) (new,york) (york,city)
+    #          doc2: (york,new) (new,and) (and,new) (new,york)
+    #          doc3: (the,end)
+    # c(new,york)=3, c(york,new)=2 survive min_count=2
+    assert set(out) == {("new", "york"), ("york", "new")}
+    n_tok, n_big = 12.0, 9.0
+    c_new, c_york = 4, 4  # 'new' ×2 in each of docs 1-2; same for 'york'
+    want = math.log((3 / n_big) / ((c_new / n_tok) * (c_york / n_tok)))
+    assert out[("new", "york")]["c_ab"] == 3
+    assert out[("new", "york")]["pmi"] == pytest.approx(want, abs=1e-4)
+    want2 = math.log((2 / n_big) / ((c_york / n_tok) * (c_new / n_tok)))
+    assert out[("york", "new")]["pmi"] == pytest.approx(want2, abs=1e-4)
+
+
+def test_quantize_int8_and_sq_topk(emb):
+    import numpy as np
+
+    from ftidx.ann import cosine_topk, quantize_int8, sq_cosine_topk
+
+    q = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    for vid, row in q.items():
+        codes = np.array(row["qvec"])
+        assert codes.min() >= -127 and codes.max() <= 127
+        # dequantized reconstruction within half a quantization step
+        err = np.abs(codes * row["scale"] - raw[vid])
+        assert err.max() <= row["scale"] / 2 + 1e-9
+    # SQ top-k finds the exact-path neighbors (8-dim gaussians are
+    # far apart; int8 noise can't reorder a 0.99-vs-0.3 gap)
+    query = [float(x) for x in raw[100]]
+    sq = sq_cosine_topk(emb, query, k=3).collect()
+    exact = cosine_topk(emb, query, k=3).collect()
+    assert [r["vec_id"] for r in sq][:2] == [r["vec_id"] for r in exact][:2]
+    assert sq[0]["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_quantize_int8_zero_vector(spark):
+    from ftidx.ann import quantize_int8
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    row = quantize_int8(df).first()
+    assert row["scale"] == 0.0 and row["qvec"] == [0, 0, 0]

@@ -663,3 +663,52 @@ def test_topk_boosted(spark, built):
     plain = idx.topk(terms, k=10)
     assert [(r["doc_id"], round(r["score"], 6)) for r in zero] == \
         [(d, round(s, 6)) for d, s in plain]
+
+
+def test_terms_enum(spark, built):
+    """Solr TermsComponent analog: prefix/mincount/limit/sort behave
+    and the counts agree with suggest_terms on the same prefix."""
+    out, _ = built
+    idx = open_index(spark, out)
+    got = idx.terms_enum(prefix="s", mincount=1, limit=5)
+    assert got == idx.suggest_terms("s", limit=5)
+    assert all(t.startswith("s") for t, _ in got)
+    dfs = [df for _, df in got]
+    assert dfs == sorted(dfs, reverse=True) and len(got) <= 5
+    # mincount drops the tail
+    high = idx.terms_enum(prefix="s", mincount=dfs[0], limit=50)
+    assert all(df >= dfs[0] for _, df in high)
+    # index order sorts lexicographically
+    by_index = idx.terms_enum(prefix="s", limit=5, sort="index")
+    terms = [t for t, _ in by_index]
+    assert terms == sorted(terms)
+    # regex filter
+    rx = idx.terms_enum(regex="^s.*t$", limit=20)
+    assert all(t.startswith("s") and t.endswith("t") for t, _ in rx)
+    assert idx.terms_enum(prefix="zzzznope") == []
+
+
+def test_topk_elevated(spark, built):
+    """QueryElevationComponent analog: pins first in given order,
+    organic fills without duplicates, non-matching pin scores 0."""
+    out, _ = built
+    idx = open_index(spark, out)
+    terms = ["def", "spark"]
+    plain = idx.topk(terms, k=10)
+    assert len(plain) >= 4
+    # pin organic ranks 3 and 2 (in that order)
+    pins = [plain[2][0], plain[1][0]]
+    got = idx.topk_elevated(terms, pins, k=10)
+    assert [h["doc_id"] for h in got[:2]] == pins
+    assert all(h["elevated"] for h in got[:2])
+    # pinned docs keep their true scores
+    scores = dict(plain)
+    assert got[0]["score"] == pytest.approx(scores[pins[0]], abs=1e-4)
+    # organic tail = plain ranking minus the pins, order preserved
+    organic = [h["doc_id"] for h in got[2:]]
+    expect = [d for d, _ in plain if d not in set(pins)][:8]
+    assert organic == expect
+    assert not any(h["elevated"] for h in got[2:])
+    # a pin that matches no query term still appears, score 0 (forceElevation)
+    forced = idx.topk_elevated(["zzzznotaterm"], [plain[0][0]], k=5)
+    assert forced[0]["doc_id"] == plain[0][0] and forced[0]["score"] == 0.0

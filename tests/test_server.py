@@ -243,3 +243,25 @@ def test_boost_function_param(served):
         assert abs(d["final"] - (d["score"] + d["boost"])) < 1e-12
     finals = [d["final"] for d in body["docs"]]
     assert finals == sorted(finals, reverse=True)
+
+
+def test_terms_endpoint(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _get(f"{base}/terms?prefix=de&mincount=1&limit=5")
+    assert status == 200
+    expect = idx.terms_enum(prefix="de", mincount=1, limit=5)
+    assert [(t["term"], t["df"]) for t in body["terms"]] == expect
+
+
+def test_elevate_param(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    plain = idx.topk(["def", "return"], k=5)
+    pin = plain[-1][0]
+    status, body = _get(f"{base}/search?q=def+return&k=5&elevate={pin}")
+    assert status == 200
+    docs = body["docs"]
+    assert docs[0]["doc_id"] == pin and docs[0]["elevated"]
+    assert [d["doc_id"] for d in docs[1:]] == \
+        [d for d, _ in plain if d != pin][:4]
