@@ -1112,6 +1112,31 @@ def q_ann_sq_topk(spark, sf_dir):
     return sq_cosine_topk(emb, query, k=20)
 
 
+def q_join_filter(spark, sf_dir):
+    """Join query (Solr ``{!join from=source to=source}merge`` +
+    outer q=scan — engine twin: FtIndex.join_topk): docs containing
+    'scan' whose source also has a doc containing 'merge'."""
+    tok = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    inner = (tok.filter(F.col("term") == "merge")
+             .select("doc_id").distinct()
+             .join(docs, "doc_id").select("source").distinct())
+    outer = tok.filter(F.col("term") == "scan").select("doc_id").distinct()
+    return (
+        docs.join(outer, "doc_id").join(F.broadcast(inner), "source")
+        .select("doc_id", "source")
+    )
+
+
+def q_significant_terms(spark, sf_dir):
+    """Per-group over-represented terms by df lift
+    (textops.significant_terms): top 10 per lang, df_g ≥ 5."""
+    from ftidx.textops import significant_terms
+
+    return significant_terms(_docs(spark, sf_dir), group_col="lang",
+                             min_df=5, k=10)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1202,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_explain": q_score_explain,
         "collocations": q_collocations,
         "terms_component": q_terms_component,
+        "join_filter": q_join_filter,
+        "significant_terms": q_significant_terms,
         "bm25_elevated": q_bm25_elevated,
         "ann_sq_topk": q_ann_sq_topk,
         "seq_pack": q_seq_pack,
@@ -2008,6 +2035,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 5) AS cosine
             FROM dots ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        "join_filter": f"""
+            WITH {_TOK_CTE},
+            inner_src AS (
+              SELECT DISTINCT d.source
+              FROM documents d
+              JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge') m
+                USING (doc_id)
+            ),
+            outer_m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'scan')
+            SELECT d.doc_id, d.source
+            FROM documents d
+            JOIN outer_m USING (doc_id)
+            JOIN inner_src USING (source)
+        """,
+        "significant_terms": f"""
+            WITH {_TOK_CTE},
+            dt AS (SELECT DISTINCT doc_id, term FROM tok),
+            dfg AS (
+              SELECT d.lang AS grp, t.term, count(*) AS df_g
+              FROM dt t JOIN documents d USING (doc_id)
+              GROUP BY d.lang, t.term HAVING count(*) >= 5
+            ),
+            dfa AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+            ng AS (SELECT lang AS grp, count(*) AS n_g
+                   FROM documents GROUP BY lang),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT grp AS lang, term, df_g, df, score, rank FROM (
+              SELECT f.grp, f.term, f.df_g, a.df,
+                     round((f.df_g::DOUBLE / g.n_g) / (a.df / n.n), 5) AS score,
+                     row_number() OVER (
+                       PARTITION BY f.grp
+                       ORDER BY round((f.df_g::DOUBLE / g.n_g)
+                                      / (a.df / n.n), 5) DESC, f.term
+                     ) AS rank
+              FROM dfg f JOIN dfa a USING (term)
+              JOIN ng g USING (grp) CROSS JOIN n
+            ) WHERE rank <= 10
         """,
         "seq_pack": """
             WITH t AS (

@@ -1286,6 +1286,34 @@ class FtIndex:
                    for d, s in organic if d not in pinned)
         return out[:k]
 
+    def join_topk(self, inner_terms: list[str], outer_terms: list[str],
+                  k: int = 10, join_col: str = "repo",
+                  field: str = "code.content") -> DataFrame:
+        """Join query (Solr ``{!join from=f to=f}inner`` + outer
+        query): rank docs matching ``outer_terms`` whose ``join_col``
+        value is shared with at least one doc matching ``inner_terms``
+        — e.g. "files mentioning 'scan' inside repos that contain a
+        file mentioning 'deprecated'". Returns (doc_id, join_col,
+        score) ordered by BM25 of the OUTER query.
+
+        Scale shape: the inner match set decodes executor-side
+        (:meth:`_matched_ids`), reduces to DISTINCT join keys — the
+        small side by construction (repos ≪ docs) — and broadcasts
+        into a semi-join against the distributed outer scoring; the
+        cut is one global TakeOrderedAndProject. No driver
+        materialization of either match set."""
+        inner = self._matched_ids(inner_terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        keys = (docs.join(inner, "doc_id")
+                .select(join_col).distinct())
+        scored = self._scored_df(outer_terms, field)
+        return (
+            scored.join(docs.select("doc_id", join_col), "doc_id")
+            .join(F.broadcast(keys), join_col)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .select("doc_id", join_col, "score")
+        )
+
     def facet_counts(self, terms: list[str], facet: str = "lang",
                      field: str = "code.content",
                      k_facets: int = 20) -> DataFrame:

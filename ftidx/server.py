@@ -32,6 +32,9 @@ Endpoints (all JSON):
   the top in order, organic ranking fills (Solr QueryElevationComponent)
 - ``GET /terms?prefix=sp&mincount=2&limit=20&sort=count`` → vocabulary
   enumeration (Solr TermsComponent)
+- ``GET /join?inner=deprecated&q=scan&on=repo`` → join query (Solr
+  {!join}: outer matches ranked, restricted to join keys with an
+  inner match)
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
@@ -99,6 +102,24 @@ def _make_handler(idx, lock: threading.Lock):
                         out = idx.suggest_terms(prefix, field=field)
                     self._json(200, {"terms": [
                         {"term": t, "df": df} for t, df in out
+                    ]})
+                elif u.path == "/join":
+                    # Solr {!join from=f to=f}inner + outer q: rank
+                    # outer matches whose join key has an inner match
+                    inner = qs.get("inner", [""])[0].split()
+                    outer = qs.get("q", [""])[0].split()
+                    if not inner or not outer:
+                        self._json(400, {"error": "need inner and q"})
+                        return
+                    on = qs.get("on", ["repo"])[0]
+                    k = int(qs.get("k", ["10"])[0])
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        rows = idx.join_topk(inner, outer, k=k,
+                                             join_col=on, field=field).collect()
+                    self._json(200, {"docs": [
+                        {"doc_id": r["doc_id"], on: r[on],
+                         "score": r["score"]} for r in rows
                     ]})
                 elif u.path == "/terms":
                     # Solr TermsComponent: vocabulary enumeration with

@@ -491,3 +491,52 @@ def collocations(docs: DataFrame, min_count: int = 5,
             .alias("pmi"),
         )
     )
+
+
+def significant_terms(docs: DataFrame, group_col: str = "lang",
+                      min_df: int = 5, k: int = 10,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Significant-terms analytics (the Solr significantTerms stream /
+    ES significant_terms aggregation shape): for each group, the top-k
+    terms most over-represented in that group vs the whole corpus,
+    scored by document-frequency lift
+
+        score(t, g) = (df_g(t) / n_g) / (df(t) / n)
+
+    with df_g ≥ ``min_df`` to kill noise, score rounded to 5 BEFORE
+    ranking so the per-group order (score DESC, term ASC) is stable
+    across engines' float summation. Returns (group, term, df_g, df,
+    score, rank), rank ≤ k. The corpus-analysis twin of language-ID:
+    which tokens characterize a slice (a language, a source, a
+    domain) — used to audit corpus mixes and spot boilerplate.
+
+    Scale shape: one distinct (doc, term) pass feeds both the
+    per-group and the global df aggregations (map-side combinable);
+    the two count joins are term-keyed; group sizes and the corpus
+    size broadcast. The final rank is a window partitioned by group —
+    bounded state per group since only the post-min_df vocabulary
+    enters."""
+    dt = _tokens(docs, text_col, id_col).distinct()
+    labels = docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(group_col).alias("grp"))
+    dfg = (
+        dt.join(labels, "doc_id")
+        .groupBy("grp", "term").agg(F.count(F.lit(1)).alias("df_g"))
+        .filter(F.col("df_g") >= min_df)
+    )
+    dfa = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ng = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_g"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        dfg.join(dfa, "term").join(F.broadcast(ng), "grp")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.round(
+            (F.col("df_g") / F.col("n_g")) / (F.col("df") / F.col("n")), 5))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "df_g", "df",
+                "score", "rank")
+    )

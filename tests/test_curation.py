@@ -573,3 +573,28 @@ def test_quantize_int8_zero_vector(spark):
                                "vec_id long, embedding array<float>")
     row = quantize_int8(df).first()
     assert row["scale"] == 0.0 and row["qvec"] == [0, 0, 0]
+
+
+def test_significant_terms(spark):
+    from ftidx.textops import significant_terms
+
+    rows = []
+    # group A: 'alpha' in every doc; group B: 'beta' in every doc;
+    # 'common' everywhere
+    for i in range(10):
+        rows.append((i, "alpha common", "A"))
+    for i in range(10, 20):
+        rows.append((i, "beta common", "B"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = significant_terms(docs, group_col="lang", min_df=3, k=3)
+    by = {(r["lang"], r["term"]): r for r in out.collect()}
+    # lift: alpha in A = (10/10)/(10/20) = 2.0; common = 1.0
+    assert by[("A", "alpha")]["score"] == 2.0
+    assert by[("A", "alpha")]["rank"] == 1
+    assert by[("B", "beta")]["score"] == 2.0
+    assert by[("B", "beta")]["rank"] == 1
+    assert by[("A", "common")]["score"] == 1.0
+    # beta never reaches min_df in group A
+    assert ("A", "beta") not in by
+    # rank respects k
+    assert all(r["rank"] <= 3 for r in by.values())

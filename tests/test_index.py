@@ -712,3 +712,27 @@ def test_topk_elevated(spark, built):
     # a pin that matches no query term still appears, score 0 (forceElevation)
     forced = idx.topk_elevated(["zzzznotaterm"], [plain[0][0]], k=5)
     assert forced[0]["doc_id"] == plain[0][0] and forced[0]["score"] == 0.0
+
+
+def test_join_topk(spark, built):
+    """Solr {!join} analog: outer BM25 ranking restricted to join keys
+    (repos) that contain an inner match; equals the hand-computed
+    semi-join of topk over the full match sets."""
+    out, _ = built
+    idx = open_index(spark, out)
+    docs = spark.read.parquet(f"{out}/docs")
+    inner, outer = ["alpha"], ["def", "return"]
+    got = idx.join_topk(inner, outer, k=10, join_col="repo").collect()
+    assert got
+    # expected: repos of inner matches
+    inner_ids = {d for d, _ in idx.topk(inner, k=10_000)}
+    repo_of = {r["doc_id"]: r["repo"] for r in
+               docs.select("doc_id", "repo").collect()}
+    ok_repos = {repo_of[d] for d in inner_ids}
+    organic = [(d, s) for d, s in idx.topk(outer, k=10_000)
+               if repo_of[d] in ok_repos][:10]
+    assert [(r["doc_id"], round(r["score"], 5)) for r in got] == \
+        [(d, round(s, 5)) for d, s in organic]
+    assert all(r["repo"] in ok_repos for r in got)
+    # no inner match → empty
+    assert idx.join_topk(["zzzznope"], outer, k=5).count() == 0

@@ -265,3 +265,20 @@ def test_elevate_param(served):
     assert docs[0]["doc_id"] == pin and docs[0]["elevated"]
     assert [d["doc_id"] for d in docs[1:]] == \
         [d for d, _ in plain if d != pin][:4]
+
+
+def test_join_endpoint(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _get(f"{base}/join?inner=alpha&q=def+return&k=5&on=repo")
+    assert status == 200
+    expect = idx.join_topk(["alpha"], ["def", "return"], k=5,
+                           join_col="repo").collect()
+    assert [(d["doc_id"], d["repo"]) for d in body["docs"]] == \
+        [(r["doc_id"], r["repo"]) for r in expect]
+    code = 200
+    try:
+        _get(f"{base}/join?q=def")
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
