@@ -157,3 +157,77 @@ def test_ftindex_serves_deltas(spark, tmp_path):
     expect = query_with_deltas(spark, out, ["def", "alpha"], k=10)
     assert merged == expect
     assert merged != base_only  # streamed docs shifted the ranking
+
+
+def test_windowed_counts_late_data(spark, tmp_path):
+    """Watermarked event-time windows: a window is emitted exactly once
+    when the watermark passes its end, and a straggler later than the
+    watermark does NOT change or re-emit the finalized window."""
+    from datetime import datetime
+
+    from ftidx.streaming import run_windowed_counts
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(sec):
+        return datetime(2026, 1, 1, 0, 0, 0).replace(
+            minute=sec // 60, second=sec % 60)
+
+    def key(r):
+        return (r["win_start"].minute * 60 + r["win_start"].second,
+                r["lang"])
+
+    # batch 1: two docs in W1=[0,60s); one at t=200s advances the
+    # watermark to 80s > 60s, so availableNow's final batch emits W1
+    spark.createDataFrame(
+        [(ts(0), "en"), (ts(30), "en"), (ts(200), "de")],
+        "ts timestamp, lang string",
+    ).write.parquet(f"{src}/b1")
+    out1 = {key(r): r["n_docs"] for r in
+            run_windowed_counts(spark, f"{src}/b*", ckpt)}
+    assert out1 == {(0, "en"): 2}  # only W1 finalized; t=200s window open
+
+    # batch 2: a LATE straggler into W1 (t=40s < watermark 80s →
+    # dropped, W1 already emitted + purged) plus a fresh event at
+    # t=500s (watermark → 380s, finalizing the [180,240) window)
+    spark.createDataFrame(
+        [(ts(40), "en"), (ts(500), "en")],
+        "ts timestamp, lang string",
+    ).write.mode("append").parquet(f"{src}/b2")
+    out2 = {key(r): r["n_docs"] for r in
+            run_windowed_counts(spark, f"{src}/b*", ckpt)}
+    # no W1 re-emit (late row dropped), the t=200s window finalized,
+    # t=500s's own window still open
+    assert out2 == {(180, "de"): 1}
+
+
+def test_repo_totals_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-repo totals
+    accumulate across micro-batches AND across availableNow restarts
+    (state lives in the checkpoint, not the session)."""
+    from ftidx.streaming import run_repo_totals
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+
+    spark.createDataFrame(
+        [("r1", "a.py", "aaaa"), ("r1", "b.py", "bb"), ("r2", "c.py", "c")],
+        "repo string, path string, content string",
+    ).write.parquet(f"{src}/b1")
+    out1 = {r["repo"]: (r["n_docs"], r["n_bytes"]) for r in
+            run_repo_totals(spark, f"{src}/b*", ckpt)}
+    assert out1 == {"r1": (2, 6), "r2": (1, 1)}
+
+    # second run: r1 grows, r3 appears, r2 silent (no row emitted)
+    spark.createDataFrame(
+        [("r1", "d.py", "ddd"), ("r3", "e.py", None)],
+        "repo string, path string, content string",
+    ).write.mode("append").parquet(f"{src}/b2")
+    out2 = {r["repo"]: (r["n_docs"], r["n_bytes"]) for r in
+            run_repo_totals(spark, f"{src}/b*", ckpt)}
+    assert out2["r1"] == (3, 9)   # cumulative across runs
+    assert out2["r3"] == (1, 0)   # null content counts 0 bytes
+    assert "r2" not in out2       # untouched groups stay silent
