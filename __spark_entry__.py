@@ -1137,6 +1137,30 @@ def q_significant_terms(spark, sf_dir):
                              min_df=5, k=10)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector search by reciprocal-rank fusion
+    (ann.rrf_fuse): the BM25 ranking over the 3-term query set fused
+    with the cosine ranking to query vector 0 (vec_id aligns with
+    doc_id in the testdata), rrf = Σ 1/(60+rank), top 10."""
+    from ftidx.ann import rrf_fuse, with_cosine
+
+    wt = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    text = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(wt))
+        .select(F.col("doc_id").alias("id"), "rank")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    wv = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    vec = (
+        with_cosine(emb.select("vec_id", "embedding"), "embedding", query)
+        .withColumn("rank", F.row_number().over(wv))
+        .select(F.col("vec_id").alias("id"), "rank")
+    )
+    return rrf_fuse([text, vec], k=10)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1229,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_component": q_terms_component,
         "join_filter": q_join_filter,
         "significant_terms": q_significant_terms,
+        "hybrid_rrf": q_hybrid_rrf,
         "bm25_elevated": q_bm25_elevated,
         "ann_sq_topk": q_ann_sq_topk,
         "seq_pack": q_seq_pack,
@@ -2073,6 +2098,40 @@ def oracle_sql() -> dict[str, str]:
               FROM dfg f JOIN dfa a USING (term)
               JOIN ng g USING (grp) CROSS JOIN n
             ) WHERE rank <= 10
+        """,
+        "hybrid_rrf": _BM25_CTE + f""",
+            {_EMB_FLAT_CTE.strip().rstrip()},
+            qv AS (SELECT i, x AS qx FROM flat WHERE vec_id = 0),
+            dots AS (
+              SELECT f.vec_id, sum(f.x * qv.qx) AS dot,
+                     sum(f.x * f.x) AS na, sum(qv.qx * qv.qx) AS nq
+              FROM flat f JOIN qv USING (i) GROUP BY f.vec_id
+            ),
+            cosd AS (
+              SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 5) AS cosine
+              FROM dots
+            ),
+            text_r AS (
+              SELECT doc_id AS id,
+                     row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
+              FROM bm25
+            ),
+            vec_r AS (
+              SELECT vec_id AS id,
+                     row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+              FROM cosd
+            ),
+            u AS (
+              SELECT id, 1.0 / (60.0 + rank) AS c FROM text_r
+              UNION ALL
+              SELECT id, 1.0 / (60.0 + rank) AS c FROM vec_r
+            )
+            SELECT id, rrf, n_lists FROM (
+              SELECT id, round(sum(c), 5) AS rrf, count(*) AS n_lists,
+                     row_number() OVER (
+                       ORDER BY round(sum(c), 5) DESC, id) AS rn
+              FROM u GROUP BY id
+            ) WHERE rn <= 10
         """,
         "seq_pack": """
             WITH t AS (

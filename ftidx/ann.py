@@ -306,3 +306,40 @@ def sq_cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10,
+             const: float = 60.0, id_col: str = "id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — THE standard way
+    to combine a lexical (BM25) ranking with a vector (cosine) ranking
+    into one hybrid result without score calibration:
+
+        rrf(d) = Σ_lists 1 / (const + rank_list(d))
+
+    Each input DataFrame carries (id, rank); ids absent from a list
+    simply contribute nothing. Returns (id, rrf, n_lists) top-k by
+    (rrf DESC, id ASC), rrf rounded to 5 before the cut so the
+    ordering is engine-stable.
+
+    Scale shape: a union of already-ranked lists (each top-k'd
+    upstream, so tiny) + one map-side-combinable groupBy sum + one
+    global TakeOrderedAndProject — the fusion itself never touches the
+    corpus. Determinism note: IEEE addition is commutative, so with
+    two lists the sum is exact regardless of union order; beyond a
+    handful of lists the round-to-5 absorbs association differences."""
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(float(const)) + F.col("rank"))).alias("c"))
+        for r in rankings
+    ]
+    u = reduce(DataFrame.unionByName, contribs)
+    return (
+        u.groupBy("id")
+        .agg(F.round(F.sum("c"), 5).alias("rrf"),
+             F.count(F.lit(1)).alias("n_lists"))
+        .orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(k)
+    )

@@ -598,3 +598,21 @@ def test_significant_terms(spark):
     assert ("A", "beta") not in by
     # rank respects k
     assert all(r["rank"] <= 3 for r in by.values())
+
+
+def test_rrf_fuse(spark):
+    from ftidx.ann import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "id long, rank int")
+    out = {r["id"]: r for r in rrf_fuse([a, b], k=10, const=60.0).collect()}
+    # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2: 1/62; doc 9: 1/63
+    assert out[1]["rrf"] == round(1 / 61 + 1 / 62, 5)
+    assert out[3]["rrf"] == round(1 / 63 + 1 / 61, 5)
+    assert out[1]["n_lists"] == 2 and out[2]["n_lists"] == 1
+    order = [r["id"] for r in
+             rrf_fuse([a, b], k=10, const=60.0).collect()]
+    # both-list docs beat single-list docs; doc 1 edges doc 3
+    assert order[:2] == [1, 3] and set(order[2:]) == {2, 9}
+    # k cuts
+    assert len(rrf_fuse([a, b], k=2).collect()) == 2
