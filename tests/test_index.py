@@ -736,3 +736,38 @@ def test_join_topk(spark, built):
     assert all(r["repo"] in ok_repos for r in got)
     # no inner match → empty
     assert idx.join_topk(["zzzznope"], outer, k=5).count() == 0
+
+
+def test_join_and_terms_plan_shape(spark, built):
+    """Plan regression for the session-6 surfaces: join_topk must keep
+    the global cut as TakeOrderedAndProject with broadcast joins (the
+    inner key set is the small side by construction), prune the docs
+    scan to (doc_id, join key), and push the term predicates; the
+    terms_enum scan must exclude the posting blobs from ReadSchema."""
+    out, _ = built
+    idx = open_index(spark, out)
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    plan = fmt(idx.join_topk(["alpha"], ["def"], k=5, join_col="repo"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # the docs table is scanned only for (doc_id, repo) in this plan
+    assert any("doc_id:bigint,repo:string" in ln and "content" not in ln
+               for ln in reads), reads
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(term,alpha)" in ln for ln in pushed), pushed
+
+    vocab = idx._postings.filter(
+        (F.col("field") == "code.content") & F.col("term").startswith("s")
+    ).groupBy("term").agg(F.sum("df").alias("df"))
+    vplan = fmt(vocab)
+    vreads = [ln for ln in vplan.splitlines() if "ReadSchema" in ln]
+    assert all("doc_ids" not in ln and "tfs" not in ln for ln in vreads), vreads
+    vpushed = [ln for ln in vplan.splitlines() if "PushedFilters" in ln][0]
+    assert "StringStartsWith(term,s)" in vpushed, vpushed
