@@ -1161,6 +1161,42 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([text, vec], k=10)
 
 
+def q_bm25_synonyms(spark, sf_dir):
+    """Query-time synonym expansion (engine twin: FtIndex.topk_synonyms
+    — merged member postings): BM25 over canonicalized tokens, groups
+    merge→{merge,join} and window→{window,frame}; equivalent to a
+    token-level synonym analyzer, top 10."""
+    canon = F.when(F.col("term").isin("merge", "join"), "merge") \
+        .when(F.col("term").isin("window", "frame"), "window") \
+        .otherwise(F.col("term"))
+    tok = _tokens(spark, sf_dir).withColumn("term", canon)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    m = tf.filter(F.col("term").isin(["merge", "window"]))
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = (m.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
+         .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        j.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 5).alias("score_r"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1254,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_filter": q_join_filter,
         "significant_terms": q_significant_terms,
         "hybrid_rrf": q_hybrid_rrf,
+        "bm25_synonyms": q_bm25_synonyms,
         "bm25_elevated": q_bm25_elevated,
         "ann_sq_topk": q_ann_sq_topk,
         "seq_pack": q_seq_pack,
@@ -2132,6 +2169,35 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY round(sum(c), 5) DESC, id) AS rn
               FROM u GROUP BY id
             ) WHERE rn <= 10
+        """,
+        "bm25_synonyms": f"""
+            WITH raw AS (
+              SELECT doc_id, CASE WHEN term IN ('merge', 'join') THEN 'merge'
+                                  WHEN term IN ('window', 'frame') THEN 'window'
+                                  ELSE term END AS term
+              FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+                FROM documents
+              ) WHERE term <> ''
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM raw GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dl FROM raw GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+            m AS (SELECT * FROM tf WHERE term IN ('merge', 'window')),
+            dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+            scored AS (
+              SELECT m.doc_id,
+                     ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {K1 + 1.0}
+                       / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)) AS contrib
+              FROM m JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+            ),
+            bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r FROM scored GROUP BY doc_id)
+            SELECT rank, doc_id, score_r FROM (
+              SELECT doc_id, score_r,
+                     row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
+              FROM bm25
+            ) WHERE rank <= 10
         """,
         "seq_pack": """
             WITH t AS (

@@ -775,6 +775,56 @@ class FtIndex:
         ]
         return out[:k]
 
+    def topk_synonyms(self, groups: dict[str, list[str]], k: int = 10,
+                      field: str = "code.content") -> list[tuple[int, float]]:
+        """Query-time synonym expansion (Solr SynonymGraphFilter at
+        query time): each entry maps a canonical query term to its
+        synonym set, and the group scores as ONE pseudo-term — member
+        postings merged (a doc's tf is the SUM of its member tfs, its
+        group df the count of docs containing ANY member) and idf
+        recomputed from the merged df. This is exactly the ranking a
+        token-level canonicalizing analyzer would produce, without
+        reindexing when the synonym table changes.
+
+        Serving path: members' postings come from the same driver term
+        cache as :meth:`topk` (decode memoized); the merge is one
+        numpy sort + segment-sum per group, score accumulation one
+        scatter-add — no Spark job."""
+        n_docs, _ = self.stats.get(field, (0, 1.0))
+        all_ids: list[np.ndarray] = []
+        all_contribs: list[np.ndarray] = []
+        for canon, syns in groups.items():
+            members = list(dict.fromkeys([canon, *syns]))
+            lists, avgdl = self._term_lists(members, field)
+            if not lists:
+                continue
+            parts = [tl.decode_all() for tl in lists]
+            ids = np.concatenate([p[0] for p in parts]).astype(np.int64)
+            tfs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+            dls = np.concatenate([p[2] for p in parts]).astype(np.int64)
+            if ids.size == 0:
+                continue
+            uids, inv = np.unique(ids, return_inverse=True)
+            utf = np.zeros(uids.size, np.int64)
+            np.add.at(utf, inv, tfs)
+            udl = np.zeros(uids.size, np.int64)
+            udl[inv] = dls  # dl is per-doc, identical across members
+            idf = bm25_idf(n_docs, uids.size)
+            all_ids.append(uids)
+            all_contribs.append(bm25_contrib(utf, udl, idf, avgdl))
+        if not all_ids:
+            return []
+        cat_ids = np.concatenate(all_ids)
+        cat_c = np.concatenate(all_contribs)
+        fids, inv = np.unique(cat_ids, return_inverse=True)
+        scores = np.zeros(fids.size, np.float64)
+        np.add.at(scores, inv, cat_c)
+        extra = len(self._tombstones)
+        order = np.lexsort((fids, -scores))[:k + extra]
+        out = [(int(fids[i]), float(scores[i])) for i in order
+               if int(fids[i]) not in self._tombstones]
+        return out[:k]
+
     def query_string(self, q: str, k: int = 10,
                      field: str = "code.content") -> list[tuple[int, float]]:
         """Lucene/Solr query-string search — ``+must -not field:term

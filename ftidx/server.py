@@ -35,6 +35,8 @@ Endpoints (all JSON):
 - ``GET /join?inner=deprecated&q=scan&on=repo`` → join query (Solr
   {!join}: outer matches ranked, restricted to join keys with an
   inner match)
+- ``syn=merge:join|combine;window:frame`` on /search → query-time
+  synonym groups, each scored as one merged pseudo-term
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
@@ -304,6 +306,7 @@ def _make_handler(idx, lock: threading.Lock):
                     sort = qs.get("sort", [""])[0]
                     bf = qs.get("bf", [""])[0]
                     elevate = qs.get("elevate", [""])[0]
+                    syn = qs.get("syn", [""])[0]
                     with lock:
                         if u.path != "/search":
                             if slop > 0:
@@ -366,6 +369,26 @@ def _make_handler(idx, lock: threading.Lock):
                                 {"doc_id": r["doc_id"],
                                  "sort_value": str(r["sort_value"]),
                                  "score": r["score"]} for r in rows
+                            ]})
+                            return
+                        elif syn:
+                            # query-time synonyms: each query term may
+                            # carry a |-joined synonym set, e.g.
+                            # syn=merge:join|combine;window:frame
+                            groups = {}
+                            for part in syn.split(";"):
+                                if not part.strip():
+                                    continue
+                                canon, _, members = part.partition(":")
+                                groups[canon] = [m for m in
+                                                 members.split("|") if m]
+                            for t in terms:
+                                groups.setdefault(t, [])
+                            hits = idx.topk_synonyms(groups, k=k,
+                                                     field=field)
+                            self._json(200, {"hits": [
+                                {"doc_id": d, "score": s}
+                                for d, s in hits
                             ]})
                             return
                         elif elevate:

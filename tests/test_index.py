@@ -771,3 +771,41 @@ def test_join_and_terms_plan_shape(spark, built):
     assert all("doc_ids" not in ln and "tfs" not in ln for ln in vreads), vreads
     vpushed = [ln for ln in vplan.splitlines() if "PushedFilters" in ln][0]
     assert "StringStartsWith(term,s)" in vpushed, vpushed
+
+
+def test_topk_synonyms(spark, built):
+    """Query-time synonym groups score as ONE merged pseudo-term:
+    degenerate groups reproduce plain topk exactly; a real group's
+    score matches a hand recompute from per-member tf/df via explain's
+    primitives (summed member tf, union df, recomputed idf)."""
+    import math
+
+    out, _ = built
+    idx = open_index(spark, out)
+    # degenerate: every group is a singleton → identical to topk
+    plain = idx.topk(["def", "spark"], k=10)
+    syn = idx.topk_synonyms({"def": [], "spark": []}, k=10)
+    assert [(d, round(s, 9)) for d, s in syn] == \
+        [(d, round(s, 9)) for d, s in plain]
+    # unknown synonym members change nothing
+    syn2 = idx.topk_synonyms({"def": ["zzzznope"], "spark": []}, k=10)
+    assert [(d, round(s, 9)) for d, s in syn2] == \
+        [(d, round(s, 9)) for d, s in plain]
+
+    # real merge: group {def, return} — recompute expected score for
+    # the top hit from raw per-term postings
+    got = idx.topk_synonyms({"def": ["return"]}, k=5)
+    assert got
+    top_doc = got[0][0]
+    ex_def = idx.explain(["def"], top_doc)
+    ex_ret = idx.explain(["return"], top_doc)
+    tf = sum(t["tf"] for t in ex_def["terms"] + ex_ret["terms"])
+    dl = (ex_def["terms"] + ex_ret["terms"])[0]["dl"]
+    n_docs, avgdl = idx.stats["code.content"]
+    # union df: docs matching def OR return
+    union_df = len({d for d, _ in idx.topk(["def", "return"], k=100000)})
+    idf = math.log(1.0 + (n_docs - union_df + 0.5) / (union_df + 0.5))
+    want = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert got[0][1] == pytest.approx(want, rel=1e-9)
+    # merged group ranking differs from naive OR when tfs combine
+    assert union_df > max(t["df"] for t in ex_def["terms"] + ex_ret["terms"]) / 2

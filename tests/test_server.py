@@ -282,3 +282,16 @@ def test_join_endpoint(served):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 400
+
+
+def test_synonyms_param(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _get(f"{base}/search?q=def&k=5&syn=def:return")
+    assert status == 200
+    expect = idx.topk_synonyms({"def": ["return"]}, k=5)
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+    # singleton groups == plain search
+    status, body2 = _get(f"{base}/search?q=def+main&k=5&syn=def:")
+    expect2 = idx.topk_synonyms({"def": [], "main": []}, k=5)
+    assert [(h["doc_id"], h["score"]) for h in body2["hits"]] == expect2
