@@ -802,8 +802,10 @@ def test_topk_synonyms(spark, built):
     tf = sum(t["tf"] for t in ex_def["terms"] + ex_ret["terms"])
     dl = (ex_def["terms"] + ex_ret["terms"])[0]["dl"]
     n_docs, avgdl = idx.stats["code.content"]
-    # union df: docs matching def OR return
-    union_df = len({d for d, _ in idx.topk(["def", "return"], k=100000)})
+    # union df from RAW postings (like the engine: stored df counts
+    # tombstoned docs too, exactly as plain topk's idf does)
+    lists, _ = idx._term_lists(["def", "return"], "code.content")
+    union_df = len({int(i) for tl in lists for i in tl.decode_all()[0]})
     idf = math.log(1.0 + (n_docs - union_df + 0.5) / (union_df + 0.5))
     want = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
     assert got[0][1] == pytest.approx(want, rel=1e-9)
