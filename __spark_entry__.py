@@ -1197,6 +1197,32 @@ def q_bm25_synonyms(spark, sf_dir):
     )
 
 
+def q_facet_query_counts(spark, sf_dir):
+    """Solr facet.query (engine twin: FtIndex.facet_queries): match
+    counts per labeled subquery — any-of, all-of, and must-not shapes."""
+    dt = _tokens(spark, sf_dir).distinct()
+    merge = dt.filter(F.col("term") == "merge").select("doc_id")
+    scan = dt.filter(F.col("term") == "scan").select("doc_id")
+    window = dt.filter(F.col("term") == "window").select("doc_id")
+    rows = [
+        merge.select(F.lit("merge").alias("label"), "doc_id"),
+        merge.join(scan, "doc_id")
+        .select(F.lit("merge_and_scan").alias("label"), "doc_id"),
+        merge.join(window, "doc_id", "left_anti")
+        .select(F.lit("merge_not_window").alias("label"), "doc_id"),
+    ]
+    u = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return u.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_passage_topk(spark, sf_dir):
+    """MaxP passage ranking (textops.passage_bm25): BM25 over 64-token
+    windows as pseudo-docs, each doc ranked by its best passage."""
+    from ftidx.textops import passage_bm25
+
+    return passage_bm25(_docs(spark, sf_dir), BM25_TERMS, chunk_len=64, k=10)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1291,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "hybrid_rrf": q_hybrid_rrf,
         "bm25_synonyms": q_bm25_synonyms,
+        "facet_query_counts": q_facet_query_counts,
+        "passage_topk": q_passage_topk,
         "bm25_elevated": q_bm25_elevated,
         "ann_sq_topk": q_ann_sq_topk,
         "seq_pack": q_seq_pack,
@@ -2197,6 +2225,63 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, score_r,
                      row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
               FROM bm25
+            ) WHERE rank <= 10
+        """,
+        "facet_query_counts": f"""
+            WITH {_TOK_CTE},
+            dt AS (SELECT DISTINCT doc_id, term FROM tok),
+            mg AS (SELECT doc_id FROM dt WHERE term = 'merge'),
+            sc AS (SELECT doc_id FROM dt WHERE term = 'scan'),
+            wd AS (SELECT doc_id FROM dt WHERE term = 'window')
+            SELECT 'merge' AS label, count(*) AS n_docs FROM mg
+            UNION ALL
+            SELECT 'merge_and_scan', count(*) FROM mg JOIN sc USING (doc_id)
+            UNION ALL
+            SELECT 'merge_not_window', count(*) FROM mg
+            WHERE doc_id NOT IN (SELECT doc_id FROM wd)
+        """,
+        "passage_topk": f"""
+            WITH {_TOKPOS_CTE},
+            seq AS (
+              SELECT doc_id, term,
+                     (row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                      - 1) // 64 AS chunk
+              FROM tokpos
+            ),
+            cl AS (SELECT doc_id, chunk, count(*) AS cl
+                   FROM seq GROUP BY doc_id, chunk),
+            stats AS (SELECT count(*) AS n_chunks,
+                             sum(cl)::DOUBLE / count(*) AS avgcl FROM cl),
+            m AS (
+              SELECT doc_id, chunk, term, count(*) AS tf FROM seq
+              WHERE term IN ('spark', 'merge', 'window')
+              GROUP BY doc_id, chunk, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+            scored AS (
+              SELECT m.doc_id, m.chunk,
+                     round(sum(
+                       ln(1.0 + (s.n_chunks - d.df + 0.5) / (d.df + 0.5))
+                         * m.tf * {K1 + 1.0}
+                         / (m.tf + {K1} * ({1.0 - B}
+                                           + {B} * cl.cl / s.avgcl))), 5)
+                       AS score_r
+              FROM m JOIN dfreq d USING (term)
+              JOIN cl USING (doc_id, chunk) CROSS JOIN stats s
+              GROUP BY m.doc_id, m.chunk
+            ),
+            best AS (
+              SELECT * FROM (
+                SELECT doc_id, chunk, score_r,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score_r DESC, chunk) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            )
+            SELECT rank, doc_id, chunk, score_r FROM (
+              SELECT doc_id, chunk, score_r,
+                     row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
+              FROM best
             ) WHERE rank <= 10
         """,
         "seq_pack": """

@@ -1409,6 +1409,21 @@ class FtIndex:
             matched = matched.join(F.broadcast(tomb), "doc_id", "left_anti")
         return matched
 
+    def facet_queries(self, queries: dict[str, list[str]],
+                      field: str = "code.content") -> dict[str, int]:
+        """Solr ``facet.query``: match count per labeled subquery
+        (docs matching ANY of the label's terms), tombstones excluded.
+        Serving path: decoded ids from the warm term cache, one set
+        union per label — no Spark job. For labels whose vocabulary
+        exceeds driver memory, count via the distributed match set
+        instead (``_matched_ids(terms).count()``), same semantics."""
+        out = {}
+        for label, terms in queries.items():
+            lists, _ = self._term_lists(terms, field)
+            ids = {int(i) for tl in lists for i in tl.decode_all()[0]}
+            out[label] = len(ids - self._tombstones)
+        return out
+
     def facet_range(self, terms: list[str], facet: str = "n_chars",
                     start: float = 0, end: float = 1 << 30,
                     gap: float = 100, field: str = "code.content") -> DataFrame:

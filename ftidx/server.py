@@ -37,6 +37,8 @@ Endpoints (all JSON):
   inner match)
 - ``syn=merge:join|combine;window:frame`` on /search → query-time
   synonym groups, each scored as one merged pseudo-term
+- ``GET /facet_query?fq=py:python;js:javascript+node`` → facet.query
+  match counts per labeled subquery
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
@@ -123,6 +125,23 @@ def _make_handler(idx, lock: threading.Lock):
                         {"doc_id": r["doc_id"], on: r[on],
                          "score": r["score"]} for r in rows
                     ]})
+                elif u.path == "/facet_query":
+                    # Solr facet.query: counts per labeled subquery,
+                    # fq=label:term1+term2;label2:...
+                    spec = qs.get("fq", [""])[0]
+                    if not spec.strip():
+                        self._json(400, {"error": "missing fq"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    queries = {}
+                    for part in spec.split(";"):
+                        if not part.strip():
+                            continue
+                        label, _, ts = part.partition(":")
+                        queries[label] = ts.split()
+                    with lock:
+                        out = idx.facet_queries(queries, field=field)
+                    self._json(200, {"counts": out})
                 elif u.path == "/terms":
                     # Solr TermsComponent: vocabulary enumeration with
                     # prefix/regex/mincount/limit/sort

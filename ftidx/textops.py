@@ -540,3 +540,69 @@ def significant_terms(docs: DataFrame, group_col: str = "lang",
         .select(F.col("grp").alias(group_col), "term", "df_g", "df",
                 "score", "rank")
     )
+
+
+def passage_bm25(docs: DataFrame, terms: list[str], chunk_len: int = 64,
+                 k: int = 10, k1: float = 1.2, b: float = 0.75,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MaxP passage ranking — the standard long-document retrieval
+    trick (score fixed-length token windows as pseudo-documents, rank
+    each doc by its BEST passage), which keeps BM25 meaningful when
+    documents are books or concatenated files: a 1M-token doc with one
+    razor-relevant paragraph beats a mediocre-everywhere doc.
+
+    Chunks are consecutive ``chunk_len``-token windows over the kept
+    token sequence; BM25 statistics (df, avg length) are computed at
+    CHUNK granularity; doc score = max over its chunks (ties → lowest
+    chunk id), top-k docs by (score DESC, doc_id ASC). Returns
+    (rank, doc_id, chunk, score_r).
+
+    Scale shape: one per-doc window (row_number) is the only wide
+    shuffle — identical cost to the sequence-packing operator; the
+    chunk tf/length aggregations are map-side-combinable, the df side
+    broadcasts (|terms| rows), and the final doc-max + top-k is one
+    groupBy + TakeOrdered."""
+    qterms = sorted(set(terms))
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT))
+            .alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = tok.withColumn(
+        "chunk", F.floor((F.row_number().over(w) - 1) / chunk_len))
+    cl = seq.groupBy("doc_id", "chunk").agg(F.count(F.lit(1)).alias("cl"))
+    stats = cl.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.sum("cl") / F.count(F.lit(1))).cast("double").alias("avgcl"),
+    )
+    m = (seq.filter(F.col("term").isin(qterms))
+         .groupBy("doc_id", "chunk", "term")
+         .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_chunks") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("cl") / F.col("avgcl"))
+    )
+    scored = (
+        m.join(F.broadcast(dfreq), "term").join(cl, ["doc_id", "chunk"])
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id", "chunk")
+        .agg(F.round(F.sum("contrib"), 5).alias("score_r"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_r"), F.asc("chunk"))
+    best = (scored.withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1).drop("rn"))
+    wr = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "chunk", "score_r")
+    )

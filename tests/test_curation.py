@@ -616,3 +616,25 @@ def test_rrf_fuse(spark):
     assert order[:2] == [1, 3] and set(order[2:]) == {2, 9}
     # k cuts
     assert len(rrf_fuse([a, b], k=2).collect()) == 2
+
+
+def test_passage_bm25_maxp(spark):
+    """MaxP: a long doc whose relevance is concentrated in one 64-token
+    window outranks a doc where the same signal is diluted across the
+    whole text; chunk ids locate the best passage."""
+    from ftidx.textops import passage_bm25
+
+    filler = " ".join(f"w{i}" for i in range(64))
+    hot = "needle " * 8 + " ".join(f"x{i}" for i in range(56))
+    rows = [
+        (1, filler + " " + hot + " " + filler),       # one hot window
+        (2, ("needle " + filler) * 1),                # diluted: 1 hit/window
+        (3, filler),                                  # no hits
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = passage_bm25(docs, ["needle"], chunk_len=64, k=10).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 3 not in got
+    assert got[1]["rank"] == 1 and got[2]["rank"] == 2
+    assert got[1]["chunk"] == 1  # the hot window is the SECOND chunk
+    assert got[1]["score_r"] > got[2]["score_r"]

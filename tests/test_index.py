@@ -811,3 +811,24 @@ def test_topk_synonyms(spark, built):
     assert got[0][1] == pytest.approx(want, rel=1e-9)
     # merged group ranking differs from naive OR when tfs combine
     assert union_df > max(t["df"] for t in ex_def["terms"] + ex_ret["terms"]) / 2
+
+
+def test_facet_queries(spark, built):
+    """facet.query analog: per-label counts equal brute recounts from
+    the index's own match sets; tombstones excluded."""
+    out, _ = built
+    idx = open_index(spark, out)
+    counts = idx.facet_queries({"d": ["def"], "d_or_r": ["def", "return"],
+                                "nothing": ["zzzznope"]})
+    ids_d = {d for d, _ in idx.topk(["def"], k=100000)}
+    ids_or = {d for d, _ in idx.topk(["def", "return"], k=100000)}
+    assert counts["d"] == len(ids_d)
+    assert counts["d_or_r"] == len(ids_or) >= counts["d"]
+    assert counts["nothing"] == 0
+    # deleting a matching doc decrements the count
+    victim = next(iter(ids_d))
+    idx.delete([victim])
+    try:
+        assert idx.facet_queries({"d": ["def"]})["d"] == len(ids_d) - 1
+    finally:
+        idx._tombstones.discard(victim)  # restore shared fixture state

@@ -295,3 +295,12 @@ def test_synonyms_param(served):
     status, body2 = _get(f"{base}/search?q=def+main&k=5&syn=def:")
     expect2 = idx.topk_synonyms({"def": [], "main": []}, k=5)
     assert [(h["doc_id"], h["score"]) for h in body2["hits"]] == expect2
+
+
+def test_facet_query_endpoint(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _get(f"{base}/facet_query?fq=d:def;dr:def+return")
+    assert status == 200
+    expect = idx.facet_queries({"d": ["def"], "dr": ["def", "return"]})
+    assert body["counts"] == expect and expect["dr"] >= expect["d"] > 0
