@@ -1223,6 +1223,18 @@ def q_passage_topk(spark, sf_dir):
     return passage_bm25(_docs(spark, sf_dir), BM25_TERMS, chunk_len=64, k=10)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    # Product-quantization ADC top-k (ann.pq_adc_topk): m=4 subspaces,
+    # ks=16 hash-sampled codewords, squared-L2 ADC — deterministic
+    # (md5-sampled codebooks, distances rounded before every argmin)
+    # → full DuckDB oracle
+    from ftidx.ann import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_adc_topk(emb, query, k=20, m=4, ks=16)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1319,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": q_bm25_synonyms,
         "facet_query_counts": q_facet_query_counts,
         "passage_topk": q_passage_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "bm25_elevated": q_bm25_elevated,
         "ann_sq_topk": q_ann_sq_topk,
         "seq_pack": q_seq_pack,
@@ -2283,6 +2296,50 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
               FROM best
             ) WHERE rank <= 10
+        """,
+        "ann_pq_topk": f"""
+            WITH {_EMB_FLAT_CTE},
+            samp AS (
+              SELECT vec_id,
+                     row_number() OVER (
+                       ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j
+              FROM embeddings
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+            ),
+            cb AS (
+              SELECT (f.i - 1) // 16 AS s, sm.j, (f.i - 1) % 16 AS p,
+                     f.x AS c
+              FROM flat f JOIN samp sm USING (vec_id)
+            ),
+            vx AS (
+              SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS p, x
+              FROM flat
+            ),
+            dist AS (
+              SELECT v.vec_id, v.s, cb.j,
+                     round(sum((v.x - cb.c) * (v.x - cb.c)), 5) AS d2
+              FROM vx v JOIN cb ON v.s = cb.s AND v.p = cb.p
+              GROUP BY v.vec_id, v.s, cb.j
+            ),
+            codes AS (
+              SELECT vec_id, s, j FROM (
+                SELECT vec_id, s, j,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, j) AS rn
+                FROM dist
+              ) WHERE rn = 1
+            ),
+            qd AS (SELECT s, j, d2 AS qd2 FROM dist WHERE vec_id = 0),
+            adc AS (
+              SELECT c.vec_id, round(sum(q.qd2), 5) AS dist2
+              FROM codes c JOIN qd q ON c.s = q.s AND c.j = q.j
+              GROUP BY c.vec_id
+            )
+            SELECT rank, vec_id, dist2 FROM (
+              SELECT vec_id, dist2,
+                     row_number() OVER (ORDER BY dist2, vec_id) AS rank
+              FROM adc
+            ) WHERE rank <= 20
         """,
         "seq_pack": """
             WITH t AS (

@@ -343,3 +343,108 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10,
         .orderBy(F.desc("rrf"), F.asc("id"))
         .limit(k)
     )
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = 4, ks: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic product-quantization codebooks: split the space
+    into ``m`` contiguous subspaces; codeword j of every subspace is
+    the j-th hash-sampled corpus vector's subvector (smallest md5(id)
+    first — the same RNG-free sampling as :func:`ivf_centroids`).
+    Returns (s, j, p, c): component p of codeword j in subspace s.
+    k-means refinement is an optional offline job; it moves codeword
+    positions, not the algorithm shape."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    samp = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ks)
+        .withColumn("j", F.row_number().over(w) - 1)
+    )
+    subdim_expr = (F.size(vec_col) / m).cast("int")
+    return (
+        samp.select("j", subdim_expr.alias("subdim"),
+                    F.posexplode(F.transform(
+                        F.col(vec_col), lambda x: x.cast("double")))
+                    .alias("i", "c"))
+        .select((F.col("i") / F.col("subdim")).cast("int").alias("s"),
+                "j", (F.col("i") % F.col("subdim")).alias("p"), "c")
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame, m: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ encoding: each vector → m small codes (vec_id, s, j), where j
+    is the subspace-s codeword minimizing squared L2 distance to the
+    vector's subvector (distances rounded to 5 BEFORE the argmin, ties
+    → lowest j, so the codes are engine-stable). Storage per vector is
+    m bytes at ks ≤ 256 — a 256× reduction over float32 at dim 64.
+
+    Scale shape: codebooks are ks·dim rows — always broadcast; the
+    corpus side explodes to components, joins the broadcast on
+    (subspace, component), and aggregates back: encode cost is the
+    textbook ks·dim multiplies per vector, no shuffle of the corpus
+    beyond the component aggregation's partial combine."""
+    from pyspark.sql import Window
+
+    subdim_expr = (F.size(vec_col) / m).cast("int")
+    vx = (
+        embeddings.select(id_col, subdim_expr.alias("subdim"),
+                          F.posexplode(F.transform(
+                              F.col(vec_col), lambda x: x.cast("double")))
+                          .alias("i", "x"))
+        .select(id_col, (F.col("i") / F.col("subdim")).cast("int").alias("s"),
+                (F.col("i") % F.col("subdim")).alias("p"), "x")
+    )
+    dist = (
+        vx.join(F.broadcast(codebooks), ["s", "p"])
+        .groupBy(id_col, "s", "j")
+        .agg(F.round(F.sum((F.col("x") - F.col("c"))
+                           * (F.col("x") - F.col("c"))), 5).alias("d2"))
+    )
+    w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("j"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "s", "j")
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+                m: int = 4, ks: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ asymmetric-distance top-k (the 100 TB ANN scan): corpus
+    vectors live only as m-byte PQ codes; the query stays exact and a
+    tiny (m × ks) lookup table of query-to-codeword squared distances
+    is broadcast; a vector's approximate distance is the sum of its m
+    table entries. Returns (rank, vec_id, dist2) ascending. The scan
+    reads codes (bytes), never floats — I/O shrinks by the quantization
+    ratio, exactly why PQ is the standard billion-vector layout."""
+    cb = pq_codebooks(embeddings, m, ks, id_col, vec_col)
+    codes = pq_encode(embeddings, cb, m, id_col, vec_col)
+    spark = embeddings.sparkSession
+    subdim = len(query) // m
+    # query→codeword distance table, driver-side (m·ks entries)
+    # fixed (s, j, p) accumulation order: collect() row order is not
+    # deterministic and float sum order must be
+    cb_rows = sorted(cb.collect(), key=lambda r: (r["s"], r["j"], r["p"]))
+    acc: dict[tuple[int, int], float] = {}
+    for r in cb_rows:
+        d = query[r["s"] * subdim + r["p"]] - r["c"]
+        acc[(r["s"], r["j"])] = acc.get((r["s"], r["j"]), 0.0) + d * d
+    lut = spark.createDataFrame(
+        [(s, j, round(v, 5)) for (s, j), v in sorted(acc.items())],
+        "s int, j int, qd2 double")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("dist2"), F.asc(id_col))
+    return (
+        codes.join(F.broadcast(lut), ["s", "j"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("qd2"), 5).alias("dist2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, "dist2")
+    )

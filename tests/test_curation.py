@@ -638,3 +638,40 @@ def test_passage_bm25_maxp(spark):
     assert got[1]["rank"] == 1 and got[2]["rank"] == 2
     assert got[1]["chunk"] == 1  # the hot window is the SECOND chunk
     assert got[1]["score_r"] > got[2]["score_r"]
+
+
+def test_pq_encode_and_adc(emb):
+    from ftidx.ann import pq_adc_topk, pq_codebooks, pq_encode
+
+    m, ks = 4, 8
+    cb = pq_codebooks(emb, m=m, ks=ks)
+    rows = cb.collect()
+    # full codebook grid: m subspaces × ks codewords × subdim components
+    assert {(r["s"], r["j"]) for r in rows} == \
+        {(s, j) for s in range(m) for j in range(ks)}
+    assert all(0 <= r["p"] < 8 // m * 2 for r in rows)
+
+    codes = pq_encode(emb, cb, m=m)
+    by_vec = {}
+    for r in codes.collect():
+        by_vec.setdefault(r["vec_id"], {})[r["s"]] = r["j"]
+    n = emb.count()
+    assert len(by_vec) == n
+    assert all(len(v) == m and all(0 <= j < ks for j in v.values())
+               for v in by_vec.values())
+    # the planted near-dup (101 ≈ 100 + tiny noise) lands on mostly the
+    # same codewords
+    same = sum(by_vec[100][s] == by_vec[101][s] for s in range(m))
+    assert same >= m - 1
+
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 100).first()["embedding"]]
+    top = pq_adc_topk(emb, q, k=5, m=m, ks=ks).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 100 in ids and 101 in ids  # ADC finds the planted pair
+    dists = [r["dist2"] for r in top]
+    assert dists == sorted(dists)  # ascending distance
+    # deterministic across invocations
+    again = [(r["rank"], r["vec_id"], r["dist2"])
+             for r in pq_adc_topk(emb, q, k=5, m=m, ks=ks).collect()]
+    assert again == [(r["rank"], r["vec_id"], r["dist2"]) for r in top]
