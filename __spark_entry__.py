@@ -1235,6 +1235,19 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(emb, query, k=20, m=4, ks=16)
 
 
+def q_dup_components_quality(spark, sf_dir):
+    """Quality-priority dedup keepers (dedup_clusters(priority_col=)):
+    same transitive clusters as dup_components, but the keeper is the
+    member with the most characters (ties → min doc_id) — the
+    keep-the-best-duplicate policy real pipelines use."""
+    from ftidx.dedup import dedup_clusters, simhash, simhash_near_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = simhash_near_pairs(simhash(docs), max_hamming=3) \
+        .select("doc_a", "doc_b")
+    return dedup_clusters(docs, pairs, priority_col="n_chars")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1332,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_query_counts": q_facet_query_counts,
         "passage_topk": q_passage_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "dup_components_quality": q_dup_components_quality,
         "bm25_elevated": q_bm25_elevated,
         "ann_sq_topk": q_ann_sq_topk,
         "seq_pack": q_seq_pack,
@@ -1706,6 +1720,52 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.component, d.doc_id) AS component,
                    coalesce(c.component, d.doc_id) = d.doc_id AS keep
             FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
+        "dup_components_quality": f"""
+            WITH RECURSIVE {_TOKPOS_CTE},
+            votes AS (
+              SELECT doc_id, {_SIMHASH_BITS_SQL}
+              FROM tokpos GROUP BY doc_id
+            ),
+            sim AS (SELECT doc_id, {_SIMHASH_CONCAT_SQL} AS simhash FROM votes),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE substring(a.simhash, 1, 16) = substring(b.simhash, 1, 16)
+                 OR substring(a.simhash, 17, 16) = substring(b.simhash, 17, 16)
+                 OR substring(a.simhash, 33, 16) = substring(b.simhash, 33, 16)
+                 OR substring(a.simhash, 49, 16) = substring(b.simhash, 49, 16)
+            ),
+            np AS (
+              SELECT doc_a, doc_b FROM cand
+              WHERE ({_SIMHASH_HAMMING_SQL}) <= 3
+            ),
+            sym AS (
+              SELECT doc_a AS s, doc_b AS d FROM np
+              UNION ALL SELECT doc_b, doc_a FROM np
+            ),
+            reach AS (
+              SELECT s AS doc_id, d AS r FROM sym
+              UNION
+              SELECT reach.doc_id, sym.d FROM reach
+              JOIN sym ON sym.s = reach.r
+            ),
+            comp AS (
+              SELECT doc_id, least(doc_id, min(r)) AS component
+              FROM reach GROUP BY doc_id
+            ),
+            base AS (
+              SELECT d.doc_id, d.n_chars,
+                     coalesce(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comp c USING (doc_id)
+            )
+            SELECT doc_id, component, rn = 1 AS keep FROM (
+              SELECT doc_id, component,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM base
+            )
         """,
         "ann_cosine_topk": f"""
             WITH {_EMB_FLAT_CTE},

@@ -356,14 +356,29 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   priority_col: str | None = None) -> DataFrame:
     """Cluster-aware dedup verdict: every doc joined to its duplicate
-    component (docs in no pair form singleton components), keeper =
-    component min. The drop set is exactly ``keep == false`` — transitive
-    closure included, unlike pairwise-loser dedup."""
+    component (docs in no pair form singleton components). The drop
+    set is exactly ``keep == false`` — transitive closure included,
+    unlike pairwise-loser dedup.
+
+    Keeper policy: by default the component-min doc (deterministic,
+    cheapest). With ``priority_col`` the keeper is the member
+    maximizing that docs-table column (ties → min doc_id) — real
+    pipelines keep the BEST duplicate (longest, highest quality
+    score, newest), not an arbitrary one; the window is partitioned
+    by component, so state is bounded by cluster size."""
     comp = connected_components(pairs)
-    out = (docs.select(F.col(id_col).alias("doc_id"))
+    out = (docs.select(F.col(id_col).alias("doc_id"),
+                       *([priority_col] if priority_col else []))
            .join(comp, "doc_id", "left")
            .withColumn("component",
                        F.coalesce("component", F.col("doc_id"))))
-    return out.withColumn("keep", (F.col("component") == F.col("doc_id")))
+    if priority_col is None:
+        return out.withColumn("keep",
+                              (F.col("component") == F.col("doc_id")))
+    w = Window.partitionBy("component").orderBy(
+        F.desc(priority_col), F.asc("doc_id"))
+    return (out.withColumn("keep", F.row_number().over(w) == 1)
+            .select("doc_id", "component", "keep"))

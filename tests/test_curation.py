@@ -675,3 +675,29 @@ def test_pq_encode_and_adc(emb):
     again = [(r["rank"], r["vec_id"], r["dist2"])
              for r in pq_adc_topk(emb, q, k=5, m=m, ks=ks).collect()]
     assert again == [(r["rank"], r["vec_id"], r["dist2"]) for r in top]
+
+
+def test_dedup_clusters_priority_keeper(spark):
+    """priority_col keeps the BEST member per transitive cluster (ties
+    → min id); default keeps the min id; exactly one keeper each."""
+    from ftidx.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (9, 99)],
+        "doc_id long, n_chars long")
+    # chain 1-2, 2-3 → one cluster {1,2,3}; 7 singleton; 9 untouched
+    pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "doc_a long, doc_b long")
+    by_min = {r["doc_id"]: r["keep"]
+              for r in dedup_clusters(docs, pairs).collect()}
+    assert by_min == {1: True, 2: False, 3: False, 7: True, 9: True}
+    by_q = {r["doc_id"]: r["keep"]
+            for r in dedup_clusters(docs, pairs,
+                                    priority_col="n_chars").collect()}
+    assert by_q == {1: False, 2: True, 3: False, 7: True, 9: True}
+    # exactly one keeper per component either way
+    rows = dedup_clusters(docs, pairs, priority_col="n_chars").collect()
+    per_comp = {}
+    for r in rows:
+        per_comp[r["component"]] = per_comp.get(r["component"], 0) + r["keep"]
+    assert all(v == 1 for v in per_comp.values())
