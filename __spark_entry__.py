@@ -1248,6 +1248,14 @@ def q_dup_components_quality(spark, sf_dir):
     return dedup_clusters(docs, pairs, priority_col="n_chars")
 
 
+def q_top_fraction(spark, sf_dir):
+    """Percentile quality gate (textops.top_fraction): keep the top
+    20% of docs by n_chars — relative-threshold curation."""
+    from ftidx.textops import top_fraction
+
+    return top_fraction(_docs(spark, sf_dir), "n_chars", fraction=0.2)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1346,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_topk": q_passage_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "dup_components_quality": q_dup_components_quality,
+        "top_fraction": q_top_fraction,
         "bm25_elevated": q_bm25_elevated,
         "ann_sq_topk": q_ann_sq_topk,
         "seq_pack": q_seq_pack,
@@ -2400,6 +2409,14 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY dist2, vec_id) AS rank
               FROM adc
             ) WHERE rank <= 20
+        """,
+        "top_fraction": """
+            SELECT doc_id, n_chars, rank FROM (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
+                     count(*) OVER () AS n
+              FROM documents
+            ) WHERE rank <= floor(n * 0.2)
         """,
         "seq_pack": """
             WITH t AS (

@@ -606,3 +606,28 @@ def passage_bm25(docs: DataFrame, terms: list[str], chunk_len: int = 64,
         .filter(F.col("rank") <= k)
         .select("rank", "doc_id", "chunk", "score_r")
     )
+
+
+def top_fraction(docs: DataFrame, score_col: str, fraction: float = 0.2,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Percentile quality gate: keep the top ``fraction`` of docs by
+    ``score_col`` (ties → lower id wins a slot), i.e. "keep the best
+    20%" — the relative-threshold companion to absolute quality
+    cutoffs, robust to score-distribution drift between corpus dumps.
+
+    keep count = floor(fraction · n); rank = row_number over
+    (score DESC, id ASC), so the kept set is exact and deterministic.
+
+    Scale note: the global rank is one total-order sort — fine into
+    the billions for a (score, id) projection, but at 10^12 rows
+    derive an approximate score THRESHOLD from a hash sample instead
+    and filter; this exact variant doubles as that path's oracle."""
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    return (
+        docs.select(id_col, score_col)
+        .withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("rank") <= F.floor(F.col("n") * fraction))
+        .select(id_col, score_col, "rank")
+    )

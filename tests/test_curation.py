@@ -701,3 +701,23 @@ def test_dedup_clusters_priority_keeper(spark):
     for r in rows:
         per_comp[r["component"]] = per_comp.get(r["component"], 0) + r["keep"]
     assert all(v == 1 for v in per_comp.values())
+
+
+def test_top_fraction(spark):
+    from ftidx.textops import top_fraction
+
+    docs = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(100)],
+        "doc_id long, score long")
+    out = top_fraction(docs, "score", fraction=0.25, id_col="doc_id").collect()
+    assert len(out) == 25
+    kept = sorted(((r["score"], r["doc_id"]) for r in out))
+    # the kept set is exactly the lexicographic top-25 by (score desc, id asc)
+    want = sorted(((s, d) for d, s in
+                   [(i, (i * 7) % 50) for i in range(100)]),
+                  key=lambda t: (-t[0], t[1]))[:25]
+    assert kept == sorted(want)
+    assert {r["rank"] for r in out} == set(range(1, 26))
+    # fraction 0 keeps nothing; fraction 1 keeps all
+    assert top_fraction(docs, "score", 0.0).count() == 0
+    assert top_fraction(docs, "score", 1.0).count() == 100
