@@ -1256,6 +1256,118 @@ def q_top_fraction(spark, sf_dir):
     return top_fraction(_docs(spark, sf_dir), "n_chars", fraction=0.2)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    # IVF-PQ / IVFADC (ann.ivfpq_topk): coarse-quantizer cell pruning
+    # (8 cells, probe 4) + product-quantized residuals (m=4, ks=16)
+    # scored via per-cell query-residual LUTs — fully deterministic
+    # (hash-sampled centroids/codebooks, rounded argmins) → DuckDB
+    # oracle replays it exactly
+    from ftidx.ann import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_topk(emb, query, k=20, n_centroids=8, n_probe=4, m=4, ks=16)
+
+
+def q_domain_mix(spark, sf_dir):
+    """Domain-mixing resampler (textops.mix_domains): target mixture
+    30% en / 20% zh / 50% es over ~300 docs, other langs dropped —
+    exact integer thresholds over the md5 hash space."""
+    from ftidx.textops import mix_domains
+
+    docs = _docs(spark, sf_dir)
+    out = mix_domains(docs, {"en": 300, "zh": 200, "es": 500},
+                      total_docs=300)
+    return out.select("doc_id", "lang")
+
+
+def q_bm25_min_match(spark, sf_dir):
+    # minimum-should-match (Solr/edismax mm=2): docs matching at least
+    # 2 of the 3 query terms, ranked by the BM25 sum over matched
+    # terms — engine twin: FtIndex.topk(min_match=2) via
+    # wand.score_boolean(min_match=)
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    m = tf.filter(F.col("term").isin(BM25_TERMS))
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = m.join(F.broadcast(dfreq), "term").join(dl, "doc_id") \
+        .crossJoin(F.broadcast(stats))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * F.col("dl") / F.col("avgdl")))
+    scored = (
+        j.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 5).alias("score_r"),
+             F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") >= 2)
+    )
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r")
+    )
+
+
+def q_bm25_dismax(spark, sf_dir):
+    # dismax tie-breaker (Solr tie=0.1): per-field scores combined as
+    # max + tie·(sum − max) instead of the pure sum — fields are the
+    # content BM25 and the lang='en' keyword pseudo-field of
+    # bm25_multifield; engine twin: wand.score_dismax /
+    # FtIndex.topk_fields(tie=)
+    content = _bm25_scored(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    df_en = docs.filter(F.col("lang") == "en").count()
+    import math
+
+    kw_score = (0.5 * math.log(1.0 + (n_docs - df_en + 0.5) / (df_en + 0.5))
+                * 1.0 * (K1 + 1.0) / (1.0 + K1 * ((1.0 - B) + B * 1.0 / 1.0)))
+    kw = docs.filter(F.col("lang") == "en") \
+        .select("doc_id", F.lit(kw_score).alias("kw_score"))
+    a = F.coalesce(F.col("score_r"), F.lit(0.0))
+    b = F.coalesce(F.col("kw_score"), F.lit(0.0))
+    combined = (
+        content.join(kw, "doc_id", "full_outer")
+        .select("doc_id",
+                F.round(F.greatest(a, b)
+                        + F.lit(0.1) * F.least(a, b), 5).alias("score_d"))
+    )
+    w = Window.orderBy(F.desc("score_d"), F.asc("doc_id"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_d")
+    )
+
+
+def q_epoch_mix(spark, sf_dir):
+    """Fractional oversampling (textops.epoch_repeats): en ×2.5
+    (2 copies + hash-chosen half a third), zh ×0.5, others dropped."""
+    from ftidx.textops import epoch_repeats
+
+    docs = _docs(spark, sf_dir)
+    out = epoch_repeats(docs, {"en": 2500, "zh": 500})
+    return out.select("doc_id", "lang", F.col("copy").cast("long").alias("copy"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document boilerplate line removal (dedup.dedup_lines):
+    non-empty lines present in ≥2 distinct docs are stripped from
+    every doc; text reassembled in order."""
+    from ftidx.dedup import dedup_lines
+
+    return dedup_lines(_docs(spark, sf_dir), min_df=2)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1367,6 +1479,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "sessionize": q_sessionize,
         "set_ops": q_set_ops,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "domain_mix": q_domain_mix,
+        "line_dedup": q_line_dedup,
+        "epoch_mix": q_epoch_mix,
+        "bm25_min_match": q_bm25_min_match,
+        "bm25_dismax": q_bm25_dismax,
     }
 
 
@@ -2577,5 +2695,216 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(w, ' ')) AS fp_full,
                    md5(array_to_string(w[1:8], ' ')) AS fp_prefix
             FROM words
+        """,
+        "ann_ivfpq_topk": f"""
+            WITH {_EMB_FLAT_CTE},
+            cents AS (
+              SELECT vec_id AS cid FROM embeddings
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8
+            ),
+            cflat AS (
+              SELECT c.cid, f.i, f.x FROM flat f JOIN cents c ON f.vec_id = c.cid
+            ),
+            adots AS (
+              SELECT f.vec_id, c.cid, sum(f.x * c.x) AS dot,
+                     sum(f.x * f.x) AS na, sum(c.x * c.x) AS nc
+              FROM flat f JOIN cflat c USING (i) GROUP BY f.vec_id, c.cid
+            ),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY round(dot / (sqrt(na) * sqrt(nc)), 5) DESC, cid) AS rn
+                FROM adots) WHERE rn = 1
+            ),
+            resid AS (
+              SELECT f.vec_id, f.i, f.x - c.x AS rx
+              FROM flat f JOIN assign a USING (vec_id)
+              JOIN cflat c ON c.cid = a.cid AND c.i = f.i
+            ),
+            samp AS (
+              SELECT vec_id,
+                     row_number() OVER (
+                       ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j
+              FROM embeddings
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+            ),
+            cb AS (
+              SELECT (r.i - 1) // 16 AS s, sm.j, (r.i - 1) % 16 AS p,
+                     r.rx AS c
+              FROM resid r JOIN samp sm USING (vec_id)
+            ),
+            vx AS (
+              SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS p, rx AS x
+              FROM resid
+            ),
+            dist AS (
+              SELECT v.vec_id, v.s, cb.j,
+                     round(sum((v.x - cb.c) * (v.x - cb.c)), 5) AS d2
+              FROM vx v JOIN cb ON v.s = cb.s AND v.p = cb.p
+              GROUP BY v.vec_id, v.s, cb.j
+            ),
+            codes AS (
+              SELECT vec_id, s, j FROM (
+                SELECT vec_id, s, j,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, j) AS rn
+                FROM dist
+              ) WHERE rn = 1
+            ),
+            qv AS (SELECT i, x AS qx FROM flat WHERE vec_id = 0),
+            pdots AS (
+              SELECT c.cid, sum(c.x * q.qx) AS dot,
+                     sum(c.x * c.x) AS nc, sum(q.qx * q.qx) AS nq
+              FROM cflat c JOIN qv q USING (i) GROUP BY c.cid
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (
+                  ORDER BY round(dot / (sqrt(nc) * sqrt(nq)), 5) DESC, cid) AS rn
+                FROM pdots) WHERE rn <= 4
+            ),
+            qres AS (
+              SELECT c.cid, c.i, q.qx - c.x AS qrx
+              FROM cflat c JOIN qv q USING (i)
+              WHERE c.cid IN (SELECT cid FROM probes)
+            ),
+            lut AS (
+              SELECT r.cid, (r.i - 1) // 16 AS s, cb.j,
+                     round(sum((r.qrx - cb.c) * (r.qrx - cb.c)), 5) AS qd2
+              FROM qres r JOIN cb ON (r.i - 1) // 16 = cb.s
+                               AND (r.i - 1) % 16 = cb.p
+              GROUP BY r.cid, (r.i - 1) // 16, cb.j
+            ),
+            adc AS (
+              SELECT co.vec_id, round(sum(l.qd2), 5) AS dist2
+              FROM codes co JOIN assign a USING (vec_id)
+              JOIN lut l ON l.cid = a.cid AND l.s = co.s AND l.j = co.j
+              GROUP BY co.vec_id
+            )
+            SELECT rank, vec_id, dist2 FROM (
+              SELECT vec_id, dist2,
+                     row_number() OVER (ORDER BY dist2, vec_id) AS rank
+              FROM adc
+            ) WHERE rank <= 20
+        """,
+        "domain_mix": """
+            WITH n AS (
+              SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+            ),
+            thr AS (
+              SELECT lang,
+                     least(16777216::BIGINT,
+                           16777216::BIGINT
+                           * (CASE lang WHEN 'en' THEN 300
+                                        WHEN 'zh' THEN 200
+                                        WHEN 'es' THEN 500 ELSE 0 END)
+                           * 300 // (1000 * n)) AS t
+              FROM n
+            ),
+            b AS (
+              SELECT doc_id, lang,
+                     (((((instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 2, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 3, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 4, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 5, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 6, 1)) - 1) AS bin
+              FROM documents
+            )
+            SELECT b.doc_id, b.lang FROM b JOIN thr USING (lang)
+            WHERE b.bin < thr.t
+        """,
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id, i AS pos, line FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS i
+                FROM documents)
+            ),
+            hot AS (
+              SELECT line FROM lines WHERE line <> ''
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l LEFT JOIN hot h ON l.line = h.line
+              WHERE h.line IS NULL
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            orig AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines
+              FROM lines GROUP BY doc_id
+            )
+            SELECT o.doc_id, coalesce(a.text, '') AS text, o.n_lines,
+                   (o.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+            FROM orig o LEFT JOIN agg a USING (doc_id)
+        """,
+        "epoch_mix": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     (((((instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 2, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 3, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 4, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 5, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 6, 1)) - 1) AS bin
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, lang,
+                     (CASE lang WHEN 'en' THEN 2 ELSE 0 END)
+                     + (CASE WHEN bin < (CASE lang
+                            WHEN 'en' THEN 16777216::BIGINT * 500 // 1000
+                            WHEN 'zh' THEN 16777216::BIGINT * 500 // 1000
+                            ELSE 0 END) THEN 1 ELSE 0 END) AS n
+              FROM b
+            )
+            SELECT doc_id, lang,
+                   unnest(generate_series(1, n))::BIGINT AS copy
+            FROM c WHERE n > 0
+        """,
+        "bm25_min_match": _BM25_CTE.replace(
+            "bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r "
+            "FROM scored GROUP BY doc_id)",
+            "bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r "
+            "FROM scored GROUP BY doc_id HAVING count(*) >= 2)") + """
+            SELECT rank, doc_id, score_r FROM (
+              SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+                     doc_id, score_r
+              FROM bm25
+            ) WHERE rank <= 10
+        """,
+        "bm25_dismax": _BM25_CTE + f""",
+            stats2 AS (SELECT count(*) AS n_docs,
+                              count(*) FILTER (lang = 'en') AS df_en
+                       FROM documents),
+            kw AS (
+              SELECT d.doc_id,
+                     0.5 * ln(1.0 + (s.n_docs - s.df_en + 0.5) / (s.df_en + 0.5))
+                         * 1.0 * {K1 + 1.0}
+                         / (1.0 + {K1} * ({1.0 - B} + {B} * 1.0 / 1.0)) AS kw_score
+              FROM documents d CROSS JOIN stats2 s WHERE d.lang = 'en'
+            ),
+            combined AS (
+              SELECT coalesce(b.doc_id, kw.doc_id) AS doc_id,
+                     round(greatest(coalesce(b.score_r, 0.0),
+                                    coalesce(kw.kw_score, 0.0))
+                           + 0.1 * least(coalesce(b.score_r, 0.0),
+                                         coalesce(kw.kw_score, 0.0)), 5)
+                       AS score_d
+              FROM bm25 b FULL OUTER JOIN kw ON b.doc_id = kw.doc_id
+            )
+            SELECT rank, doc_id, score_d FROM (
+              SELECT row_number() OVER (ORDER BY score_d DESC, doc_id) AS rank,
+                     doc_id, score_d
+              FROM combined
+            ) WHERE rank <= 10
         """,
     }

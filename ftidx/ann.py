@@ -448,3 +448,82 @@ def pq_adc_topk(embeddings: DataFrame, query: list[float], k: int = 10,
         .filter(F.col("rank") <= k)
         .select("rank", id_col, "dist2")
     )
+
+
+def ivfpq_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+               n_centroids: int = 8, n_probe: int = 4, m: int = 4,
+               ks: int = 16, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011) — the standard billion-vector
+    ANN layout: a coarse quantizer prunes the scan to ``n_probe`` cells,
+    and within cells vectors exist only as m-byte PQ codes of their
+    *residual* (vector − cell centroid), scored against a per-cell
+    query-residual lookup table.
+
+    Scale shape: centroids and codebooks broadcast (KBs); the corpus is
+    stored as (centroid_id, codes) — partition the code table by
+    centroid_id on disk and the probe filter becomes partition pruning,
+    so a query touches n_probe/n_centroids of the data and reads only
+    bytes, never floats. Encoding shuffles the corpus once (component
+    aggregation with map-side combine).
+
+    Determinism: hash-sampled centroids/codebooks (no RNG), every
+    argmin/argmax over values rounded to 5 decimals first, ties to the
+    lowest id — same output on any engine, so a DuckDB oracle can
+    replay it exactly.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cd = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    res = (
+        embeddings.join(assigned, id_col)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(id_col, "centroid_id",
+                F.zip_with(vd, cd, lambda x, y: x - y).alias("resid"))
+    )
+    cb = pq_codebooks(res, m, ks, id_col, "resid")
+    codes = pq_encode(res, cb, m, id_col, "resid")
+
+    # query-side (driver): n_probe nearest centroids by rounded cosine,
+    # then per probed cell a (m × ks) LUT of squared distances between
+    # the query residual's subvectors and the codewords — m·ks·n_probe
+    # doubles, always broadcast
+    q = F.array(*[F.lit(float(x)) for x in query])
+    probes = (
+        cents.withColumn(
+            "q_cos", F.round(_dot(cd, q) / (_norm(cd) * _norm(q)), 5))
+        .orderBy(F.desc("q_cos"), F.asc("centroid_id"))
+        .limit(n_probe)
+    )
+    subdim = len(query) // m
+    # fixed accumulation order (centroid, s, j, p): float sum order must
+    # be deterministic for the rounded LUT to be engine-stable
+    probe_rows = sorted(probes.collect(), key=lambda r: r["centroid_id"])
+    cb_rows = sorted(cb.collect(), key=lambda r: (r["s"], r["j"], r["p"]))
+    lut_rows = []
+    for pr in probe_rows:
+        cvec = [float(x) for x in pr["cvec"]]
+        acc: dict[tuple[int, int], float] = {}
+        for r in cb_rows:
+            i = r["s"] * subdim + r["p"]
+            d = (query[i] - cvec[i]) - r["c"]
+            acc[(r["s"], r["j"])] = acc.get((r["s"], r["j"]), 0.0) + d * d
+        lut_rows += [(pr["centroid_id"], s, j, round(v, 5))
+                     for (s, j), v in sorted(acc.items())]
+    spark = embeddings.sparkSession
+    lut = spark.createDataFrame(
+        lut_rows, "centroid_id bigint, s int, j int, qd2 double")
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("dist2"), F.asc(id_col))
+    return (
+        codes.join(assigned, id_col)
+        .join(F.broadcast(lut), ["centroid_id", "s", "j"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("qd2"), 5).alias("dist2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, "dist2")
+    )

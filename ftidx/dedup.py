@@ -382,3 +382,59 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         F.desc(priority_col), F.asc("doc_id"))
     return (out.withColumn("keep", F.row_number().over(w) == 1)
             .select("doc_id", "component", "keep"))
+
+
+def dedup_lines(docs: DataFrame, min_df: int = 2, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Cross-document line deduplication (the CCNet/RefinedWeb
+    boilerplate-removal step): any non-empty line that occurs in
+    ``min_df`` or more *distinct* documents is removed from every
+    document; surviving lines are reassembled in original order.
+    Returns (id, text, n_lines, n_removed) — text is byte-identical to
+    the input when nothing was removed (split/join by \\n round-trips,
+    empty lines are never treated as boilerplate).
+
+    Scale shape: explode to (doc, pos, line) once; the line document
+    frequency is a two-phase (partial, final) count-distinct keyed by
+    md5(line) — a 16-byte shuffle key instead of arbitrarily long line
+    strings; the hot set joins back as a LEFT ANTI on the same narrow
+    key (never all-pairs, never driver-side); reassembly is one groupBy
+    over the surviving lines. Three shuffles total, each on uniform
+    keys — hot boilerplate lines concentrate in the *df count*, where
+    partial aggregation absorbs them map-side, not in a join fan-out."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    hot = (
+        lines.filter(F.col("line") != "")
+        .groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("lh")
+    )
+    kept = lines.join(hot, "lh", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    orig = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        orig.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+        )
+    )

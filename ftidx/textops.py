@@ -631,3 +631,102 @@ def top_fraction(docs: DataFrame, score_col: str, fraction: float = 0.2,
         .filter(F.col("rank") <= F.floor(F.col("n") * fraction))
         .select(id_col, score_col, "rank")
     )
+
+
+def mix_domains(docs: DataFrame, shares_permille: dict[str, int],
+                total_docs: int, strata_col: str = "lang",
+                seed: int = 42, id_col: str = "doc_id") -> DataFrame:
+    """Domain-mixing resampler: downsample each domain so the output
+    approximates a target mixture — "30% python, 50% markdown, 20%
+    rest, ~N docs total", the step that turns a crawled corpus into a
+    training mix with prescribed domain weights.
+
+    Target shares are integer permille (exact arithmetic — float
+    thresholds would round differently across engines). Each domain's
+    keep-threshold over the md5 hash space is
+
+        thr_d = min(space, space * share_d * total_docs // (1000 * n_d))
+
+    computed in exact integers from one tiny count aggregation, then
+    applied with the same hash rule as :func:`stratified_sample`: keep
+    iff the first six md5 hex digits of ``id:seed`` fall below thr_d.
+    Domains absent from ``shares_permille`` are dropped (thr 0).
+
+    Deterministic and monotone: the same doc survives on any engine or
+    partition layout, and raising a domain's share only ever adds docs.
+    Scale shape: one map-side-combinable count per domain (KB result to
+    the driver), then a pure column-expression filter — the corpus is
+    never shuffled. A domain with fewer docs than its target keeps
+    everything (thr capped at the full space) — oversampling/repeating
+    is a separate epoch-construction concern."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in docs.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    space = 16 ** 6
+    hexv = lambda i: (F.instr(F.lit("0123456789abcdef"),
+                              F.substring(F.col("_h"), i, 1)) - 1)
+    d = docs.withColumn(
+        "_h", F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                                F.lit(str(seed)))))
+    binv = hexv(1)
+    for i in range(2, 7):
+        binv = binv * 16 + hexv(i)
+    thr = None
+    for name in sorted(counts):
+        share = shares_permille.get(name, 0)
+        t = min(space, space * share * total_docs // (1000 * counts[name]))
+        cond = F.col(strata_col) == F.lit(name)
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    thr = F.lit(0) if thr is None else thr.otherwise(F.lit(0))
+    return (
+        d.withColumn("_bin", binv.cast("long"))
+        .filter(F.col("_bin") < thr)
+        .drop("_h", "_bin")
+    )
+
+
+def epoch_repeats(docs: DataFrame, repeats_permille: dict[str, int],
+                  strata_col: str = "lang", seed: int = 42,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Epoch construction with fractional oversampling: domain d's
+    docs each appear ``repeats_permille[d] / 1000`` times per epoch —
+    the whole part as guaranteed copies, the fractional part as one
+    extra copy for the deterministic hash-fraction of docs (the same
+    md5 rule as :func:`stratified_sample`, so WHICH docs get the extra
+    copy is stable across engines and corpus growth). 2500 permille →
+    every doc twice, and the hash-chosen 50% a third time; 500 → half
+    the docs once; absent domains → zero copies (dropped).
+
+    Output adds a ``copy`` index (1..n_copies) so downstream shuffling
+    / packing can distinguish repeats. Pure column expressions + one
+    explode — no shuffle, no driver state; output size is exactly
+    Σ_d n_d · r_d / 1000 (± the hash rounding within each domain)."""
+    space = 16 ** 6
+    hexv = lambda i: (F.instr(F.lit("0123456789abcdef"),
+                              F.substring(F.col("_h"), i, 1)) - 1)
+    d = docs.withColumn(
+        "_h", F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                                F.lit(str(seed)))))
+    binv = hexv(1)
+    for i in range(2, 7):
+        binv = binv * 16 + hexv(i)
+    whole = None
+    fthr = None
+    domains = sorted(repeats_permille)
+    for name in domains:
+        r = repeats_permille[name]
+        cond = F.col(strata_col) == F.lit(name)
+        w_lit, f_lit = F.lit(r // 1000), F.lit(space * (r % 1000) // 1000)
+        whole = F.when(cond, w_lit) if whole is None else whole.when(cond, w_lit)
+        fthr = F.when(cond, f_lit) if fthr is None else fthr.when(cond, f_lit)
+    whole = F.lit(0) if whole is None else whole.otherwise(F.lit(0))
+    fthr = F.lit(0) if fthr is None else fthr.otherwise(F.lit(0))
+    n_copies = (whole + (binv.cast("long") < fthr).cast("int")).alias("_n")
+    return (
+        d.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_h", "_n")
+    )

@@ -721,3 +721,109 @@ def test_top_fraction(spark):
     # fraction 0 keeps nothing; fraction 1 keeps all
     assert top_fraction(docs, "score", 0.0).count() == 0
     assert top_fraction(docs, "score", 1.0).count() == 100
+
+
+def test_ivfpq_topk(emb):
+    """IVF-PQ ADC: planted near-dup found, ascending distances,
+    deterministic, and n_probe=1 restricts to one cell."""
+    from ftidx.ann import ivf_assign, ivf_centroids, ivfpq_topk
+
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 100).first()["embedding"]]
+    top = ivfpq_topk(emb, q, k=5, n_centroids=4, n_probe=4, m=4, ks=8).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 100 in ids and 101 in ids  # residual-PQ ADC finds the pair
+    dists = [r["dist2"] for r in top]
+    assert dists == sorted(dists)
+    again = [(r["rank"], r["vec_id"], r["dist2"]) for r in
+             ivfpq_topk(emb, q, k=5, n_centroids=4, n_probe=4,
+                        m=4, ks=8).collect()]
+    assert again == [(r["rank"], r["vec_id"], r["dist2"]) for r in top]
+
+    # probing a single cell only ever returns that cell's members
+    cents = ivf_centroids(emb, 4)
+    assigned = {r["vec_id"]: r["centroid_id"]
+                for r in ivf_assign(emb, cents).collect()}
+    one = ivfpq_topk(emb, q, k=30, n_centroids=4, n_probe=1,
+                     m=4, ks=8).collect()
+    cells = {assigned[r["vec_id"]] for r in one}
+    assert len(cells) == 1
+
+
+def test_mix_domains(spark):
+    """Hash-threshold mixture: replicates the md5 rule exactly, absent
+    domains drop, raising a share is monotone (only adds docs)."""
+    import hashlib
+
+    from ftidx.textops import mix_domains
+
+    rows = [(i, "en" if i % 3 == 0 else ("zh" if i % 3 == 1 else "xx"))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    shares = {"en": 600, "zh": 400}
+    out = {r["doc_id"] for r in
+           mix_domains(docs, shares, total_docs=100).collect()}
+
+    n = {"en": 100, "zh": 100, "xx": 100}
+    space = 16 ** 6
+    expect = set()
+    for i, lang in rows:
+        share = shares.get(lang, 0)
+        thr = min(space, space * share * 100 // (1000 * n[lang]))
+        b = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:6], 16)
+        if b < thr:
+            expect.add(i)
+    assert out == expect
+    assert not any(i % 3 == 2 for i in out)  # 'xx' dropped
+
+    bigger = {r["doc_id"] for r in
+              mix_domains(docs, {"en": 900, "zh": 400},
+                          total_docs=100).collect()}
+    assert out <= bigger  # monotone in share
+
+
+def test_dedup_lines(spark):
+    """Boilerplate lines (df>=2) removed everywhere, unique lines and
+    blanks kept in order, untouched docs round-trip byte-identical."""
+    from ftidx.dedup import dedup_lines
+
+    boiler = "# generated by tool"
+    docs = spark.createDataFrame(
+        [(1, boiler + "\nalpha\n\nbeta"),
+         (2, boiler + "\ngamma"),
+         (3, "delta\nepsilon"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(docs, min_df=2).collect()}
+    assert got[1]["text"] == "alpha\n\nbeta" and got[1]["n_removed"] == 1
+    assert got[2]["text"] == "gamma" and got[2]["n_removed"] == 1
+    assert got[3]["text"] == "delta\nepsilon" and got[3]["n_removed"] == 0
+    assert got[4]["text"] == "" and got[4]["n_removed"] == 0
+    assert got[1]["n_lines"] == 4  # blank line counted, kept
+
+
+def test_epoch_repeats(spark):
+    """en ×2.5 → each doc 2 or 3 copies (hash-chosen half), zh ×0.5 →
+    0 or 1; absent domains dropped; copy indices 1..n; exact md5 rule."""
+    import hashlib
+    from collections import Counter
+
+    from ftidx.textops import epoch_repeats
+
+    rows = [(i, "en" if i % 3 == 0 else ("zh" if i % 3 == 1 else "xx"))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = epoch_repeats(docs, {"en": 2500, "zh": 500}).collect()
+    copies = Counter(r["doc_id"] for r in out)
+
+    space = 16 ** 6
+    for i, lang in rows:
+        b = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:6], 16)
+        extra = 1 if b < space * 500 // 1000 else 0
+        want = {"en": 2 + extra, "zh": extra, "xx": 0}[lang]
+        assert copies.get(i, 0) == want, (i, lang)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_doc.values())
