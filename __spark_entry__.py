@@ -1349,6 +1349,61 @@ def q_bm25_dismax(spark, sf_dir):
     )
 
 
+def q_bm25_phrase_boost(spark, sf_dir):
+    # edismax pf= analog (FtIndex.topk_phrase_boosted): bag-of-words
+    # BM25 over ["merge","group"] + an additive idf-scaled bonus
+    # (2.0 × Σ idf) for docs containing the exact consecutive phrase
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                F.posexplode(F.split(F.lower("text"), "[^a-z0-9_]+"))
+                .alias("pos", "term"))
+        .filter(F.col("term") != "")
+    )
+    terms = ["merge", "group"]
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    m = tf.filter(F.col("term").isin(terms))
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    j = m.join(F.broadcast(dfreq), "term").join(dl, "doc_id") \
+        .crossJoin(F.broadcast(stats))
+    contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * F.col("dl") / F.col("avgdl")))
+    scored = j.withColumn("contrib", contrib).groupBy("doc_id") \
+        .agg(F.sum("contrib").alias("score"))
+    idfsum = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .agg(F.sum(idf).alias("idf_sum"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = t.withColumn("t1", F.lead("term", 1).over(w))
+    pdocs = (
+        led.filter((F.col("term") == terms[0]) & (F.col("t1") == terms[1]))
+        .select("doc_id").distinct()
+        .withColumn("has_phrase", F.lit(1))
+    )
+    wtop = Window.orderBy(F.desc("score_b"), F.asc("doc_id"))
+    return (
+        scored.join(pdocs, "doc_id", "left")
+        .crossJoin(F.broadcast(idfsum))
+        .withColumn(
+            "score_b",
+            F.round(F.col("score")
+                    + F.lit(2.0) * F.col("idf_sum")
+                    * F.coalesce(F.col("has_phrase"), F.lit(0)), 5))
+        .withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_b")
+    )
+
+
 def q_epoch_mix(spark, sf_dir):
     """Fractional oversampling (textops.epoch_repeats): en ×2.5
     (2 copies + hash-chosen half a third), zh ×0.5, others dropped."""
@@ -1485,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix": q_epoch_mix,
         "bm25_min_match": q_bm25_min_match,
         "bm25_dismax": q_bm25_dismax,
+        "bm25_phrase_boost": q_bm25_phrase_boost,
     }
 
 
@@ -2905,6 +2961,54 @@ def oracle_sql() -> dict[str, str]:
               SELECT row_number() OVER (ORDER BY score_d DESC, doc_id) AS rank,
                      doc_id, score_d
               FROM combined
+            ) WHERE rank <= 10
+        """,
+        "bm25_phrase_boost": f"""
+            WITH {_TOKPOS_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tokpos GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dl
+                   FROM tokpos GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs,
+                             sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+            m AS (SELECT * FROM tf WHERE term IN ('merge', 'group')),
+            dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+            scored AS (
+              SELECT m.doc_id,
+                     sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                         * m.tf * {K1 + 1.0}
+                         / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)))
+                       AS score
+              FROM m JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+              GROUP BY m.doc_id
+            ),
+            idfsum AS (
+              SELECT sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)))
+                       AS idf_sum
+              FROM dfreq d CROSS JOIN stats s
+            ),
+            led AS (
+              SELECT doc_id, term,
+                     lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+              FROM tokpos
+            ),
+            pdocs AS (
+              SELECT DISTINCT doc_id FROM led
+              WHERE term = 'merge' AND t1 = 'group'
+            ),
+            boosted AS (
+              SELECT s.doc_id,
+                     round(s.score + 2.0 * i.idf_sum
+                           * (CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1 END), 5)
+                       AS score_b
+              FROM scored s CROSS JOIN idfsum i
+              LEFT JOIN pdocs p ON s.doc_id = p.doc_id
+            )
+            SELECT rank, doc_id, score_b FROM (
+              SELECT row_number() OVER (ORDER BY score_b DESC, doc_id) AS rank,
+                     doc_id, score_b
+              FROM boosted
             ) WHERE rank <= 10
         """,
     }

@@ -750,21 +750,27 @@ class FtIndex:
 
     def topk(self, terms: list[str], k: int = 10, field: str = "code.content",
              kernel: str = "block_max", mode: str = "or",
-             exclude: list[str] | None = None) -> list[tuple[int, float]]:
+             exclude: list[str] | None = None,
+             min_match: int | None = None) -> list[tuple[int, float]]:
         """``mode="and"`` requires every term (conjunctive BM25);
-        ``exclude`` drops docs containing any of those terms — the
-        Solr ``+must -not`` query surface beyond bag-of-words OR."""
+        ``min_match=m`` requires at least m of the terms (Solr ``mm``,
+        between OR and AND); ``exclude`` drops docs containing any of
+        those terms — the Solr ``+must -not`` query surface beyond
+        bag-of-words OR."""
         lists, avgdl = self._term_lists(terms, field)
         if not lists:
             return []
         if mode == "and" and len(lists) < len(set(terms)):
             return []  # a required term matches nothing anywhere
+        if min_match is not None and min_match > len(lists):
+            return []  # fewer matching terms than the floor demands
         extra = len(self._tombstones)
-        if mode == "and" or exclude:
+        if mode == "and" or exclude or min_match:
             xlists, _ = self._term_lists(exclude, field) if exclude else ([], 0)
             ids, scores = score_boolean(lists, avgdl, k + extra,
                                         require_all=(mode == "and"),
-                                        exclude_lists=xlists)
+                                        exclude_lists=xlists,
+                                        min_match=min_match)
         else:
             fn = score_block_max if kernel == "block_max" else score_exhaustive
             ids, scores = fn(lists, avgdl, k + extra)
@@ -911,6 +917,45 @@ class FtIndex:
         docs = phrase_docs(by_term, list(phrase))
         return self._bm25_over_docs(list(phrase), field, docs, k)
 
+    def topk_phrase_boosted(self, terms: list[str], k: int = 10,
+                            pf_weight: float = 2.0,
+                            field: str = "code.content") -> list[tuple[int, float]]:
+        """Solr edismax ``pf=`` analog: the ordinary bag-of-words BM25
+        ranking over the query terms, plus an additive phrase bonus —
+        docs containing the FULL query as consecutive tokens get
+        ``pf_weight × Σ_t idf_t`` added before the cut, so exact-phrase
+        hits float to the top but partial matches still rank. The bonus
+        is idf-scaled (rare phrases boost more) and document-length
+        independent, which keeps it engine-reproducible (no second
+        tf-normalization to disagree on).
+
+        Requires ``build_index(..., positions=True)``; phrase
+        verification is the positions-only check of
+        :func:`ftidx.positions.phrase_docs`, scoring reuses the warm
+        term cache — one cache probe per term, no Spark job."""
+        from ftidx.positions import phrase_docs
+        from ftidx.wand import _topk_from_scores, score_exhaustive
+
+        if k <= 0 or not terms:
+            return []
+        lists, avgdl = self._term_lists(terms, field)
+        if not lists:
+            return []
+        ids, scores = score_exhaustive(lists, avgdl, 1 << 31)
+        by_term = self._positions_by_term(sorted(set(terms)), field)
+        pdocs = phrase_docs(by_term, list(terms))
+        if pdocs.size:
+            bonus = pf_weight * float(sum(tl.idf for tl in lists))
+            scores = scores + bonus * np.isin(ids.astype(np.int64), pdocs)
+        extra = len(self._tombstones)
+        ids2, scores2 = _topk_from_scores(ids, scores, k + extra)
+        out = [
+            (int(i), float(s))
+            for i, s in zip(ids2.astype(np.int64), scores2)
+            if int(i) not in self._tombstones
+        ]
+        return out[:k]
+
     def near_topk(self, terms: list[str], window: int = 5, k: int = 10,
                   field: str = "code.content") -> list[tuple[int, float]]:
         """Proximity BM25 top-k (Solr ``"a b"~N`` slop analog,
@@ -929,14 +974,15 @@ class FtIndex:
 
     def topk_fields(self, terms: list[str],
                     fields: dict[str, float] | None = None,
-                    k: int = 10) -> list[tuple[int, float]]:
+                    k: int = 10, tie: float | None = None) -> list[tuple[int, float]]:
         """Multi-field weighted BM25 top-k (Solr edismax ``qf``:
         ``code.ident.split^2 code.content``): each field scores with
         its own idf/avgdl, the weight scales its contribution, docs
         sum across fields. Fields with no matching terms contribute
         nothing (a doc only matching the low-weight field still
-        ranks)."""
-        from ftidx.wand import score_weighted_fields
+        ranks). ``tie`` switches to dismax combination — best field +
+        tie × the rest (Solr ``tie=``); ``tie=1.0`` equals the sum."""
+        from ftidx.wand import score_dismax, score_weighted_fields
 
         fields = fields or {"code.content": 1.0, "code.ident.split": 2.0}
         triples = []
@@ -947,7 +993,10 @@ class FtIndex:
         if not triples:
             return []
         extra = len(self._tombstones)
-        ids, scores = score_weighted_fields(triples, k + extra)
+        if tie is not None:
+            ids, scores = score_dismax(triples, k + extra, tie=tie)
+        else:
+            ids, scores = score_weighted_fields(triples, k + extra)
         out = [
             (int(i), float(s))
             for i, s in zip(ids.astype(np.int64), scores)

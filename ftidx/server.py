@@ -12,10 +12,12 @@ Endpoints (all JSON):
 
 - ``GET /health``        → status, build_id, per-field doc counts
 - ``GET /search?q=a+b&field=code.content&k=10`` → BM25 top-k
-  (``mode=and`` for conjunctive, ``-term`` tokens exclude)
+  (``mode=and`` for conjunctive, ``mm=2`` minimum-should-match,
+  ``-term`` tokens exclude)
 - ``GET /facet?q=a+b&facet=lang``  → facet counts over matching docs
 - ``GET /fuzzy?term=deff&d=1``  → fuzzy vocabulary expansion
 - ``qf=fieldA^2,fieldB`` on /search → multi-field weighted BM25
+  (``tie=0.1`` switches to dismax: best field + tie × the rest)
 - ``GET /query?q=...`` → full Lucene/Solr query-string syntax
   (``+must -not field:term "a b"~slop term^boost``) via ftidx.qparse
 - ``GET /phrase?q=a+b&k=10``  → exact-phrase top-k (positional index)
@@ -320,6 +322,9 @@ def _make_handler(idx, lock: threading.Lock):
                         for part in qf.split(","):
                             f_name, _, boost = part.partition("^")
                             weights[f_name.strip()] = float(boost or 1.0)
+                    mm = qs.get("mm", [""])[0]
+                    tie = qs.get("tie", [""])[0]
+                    pf = qs.get("pf", [""])[0]
                     slop = int(qs.get("slop", ["0"])[0])
                     group = qs.get("group", [""])[0]
                     sort = qs.get("sort", [""])[0]
@@ -430,11 +435,17 @@ def _make_handler(idx, lock: threading.Lock):
                                 for r in rows
                             ]})
                             return
+                        elif pf:
+                            hits = idx.topk_phrase_boosted(
+                                terms, k=k, pf_weight=float(pf), field=field)
                         elif weights:
-                            hits = idx.topk_fields(terms, weights, k=k)
+                            hits = idx.topk_fields(
+                                terms, weights, k=k,
+                                tie=float(tie) if tie else None)
                         else:
                             hits = idx.topk(terms, k=k, field=field,
-                                            mode=mode, exclude=exclude or None)
+                                            mode=mode, exclude=exclude or None,
+                                            min_match=int(mm) if mm else None)
                     self._json(200, {"hits": [
                         {"doc_id": d, "score": s} for d, s in hits
                     ]})

@@ -195,17 +195,59 @@ def score_weighted_fields(field_lists, k: int):
     return _accumulate(per_term, k)
 
 
+def score_dismax(field_lists, k: int, tie: float = 0.0):
+    """Disjunction-max across fields (Solr/dismax ``tie``): a doc's
+    score is its BEST field score plus ``tie`` × the other fields'
+    scores — ``tie=0`` is pure dismax (a doc matching one field twice
+    beats a doc matching two fields weakly only if its best field
+    wins), ``tie=1`` degenerates to :func:`score_weighted_fields`' sum.
+
+    ``field_lists``: iterable of (weight, lists, avgdl) triples, one
+    per field. Vectorized: one aligned id universe (np.unique over the
+    per-field concat), one bincount per field, then
+    ``max + tie·(sum − max)`` column-wise."""
+    if k <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    per_field = []
+    for weight, lists, avgdl in field_lists:
+        ids_parts, contrib_parts = [], []
+        for tl in sorted(lists, key=lambda t: (t.df, t.term)):
+            ids, tfs, dls = tl.decode_all()
+            ids_parts.append(ids)
+            contrib_parts.append(weight * bm25_contrib(tfs, dls, tl.idf, avgdl))
+        if ids_parts:
+            per_field.append((np.concatenate(ids_parts),
+                              np.concatenate(contrib_parts)))
+    if not per_field or all(ids.size == 0 for ids, _ in per_field):
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    uniq = np.unique(np.concatenate([ids for ids, _ in per_field]))
+    best = np.zeros(uniq.size, np.float64)
+    total = np.zeros(uniq.size, np.float64)
+    for ids, contrib in per_field:
+        if ids.size == 0:
+            continue
+        pos = np.searchsorted(uniq, ids)
+        fscore = np.bincount(pos, weights=contrib, minlength=uniq.size)
+        np.maximum(best, fscore, out=best)
+        total += fscore
+    combined = best + tie * (total - best)
+    return _topk_from_scores(uniq, combined, k)
+
+
 def score_boolean(lists: list[TermList], avgdl: float, k: int,
                   require_all: bool = False,
-                  exclude_lists: list[TermList] | None = None):
+                  exclude_lists: list[TermList] | None = None,
+                  min_match: int | None = None):
     """Boolean-filtered BM25 top-k: optional conjunctive semantics
-    (doc must contain EVERY query term) and term exclusion (Solr's
-    ``+must -not`` surface beyond plain OR). Scoring is the same BM25
-    sum over the query terms; the boolean part only shrinks the
-    candidate set, so it composes with the cached decode like the
-    exhaustive kernel. Block-max pruning is NOT used here: its
-    threshold logic bounds OR scores and would be unsound under a
-    conjunctive filter."""
+    (doc must contain EVERY query term), minimum-should-match
+    (``min_match=m``: doc must contain at least m of the query terms —
+    Solr/edismax ``mm``) and term exclusion (Solr's ``+must -not``
+    surface beyond plain OR). Scoring is the same BM25 sum over the
+    matched query terms; the boolean part only shrinks the candidate
+    set, so it composes with the cached decode like the exhaustive
+    kernel. Block-max pruning is NOT used here: its threshold logic
+    bounds OR scores and would be unsound under a cardinality
+    filter."""
     if k <= 0 or not lists:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     per_term = []
@@ -223,6 +265,8 @@ def score_boolean(lists: list[TermList], avgdl: float, k: int,
         # a doc appears at most once per term (one owning segment), so
         # its multiplicity across the concat == number of matched terms
         mask &= np.bincount(inv, minlength=uniq.size) == len(per_term)
+    elif min_match is not None and min_match > 1:
+        mask &= np.bincount(inv, minlength=uniq.size) >= min_match
     for xl in exclude_lists or ():
         xids, _, _ = xl.decode_all()
         if xids.size:

@@ -832,3 +832,60 @@ def test_facet_queries(spark, built):
         assert idx.facet_queries({"d": ["def"]})["d"] == len(ids_d) - 1
     finally:
         idx._tombstones.discard(victim)  # restore shared fixture state
+
+
+def test_min_match(spark, tmp_path):
+    """mm=2 of 3 terms: score == BM25 sum over matched terms, doc set
+    == {docs matching >= 2 terms}; mm=1 == OR, mm=len == AND."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    terms = ["def", "alpha", "sigma"]
+
+    acc: dict[int, float] = {}
+    hits: dict[int, int] = {}
+    for t in terms:
+        for d, s in idx.topk([t], k=10**6, kernel="exhaustive"):
+            acc[d] = acc.get(d, 0.0) + s
+            hits[d] = hits.get(d, 0) + 1
+    expect = sorted(((d, s) for d, s in acc.items() if hits[d] >= 2),
+                    key=lambda kv: (-kv[1], kv[0]))[:12]
+    got = idx.topk(terms, k=12, min_match=2)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    assert got and all(abs(a - b) < 1e-9
+                       for (_, a), (_, b) in zip(got, expect))
+
+    assert idx.topk(terms, k=50, min_match=1) == idx.topk(
+        terms, k=50, kernel="exhaustive")
+    assert [d for d, _ in idx.topk(terms, k=50, min_match=3)] == \
+        [d for d, _ in idx.topk(terms, k=50, mode="and")]
+    assert idx.topk(terms, k=5, min_match=4) == []
+
+
+def test_topk_fields_dismax_tie(spark, tmp_path):
+    """tie=t: score == best field + t*(sum-best); tie=1 == weighted sum."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    terms = ["def", "alpha"]
+    weights = {"code.content": 1.0, "code.ident.split": 2.5}
+
+    per_field: dict[int, list[float]] = {}
+    for field, w in weights.items():
+        for d, s in idx.topk(terms, k=10**6, field=field, kernel="exhaustive"):
+            per_field.setdefault(d, []).append(w * s)
+    tie = 0.1
+    acc = {d: max(v) + tie * (sum(v) - max(v)) for d, v in per_field.items()}
+    expect = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    got = idx.topk_fields(terms, weights, k=12, tie=tie)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    assert got and all(abs(a - b) < 1e-9
+                       for (_, a), (_, b) in zip(got, expect))
+
+    full = idx.topk_fields(terms, weights, k=12, tie=1.0)
+    plain = idx.topk_fields(terms, weights, k=12)
+    assert [d for d, _ in full] == [d for d, _ in plain]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(
+        [s for _, s in full], [s for _, s in plain]))

@@ -194,3 +194,30 @@ def test_near_topk_ranking(spark, pidx):
     assert {d for d, _ in hits} <= wide
     assert idx.near_topk(terms, k=0) == []
     assert idx.near_topk([], k=5) == []
+
+
+def test_topk_phrase_boosted(spark, pidx):
+    """pf= boost: score == exhaustive BM25 + pf·Σidf for phrase docs,
+    plain BM25 otherwise; phrase docs float above equal-score peers."""
+    out, docs = pidx
+    idx = open_index(spark, out)
+    sample = sorted(docs)[3]
+    phrase = _spec_tokens(docs[sample], "code.content")[0:2]
+
+    base = dict(idx.topk(phrase, k=10_000, kernel="exhaustive"))
+    phrase_docs_set = {d for d, _ in idx.phrase_topk(phrase, k=10_000)}
+    assert phrase_docs_set  # fixture guarantees at least `sample`
+
+    lists, _ = idx._term_lists(phrase, "code.content")
+    bonus = 2.0 * sum(tl.idf for tl in lists)
+    expect = sorted(
+        ((d, s + (bonus if d in phrase_docs_set else 0.0))
+         for d, s in base.items()),
+        key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = idx.topk_phrase_boosted(phrase, k=15, pf_weight=2.0)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, expect))
+
+    # k=0 / unknown term guards
+    assert idx.topk_phrase_boosted(phrase, k=0) == []
+    assert idx.topk_phrase_boosted(["zzz_never"], k=5) == []

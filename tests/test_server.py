@@ -304,3 +304,18 @@ def test_facet_query_endpoint(served):
     assert status == 200
     expect = idx.facet_queries({"d": ["def"], "dr": ["def", "return"]})
     assert body["counts"] == expect and expect["dr"] >= expect["d"] > 0
+
+
+def test_mm_and_tie_params(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, body = _get(f"{base}/search?q=def+alpha+sigma&mm=2&k=5")
+    expect = idx.topk(["def", "alpha", "sigma"], k=5, min_match=2)
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+
+    qf = "code.content^1,code.ident.split^2"
+    _, body = _get(f"{base}/search?q=def+alpha&qf={qf}&tie=0.1&k=5")
+    expect = idx.topk_fields(
+        ["def", "alpha"], {"code.content": 1.0, "code.ident.split": 2.0},
+        k=5, tie=0.1)
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
