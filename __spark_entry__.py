@@ -1404,6 +1404,28 @@ def q_bm25_phrase_boost(spark, sf_dir):
     )
 
 
+def q_facet_prefix_page(spark, sf_dir):
+    # Solr facet.prefix + facet.sort=index + facet.offset/limit (engine
+    # twin: FtIndex.facet_counts(prefix=, sort="index", offset=)):
+    # lang facet over docs matching 'spark'|'merge', values starting
+    # with 'e', lexicographic, skip 1, take 2
+    tok = _tokens(spark, sf_dir)
+    matched = tok.filter(F.col("term").isin("spark", "merge")) \
+        .select("doc_id").distinct()
+    agg = (
+        _docs(spark, sf_dir).join(matched, "doc_id")
+        .filter(F.col("lang").isNotNull() & F.col("lang").startswith("e"))
+        .groupBy(F.col("lang").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy(F.asc("value"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 1) & (F.col("rn") <= 3))
+        .select("value", "n_docs", "rn")
+    )
+
+
 def q_epoch_mix(spark, sf_dir):
     """Fractional oversampling (textops.epoch_repeats): en ×2.5
     (2 copies + hash-chosen half a third), zh ×0.5, others dropped."""
@@ -1541,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_min_match": q_bm25_min_match,
         "bm25_dismax": q_bm25_dismax,
         "bm25_phrase_boost": q_bm25_phrase_boost,
+        "facet_prefix_page": q_facet_prefix_page,
     }
 
 
@@ -3010,5 +3033,22 @@ def oracle_sql() -> dict[str, str]:
                      doc_id, score_b
               FROM boosted
             ) WHERE rank <= 10
+        """,
+        "facet_prefix_page": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+              SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'merge')
+            ),
+            agg AS (
+              SELECT d.lang AS value, count(*) AS n_docs
+              FROM documents d JOIN matched USING (doc_id)
+              WHERE d.lang IS NOT NULL AND d.lang LIKE 'e%'
+              GROUP BY d.lang
+            )
+            SELECT value, n_docs, rn FROM (
+              SELECT value, n_docs,
+                     row_number() OVER (ORDER BY value) AS rn
+              FROM agg
+            ) WHERE rn > 1 AND rn <= 3
         """,
     }

@@ -1414,24 +1414,55 @@ class FtIndex:
         )
 
     def facet_counts(self, terms: list[str], facet: str = "lang",
-                     field: str = "code.content",
-                     k_facets: int = 20) -> DataFrame:
+                     field: str = "code.content", k_facets: int = 20,
+                     prefix: str | None = None, sort: str = "count",
+                     offset: int = 0, missing: bool = False) -> DataFrame:
         """Facet counts over the docs matching ANY query term (Solr's
-        ``facet.field`` surface): returns (facet value, n_docs) for the
-        top ``k_facets`` values, ties broken by value. Fully
-        distributed: matching ids are decoded from the term-filtered
-        postings inside executors (pushdown scan, no driver collect),
-        then joined to the docs table's metadata column — at 10^12 docs
-        the join is id-keyed against the bucket-partitioned docs table."""
+        ``facet.field`` surface, with the full parameter set):
+        ``prefix`` keeps only values starting with it (facet.prefix),
+        ``sort`` is "count" (n_docs DESC, ties by value — Solr default)
+        or "index" (lexicographic by value), ``offset``+``k_facets``
+        page through the constraint list (facet.offset/facet.limit),
+        and ``missing=True`` appends one row with value NULL counting
+        matched docs whose facet field is NULL (facet.missing).
+
+        Fully distributed: matching ids are decoded from the
+        term-filtered postings inside executors (pushdown scan, no
+        driver collect), then joined to the docs table's metadata
+        column — at 10^12 docs the join is id-keyed against the
+        bucket-partitioned docs table. The paging window runs over the
+        post-aggregation constraint list (≤ facet cardinality rows),
+        not the corpus."""
+        from pyspark.sql import Window
+
         matched = self._matched_ids(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
-        return (
-            docs.join(matched, "doc_id")
-            .groupBy(F.col(facet).alias("value"))
+        joined = docs.join(matched, "doc_id")
+        base = joined.filter(F.col(facet).isNotNull())
+        if prefix is not None:
+            base = base.filter(F.col(facet).startswith(prefix))
+        agg = (
+            base.groupBy(F.col(facet).alias("value"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy(F.desc("n_docs"), F.asc("value"))
-            .limit(k_facets)
         )
+        if sort == "index":
+            w = Window.orderBy(F.asc("value"))
+        else:
+            w = Window.orderBy(F.desc("n_docs"), F.asc("value"))
+        out = (
+            agg.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > offset)
+                    & (F.col("_rn") <= offset + k_facets))
+            .select("value", "n_docs")
+        )
+        if missing:
+            miss = (
+                joined.filter(F.col(facet).isNull())
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .select(F.lit(None).cast("string").alias("value"), "n_docs")
+            )
+            out = out.unionByName(miss)
+        return out
 
     def _matched_ids(self, terms: list[str], field: str) -> DataFrame:
         """Distinct ids of docs matching ANY query term, tombstones

@@ -15,6 +15,8 @@ Endpoints (all JSON):
   (``mode=and`` for conjunctive, ``mm=2`` minimum-should-match,
   ``-term`` tokens exclude)
 - ``GET /facet?q=a+b&facet=lang``  → facet counts over matching docs
+  (``prefix=`` facet.prefix, ``sort=count|index``, ``offset=``,
+  ``missing=1`` appends the NULL-field count)
 - ``GET /fuzzy?term=deff&d=1``  → fuzzy vocabulary expansion
 - ``qf=fieldA^2,fieldB`` on /search → multi-field weighted BM25
   (``tie=0.1`` switches to dismax: best field + tie × the rest)
@@ -199,14 +201,24 @@ def _make_handler(idx, lock: threading.Lock):
                     facet = qs.get("facet", ["lang"])[0]
                     field = qs.get("field", ["code.content"])[0]
                     k = int(qs.get("k", ["20"])[0])
+                    prefix = qs.get("prefix", [None])[0]
+                    sort = qs.get("sort", ["count"])[0]
+                    offset = int(qs.get("offset", ["0"])[0])
+                    missing = qs.get("missing", ["0"])[0] in ("1", "true")
                     with lock:
                         rows = idx.facet_counts(
-                            terms, facet=facet, field=field, k_facets=k
+                            terms, facet=facet, field=field, k_facets=k,
+                            prefix=prefix, sort=sort, offset=offset,
+                            missing=missing,
                         ).collect()
-                    self._json(200, {"facets": [
+                    body = {"facets": [
                         {"value": r["value"], "n_docs": r["n_docs"]}
-                        for r in rows
-                    ]})
+                        for r in rows if r["value"] is not None
+                    ]}
+                    if missing:
+                        body["missing"] = next(
+                            (r["n_docs"] for r in rows if r["value"] is None), 0)
+                    self._json(200, body)
                 elif u.path == "/spellcheck":
                     q = qs.get("q", [""])[0].split()
                     if not q:

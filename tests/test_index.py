@@ -889,3 +889,51 @@ def test_topk_fields_dismax_tie(spark, tmp_path):
     assert [d for d, _ in full] == [d for d, _ in plain]
     assert all(abs(a - b) < 1e-9 for a, b in zip(
         [s for _, s in full], [s for _, s in plain]))
+
+
+def test_facet_params(spark, tmp_path):
+    """facet.prefix / sort=index / offset paging / missing: each
+    equals the brute-force recount transformation of the full list."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    terms = ["def", "alpha"]
+    full = [(r["value"], r["n_docs"]) for r in
+            idx.facet_counts(terms, facet="lang", k_facets=100).collect()]
+    assert full
+
+    # sort=index: same pairs, lexicographic by value
+    by_index = [(r["value"], r["n_docs"]) for r in
+                idx.facet_counts(terms, facet="lang", k_facets=100,
+                                 sort="index").collect()]
+    assert by_index == sorted(full)
+
+    # prefix: exactly the values starting with it, order preserved
+    p = full[0][0][0]  # first char of the top value
+    pref = [(r["value"], r["n_docs"]) for r in
+            idx.facet_counts(terms, facet="lang", k_facets=100,
+                             prefix=p).collect()]
+    assert pref == [(v, n) for v, n in full if v.startswith(p)]
+
+    # offset paging reconstructs the full constraint list
+    pages = []
+    off = 0
+    while True:
+        page = [(r["value"], r["n_docs"]) for r in
+                idx.facet_counts(terms, facet="lang", k_facets=2,
+                                 offset=off).collect()]
+        if not page:
+            break
+        pages += page
+        off += 2
+    assert pages == full
+
+    # missing: one NULL row counting matched docs with NULL facet (0
+    # here — synth langs are always set), constraint rows unchanged
+    with_missing = idx.facet_counts(terms, facet="lang", k_facets=100,
+                                    missing=True).collect()
+    null_rows = [r for r in with_missing if r["value"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["n_docs"] == 0
+    assert [(r["value"], r["n_docs"]) for r in with_missing
+            if r["value"] is not None] == full

@@ -319,3 +319,13 @@ def test_mm_and_tie_params(served):
         ["def", "alpha"], {"code.content": 1.0, "code.ident.split": 2.0},
         k=5, tie=0.1)
     assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+
+
+def test_facet_params_endpoint(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, body = _get(f"{base}/facet?q=def&facet=lang&sort=index&missing=1")
+    expect = [(r["value"], r["n_docs"]) for r in
+              idx.facet_counts(["def"], facet="lang", sort="index").collect()]
+    assert [(f["value"], f["n_docs"]) for f in body["facets"]] == expect
+    assert body["missing"] == 0
