@@ -1404,6 +1404,41 @@ def q_bm25_phrase_boost(spark, sf_dir):
     )
 
 
+def q_bm25_boost_query(spark, sf_dir):
+    # Solr bq= (engine twin: FtIndex.topk_boost_query): main-query BM25
+    # + 1.5 × BM25('filter') — additive optional clause, docs matching
+    # only the boost term still surface
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    all_terms = BM25_TERMS + ["filter"]
+    m = tf.filter(F.col("term").isin(all_terms))
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    j = m.join(F.broadcast(dfreq), "term").join(dl, "doc_id") \
+        .crossJoin(F.broadcast(stats))
+    weight = F.when(F.col("term") == "filter", F.lit(1.5)).otherwise(F.lit(1.0))
+    contrib = weight * idf * F.col("tf") * F.lit(K1 + 1.0) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * F.col("dl") / F.col("avgdl")))
+    scored = (
+        j.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 5).alias("score_r"))
+    )
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r")
+    )
+
+
 def q_facet_prefix_page(spark, sf_dir):
     # Solr facet.prefix + facet.sort=index + facet.offset/limit (engine
     # twin: FtIndex.facet_counts(prefix=, sort="index", offset=)):
@@ -1564,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax": q_bm25_dismax,
         "bm25_phrase_boost": q_bm25_phrase_boost,
         "facet_prefix_page": q_facet_prefix_page,
+        "bm25_boost_query": q_bm25_boost_query,
     }
 
 
@@ -3050,5 +3086,32 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY value) AS rn
               FROM agg
             ) WHERE rn > 1 AND rn <= 3
+        """,
+        "bm25_boost_query": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs,
+                             sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+            m AS (SELECT * FROM tf
+                  WHERE term IN ('spark', 'merge', 'window', 'filter')),
+            dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+            scored AS (
+              SELECT m.doc_id,
+                     round(sum(
+                       (CASE WHEN m.term = 'filter' THEN 1.5 ELSE 1.0 END)
+                       * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {K1 + 1.0}
+                       / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl))), 5)
+                       AS score_r
+              FROM m JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+              GROUP BY m.doc_id
+            )
+            SELECT rank, doc_id, score_r FROM (
+              SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+                     doc_id, score_r
+              FROM scored
+            ) WHERE rank <= 10
         """,
     }

@@ -917,6 +917,38 @@ class FtIndex:
         docs = phrase_docs(by_term, list(phrase))
         return self._bm25_over_docs(list(phrase), field, docs, k)
 
+    def topk_boost_query(self, terms: list[str], bq: dict[str, float],
+                         k: int = 10,
+                         field: str = "code.content") -> list[tuple[int, float]]:
+        """Solr ``bq=`` (boost query): the main query's BM25 ranking
+        plus each boost term's BM25 contribution scaled by its weight —
+        ``bq={"fast": 1.5}`` lifts docs that also mention "fast"
+        without requiring it. Exactly additive: score(doc) = BM25(q)
+        + Σ_t w_t·BM25(t), so a doc matching only a boost term still
+        surfaces (Solr's optional-clause semantics). Reuses the
+        weighted-fields kernel with per-term triples over one field —
+        one warm-cache probe per term, no Spark job."""
+        from ftidx.wand import score_weighted_fields
+
+        if k <= 0 or not terms:
+            return []
+        lists, avgdl = self._term_lists(terms, field)
+        triples = [(1.0, lists, avgdl)] if lists else []
+        for t in sorted(bq):
+            tl, _ = self._term_lists([t], field)
+            if tl:
+                triples.append((float(bq[t]), tl, avgdl))
+        if not triples:
+            return []
+        extra = len(self._tombstones)
+        ids, scores = score_weighted_fields(triples, k + extra)
+        out = [
+            (int(i), float(s))
+            for i, s in zip(ids.astype(np.int64), scores)
+            if int(i) not in self._tombstones
+        ]
+        return out[:k]
+
     def topk_phrase_boosted(self, terms: list[str], k: int = 10,
                             pf_weight: float = 2.0,
                             field: str = "code.content") -> list[tuple[int, float]]:

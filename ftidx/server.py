@@ -19,7 +19,8 @@ Endpoints (all JSON):
   ``missing=1`` appends the NULL-field count)
 - ``GET /fuzzy?term=deff&d=1``  → fuzzy vocabulary expansion
 - ``qf=fieldA^2,fieldB`` on /search → multi-field weighted BM25
-  (``tie=0.1`` switches to dismax: best field + tie × the rest)
+  (``tie=0.1`` switches to dismax: best field + tie × the rest);
+  ``pf=2.0`` exact-phrase boost, ``bq=term^1.5`` boost queries
 - ``GET /query?q=...`` → full Lucene/Solr query-string syntax
   (``+must -not field:term "a b"~slop term^boost``) via ftidx.qparse
 - ``GET /phrase?q=a+b&k=10``  → exact-phrase top-k (positional index)
@@ -337,6 +338,7 @@ def _make_handler(idx, lock: threading.Lock):
                     mm = qs.get("mm", [""])[0]
                     tie = qs.get("tie", [""])[0]
                     pf = qs.get("pf", [""])[0]
+                    bq = qs.get("bq", [""])[0]
                     slop = int(qs.get("slop", ["0"])[0])
                     group = qs.get("group", [""])[0]
                     sort = qs.get("sort", [""])[0]
@@ -447,6 +449,13 @@ def _make_handler(idx, lock: threading.Lock):
                                 for r in rows
                             ]})
                             return
+                        elif bq:
+                            boosts = {}
+                            for part in bq.split(","):
+                                t, _, w = part.partition("^")
+                                boosts[t.strip()] = float(w or 1.0)
+                            hits = idx.topk_boost_query(
+                                terms, boosts, k=k, field=field)
                         elif pf:
                             hits = idx.topk_phrase_boosted(
                                 terms, k=k, pf_weight=float(pf), field=field)

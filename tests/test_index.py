@@ -937,3 +937,27 @@ def test_facet_params(spark, tmp_path):
     assert len(null_rows) == 1 and null_rows[0]["n_docs"] == 0
     assert [(r["value"], r["n_docs"]) for r in with_missing
             if r["value"] is not None] == full
+
+
+def test_topk_boost_query(spark, tmp_path):
+    """bq=: score == base BM25 + w × boost-term BM25; a doc matching
+    only the boost term still surfaces; unknown boost term is a no-op."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    terms, boost, w = ["def", "alpha"], "sigma", 1.5
+
+    acc = dict(idx.topk(terms, k=10**6, kernel="exhaustive"))
+    boost_scores = dict(idx.topk([boost], k=10**6, kernel="exhaustive"))
+    for d, s in boost_scores.items():
+        acc[d] = acc.get(d, 0.0) + w * s
+    expect = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    got = idx.topk_boost_query(terms, {boost: w}, k=12)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    assert got and all(abs(a - b) < 1e-9
+                       for (_, a), (_, b) in zip(got, expect))
+
+    plain = idx.topk(terms, k=12, kernel="exhaustive")
+    noop = idx.topk_boost_query(terms, {"zzz_never": 9.0}, k=12)
+    assert [d for d, _ in noop] == [d for d, _ in plain]

@@ -329,3 +329,11 @@ def test_facet_params_endpoint(served):
               idx.facet_counts(["def"], facet="lang", sort="index").collect()]
     assert [(f["value"], f["n_docs"]) for f in body["facets"]] == expect
     assert body["missing"] == 0
+
+
+def test_bq_param(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, body = _get(f"{base}/search?q=def+alpha&bq=sigma^1.5&k=5")
+    expect = idx.topk_boost_query(["def", "alpha"], {"sigma": 1.5}, k=5)
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
