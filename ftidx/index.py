@@ -917,6 +917,35 @@ class FtIndex:
         docs = phrase_docs(by_term, list(phrase))
         return self._bm25_over_docs(list(phrase), field, docs, k)
 
+    def schema_info(self) -> dict:
+        """Index introspection (Solr Luke / admin-schema analog): per
+        indexed field the document count, average doc length, distinct
+        vocabulary size and posting-row count, plus index-level state —
+        build id, bucket count, whether positions are indexed, pending
+        tombstones, unmerged streaming deltas. One column-pruned
+        aggregation over the (term, field) projection of the postings
+        table; the blobs are never read."""
+        vocab = {
+            r["field"]: (int(r["n_terms"]), int(r["n_rows"]))
+            for r in self._postings.groupBy("field")
+            .agg(F.countDistinct("term").alias("n_terms"),
+                 F.count(F.lit(1)).alias("n_rows")).collect()
+        }
+        fields = {}
+        for f, (n, a) in sorted(self.stats.items()):
+            n_terms, n_rows = vocab.get(f, (0, 0))
+            fields[f] = {"n_docs": n, "avgdl": round(a, 5),
+                         "n_terms": n_terms, "n_posting_rows": n_rows}
+        deltas_dir = self.path / "deltas"
+        return {
+            "build_id": self.manifest.get("build_id"),
+            "n_buckets": self.manifest.get("n_buckets"),
+            "positions": (self.path / "positions").exists(),
+            "tombstones": len(self._tombstones),
+            "has_deltas": deltas_dir.exists() and any(deltas_dir.iterdir()),
+            "fields": fields,
+        }
+
     def topk_boost_query(self, terms: list[str], bq: dict[str, float],
                          k: int = 10,
                          field: str = "code.content") -> list[tuple[int, float]]:

@@ -11,6 +11,8 @@ term cache gives ~10-20 ms warm top-k without a Spark job per request.
 Endpoints (all JSON):
 
 - ``GET /health``        → status, build_id, per-field doc counts
+- ``GET /schema``        → Luke analog: per-field vocab/doc/posting
+  counts, positions flag, tombstone + delta state
 - ``GET /search?q=a+b&field=code.content&k=10`` → BM25 top-k
   (``mode=and`` for conjunctive, ``mm=2`` minimum-should-match,
   ``-term`` tokens exclude)
@@ -96,6 +98,9 @@ def _make_handler(idx, lock: threading.Lock):
                         "n_buckets": idx.manifest.get("n_buckets"),
                         "fields": fields,
                     })
+                elif u.path == "/schema":
+                    with lock:
+                        self._json(200, idx.schema_info())
                 elif u.path == "/stats":
                     with lock:
                         stats = {f: {"n_docs": n, "avgdl": a}

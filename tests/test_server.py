@@ -337,3 +337,15 @@ def test_bq_param(served):
     _, body = _get(f"{base}/search?q=def+alpha&bq=sigma^1.5&k=5")
     expect = idx.topk_boost_query(["def", "alpha"], {"sigma": 1.5}, k=5)
     assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+
+
+def test_schema_endpoint(served):
+    srv, idx = served
+    _, body = _get(f"http://{srv.host}:{srv.port}/schema")
+    assert body["build_id"] == idx.manifest.get("build_id")
+    assert body["fields"] and "code.content" in body["fields"]
+    fc = body["fields"]["code.content"]
+    assert fc["n_terms"] > 0 and fc["n_posting_rows"] >= fc["n_terms"]
+    assert fc["n_docs"] > 0 and fc["avgdl"] > 0
+    assert isinstance(body["positions"], bool)
+    assert body["tombstones"] >= 0 and isinstance(body["has_deltas"], bool)
