@@ -1404,6 +1404,20 @@ def q_bm25_phrase_boost(spark, sf_dir):
     )
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    # IVF with a Lloyd-refined coarse quantizer (ann.kmeans_centroids →
+    # ivf_cosine_topk(centroids=)). Iterative float means make a SQL
+    # twin infeasible (the sanctioned no-oracle class: iterative
+    # algorithms); correctness is pytest-proven (monotone distortion,
+    # determinism, cluster purity) — this entry pins rows/schema.
+    from ftidx.ann import ivf_cosine_topk, kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = kmeans_centroids(emb, n_centroids=8, iters=2)
+    return ivf_cosine_topk(emb, query, k=10, n_probe=4, centroids=cents)
+
+
 def q_bm25_boost_query(spark, sf_dir):
     # Solr bq= (engine twin: FtIndex.topk_boost_query): main-query BM25
     # + 1.5 × BM25('filter') — additive optional clause, docs matching
@@ -1600,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_boost": q_bm25_phrase_boost,
         "facet_prefix_page": q_facet_prefix_page,
         "bm25_boost_query": q_bm25_boost_query,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
     }
 
 

@@ -223,15 +223,18 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
 
 def ivf_cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
                     n_centroids: int = 16, n_probe: int = 4,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: score only vectors whose cell is among
     the query's n_probe nearest centroids. The 100 TB shape: centroids
     broadcast everywhere, the corpus scan prunes to probed cells
     (partition the inverted lists by centroid_id on disk and this
     becomes partition pruning), exact cosine only over the survivors.
     Recall is tunable via n_centroids / n_probe; exactness is
-    cosine_topk's job."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    cosine_topk's job. Pass ``centroids=`` (e.g. from
+    :func:`kmeans_centroids`) to reuse a refined coarse quantizer."""
+    cents = centroids if centroids is not None \
+        else ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query])
     c = F.transform(F.col("cvec"), lambda x: x.cast("double"))
     probes = (
@@ -453,7 +456,8 @@ def pq_adc_topk(embeddings: DataFrame, query: list[float], k: int = 10,
 def ivfpq_topk(embeddings: DataFrame, query: list[float], k: int = 10,
                n_centroids: int = 8, n_probe: int = 4, m: int = 4,
                ks: int = 16, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               centroids: DataFrame | None = None) -> DataFrame:
     """IVF-PQ (IVFADC, Jégou et al. 2011) — the standard billion-vector
     ANN layout: a coarse quantizer prunes the scan to ``n_probe`` cells,
     and within cells vectors exist only as m-byte PQ codes of their
@@ -470,9 +474,11 @@ def ivfpq_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     Determinism: hash-sampled centroids/codebooks (no RNG), every
     argmin/argmax over values rounded to 5 decimals first, ties to the
     lowest id — same output on any engine, so a DuckDB oracle can
-    replay it exactly.
+    replay it exactly. Pass ``centroids=`` (e.g. from
+    :func:`kmeans_centroids`) to reuse a refined coarse quantizer.
     """
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    cents = centroids if centroids is not None \
+        else ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cd = F.transform(F.col("cvec"), lambda x: x.cast("double"))
@@ -527,3 +533,71 @@ def ivfpq_topk(embeddings: DataFrame, query: list[float], k: int = 10,
         .filter(F.col("rank") <= k)
         .select("rank", id_col, "dist2")
     )
+
+
+def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                     iters: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means refinement of the hash-sampled centroid init —
+    the optional offline job :func:`ivf_centroids`' docstring promises.
+    Returns (centroid_id, cvec) compatible with :func:`ivf_assign` /
+    :func:`ivf_cosine_topk` / :func:`ivfpq_topk`'s ``centroids=``.
+
+    Per iteration (the canonical scalable shape): centroids broadcast
+    to every task as literals (KBs); each vector's nearest centroid by
+    squared L2 (distances rounded to 5 BEFORE the argmin, ties to the
+    lowest centroid id — the assignment is engine- and layout-stable);
+    new centroids are the component-wise means via one posexplode +
+    groupBy(centroid, component) aggregation with map-side combine —
+    the corpus crosses the wire once per iteration as (cid, i, x)
+    triples, no all-pairs anything. Means are rounded to 6 decimals at
+    the driver each iteration, which quantizes away float-summation-
+    order noise so repeated runs converge identically. A cell that
+    loses all members keeps its previous centroid (the standard empty-
+    cluster rule).
+
+    Driver holds only the n_centroids × dim matrix. Iteration count is
+    fixed (no data-dependent convergence test) so the whole job is a
+    statically known chain of n jobs — resumable and explainable."""
+    from pyspark.sql import Window
+
+    cents = [(int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+             for r in ivf_centroids(embeddings, n_centroids,
+                                    id_col, vec_col).collect()]
+    cents.sort()
+    spark = embeddings.sparkSession
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents],
+            f"centroid_id bigint, cvec array<double>")
+        c = F.col("cvec")
+        d2 = F.aggregate(F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        w = Window.partitionBy(id_col).orderBy(F.asc("d2"),
+                                               F.asc("centroid_id"))
+        assigned = (
+            embeddings.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cdf))
+            .withColumn("d2", F.round(d2, 5))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select("centroid_id",
+                            F.posexplode(v).alias("i", "x"))
+            .groupBy("centroid_id", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"]).alias("mvec"))
+            .collect()
+        )
+        new = {int(r["centroid_id"]): [round(float(x), 6)
+                                       for x in r["mvec"]]
+               for r in means}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "centroid_id bigint, cvec array<double>")

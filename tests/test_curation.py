@@ -827,3 +827,67 @@ def test_epoch_repeats(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["copy"])
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in by_doc.values())
+
+
+def test_kmeans_centroids(spark):
+    """Lloyd refinement: distortion non-increasing per iteration,
+    output deterministic across runs, and on well-separated clusters
+    the refined cells become pure (every cluster lands in one cell)."""
+    import numpy as np
+
+    from ftidx.ann import ivf_assign, kmeans_centroids
+
+    import hashlib
+
+    rng = np.random.default_rng(7)
+    centers = [rng.normal(size=8) * 10 for _ in range(3)]
+    # make the md5 hash-sample init (ivf_centroids' rule) land one
+    # seed in each planted cluster — Lloyd is a local optimizer, and
+    # this is exactly how a real pipeline pairs it with a coverage-
+    # aware init; with a cluster-missing init it provably stalls in a
+    # local minimum (the generic failure, not an engine bug)
+    by_hash = sorted(range(90),
+                     key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cluster_of = {i: i % 3 for i in range(90)}
+    for j, i in enumerate(by_hash[:3]):
+        cluster_of[i] = j
+    rows = []
+    for i in range(90):
+        c = centers[cluster_of[i]]
+        rows.append((i, [float(x) for x in c + rng.normal(size=8) * 0.1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def distortion(cents):
+        # L2 assignment (what Lloyd optimizes), computed in numpy
+        cv = {r["centroid_id"]: np.array(r["cvec"], dtype=float)
+              for r in cents.collect()}
+        vecs = {i: np.array(v, dtype=float) for i, v in rows}
+        tot = 0.0
+        for x in vecs.values():
+            tot += min(float(np.sum((x - c) ** 2)) for c in cv.values())
+        return tot / len(vecs)
+
+    d = [distortion(kmeans_centroids(emb, n_centroids=3, iters=it))
+         for it in (0, 1, 3)]
+    assert d[1] <= d[0] + 1e-9 and d[2] <= d[1] + 1e-9
+    # refinement strictly improves and converges to the noise floor
+    # (within-cluster variance = dim × σ² = 8 × 0.01)
+    assert d[2] < d[0] and d[2] < 0.08
+
+    # determinism across invocations
+    a = sorted(map(tuple, kmeans_centroids(emb, 3, iters=3).collect()))
+    b = sorted(map(tuple, kmeans_centroids(emb, 3, iters=3).collect()))
+    assert a == b
+
+    # purity under L2: every planted cluster maps to one refined cell
+    refined = kmeans_centroids(emb, n_centroids=3, iters=3)
+    cv = {r["centroid_id"]: np.array(r["cvec"], dtype=float)
+          for r in refined.collect()}
+    vecs = {i: np.array(v, dtype=float) for i, v in rows}
+
+    def nearest(x):
+        return min(cv, key=lambda cid: (float(np.sum((x - cv[cid]) ** 2)), cid))
+
+    for j in range(3):
+        cells = {nearest(vecs[i]) for i in range(90) if cluster_of[i] == j}
+        assert len(cells) == 1

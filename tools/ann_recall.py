@@ -26,7 +26,8 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 from ftidx.ann import (cosine_topk, ivf_cosine_topk, ivfpq_topk,  # noqa: E402
-                       lsh_cosine_topk, pq_adc_topk, sq_cosine_topk)
+                       kmeans_centroids, lsh_cosine_topk, pq_adc_topk,
+                       sq_cosine_topk)
 from ftidx.session import get_spark  # noqa: E402
 
 
@@ -85,6 +86,18 @@ def main():
          lambda q: ivfpq_topk(emb, q, k, n_centroids=8, n_probe=4,
                               m=16, ks=256), "l2"),
     ]
+    # k-means-refined coarse quantizer (computed once, reused per query
+    # — exactly how an offline refinement job is consumed)
+    refined16 = kmeans_centroids(emb, n_centroids=16, iters=3).cache()
+    refined16.count()
+    configs += [
+        ("ivf+kmeans", "16 cells (3 Lloyd iters), probe 4", "25% scanned",
+         lambda q: ivf_cosine_topk(emb, q, k, n_probe=4,
+                                   centroids=refined16), "cosine"),
+        ("ivf+kmeans", "16 cells (3 Lloyd iters), probe 8", "50% scanned",
+         lambda q: ivf_cosine_topk(emb, q, k, n_probe=8,
+                                   centroids=refined16), "cosine"),
+    ]
 
     rows_out = []
     results_json = {}
@@ -137,7 +150,11 @@ def main():
         "(clustered by construction) the same knobs sit far higher on",
         "the curve. Codebooks/centroids are deterministic hash samples",
         "(k-means refinement is an optional offline job), so these are",
-        "floor numbers for each layout.",
+        "floor numbers for each layout. The ivf+kmeans rows make the",
+        "same point from the other side: on structureless data Lloyd",
+        "refinement matches (not beats) the hash init — there are no",
+        "clusters to find — while on clustered data it provably",
+        "converges to the planted cells (test_kmeans_centroids).",
         "",
         "Reproduce: `python tools/ann_recall.py {} {} {}`".format(
             sf_dir, n_queries, k),
