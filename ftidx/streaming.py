@@ -341,3 +341,52 @@ def run_repo_totals(spark: SparkSession, src_dir: str,
     wait_for_stream(q)
     q.awaitTermination(60)
     return rows
+
+
+def dedup_stream(spark: SparkSession, src_dir: str,
+                 key_expr: str = "sha2(content, 256)",
+                 ts_col: str = "ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact deduplication with bounded state
+    (``dropDuplicatesWithinWatermark``): emits the FIRST arrival of
+    each distinct content key; re-deliveries and content duplicates
+    arriving within the watermark horizon are suppressed, and key
+    state older than the horizon is evicted.
+
+    The horizon is the scale contract: plain streaming
+    ``dropDuplicates`` keeps every key forever — at 10^12 docs that
+    state OOMs any cluster — while the watermarked form holds
+    O(keys per horizon) and delegates cross-horizon dedup to the batch
+    path (:func:`ftidx.dedup.exact_dedup` over the landed table), the
+    standard lambda split for exact dedup. The key is a computed
+    expression (default content sha256, the reference's
+    record-identity analog) so the stream never carries a second copy
+    of the payload as its own join key."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    return (
+        stream.withColumn("dedup_key", F.expr(key_expr))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["dedup_key"])
+    )
+
+
+def run_dedup_stream(spark: SparkSession, src_dir: str, checkpoint: str,
+                     **kwargs) -> list:
+    """One availableNow drain of :func:`dedup_stream`; returns the rows
+    this run emitted (first-arrivals only). The checkpoint carries the
+    dedup-key state and watermark across runs, so successive calls form
+    one logical stream: a duplicate delivered in a LATER run (within
+    the horizon) is still suppressed."""
+    rows: list = []
+    q = (
+        dedup_stream(spark, src_dir, **kwargs)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _eid: rows.extend(df.collect()))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    wait_for_stream(q)
+    q.awaitTermination(60)
+    return rows

@@ -231,3 +231,40 @@ def test_repo_totals_stateful_stream(spark, tmp_path):
     assert out2["r1"] == (3, 9)   # cumulative across runs
     assert out2["r3"] == (1, 0)   # null content counts 0 bytes
     assert "r2" not in out2       # untouched groups stay silent
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Watermarked streaming dedup: first arrival of each content key
+    emitted once; in-batch duplicates collapse; a duplicate delivered
+    in a LATER run (within the horizon, across the checkpoint) is
+    suppressed; new content still flows."""
+    from datetime import datetime
+
+    from ftidx.streaming import run_dedup_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(sec):
+        return datetime(2026, 1, 1, 0, 0, 0).replace(
+            minute=sec // 60, second=sec % 60)
+
+    # batch 1: A twice (in-batch dup), B once
+    spark.createDataFrame(
+        [(ts(0), "r1", "A-content"), (ts(5), "r2", "A-content"),
+         (ts(10), "r3", "B-content")],
+        "ts timestamp, repo string, content string",
+    ).write.parquet(f"{src}/b1")
+    out1 = run_dedup_stream(spark, f"{src}/b*", ckpt)
+    got1 = sorted(r["content"] for r in out1)
+    assert got1 == ["A-content", "B-content"]
+
+    # batch 2 (same checkpoint): A re-delivered within the horizon →
+    # suppressed; C is new → emitted
+    spark.createDataFrame(
+        [(ts(20), "r4", "A-content"), (ts(25), "r5", "C-content")],
+        "ts timestamp, repo string, content string",
+    ).write.mode("append").parquet(f"{src}/b2")
+    out2 = run_dedup_stream(spark, f"{src}/b*", ckpt)
+    assert sorted(r["content"] for r in out2) == ["C-content"]
