@@ -1404,6 +1404,15 @@ def q_bm25_phrase_boost(spark, sf_dir):
     )
 
 
+def q_multi_snippets(spark, sf_dir):
+    # Solr hl.snippets=3 (engine twin: textops.multi_snippets): up to
+    # 3 fragments per doc around the first 3 occurrences of 'merge'
+    from ftidx.textops import multi_snippets
+
+    return multi_snippets(_docs(spark, sf_dir), "merge",
+                          n_snippets=3, window=30)
+
+
 def q_ann_ivf_kmeans(spark, sf_dir):
     # IVF with a Lloyd-refined coarse quantizer (ann.kmeans_centroids →
     # ivf_cosine_topk(centroids=)). Iterative float means make a SQL
@@ -1615,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_prefix_page": q_facet_prefix_page,
         "bm25_boost_query": q_bm25_boost_query,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "multi_snippets": q_multi_snippets,
     }
 
 
@@ -3128,5 +3138,38 @@ def oracle_sql() -> dict[str, str]:
                      doc_id, score_r
               FROM scored
             ) WHERE rank <= 10
+        """,
+        "multi_snippets": """
+            WITH s1 AS (
+              SELECT doc_id, text,
+                     position('merge' IN lower(text)) AS p1
+              FROM documents
+            ),
+            s2 AS (
+              SELECT *, CASE WHEN p1 > 0 AND
+                       position('merge' IN substring(lower(text), p1 + 5)) > 0
+                     THEN p1 + 5 - 1
+                          + position('merge' IN substring(lower(text), p1 + 5))
+                     ELSE 0 END AS p2
+              FROM s1
+            ),
+            s3 AS (
+              SELECT *, CASE WHEN p2 > 0 AND
+                       position('merge' IN substring(lower(text), p2 + 5)) > 0
+                     THEN p2 + 5 - 1
+                          + position('merge' IN substring(lower(text), p2 + 5))
+                     ELSE 0 END AS p3
+              FROM s2
+            ),
+            occ AS (
+              SELECT doc_id, text, 1 AS snip_no, p1 AS pos FROM s3
+              UNION ALL
+              SELECT doc_id, text, 2, p2 FROM s3
+              UNION ALL
+              SELECT doc_id, text, 3, p3 FROM s3
+            )
+            SELECT doc_id, snip_no, pos,
+                   substring(text, greatest(1, pos - 30), 60) AS snippet
+            FROM occ WHERE pos > 0
         """,
     }

@@ -730,3 +730,49 @@ def epoch_repeats(docs: DataFrame, repeats_permille: dict[str, int],
         .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n"))))
         .drop("_h", "_n")
     )
+
+
+def multi_snippets(docs: DataFrame, term: str, n_snippets: int = 3,
+                   window: int = 30, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Multi-fragment highlighting (Solr ``hl.snippets=N``): up to
+    ``n_snippets`` fixed-width fragments per doc, one around each of
+    the first N case-insensitive occurrences of ``term``, in document
+    order. Emits (doc_id, snip_no 1..N, pos, snippet).
+
+    Occurrence enumeration is N unrolled ``instr``-after-the-previous-
+    hit steps — each next position references the previous as a plain
+    column, so the plan stays a linear chain of whole-stage-codegen
+    projections (no UDF, no explode-the-text, no regex engine), and
+    the identical iterated-instr formula is portable SQL for the
+    oracle. Fixed N keeps the operator a static expression tree — the
+    same reason the PQ/IVF paths fix their loop counts."""
+    t = term.lower().replace("'", "''")
+    L = len(term)
+    df = docs.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).cast("string").alias("_txt"))
+    df = df.withColumn("p1", F.expr(f"instr(lower(_txt), '{t}')"))
+    for i in range(2, n_snippets + 1):
+        df = df.withColumn(
+            f"p{i}",
+            F.expr(
+                f"CASE WHEN p{i-1} > 0 AND "
+                f"instr(substring(lower(_txt), p{i-1} + {L}), '{t}') > 0 "
+                f"THEN p{i-1} + {L} - 1 + "
+                f"instr(substring(lower(_txt), p{i-1} + {L}), '{t}') "
+                f"ELSE 0 END"))
+    occ = F.array(*[
+        F.struct(F.lit(i).alias("snip_no"), F.col(f"p{i}").alias("pos"))
+        for i in range(1, n_snippets + 1)
+    ])
+    return (
+        df.select("doc_id", "_txt", F.explode(occ).alias("o"))
+        .filter(F.col("o.pos") > 0)
+        .select(
+            "doc_id",
+            F.col("o.snip_no").alias("snip_no"),
+            F.col("o.pos").alias("pos"),
+            F.expr(f"substring(_txt, greatest(1, o.pos - {window}), "
+                   f"{2 * window})").alias("snippet"),
+        )
+    )

@@ -891,3 +891,36 @@ def test_kmeans_centroids(spark):
     for j in range(3):
         cells = {nearest(vecs[i]) for i in range(90) if cluster_of[i] == j}
         assert len(cells) == 1
+
+
+def test_multi_snippets(spark):
+    """Fragments around the first N occurrences in document order;
+    overlapping-window text, fewer-than-N occurrences, and no-match
+    docs all behave."""
+    from ftidx.textops import multi_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "aa needle bb needle cc needle dd needle"),
+         (2, "xx needle yy"),
+         (3, "nothing here"),
+         (4, "NEEDLE case check")],
+        "doc_id long, text string")
+    got = {}
+    for r in multi_snippets(docs, "needle", n_snippets=3,
+                            window=5).collect():
+        got.setdefault(r["doc_id"], []).append((r["snip_no"], r["pos"]))
+    t1 = "aa needle bb needle cc needle dd needle"
+    exp1 = []
+    start = 0
+    for i in range(3):
+        p = t1.index("needle", start)
+        exp1.append((i + 1, p + 1))  # 1-based
+        start = p + len("needle")
+    assert sorted(got[1]) == exp1  # first 3 of 4, in order
+    assert got[2] == [(1, 4)]      # single occurrence → one fragment
+    assert 3 not in got            # no match → no rows
+    assert got[4] == [(1, 1)]      # case-insensitive, window clamps at 1
+    snip = {(r["doc_id"], r["snip_no"]): r["snippet"]
+            for r in multi_snippets(docs, "needle", 3, 5).collect()}
+    # pos=4 (1-based), window=5 → start clamps to 1, length 10
+    assert snip[(2, 1)] == "xx needle yy"[0:10]
