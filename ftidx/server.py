@@ -54,6 +54,8 @@ Endpoints (all JSON):
 - ``GET /spellcheck?q=teh+quik`` → corrections + collated query
 - ``GET /get?id=123``    → real-time-get of one doc's metadata row
 - ``POST /refresh``      → re-open the handle after maintenance ops
+- ``POST /compact``      → fold streamed deltas + tombstones into the
+  base index and refresh (Solr optimize/commit analog)
 
 Scale shape: one server process serves one index replica; the index
 directory is immutable between maintenance ops, so replicas scale
@@ -481,10 +483,24 @@ def _make_handler(idx, lock: threading.Lock):
                 self._json(400, {"error": str(e)})
 
         def do_POST(self):
-            if urlparse(self.path).path == "/refresh":
+            path = urlparse(self.path).path
+            if path == "/refresh":
                 with lock:
                     idx.refresh()
                 self._json(200, {"status": "refreshed"})
+            elif path == "/compact":
+                # Solr optimize/commit analog: fold streamed delta
+                # segments into the base index, rewrite tombstoned
+                # buckets, then refresh this handle — one operational
+                # call serializes the whole sequence under the lock
+                from ftidx.maintenance import (compact_deltas,
+                                               compact_tombstones)
+                with lock:
+                    deltas = compact_deltas(idx.spark, str(idx.path))
+                    tombs = compact_tombstones(idx.spark, str(idx.path))
+                    idx.refresh()
+                self._json(200, {"status": "compacted",
+                                 "deltas": deltas, "tombstones": tombs})
             else:
                 self._json(404, {"error": "unknown path"})
 

@@ -349,3 +349,37 @@ def test_schema_endpoint(served):
     assert fc["n_docs"] > 0 and fc["avgdl"] > 0
     assert isinstance(body["positions"], bool)
     assert body["tombstones"] >= 0 and isinstance(body["has_deltas"], bool)
+
+
+def test_compact_endpoint(spark, tmp_path):
+    """POST /compact folds tombstones into the index (Solr optimize
+    analog): the deleted doc stays gone, the tombstone table empties,
+    and the serving handle is refreshed in the same call."""
+    import json as _json
+    import urllib.request
+
+    from ftidx.index import build_index, open_index
+    from ftidx.server import FtServer
+    from ftidx.synth import synth_source
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 150), out, n_buckets=4,
+                hot_df_threshold=50)
+    idx = open_index(spark, out)
+    victim = idx.topk(["def"], 1)[0][0]
+    idx.delete([victim])
+    srv = FtServer(idx).start()
+    base = f"http://{srv.host}:{srv.port}"
+    try:
+        req = urllib.request.Request(f"{base}/compact", method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = _json.loads(r.read())
+        assert body["status"] == "compacted"
+        assert body["tombstones"]["docs_removed"] >= 1
+        assert body["tombstones"]["buckets_rewritten"]
+        _, search = _get(f"{base}/search?q=def&k=3")
+        assert victim not in [h["doc_id"] for h in search["hits"]]
+        _, schema = _get(f"{base}/schema")
+        assert schema["tombstones"] == 0
+    finally:
+        srv.stop()
