@@ -961,3 +961,28 @@ def test_topk_boost_query(spark, tmp_path):
     plain = idx.topk(terms, k=12, kernel="exhaustive")
     noop = idx.topk_boost_query(terms, {"zzz_never": 9.0}, k=12)
     assert [d for d, _ in noop] == [d for d, _ in plain]
+
+
+def test_facet_and_export_plan_shape(spark, built):
+    """Plan regression for the shared match-set paths (facet / stats /
+    export): the postings scan must push the term equality predicates
+    AND read only the doc_ids blob (never tfs/dls — facets don't score),
+    and the docs-table scan must prune to (doc_id, facet column)."""
+    out, _ = built
+    idx = open_index(spark, out)
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    plan = fmt(idx.facet_counts(["def", "alpha"], facet="lang"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("term" in ln and ("In(term" in ln or "EqualTo(term" in ln)
+               for ln in pushed), pushed
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    postings_reads = [ln for ln in reads if "doc_ids" in ln]
+    assert postings_reads and all(
+        "tfs" not in ln and "dls" not in ln for ln in postings_reads), reads
+    assert any("doc_id:bigint,lang:string" in ln and "content" not in ln
+               for ln in reads), reads
