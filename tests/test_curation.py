@@ -924,3 +924,22 @@ def test_multi_snippets(spark):
             for r in multi_snippets(docs, "needle", 3, 5).collect()}
     # pos=4 (1-based), window=5 → start clamps to 1, length 10
     assert snip[(2, 1)] == "xx needle yy"[0:10]
+
+
+def test_shuffle_corpus(spark):
+    """Deterministic epoch shuffle: a true permutation, identical
+    across runs, different (but still complete) under another seed."""
+    from ftidx.textops import shuffle_corpus
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = [(r["position"], r["doc_id"])
+         for r in shuffle_corpus(docs, seed=1).orderBy("position").collect()]
+    assert [p for p, _ in a] == list(range(1, 101))
+    assert sorted(d for _, d in a) == list(range(100))
+    b = [(r["position"], r["doc_id"])
+         for r in shuffle_corpus(docs, seed=1).orderBy("position").collect()]
+    assert a == b
+    c = [d for _, d in sorted(
+        (r["position"], r["doc_id"])
+        for r in shuffle_corpus(docs, seed=2).collect())]
+    assert c != [d for _, d in a] and sorted(c) == list(range(100))
