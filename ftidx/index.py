@@ -832,15 +832,18 @@ class FtIndex:
         return out[:k]
 
     def query_string(self, q: str, k: int = 10,
-                     field: str = "code.content") -> list[tuple[int, float]]:
+                     field: str = "code.content",
+                     min_match: int | None = None) -> list[tuple[int, float]]:
         """Lucene/Solr query-string search — ``+must -not field:term
         "a b"~slop term^boost`` — parsed and executed by
         :mod:`ftidx.qparse` against this handle's cached postings and
-        positions. The drop-in surface for a user migrating Solr query
+        positions; ``min_match`` applies Solr ``mm`` over the optional
+        clauses. The drop-in surface for a user migrating Solr query
         strings from the reference."""
         from ftidx.qparse import execute
 
-        return execute(self, q, k=k, default_field=field)
+        return execute(self, q, k=k, default_field=field,
+                       min_match=min_match)
 
     def topk_batch(self, queries: list[list[str]], k: int = 10,
                    field: str = "code.content",

@@ -81,13 +81,18 @@ def parse_query(q: str) -> list[Clause]:
 
 
 def execute(idx, q: str, k: int = 10,
-            default_field: str = "code.content") -> list[tuple[int, float]]:
+            default_field: str = "code.content",
+            min_match: int | None = None) -> list[tuple[int, float]]:
     """Run a parsed query against an :class:`ftidx.index.FtIndex`.
 
     One cached-postings accumulation scores every non-prohibited term
     clause (boost-scaled, per-field idf/avgdl); required clauses and
     phrase verifications become numpy masks over the candidate ids;
-    prohibited terms/phrases mask out."""
+    prohibited terms/phrases mask out. ``min_match`` is Solr/edismax
+    ``mm`` over the OPTIONAL (should) term clauses: a doc must match at
+    least that many of them, on top of every required clause — phrases
+    here are always required (see module docstring), so mm never
+    counts them."""
     from ftidx.positions import near_docs, phrase_docs
     from ftidx.wand import bm25_contrib
 
@@ -175,6 +180,12 @@ def execute(idx, q: str, k: int = 10,
             mask &= np.isin(uniq, ids)
         elif occur == "-" and ids.size:
             mask &= ~np.isin(uniq, ids)
+    if min_match is not None and min_match > 0:
+        cnt = np.zeros(uniq.size, dtype=np.int64)
+        for occur, ids in presence:
+            if occur == "":
+                cnt += np.isin(uniq, ids)
+        mask &= cnt >= min_match
     u64 = uniq.astype(np.int64)
     for s in must_sets:
         mask &= np.isin(u64, np.fromiter(s, np.int64, len(s))) if s else False

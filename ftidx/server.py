@@ -307,8 +307,11 @@ def _make_handler(idx, lock: threading.Lock):
                         return
                     k = int(qs.get("k", ["10"])[0])
                     field = qs.get("field", ["code.content"])[0]
+                    qmm = qs.get("mm", [""])[0]
                     with lock:
-                        hits = idx.query_string(q, k=k, field=field)
+                        hits = idx.query_string(
+                            q, k=k, field=field,
+                            min_match=int(qmm) if qmm else None)
                     self._json(200, {"hits": [
                         {"doc_id": d, "score": s} for d, s in hits
                     ]})

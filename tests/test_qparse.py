@@ -115,3 +115,29 @@ def test_qs_http_endpoint(spark, qidx):
         assert expect  # the probe query matches something
     finally:
         srv.stop()
+
+
+def _same_ranking(got, want):
+    """Doc order exact, scores to float noise (qparse accumulates via
+    sequential bincount, the kernels via numpy pairwise sum — last-ulp
+    divergence at 3+ terms)."""
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_qs_min_match(qidx):
+    """mm over should clauses == topk(min_match=); required clauses
+    unaffected; mm=1 is plain OR."""
+    terms = ["def", "alpha", "sigma"]
+    _same_ranking(qidx.query_string("def alpha sigma", k=20, min_match=2),
+                  qidx.topk(terms, k=20, min_match=2))
+    _same_ranking(qidx.query_string("def alpha sigma", k=20, min_match=1),
+                  qidx.topk(terms, k=20, kernel="exhaustive"))
+    # required clause + mm over the remaining optionals: every hit has
+    # 'def' AND at least one of the optionals
+    got = qidx.query_string("+def alpha sigma", k=10**6, min_match=1)
+    def_docs = {d for d, _ in qidx.topk(["def"], k=10**6, kernel="exhaustive")}
+    opt_docs = {d for d, _ in qidx.topk(["alpha", "sigma"], k=10**6,
+                                        kernel="exhaustive")}
+    assert got and all(d in def_docs and d in opt_docs for d, _ in got)
