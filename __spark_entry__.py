@@ -713,6 +713,78 @@ def q_collapse_by_source(spark, sf_dir):
     )
 
 
+def q_group_topm(spark, sf_dir):
+    """Solr result grouping (group=true, group.field=source,
+    group.limit=2, rows=8): the top-8 groups ranked by their best
+    member's (score, id), the 2 best members of each, plus the group's
+    total match count — engine twin FtIndex.topk_grouped(group_limit=2).
+    Scale shape: member ranks are ONE window partitioned by the group
+    column (never global); only the one head row per group reaches the
+    group-ordering rank, and the kept heads broadcast back onto the
+    member rows."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    g = _bm25_scored(spark, sf_dir).join(docs, "doc_id")
+    wm = Window.partitionBy("source").orderBy(F.desc("score_r"), F.asc("doc_id"))
+    members = (
+        g.withColumn("member_rank", F.row_number().over(wm))
+        .withColumn("group_size",
+                    F.count(F.lit(1)).over(Window.partitionBy("source")))
+    )
+    heads = (
+        members.filter(F.col("member_rank") == 1)
+        .withColumn("group_rank", F.row_number().over(
+            Window.orderBy(F.desc("score_r"), F.asc("doc_id"))))
+        .filter(F.col("group_rank") <= 8)
+        .select("source", "group_rank")
+    )
+    return (
+        members.filter(F.col("member_rank") <= 2)
+        .join(F.broadcast(heads), "source")
+        .select("group_rank", "source", "member_rank", "doc_id",
+                "score_r", "group_size")
+    )
+
+
+def q_bm25_boost_mult(spark, sf_dir):
+    """Multiplicative boost function (edismax ``boost=``, vs ``bf=``'s
+    additive bonus): final = BM25 × recip(n_chars) — the Solr
+    recency/quality-weight pattern, scaling relevance instead of
+    drowning it. Engine twin: FtIndex.topk_boosted(mode="mult")."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.orderBy(F.desc("final_r"), F.asc("doc_id"))
+    return (
+        _bm25_scored(spark, sf_dir).join(docs, "doc_id")
+        .withColumn("boost_r", F.round(
+            F.lit(100.0) / (F.lit(0.05) * F.col("n_chars") + F.lit(100.0)), 5))
+        .withColumn("final_r", F.round(F.col("score_r") * F.col("boost_r"), 5))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r", "boost_r", "final_r")
+    )
+
+
+def q_tfidf_vectors(spark, sf_dir):
+    """Sparse TF-IDF document vectors for downstream ML (the
+    CountVectorizer+IDF export a training pipeline feeds to a linear
+    quality classifier): smoothed idf = ln((N+1)/(df+1)) + 1, weight =
+    tf × idf, vocabulary pruned to df ≥ 8 (Solr minDF / sklearn
+    min_df). Plan: tf and df are two map-side-combinable aggregations
+    over the token stream; the pruned vocab side broadcasts."""
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tok.select("doc_id").distinct().count()
+    dfreq = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 8)
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("tfidf_r", F.round(F.col("tf") * idf, 5))
+        .select("doc_id", "term", "tfidf_r")
+    )
+
+
 def q_sorted_page(spark, sf_dir):
     """Solr sort+start+rows: the match set ordered by a metadata column
     (lang ASC) with score DESC / id ASC tiebreakers, second page of 10
@@ -1604,6 +1676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "phrase_near": q_phrase_near,
         "collapse_by_source": q_collapse_by_source,
+        "group_topm": q_group_topm,
+        "bm25_boost_mult": q_bm25_boost_mult,
+        "tfidf_vectors": q_tfidf_vectors,
         "sorted_page": q_sorted_page,
         "cursor_page": q_cursor_page,
         "chunk_spans": q_chunk_spans,
@@ -2225,6 +2300,53 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY b.score_r DESC, b.doc_id) AS rn
               FROM bm25 b JOIN documents d USING (doc_id)
             ) WHERE rn = 1
+        """,
+        "group_topm": _BM25_CTE + """,
+            g AS (
+              SELECT d.source, b.doc_id, b.score_r,
+                     row_number() OVER (PARTITION BY d.source
+                                        ORDER BY b.score_r DESC, b.doc_id)
+                       AS member_rank,
+                     count(*) OVER (PARTITION BY d.source) AS group_size
+              FROM bm25 b JOIN documents d USING (doc_id)
+            ),
+            heads AS (
+              SELECT source,
+                     row_number() OVER (ORDER BY score_r DESC, doc_id)
+                       AS group_rank
+              FROM g WHERE member_rank = 1
+            )
+            SELECT h.group_rank, g.source, g.member_rank, g.doc_id,
+                   g.score_r, g.group_size
+            FROM g JOIN heads h USING (source)
+            WHERE h.group_rank <= 8 AND g.member_rank <= 2
+        """,
+        "bm25_boost_mult": _BM25_CTE + """
+            SELECT rank, doc_id, score_r, boost_r, final_r FROM (
+              SELECT row_number() OVER (ORDER BY final_r DESC, doc_id)
+                       AS rank, *
+              FROM (
+                SELECT b.doc_id, b.score_r,
+                       round(100.0 / (0.05 * d.n_chars + 100.0), 5)
+                         AS boost_r,
+                       round(b.score_r
+                             * round(100.0 / (0.05 * d.n_chars + 100.0), 5),
+                             5) AS final_r
+                FROM bm25 b JOIN documents d USING (doc_id)
+              )
+            ) WHERE rank <= 10
+        """,
+        "tfidf_vectors": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+            dfreq AS (SELECT term, count(*) AS df FROM tf
+                      GROUP BY term HAVING count(*) >= 8)
+            SELECT t.doc_id, t.term,
+                   round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 5)
+                     AS tfidf_r
+            FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
         """,
         "sorted_page": _BM25_CTE + """
             SELECT page_rank, doc_id, lang, score_r FROM (

@@ -1092,12 +1092,16 @@ class FtIndex:
         )
 
     def topk_boosted(self, terms: list[str], boost_expr: str, k: int = 10,
-                     field: str = "code.content") -> DataFrame:
-        """Additive function boost (Solr ``bf=`` / edismax boost
-        function): final = BM25 + ``boost_expr`` evaluated over the
-        doc's stored metadata columns (e.g. ``0.1 * ln(1 + n_chars)``
-        or a recency decay over ``modified``). The canonical Solr use:
-        keep relevance but nudge fresher / richer docs up.
+                     field: str = "code.content",
+                     mode: str = "add") -> DataFrame:
+        """Function boost over stored metadata columns (e.g.
+        ``0.1 * ln(1 + n_chars)`` or a recency decay over
+        ``modified``). ``mode="add"`` is Solr ``bf=`` (final = BM25 +
+        boost); ``mode="mult"`` is edismax ``boost=`` (final = BM25 ×
+        boost — the multiplicative form Solr recommends for recency/
+        quality weighting because it scales with relevance instead of
+        drowning it). The canonical use: keep relevance but nudge
+        fresher / richer docs up.
 
         Scale shape: the distributed per-bucket scorer produces
         (doc_id, score); the boost is a codegen'd column expression
@@ -1105,12 +1109,16 @@ class FtIndex:
         bucket-partitioned, column-pruned to doc_id + the expr's
         inputs), and the cut is one global TakeOrderedAndProject —
         no driver materialization of the match set."""
+        if mode not in ("add", "mult"):
+            raise ValueError(f"mode must be 'add' or 'mult', got {mode!r}")
         scored = self._scored_df(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
+        combine = (F.col("score") + F.col("boost") if mode == "add"
+                   else F.col("score") * F.col("boost"))
         return (
             scored.join(docs, "doc_id")
             .withColumn("boost", F.expr(boost_expr).cast("double"))
-            .withColumn("final", F.col("score") + F.col("boost"))
+            .withColumn("final", combine)
             .orderBy(F.desc("final"), F.asc("doc_id")).limit(k)
             .select("doc_id", "score", "boost", "final")
         )

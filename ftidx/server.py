@@ -32,7 +32,8 @@ Endpoints (all JSON):
 - ``sort=path asc&cursor=*`` on /search → cursorMark keyset paging
   (response carries ``next_cursor``; pass it back for the next page)
 - ``bf=0.1*ln(1+n_chars)`` on /search → additive function boost
-  (Solr bf=; expression over stored metadata columns)
+  (Solr bf=; expression over stored metadata columns);
+  ``boost=100/(100+n_chars)`` → multiplicative (edismax boost=)
 - ``GET /explain?q=a+b&id=123`` → per-term BM25 score decomposition
   (Solr debugQuery explain)
 - ``elevate=3,17`` on /search → query elevation: those ids pinned to
@@ -353,6 +354,7 @@ def _make_handler(idx, lock: threading.Lock):
                     group = qs.get("group", [""])[0]
                     sort = qs.get("sort", [""])[0]
                     bf = qs.get("bf", [""])[0]
+                    boost = qs.get("boost", [""])[0]
                     elevate = qs.get("elevate", [""])[0]
                     syn = qs.get("syn", [""])[0]
                     with lock:
@@ -448,11 +450,13 @@ def _make_handler(idx, lock: threading.Lock):
                                 terms, pins, k=k, field=field)
                             self._json(200, {"docs": rows})
                             return
-                        elif bf:
-                            # Solr bf= additive boost function over
-                            # stored metadata columns
+                        elif bf or boost:
+                            # Solr bf= additive / edismax boost=
+                            # multiplicative function over stored
+                            # metadata columns
                             rows = idx.topk_boosted(
-                                terms, bf, k=k, field=field).collect()
+                                terms, bf or boost, k=k, field=field,
+                                mode="add" if bf else "mult").collect()
                             self._json(200, {"docs": [
                                 {"doc_id": r["doc_id"], "score": r["score"],
                                  "boost": r["boost"], "final": r["final"]}

@@ -1,0 +1,126 @@
+"""Sharded (distributed) search over independent index shards.
+
+The reference delegates serving to a single Solr core; at 10^12 files
+one core cannot hold the postings, so real deployments run SolrCloud
+with ``shards=`` fan-out and a merge step. This module is that analog
+for ftidx: N independently built indexes (disjoint corpus slices) are
+queried as one.
+
+Two-phase query, the pattern every distributed search engine uses
+(SolrCloud ExactStatsCache, ES DFS_QUERY_THEN_FETCH):
+
+1. **Stats phase** — per-term document frequency and per-field
+   (n_docs, total_len) are gathered from every shard and summed into
+   GLOBAL statistics. Scoring each shard with its *local* df/avgdl
+   would make a doc's score depend on which shard it landed on;
+   with global stats the ranking is layout-invariant (proved by
+   ``tests/test_shards.py``: 2-shard merge == monolithic index,
+   score-identical).
+2. **Query phase** — each shard scores its own postings with the
+   global idf/avgdl (cache-warm, numpy accumulation; no Spark job on
+   the serving path), returns its local top candidates, and the
+   driver merge-sorts by (score DESC, shard, doc_id).
+
+doc_ids are only unique *within* a shard (batch builds assign
+``bucket<<40 | rank`` independently per build), so every result row
+carries its shard ordinal; ``topk`` returns (shard, doc_id, score).
+
+On a real cluster each phase is one scatter-gather RPC round; here the
+"shards" share a driver but keep fully separate index directories,
+caches and tombstone sets — nothing is shared except this wrapper.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ftidx.wand import TermList, bm25_contrib, bm25_idf
+
+
+class FtShards:
+    """Search handle over a list of :class:`ftidx.index.FtIndex`."""
+
+    def __init__(self, shards: list):
+        if not shards:
+            raise ValueError("FtShards needs at least one shard")
+        self.shards = list(shards)
+
+    @classmethod
+    def open(cls, spark, paths: list[str]) -> "FtShards":
+        from ftidx.index import open_index
+
+        return cls([open_index(spark, p) for p in paths])
+
+    # -- phase 1: global statistics --------------------------------------
+    def global_stats(self, field: str) -> tuple[int, float]:
+        """(n_docs, avgdl) summed over shards — SolrCloud's exact
+        distributed-idf statistics."""
+        n_docs = 0
+        total_len = 0.0
+        for sh in self.shards:
+            n, avgdl = sh.stats.get(field, (0, 1.0))
+            n_docs += n
+            total_len += n * avgdl
+        return n_docs, (total_len / n_docs if n_docs else 1.0)
+
+    def _gather(self, terms: list[str], field: str):
+        """Per-shard term rows + global df per term (one stats pass)."""
+        qterms = sorted(set(terms))
+        per_shard = [sh._fetch_term_rows(qterms, field) for sh in self.shards]
+        gdf = {t: sum(sum(int(r["df"]) for r in by.get(t, []))
+                      for by in per_shard) for t in qterms}
+        return qterms, per_shard, gdf
+
+    # -- phase 2: score + merge ------------------------------------------
+    def topk(self, terms: list[str], k: int = 10,
+             field: str = "code.content", require_all: bool = False,
+             ) -> list[tuple[int, int, float]]:
+        """Global top-k as (shard, doc_id, score), scored with GLOBAL
+        idf/avgdl so the ranking matches a monolithic index over the
+        union corpus (ties broken score DESC, shard ASC, doc_id ASC —
+        the one place shard layout shows: a monolithic build breaks the
+        same-score tie by its own doc ids)."""
+        if k <= 0 or not terms:
+            return []
+        qterms, per_shard, gdf = self._gather(terms, field)
+        n_docs, avgdl = self.global_stats(field)
+        merged: list[tuple[float, int, int]] = []
+        for si, (sh, by_term) in enumerate(zip(self.shards, per_shard)):
+            per_term = []
+            for t in qterms:
+                rows = by_term.get(t, [])
+                if not rows:
+                    continue
+                ids, tfs, dls = TermList(t, rows, 0.0).decode_all()
+                idf = bm25_idf(n_docs, gdf[t])
+                per_term.append((ids, bm25_contrib(tfs, dls, idf, avgdl)))
+            if not per_term:
+                continue
+            ids = np.concatenate([i for i, _ in per_term])
+            contribs = np.concatenate([c for _, c in per_term])
+            uniq, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=contribs, minlength=uniq.size)
+            if require_all:
+                hits = np.bincount(inv, minlength=uniq.size)
+                keep = hits >= len(qterms)
+                uniq, scores = uniq[keep], scores[keep]
+            tombs = sh._tombstones
+            merged.extend(
+                (float(s), si, int(d)) for d, s in zip(uniq, scores)
+                if int(d) not in tombs)
+        merged.sort(key=lambda x: (-x[0], x[1], x[2]))
+        return [(si, d, s) for s, si, d in merged[:k]]
+
+    def count(self, terms: list[str], field: str = "code.content") -> int:
+        """Total matching docs across shards (numFound)."""
+        qterms, per_shard, _ = self._gather(terms, field)
+        total = 0
+        for sh, by_term in zip(self.shards, per_shard):
+            ids = [TermList(t, rows, 0.0).decode_all()[0]
+                   for t, rows in by_term.items() if rows]
+            if not ids:
+                continue
+            uniq = np.unique(np.concatenate(ids))
+            tombs = sh._tombstones
+            total += int(sum(1 for d in uniq if int(d) not in tombs))
+        return total

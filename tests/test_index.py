@@ -665,6 +665,30 @@ def test_topk_boosted(spark, built):
         [(d, round(s, 6)) for d, s in plain]
 
 
+def test_topk_boosted_mult(spark, built):
+    """boost= multiplicative (edismax): final == score × boost per row,
+    boost=1.0 reproduces the unboosted ranking, and a length-penalizing
+    boost actually reorders relative to the additive form's input."""
+    out, _ = built
+    idx = open_index(spark, out)
+    terms = ["def", "spark"]
+    rows = idx.topk_boosted(terms, "100.0 / (100.0 + length(path))",
+                            k=10, mode="mult").collect()
+    assert rows
+    finals = [r["final"] for r in rows]
+    assert finals == sorted(finals, reverse=True)
+    for r in rows:
+        assert abs(r["final"] - r["score"] * r["boost"]) < 1e-12
+        assert 0 < r["boost"] < 1
+    one = idx.topk_boosted(terms, "1.0", k=10, mode="mult").collect()
+    plain = idx.topk(terms, k=10)
+    assert [(r["doc_id"], round(r["score"], 6)) for r in one] == \
+        [(d, round(s, 6)) for d, s in plain]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        idx.topk_boosted(terms, "1.0", mode="nope")
+
+
 def test_terms_enum(spark, built):
     """Solr TermsComponent analog: prefix/mincount/limit/sort behave
     and the counts agree with suggest_terms on the same prefix."""

@@ -243,6 +243,14 @@ def test_boost_function_param(served):
         assert abs(d["final"] - (d["score"] + d["boost"])) < 1e-12
     finals = [d["final"] for d in body["docs"]]
     assert finals == sorted(finals, reverse=True)
+    # edismax boost= → multiplicative
+    url = f"{base}/search?q=def+spark&k=5&boost=100/(100%2Blength(path))"
+    status, body = _get(url)
+    assert status == 200 and body["docs"]
+    for d in body["docs"]:
+        assert abs(d["final"] - d["score"] * d["boost"]) < 1e-12
+    finals = [d["final"] for d in body["docs"]]
+    assert finals == sorted(finals, reverse=True)
 
 
 def test_terms_endpoint(served):

@@ -1,0 +1,97 @@
+"""Sharded search (FtShards): two independently built shards queried
+with global statistics must rank exactly like one monolithic index
+over the union corpus — layout invariance is the whole point of
+distributed idf (SolrCloud ExactStatsCache analog)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.index import build_index, open_index
+from ftidx.shards import FtShards
+from ftidx.synth import synth_source
+
+TERMS = ["def", "value", "merge"]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sh")
+    corpus = synth_source(spark, 300).cache()
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2))
+    build_index(spark, corpus, str(root / "mono"), n_buckets=4)
+    build_index(spark, corpus.filter(split == 0), str(root / "s0"), n_buckets=2)
+    build_index(spark, corpus.filter(split == 1), str(root / "s1"), n_buckets=2)
+    mono = open_index(spark, str(root / "mono"))
+    shards = FtShards.open(spark, [str(root / "s0"), str(root / "s1")])
+    corpus.unpersist()
+    return mono, shards
+
+
+def _keyed(spark, idx_path):
+    """(shard, doc_id, score) → {(repo,path,commit): score} via the
+    shard's docs table (doc ids are shard-local)."""
+    out = {}
+    for path, rows in idx_path.items():
+        docs = (spark.read.parquet(f"{path}/docs")
+                .select("doc_id", "repo", "path", "commit").collect())
+        m = {r["doc_id"]: (r["repo"], r["path"], r["commit"]) for r in docs}
+        for d, s in rows:
+            out[m[d]] = s
+    return out
+
+
+def test_sharded_equals_monolithic(spark, setup):
+    mono, shards = setup
+    big = 10**6
+    mono_hits = mono.topk(TERMS, k=big, kernel="exhaustive")
+    sh_hits = shards.topk(TERMS, k=big)
+    assert len(mono_hits) == len(sh_hits) > 0
+    # per-doc score equality keyed by the natural key
+    mk = _keyed(spark, {str(mono.path): list(mono_hits)})
+    sk = {}
+    for path, want_si in ((str(shards.shards[0].path), 0),
+                          (str(shards.shards[1].path), 1)):
+        rows = [(d, s) for si, d, s in sh_hits if si == want_si]
+        sk.update(_keyed(spark, {path: rows}))
+    assert set(mk) == set(sk)
+    for key, s in mk.items():
+        assert sk[key] == pytest.approx(s, rel=1e-9)
+
+
+def test_global_stats_sum(setup):
+    mono, shards = setup
+    n_m, avg_m = mono.stats["code.content"]
+    n_g, avg_g = shards.global_stats("code.content")
+    assert n_g == n_m
+    assert avg_g == pytest.approx(avg_m, rel=1e-12)
+
+
+def test_require_all_and_count(setup):
+    mono, shards = setup
+    big = 10**6
+    and_m = {d for d, _ in mono.topk(["def", "value"], k=big, mode="and")}
+    and_s = shards.topk(["def", "value"], k=big, require_all=True)
+    assert len(and_s) == len(and_m) > 0
+    assert shards.count(["def"]) == len(mono.topk(["def"], k=big,
+                                                  kernel="exhaustive"))
+
+
+def test_shard_tombstone_respected(setup):
+    _, shards = setup
+    top = shards.topk(TERMS, k=1)
+    (si, d, _), = top
+    shards.shards[si].delete([d])
+    try:
+        assert all((s2, d2) != (si, d)
+                   for s2, d2, _ in shards.topk(TERMS, k=10))
+    finally:
+        shards.shards[si]._tombstones.discard(d)
+
+
+def test_guards(setup):
+    _, shards = setup
+    assert shards.topk([], k=5) == []
+    assert shards.topk(TERMS, k=0) == []
+    assert shards.topk(["zzz_nothing"], k=5) == []
