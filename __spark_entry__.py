@@ -82,7 +82,8 @@ def q_field_stats(spark, sf_dir):
     )
 
 
-def _bm25_scored(spark, sf_dir):
+def _bm25_scored(spark, sf_dir, terms: list[str] | None = None):
+    terms = terms or BM25_TERMS
     tok = _tokens(spark, sf_dir)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -90,7 +91,7 @@ def _bm25_scored(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
     )
-    m = tf.filter(F.col("term").isin(BM25_TERMS))
+    m = tf.filter(F.col("term").isin(terms))
     dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     j = m.join(F.broadcast(dfreq), "term").join(dl, "doc_id").crossJoin(F.broadcast(stats))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
@@ -1604,6 +1605,147 @@ def q_line_dedup(spark, sf_dir):
 # driver contract
 # --------------------------------------------------------------------------
 
+def q_bm25_rerank(spark, sf_dir):
+    """Solr ReRankQParser (rq={!rerank reRankDocs=30 reRankWeight=2}):
+    the top-30 docs of the main BM25 ranking gain 2 × BM25('batch',
+    'table'); docs outside the head keep their original scores and can
+    overtake fallen reranked docs — engine twin FtIndex.topk_reranked.
+    Head membership ranks on the ROUNDED main score (deterministic
+    across engines); the final cut ranks on the rounded combined
+    score."""
+    N, W = 30, 2.0
+    main = _bm25_scored(spark, sf_dir)
+    rr = _bm25_scored(spark, sf_dir, terms=["batch", "table"]).select(
+        "doc_id", F.col("score_r").alias("rr_r"))
+    head_w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    final_w = Window.orderBy(F.desc("final_r"), F.asc("doc_id"))
+    return (
+        main.withColumn("rnk", F.row_number().over(head_w))
+        .join(rr, "doc_id", "left")
+        .withColumn(
+            "final_r",
+            F.round(
+                F.col("score_r")
+                + F.when(F.col("rnk") <= N,
+                         F.lit(W) * F.coalesce("rr_r", F.lit(0.0)))
+                .otherwise(F.lit(0.0)), 5))
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "final_r")
+    )
+
+
+def q_parent_block_join(spark, sf_dir):
+    """Solr {!parent} / ToParentBlockJoinQuery: parents (source
+    containers) ranked by aggregates of their matching children's BM25
+    scores — all four Lucene score modes (max/total/avg/min) in one
+    pass; engine twin FtIndex.parent_topk. One map-side-combinable
+    groupBy on the parent key; ranking on the rounded total."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    j = _bm25_scored(spark, sf_dir).join(docs, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_children"),
+        F.round(F.max("score_r"), 5).alias("score_max"),
+        F.round(F.sum("score_r"), 5).alias("score_total"),
+        F.round(F.avg("score_r"), 5).alias("score_avg"),
+        F.round(F.min("score_r"), 5).alias("score_min"),
+    )
+    w = Window.orderBy(F.desc("score_total"), F.asc("source"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "source", "n_children", "score_max",
+                "score_total", "score_avg", "score_min")
+    )
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document repeated spans (exact-substring dedup, the
+    Lee-et-al training-data op): strided 48-char gram hashes present in
+    ≥2 distinct docs with occurrence counts and the deterministic
+    exemplar — ftidx.dedup.duplicate_spans."""
+    from ftidx.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), gram=48, stride=16, min_docs=2
+    ).select(
+        "gram_md5", "n_docs", "n_occ", "exemplar_doc",
+        F.col("exemplar_off").cast("long").alias("exemplar_off"),
+    )
+
+
+def q_span_dup_stats(spark, sf_dir):
+    """Per-doc duplicated-span exposure: fraction of a doc's strided
+    grams shared with other docs — the trim/drop score for
+    span-plagiarized documents; ftidx.dedup.span_dup_stats."""
+    from ftidx.dedup import span_dup_stats
+
+    return span_dup_stats(_docs(spark, sf_dir), gram=48, stride=16,
+                          min_docs=2)
+
+
+def q_facet_interval(spark, sf_dir):
+    """Solr facet.interval: arbitrary, OVERLAPPING [lo,hi) intervals
+    over n_chars for docs matching 'spark' — one pass, N conditional
+    counters, zero-count intervals reported; engine twin
+    FtIndex.facet_interval."""
+    ivs = [(0, 300, "short"), (200, 800, "mid"), (0, 100000, "all"),
+           (100000, 200000, "none")]
+    matched = (
+        _tokens(spark, sf_dir).filter(F.col("term") == "spark")
+        .select("doc_id").distinct()
+    )
+    j = _docs(spark, sf_dir).join(matched, "doc_id")
+    aggs = [
+        F.coalesce(
+            F.sum(F.when((F.col("n_chars") >= lo) & (F.col("n_chars") < hi),
+                         1)),
+            F.lit(0),
+        ).alias(f"_i{i}")
+        for i, (lo, hi, _) in enumerate(ivs)
+    ]
+    stack = ", ".join(f"'{lab}', _i{i}" for i, (_, _, lab) in enumerate(ivs))
+    return j.agg(*aggs).selectExpr(
+        f"stack({len(ivs)}, {stack}) AS (label, n_docs)")
+
+
+def q_facet_nested(spark, sf_dir):
+    """JSON Facet API nested terms facet: top-3 lang buckets of the
+    'spark' match set by doc count, top-2 sources within each — ONE
+    groupBy on the (lang, source) pair, ranks partition by the bucket
+    (nothing global until ≤ 3×2 rows); engine twin
+    FtIndex.facet_nested."""
+    matched = (
+        _tokens(spark, sf_dir).filter(F.col("term") == "spark")
+        .select("doc_id").distinct()
+    )
+    pairs = (
+        _docs(spark, sf_dir).join(matched, "doc_id")
+        .groupBy(F.col("lang").alias("value"),
+                 F.col("source").alias("sub_value"))
+        .agg(F.count(F.lit(1)).alias("sub_n"))
+    )
+    bucket_w = Window.partitionBy("value")
+    sub_w = Window.partitionBy("value").orderBy(F.desc("sub_n"),
+                                                F.asc("sub_value"))
+    ranked = (
+        pairs.withColumn("n_docs", F.sum("sub_n").over(bucket_w))
+        .withColumn("sub_rank", F.row_number().over(sub_w))
+        .filter(F.col("sub_rank") <= 2)
+    )
+    head_w = Window.orderBy(F.desc("n_docs"), F.asc("value"))
+    heads = (
+        ranked.filter(F.col("sub_rank") == 1)
+        .select("value", F.row_number().over(head_w).alias("bucket_rank"))
+        .filter(F.col("bucket_rank") <= 3)
+    )
+    return (
+        ranked.join(heads, "value")
+        .select("bucket_rank", "value", "n_docs", "sub_rank",
+                "sub_value", "sub_n")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the real ftidx pipeline over sf0.001 documents —
     code-aware tokenize → tf/doclen/stats → batch BM25 top-10."""
@@ -1636,6 +1778,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": q_term_stats,
+        "bm25_rerank": q_bm25_rerank,
+        "parent_block_join": q_parent_block_join,
+        "dup_spans": q_dup_spans,
+        "span_dup_stats": q_span_dup_stats,
+        "facet_interval": q_facet_interval,
+        "facet_nested": q_facet_nested,
         "doc_lengths": q_doc_lengths,
         "field_stats": q_field_stats,
         "bm25_scores": q_bm25_scores,
@@ -1749,6 +1897,152 @@ def oracle_sql() -> dict[str, str]:
             FROM dl
         """,
         "bm25_scores": _BM25_CTE + "SELECT doc_id, score_r FROM bm25",
+        "bm25_rerank": _BM25_CTE + f""",
+            m2 AS (SELECT * FROM tf WHERE term IN ('batch', 'table')),
+            dfreq2 AS (SELECT term, count(*) AS df FROM m2 GROUP BY term),
+            scored2 AS (
+              SELECT m2.doc_id,
+                     ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m2.tf * {K1 + 1.0}
+                       / (m2.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl))
+                       AS contrib
+              FROM m2 JOIN dfreq2 d USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN stats s
+            ),
+            rr AS (SELECT doc_id, round(sum(contrib), 5) AS rr_r
+                   FROM scored2 GROUP BY doc_id),
+            heads AS (
+              SELECT doc_id, score_r,
+                     row_number() OVER (ORDER BY score_r DESC, doc_id) AS rnk
+              FROM bm25
+            )
+            SELECT rank, doc_id, final_r FROM (
+              SELECT row_number() OVER (ORDER BY final_r DESC, doc_id)
+                       AS rank, doc_id, final_r
+              FROM (
+                SELECT h.doc_id,
+                       round(h.score_r + CASE WHEN h.rnk <= 30
+                             THEN 2.0 * coalesce(r.rr_r, 0) ELSE 0 END, 5)
+                         AS final_r
+                FROM heads h LEFT JOIN rr r USING (doc_id)
+              )
+            ) WHERE rank <= 10
+        """,
+        "parent_block_join": _BM25_CTE + """
+            SELECT rank, source, n_children, score_max, score_total,
+                   score_avg, score_min
+            FROM (
+              SELECT row_number() OVER (ORDER BY score_total DESC, source)
+                       AS rank, *
+              FROM (
+                SELECT d.source, count(*) AS n_children,
+                       round(max(b.score_r), 5) AS score_max,
+                       round(sum(b.score_r), 5) AS score_total,
+                       round(avg(b.score_r), 5) AS score_avg,
+                       round(min(b.score_r), 5) AS score_min
+                FROM bm25 b JOIN documents d USING (doc_id)
+                GROUP BY d.source
+              )
+            ) WHERE rank <= 10
+        """,
+        "dup_spans": """
+            WITH h AS (
+              SELECT doc_id, off, md5(substr(text, off::INT, 48)) AS gram_md5
+              FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 47, 16)) AS off
+                FROM documents WHERE length(text) >= 48
+              )
+            ),
+            c AS (
+              SELECT gram_md5, count(DISTINCT doc_id) AS n_docs,
+                     count(*) AS n_occ
+              FROM h GROUP BY gram_md5
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            e AS (
+              SELECT gram_md5, doc_id AS exemplar_doc, off AS exemplar_off,
+                     row_number() OVER (PARTITION BY gram_md5
+                                        ORDER BY doc_id, off) AS rn
+              FROM h
+            )
+            SELECT c.gram_md5, c.n_docs, c.n_occ,
+                   e.exemplar_doc, e.exemplar_off
+            FROM c JOIN e USING (gram_md5) WHERE e.rn = 1
+        """,
+        "span_dup_stats": """
+            WITH h AS (
+              SELECT doc_id, off, md5(substr(text, off::INT, 48)) AS gram_md5
+              FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 47, 16)) AS off
+                FROM documents WHERE length(text) >= 48
+              )
+            ),
+            dup AS (
+              SELECT gram_md5 FROM h GROUP BY gram_md5
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM h GROUP BY doc_id),
+            dd AS (
+              SELECT doc_id, count(*) AS n_dup
+              FROM h JOIN dup USING (gram_md5) GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_grams,
+                   coalesce(d.n_dup, 0) AS n_dup,
+                   round(coalesce(d.n_dup, 0)::DOUBLE / t.n_grams, 5)
+                     AS dup_frac
+            FROM tot t LEFT JOIN dd d USING (doc_id)
+        """,
+        "facet_interval": f"""
+            WITH {_TOK_CTE},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+            j AS (SELECT d.n_chars FROM documents d JOIN m USING (doc_id))
+            SELECT 'short' AS label,
+                   count(*) FILTER (WHERE n_chars >= 0 AND n_chars < 300)
+                     AS n_docs FROM j
+            UNION ALL
+            SELECT 'mid',
+                   count(*) FILTER (WHERE n_chars >= 200 AND n_chars < 800)
+              FROM j
+            UNION ALL
+            SELECT 'all',
+                   count(*) FILTER (WHERE n_chars >= 0 AND n_chars < 100000)
+              FROM j
+            UNION ALL
+            SELECT 'none',
+                   count(*) FILTER (WHERE n_chars >= 100000
+                                    AND n_chars < 200000)
+              FROM j
+        """,
+        "facet_nested": f"""
+            WITH {_TOK_CTE},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+            p AS (
+              SELECT d.lang AS value, d.source AS sub_value,
+                     count(*) AS sub_n
+              FROM documents d JOIN m USING (doc_id)
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT value, sub_value, sub_n,
+                     (sum(sub_n) OVER (PARTITION BY value))::BIGINT AS n_docs,
+                     row_number() OVER (PARTITION BY value
+                                        ORDER BY sub_n DESC, sub_value)
+                       AS sub_rank
+              FROM p
+            ),
+            heads AS (
+              SELECT value,
+                     row_number() OVER (ORDER BY n_docs DESC, value)
+                       AS bucket_rank
+              FROM r WHERE sub_rank = 1
+            )
+            SELECT h.bucket_rank, r.value, r.n_docs, r.sub_rank,
+                   r.sub_value, r.sub_n
+            FROM r JOIN heads h USING (value)
+            WHERE h.bucket_rank <= 3 AND r.sub_rank <= 2
+        """,
         "bm25_topk": _BM25_CTE + """
             SELECT rank, doc_id, score_r FROM (
               SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,

@@ -438,3 +438,100 @@ def dedup_lines(docs: DataFrame, min_df: int = 2, text_col: str = "text",
             .alias("n_removed"),
         )
     )
+
+
+def char_grams(docs: DataFrame, gram: int = 48, stride: int = 16,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Strided character k-grams: one row per (doc, offset, md5(gram)).
+
+    The building block for exact-substring dedup (the "repeated
+    50-token span" operator of training-data curation, Lee et al.
+    2022): every ``gram``-char window starting at offsets 1, 1+stride,
+    … is hashed. ``stride`` trades recall for cost — a duplicated run
+    of ≥ gram+stride−1 chars is guaranteed to produce at least one
+    aligned colliding window in both copies when stride divides gram
+    (default 48/16 catches ~64-char spans). Docs shorter than ``gram``
+    emit nothing.
+
+    Pure codegen (sequence → transform(substring) → posexplode → md5):
+    no UDF, no shuffle until the consumer aggregates; row count is
+    ~len/stride per doc, the inherent cost of substring-level dedup —
+    stride is the knob that keeps it linear in corpus bytes."""
+    starts = F.sequence(
+        F.lit(1), F.length(F.col(text_col)) - F.lit(gram - 1), F.lit(stride))
+    return (
+        docs.filter(F.length(F.col(text_col)) >= gram)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    starts, lambda i: F.col(text_col).substr(i, F.lit(gram)))
+            ).alias("win", "g"),
+        )
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("win") * F.lit(stride)).alias("off"),
+            F.md5("g").alias("gram_md5"),
+        )
+    )
+
+
+def duplicate_spans(docs: DataFrame, gram: int = 48, stride: int = 16,
+                    min_docs: int = 2, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated spans: gram hashes present in ≥
+    ``min_docs`` DISTINCT docs, with occurrence counts and the
+    deterministic exemplar (min doc_id, then min offset).
+
+    Output: (gram_md5, n_docs, n_occ, exemplar_doc, exemplar_off).
+    One groupBy on a uniform 128-bit key — map-side combinable,
+    skew-free; the verbatim-copy detector that shingle/minhash
+    (document-level) dedup misses when only a span is shared."""
+    g = char_grams(docs, gram, stride, text_col, id_col)
+    return (
+        g.groupBy("gram_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "off")).alias("_ex"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "gram_md5", "n_docs", "n_occ",
+            F.col("_ex.doc_id").alias("exemplar_doc"),
+            F.col("_ex.off").alias("exemplar_off"),
+        )
+    )
+
+
+def span_dup_stats(docs: DataFrame, gram: int = 48, stride: int = 16,
+                   min_docs: int = 2, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc duplicated-span exposure: of a doc's strided grams, how
+    many also occur in ≥ ``min_docs``−1 OTHER docs (cross-doc grams),
+    and the duplicated fraction — the score curation pipelines
+    threshold to drop or trim span-plagiarized docs.
+
+    Output: (doc_id, n_grams, n_dup, dup_frac rounded to 5). Shape:
+    grams → the duplicate-hash set (bounded by corpus grams / min_docs)
+    joined back on the uniform hash key — both sides shuffle on an
+    unskewed 128-bit key; no self-join of documents ever happens."""
+    g = char_grams(docs, gram, stride, text_col, id_col)
+    dup = (
+        g.groupBy("gram_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram_md5")
+    )
+    flagged = g.join(dup, "gram_md5", "left_semi") \
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+            F.round(F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_grams"), 5)
+            .alias("dup_frac"),
+        )
+    )

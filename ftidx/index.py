@@ -981,6 +981,53 @@ class FtIndex:
         ]
         return out[:k]
 
+    def topk_reranked(self, terms: list[str], rerank_terms: list[str],
+                      k: int = 10, rerank_docs: int = 100,
+                      weight: float = 2.0,
+                      field: str = "code.content") -> list[tuple[int, float]]:
+        """Solr ReRankQParser (``rq={!rerank reRankQuery=... reRankDocs=N
+        reRankWeight=W}``): the main query's full BM25 ordering is
+        computed, then ONLY its top ``rerank_docs`` candidates get
+        ``W × BM25(rerank_terms)`` added before the final cut — the
+        two-stage retrieve-then-rerank shape. Docs outside the head
+        keep their original scores (they can still pass a reranked doc
+        whose combined score fell, exactly Solr's semantics), and a doc
+        that doesn't reach the head can never gain the boost, which is
+        what makes the second stage O(rerank_docs), not O(corpus).
+
+        Serving path: two warm-cache probes (main terms + rerank
+        terms), one searchsorted to align the head with the rerank
+        scores — no Spark job."""
+        from ftidx.wand import _topk_from_scores, score_exhaustive
+
+        if k <= 0 or not terms:
+            return []
+        lists, avgdl = self._term_lists(terms, field)
+        if not lists:
+            return []
+        ids, scores = score_exhaustive(lists, avgdl, 1 << 31)
+        if self._tombstones:
+            keep = ~np.isin(ids.astype(np.int64),
+                            np.fromiter(self._tombstones, np.int64))
+            ids, scores = ids[keep], scores[keep]
+        n = min(int(rerank_docs), ids.size)
+        rlists, ravgdl = self._term_lists(rerank_terms or [], field)
+        if n and rlists:
+            rids, rscores = score_exhaustive(rlists, ravgdl, 1 << 31)
+            order = np.argsort(rids)
+            rid_s = rids[order].astype(np.int64)
+            rsc_s = rscores[order]
+            head = ids[:n].astype(np.int64)
+            pos = np.searchsorted(rid_s, head)
+            pos_c = np.minimum(pos, max(rid_s.size - 1, 0))
+            hit = (pos < rid_s.size) & (rid_s[pos_c] == head) \
+                if rid_s.size else np.zeros(n, bool)
+            scores = scores.copy()
+            scores[:n][hit] += float(weight) * rsc_s[pos_c[hit]]
+        ids2, scores2 = _topk_from_scores(ids, scores, k)
+        return [(int(i), float(s))
+                for i, s in zip(ids2.astype(np.int64), scores2)]
+
     def topk_phrase_boosted(self, terms: list[str], k: int = 10,
                             pf_weight: float = 2.0,
                             field: str = "code.content") -> list[tuple[int, float]]:
@@ -1234,6 +1281,42 @@ class FtIndex:
                      F.asc("group_rank"))
             .limit(k_groups * group_limit)
             .select("group_value", "group_rank", "doc_id", "score")
+        )
+
+    def parent_topk(self, terms: list[str], parent_col: str = "repo",
+                    score_mode: str = "max", k: int = 10,
+                    field: str = "code.content") -> DataFrame:
+        """Block join to parent (Solr ``{!parent which=...}`` /
+        ToParentBlockJoinQuery ``score=max|total|avg|min``): rank
+        parent entities — here any docs-table column that groups
+        children, e.g. ``repo`` for "which repositories best match
+        this query" — by an aggregate of their matching children's
+        BM25 scores, plus the matched-child count.
+
+        Unlike :meth:`topk_grouped` (collapse: groups ranked by best
+        member, members returned) this returns ONE row per parent with
+        the aggregated score — the Lucene parent-scope ranking.
+
+        Returns (parent, n_children, score). Scale shape: per-bucket
+        child scoring inside executors, an id-keyed join against a
+        (doc_id, parent) column-pruned docs scan, one map-side-
+        combinable groupBy(parent) agg (max/sum/avg/min/count all
+        combine), and a global TakeOrderedAndProject cut — parents
+        never exceed docs, so the agg output is bounded by the match
+        set."""
+        aggs = {"max": F.max, "total": F.sum, "avg": F.avg, "min": F.min}
+        if score_mode not in aggs:
+            raise ValueError(f"score_mode must be one of {sorted(aggs)}")
+        scored = self._scored_df(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs")).select(
+            "doc_id", F.col(parent_col).alias("parent"))
+        return (
+            scored.join(docs, "doc_id")
+            .groupBy("parent")
+            .agg(F.count(F.lit(1)).alias("n_children"),
+                 aggs[score_mode]("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("parent"))
+            .limit(k)
         )
 
     def search_sorted(self, terms: list[str], sort_col: str,
@@ -1597,6 +1680,81 @@ class FtIndex:
             .groupBy(bucket_start.alias("bucket_start"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.asc("bucket_start"))
+        )
+
+    def facet_interval(self, terms: list[str],
+                       intervals: list[tuple[float, float, str]],
+                       facet: str = "n_chars",
+                       field: str = "code.content") -> DataFrame:
+        """Interval faceting (Solr ``facet.interval`` with
+        ``facet.interval.set=[lo,hi)``): match-set counts per
+        user-defined ``[lo, hi)`` interval over a numeric docs-table
+        column. Unlike :meth:`facet_range`'s uniform grid, intervals
+        are arbitrary and MAY OVERLAP (Solr allows it) — so each is
+        one conditional-sum aggregate over the same single pass, not a
+        bucketing expression: N intervals cost one codegen'd projection
+        with N counters, never N scans. Returns (label, n_docs) in the
+        given interval order, zero-count intervals included (Solr
+        semantics — intervals are explicit, not discovered)."""
+        matched = self._matched_ids(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        col = F.col(facet).cast("double")
+        aggs = [
+            F.coalesce(
+                F.sum(F.when((col >= float(lo)) & (col < float(hi)), 1)),
+                F.lit(0),
+            ).alias(f"_i{i}")
+            for i, (lo, hi, _) in enumerate(intervals)
+        ]
+        one = docs.join(matched, "doc_id").agg(*aggs)
+        stack = ", ".join(
+            f"'{label}', _i{i}" for i, (_, _, label) in enumerate(intervals))
+        return one.selectExpr(
+            f"stack({len(intervals)}, {stack}) AS (label, n_docs)")
+
+    def facet_nested(self, terms: list[str], facet: str = "lang",
+                     sub_facet: str = "repo", k_buckets: int = 10,
+                     k_sub: int = 2,
+                     field: str = "code.content") -> DataFrame:
+        """Nested subfacets (Solr JSON Facet API: a terms facet with a
+        nested terms facet inside each bucket): the top ``k_buckets``
+        values of ``facet`` over the match set, and within each bucket
+        the top ``k_sub`` values of ``sub_facet`` with their counts.
+
+        Returns (value, n_docs, sub_rank, sub_value, sub_n). Scale
+        shape: ONE groupBy on the (facet, sub_facet) pair — never a
+        per-bucket requery — then two windows over the aggregated
+        constraint rows (≤ distinct pairs, corpus-independent): ranks
+        partition by the facet value, so nothing goes global until the
+        final ordering of ≤ k_buckets × k_sub rows."""
+        from pyspark.sql import Window
+
+        matched = self._matched_ids(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        pairs = (
+            docs.join(matched, "doc_id")
+            .groupBy(F.col(facet).alias("value"),
+                     F.col(sub_facet).alias("sub_value"))
+            .agg(F.count(F.lit(1)).alias("sub_n"))
+        )
+        bucket_w = Window.partitionBy("value")
+        sub_w = Window.partitionBy("value").orderBy(
+            F.desc("sub_n"), F.asc("sub_value"))
+        ranked = (
+            pairs.withColumn("n_docs", F.sum("sub_n").over(bucket_w))
+            .withColumn("sub_rank", F.row_number().over(sub_w))
+            .filter(F.col("sub_rank") <= k_sub)
+        )
+        head_w = Window.orderBy(F.desc("n_docs"), F.asc("value"))
+        heads = (
+            ranked.filter(F.col("sub_rank") == 1)
+            .select("value", F.row_number().over(head_w).alias("bucket_rank"))
+            .filter(F.col("bucket_rank") <= k_buckets)
+        )
+        return (
+            ranked.join(F.broadcast(heads), "value")
+            .orderBy("bucket_rank", "sub_rank")
+            .select("value", "n_docs", "sub_rank", "sub_value", "sub_n")
         )
 
     def facet_pivot(self, terms: list[str],

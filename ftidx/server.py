@@ -202,6 +202,49 @@ def _make_handler(idx, lock: threading.Lock):
                         {"start": r["bucket_start"], "n_docs": r["n_docs"]}
                         for r in rows
                     ]})
+                elif u.path == "/facet_interval":
+                    # Solr facet.interval: set=label:lo:hi;label2:lo:hi
+                    terms = qs.get("q", [""])[0].split()
+                    spec = qs.get("set", [""])[0]
+                    if not terms or not spec.strip():
+                        self._json(400, {"error": "need q and set"})
+                        return
+                    col = qs.get("col", ["n_chars"])[0]
+                    field = qs.get("field", ["code.content"])[0]
+                    ivs = []
+                    for part in spec.split(";"):
+                        if not part.strip():
+                            continue
+                        label, lo, hi = part.split(":")
+                        ivs.append((float(lo), float(hi), label))
+                    with lock:
+                        rows = idx.facet_interval(
+                            terms, ivs, facet=col, field=field).collect()
+                    self._json(200, {"intervals": [
+                        {"label": r["label"], "n_docs": r["n_docs"]}
+                        for r in rows
+                    ]})
+                elif u.path == "/facet_nested":
+                    # JSON Facet API nested terms facet
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    facet = qs.get("facet", ["lang"])[0]
+                    sub = qs.get("sub", ["repo"])[0]
+                    kb = int(qs.get("k", ["10"])[0])
+                    ks = int(qs.get("ksub", ["2"])[0])
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        rows = idx.facet_nested(
+                            terms, facet=facet, sub_facet=sub,
+                            k_buckets=kb, k_sub=ks, field=field).collect()
+                    self._json(200, {"buckets": [
+                        {"value": r["value"], "n_docs": r["n_docs"],
+                         "sub_rank": r["sub_rank"],
+                         "sub_value": r["sub_value"], "sub_n": r["sub_n"]}
+                        for r in rows
+                    ]})
                 elif u.path == "/facet":
                     terms = qs.get("q", [""])[0].split()
                     if not terms:
@@ -299,6 +342,27 @@ def _make_handler(idx, lock: threading.Lock):
                          "min_len": r["min_len"], "max_len": r["max_len"]}
                         for r in rows
                     ]})
+                elif u.path == "/parent":
+                    # Solr {!parent} block join: rank parent entities
+                    # by an aggregate (score=max|total|avg|min) of
+                    # their matching children's BM25 scores
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    on = qs.get("on", ["repo"])[0]
+                    mode = qs.get("score", ["max"])[0]
+                    k = int(qs.get("k", ["10"])[0])
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        rows = idx.parent_topk(
+                            terms, parent_col=on, score_mode=mode,
+                            k=k, field=field).collect()
+                    self._json(200, {"parents": [
+                        {"parent": r["parent"],
+                         "n_children": r["n_children"],
+                         "score": r["score"]} for r in rows
+                    ]})
                 elif u.path == "/query":
                     # full Lucene/Solr query-string syntax (qparse):
                     # +must -not field:term "a b"~slop term^boost
@@ -357,6 +421,7 @@ def _make_handler(idx, lock: threading.Lock):
                     boost = qs.get("boost", [""])[0]
                     elevate = qs.get("elevate", [""])[0]
                     syn = qs.get("syn", [""])[0]
+                    rq = qs.get("rq", [""])[0]
                     with lock:
                         if u.path != "/search":
                             if slop > 0:
@@ -463,6 +528,15 @@ def _make_handler(idx, lock: threading.Lock):
                                 for r in rows
                             ]})
                             return
+                        elif rq:
+                            # Solr ReRankQParser: rq=<terms> reranks the
+                            # top rqDocs of the main ranking by adding
+                            # rqWeight × BM25(rq terms)
+                            hits = idx.topk_reranked(
+                                terms, rq.split(), k=k,
+                                rerank_docs=int(qs.get("rqDocs", ["100"])[0]),
+                                weight=float(qs.get("rqWeight", ["2.0"])[0]),
+                                field=field)
                         elif bq:
                             boosts = {}
                             for part in bq.split(","):

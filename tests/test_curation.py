@@ -943,3 +943,58 @@ def test_shuffle_corpus(spark):
         (r["position"], r["doc_id"])
         for r in shuffle_corpus(docs, seed=2).collect())]
     assert c != [d for _, d in a] and sorted(c) == list(range(100))
+
+
+def test_duplicate_spans_planted(spark):
+    """A ≥ gram+stride−1 char span shared verbatim by two docs is
+    guaranteed at least one aligned colliding window; unique text
+    produces no cross-doc grams."""
+    from ftidx.dedup import char_grams, duplicate_spans, span_dup_stats
+
+    span = "the quick brown fox jumps over the lazy dog " * 3  # 135 chars
+    rows = [
+        (1, "AAA " * 40 + span + " BBB " * 40),   # span at some offset
+        (2, "CCC " * 25 + span + " DDD " * 25),   # same span elsewhere
+        (3, "totally unrelated content here " * 20),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dup = duplicate_spans(docs, gram=48, stride=16).collect()
+    assert dup, "planted shared span must collide"
+    assert all(r["n_docs"] == 2 for r in dup)
+    # exemplar is deterministic: min (doc_id, off) among occurrences
+    g = char_grams(docs, gram=48, stride=16)
+    occ = {}
+    for r in g.collect():
+        occ.setdefault(r["gram_md5"], []).append((r["doc_id"], r["off"]))
+    for r in dup:
+        assert (r["exemplar_doc"], r["exemplar_off"]) == min(occ[r["gram_md5"]])
+
+    stats = {r["doc_id"]: r for r in
+             span_dup_stats(docs, gram=48, stride=16).collect()}
+    assert stats[3]["n_dup"] == 0 and stats[3]["dup_frac"] == 0.0
+    assert stats[1]["n_dup"] > 0 and stats[2]["n_dup"] > 0
+    # dup_frac = n_dup / n_grams, rounded
+    for d in (1, 2, 3):
+        r = stats[d]
+        assert r["dup_frac"] == round(r["n_dup"] / r["n_grams"], 5)
+    # docs shorter than gram emit nothing
+    short = spark.createDataFrame([(9, "tiny")], "doc_id long, text string")
+    assert char_grams(short, gram=48).count() == 0
+
+
+def test_char_grams_offsets_exact(spark):
+    """Gram offsets are 1-based, strided, and the hash is md5 of the
+    exact substring — verified against Python slicing."""
+    import hashlib
+
+    from ftidx.dedup import char_grams
+
+    text = "".join(chr(97 + (i * 7) % 26) for i in range(100))
+    docs = spark.createDataFrame([(5, text)], "doc_id long, text string")
+    got = sorted((r["off"], r["gram_md5"]) for r in
+                 char_grams(docs, gram=48, stride=16).collect())
+    expect = []
+    for off in range(1, 100 - 48 + 2, 16):
+        sub = text[off - 1: off - 1 + 48]
+        expect.append((off, hashlib.md5(sub.encode()).hexdigest()))
+    assert got == sorted(expect)

@@ -1010,3 +1010,120 @@ def test_facet_and_export_plan_shape(spark, built):
         "tfs" not in ln and "dls" not in ln for ln in postings_reads), reads
     assert any("doc_id:bigint,lang:string" in ln and "content" not in ln
                for ln in reads), reads
+
+
+def test_topk_reranked(spark, built):
+    """Solr ReRankQParser: the top rerank_docs of the main ranking gain
+    weight × BM25(rerank terms); docs outside the head never gain the
+    boost. Equals brute-force recomputation; weight=0 is a no-op."""
+    out, _ = built
+    idx = open_index(spark, out)
+    main_terms, rr_terms = ["def", "return"], ["alpha"]
+    base = idx.topk(main_terms, k=10)
+    assert idx.topk_reranked(main_terms, rr_terms, k=10,
+                             rerank_docs=50, weight=0.0) == base
+
+    got = idx.topk_reranked(main_terms, rr_terms, k=10,
+                            rerank_docs=50, weight=2.0)
+    main = dict(idx.topk(main_terms, k=10**6, kernel="exhaustive"))
+    rr = dict(idx.topk(rr_terms, k=10**6, kernel="exhaustive"))
+    ordered = sorted(main.items(), key=lambda kv: (-kv[1], kv[0]))
+    head = {d for d, _ in ordered[:50]}
+    combined = {d: s + (2.0 * rr.get(d, 0.0) if d in head else 0.0)
+                for d, s in main.items()}
+    expect = sorted(combined.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(d, round(s, 9)) for d, s in got] == \
+        [(d, round(s, 9)) for d, s in expect]
+
+    # a doc OUTSIDE the head keeps its original score even if it
+    # matches the rerank query: shrink the head to 1 and check that
+    # ranks 2+ carry unboosted scores
+    tiny = idx.topk_reranked(main_terms, main_terms, k=5,
+                             rerank_docs=1, weight=5.0)
+    boosted_head = [d for d, _ in tiny if d == ordered[0][0]]
+    assert boosted_head  # the single head doc got 6× its score → stays top
+    for d, s in tiny[1:]:
+        assert abs(s - main[d]) < 1e-12
+
+
+def test_parent_topk_block_join(spark, built):
+    """Block join to parent ({!parent} score modes): every mode equals
+    the brute-force per-repo aggregate of child scores."""
+    out, _ = built
+    idx = open_index(spark, out)
+    docs = spark.read.parquet(f"{out}/docs")
+    all_hits = dict(idx.topk(["def", "return"], k=10**6,
+                             kernel="exhaustive"))
+    repo_of = {r["doc_id"]: r["repo"] for r in
+               docs.select("doc_id", "repo").collect()}
+    by_parent: dict[str, list[float]] = {}
+    for d, s in all_hits.items():
+        by_parent.setdefault(repo_of[d], []).append(s)
+
+    import statistics
+
+    for mode, fn in [("max", max), ("total", sum), ("min", min),
+                     ("avg", statistics.fmean)]:
+        got = idx.parent_topk(["def", "return"], parent_col="repo",
+                              score_mode=mode, k=8).collect()
+        expect = sorted(((p, len(v), fn(v)) for p, v in by_parent.items()),
+                        key=lambda t: (-t[2], t[0]))[:8]
+        assert [(r["parent"], r["n_children"], round(r["score"], 9))
+                for r in got] == [(p, n, round(s, 9)) for p, n, s in expect]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        idx.parent_topk(["def"], score_mode="nope")
+
+
+def test_facet_interval(spark, built):
+    """Solr facet.interval: arbitrary, possibly overlapping [lo,hi)
+    intervals each count the match set once; zero-count intervals are
+    reported (intervals are explicit, not discovered)."""
+    out, _ = built
+    idx = open_index(spark, out)
+    matched = {d for d, _ in idx.topk(["def"], k=10**6,
+                                      kernel="exhaustive")}
+    meta = {r["doc_id"]: r["doc_id"] for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    cut = sorted(meta[d] for d in matched)[len(matched) // 2]
+    ivs = [(0, cut, "lo"), (cut, 1 << 62, "hi"), (0, 1 << 62, "all"),
+           (-9, -1, "none")]
+    got = idx.facet_interval(["def"], ivs, facet="doc_id").collect()
+    assert [r["label"] for r in got] == ["lo", "hi", "all", "none"]
+    counts = {r["label"]: r["n_docs"] for r in got}
+    assert counts["lo"] == sum(1 for d in matched if meta[d] < cut)
+    assert counts["hi"] == sum(1 for d in matched if meta[d] >= cut)
+    assert counts["all"] == len(matched)  # overlap allowed, full recount
+    assert counts["none"] == 0
+
+
+def test_facet_nested_subfacets(spark, built):
+    """JSON Facet API nested terms facet: top buckets by match count,
+    top-k_sub sub-values within each — equals the brute-force
+    recount; sub ranks never mix across buckets."""
+    out, _ = built
+    idx = open_index(spark, out)
+    matched = {d for d, _ in idx.topk(["def"], k=10**6,
+                                      kernel="exhaustive")}
+    meta = {r["doc_id"]: (r["lang"], r["repo"]) for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    from collections import Counter, defaultdict
+
+    bucket_n = Counter(meta[d][0] for d in matched)
+    sub_n = defaultdict(Counter)
+    for d in matched:
+        lang, repo = meta[d]
+        sub_n[lang][repo] += 1
+
+    got = idx.facet_nested(["def"], facet="lang", sub_facet="repo",
+                           k_buckets=2, k_sub=3).collect()
+    top_buckets = sorted(bucket_n, key=lambda v: (-bucket_n[v], v))[:2]
+    assert [r["value"] for r in got if r["sub_rank"] == 1] == top_buckets
+    for b in top_buckets:
+        rows = [r for r in got if r["value"] == b]
+        assert all(r["n_docs"] == bucket_n[b] for r in rows)
+        expect = sorted(sub_n[b].items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert [(r["sub_value"], r["sub_n"]) for r in rows] == expect
+        assert [r["sub_rank"] for r in rows] == list(range(1, len(expect) + 1))

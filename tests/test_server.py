@@ -391,3 +391,54 @@ def test_compact_endpoint(spark, tmp_path):
         assert schema["tombstones"] == 0
     finally:
         srv.stop()
+
+
+def test_rerank_param(served):
+    srv, idx = served
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/search"
+        f"?q=def+return&rq=alpha&rqDocs=20&rqWeight=1.5&k=5")
+    assert status == 200
+    expect = idx.topk_reranked(["def", "return"], ["alpha"], k=5,
+                               rerank_docs=20, weight=1.5)
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+
+
+def test_parent_endpoint(served):
+    srv, idx = served
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/parent"
+        f"?q=def+return&on=repo&score=total&k=5")
+    assert status == 200
+    expect = idx.parent_topk(["def", "return"], parent_col="repo",
+                             score_mode="total", k=5).collect()
+    assert [(p["parent"], p["n_children"], p["score"])
+            for p in body["parents"]] == \
+        [(r["parent"], r["n_children"], r["score"]) for r in expect]
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _get(f"http://{srv.host}:{srv.port}/parent?q=")
+
+
+def test_facet_interval_and_nested_endpoints(served):
+    srv, idx = served
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/facet_interval"
+        f"?q=def&col=doc_id&set=lo:0:2199023255552;hi:2199023255552:9e15")
+    assert status == 200
+    expect = idx.facet_interval(
+        ["def"], [(0, 2199023255552, "lo"), (2199023255552, 9e15, "hi")],
+        facet="doc_id").collect()
+    assert [(b["label"], b["n_docs"]) for b in body["intervals"]] == \
+        [(r["label"], r["n_docs"]) for r in expect]
+
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/facet_nested"
+        f"?q=def&facet=lang&sub=repo&k=3&ksub=2")
+    assert status == 200
+    expect = idx.facet_nested(["def"], facet="lang", sub_facet="repo",
+                              k_buckets=3, k_sub=2).collect()
+    assert [(b["value"], b["sub_value"], b["sub_n"])
+            for b in body["buckets"]] == \
+        [(r["value"], r["sub_value"], r["sub_n"]) for r in expect]
