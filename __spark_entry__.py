@@ -1019,6 +1019,44 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+def q_events_window_topn(spark, sf_dir):
+    """Per-window top-N (trending items): within each tumbling 1-hour
+    window, the top-3 event types by count (ties by type) — the batch
+    shape of a streaming trending-terms dashboard. The rank window
+    partitions by the hour (never global); candidates are the already-
+    aggregated (hour, type) rows, corpus-independent."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("hour", "rank", "event_type", "n")
+    )
+
+
+def q_json_extract_agg(spark, sf_dir):
+    """JSON scalar extraction (the engine-function surface the
+    reference's to_json/serialize path implies in reverse): pull the
+    numeric $.k out of the props JSON column and aggregate per event
+    type — get_json_object stays a codegen'd expression, no UDF."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             F.round(F.avg("k"), 5).alias("avg_k"))
+    )
+
+
 def q_events_hopping(spark, sf_dir):
     """Hopping (sliding) 1-hour windows every 15 min: each event lands
     in 4 overlapping windows — F.window(ts, '1 hour', '15 minutes'),
@@ -1684,6 +1722,18 @@ def q_span_dup_stats(spark, sf_dir):
                           min_docs=2)
 
 
+def q_trim_spans(spark, sf_dir):
+    """Trim cross-document duplicated spans from every doc (the
+    repeated-span removal curation op): flagged strided gram windows
+    merge into maximal islands (gaps-and-islands over one per-doc
+    window), text rebuilt from the complement segments —
+    ftidx.dedup.trim_duplicate_spans."""
+    from ftidx.dedup import trim_duplicate_spans
+
+    return trim_duplicate_spans(_docs(spark, sf_dir), gram=48, stride=16,
+                                min_docs=2)
+
+
 def q_facet_interval(spark, sf_dir):
     """Solr facet.interval: arbitrary, OVERLAPPING [lo,hi) intervals
     over n_chars for docs matching 'spark' — one pass, N conditional
@@ -1782,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_block_join": q_parent_block_join,
         "dup_spans": q_dup_spans,
         "span_dup_stats": q_span_dup_stats,
+        "trim_spans": q_trim_spans,
         "facet_interval": q_facet_interval,
         "facet_nested": q_facet_nested,
         "doc_lengths": q_doc_lengths,
@@ -1860,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": q_broadcast_dim_join,
         "window_topk_orders": q_window_topk_orders,
         "events_tumbling": q_events_tumbling,
+        "events_window_topn": q_events_window_topn,
+        "json_extract_agg": q_json_extract_agg,
         "sessionize": q_sessionize,
         "set_ops": q_set_ops,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -1993,6 +2046,82 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(d.n_dup, 0)::DOUBLE / t.n_grams, 5)
                      AS dup_frac
             FROM tot t LEFT JOIN dd d USING (doc_id)
+        """,
+        "trim_spans": """
+            WITH h AS (
+              SELECT doc_id, off, md5(substr(text, off::INT, 48)) AS gram_md5
+              FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 47, 16)) AS off
+                FROM documents WHERE length(text) >= 48
+              )
+            ),
+            dup AS (
+              SELECT gram_md5 FROM h GROUP BY gram_md5
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            win AS (
+              SELECT doc_id, off, off + 47 AS e
+              FROM h JOIN dup USING (gram_md5)
+            ),
+            marked AS (
+              SELECT doc_id, off, e,
+                     CASE WHEN off > coalesce(
+                            max(e) OVER (PARTITION BY doc_id ORDER BY off
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + 1
+                          THEN 1 ELSE 0 END AS new_isl
+              FROM win
+            ),
+            numbered AS (
+              SELECT doc_id, off, e,
+                     sum(new_isl) OVER (PARTITION BY doc_id ORDER BY off
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS isl
+              FROM marked
+            ),
+            islands AS (
+              SELECT doc_id, isl, min(off) AS s, max(e) AS e
+              FROM numbered GROUP BY doc_id, isl
+            ),
+            pre0 AS (
+              SELECT doc_id, s, e,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                              0) AS prev_e
+              FROM islands
+            ),
+            pre AS (
+              SELECT p.doc_id, p.s AS ord,
+                     substr(d.text, (p.prev_e + 1)::INT,
+                            greatest(p.s - p.prev_e - 1, 0)::INT) AS piece
+              FROM pre0 p JOIN documents d USING (doc_id)
+            ),
+            tl AS (
+              SELECT t.doc_id, length(d.text) + 1 AS ord,
+                     substr(d.text, (t.e_max + 1)::INT,
+                            greatest(length(d.text) - t.e_max, 0)::INT)
+                       AS piece
+              FROM (SELECT doc_id, max(e) AS e_max FROM islands
+                    GROUP BY doc_id) t
+              JOIN documents d USING (doc_id)
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS trimmed
+              FROM (SELECT * FROM pre UNION ALL SELECT * FROM tl)
+              GROUP BY doc_id
+            ),
+            removed AS (
+              SELECT doc_id, count(*) AS n_islands,
+                     sum(e - s + 1)::BIGINT AS n_removed
+              FROM islands GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.trimmed, d.text) AS text,
+                   coalesce(v.n_islands, 0) AS n_islands,
+                   coalesce(v.n_removed, 0) AS n_removed
+            FROM documents d
+            LEFT JOIN rebuilt r USING (doc_id)
+            LEFT JOIN removed v USING (doc_id)
         """,
         "facet_interval": f"""
             WITH {_TOK_CTE},
@@ -3228,6 +3357,31 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rk
               FROM orders
             ) WHERE rk <= 3
+        """,
+        "events_window_topn": """
+            WITH c AS (
+              SELECT strftime(date_trunc('hour', ts),
+                              '%Y-%m-%dT%H:%M:%SZ') AS hour,
+                     event_type, count(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT hour, rank, event_type, n FROM (
+              SELECT hour, event_type, n,
+                     row_number() OVER (PARTITION BY hour
+                                        ORDER BY n DESC, event_type) AS rank
+              FROM c
+            ) WHERE rank <= 3
+        """,
+        "json_extract_agg": """
+            WITH e AS (
+              SELECT event_type,
+                     json_extract(props, '$.k')::BIGINT AS k
+              FROM events
+            )
+            SELECT event_type, count(*) AS n, sum(k)::BIGINT AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k,
+                   round(avg(k), 5) AS avg_k
+            FROM e GROUP BY event_type
         """,
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%SZ') AS hour,

@@ -535,3 +535,106 @@ def span_dup_stats(docs: DataFrame, gram: int = 48, stride: int = 16,
             .alias("dup_frac"),
         )
     )
+
+
+def trim_duplicate_spans(docs: DataFrame, gram: int = 48, stride: int = 16,
+                         min_docs: int = 2, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Rebuild each doc's text with cross-document duplicated spans
+    REMOVED — the trim (not drop) policy for span-plagiarized docs:
+    boilerplate license headers / vendored snippets disappear, the
+    doc's unique content survives.
+
+    Flagged gram windows ``[off, off+gram)`` merge into maximal
+    islands first (classic gaps-and-islands: a window opens a new
+    island iff it starts past the running max end of everything
+    before it — one per-doc window over ≤ len/stride rows), then the
+    text is rebuilt from the complement segments via dynamic
+    substrings, ordered reassembly by ``array_sort(collect_list)``.
+    Everything is built-in expressions over per-doc windows — no UDF,
+    no self-join; the only shuffles are the dup-hash groupBy (uniform
+    128-bit key) and the per-doc window/agg (uniform id key).
+
+    Output: (doc_id, text, n_islands, n_removed) for EVERY input doc —
+    unflagged docs pass through verbatim with zeros."""
+    g = char_grams(docs, gram, stride, text_col, id_col)
+    dup = (
+        g.groupBy("gram_md5")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs).select("gram_md5")
+    )
+    win = (
+        g.join(dup, "gram_md5", "left_semi")
+        .select("doc_id", "off", (F.col("off") + F.lit(gram - 1)).alias("end"))
+    )
+    by_off = Window.partitionBy("doc_id").orderBy("off")
+    prev_max = F.max("end").over(
+        by_off.rowsBetween(Window.unboundedPreceding, -1))
+    marked = win.withColumn(
+        "new_isl",
+        F.when(F.col("off") > F.coalesce(prev_max, F.lit(0)) + 1, 1)
+        .otherwise(0),
+    )
+    islands = (
+        marked.withColumn(
+            "isl",
+            F.sum("new_isl").over(
+                by_off.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(F.min("off").alias("s"), F.max("end").alias("e"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("_text"))
+    by_s = Window.partitionBy("doc_id").orderBy("s")
+    pre = (
+        islands.withColumn("prev_e", F.coalesce(F.lag("e").over(by_s),
+                                                F.lit(0)))
+        .join(base, "doc_id")
+        .select(
+            "doc_id", F.col("s").alias("ord"),
+            F.col("_text").substr(
+                F.col("prev_e") + F.lit(1),
+                F.greatest(F.col("s") - F.col("prev_e") - F.lit(1),
+                           F.lit(0)),
+            ).alias("piece"),
+        )
+    )
+    tail = (
+        islands.groupBy("doc_id").agg(F.max("e").alias("e_max"))
+        .join(base, "doc_id")
+        .select(
+            "doc_id", (F.length("_text") + F.lit(1)).alias("ord"),
+            F.col("_text").substr(
+                F.col("e_max") + F.lit(1),
+                F.greatest(F.length("_text") - F.col("e_max"), F.lit(0)),
+            ).alias("piece"),
+        )
+    )
+    rebuilt = (
+        pre.unionByName(tail)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "piece"))),
+                    lambda x: x["piece"],
+                ),
+            ).alias("_trimmed")
+        )
+    )
+    removed = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_trimmed"), F.col("_text")).alias(text_col),
+            F.coalesce(F.col("n_islands"), F.lit(0)).alias("n_islands"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -1327,6 +1327,11 @@ class FtIndex:
         set ordered by a docs-table column (score DESC then id ASC as
         tiebreakers — fully deterministic), one page returned.
 
+        ``sort_col`` accepts any SQL expression over docs-table columns
+        (Solr sort-by-function: ``"length(path)"``, ``"n_chars % 100"``)
+        — the expression stays a codegen'd projection, column pruning
+        follows its references.
+
         Returns (doc_id, sort value, score). Deep paging note: this is
         offset paging; at 10^12 docs a crawler should cursor by the
         last (sort_value, doc_id) tuple instead (add a
@@ -1335,7 +1340,7 @@ class FtIndex:
         rows to the driver via the global TakeOrdered."""
         scored = self._scored_df(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs")).select(
-            "doc_id", F.col(sort_col).alias("sort_value"))
+            "doc_id", F.expr(sort_col).alias("sort_value"))
         key = F.asc("sort_value") if ascending else F.desc("sort_value")
         return (
             scored.join(docs, "doc_id")
@@ -1368,7 +1373,7 @@ class FtIndex:
         driver; the HTTP tier ships it as ``float.hex``)."""
         scored = self._scored_df(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs")).select(
-            "doc_id", F.col(sort_col).alias("sort_value"))
+            "doc_id", F.expr(sort_col).alias("sort_value"))
         j = scored.join(docs, "doc_id")
         if after is not None:
             sv, sc, did = after
@@ -1388,21 +1393,33 @@ class FtIndex:
         )
 
     def match_stats(self, terms: list[str], stat_col: str = "lang",
-                    field: str = "code.content") -> DataFrame:
+                    field: str = "code.content",
+                    cardinality: bool = False, rsd: float = 0.01) -> DataFrame:
         """Solr stats-component analog: aggregate a docs-table column
         over the query's matching docs (count distinct values, min/max
         for orderable columns). Same distributed shape as
         :meth:`facet_counts` — executor-side id decode, id-keyed join
         (tombstones now excluded, consistent with every other
-        match-set surface)."""
+        match-set surface).
+
+        ``cardinality=True`` adds Solr's ``cardinality=`` (HLL) column:
+        ``approx_count_distinct`` at relative error ``rsd``. Exact
+        count-distinct shuffles every distinct value; the HLL sketch is
+        a few KB per partition and map-side combinable — at 10^12 docs
+        with a high-cardinality column (e.g. ``commit``) the sketch is
+        the only viable path, which is exactly why Solr ships it."""
         matched = self._matched_ids(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
-        return docs.join(matched, "doc_id").agg(
+        aggs = [
             F.count(F.lit(1)).alias("n_matched"),
             F.count_distinct(stat_col).alias("n_values"),
             F.min(stat_col).alias("min_value"),
             F.max(stat_col).alias("max_value"),
-        )
+        ]
+        if cardinality:
+            aggs.append(F.approx_count_distinct(stat_col, rsd=rsd)
+                        .alias("cardinality"))
+        return docs.join(matched, "doc_id").agg(*aggs)
 
     def fuzzy_terms(self, term: str, field: str = "code.content",
                     max_dist: int = 1, limit: int = 10) -> list[tuple[str, int, int]]:
@@ -1927,6 +1944,28 @@ class FtIndex:
             q = q.filter(F.col("bucket") == b)
         row = q.first()
         return row.asDict() if row is not None else None
+
+    def fetch_docs(self, doc_ids: list[int],
+                   columns: list[str] | None = None) -> dict[int, dict]:
+        """Stored-field retrieval for a result page (Solr ``fl=``): the
+        metadata rows for a small id set in ONE column-pruned,
+        bucket-pruned scan — the per-hit enrichment step after top-k,
+        so it is sized by k, never by the corpus. Tombstoned ids are
+        omitted (consistent with :meth:`get_doc`)."""
+        ids = [d for d in dict.fromkeys(doc_ids) if d not in self._tombstones]
+        if not ids:
+            return {}
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        buckets = sorted({b for b in (self._bucket_of(d) for d in ids)
+                          if b is not None})
+        if buckets:
+            docs = docs.filter(F.col("bucket").isin(buckets))
+        docs = docs.filter(F.col("doc_id").isin(ids))
+        if columns:
+            docs = docs.select("doc_id",
+                               *[c for c in columns if c != "doc_id"])
+        rows = docs.collect()
+        return {int(r["doc_id"]): r.asDict() for r in rows}
 
     def topk_distributed(self, terms: list[str], k: int = 10,
                          field: str = "code.content", mode: str = "or",

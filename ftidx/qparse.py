@@ -15,6 +15,11 @@ the first things a Solr user reaches for):
 - ``"a b c"`` — exact phrase (positional verification, required)
 - ``"a b"~N`` — unordered proximity within N token positions
 - ``term^2.5`` — boost: scales the clause's BM25 contribution
+- ``term~`` / ``term~1`` — fuzzy: expands to vocabulary terms within
+  N edits (default 2, Lucene's default) and scores as their
+  disjunction, each variant with its own idf (Lucene MultiTermQuery
+  boolean rewrite); for +/-, the clause's presence is the UNION of
+  the variants (a required fuzzy term needs any one variant)
 - ``field:"a b"~N`` — all of the above compose
 
 Semantics (documented deviations from full Lucene, chosen to keep
@@ -45,7 +50,7 @@ _CLAUSE_RE = re.compile(
     r'([+-]?)'                                  # occur
     r'(?:([A-Za-z0-9_.]+):)?'                   # field override
     r'(?:"([^"]*)"(?:~(\d+))?'                  # phrase, optional slop
-    r'|([^\s"^]+))'                             # or bare term
+    r'|([^\s"^~]+)(?:~(\d*))?)'                 # or bare term, opt. fuzzy
     r'(?:\^(\d+(?:\.\d+)?))?'                   # boost
 )
 
@@ -58,6 +63,7 @@ class Clause:
     is_phrase: bool = False
     slop: int = 0                   # 0 = exact adjacency
     boost: float = 1.0
+    fuzzy: int | None = None        # edit distance; None = not fuzzy
 
 
 def parse_query(q: str) -> list[Clause]:
@@ -66,7 +72,7 @@ def parse_query(q: str) -> list[Clause]:
     the lenient behavior a search box needs."""
     clauses: list[Clause] = []
     for m in _CLAUSE_RE.finditer(q):
-        occur, fld, phrase, slop, term, boost = m.groups()
+        occur, fld, phrase, slop, term, fz, boost = m.groups()
         if phrase is not None:
             terms = [t for t in re.split(r"\s+", phrase.lower()) if t]
             if not terms:
@@ -75,8 +81,9 @@ def parse_query(q: str) -> list[Clause]:
                                   slop=int(slop or 0),
                                   boost=float(boost or 1.0)))
         elif term:
+            fuzzy = None if fz is None else int(fz or 2)  # bare ~ → 2
             clauses.append(Clause(occur, fld, [term.lower()],
-                                  boost=float(boost or 1.0)))
+                                  boost=float(boost or 1.0), fuzzy=fuzzy))
     return clauses
 
 
@@ -107,8 +114,28 @@ def execute(idx, q: str, k: int = 10,
         if not c.is_phrase and len(c.terms) == 1:
             c.is_phrase = False
 
-    term_clauses = [c for c in clauses if not c.is_phrase]
+    term_clauses = [c for c in clauses
+                    if not c.is_phrase and c.fuzzy is None]
     phrase_clauses = [c for c in clauses if c.is_phrase]
+
+    # --- fuzzy expansion (term~N) ----------------------------------------
+    # each fuzzy clause expands to its vocabulary variants (one cheap
+    # column-pruned vocab scan per UNKNOWN term — fuzzy_terms); variants
+    # score as a disjunction with their own idfs, while +/- presence is
+    # the UNION of the variants (any one satisfies / prohibits)
+    fuzzy_specs: list[tuple[str, str, list[str], float]] = []
+    for c in clauses:
+        if c.is_phrase or c.fuzzy is None:
+            continue
+        fld = c.field or default_field
+        variants = [t for t, _, _ in
+                    idx.fuzzy_terms(c.terms[0], field=fld,
+                                    max_dist=c.fuzzy)]
+        if not variants:
+            if c.occur == "+":
+                return []  # required fuzzy term with no variant anywhere
+            continue
+        fuzzy_specs.append((c.occur, fld, variants, c.boost))
 
     # --- phrase verification (positional) -------------------------------
     must_sets: list[set[int]] = []      # each must contain the doc
@@ -133,15 +160,28 @@ def execute(idx, q: str, k: int = 10,
         if c.occur != "-":
             phrase_score_terms.setdefault(
                 c.field or default_field, []).extend(c.terms)
+    # fuzzy variants score like should-terms (skip prohibited groups)
+    fuzzy_score: dict[str, dict[str, float]] = {}
+    for occur, fld, variants, boost in fuzzy_specs:
+        if occur != "-":
+            d = fuzzy_score.setdefault(fld, {})
+            for t in variants:
+                d[t] = d.get(t, 0.0) + boost
 
     per_term: list[tuple[np.ndarray, np.ndarray]] = []
     presence: list[tuple[str, np.ndarray]] = []   # (occur, ids) per term clause
-    for fld in sorted(set(pos_terms) | set(phrase_score_terms)):
+    decoded: dict[tuple[str, str], np.ndarray] = {}
+    for fld in sorted(set(pos_terms) | set(phrase_score_terms)
+                      | set(fuzzy_score)
+                      | {f for _, f, _, _ in fuzzy_specs}):
         wanted = sorted({t for c in pos_terms.get(fld, []) for t in c.terms}
-                        | set(phrase_score_terms.get(fld, [])))
+                        | set(phrase_score_terms.get(fld, []))
+                        | set(fuzzy_score.get(fld, {}))
+                        | {t for occ, f2, vs, _ in fuzzy_specs
+                           if f2 == fld for t in vs})
         lists, avgdl = idx._term_lists(wanted, fld)
         by_name = {tl.term: tl for tl in lists}
-        boosts: dict[str, float] = {}
+        boosts: dict[str, float] = dict(fuzzy_score.get(fld, {}))
         for c in pos_terms.get(fld, []):
             boosts[c.terms[0]] = boosts.get(c.terms[0], 0.0) + c.boost
         for t in phrase_score_terms.get(fld, []):
@@ -151,11 +191,28 @@ def execute(idx, q: str, k: int = 10,
             if tl is None:
                 continue
             ids, tfs, dls = tl.decode_all()
+            decoded[(fld, t)] = ids
             per_term.append((ids, w * bm25_contrib(tfs, dls, tl.idf, avgdl)))
+        # prohibited fuzzy groups need ids but never scores
+        for occ, f2, vs, _ in fuzzy_specs:
+            if f2 == fld and occ == "-":
+                for t in vs:
+                    if (fld, t) not in decoded:
+                        tl = by_name.get(t)
+                        if tl is not None:
+                            decoded[(fld, t)] = tl.decode_all()[0]
         for c in pos_terms.get(fld, []):
             tl = by_name.get(c.terms[0])
             ids = tl.decode_all()[0] if tl is not None else np.empty(0, np.uint64)
             presence.append((c.occur, ids))
+
+    # fuzzy presence: the union of the group's variant ids as ONE clause
+    for occur, fld, variants, _ in fuzzy_specs:
+        arrs = [decoded[(fld, t)] for t in variants
+                if (fld, t) in decoded and decoded[(fld, t)].size]
+        ids = (np.unique(np.concatenate(arrs)) if arrs
+               else np.empty(0, np.uint64))
+        presence.append((occur, ids))
 
     # prohibited term clauses (never scored)
     for c in term_clauses:

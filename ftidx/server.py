@@ -555,8 +555,18 @@ def _make_handler(idx, lock: threading.Lock):
                             hits = idx.topk(terms, k=k, field=field,
                                             mode=mode, exclude=exclude or None,
                                             min_match=int(mm) if mm else None)
+                        # fl= stored-field enrichment: one column-pruned
+                        # scan sized by the hit page, never the corpus
+                        fl = qs.get("fl", [""])[0]
+                        stored = {}
+                        if fl and hits:
+                            cols = [c for c in fl.split(",") if c.strip()]
+                            stored = idx.fetch_docs(
+                                [d for d, _ in hits], columns=cols)
                     self._json(200, {"hits": [
-                        {"doc_id": d, "score": s} for d, s in hits
+                        {"doc_id": d, "score": s,
+                         **{c: v for c, v in stored.get(d, {}).items()
+                            if c != "doc_id"}} for d, s in hits
                     ]})
                 else:
                     self._json(404, {"error": "unknown path"})

@@ -124,3 +124,31 @@ class FtShards:
             tombs = sh._tombstones
             total += int(sum(1 for d in uniq if int(d) not in tombs))
         return total
+
+    def facet_counts(self, terms: list[str], facet: str = "lang",
+                     k_facets: int = 20,
+                     field: str = "code.content") -> list[tuple[str, int]]:
+        """Distributed faceting (SolrCloud facet merge): each shard
+        aggregates its OWN match set into a complete constraint list,
+        the coordinator sums counts per value and applies the global
+        (count DESC, value ASC) order and cut.
+
+        Complete per-shard lists make the merge EXACT — Solr's facet
+        refinement protocol exists only for the truncated-list regime
+        (facet.limit pushed down, a value top-k on one shard but not
+        another under-counts). Facet cardinality is bounded by the
+        vocabulary of the facet column, not the corpus, so shipping
+        full lists is the right trade until cardinality itself is huge
+        — at that point push ``k_facets`` down per shard and accept
+        Solr's same approximation (documented, not silent)."""
+        from collections import Counter
+
+        agg: Counter = Counter()
+        for sh in self.shards:
+            rows = sh.facet_counts(terms, facet=facet,
+                                   k_facets=(1 << 31) - 1,
+                                   field=field).collect()
+            for r in rows:
+                agg[r["value"]] += int(r["n_docs"])
+        ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k_facets]

@@ -998,3 +998,76 @@ def test_char_grams_offsets_exact(spark):
         sub = text[off - 1: off - 1 + 48]
         expect.append((off, hashlib.md5(sub.encode()).hexdigest()))
     assert got == sorted(expect)
+
+
+def test_trim_duplicate_spans(spark):
+    """Trim policy: the shared span disappears from both docs, unique
+    content survives byte-for-byte, unflagged docs pass through
+    verbatim; a fully-boilerplate doc trims to empty."""
+    from ftidx.dedup import trim_duplicate_spans
+
+    span = "shared boilerplate license header text block! " * 4  # 188 chars
+    uniq1 = "".join(chr(97 + (i * 11) % 26) for i in range(160))
+    uniq2 = "".join(chr(97 + (i * 7) % 26) for i in range(160))
+    rows = [
+        (1, uniq1 + span + uniq1[::-1]),
+        (2, span + uniq2),
+        (3, "completely unique content " + uniq2[::-1]),
+        (4, span),  # nothing but the duplicated span
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           trim_duplicate_spans(docs, gram=48, stride=16).collect()}
+
+    assert out[3]["text"] == rows[2][1] and out[3]["n_islands"] == 0 \
+        and out[3]["n_removed"] == 0
+    # the shared span's core is gone from both carriers
+    core = span[16:-63]  # interior definitely covered by aligned windows
+    assert core not in out[1]["text"] and core not in out[2]["text"]
+    # unique prefix of doc 1 survives (windows are span-aligned only
+    # up to stride slack — allow the boundary chars to be trimmed)
+    assert uniq1[:100] in out[1]["text"]
+    assert uniq2[80:] in out[2]["text"]
+    for d in (1, 2, 4):
+        assert out[d]["n_islands"] >= 1
+        assert out[d]["n_removed"] >= 48
+        assert len(out[d]["text"]) == len(rows[d - 1][1]) - out[d]["n_removed"]
+    # kept text is a subsequence of the original in original order:
+    # rebuilt from disjoint complement segments
+    orig = rows[0][1]
+    it = iter(range(len(orig)))
+    pos = -1
+    for ch in out[1]["text"]:
+        pos = orig.find(ch, pos + 1)
+        assert pos >= 0
+
+
+def test_span_dedup_plan_shape(spark, tmp_path):
+    """The span-dedup family must stay whole-stage-codegen: no Python
+    UDF evaluation anywhere in the plan (substring windows, md5, the
+    islands windows, and reassembly are all built-in expressions), and
+    the gram source must prune the parquet scan to (doc_id, text)."""
+    from ftidx.dedup import duplicate_spans, trim_duplicate_spans
+
+    spark.createDataFrame(
+        [(1, "x" * 100, "noise"), (2, "y" * 100, "noise")],
+        "doc_id long, text string, extra string",
+    ).write.parquet(str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    for op in (duplicate_spans, trim_duplicate_spans):
+        plan = fmt(op(docs, gram=48, stride=16))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "mapInPandas" not in plan.lower()
+        assert "md5" in plan.lower()
+        # column pruning: the unused 'extra' column never reaches any
+        # parquet ReadSchema — on a real table this is the difference
+        # between scanning 2 columns and scanning the whole row
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                assert "extra" not in line, line

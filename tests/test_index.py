@@ -1127,3 +1127,49 @@ def test_facet_nested_subfacets(spark, built):
         expect = sorted(sub_n[b].items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert [(r["sub_value"], r["sub_n"]) for r in rows] == expect
         assert [r["sub_rank"] for r in rows] == list(range(1, len(expect) + 1))
+
+
+def test_sort_by_function(spark, built):
+    """Solr sort-by-function: sort_col accepts SQL expressions over
+    docs-table columns, equal to the hand-computed ordering."""
+    out, _ = built
+    idx = open_index(spark, out)
+    got = idx.search_sorted(["def"], "length(path)", ascending=False,
+                            start=0, rows=6).collect()
+    all_hits = dict(idx.topk(["def"], k=10**6, kernel="exhaustive"))
+    meta = {r["doc_id"]: len(r["path"]) for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    expect = sorted(((-meta[d], -s, d) for d, s in all_hits.items()))[:6]
+    assert [(r["doc_id"], r["sort_value"]) for r in got] == \
+        [(d, -m) for m, _, d in expect]
+
+
+def test_fetch_docs_fl(spark, built):
+    """Stored-field retrieval for a hit page (Solr fl=): one
+    column-pruned scan sized by the id set; tombstones omitted;
+    unknown ids silently absent."""
+    out, _ = built
+    idx = open_index(spark, out)
+    hits = idx.topk(["def"], k=4)
+    ids = [d for d, _ in hits]
+    got = idx.fetch_docs(ids, columns=["repo", "path"])
+    assert set(got) == set(ids)
+    meta = {r["doc_id"]: (r["repo"], r["path"]) for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    for d in ids:
+        assert set(got[d]) == {"doc_id", "repo", "path"}
+        assert (got[d]["repo"], got[d]["path"]) == meta[d]
+    assert idx.fetch_docs([]) == {}
+    assert idx.fetch_docs([-12345]) == {}
+
+
+def test_match_stats_cardinality(spark, built):
+    """Solr stats cardinality= (HLL): the sketch estimate lands within
+    rsd-consistent distance of the exact distinct count."""
+    out, _ = built
+    idx = open_index(spark, out)
+    row = idx.match_stats(["def"], stat_col="path",
+                          cardinality=True).first()
+    exact = row["n_values"]
+    assert exact > 0
+    assert abs(row["cardinality"] - exact) <= max(3, 0.05 * exact)

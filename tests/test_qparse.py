@@ -141,3 +141,40 @@ def test_qs_min_match(qidx):
     opt_docs = {d for d, _ in qidx.topk(["alpha", "sigma"], k=10**6,
                                         kernel="exhaustive")}
     assert got and all(d in def_docs and d in opt_docs for d, _ in got)
+
+
+def test_qs_fuzzy(qidx):
+    """Lucene term~N: the clause scores as the disjunction of its
+    vocabulary variants (own idf each — equal to querying the variants
+    directly); +/- presence is the union of the variants; a required
+    fuzzy term with no variant matches nothing."""
+    from ftidx.qparse import parse_query
+
+    # grammar: bare ~ defaults to 2, ~1 parses, boost composes
+    c = parse_query("roam~ spell~1^2.5")[0:2]
+    assert c[0].fuzzy == 2 and c[1].fuzzy == 1 and c[1].boost == 2.5
+
+    variants = [t for t, _, _ in qidx.fuzzy_terms("deff", max_dist=1)]
+    assert "def" in variants
+    got = qidx.query_string("deff~1", k=15)
+    expect = qidx.query_string(" ".join(variants), k=15)
+    assert got == expect and got
+
+    # required fuzzy: docs must contain >= 1 variant
+    req = qidx.query_string("+deff~1 return", k=10**6)
+    var_docs = set()
+    for v in variants:
+        var_docs |= {d for d, _ in qidx.topk([v], k=10**6)}
+    assert req and all(d in var_docs for d, _ in req)
+
+    # prohibited fuzzy: union of variants excluded, none of them scored
+    neg = qidx.query_string("return -deff~1", k=10**6)
+    assert neg and all(d not in var_docs for d, _ in neg)
+    assert neg == [h for h in qidx.topk(["return"], k=10**6)
+                   if h[0] not in var_docs][:10**6]
+
+    # required fuzzy with no vocabulary variant anywhere → empty
+    assert qidx.query_string("+zzzzqqqq~1 return", k=5) == []
+    # optional no-variant fuzzy degrades to the rest of the query
+    assert qidx.query_string("zzzzqqqq~1 return", k=5) == \
+        qidx.topk(["return"], k=5)

@@ -442,3 +442,18 @@ def test_facet_interval_and_nested_endpoints(served):
     assert [(b["value"], b["sub_value"], b["sub_n"])
             for b in body["buckets"]] == \
         [(r["value"], r["sub_value"], r["sub_n"]) for r in expect]
+
+
+def test_fl_stored_fields(served):
+    srv, idx = served
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/search?q=def&k=3&fl=repo,lang")
+    assert status == 200
+    hits = idx.topk(["def"], k=3)
+    stored = idx.fetch_docs([d for d, _ in hits], columns=["repo", "lang"])
+    assert [(h["doc_id"], h["score"], h["repo"], h["lang"])
+            for h in body["hits"]] == \
+        [(d, s, stored[d]["repo"], stored[d]["lang"]) for d, s in hits]
+    # without fl= the hits stay lean
+    _, lean = _get(f"http://{srv.host}:{srv.port}/search?q=def&k=3")
+    assert set(lean["hits"][0]) == {"doc_id", "score"}

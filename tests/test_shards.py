@@ -95,3 +95,15 @@ def test_guards(setup):
     assert shards.topk([], k=5) == []
     assert shards.topk(TERMS, k=0) == []
     assert shards.topk(["zzz_nothing"], k=5) == []
+
+
+def test_sharded_facets_equal_monolithic(setup):
+    """Distributed facet merge: summed per-shard constraint lists equal
+    the monolithic index's facet counts exactly (complete lists — the
+    refinement-free regime)."""
+    mono, shards = setup
+    got = shards.facet_counts(["def"], facet="lang", k_facets=50)
+    expect = [(r["value"], r["n_docs"]) for r in
+              mono.facet_counts(["def"], facet="lang",
+                                k_facets=50).collect()]
+    assert got == expect and got
