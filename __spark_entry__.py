@@ -1417,6 +1417,19 @@ def q_domain_mix(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-rebalanced domain mix (textops.mix_domains_temperature,
+    tau=0.5 — the XLM-R/mT5 multilingual sampling rule): permille
+    shares derived as floor(sqrt(n_lang)·10^6) integer weights with
+    largest-remainder rounding (engine-exact), applied via the md5
+    threshold rule over ~400 docs."""
+    from ftidx.textops import mix_domains_temperature
+
+    docs = _docs(spark, sf_dir)
+    return mix_domains_temperature(docs, total_docs=400, tau=0.5) \
+        .select("doc_id", "lang")
+
+
 def q_bm25_min_match(spark, sf_dir):
     # minimum-should-match (Solr/edismax mm=2): docs matching at least
     # 2 of the 3 query terms, ranked by the BM25 sum over matched
@@ -1917,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "domain_mix": q_domain_mix,
+        "temperature_mix": q_temperature_mix,
         "line_dedup": q_line_dedup,
         "epoch_mix": q_epoch_mix,
         "bm25_min_match": q_bm25_min_match,
@@ -3524,6 +3538,51 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY dist2, vec_id) AS rank
               FROM adc
             ) WHERE rank <= 20
+        """,
+        "temperature_mix": """
+            WITH n AS (
+              SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+            ),
+            w AS (
+              SELECT lang, n,
+                     floor(sqrt(n::DOUBLE) * 1000000)::BIGINT AS wt
+              FROM n
+            ),
+            t AS (SELECT lang, n, wt, sum(wt) OVER () AS tot FROM w),
+            p AS (
+              SELECT lang, n, (1000 * wt) // tot AS fl,
+                     (1000 * wt) % tot AS rem
+              FROM t
+            ),
+            d AS (
+              SELECT lang, n, fl, rem,
+                     1000 - sum(fl) OVER () AS deficit,
+                     row_number() OVER (ORDER BY rem DESC, lang) AS rk
+              FROM p
+            ),
+            shares AS (
+              SELECT lang, n,
+                     fl + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS share
+              FROM d
+            ),
+            thr AS (
+              SELECT lang,
+                     least(16777216::BIGINT,
+                           16777216::BIGINT * share * 400 // (1000 * n)) AS t
+              FROM shares
+            ),
+            b AS (
+              SELECT doc_id, lang,
+                     (((((instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 2, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 3, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 4, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 5, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 6, 1)) - 1) AS bin
+              FROM documents
+            )
+            SELECT b.doc_id, b.lang FROM b JOIN thr USING (lang)
+            WHERE b.bin < thr.t
         """,
         "domain_mix": """
             WITH n AS (

@@ -1955,9 +1955,20 @@ class FtIndex:
         ids = [d for d in dict.fromkeys(doc_ids) if d not in self._tombstones]
         if not ids:
             return {}
+        # resolve every id's bucket in ONE doclen scan (isin pushdown) —
+        # not one _bucket_of job per id — then prune the docs scan to
+        # those partitions; ids absent from doclen have no docs row, so
+        # the partition pruning cannot drop them
+        dl_dir = self.path / "doclen"
+        buckets: list[int] = []
+        if dl_dir.exists() and any(dl_dir.iterdir()):
+            buckets = sorted({
+                int(r["bucket"]) for r in
+                self.spark.read.parquet(str(dl_dir))
+                .filter(F.col("doc_id").isin(ids))
+                .select("bucket").distinct().collect()
+            })
         docs = self.spark.read.parquet(str(self.path / "docs"))
-        buckets = sorted({b for b in (self._bucket_of(d) for d in ids)
-                          if b is not None})
         if buckets:
             docs = docs.filter(F.col("bucket").isin(buckets))
         docs = docs.filter(F.col("doc_id").isin(ids))

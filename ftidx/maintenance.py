@@ -19,6 +19,7 @@ Iceberg MERGE would drive.
 
 from __future__ import annotations
 
+import json
 import shutil
 from pathlib import Path
 
@@ -579,3 +580,89 @@ def update_fields(spark: SparkSession, index_path: str,
         n += 1
     shutil.rmtree(tmp, ignore_errors=True)
     return {"updated": len(upd_rows), "buckets": buckets}
+
+
+def snapshot(index_path: str, backup_dir: str) -> dict:
+    """Index backup (Solr ReplicationHandler ``command=backup``): copy
+    a CONSISTENT point-in-time image of the index into ``backup_dir``.
+
+    Consistency comes from the engine's immutability discipline, not
+    from locking: a built index dir is only ever changed by (a)
+    dynamic-partition-overwrite rewrites (compaction/upsert) and (b)
+    delta/tombstone appends. The manifest is copied FIRST and verified
+    unchanged LAST — if a rewrite landed mid-copy the build_id moves
+    and the snapshot refuses (retry semantics), so a backup is always
+    a whole generation, never a mix. Refuses a half-built source
+    (``status != done``). Returns {files, bytes, build_id}.
+
+    At 10^12 files this exact routine runs as a distcp/object-store
+    copy job with the same manifest-first/verify-last book-ends; the
+    invariant this encodes (snapshot = one immutable generation) is
+    what makes restore trivially correct."""
+    import shutil
+
+    src = Path(index_path)
+    man_path = src / "_manifest.json"
+    if not man_path.exists():
+        raise FileNotFoundError(f"{src}: no _manifest.json")
+    manifest = json.loads(man_path.read_text())
+    if manifest.get("status") != "done":
+        raise ValueError(
+            f"refusing to snapshot {src}: build status is "
+            f"{manifest.get('status')!r}, not 'done'")
+    dst = Path(backup_dir)
+    if dst.exists() and any(dst.iterdir()):
+        raise ValueError(f"backup dir {dst} exists and is not empty")
+    dst.mkdir(parents=True, exist_ok=True)
+    n_files = 0
+    n_bytes = 0
+    (dst / "_manifest.json").write_text(json.dumps(manifest))
+    for p in sorted(src.rglob("*")):
+        rel = p.relative_to(src)
+        if str(rel) == "_manifest.json":
+            continue
+        q = dst / rel
+        if p.is_dir():
+            q.mkdir(parents=True, exist_ok=True)
+            continue
+        q.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(p, q)
+        n_files += 1
+        n_bytes += p.stat().st_size
+    after = json.loads(man_path.read_text())
+    if after != manifest:
+        shutil.rmtree(dst)
+        raise RuntimeError(
+            f"index {src} changed during snapshot (build_id "
+            f"{manifest.get('build_id')} -> {after.get('build_id')}); "
+            "retry in a quiet window or snapshot a published alias "
+            "generation")
+    return {"files": n_files, "bytes": n_bytes,
+            "build_id": manifest.get("build_id")}
+
+
+def restore(backup_dir: str, index_path: str, *,
+            alias_path: str | None = None) -> str:
+    """Restore a snapshot (Solr ``command=restore``): materialize the
+    backup as a NEW index directory and, if ``alias_path`` is given,
+    atomically retarget the alias at it (ftidx.alias.publish) — the
+    restore never mutates a directory a reader might hold open; the
+    old generation stays intact for handles bound to it. Returns the
+    restored index path."""
+    import shutil
+
+    src = Path(backup_dir)
+    if not (src / "_manifest.json").exists():
+        raise FileNotFoundError(f"{src}: not a snapshot (no manifest)")
+    dst = Path(index_path)
+    if dst.exists():
+        raise ValueError(
+            f"restore target {dst} exists — restore creates a fresh "
+            "generation; publish it over an alias instead of "
+            "overwriting a served dir")
+    shutil.copytree(src, dst)
+    if alias_path is not None:
+        from ftidx.alias import publish
+
+        publish(alias_path, dst)
+    return str(dst)

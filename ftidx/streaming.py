@@ -390,3 +390,71 @@ def run_dedup_stream(spark: SparkSession, src_dir: str, checkpoint: str,
     wait_for_stream(q)
     q.awaitTermination(60)
     return rows
+
+
+def trending_terms(spark: SparkSession, src_dir: str,
+                   ts_col: str = "ts", text_col: str = "content",
+                   window_len: str = "1 minute",
+                   watermark: str = "2 minutes") -> DataFrame:
+    """Per-window term counts over an arriving document stream — the
+    streaming half of the trending-terms surface (batch twin:
+    ``events_window_topn``). Tokenization is the same codegen'd
+    lower/split/explode the indexer uses; counts are a watermarked
+    event-time windowed agg in APPEND mode, so each (window, term) row
+    emits exactly once when the watermark passes the window and closed
+    windows drop their state — a backfill holds O(open windows ×
+    live vocabulary) state, never O(history).
+
+    The top-N cut happens downstream in :func:`run_trending_terms`:
+    streaming aggregation cannot rank inside the same query (a rank
+    over an unbounded stream is not incremental), but finalized rows
+    per micro-batch are few, so the batch-side window is corpus-free."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    toks = (
+        stream.select(
+            ts_col,
+            F.explode(F.split(F.lower(F.col(text_col)),
+                              "[^a-z0-9_]+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        toks.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_len).alias("win"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"), "term", "n")
+    )
+
+
+def run_trending_terms(spark: SparkSession, src_dir: str,
+                       checkpoint: str, top_n: int = 3,
+                       **kwargs) -> list:
+    """One availableNow drain of :func:`trending_terms`, returning the
+    top-``top_n`` terms per window FINALIZED by this run, ranked
+    (count DESC, term ASC). The rank runs inside foreachBatch over the
+    newly-finalized rows only (append mode), checkpointed like
+    :func:`run_windowed_counts` so successive calls form one logical
+    stream."""
+    from pyspark.sql import Window as W
+
+    rows: list = []
+
+    def rank_batch(df, _eid):
+        w = W.partitionBy("win_start").orderBy(F.desc("n"), F.asc("term"))
+        rows.extend(
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .orderBy("win_start", "rank").collect())
+
+    q = (
+        trending_terms(spark, src_dir, **kwargs)
+        .writeStream.outputMode("append")
+        .foreachBatch(rank_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    wait_for_stream(q)
+    q.awaitTermination(60)
+    return rows

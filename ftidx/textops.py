@@ -796,3 +796,53 @@ def shuffle_corpus(docs: DataFrame, seed: int = 42,
         F.col(id_col))
     return docs.select(
         F.row_number().over(w).alias("position"), F.col(id_col))
+
+
+def temperature_shares(counts: dict[str, int], tau: float = 0.5) -> dict[str, int]:
+    """Integer permille shares ∝ n_d^tau — temperature-based domain
+    rebalancing (the multilingual sampling rule of XLM-R/mT5: tau < 1
+    upweights rare domains, tau = 1 keeps natural proportions).
+
+    Engine-portable by construction for ``tau=0.5``: the weight is
+    ``floor(sqrt(n) × 10^6)`` (IEEE sqrt is correctly rounded, so any
+    engine computes the identical integer), and everything after is
+    exact integer arithmetic — floor permille ``1000·w // Σw`` plus
+    largest-remainder distribution of the deficit (remainder DESC,
+    name ASC). Other tau values use ``n**tau`` (libm pow), which is
+    NOT guaranteed bit-identical across engines — fine for pipelines,
+    not for cross-engine hash equality."""
+    import math
+
+    wt = {
+        k: int(math.floor(
+            (math.sqrt(n) if tau == 0.5 else float(n) ** tau) * 10**6))
+        for k, n in counts.items()
+    }
+    tot = sum(wt.values())
+    if tot == 0:
+        return {k: 0 for k in counts}
+    fl = {k: 1000 * w // tot for k, w in wt.items()}
+    rem = {k: 1000 * w % tot for k, w in wt.items()}
+    deficit = 1000 - sum(fl.values())
+    order = sorted(counts, key=lambda k: (-rem[k], k))
+    return {k: fl[k] + (1 if i < deficit else 0)
+            for i, k in enumerate(order)}
+
+
+def mix_domains_temperature(docs: DataFrame, total_docs: int,
+                            tau: float = 0.5, strata_col: str = "lang",
+                            seed: int = 42,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Temperature-mixed corpus: :func:`temperature_shares` derives the
+    target permille from the observed domain counts, then
+    :func:`mix_domains` applies them with its exact md5-threshold rule
+    — one extra tiny count aggregation, the corpus still never
+    shuffles."""
+    counts = {
+        r[strata_col]: int(r["n"])
+        for r in docs.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    shares = temperature_shares(counts, tau)
+    return mix_domains(docs, shares, total_docs, strata_col=strata_col,
+                       seed=seed, id_col=id_col)

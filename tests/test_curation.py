@@ -1071,3 +1071,19 @@ def test_span_dedup_plan_shape(spark, tmp_path):
         for line in plan.splitlines():
             if "ReadSchema" in line:
                 assert "extra" not in line, line
+
+
+def test_temperature_shares_exact():
+    """tau=0.5 share derivation is exact-integer after the IEEE sqrt:
+    permilles sum to 1000, rare domains gain share vs natural
+    proportions, tau=1-ish monotonicity preserved."""
+    from ftidx.textops import temperature_shares
+
+    counts = {"en": 8100, "zh": 900, "es": 100}
+    sh = temperature_shares(counts, tau=0.5)
+    assert sum(sh.values()) == 1000
+    # sqrt weights 90:30:10 → 692/231/77 pre-remainder
+    assert sh["en"] < 810 and sh["es"] > 10  # flattened vs natural
+    assert sh["en"] > sh["zh"] > sh["es"]    # order preserved
+    assert temperature_shares({}, 0.5) == {}
+    assert temperature_shares({"a": 0}, 0.5) == {"a": 0}

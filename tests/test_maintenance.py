@@ -319,3 +319,50 @@ def test_update_fields_stored_only(spark, tmp_path):
     # unknown doc ids: no-op, no partitions rewritten
     assert update_fields(spark, out, {10**15 + 7: {"modified": stamp}}) \
         == {"updated": 0, "buckets": []}
+
+
+def test_snapshot_restore_roundtrip(spark, tmp_path):
+    """Solr replication backup/restore analog: the snapshot is a whole
+    immutable generation; the restore is a fresh dir that answers
+    queries identically; publishing it over an alias retargets readers
+    atomically; a half-built or changed source is refused."""
+    import json
+    from pathlib import Path
+
+    from ftidx.alias import open_alias, publish
+    from ftidx.index import build_index, open_index
+    from ftidx.maintenance import restore, snapshot
+    from ftidx.synth import synth_source
+
+    src_dir = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 150), src_dir, n_buckets=2)
+    idx = open_index(spark, src_dir)
+    baseline = idx.topk(["def", "return"], k=10)
+    assert baseline
+
+    bk = str(tmp_path / "bk")
+    info = snapshot(src_dir, bk)
+    assert info["files"] > 0 and info["bytes"] > 0
+
+    alias = str(tmp_path / "serving")
+    publish(alias, src_dir)
+    restored = restore(bk, str(tmp_path / "idx_restored"), alias_path=alias)
+    assert open_index(spark, restored).topk(["def", "return"], k=10) \
+        == baseline
+    assert open_alias(spark, alias).topk(["def", "return"], k=10) \
+        == baseline
+
+    # refusal paths: non-empty backup dir, existing restore target,
+    # half-built source
+    with pytest.raises(ValueError):
+        snapshot(src_dir, bk)
+    with pytest.raises(ValueError):
+        restore(bk, restored)
+    man = Path(src_dir) / "_manifest.json"
+    m = json.loads(man.read_text())
+    man.write_text(json.dumps({**m, "status": "building"}))
+    try:
+        with pytest.raises(ValueError):
+            snapshot(src_dir, str(tmp_path / "bk2"))
+    finally:
+        man.write_text(json.dumps(m))

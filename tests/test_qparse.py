@@ -178,3 +178,40 @@ def test_qs_fuzzy(qidx):
     # optional no-variant fuzzy degrades to the rest of the query
     assert qidx.query_string("zzzzqqqq~1 return", k=5) == \
         qidx.topk(["return"], k=5)
+
+
+def test_parse_fuzz_never_throws():
+    """The parser is a search-box surface: ANY string must parse to a
+    (possibly empty) clause list, never raise, and never produce an
+    empty-terms clause."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ftidx.qparse import parse_query
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def check(q):
+        for c in parse_query(q):
+            assert c.terms and all(t for t in c.terms)
+            assert c.occur in ("", "+", "-")
+            assert c.boost >= 0 and (c.fuzzy is None or c.fuzzy >= 0)
+
+    check()
+
+
+def test_execute_fuzz_never_throws(qidx):
+    """query_string on adversarial operator soup: never raises, always
+    returns a (score DESC, id ASC)-ordered list."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.text(alphabet='abdef +-"~^:.12', max_size=30))
+    def check(q):
+        hits = qidx.query_string(q, k=5)
+        assert isinstance(hits, list) and len(hits) <= 5
+        keys = [(-s, d) for d, s in hits]
+        assert keys == sorted(keys)
+
+    check()

@@ -268,3 +268,43 @@ def test_dedup_stream(spark, tmp_path):
     ).write.mode("append").parquet(f"{src}/b2")
     out2 = run_dedup_stream(spark, f"{src}/b*", ckpt)
     assert sorted(r["content"] for r in out2) == ["C-content"]
+
+
+def test_trending_terms_stream(spark, tmp_path):
+    """Streaming trending terms: finalized windows emit their top-N
+    terms exactly once (append mode), ranked (count DESC, term ASC);
+    late stragglers into an emitted window are dropped."""
+    from datetime import datetime
+
+    from ftidx.streaming import run_trending_terms
+
+    src = tmp_path / "tt"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_tt")
+
+    def ts(sec):
+        return datetime(2026, 1, 1, 0, 0, 0).replace(
+            minute=sec // 60, second=sec % 60)
+
+    # W1=[0,60s): spark×3, merge×2, window×1, rare×1 → top-3 is
+    # spark, merge, then 'rare'/'window' tie broken by term asc
+    spark.createDataFrame(
+        [(ts(0), "spark spark merge"), (ts(30), "spark merge window rare"),
+         (ts(200), "later doc")],
+        "ts timestamp, content string",
+    ).write.parquet(f"{src}/b1")
+    out1 = run_trending_terms(spark, f"{src}/b*", ckpt, top_n=3)
+    assert [(r["term"], r["n"], r["rank"]) for r in out1] == \
+        [("spark", 3, 1), ("merge", 2, 2), ("rare", 1, 3)]
+    assert all(r["win_start"] == ts(0) for r in out1)
+
+    # late straggler into W1 → dropped; fresh event finalizes the
+    # t=200s window
+    spark.createDataFrame(
+        [(ts(40), "spark spam spam"), (ts(500), "beyond")],
+        "ts timestamp, content string",
+    ).write.mode("append").parquet(f"{src}/b2")
+    out2 = run_trending_terms(spark, f"{src}/b*", ckpt, top_n=3)
+    assert all(r["win_start"] != ts(0) for r in out2)  # no W1 re-emit
+    w200 = [(r["term"], r["n"]) for r in out2 if r["win_start"] == ts(180)]
+    assert w200 == [("doc", 1), ("later", 1)]
