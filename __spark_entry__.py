@@ -1735,6 +1735,30 @@ def q_span_dup_stats(spark, sf_dir):
                           min_docs=2)
 
 
+def q_bm25_ltr(spark, sf_dir):
+    """LTR linear-model ranking (Solr LTR module analog, engine twin
+    FtIndex.topk_ltr): final = BM25 + 0.0005·n_chars + 0.3·[lang='en'],
+    ranked on the rounded combined score. Features are codegen'd
+    expressions over stored columns, extracted only for the match
+    set."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_chars") * F.lit(0.0005)).alias("f_len"),
+        (F.col("lang") == "en").cast("double").alias("f_en"),
+    )
+    scored = _bm25_scored(spark, sf_dir).join(docs, "doc_id")
+    w = Window.orderBy(F.desc("final_r"), F.asc("doc_id"))
+    return (
+        scored.withColumn(
+            "final_r",
+            F.round(F.col("score_r") + F.col("f_len")
+                    + F.lit(0.3) * F.col("f_en"), 5))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "final_r")
+    )
+
+
 def q_trim_spans(spark, sf_dir):
     """Trim cross-document duplicated spans from every doc (the
     repeated-span removal curation op): flagged strided gram windows
@@ -1846,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "span_dup_stats": q_span_dup_stats,
         "trim_spans": q_trim_spans,
+        "bm25_ltr": q_bm25_ltr,
         "facet_interval": q_facet_interval,
         "facet_nested": q_facet_nested,
         "doc_lengths": q_doc_lengths,
@@ -2060,6 +2085,20 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(d.n_dup, 0)::DOUBLE / t.n_grams, 5)
                      AS dup_frac
             FROM tot t LEFT JOIN dd d USING (doc_id)
+        """,
+        "bm25_ltr": _BM25_CTE + """
+            SELECT rank, doc_id, final_r FROM (
+              SELECT row_number() OVER (ORDER BY final_r DESC, doc_id)
+                       AS rank, doc_id, final_r
+              FROM (
+                SELECT b.doc_id,
+                       round(b.score_r + d.n_chars * 0.0005
+                             + 0.3 * CASE WHEN d.lang = 'en'
+                                          THEN 1.0 ELSE 0.0 END, 5)
+                         AS final_r
+                FROM bm25 b JOIN documents d USING (doc_id)
+              )
+            ) WHERE rank <= 10
         """,
         "trim_spans": """
             WITH h AS (

@@ -1170,6 +1170,42 @@ class FtIndex:
             .select("doc_id", "score", "boost", "final")
         )
 
+    def topk_ltr(self, terms: list[str], model: dict[str, float],
+                 k: int = 10, bm25_weight: float = 1.0,
+                 field: str = "code.content") -> DataFrame:
+        """Learning-to-rank scoring (Solr LTR module with a linear
+        model): final = ``bm25_weight``·BM25 + Σ w_f·feature_f, each
+        feature a SQL expression over STORED docs-table columns
+        (``{"n_chars / 1000": 0.5, "lang = 'python'": 2.0}`` —
+        booleans cast to 0/1). The shape every feature-based reranker
+        reduces to once the model is linear; a nonlinear model plugs
+        in the same way with the combination as one expression.
+
+        Returns (doc_id, score, final) ordered by (final DESC, id).
+        Scale shape: per-bucket BM25 inside executors, ONE id-keyed
+        join against a docs scan pruned to exactly the columns the
+        feature expressions reference, features and the combination
+        all whole-stage codegen, global TakeOrderedAndProject — the
+        feature extraction never runs on docs outside the match set."""
+        scored = self._scored_df(terms, field)
+        exprs = list(model)
+        docs = self.spark.read.parquet(str(self.path / "docs")).select(
+            "doc_id",
+            *[F.expr(e).cast("double").alias(f"_f{i}")
+              for i, e in enumerate(exprs)],
+        )
+        final = F.lit(float(bm25_weight)) * F.col("score")
+        for i, e in enumerate(exprs):
+            final = final + F.lit(float(model[e])) * F.coalesce(
+                F.col(f"_f{i}"), F.lit(0.0))
+        return (
+            scored.join(docs, "doc_id")
+            .withColumn("final", final)
+            .orderBy(F.desc("final"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score", "final")
+        )
+
     def explain(self, terms: list[str], doc_id: int,
                 field: str = "code.content") -> dict:
         """Score decomposition (Solr ``debugQuery=true`` explain): how
@@ -1980,15 +2016,18 @@ class FtIndex:
 
     def topk_distributed(self, terms: list[str], k: int = 10,
                          field: str = "code.content", mode: str = "or",
-                         exclude: list[str] | None = None) -> DataFrame:
+                         exclude: list[str] | None = None,
+                         min_match: int | None = None) -> DataFrame:
         """Score inside executors, one task per bucket; global top-k via
         TakeOrderedAndProject. df/idf are global (two-pass: tiny df agg
         broadcast into the scoring closure).
 
-        Boolean semantics (``mode="and"``, ``exclude``) are valid
-        per-bucket: a doc's postings live entirely in its one bucket
-        (batch rank ids and streamed hash ids are both bucket-keyed),
-        so the per-bucket conjunction/exclusion equals the global one."""
+        Boolean semantics (``mode="and"``, ``exclude``, ``min_match``)
+        are valid per-bucket: a doc's postings live entirely in its one
+        bucket (batch rank ids and streamed hash ids are both
+        bucket-keyed), so the per-bucket conjunction/exclusion/
+        match-count equals the global one — full parity with
+        :meth:`topk`'s boolean surface on the distributed path."""
         qterms = sorted(set(terms))
         xterms = sorted(set(exclude or []))
         prows = self._postings.filter(
@@ -2015,10 +2054,11 @@ class FtIndex:
             if n_required and len(lists) < n_required:
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "score": pd.Series(dtype="float64")})
-            if n_required or xlists:
+            if n_required or xlists or min_match:
                 ids, scores = score_boolean(
                     lists, avgdl, k + len(tombs),
-                    require_all=bool(n_required), exclude_lists=xlists)
+                    require_all=bool(n_required), exclude_lists=xlists,
+                    min_match=min_match)
             else:
                 ids, scores = score_block_max(lists, avgdl, k + len(tombs))
             out = pd.DataFrame({"doc_id": ids.astype(np.int64), "score": scores})

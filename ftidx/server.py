@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -81,6 +82,13 @@ def _make_handler(idx, lock: threading.Lock):
             pass
 
         def _json(self, code: int, payload: dict) -> None:
+            # Solr responseHeader analog: every response carries QTime
+            # (ms since request entry) — the per-request latency a
+            # serving dashboard scrapes
+            t0 = getattr(self, "_t0", None)
+            if t0 is not None and "QTime" not in payload:
+                payload = {"QTime": int((time.monotonic() - t0) * 1000),
+                           **payload}
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -89,6 +97,7 @@ def _make_handler(idx, lock: threading.Lock):
             self.wfile.write(body)
 
         def do_GET(self):
+            self._t0 = time.monotonic()
             u = urlparse(self.path)
             qs = parse_qs(u.query)
             try:
@@ -342,6 +351,20 @@ def _make_handler(idx, lock: threading.Lock):
                          "min_len": r["min_len"], "max_len": r["max_len"]}
                         for r in rows
                     ]})
+                elif u.path == "/analyze":
+                    # Solr /analysis/field analog: show exactly how a
+                    # piece of content tokenizes into fields/terms —
+                    # the pure spec function (tokenize_doc), no Spark,
+                    # no index touched; the debug surface for "why
+                    # doesn't my query match this doc"
+                    from ftidx.tokenize import tokenize_doc
+
+                    text = qs.get("text", [""])[0]
+                    lang = qs.get("lang", ["python"])[0]
+                    repo = qs.get("repo", ["r"])[0]
+                    fpath = qs.get("path", ["p"])[0]
+                    self._json(200, {"fields": tokenize_doc(
+                        text, lang, repo, fpath)})
                 elif u.path == "/parent":
                     # Solr {!parent} block join: rank parent entities
                     # by an aggregate (score=max|total|avg|min) of
@@ -515,6 +538,23 @@ def _make_handler(idx, lock: threading.Lock):
                                 terms, pins, k=k, field=field)
                             self._json(200, {"docs": rows})
                             return
+                        elif qs.get("ltr", [""])[0]:
+                            # Solr LTR analog: ltr=w:expr;w:expr — a
+                            # linear model over stored-column features
+                            model = {}
+                            for part in qs.get("ltr", [""])[0].split(";"):
+                                if not part.strip():
+                                    continue
+                                wgt, _, expr = part.partition(":")
+                                model[expr] = float(wgt)
+                            rows = idx.topk_ltr(terms, model, k=k,
+                                                field=field).collect()
+                            self._json(200, {"docs": [
+                                {"doc_id": r["doc_id"],
+                                 "score": r["score"],
+                                 "final": r["final"]} for r in rows
+                            ]})
+                            return
                         elif bf or boost:
                             # Solr bf= additive / edismax boost=
                             # multiplicative function over stored
@@ -574,6 +614,7 @@ def _make_handler(idx, lock: threading.Lock):
                 self._json(400, {"error": str(e)})
 
         def do_POST(self):
+            self._t0 = time.monotonic()
             path = urlparse(self.path).path
             if path == "/refresh":
                 with lock:

@@ -1173,3 +1173,42 @@ def test_match_stats_cardinality(spark, built):
     exact = row["n_values"]
     assert exact > 0
     assert abs(row["cardinality"] - exact) <= max(3, 0.05 * exact)
+
+
+def test_topk_ltr_linear_model(spark, built):
+    """LTR linear model: final = w0·BM25 + Σ w_f·feature — equals the
+    brute-force recomputation over the match set; a zero-weight model
+    reproduces plain BM25 order."""
+    out, _ = built
+    idx = open_index(spark, out)
+    model = {"length(path)": 0.01, "lang = 'python'": 0.5}
+    got = idx.topk_ltr(["def", "return"], model, k=10).collect()
+
+    all_hits = dict(idx.topk(["def", "return"], k=10**6,
+                             kernel="exhaustive"))
+    meta = {r["doc_id"]: (len(r["path"]), r["lang"]) for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    combined = {
+        d: s + 0.01 * meta[d][0] + 0.5 * (meta[d][1] == "python")
+        for d, s in all_hits.items()
+    }
+    expect = sorted(combined.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["doc_id"], round(r["final"], 9)) for r in got] == \
+        [(d, round(f, 9)) for d, f in expect]
+
+    plain = idx.topk_ltr(["def", "return"], {"0": 0.0}, k=5).collect()
+    assert [r["doc_id"] for r in plain] == \
+        [d for d, _ in idx.topk(["def", "return"], k=5)]
+
+
+def test_topk_distributed_min_match(spark, built):
+    """Distributed mm parity: per-bucket match counting equals the
+    serving path's global min_match ranking."""
+    out, _ = built
+    idx = open_index(spark, out)
+    terms = ["def", "return", "alpha"]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           idx.topk_distributed(terms, k=10, min_match=2).collect()]
+    expect = [(d, round(s, 9)) for d, s in
+              idx.topk(terms, k=10, min_match=2)]
+    assert got == expect and got

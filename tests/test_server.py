@@ -457,3 +457,40 @@ def test_fl_stored_fields(served):
     # without fl= the hits stay lean
     _, lean = _get(f"http://{srv.host}:{srv.port}/search?q=def&k=3")
     assert set(lean["hits"][0]) == {"doc_id", "score"}
+
+
+def test_ltr_param(served):
+    srv, idx = served
+    from urllib.parse import quote
+    spec = quote("0.01:length(path);0.5:lang = 'python'")
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/search?q=def+return&ltr={spec}&k=5")
+    assert status == 200
+    expect = idx.topk_ltr(["def", "return"],
+                          {"length(path)": 0.01, "lang = 'python'": 0.5},
+                          k=5).collect()
+    assert [(d["doc_id"], d["final"]) for d in body["docs"]] == \
+        [(r["doc_id"], r["final"]) for r in expect]
+
+
+def test_qtime_header(served):
+    srv, _ = served
+    _, body = _get(f"http://{srv.host}:{srv.port}/search?q=def&k=2")
+    assert isinstance(body["QTime"], int) and body["QTime"] >= 0
+    _, health = _get(f"http://{srv.host}:{srv.port}/health")
+    assert "QTime" in health
+
+
+def test_analyze_endpoint(served):
+    srv, _ = served
+    from urllib.parse import quote
+
+    from ftidx.tokenize import tokenize_doc
+
+    text = "def getUserName(): return user_name"
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/analyze"
+        f"?text={quote(text)}&lang=python&repo=r1&path=a/b.py")
+    assert status == 200
+    assert body["fields"] == tokenize_doc(text, "python", "r1", "a/b.py")
+    assert any(k.startswith("code.") for k in body["fields"])
