@@ -1760,10 +1760,17 @@ class FtIndex:
             for i, (lo, hi, _) in enumerate(intervals)
         ]
         one = docs.join(matched, "doc_id").agg(*aggs)
-        stack = ", ".join(
-            f"'{label}', _i{i}" for i, (_, _, label) in enumerate(intervals))
-        return one.selectExpr(
-            f"stack({len(intervals)}, {stack}) AS (label, n_docs)")
+        # unpivot via explode(array(struct)) — pure column API, so a
+        # label is always a literal, never parsed SQL (labels arrive
+        # from HTTP callers; selectExpr-interpolation would be an
+        # expression-injection surface)
+        pairs = F.array(*[
+            F.struct(F.lit(label).alias("label"),
+                     F.col(f"_i{i}").alias("n_docs"))
+            for i, (_, _, label) in enumerate(intervals)
+        ])
+        return (one.select(F.explode(pairs).alias("kv"))
+                .select("kv.label", "kv.n_docs"))
 
     def facet_nested(self, terms: list[str], facet: str = "lang",
                      sub_facet: str = "repo", k_buckets: int = 10,

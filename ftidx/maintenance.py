@@ -589,18 +589,19 @@ def snapshot(index_path: str, backup_dir: str) -> dict:
     Consistency comes from the engine's immutability discipline, not
     from locking: a built index dir is only ever changed by (a)
     dynamic-partition-overwrite rewrites (compaction/upsert) and (b)
-    delta/tombstone appends. The manifest is copied FIRST and verified
-    unchanged LAST — if a rewrite landed mid-copy the build_id moves
-    and the snapshot refuses (retry semantics), so a backup is always
-    a whole generation, never a mix. Refuses a half-built source
+    delta/tombstone appends. The FULL file listing (paths + sizes) is
+    captured first, only listed files are copied, and the listing plus
+    the manifest are verified unchanged LAST — a rewrite moves the
+    build_id, an append adds files (the engine never mutates a written
+    file in place), and either makes the snapshot refuse with the dst
+    removed (retry semantics). A backup is therefore always one whole
+    generation, never a mix. Refuses a half-built source
     (``status != done``). Returns {files, bytes, build_id}.
 
     At 10^12 files this exact routine runs as a distcp/object-store
-    copy job with the same manifest-first/verify-last book-ends; the
+    copy job with the same list-first/verify-last book-ends; the
     invariant this encodes (snapshot = one immutable generation) is
     what makes restore trivially correct."""
-    import shutil
-
     src = Path(index_path)
     man_path = src / "_manifest.json"
     if not man_path.exists():
@@ -614,29 +615,37 @@ def snapshot(index_path: str, backup_dir: str) -> dict:
     if dst.exists() and any(dst.iterdir()):
         raise ValueError(f"backup dir {dst} exists and is not empty")
     dst.mkdir(parents=True, exist_ok=True)
+
+    def listing() -> dict[str, int]:
+        return {
+            str(p.relative_to(src)): (p.stat().st_size if p.is_file()
+                                      else -1)
+            for p in sorted(src.rglob("*"))
+        }
+
+    before = listing()
     n_files = 0
     n_bytes = 0
     (dst / "_manifest.json").write_text(json.dumps(manifest))
-    for p in sorted(src.rglob("*")):
-        rel = p.relative_to(src)
-        if str(rel) == "_manifest.json":
+    for rel in before:
+        if rel == "_manifest.json":
             continue
+        p = src / rel
         q = dst / rel
-        if p.is_dir():
+        if before[rel] < 0:  # directory
             q.mkdir(parents=True, exist_ok=True)
             continue
         q.parent.mkdir(parents=True, exist_ok=True)
         shutil.copy2(p, q)
         n_files += 1
-        n_bytes += p.stat().st_size
-    after = json.loads(man_path.read_text())
-    if after != manifest:
+        n_bytes += before[rel]
+    after_man = json.loads(man_path.read_text())
+    if after_man != manifest or listing() != before:
         shutil.rmtree(dst)
         raise RuntimeError(
-            f"index {src} changed during snapshot (build_id "
-            f"{manifest.get('build_id')} -> {after.get('build_id')}); "
-            "retry in a quiet window or snapshot a published alias "
-            "generation")
+            f"index {src} changed during snapshot (rewrite, or a "
+            "delta/tombstone append landed mid-copy); retry in a quiet "
+            "window or snapshot a published alias generation")
     return {"files": n_files, "bytes": n_bytes,
             "build_id": manifest.get("build_id")}
 
@@ -649,8 +658,6 @@ def restore(backup_dir: str, index_path: str, *,
     restore never mutates a directory a reader might hold open; the
     old generation stays intact for handles bound to it. Returns the
     restored index path."""
-    import shutil
-
     src = Path(backup_dir)
     if not (src / "_manifest.json").exists():
         raise FileNotFoundError(f"{src}: not a snapshot (no manifest)")

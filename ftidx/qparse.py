@@ -128,9 +128,12 @@ def execute(idx, q: str, k: int = 10,
         if c.is_phrase or c.fuzzy is None:
             continue
         fld = c.field or default_field
+        # expansion cap = 50, Lucene FuzzyQuery's maxExpansions
+        # default; fuzzy_terms ranks (distance, df DESC), so the cap
+        # keeps the closest/most-frequent variants — same policy
         variants = [t for t, _, _ in
                     idx.fuzzy_terms(c.terms[0], field=fld,
-                                    max_dist=c.fuzzy)]
+                                    max_dist=c.fuzzy, limit=50)]
         if not variants:
             if c.occur == "+":
                 return []  # required fuzzy term with no variant anywhere

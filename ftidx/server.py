@@ -464,8 +464,15 @@ def _make_handler(idx, lock: threading.Lock):
                             ]})
                             return
                         elif sort:
-                            col, _, direction = sort.partition(" ")
-                            asc = direction != "desc"
+                            # direction is the LAST token, and only if
+                            # it is asc/desc — sort-by-function exprs
+                            # legitimately contain spaces ("n_chars % 7
+                            # desc")
+                            head, _, last = sort.rpartition(" ")
+                            if head and last.lower() in ("asc", "desc"):
+                                col, asc = head, last.lower() != "desc"
+                            else:
+                                col, asc = sort, True
                             cursor = qs.get("cursor", [""])[0]
                             if cursor:
                                 # Solr cursorMark: "*" = first page, else
@@ -546,6 +553,10 @@ def _make_handler(idx, lock: threading.Lock):
                                 if not part.strip():
                                     continue
                                 wgt, _, expr = part.partition(":")
+                                if not expr.strip():
+                                    raise ValueError(
+                                        "ltr segment needs weight:expr, "
+                                        f"got {part!r}")
                                 model[expr] = float(wgt)
                             rows = idx.topk_ltr(terms, model, k=k,
                                                 field=field).collect()
@@ -600,7 +611,8 @@ def _make_handler(idx, lock: threading.Lock):
                         fl = qs.get("fl", [""])[0]
                         stored = {}
                         if fl and hits:
-                            cols = [c for c in fl.split(",") if c.strip()]
+                            cols = [c.strip() for c in fl.split(",")
+                                    if c.strip()]
                             stored = idx.fetch_docs(
                                 [d for d, _ in hits], columns=cols)
                     self._json(200, {"hits": [
@@ -612,6 +624,11 @@ def _make_handler(idx, lock: threading.Lock):
                     self._json(404, {"error": "unknown path"})
             except ValueError as e:  # bad k, missing positions table, ...
                 self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — user-supplied SQL
+                # exprs (sort=/ltr=/fl=/bf=) surface as Spark
+                # Parse/AnalysisException; a malformed param must yield
+                # an HTTP error, never a dropped connection
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
         def do_POST(self):
             self._t0 = time.monotonic()

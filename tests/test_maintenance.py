@@ -366,3 +366,32 @@ def test_snapshot_restore_roundtrip(spark, tmp_path):
             snapshot(src_dir, str(tmp_path / "bk2"))
     finally:
         man.write_text(json.dumps(m))
+
+
+def test_snapshot_detects_mid_copy_append(spark, tmp_path, monkeypatch):
+    """A delta/tombstone append landing mid-copy is detected by the
+    listing signature (not just the manifest): snapshot refuses and
+    removes the partial backup."""
+    import shutil as _sh
+    from pathlib import Path
+
+    from ftidx.maintenance import snapshot
+
+    idx_dir = tmp_path / "idx"
+    build_index(spark, synth_source(spark, 120), str(idx_dir), n_buckets=2)
+
+    orig = _sh.copy2
+    state = {"injected": False}
+
+    def sneaky(srcf, dstf):
+        if not state["injected"]:
+            tomb = idx_dir / "tombstones"
+            tomb.mkdir(exist_ok=True)
+            (tomb / "mid_copy_append.parquet").write_bytes(b"x")
+            state["injected"] = True
+        return orig(srcf, dstf)
+
+    monkeypatch.setattr("ftidx.maintenance.shutil.copy2", sneaky)
+    with pytest.raises(RuntimeError):
+        snapshot(str(idx_dir), str(tmp_path / "bk"))
+    assert not (tmp_path / "bk").exists()

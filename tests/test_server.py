@@ -494,3 +494,56 @@ def test_analyze_endpoint(served):
     assert status == 200
     assert body["fields"] == tokenize_doc(text, "python", "r1", "a/b.py")
     assert any(k.startswith("code.") for k in body["fields"])
+
+
+def test_sort_by_function_with_spaces(served):
+    srv, idx = served
+    from urllib.parse import quote
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/search"
+        f"?q=def&sort={quote('length(path) % 7 desc')}&k=5")
+    assert status == 200
+    expect = idx.search_sorted(["def"], "length(path) % 7",
+                               ascending=False, rows=5).collect()
+    assert [d["doc_id"] for d in body["docs"]] == \
+        [r["doc_id"] for r in expect]
+    # bare expression with spaces, no direction token → ascending
+    status, body2 = _get(
+        f"http://{srv.host}:{srv.port}/search"
+        f"?q=def&sort={quote('length(path) % 7')}&k=5")
+    expect2 = idx.search_sorted(["def"], "length(path) % 7",
+                                ascending=True, rows=5).collect()
+    assert [d["doc_id"] for d in body2["docs"]] == \
+        [r["doc_id"] for r in expect2]
+
+
+def test_malformed_params_yield_400(served):
+    """Malformed user expressions must yield an HTTP 400, never a
+    dropped connection: ltr missing expr, unresolvable fl column,
+    garbage sort expression."""
+    import urllib.error
+
+    srv, _ = served
+    base = f"http://{srv.host}:{srv.port}"
+    for url in (f"{base}/search?q=def&ltr=0.5&k=3",
+                f"{base}/search?q=def&fl=no_such_col&k=3",
+                f"{base}/search?q=def&sort=)))bad(((&k=3"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(url)
+        assert e.value.code == 400, url
+
+
+def test_fl_whitespace_and_interval_label_quote(served):
+    srv, idx = served
+    from urllib.parse import quote
+    _, body = _get(
+        f"http://{srv.host}:{srv.port}/search?q=def&k=2&fl=repo,%20lang")
+    assert all("lang" in h and "repo" in h for h in body["hits"])
+    # a label containing a quote is a literal, not parsed SQL
+    spec = quote("o'brien:0:9e15")
+    _, iv = _get(
+        f"http://{srv.host}:{srv.port}/facet_interval"
+        f"?q=def&col=doc_id&set={spec}")
+    assert iv["intervals"][0]["label"] == "o'brien"
+    assert iv["intervals"][0]["n_docs"] == len(
+        idx.topk(["def"], k=10**6, kernel="exhaustive"))
