@@ -1428,15 +1428,30 @@ class FtIndex:
             .select("doc_id", "sort_value", "score")
         )
 
+    def topk_queries(self, queries: dict[str, list[str]], k: int = 10,
+                     field: str = "code.content"
+                     ) -> dict[str, list[tuple[int, float]]]:
+        """Solr ``group.query`` analog: the top-k ranking for EACH
+        labeled subquery in one call — ``{"defs": ["def"], "loops":
+        ["for", "while"]}`` → one ranked list per label. All labels'
+        terms are fetched in ONE postings job (:meth:`topk_batch`'s
+        union prefetch), then each label scores from the warm cache —
+        a dashboard with N query tiles costs one scan, not N."""
+        labels = list(queries)
+        results = self.topk_batch([queries[la] for la in labels],
+                                  k=k, field=field)
+        return dict(zip(labels, results))
+
     def match_stats(self, terms: list[str], stat_col: str = "lang",
                     field: str = "code.content",
                     cardinality: bool = False, rsd: float = 0.01) -> DataFrame:
-        """Solr stats-component analog: aggregate a docs-table column
-        over the query's matching docs (count distinct values, min/max
-        for orderable columns). Same distributed shape as
-        :meth:`facet_counts` — executor-side id decode, id-keyed join
-        (tombstones now excluded, consistent with every other
-        match-set surface).
+        """Solr stats-component analog: aggregate a docs-table column —
+        or any SQL expression over docs-table columns (Solr stats on a
+        function query: ``"n_chars % 100"``) — over the query's
+        matching docs (count distinct values, min/max for orderable
+        values). Same distributed shape as :meth:`facet_counts` —
+        executor-side id decode, id-keyed join (tombstones excluded,
+        consistent with every other match-set surface).
 
         ``cardinality=True`` adds Solr's ``cardinality=`` (HLL) column:
         ``approx_count_distinct`` at relative error ``rsd``. Exact
@@ -1446,14 +1461,15 @@ class FtIndex:
         the only viable path, which is exactly why Solr ships it."""
         matched = self._matched_ids(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
+        c = F.expr(stat_col)
         aggs = [
             F.count(F.lit(1)).alias("n_matched"),
-            F.count_distinct(stat_col).alias("n_values"),
-            F.min(stat_col).alias("min_value"),
-            F.max(stat_col).alias("max_value"),
+            F.count_distinct(c).alias("n_values"),
+            F.min(c).alias("min_value"),
+            F.max(c).alias("max_value"),
         ]
         if cardinality:
-            aggs.append(F.approx_count_distinct(stat_col, rsd=rsd)
+            aggs.append(F.approx_count_distinct(c, rsd=rsd)
                         .alias("cardinality"))
         return docs.join(matched, "doc_id").agg(*aggs)
 

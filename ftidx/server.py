@@ -351,6 +351,28 @@ def _make_handler(idx, lock: threading.Lock):
                          "min_len": r["min_len"], "max_len": r["max_len"]}
                         for r in rows
                     ]})
+                elif u.path == "/group_query":
+                    # Solr group.query: one ranked list per labeled
+                    # subquery, gq=label:terms;label2:terms — ONE
+                    # postings fetch for the union of all terms
+                    spec = qs.get("gq", [""])[0]
+                    if not spec.strip():
+                        self._json(400, {"error": "missing gq"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    k = int(qs.get("k", ["10"])[0])
+                    queries = {}
+                    for part in spec.split(";"):
+                        if not part.strip():
+                            continue
+                        label, _, ts = part.partition(":")
+                        queries[label] = ts.split()
+                    with lock:
+                        out = idx.topk_queries(queries, k=k, field=field)
+                    self._json(200, {"groups": {
+                        la: [{"doc_id": d, "score": s} for d, s in hits]
+                        for la, hits in out.items()
+                    }})
                 elif u.path == "/analyze":
                     # Solr /analysis/field analog: show exactly how a
                     # piece of content tokenizes into fields/terms —

@@ -1212,3 +1212,31 @@ def test_topk_distributed_min_match(spark, built):
     expect = [(d, round(s, 9)) for d, s in
               idx.topk(terms, k=10, min_match=2)]
     assert got == expect and got
+
+
+def test_topk_queries_group_query(spark, built):
+    """Solr group.query: each labeled subquery's list equals its
+    standalone topk; one postings prefetch serves all labels."""
+    out, _ = built
+    idx = open_index(spark, out)
+    queries = {"defs": ["def"], "both": ["def", "return"],
+               "none": ["zzzznope"]}
+    got = idx.topk_queries(queries, k=5)
+    assert set(got) == set(queries)
+    for label, terms in queries.items():
+        assert got[label] == idx.topk(terms, k=5), label
+
+
+def test_match_stats_on_function(spark, built):
+    """Solr stats on a function query: stat_col accepts expressions."""
+    out, _ = built
+    idx = open_index(spark, out)
+    row = idx.match_stats(["def"], stat_col="length(path) % 10").first()
+    matched = {d for d, _ in idx.topk(["def"], k=10**6,
+                                      kernel="exhaustive")}
+    meta = {r["doc_id"]: len(r["path"]) % 10 for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    vals = [meta[d] for d in matched]
+    assert row["n_matched"] == len(vals)
+    assert row["n_values"] == len(set(vals))
+    assert row["min_value"] == min(vals) and row["max_value"] == max(vals)

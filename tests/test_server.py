@@ -547,3 +547,15 @@ def test_fl_whitespace_and_interval_label_quote(served):
     assert iv["intervals"][0]["label"] == "o'brien"
     assert iv["intervals"][0]["n_docs"] == len(
         idx.topk(["def"], k=10**6, kernel="exhaustive"))
+
+
+def test_group_query_endpoint(served):
+    srv, idx = served
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/group_query"
+        f"?gq=d:def;m:def+main&k=4")
+    assert status == 200
+    expect = idx.topk_queries({"d": ["def"], "m": ["def", "main"]}, k=4)
+    for la in ("d", "m"):
+        assert [(h["doc_id"], h["score"]) for h in body["groups"][la]] == \
+            expect[la]
