@@ -221,6 +221,59 @@ def q_fuzzy_vocab(spark, sf_dir):
     )
 
 
+def q_wildcard_vocab(spark, sf_dir):
+    # wildcard term expansion (Lucene WildcardQuery, engine twin:
+    # FtIndex.wildcard_terms): vocabulary terms matching 's*',
+    # ranked (df DESC, term ASC), capped at the 50-expansion rewrite
+    # limit — deterministic total order so the cap is well-defined
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("term").rlike("^s.*$"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_bm25_wildcard(spark, sf_dir):
+    # wildcard clause inside a scored query (engine twin: qparse
+    # "merge wind*"): Lucene's CONSTANT_SCORE multi-term rewrite — the
+    # wildcard matches the UNION of vocabulary terms LIKE 'wind%' and
+    # adds a flat 1.0 to bm25(merge); docs matching only the wildcard
+    # still qualify (the union admits them to the candidate pool)
+    scored = _bm25_scored(spark, sf_dir, ["merge"])
+    tok = _tokens(spark, sf_dir)
+    wdocs = (tok.filter(F.col("term").startswith("wind"))
+             .select("doc_id").distinct().withColumn("wc", F.lit(1.0)))
+    combined = (
+        scored.join(wdocs, "doc_id", "full")
+        .select("doc_id",
+                F.round(F.coalesce(F.col("score_r"), F.lit(0.0)) +
+                        F.coalesce(F.col("wc"), F.lit(0.0)), 5)
+                .alias("score_r"))
+    )
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score_r")
+    )
+
+
+def q_term_range_match(spark, sf_dir):
+    # term-range clause (Lucene TermRangeQuery, engine twin: qparse
+    # "[s TO t}" / FtIndex.range_terms): docs holding >= 1
+    # vocabulary term in the lexicographic range, with the per-doc
+    # count of distinct matching terms
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.filter((F.col("term") >= "s") & (F.col("term") < "t"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("n_range_terms"))
+        .orderBy("doc_id")
+    )
+
+
 def q_bm25_topk_filtered(spark, sf_dir):
     # Solr fq analog (engine twin: FtIndex.topk_where): BM25 rank
     # restricted to docs passing a metadata predicate; the filter binds
@@ -1891,6 +1944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "match_stats": q_match_stats,
         "fuzzy_vocab": q_fuzzy_vocab,
+        "wildcard_vocab": q_wildcard_vocab,
+        "bm25_wildcard": q_bm25_wildcard,
+        "term_range_match": q_term_range_match,
         "bm25_multifield": q_bm25_multifield,
         "docid_projection": q_docid_projection,
         "date_normalize": q_date_normalize,
@@ -2278,6 +2334,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(term) BETWEEN 4 AND 6
               AND levenshtein(term, 'mergs') <= 1
             ORDER BY dist, df DESC, term
+        """,
+        "wildcard_vocab": f"""
+            WITH {_TOK_CTE},
+            vocab AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+            )
+            SELECT term, df FROM vocab
+            WHERE regexp_matches(term, '^s.*$')
+            ORDER BY df DESC, term LIMIT 50
+        """,
+        "bm25_wildcard": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+            m AS (SELECT * FROM tf WHERE term = 'merge'),
+            dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+            scored AS (
+              SELECT m.doc_id,
+                     ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {K1 + 1.0}
+                       / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)) AS contrib
+              FROM m JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+            ),
+            bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r FROM scored GROUP BY doc_id),
+            wdocs AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'wind%'),
+            combined AS (
+              SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
+                     round(coalesce(b.score_r, 0.0) +
+                           CASE WHEN w.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END,
+                           5) AS score_r
+              FROM bm25 b FULL JOIN wdocs w ON b.doc_id = w.doc_id
+            )
+            SELECT rank, doc_id, score_r FROM (
+              SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+                     doc_id, score_r
+              FROM combined
+            ) WHERE rank <= 10
+        """,
+        "term_range_match": f"""
+            WITH {_TOK_CTE}
+            SELECT doc_id, count(DISTINCT term) AS n_range_terms
+            FROM tok
+            WHERE term >= 's' AND term < 't'
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "bm25_topk_filtered": _BM25_CTE + """
             SELECT rank, doc_id, score_r FROM (

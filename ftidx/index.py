@@ -42,6 +42,7 @@ determinism holds because every id/ordering derives from doc content
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from pathlib import Path
@@ -1499,6 +1500,70 @@ class FtIndex:
             .limit(limit)
         )
         return [(r["term"], int(r["df"]), int(r["dist"])) for r in vocab.collect()]
+
+    def wildcard_terms(self, pattern: str, field: str = "code.content",
+                       limit: int = 50) -> list[tuple[str, int]]:
+        """Wildcard term expansion (Lucene WildcardQuery, Solr
+        ``pre*`` / ``t?rm``): vocabulary terms matching the pattern,
+        where ``*`` spans any character run and ``?`` exactly one,
+        ranked (df DESC, term ASC) and capped at ``limit`` (the
+        MultiTermQuery top-terms-rewrite expansion cap; 50 mirrors the
+        fuzzy path). Returns (term, df_global).
+
+        Plan shape: the literal prefix before the first wildcard pushes
+        into the parquet scan as a ``startswith`` range predicate on
+        the dictionary-sorted term column — ``pre*`` never scans the
+        vocabulary outside ``pre``'s range; the full pattern then
+        applies as an anchored ``rlike``. Leading-wildcard patterns
+        (``*foo``) are legal but scan the field's whole (term, df)
+        projection — the posting blobs still never leave disk (Solr
+        needs ReversedWildcardFilter for the same reason)."""
+        if not pattern or not pattern.strip("*?"):
+            return []  # pure-wildcard pattern: match-all is not a term query
+        prefix = re.split(r"[*?]", pattern, maxsplit=1)[0]
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in pattern) + "$"
+        vocab = self._postings.filter(F.col("field") == field) \
+            .filter(~F.col("term").startswith(PSEUDO_PREFIX))
+        if prefix:
+            vocab = vocab.filter(F.col("term").startswith(prefix))
+        vocab = (
+            vocab.filter(F.col("term").rlike(rx))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+        )
+        return [(r["term"], int(r["df"])) for r in vocab.collect()]
+
+    def range_terms(self, lo: str | None, hi: str | None,
+                    field: str = "code.content",
+                    include_lo: bool = True, include_hi: bool = True,
+                    limit: int = 1024) -> list[tuple[str, int]]:
+        """Term-range expansion (Lucene TermRangeQuery, Solr
+        ``field:[a TO b]`` / ``{a TO b}``): vocabulary terms in the
+        lexicographic range, ordered term ASC, capped at ``limit``
+        (Lucene's bitset rewrite is uncapped; a driver-side serving
+        path needs a bound — unbounded range predicates over METADATA
+        belong in :meth:`topk_where`, which stays distributed).
+        ``None`` bounds are open (``[a TO *]``). Returns (term, df).
+
+        Plan shape: both bounds push into the parquet scan as range
+        predicates on the dictionary-sorted term column; only the
+        (term, df) projection is read."""
+        vocab = self._postings.filter(F.col("field") == field) \
+            .filter(~F.col("term").startswith(PSEUDO_PREFIX))
+        if lo is not None:
+            vocab = vocab.filter(F.col("term") >= lo if include_lo
+                                 else F.col("term") > lo)
+        if hi is not None:
+            vocab = vocab.filter(F.col("term") <= hi if include_hi
+                                 else F.col("term") < hi)
+        vocab = (
+            vocab.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.asc("term")).limit(limit)
+        )
+        return [(r["term"], int(r["df"])) for r in vocab.collect()]
 
     def spellcheck(self, terms: list[str], field: str = "code.content",
                    max_dist: int = 2) -> dict:

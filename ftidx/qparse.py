@@ -20,6 +20,14 @@ the first things a Solr user reaches for):
   disjunction, each variant with its own idf (Lucene MultiTermQuery
   boolean rewrite); for +/-, the clause's presence is the UNION of
   the variants (a required fuzzy term needs any one variant)
+- ``pre*`` / ``t?rm`` — wildcard (Lucene WildcardQuery): expands to
+  matching vocabulary terms (df-ranked, capped at 50) and matches
+  their UNION with CONSTANT score boost × 1.0 per doc — the classic
+  Solr multi-term rewrite; pure-wildcard patterns (``*``) are dropped
+- ``field:[a TO b]`` / ``{a TO b}`` — term range (TermRangeQuery),
+  inclusive/exclusive, ``*`` = open bound; constant-score like
+  wildcard, expansion term-ordered and capped at 1024 (unbounded
+  METADATA ranges belong in ``topk_where``, which stays distributed)
 - ``field:"a b"~N`` — all of the above compose
 
 Semantics (documented deviations from full Lucene, chosen to keep
@@ -49,7 +57,8 @@ import numpy as np
 _CLAUSE_RE = re.compile(
     r'([+-]?)'                                  # occur
     r'(?:([A-Za-z0-9_.]+):)?'                   # field override
-    r'(?:"([^"]*)"(?:~(\d+))?'                  # phrase, optional slop
+    r'(?:([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])'  # range [a TO b] / {a TO b}
+    r'|"([^"]*)"(?:~(\d+))?'                    # phrase, optional slop
     r'|([^\s"^~]+)(?:~(\d*))?)'                 # or bare term, opt. fuzzy
     r'(?:\^(\d+(?:\.\d+)?))?'                   # boost
 )
@@ -64,6 +73,9 @@ class Clause:
     slop: int = 0                   # 0 = exact adjacency
     boost: float = 1.0
     fuzzy: int | None = None        # edit distance; None = not fuzzy
+    wildcard: bool = False          # term contains * or ?
+    # (lo, hi, include_lo, include_hi); None bound = open ([a TO *])
+    range: tuple[str | None, str | None, bool, bool] | None = None
 
 
 def parse_query(q: str) -> list[Clause]:
@@ -72,8 +84,16 @@ def parse_query(q: str) -> list[Clause]:
     the lenient behavior a search box needs."""
     clauses: list[Clause] = []
     for m in _CLAUSE_RE.finditer(q):
-        occur, fld, phrase, slop, term, fz, boost = m.groups()
-        if phrase is not None:
+        (occur, fld, r_open, r_lo, r_hi, r_close,
+         phrase, slop, term, fz, boost) = m.groups()
+        if r_open is not None:
+            lo = None if r_lo == "*" else r_lo.lower()
+            hi = None if r_hi == "*" else r_hi.lower()
+            clauses.append(Clause(occur, fld, [],
+                                  boost=float(boost or 1.0),
+                                  range=(lo, hi, r_open == "[",
+                                         r_close == "]")))
+        elif phrase is not None:
             terms = [t for t in re.split(r"\s+", phrase.lower()) if t]
             if not terms:
                 continue
@@ -82,8 +102,12 @@ def parse_query(q: str) -> list[Clause]:
                                   boost=float(boost or 1.0)))
         elif term:
             fuzzy = None if fz is None else int(fz or 2)  # bare ~ → 2
+            wild = fuzzy is None and any(c in term for c in "*?")
+            if wild and not term.strip("*?"):
+                continue  # pure-wildcard (match-all) is not a term clause
             clauses.append(Clause(occur, fld, [term.lower()],
-                                  boost=float(boost or 1.0), fuzzy=fuzzy))
+                                  boost=float(boost or 1.0), fuzzy=fuzzy,
+                                  wildcard=wild))
     return clauses
 
 
@@ -115,7 +139,8 @@ def execute(idx, q: str, k: int = 10,
             c.is_phrase = False
 
     term_clauses = [c for c in clauses
-                    if not c.is_phrase and c.fuzzy is None]
+                    if not c.is_phrase and c.fuzzy is None
+                    and not c.wildcard and c.range is None]
     phrase_clauses = [c for c in clauses if c.is_phrase]
 
     # --- fuzzy expansion (term~N) ----------------------------------------
@@ -139,6 +164,32 @@ def execute(idx, q: str, k: int = 10,
                 return []  # required fuzzy term with no variant anywhere
             continue
         fuzzy_specs.append((c.occur, fld, variants, c.boost))
+
+    # --- constant-score multi-term expansion (wildcard / range) ----------
+    # Lucene's CONSTANT_SCORE rewrite for WildcardQuery/TermRangeQuery:
+    # the clause matches the UNION of its vocabulary variants' postings
+    # and contributes boost × 1.0 per matching doc (not BM25 — the
+    # classic Solr behavior for multi-term queries); one cheap
+    # (term, df)-pruned vocab scan per clause for the expansion
+    const_specs: list[tuple[str, str, list[str], float]] = []
+    for c in clauses:
+        if c.wildcard:
+            fld = c.field or default_field
+            variants = [t for t, _ in
+                        idx.wildcard_terms(c.terms[0], field=fld)]
+        elif c.range is not None:
+            fld = c.field or default_field
+            lo, hi, ilo, ihi = c.range
+            variants = [t for t, _ in
+                        idx.range_terms(lo, hi, field=fld,
+                                        include_lo=ilo, include_hi=ihi)]
+        else:
+            continue
+        if not variants:
+            if c.occur == "+":
+                return []  # required multi-term clause matching nothing
+            continue
+        const_specs.append((c.occur, fld, variants, c.boost))
 
     # --- phrase verification (positional) -------------------------------
     must_sets: list[set[int]] = []      # each must contain the doc
@@ -176,11 +227,14 @@ def execute(idx, q: str, k: int = 10,
     decoded: dict[tuple[str, str], np.ndarray] = {}
     for fld in sorted(set(pos_terms) | set(phrase_score_terms)
                       | set(fuzzy_score)
-                      | {f for _, f, _, _ in fuzzy_specs}):
+                      | {f for _, f, _, _ in fuzzy_specs}
+                      | {f for _, f, _, _ in const_specs}):
         wanted = sorted({t for c in pos_terms.get(fld, []) for t in c.terms}
                         | set(phrase_score_terms.get(fld, []))
                         | set(fuzzy_score.get(fld, {}))
                         | {t for occ, f2, vs, _ in fuzzy_specs
+                           if f2 == fld for t in vs}
+                        | {t for occ, f2, vs, _ in const_specs
                            if f2 == fld for t in vs})
         lists, avgdl = idx._term_lists(wanted, fld)
         by_name = {tl.term: tl for tl in lists}
@@ -196,9 +250,14 @@ def execute(idx, q: str, k: int = 10,
             ids, tfs, dls = tl.decode_all()
             decoded[(fld, t)] = ids
             per_term.append((ids, w * bm25_contrib(tfs, dls, tl.idf, avgdl)))
-        # prohibited fuzzy groups need ids but never scores
-        for occ, f2, vs, _ in fuzzy_specs:
-            if f2 == fld and occ == "-":
+        # prohibited fuzzy groups need ids but never scores; constant-
+        # score groups (any occur) need ids — their scoring is the flat
+        # boost applied over the union below, never per-term BM25
+        need_ids = [(f2, vs) for occ, f2, vs, _ in fuzzy_specs
+                    if occ == "-"]
+        need_ids += [(f2, vs) for _, f2, vs, _ in const_specs]
+        for f2, vs in need_ids:
+            if f2 == fld:
                 for t in vs:
                     if (fld, t) not in decoded:
                         tl = by_name.get(t)
@@ -216,6 +275,19 @@ def execute(idx, q: str, k: int = 10,
         ids = (np.unique(np.concatenate(arrs)) if arrs
                else np.empty(0, np.uint64))
         presence.append((occur, ids))
+
+    # constant-score groups (wildcard / range): the variant-id union is
+    # ONE presence clause, and non-prohibited groups add boost × 1.0 to
+    # every doc in the union — which also admits those docs to the
+    # candidate pool (a lone `pre*` query still returns results)
+    for occur, fld, variants, boost in const_specs:
+        arrs = [decoded[(fld, t)] for t in variants
+                if (fld, t) in decoded and decoded[(fld, t)].size]
+        ids = (np.unique(np.concatenate(arrs)) if arrs
+               else np.empty(0, np.uint64))
+        presence.append((occur, ids))
+        if occur != "-" and ids.size:
+            per_term.append((ids, np.full(ids.size, boost)))
 
     # prohibited term clauses (never scored)
     for c in term_clauses:

@@ -193,6 +193,22 @@ def _make_handler(idx, lock: threading.Lock):
                         {"term": t, "df": df, "dist": dist}
                         for t, df, dist in out
                     ]})
+                elif u.path == "/wildcard":
+                    # Lucene WildcardQuery expansion introspection
+                    # (mirror of /fuzzy): which vocabulary terms does
+                    # pre* / t?rm match, df-ranked under the cap
+                    pattern = qs.get("pattern", [""])[0]
+                    if not pattern:
+                        self._json(400, {"error": "missing pattern"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    limit = int(qs.get("limit", ["50"])[0])
+                    with lock:
+                        out = idx.wildcard_terms(pattern, field=field,
+                                                 limit=limit)
+                    self._json(200, {"terms": [
+                        {"term": t, "df": df} for t, df in out
+                    ]})
                 elif u.path == "/facet_range":
                     terms = qs.get("q", [""])[0].split()
                     if not terms:

@@ -180,6 +180,119 @@ def test_qs_fuzzy(qidx):
         qidx.topk(["return"], k=5)
 
 
+def test_qs_wildcard(qidx):
+    """Lucene WildcardQuery (pre*, t?rm): the clause matches the UNION
+    of its vocabulary variants at CONSTANT score boost × 1.0 (classic
+    Solr multi-term rewrite), composes with scored/required/prohibited
+    clauses, and a lone wildcard query still returns its matches."""
+    variants = [t for t, _ in qidx.wildcard_terms("ret*")]
+    assert "return" in variants
+    assert all(t.startswith("ret") for t in variants)
+    var_docs = set()
+    for v in variants:
+        var_docs |= {d for d, _ in qidx.topk([v], k=10**6)}
+
+    # lone wildcard: every doc with any variant, constant score 1.0
+    got = qidx.query_string("ret*", k=10**6)
+    assert {d for d, _ in got} == var_docs and got
+    assert all(s == pytest.approx(1.0) for _, s in got)
+    # boost scales the constant score
+    got2 = qidx.query_string("ret*^2.5", k=10**6)
+    assert {d for d, _ in got2} == var_docs
+    assert all(s == pytest.approx(2.5) for _, s in got2)
+
+    # ? = exactly one character
+    qm = [t for t, _ in qidx.wildcard_terms("va?ue")]
+    assert "value" in qm and all(
+        len(t) == 5 and t.startswith("va") and t.endswith("ue") for t in qm)
+
+    # composes: bm25(def) + 1.0 where ret* matches
+    big = 10**6
+    s_def = dict(qidx.topk(["def"], k=big, kernel="exhaustive"))
+    expect = {}
+    for d, s in s_def.items():
+        expect[d] = s + (1.0 if d in var_docs else 0.0)
+    for d in var_docs - set(s_def):
+        expect[d] = 1.0
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    got3 = qidx.query_string("def ret*", k=big)
+    assert [d for d, _ in got3] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got3, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+    # prohibited wildcard excludes the union, contributes no score
+    neg = qidx.query_string("def -ret*", k=big)
+    assert neg and {d for d, _ in neg} == set(s_def) - var_docs
+    # required wildcard with no vocabulary match → empty
+    assert qidx.query_string("+zzqq* def", k=5) == []
+    # pure-wildcard pattern is dropped, not match-all
+    assert parse_query("*") == [] and parse_query("??") == []
+    assert qidx.query_string("* def", k=5) == qidx.topk(["def"], k=5)
+
+
+def test_qs_term_range(qidx):
+    """Lucene TermRangeQuery ([a TO b] / {a TO b}): inclusive and
+    exclusive bounds, * = open bound, constant-score union."""
+    c = parse_query("code.content:[alpha TO beta]")[0]
+    assert c.range == ("alpha", "beta", True, True)
+    assert c.field == "code.content" and c.occur == ""
+    c2 = parse_query("-{a TO b}^2")[0]
+    assert c2.range == ("a", "b", False, False)
+    assert c2.occur == "-" and c2.boost == 2.0
+    c3 = parse_query("[m TO *]")[0]
+    assert c3.range == ("m", None, True, True)
+
+    rt = dict(qidx.range_terms("d", "dzzz"))
+    assert rt and all("d" <= t <= "dzzz" for t in rt)
+    # exclusive bounds drop exact endpoints
+    if "def" in rt:
+        assert "def" not in dict(qidx.range_terms("def", "dzzz",
+                                                  include_lo=False))
+
+    # execution: constant-score union of the range's terms
+    var_docs = set()
+    for t in rt:
+        var_docs |= {d for d, _ in qidx.topk([t], k=10**6)}
+    got = qidx.query_string("[d TO dzzz]", k=10**6)
+    assert {d for d, _ in got} == var_docs and got
+    assert all(s == pytest.approx(1.0) for _, s in got)
+    # as a required filter over a scored query: every range doc
+    # qualifies (Lucene: optionals only add score); docs also holding
+    # 'return' score 1.0 + bm25, the rest exactly 1.0
+    req = qidx.query_string("+[d TO dzzz] return", k=10**6)
+    s_ret = dict(qidx.topk(["return"], k=10**6, kernel="exhaustive"))
+    assert req and {d for d, _ in req} == var_docs
+    for d, s in req:
+        assert s == pytest.approx(1.0 + s_ret.get(d, 0.0), rel=1e-9)
+
+
+def test_wildcard_http_endpoint(qidx):
+    import json
+    import urllib.request
+
+    from ftidx.server import FtServer
+
+    srv = FtServer(qidx).start()
+    try:
+        base = f"http://{srv.host}:{srv.port}"
+        with urllib.request.urlopen(base + "/wildcard?pattern=ret*",
+                                    timeout=10) as r:
+            body = json.loads(r.read())
+        assert [(t["term"], t["df"]) for t in body["terms"]] == \
+            qidx.wildcard_terms("ret*")
+        # wildcard + range flow through /query unchanged
+        import urllib.parse
+        q = urllib.parse.quote("def ret* [d TO dzzz]")
+        with urllib.request.urlopen(f"{base}/query?q={q}&k=8",
+                                    timeout=10) as r:
+            body = json.loads(r.read())
+        expect = qidx.query_string("def ret* [d TO dzzz]", k=8)
+        assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
+        assert expect
+    finally:
+        srv.stop()
+
+
 def test_parse_fuzz_never_throws():
     """The parser is a search-box surface: ANY string must parse to a
     (possibly empty) clause list, never raise, and never produce an
@@ -193,7 +306,9 @@ def test_parse_fuzz_never_throws():
     @given(st.text(max_size=80))
     def check(q):
         for c in parse_query(q):
-            assert c.terms and all(t for t in c.terms)
+            # a clause is a term/phrase (non-empty terms) or a range
+            assert (c.terms and all(t for t in c.terms)) or \
+                c.range is not None
             assert c.occur in ("", "+", "-")
             assert c.boost >= 0 and (c.fuzzy is None or c.fuzzy >= 0)
 
@@ -207,7 +322,7 @@ def test_execute_fuzz_never_throws(qidx):
     from hypothesis import strategies as st
 
     @settings(max_examples=25, deadline=None)
-    @given(st.text(alphabet='abdef +-"~^:.12', max_size=30))
+    @given(st.text(alphabet='abdef +-"~^:.12*?[]{}TO ', max_size=30))
     def check(q):
         hits = qidx.query_string(q, k=5)
         assert isinstance(hits, list) and len(hits) <= 5
