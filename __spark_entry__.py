@@ -274,6 +274,38 @@ def q_term_range_match(spark, sf_dir):
     )
 
 
+def q_result_clusters(spark, sf_dir):
+    # result clustering (Solr clustering component / Carrot2, engine
+    # twin: FtIndex.cluster_topk): the top-20 bm25('merge') hit page,
+    # each doc labeled by its dominant distinguishing term — argmax of
+    # round(tf × (ln((N+1)/(df+1)) + 1), 5) (the tfidf_vectors
+    # convention, rounded BEFORE the argmax so both engines break ties
+    # identically), df bounds [2, 0.97 × N] (stop-label filter); docs
+    # with no qualifying term drop (engine: the "(other)" cluster)
+    tok = _tokens(spark, sf_dir)
+    scored = _bm25_scored(spark, sf_dir, ["merge"])
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    page = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20).select("doc_id"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tok.select("doc_id").distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    cand = (
+        tf.join(page, "doc_id").join(F.broadcast(dfreq), "term")
+        .filter((F.col("df") >= 2) & (F.col("df") <= 0.97 * n_docs))
+        .withColumn("tfidf_r", F.round(F.col("tf") * idf, 5))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_r"), F.asc("term"))
+    return (
+        cand.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("cluster_label"), "tfidf_r")
+        .orderBy("doc_id")
+    )
+
+
 def q_bm25_topk_filtered(spark, sf_dir):
     # Solr fq analog (engine twin: FtIndex.topk_where): BM25 rank
     # restricted to docs passing a metadata predicate; the filter binds
@@ -1944,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "match_stats": q_match_stats,
         "fuzzy_vocab": q_fuzzy_vocab,
+        "result_clusters": q_result_clusters,
         "wildcard_vocab": q_wildcard_vocab,
         "bm25_wildcard": q_bm25_wildcard,
         "term_range_match": q_term_range_match,
@@ -2334,6 +2367,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(term) BETWEEN 4 AND 6
               AND levenshtein(term, 'mergs') <= 1
             ORDER BY dist, df DESC, term
+        """,
+        "result_clusters": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+            m AS (SELECT * FROM tf WHERE term = 'merge'),
+            dfm AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+            scored AS (
+              SELECT m.doc_id,
+                     ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {K1 + 1.0}
+                       / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)) AS contrib
+              FROM m JOIN dfm d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+            ),
+            bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r FROM scored GROUP BY doc_id),
+            page AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
+                FROM bm25
+              ) WHERE rank <= 20
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+            cand AS (
+              SELECT t.doc_id, t.term,
+                     round(t.tf * (ln((nd.n + 1.0) / (d.df + 1.0)) + 1.0), 5) AS tfidf_r
+              FROM tf t JOIN page USING (doc_id) JOIN dfreq d USING (term)
+                   CROSS JOIN nd
+              WHERE d.df >= 2 AND d.df <= 0.97 * nd.n
+            )
+            SELECT doc_id, cluster_label, tfidf_r FROM (
+              SELECT doc_id, term AS cluster_label, tfidf_r,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf_r DESC, term) AS rn
+              FROM cand
+            ) WHERE rn = 1 ORDER BY doc_id
         """,
         "wildcard_vocab": f"""
             WITH {_TOK_CTE},

@@ -2034,6 +2034,128 @@ class FtIndex:
         hits = self.topk(qterms, k=k + 1, field=field)
         return [(d, s) for d, s in hits if d != doc_id][:k]
 
+    def page_term_vectors(self, doc_ids: list[int],
+                          field: str = "code.content") -> list[tuple]:
+        """Term vectors for a whole result page in ONE job: (doc_id,
+        term, tf, df_partial-summed-global later) rows for every page
+        doc. Unlike :meth:`doc_term_vector` (one scan per doc), the
+        postings scan is pruned to the UNION of the page's buckets
+        (resolved in one doclen scan, :meth:`fetch_docs` discipline)
+        and every blob probe answers all page ids at once via one
+        searchsorted — the per-page cost is O(buckets touched), sized
+        by the page, never the corpus. Returns [(doc_id, term, tf)]."""
+        ids = sorted({int(d) for d in doc_ids
+                      if int(d) not in self._tombstones})
+        if not ids:
+            return []
+        dl_dir = self.path / "doclen"
+        buckets: list[int] = []
+        if dl_dir.exists() and any(dl_dir.iterdir()):
+            buckets = sorted({
+                int(r["bucket"]) for r in
+                self.spark.read.parquet(str(dl_dir))
+                .filter(F.col("doc_id").isin(ids))
+                .select("bucket").distinct().collect()
+            })
+        rows = self._postings.filter(
+            ~F.col("term").startswith(PSEUDO_PREFIX))
+        if buckets:
+            rows = rows.filter(F.col("bucket").isin(buckets))
+        rows = rows.filter(F.col("field") == field) \
+            .select("term", "doc_ids", "tfs")
+        targets = np.array(ids, dtype=np.uint64)
+
+        def find_page(batches):
+            from ftidx.codec import delta_decode, varint_decode
+
+            for pdf in batches:
+                d_out, t_out, tf_out = [], [], []
+                for term, id_blob, tf_blob in zip(
+                        pdf["term"], pdf["doc_ids"], pdf["tfs"]):
+                    arr = delta_decode(varint_decode(id_blob))
+                    pos = np.searchsorted(arr, targets)
+                    ok = pos < arr.size
+                    ok[ok] = arr[pos[ok]] == targets[ok]
+                    if not ok.any():
+                        continue
+                    tfs = varint_decode(tf_blob)
+                    for d, p in zip(targets[ok], pos[ok]):
+                        d_out.append(int(d))
+                        t_out.append(term)
+                        tf_out.append(int(tfs[p]))
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series(d_out, dtype="int64"),
+                     "term": pd.Series(t_out, dtype="object"),
+                     "tf": pd.Series(tf_out, dtype="int64")})
+
+        got = rows.mapInPandas(
+            find_page, schema="doc_id long, term string, tf long"
+        ).collect()
+        # a doc's postings live entirely in its bucket, but streamed
+        # delta segments can split a (doc, term) across rows — sum
+        agg: dict[tuple[int, str], int] = {}
+        for r in got:
+            key = (int(r["doc_id"]), r["term"])
+            agg[key] = agg.get(key, 0) + int(r["tf"])
+        return [(d, t, tf) for (d, t), tf in sorted(agg.items())]
+
+    def cluster_topk(self, terms: list[str], k: int = 50,
+                     field: str = "code.content", min_df: int = 2,
+                     stop_df_frac: float = 0.5) -> list[dict]:
+        """Result clustering (Solr clustering component / Carrot2
+        analog): group the top-``k`` hit page by each doc's dominant
+        DISTINGUISHING term — argmax tf × idf with the engine's
+        tfidf_vectors convention (smoothed idf = ln((N+1)/(df+1)) + 1),
+        ties (tfidf DESC, term ASC). Terms in more than
+        ``stop_df_frac`` of all docs are excluded as labels (a term
+        half the corpus shares discriminates nothing — Carrot2's stop-
+        label filter), as are terms below ``min_df``; a doc whose every
+        term is filtered falls into the ``"(other)"`` cluster.
+
+        Cost is page-shaped, never corpus-shaped: one bucket-pruned
+        postings decode for the page's term vectors
+        (:meth:`page_term_vectors`), one (term, df)-column-pruned vocab
+        scan restricted to the page's distinct terms (isin pushdown)
+        for global df, then driver numpy over ≤ page × vocab-per-doc
+        rows. Returns [{"label", "n_docs", "doc_ids"}] ordered
+        (n_docs DESC, label ASC)."""
+        hits = self.topk(terms, k=k, field=field)
+        if not hits:
+            return []
+        page = [d for d, _ in hits]
+        tv = self.page_term_vectors(page, field=field)
+        if not tv:
+            return []
+        page_terms = sorted({t for _, t, _ in tv})
+        df_rows = (
+            self._postings.filter(F.col("field") == field)
+            .filter(F.col("term").isin(page_terms))
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
+        )
+        df_map = {r["term"]: int(r["df"]) for r in df_rows}
+        n_docs, _ = self.stats.get(field, (0, 1.0))
+        max_df = stop_df_frac * n_docs
+
+        best: dict[int, tuple[float, str]] = {}
+        for d, t, tf in tv:
+            df = df_map.get(t, 0)
+            if df < min_df or df > max_df:
+                continue
+            w = tf * (np.log((n_docs + 1.0) / (df + 1.0)) + 1.0)
+            cur = best.get(d)
+            # tie-break: higher tfidf wins, then lexicographically
+            # smaller term (deterministic across layouts)
+            if cur is None or (-w, t) < (-cur[0], cur[1]):
+                best[d] = (w, t)
+        clusters: dict[str, list[int]] = {}
+        for d in page:
+            label = best.get(d, (0.0, "(other)"))[1]
+            clusters.setdefault(label, []).append(d)
+        out = [{"label": la, "n_docs": len(ds), "doc_ids": sorted(ds)}
+               for la, ds in clusters.items()]
+        out.sort(key=lambda c: (-c["n_docs"], c["label"]))
+        return out
+
     def _bucket_of(self, doc_id: int) -> int | None:
         """Bucket owning ``doc_id``, resolved via the doclen table (one
         column-pruned, predicate-pushed lookup). NOT derived from

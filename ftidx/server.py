@@ -389,6 +389,22 @@ def _make_handler(idx, lock: threading.Lock):
                         la: [{"doc_id": d, "score": s} for d, s in hits]
                         for la, hits in out.items()
                     }})
+                elif u.path == "/cluster":
+                    # Solr clustering component (Carrot2): the hit
+                    # page grouped by dominant distinguishing term
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    k = int(qs.get("k", ["50"])[0])
+                    min_df = int(qs.get("min_df", ["2"])[0])
+                    stop = float(qs.get("stop_df_frac", ["0.5"])[0])
+                    with lock:
+                        out = idx.cluster_topk(terms, k=k, field=field,
+                                               min_df=min_df,
+                                               stop_df_frac=stop)
+                    self._json(200, {"clusters": out})
                 elif u.path == "/analyze":
                     # Solr /analysis/field analog: show exactly how a
                     # piece of content tokenizes into fields/terms —
@@ -451,6 +467,34 @@ def _make_handler(idx, lock: threading.Lock):
                     with lock:
                         out = idx.explain(terms, int(did), field=field)
                     self._json(200, out)
+                elif u.path == "/mlt":
+                    # Solr MoreLikeThisHandler: docs similar to id=
+                    did = qs.get("id", [""])[0]
+                    if not did:
+                        self._json(400, {"error": "missing id"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    k = int(qs.get("k", ["10"])[0])
+                    mqt = int(qs.get("maxqt", ["12"])[0])
+                    with lock:
+                        out = idx.more_like_this(int(did), k=k,
+                                                 field=field,
+                                                 max_query_terms=mqt)
+                    self._json(200, {"hits": [
+                        {"doc_id": d, "score": s} for d, s in out]})
+                elif u.path == "/tv":
+                    # Solr termvectors component: the doc's terms + tf
+                    did = qs.get("id", [""])[0]
+                    if not did:
+                        self._json(400, {"error": "missing id"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    top_m = int(qs.get("top", ["50"])[0])
+                    with lock:
+                        out = idx.doc_term_vector(int(did), field=field,
+                                                  top_m=top_m)
+                    self._json(200, {"terms": [
+                        {"term": t, "tf": tf} for t, tf in out]})
                 elif u.path in ("/search", "/phrase"):
                     raw = qs.get("q", [""])[0].split()
                     # Solr-ish boolean surface: '-term' excludes,

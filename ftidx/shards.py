@@ -152,3 +152,55 @@ class FtShards:
                 agg[r["value"]] += int(r["n_docs"])
         ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k_facets]
+
+    # -- distributed vocabulary components --------------------------------
+    def _merge_vocab(self, per_shard: list[list[tuple[str, int]]],
+                     sort: str, limit: int) -> list[tuple[str, int]]:
+        """SolrCloud TermsComponent merge: per-shard (term, df) lists
+        summed at the coordinator, global order re-applied, cut last.
+        Exact whenever each shard ships its COMPLETE constraint list
+        for the predicate (prefix/pattern/range prune the vocabulary
+        shard-side, so the lists are small); a pushed-down per-shard
+        top-k would under-count terms hot on one shard only — the same
+        refinement caveat as :meth:`facet_counts`."""
+        agg: dict[str, int] = {}
+        for rows in per_shard:
+            for t, df in rows:
+                agg[t] = agg.get(t, 0) + int(df)
+        key = ((lambda kv: (-kv[1], kv[0])) if sort == "count"
+               else (lambda kv: kv[0]))
+        return sorted(agg.items(), key=key)[:limit]
+
+    def terms_enum(self, field: str = "code.content",
+                   prefix: str | None = None, regex: str | None = None,
+                   mincount: int = 1, limit: int = 10,
+                   sort: str = "count") -> list[tuple[str, int]]:
+        """Distributed /terms: each shard enumerates its full matching
+        vocabulary (no shard-side limit — exactness over wire size),
+        dfs sum globally, ``mincount`` applies to the GLOBAL df (a term
+        below mincount on every shard can still clear it summed)."""
+        per = [sh.terms_enum(field=field, prefix=prefix, regex=regex,
+                             mincount=1, limit=(1 << 31) - 1, sort=sort)
+               for sh in self.shards]
+        merged = self._merge_vocab(per, sort, (1 << 31) - 1)
+        return [(t, df) for t, df in merged if df >= mincount][:limit]
+
+    def suggest_terms(self, prefix: str, field: str = "code.content",
+                      limit: int = 10) -> list[tuple[str, int]]:
+        """Distributed suggester: prefix completion ranked by GLOBAL
+        df (df DESC, term ASC)."""
+        if not prefix:
+            return []
+        per = [sh.suggest_terms(prefix, field=field, limit=(1 << 31) - 1)
+               for sh in self.shards]
+        return self._merge_vocab(per, "count", limit)
+
+    def wildcard_terms(self, pattern: str, field: str = "code.content",
+                       limit: int = 50) -> list[tuple[str, int]]:
+        """Distributed wildcard expansion: per-shard pattern matches
+        (complete lists — the pattern prunes shard-side), global df
+        ranking under the same top-terms-rewrite cap."""
+        per = [sh.wildcard_terms(pattern, field=field,
+                                 limit=(1 << 31) - 1)
+               for sh in self.shards]
+        return self._merge_vocab(per, "count", limit)

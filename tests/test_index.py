@@ -1240,3 +1240,56 @@ def test_match_stats_on_function(spark, built):
     assert row["n_matched"] == len(vals)
     assert row["n_values"] == len(set(vals))
     assert row["min_value"] == min(vals) and row["max_value"] == max(vals)
+
+
+def test_page_term_vectors_parity(spark, built):
+    """page_term_vectors == per-doc doc_term_vector for every page id,
+    from ONE scan instead of one per doc."""
+    out, _ = built
+    idx = open_index(spark, out)
+    page = [d for d, _ in idx.topk(["def"], k=6)]
+    tv = idx.page_term_vectors(page)
+    assert tv
+    for d in page:
+        expect = dict(idx.doc_term_vector(d, top_m=10**6))
+        got = {t: tf for dd, t, tf in tv if dd == d}
+        assert got == expect, d
+
+
+def test_cluster_topk(spark, built):
+    """Solr clustering component: every page doc lands in exactly one
+    cluster, labels are the brute-force argmax tf-idf distinguishing
+    term, ordering is (n_docs DESC, label ASC)."""
+    import math
+
+    out, _ = built
+    idx = open_index(spark, out)
+    k, min_df, stop = 10, 2, 0.5
+    page = [d for d, _ in idx.topk(["def"], k=k)]
+    clusters = idx.cluster_topk(["def"], k=k, min_df=min_df,
+                                stop_df_frac=stop)
+    got_ids = [d for c in clusters for d in c["doc_ids"]]
+    assert sorted(got_ids) == sorted(page)          # exact partition
+    keys = [(-c["n_docs"], c["label"]) for c in clusters]
+    assert keys == sorted(keys)
+    for c in clusters:
+        assert c["doc_ids"] == sorted(c["doc_ids"])
+        assert c["n_docs"] == len(c["doc_ids"])
+
+    # brute-force recompute of each doc's label
+    n_docs, _ = idx.stats["code.content"]
+    df_map = dict(idx.terms_enum(limit=10**6, sort="index"))
+    expect = {}
+    for d in page:
+        best = None
+        for t, tf in idx.doc_term_vector(d, top_m=10**6):
+            df = df_map.get(t, 0)
+            if df < min_df or df > stop * n_docs:
+                continue
+            w = tf * (math.log((n_docs + 1.0) / (df + 1.0)) + 1.0)
+            if best is None or (-w, t) < (-best[0], best[1]):
+                best = (w, t)
+        expect[d] = best[1] if best else "(other)"
+    for c in clusters:
+        for d in c["doc_ids"]:
+            assert expect[d] == c["label"], d

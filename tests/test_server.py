@@ -559,3 +559,34 @@ def test_group_query_endpoint(served):
     for la in ("d", "m"):
         assert [(h["doc_id"], h["score"]) for h in body["groups"][la]] == \
             expect[la]
+
+
+def test_cluster_endpoint(served):
+    srv, idx = served
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/cluster?q=def&k=6")
+    assert status == 200
+    assert body["clusters"] == idx.cluster_topk(["def"], k=6)
+    assert body["clusters"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"http://{srv.host}:{srv.port}/cluster")
+    assert e.value.code == 400
+
+
+def test_mlt_and_tv_endpoints(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    doc = idx.topk(["def"], k=1)[0][0]
+    status, body = _get(f"{base}/mlt?id={doc}&k=5")
+    assert status == 200
+    assert [(h["doc_id"], h["score"]) for h in body["hits"]] == \
+        idx.more_like_this(doc, k=5)
+    status, body = _get(f"{base}/tv?id={doc}&top=8")
+    assert status == 200
+    assert [(t["term"], t["tf"]) for t in body["terms"]] == \
+        idx.doc_term_vector(doc, top_m=8)
+    assert body["terms"]
+    for path in ("/mlt", "/tv"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + path)
+        assert e.value.code == 400, path

@@ -107,3 +107,21 @@ def test_sharded_facets_equal_monolithic(setup):
               mono.facet_counts(["def"], facet="lang",
                                 k_facets=50).collect()]
     assert got == expect and got
+
+
+def test_sharded_vocab_components(setup):
+    """Distributed /terms, suggester, and wildcard expansion: the
+    2-shard merge equals the monolithic index's answer — complete
+    per-shard constraint lists, dfs summed, global order re-applied."""
+    mono, shards = setup
+    assert shards.terms_enum(limit=15) == mono.terms_enum(limit=15)
+    assert shards.terms_enum(prefix="re", sort="index", limit=50) == \
+        mono.terms_enum(prefix="re", sort="index", limit=50)
+    # global mincount: apply to the summed df (mono is the oracle)
+    assert shards.terms_enum(mincount=10, limit=50) == \
+        mono.terms_enum(mincount=10, limit=50)
+    assert shards.suggest_terms("re") == mono.suggest_terms("re")
+    assert shards.suggest_terms("") == []
+    assert shards.wildcard_terms("re*") == mono.wildcard_terms("re*")
+    assert shards.wildcard_terms("v?lue") == mono.wildcard_terms("v?lue")
+    assert shards.terms_enum(limit=15)  # non-trivial
