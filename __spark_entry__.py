@@ -1272,6 +1272,29 @@ def q_unigram_loglik(spark, sf_dir):
     return unigram_loglik(_docs(spark, sf_dir))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (textops.dsir_logratios, Xie et al.
+    2023 unigram variant): raw = whole documents table, target = its
+    'zh' slice; add-0.5 smoothing over the union vocabulary; weights
+    unnormalized by length (paper convention), rounded to 5."""
+    from ftidx.textops import dsir_logratios
+
+    docs = _docs(spark, sf_dir)
+    return dsir_logratios(docs, docs.filter(F.col("lang") == "zh")) \
+        .orderBy("doc_id")
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel-top-k resampling (textops.dsir_select): 100 docs
+    sampled without replacement proportional to softmax(log w) via the
+    Gumbel-top-k identity, the noise deterministic from the salted-md5
+    uniform — the same doc set on any engine or layout."""
+    from ftidx.textops import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(docs, docs.filter(F.col("lang") == "zh"), 100)
+
+
 def q_collocations(spark, sf_dir):
     """Adjacent-bigram PMI collocation mining (textops.collocations):
     all bigrams with count ≥ 10 and their pointwise mutual information
@@ -2015,6 +2038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
         "unigram_loglik": q_unigram_loglik,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "bm25_boosted": q_bm25_boosted,
         "score_explain": q_score_explain,
         "collocations": q_collocations,
@@ -3121,6 +3146,80 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bin < 230 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "dsir_weights": f"""
+            WITH {_TOK_CTE},
+            tokt AS (SELECT tok.doc_id, term FROM tok
+                     JOIN documents USING (doc_id) WHERE lang = 'zh'),
+            cfr AS (SELECT term, count(*) AS cf_raw FROM tok GROUP BY term),
+            cft AS (SELECT term, count(*) AS cf_tgt FROM tokt GROUP BY term),
+            vocab AS (
+              SELECT coalesce(r.term, t.term) AS term,
+                     coalesce(cf_raw, 0) AS cf_raw,
+                     coalesce(cf_tgt, 0) AS cf_tgt
+              FROM cfr r FULL JOIN cft t ON r.term = t.term
+            ),
+            tot AS (SELECT sum(cf_raw) AS tr, sum(cf_tgt) AS tt,
+                           count(*) AS v FROM vocab),
+            lr AS (
+              SELECT term,
+                     ln((cf_tgt + 0.5) / (tt + 0.5 * v))
+                   - ln((cf_raw + 0.5) / (tr + 0.5 * v)) AS llr
+              FROM vocab CROSS JOIN tot
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   GROUP BY doc_id, term)
+            SELECT doc_id, sum(tf) AS dl, round(sum(tf * llr), 5) AS log_w_r
+            FROM tf JOIN lr USING (term)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dsir_select": f"""
+            WITH {_TOK_CTE},
+            tokt AS (SELECT tok.doc_id, term FROM tok
+                     JOIN documents USING (doc_id) WHERE lang = 'zh'),
+            cfr AS (SELECT term, count(*) AS cf_raw FROM tok GROUP BY term),
+            cft AS (SELECT term, count(*) AS cf_tgt FROM tokt GROUP BY term),
+            vocab AS (
+              SELECT coalesce(r.term, t.term) AS term,
+                     coalesce(cf_raw, 0) AS cf_raw,
+                     coalesce(cf_tgt, 0) AS cf_tgt
+              FROM cfr r FULL JOIN cft t ON r.term = t.term
+            ),
+            tot AS (SELECT sum(cf_raw) AS tr, sum(cf_tgt) AS tt,
+                           count(*) AS v FROM vocab),
+            lr AS (
+              SELECT term,
+                     ln((cf_tgt + 0.5) / (tt + 0.5 * v))
+                   - ln((cf_raw + 0.5) / (tr + 0.5 * v)) AS llr
+              FROM vocab CROSS JOIN tot
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   GROUP BY doc_id, term),
+            w AS (
+              SELECT doc_id, sum(tf) AS dl, round(sum(tf * llr), 5) AS log_w_r
+              FROM tf JOIN lr USING (term) GROUP BY doc_id
+            ),
+            u AS (
+              SELECT doc_id,
+                     (((((((instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 2, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 3, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 4, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 5, 1)) - 1)) * 16
+                       + (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':42'), 6, 1)) - 1))::DOUBLE
+                      + 0.5) / 16777216.0 AS u
+              FROM w
+            ),
+            sel AS (
+              SELECT w.doc_id, dl, log_w_r,
+                     round(log_w_r + (-ln(-ln(u.u))), 5) AS sel_key_r
+              FROM w JOIN u ON w.doc_id = u.doc_id
+            )
+            SELECT doc_id, dl, log_w_r, sel_key_r, rank FROM (
+              SELECT doc_id, dl, log_w_r, sel_key_r,
+                     row_number() OVER (ORDER BY sel_key_r DESC, doc_id) AS rank
+              FROM sel
+            ) WHERE rank <= 100
         """,
         "stratified_sample": """
             WITH b AS (

@@ -846,3 +846,107 @@ def mix_domains_temperature(docs: DataFrame, total_docs: int,
     shares = temperature_shares(counts, tau)
     return mix_domains(docs, shares, total_docs, strata_col=strata_col,
                        seed=seed, id_col=id_col)
+
+
+def _md5_uniform(id_expr, seed: int, digits: int = 6):
+    """Deterministic uniform in (0, 1) from the engine's salted-md5
+    hash rule (the same ``md5(id:seed)`` first-``digits``-hex-chars
+    integer :func:`stratified_sample` / :func:`mix_domains` threshold
+    against): u = (bin + 0.5) / 16^digits. Pure codegen expressions,
+    portable verbatim to the SQL oracle — never ``rand()``, which no
+    two engines (or even two runs) reproduce."""
+    h = F.md5(F.concat_ws(":", id_expr.cast("string"), F.lit(str(seed))))
+    binv = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    for i in range(2, digits + 1):
+        binv = binv * 16 + (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1)
+    return (binv.cast("double") + F.lit(0.5)) / F.lit(float(16 ** digits))
+
+
+def dsir_logratios(raw: DataFrame, target: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   alpha: float = 0.5) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", unigram-feature
+    variant): how much more likely is each raw doc under the TARGET
+    corpus's unigram model than under the raw corpus's own —
+
+        log w(d) = Σ_t tf(d,t) · [ln p_tgt(t) − ln p_raw(t)]
+
+    with add-α smoothing over the UNION vocabulary V on both models,
+    p(t) = (cf(t) + α) / (total + α·|V|), so target-OOV terms penalize
+    smoothly instead of −∞. Returns (doc_id, dl, log_w_r) with the
+    weight rounded to 5 (the engine's cross-engine float discipline).
+    Weights are unnormalized by length (the paper's convention —
+    callers wanting a per-token ratio divide by dl).
+
+    Scale shape: one tokenize pass per corpus; cf aggregations are
+    map-side-combinable; the per-term log-ratio table is VOCABULARY-
+    sized and broadcasts into the raw tf join; the per-doc sum is one
+    groupBy. The only driver traffic is the 3-number totals row. At
+    100 TB truncate to the top-V union vocabulary and floor OOV mass
+    — the paper's own hashed-feature approximation."""
+    tok_r = _tokens(raw, text_col, id_col)
+    tok_t = _tokens(target, text_col, id_col)
+    cf_r = tok_r.groupBy("term").agg(F.count(F.lit(1)).alias("cf_raw"))
+    cf_t = tok_t.groupBy("term").agg(F.count(F.lit(1)).alias("cf_tgt"))
+    vocab = (
+        cf_r.join(cf_t, "term", "full")
+        .select("term",
+                F.coalesce("cf_raw", F.lit(0)).alias("cf_raw"),
+                F.coalesce("cf_tgt", F.lit(0)).alias("cf_tgt"))
+    )
+    tot = vocab.agg(F.sum("cf_raw").alias("tr"),
+                    F.sum("cf_tgt").alias("tt"),
+                    F.count(F.lit(1)).alias("v")).collect()[0]
+    den_t = float(tot["tt"] + alpha * tot["v"])
+    den_r = float(tot["tr"] + alpha * tot["v"])
+    lr = vocab.select(
+        "term",
+        (F.log((F.col("cf_tgt") + F.lit(alpha)) / F.lit(den_t))
+         - F.log((F.col("cf_raw") + F.lit(alpha)) / F.lit(den_r))
+         ).alias("llr"))
+    tf = tok_r.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(F.broadcast(lr), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"),
+             F.round(F.sum(F.col("tf") * F.col("llr")), 5).alias("log_w_r"))
+    )
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, n_keep: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                alpha: float = 0.5, seed: int = 42,
+                gumbel: bool = True) -> DataFrame:
+    """DSIR selection: keep ``n_keep`` raw docs by importance weight.
+    With ``gumbel=True`` (the paper's resampling) each doc's key is
+    log w(d) + Gumbel(0,1) noise and the top-``n_keep`` keys win —
+    the Gumbel-top-k identity makes this EXACTLY sampling without
+    replacement proportional to softmax(log w), yet fully
+    deterministic here: the noise is −ln(−ln u) with u from the
+    engine's salted-md5 uniform (:func:`_md5_uniform`), so the same
+    doc set survives on any engine, layout, or rerun. ``gumbel=False``
+    degrades to the hard top-n by weight (mode-seeking, less diverse —
+    the ablation the paper argues against). Keys round to 5 before
+    ranking (ties → lower id), the contract's cross-engine argmax
+    discipline. Returns (doc_id, dl, log_w_r, sel_key_r, rank).
+
+    Scale shape: :func:`dsir_logratios` plus one column expression and
+    ONE total-order sort of a (key, id) projection — at 10^12 docs
+    derive an approximate key threshold from a hash sample instead
+    (:func:`top_fraction`'s scale note applies verbatim)."""
+    w = dsir_logratios(raw, target, text_col=text_col, id_col=id_col,
+                       alpha=alpha)
+    if gumbel:
+        u = _md5_uniform(F.col("doc_id"), seed)
+        key = F.round(F.col("log_w_r") + (-F.log(-F.log(u))), 5)
+    else:
+        key = F.col("log_w_r")
+    win = Window.orderBy(F.desc("sel_key_r"), F.asc("doc_id"))
+    return (
+        w.withColumn("sel_key_r", key)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= n_keep)
+        .select("doc_id", "dl", "log_w_r", "sel_key_r", "rank")
+    )

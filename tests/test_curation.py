@@ -1087,3 +1087,44 @@ def test_temperature_shares_exact():
     assert sh["en"] > sh["zh"] > sh["es"]    # order preserved
     assert temperature_shares({}, 0.5) == {}
     assert temperature_shares({"a": 0}, 0.5) == {"a": 0}
+
+
+def test_dsir_weights_and_select(spark):
+    """DSIR (Xie et al. 2023): docs written in the target slice's
+    vocabulary outscore docs of raw-only vocabulary; smoothing keeps
+    target-OOV terms finite; Gumbel selection is deterministic,
+    exactly-n, and degrades to hard top-n with gumbel=False."""
+    from ftidx.textops import dsir_logratios, dsir_select
+
+    rows = []
+    for i in range(40):  # raw-domain docs: common filler vocabulary
+        rows.append((i, "the quick brown fox jumps over lazy dog", "en"))
+    for i in range(40, 50):  # target-domain docs: distinct vocabulary
+        rows.append((i, "tensor gradient layer attention softmax", "ml"))
+    # a raw doc that talks like the target:
+    rows.append((50, "gradient attention tensor layer", "en"))
+    # a raw doc with a term in NEITHER corpus slice's favor:
+    rows.append((51, "zzzuniq zzzuniq zzzuniq", "en"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    target = docs.filter(F.col("lang") == "ml")
+
+    w = {r["doc_id"]: r["log_w_r"]
+         for r in dsir_logratios(docs, target).collect()}
+    assert set(w) == set(range(52))          # every raw doc weighted
+    assert w[50] > w[0]                      # target-like raw doc wins
+    assert w[40] > w[0]                      # genuine target docs win
+    import math
+    assert all(math.isfinite(v) for v in w.values())  # smoothing works
+
+    sel = dsir_select(docs, target, 20).collect()
+    assert len(sel) == 20
+    assert [r["rank"] for r in sel] == sorted(r["rank"] for r in sel)
+    keys = [(-r["sel_key_r"], r["doc_id"]) for r in
+            sorted(sel, key=lambda r: r["rank"])]
+    assert keys == sorted(keys)
+    again = dsir_select(docs, target, 20).collect()
+    assert sorted(r["doc_id"] for r in sel) == \
+        sorted(r["doc_id"] for r in again)   # deterministic resample
+    hard = dsir_select(docs, target, 5, gumbel=False).collect()
+    top5 = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert sorted(r["doc_id"] for r in hard) == sorted(d for d, _ in top5)
