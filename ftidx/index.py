@@ -672,6 +672,9 @@ class FtIndex:
         )
         self._term_cache.clear()
         self._cache_bytes = 0
+        # Solr filterCache analog: fq-predicate → frozen doc-id set;
+        # invalidated with the rest of the handle state
+        self._filter_cache: dict[str, frozenset] = {}
 
     # -- maintenance -----------------------------------------------------
     def delete(self, doc_ids: list[int]) -> None:
@@ -2033,6 +2036,128 @@ class FtIndex:
         qterms = [t for _, t in scored_terms]
         hits = self.topk(qterms, k=k + 1, field=field)
         return [(d, s) for d, s in hits if d != doc_id][:k]
+
+    def predicate_ids(self, predicate: str) -> frozenset:
+        """Solr filterCache analog: the doc-id set passing a metadata
+        SQL predicate (``"lang = 'python'"``), from ONE column-pruned,
+        predicate-pushed docs scan, memoized per predicate string —
+        Solr caches fq bitsets for exactly this reason: filters repeat
+        across queries, queries don't. Tombstones excluded;
+        :meth:`refresh` invalidates (same lifecycle as the term cache).
+
+        Driver memory holds one long per matching doc — the serving
+        trade the term cache already makes; an analytic-scale filter
+        belongs in :meth:`topk_where`, which stays distributed."""
+        cached = self._filter_cache.get(predicate)
+        if cached is not None:
+            return cached
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        ids = frozenset(
+            int(r["doc_id"])
+            for r in docs.filter(F.expr(predicate))
+            .select("doc_id").collect()
+        ) - frozenset(self._tombstones)
+        self._filter_cache[predicate] = ids
+        return ids
+
+    def facet_counts_for_ids(self, doc_ids, facet: str = "lang",
+                             k_facets: int = 20) -> list[tuple[str, int]]:
+        """Terms facet over an EXPLICIT doc-id set (the JSON Request
+        API's facet-over-filtered-match-set case, where the match set
+        came from the boolean/query-string executor rather than a
+        plain term list). The id set ships as a broadcast semi-join
+        into the docs scan — the exact shape of a map-side bitset
+        filter — and the aggregation is one map-side-combinable
+        groupBy cut at ``k_facets`` (count DESC, value ASC)."""
+        ids = [int(d) for d in doc_ids]
+        if not ids:
+            return []
+        id_df = self.spark.createDataFrame(
+            [(d,) for d in ids], "doc_id long")
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        rows = (
+            docs.join(F.broadcast(id_df), "doc_id")
+            .groupBy(F.col(facet).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("value"))
+            .limit(k_facets).collect()
+        )
+        return [(r["value"], int(r["n_docs"])) for r in rows]
+
+    def select_json(self, body: dict) -> dict:
+        """Solr JSON Request API (POST /select): one request composing
+        query + filters + paging + stored fields + facets, the modern
+        Solr surface::
+
+            {"query": "+merge ret* -slow",
+             "filter": ["lang = 'python'", "n_chars >= 100"],
+             "offset": 0, "limit": 10,
+             "fields": ["path", "lang"],
+             "facet": {"langs": {"type": "terms", "field": "lang",
+                                 "limit": 5}},
+             "params": {"mm": 2, "df": "code.content"}}
+
+        Semantics follow Solr: ``query`` is the full query-string
+        grammar (qparse); every ``filter`` predicate restricts the
+        match set BEFORE ranking cuts (fq — non-scoring, answered from
+        the :meth:`predicate_ids` filterCache); ``response.numFound``
+        is the filtered match-set size; facets aggregate over the
+        ENTIRE filtered match set, not the page (Solr's contract);
+        ``fields`` enriches only the returned page
+        (:meth:`fetch_docs`). Sorting is score DESC, id ASC (use
+        :meth:`search_sorted` for sort-by-field/function over term
+        queries). Unsupported keys raise ValueError → HTTP 400."""
+        known = {"query", "filter", "offset", "limit", "fields",
+                 "facet", "params"}
+        unknown = set(body) - known
+        if unknown:
+            raise ValueError(f"unsupported /select keys: {sorted(unknown)}")
+        q = body.get("query", "")
+        if not isinstance(q, str) or not q.strip():
+            raise ValueError("/select needs a non-empty string 'query'")
+        params = body.get("params") or {}
+        field = params.get("df", "code.content")
+        mm = params.get("mm")
+        offset = int(body.get("offset", 0))
+        limit = int(body.get("limit", 10))
+
+        # full filtered match set: numFound and facets need it all —
+        # the ranking itself is the driver-side serving kernel, which
+        # already materializes every candidate before the cut
+        hits = self.query_string(q, k=1 << 30, field=field, min_match=mm)
+        filters = body.get("filter") or []
+        if isinstance(filters, str):
+            filters = [filters]
+        for pred in filters:
+            keep = self.predicate_ids(pred)
+            hits = [(d, s) for d, s in hits if d in keep]
+
+        page = hits[offset:offset + limit]
+        docs = [{"doc_id": d, "score": s} for d, s in page]
+        fields = body.get("fields") or []
+        if fields and page:
+            stored = self.fetch_docs([d for d, _ in page], columns=fields)
+            for row in docs:
+                row.update({k: v for k, v in
+                            stored.get(row["doc_id"], {}).items()
+                            if k != "doc_id"})
+        out = {"response": {"numFound": len(hits), "start": offset,
+                            "docs": docs}}
+
+        facet_spec = body.get("facet") or {}
+        if facet_spec:
+            match_ids = [d for d, _ in hits]
+            out["facets"] = {}
+            for name, spec in facet_spec.items():
+                if spec.get("type", "terms") != "terms":
+                    raise ValueError(
+                        f"facet {name!r}: only type=terms is supported")
+                vals = self.facet_counts_for_ids(
+                    match_ids, facet=spec["field"],
+                    k_facets=int(spec.get("limit", 20)))
+                out["facets"][name] = [
+                    {"value": v, "count": n} for v, n in vals]
+        return out
 
     def page_term_vectors(self, doc_ids: list[int],
                           field: str = "code.content") -> list[tuple]:

@@ -715,7 +715,30 @@ def _make_handler(idx, lock: threading.Lock):
         def do_POST(self):
             self._t0 = time.monotonic()
             path = urlparse(self.path).path
-            if path == "/refresh":
+            if path == "/select":
+                # Solr JSON Request API: query + filter + paging +
+                # fields + facets in one JSON body
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(body, dict):
+                        raise ValueError("/select body must be a JSON object")
+                    with lock:
+                        out = idx.select_json(body)
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # Spark analysis errors on user
+                    # -supplied predicates/fields → 400, not a dropped
+                    # connection (same policy as the GET tier)
+                    if type(e).__name__ in ("AnalysisException",
+                                            "ParseException"):
+                        self._json(400, {"error": str(e).split("\n")[0]})
+                        return
+                    raise
+                self._json(200, out)
+            elif path == "/refresh":
                 with lock:
                     idx.refresh()
                 self._json(200, {"status": "refreshed"})

@@ -1293,3 +1293,50 @@ def test_cluster_topk(spark, built):
     for c in clusters:
         for d in c["doc_ids"]:
             assert expect[d] == c["label"], d
+
+
+def test_select_json(spark, built):
+    """Solr JSON Request API: filters bind BEFORE the page cut,
+    numFound is the filtered match-set size, facets aggregate the
+    FULL match set, fields enrich only the page, the filterCache
+    memoizes, and unsupported shapes raise ValueError."""
+    out, _ = built
+    idx = open_index(spark, out)
+    all_hits = idx.query_string("def return", k=10**6)
+    keep = idx.predicate_ids("lang = 'python'")
+    expect = [(d, s) for d, s in all_hits if d in keep]
+    assert expect and len(expect) < len(all_hits)
+
+    body = idx.select_json({
+        "query": "def return", "filter": "lang = 'python'", "limit": 5,
+        "fields": ["lang", "path"],
+        "facet": {"langs": {"type": "terms", "field": "lang",
+                            "limit": 3}}})
+    resp = body["response"]
+    assert resp["numFound"] == len(expect) and resp["start"] == 0
+    assert [(d["doc_id"], d["score"]) for d in resp["docs"]] == expect[:5]
+    assert all(d["lang"] == "python" and "path" in d for d in resp["docs"])
+    assert body["facets"]["langs"] == [
+        {"value": v, "count": n} for v, n in
+        idx.facet_counts_for_ids([d for d, _ in expect], "lang", 3)]
+    assert body["facets"]["langs"][0] == {"value": "python",
+                                          "count": len(expect)}
+
+    # offset paging over the same filtered ranking
+    b2 = idx.select_json({"query": "def return",
+                          "filter": ["lang = 'python'"],
+                          "offset": 2, "limit": 3})
+    assert [(d["doc_id"], d["score"]) for d in b2["response"]["docs"]] == \
+        expect[2:5]
+
+    # filterCache: the second lookup is the memoized object
+    assert idx.predicate_ids("lang = 'python'") is keep
+
+    with pytest.raises(ValueError):
+        idx.select_json({"query": "def", "sort": "score desc"})
+    with pytest.raises(ValueError):
+        idx.select_json({"query": "  "})
+    with pytest.raises(ValueError):
+        idx.select_json({"query": "def",
+                         "facet": {"x": {"type": "range",
+                                         "field": "lang"}}})

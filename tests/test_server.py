@@ -590,3 +590,30 @@ def test_mlt_and_tv_endpoints(served):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(base + path)
         assert e.value.code == 400, path
+
+
+def test_select_json_endpoint(served):
+    srv, idx = served
+    url = f"http://{srv.host}:{srv.port}/select"
+    req = urllib.request.Request(
+        url, data=json.dumps({
+            "query": "def", "filter": "lang = 'python'", "limit": 4,
+            "fields": ["lang"],
+            "facet": {"l": {"type": "terms", "field": "lang"}},
+        }).encode(), headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        body = json.loads(r.read())
+    expect = idx.select_json({"query": "def", "filter": "lang = 'python'",
+                              "limit": 4, "fields": ["lang"],
+                              "facet": {"l": {"type": "terms",
+                                              "field": "lang"}}})
+    body.pop("QTime", None)   # the HTTP tier stamps QTime on every reply
+    assert body == expect and body["response"]["docs"]
+    # malformed: bad JSON, bad predicate → 400
+    for payload in (b"{nope", json.dumps(
+            {"query": "def", "filter": "zzz !! bad"}).encode()):
+        bad = urllib.request.Request(
+            url, data=payload, headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=10)
+        assert e.value.code == 400
