@@ -601,6 +601,8 @@ class FtIndex:
         self._term_cache_max_bytes = int(
             _os.environ.get("FTIDX_CACHE_MB", "512")) * 1024 * 1024
         self._cache_bytes = 0
+        self._cache_hits = 0
+        self._cache_misses = 0
         self.refresh()
 
     def refresh(self) -> None:
@@ -702,6 +704,8 @@ class FtIndex:
     def _fetch_term_rows(self, terms: list[str], field: str) -> dict[str, list[dict]]:
         """Term rows via the driver cache; only cache misses touch Spark."""
         missing = [t for t in terms if (field, t) not in self._term_cache]
+        self._cache_misses += len(missing)
+        self._cache_hits += len(terms) - len(missing)
         grouped: dict[str, list[dict]] = {}
         if missing:
             fetched = (
@@ -2036,6 +2040,50 @@ class FtIndex:
         qterms = [t for _, t in scored_terms]
         hits = self.topk(qterms, k=k + 1, field=field)
         return [(d, s) for d, s in hits if d != doc_id][:k]
+
+    def metrics(self) -> dict:
+        """Operational metrics (Solr admin/metrics analog): serving-
+        cache effectiveness (term-cache entries/bytes/hit-rate, the
+        number Solr ops watch to size caches), filterCache entries,
+        tombstone pressure, and the LAST build's ledger summary
+        (buckets, postings emitted, bytes, elapsed, skew — the
+        reference's S30 progress metrics, read back from the persisted
+        per-bucket ledger, KB-sized). Cheap: no postings scan — the
+        only job is the ledger read, a tiny parquet."""
+        probes = self._cache_hits + self._cache_misses
+        out = {
+            "term_cache": {
+                "entries": len(self._term_cache),
+                "bytes": int(self._cache_bytes),
+                "max_bytes": int(self._term_cache_max_bytes),
+                "hits": self._cache_hits,
+                "misses": self._cache_misses,
+                "hit_rate": round(self._cache_hits / probes, 4)
+                            if probes else None,
+            },
+            "filter_cache": {"entries": len(self._filter_cache)},
+            "tombstones_pending": len(self._tombstones),
+            "build_id": self.manifest.get("build_id"),
+        }
+        ledger_dir = self.path / "ledger"
+        if ledger_dir.exists() and any(ledger_dir.iterdir()):
+            led = self.spark.read.parquet(str(ledger_dir))
+            row = (
+                led.filter(F.col("status") == "done")
+                .agg(F.count(F.lit(1)).alias("buckets_done"),
+                     F.sum("postings_emitted").alias("postings"),
+                     F.sum("bytes_compressed").alias("bytes"),
+                     F.max("skew_ratio").alias("max_skew"),
+                     F.sum("elapsed_sec").alias("task_sec")).first()
+            )
+            out["last_build"] = {
+                "buckets_done": int(row["buckets_done"] or 0),
+                "postings_emitted": int(row["postings"] or 0),
+                "bytes_compressed": int(row["bytes"] or 0),
+                "max_skew_ratio": float(row["max_skew"] or 0.0),
+                "task_sec_total": float(row["task_sec"] or 0.0),
+            }
+        return out
 
     def predicate_ids(self, predicate: str) -> frozenset:
         """Solr filterCache analog: the doc-id set passing a metadata

@@ -113,6 +113,11 @@ def _make_handler(idx, lock: threading.Lock):
                 elif u.path == "/schema":
                     with lock:
                         self._json(200, idx.schema_info())
+                elif u.path == "/metrics":
+                    # Solr admin/metrics: cache effectiveness, tomb-
+                    # stone pressure, last build's ledger summary
+                    with lock:
+                        self._json(200, idx.metrics())
                 elif u.path == "/stats":
                     with lock:
                         stats = {f: {"n_docs": n, "avgdl": a}

@@ -1340,3 +1340,28 @@ def test_select_json(spark, built):
         idx.select_json({"query": "def",
                          "facet": {"x": {"type": "range",
                                          "field": "lang"}}})
+
+
+def test_metrics(spark, built):
+    """admin/metrics analog: cache counters move with usage, the
+    ledger summary reflects the finished build."""
+    out, _ = built
+    idx = open_index(spark, out)
+    m0 = idx.metrics()
+    assert m0["term_cache"]["entries"] == 0
+    assert m0["build_id"] and m0["tombstones_pending"] == 0
+    lb = m0["last_build"]
+    assert lb["buckets_done"] > 0 and lb["postings_emitted"] > 0
+    assert lb["bytes_compressed"] > 0 and lb["max_skew_ratio"] >= 1.0
+
+    idx.topk(["def"], k=3)          # cold: misses
+    idx.topk(["def"], k=3)          # warm: hits
+    m1 = idx.metrics()
+    tc = m1["term_cache"]
+    assert tc["entries"] >= 1 and tc["bytes"] > 0
+    assert tc["misses"] >= 1 and tc["hits"] >= 1
+    assert 0.0 < tc["hit_rate"] < 1.0
+    idx.predicate_ids("lang = 'python'")
+    assert idx.metrics()["filter_cache"]["entries"] == 1
+    idx.refresh()                   # invalidation resets entries
+    assert idx.metrics()["filter_cache"]["entries"] == 0

@@ -617,3 +617,12 @@ def test_select_json_endpoint(served):
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(bad, timeout=10)
         assert e.value.code == 400
+
+
+def test_metrics_endpoint(served):
+    srv, idx = served
+    idx.topk(["def"], k=2)
+    status, body = _get(f"http://{srv.host}:{srv.port}/metrics")
+    assert status == 200
+    assert body["term_cache"]["entries"] >= 1
+    assert body["last_build"]["buckets_done"] > 0
