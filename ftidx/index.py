@@ -1496,9 +1496,11 @@ class FtIndex:
         misspelled queries."""
         band = (F.length("term") >= len(term) - max_dist) & (
             F.length("term") <= len(term) + max_dist)
+        # NOTE: transport pseudo-rows are keyed by FIELD prefix ("__dl__",
+        # "__docs__"); the field-equality predicate excludes them. Never
+        # filter on a term prefix here — "__init__" is a real code token.
         vocab = (
             self._postings.filter(F.col("field") == field)
-            .filter(~F.col("term").startswith(PSEUDO_PREFIX))
             .groupBy("term").agg(F.sum("df").alias("df"))
             .filter(band)
             .withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
@@ -1531,8 +1533,9 @@ class FtIndex:
         rx = "^" + "".join(
             ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
             for ch in pattern) + "$"
-        vocab = self._postings.filter(F.col("field") == field) \
-            .filter(~F.col("term").startswith(PSEUDO_PREFIX))
+        # pseudo rows are FIELD-keyed; field equality excludes them (a
+        # term-prefix filter would drop real dunder tokens like __init__)
+        vocab = self._postings.filter(F.col("field") == field)
         if prefix:
             vocab = vocab.filter(F.col("term").startswith(prefix))
         vocab = (
@@ -1558,8 +1561,7 @@ class FtIndex:
         Plan shape: both bounds push into the parquet scan as range
         predicates on the dictionary-sorted term column; only the
         (term, df) projection is read."""
-        vocab = self._postings.filter(F.col("field") == field) \
-            .filter(~F.col("term").startswith(PSEUDO_PREFIX))
+        vocab = self._postings.filter(F.col("field") == field)
         if lo is not None:
             vocab = vocab.filter(F.col("term") >= lo if include_lo
                                  else F.col("term") > lo)
@@ -2068,21 +2070,34 @@ class FtIndex:
         ledger_dir = self.path / "ledger"
         if ledger_dir.exists() and any(ledger_dir.iterdir()):
             led = self.spark.read.parquet(str(ledger_dir))
-            row = (
+            # the ledger is append-only across build generations — a
+            # blind sum double-counts after a rebuild. Aggregate per
+            # generation and report the manifest's build id; a resume
+            # that skipped every bucket writes a fresh manifest id with
+            # NO ledger rows, so fall back to the most complete
+            # generation (ties → lexicographically greatest id)
+            per_gen = (
                 led.filter(F.col("status") == "done")
+                .groupBy("build_id")
                 .agg(F.count(F.lit(1)).alias("buckets_done"),
                      F.sum("postings_emitted").alias("postings"),
                      F.sum("bytes_compressed").alias("bytes"),
                      F.max("skew_ratio").alias("max_skew"),
-                     F.sum("elapsed_sec").alias("task_sec")).first()
+                     F.sum("elapsed_sec").alias("task_sec")).collect()
             )
-            out["last_build"] = {
-                "buckets_done": int(row["buckets_done"] or 0),
-                "postings_emitted": int(row["postings"] or 0),
-                "bytes_compressed": int(row["bytes"] or 0),
-                "max_skew_ratio": float(row["max_skew"] or 0.0),
-                "task_sec_total": float(row["task_sec"] or 0.0),
-            }
+            if per_gen:
+                by_id = {r["build_id"]: r for r in per_gen}
+                row = by_id.get(self.manifest.get("build_id")) or max(
+                    per_gen,
+                    key=lambda r: (int(r["buckets_done"]), r["build_id"]))
+                out["last_build"] = {
+                    "build_id": row["build_id"],
+                    "buckets_done": int(row["buckets_done"] or 0),
+                    "postings_emitted": int(row["postings"] or 0),
+                    "bytes_compressed": int(row["bytes"] or 0),
+                    "max_skew_ratio": float(row["max_skew"] or 0.0),
+                    "task_sec_total": float(row["task_sec"] or 0.0),
+                }
         return out
 
     def predicate_ids(self, predicate: str) -> frozenset:
@@ -2097,16 +2112,20 @@ class FtIndex:
         trade the term cache already makes; an analytic-scale filter
         belongs in :meth:`topk_where`, which stays distributed."""
         cached = self._filter_cache.get(predicate)
-        if cached is not None:
-            return cached
-        docs = self.spark.read.parquet(str(self.path / "docs"))
-        ids = frozenset(
-            int(r["doc_id"])
-            for r in docs.filter(F.expr(predicate))
-            .select("doc_id").collect()
-        ) - frozenset(self._tombstones)
-        self._filter_cache[predicate] = ids
-        return ids
+        if cached is None:
+            docs = self.spark.read.parquet(str(self.path / "docs"))
+            cached = frozenset(
+                int(r["doc_id"])
+                for r in docs.filter(F.expr(predicate))
+                .select("doc_id").collect()
+            )
+            self._filter_cache[predicate] = cached
+        # tombstones subtract at LOOKUP time: delete() grows the
+        # tombstone set without refresh(), and a baked-in subtraction
+        # would keep serving deleted ids from the cache
+        if self._tombstones:
+            return cached - frozenset(self._tombstones)
+        return cached
 
     def facet_counts_for_ids(self, doc_ids, facet: str = "lang",
                              k_facets: int = 20) -> list[tuple[str, int]]:
@@ -2164,6 +2183,8 @@ class FtIndex:
         if not isinstance(q, str) or not q.strip():
             raise ValueError("/select needs a non-empty string 'query'")
         params = body.get("params") or {}
+        if not isinstance(params, dict):
+            raise ValueError("'params' must be a JSON object")
         field = params.get("df", "code.content")
         mm = params.get("mm")
         offset = int(body.get("offset", 0))
@@ -2176,6 +2197,10 @@ class FtIndex:
         filters = body.get("filter") or []
         if isinstance(filters, str):
             filters = [filters]
+        if not isinstance(filters, list) or \
+                not all(isinstance(p, str) for p in filters):
+            raise ValueError("'filter' must be a predicate string or a "
+                             "list of predicate strings")
         for pred in filters:
             keep = self.predicate_ids(pred)
             hits = [(d, s) for d, s in hits if d in keep]
@@ -2183,6 +2208,12 @@ class FtIndex:
         page = hits[offset:offset + limit]
         docs = [{"doc_id": d, "score": s} for d, s in page]
         fields = body.get("fields") or []
+        if isinstance(fields, str):
+            fields = [fields]
+        if not isinstance(fields, list) or \
+                not all(isinstance(f, str) for f in fields):
+            raise ValueError("'fields' must be a column name or a "
+                             "list of column names")
         if fields and page:
             stored = self.fetch_docs([d for d, _ in page], columns=fields)
             for row in docs:
@@ -2193,18 +2224,37 @@ class FtIndex:
                             "docs": docs}}
 
         facet_spec = body.get("facet") or {}
+        if not isinstance(facet_spec, dict) or \
+                not all(isinstance(s, dict) for s in facet_spec.values()):
+            raise ValueError("'facet' must be {name: {type/field/limit}}")
         if facet_spec:
+            # ship the match-id set ONCE: N facet entries share one
+            # broadcast id frame instead of re-building it per facet
             match_ids = [d for d, _ in hits]
+            id_df = self.spark.createDataFrame(
+                [(int(d),) for d in match_ids], "doc_id long") \
+                if match_ids else None
+            docs_tbl = self.spark.read.parquet(str(self.path / "docs"))
             out["facets"] = {}
             for name, spec in facet_spec.items():
                 if spec.get("type", "terms") != "terms":
                     raise ValueError(
                         f"facet {name!r}: only type=terms is supported")
-                vals = self.facet_counts_for_ids(
-                    match_ids, facet=spec["field"],
-                    k_facets=int(spec.get("limit", 20)))
+                if "field" not in spec:
+                    raise ValueError(f"facet {name!r}: missing 'field'")
+                if id_df is None:
+                    out["facets"][name] = []
+                    continue
+                rows = (
+                    docs_tbl.join(F.broadcast(id_df), "doc_id")
+                    .groupBy(F.col(spec["field"]).alias("value"))
+                    .agg(F.count(F.lit(1)).alias("n_docs"))
+                    .orderBy(F.desc("n_docs"), F.asc("value"))
+                    .limit(int(spec.get("limit", 20))).collect()
+                )
                 out["facets"][name] = [
-                    {"value": v, "count": n} for v, n in vals]
+                    {"value": r["value"], "count": int(r["n_docs"])}
+                    for r in rows]
         return out
 
     def page_term_vectors(self, doc_ids: list[int],
@@ -2230,8 +2280,7 @@ class FtIndex:
                 .filter(F.col("doc_id").isin(ids))
                 .select("bucket").distinct().collect()
             })
-        rows = self._postings.filter(
-            ~F.col("term").startswith(PSEUDO_PREFIX))
+        rows = self._postings
         if buckets:
             rows = rows.filter(F.col("bucket").isin(buckets))
         rows = rows.filter(F.col("field") == field) \
@@ -2314,7 +2363,7 @@ class FtIndex:
             df = df_map.get(t, 0)
             if df < min_df or df > max_df:
                 continue
-            w = tf * (np.log((n_docs + 1.0) / (df + 1.0)) + 1.0)
+            w = round(tf * (np.log((n_docs + 1.0) / (df + 1.0)) + 1.0), 5)
             cur = best.get(d)
             # tie-break: higher tfidf wins, then lexicographically
             # smaller term (deterministic across layouts)

@@ -57,6 +57,15 @@ Endpoints (all JSON):
 - ``POST /refresh``      → re-open the handle after maintenance ops
 - ``POST /compact``      → fold streamed deltas + tombstones into the
   base index and refresh (Solr optimize/commit analog)
+- ``POST /select``       → Solr JSON Request API: query string +
+  non-scoring filters (filterCache-backed) + paging + stored fields +
+  terms facets in one JSON body
+- ``GET /metrics``       → admin/metrics: term-cache hit-rate/bytes,
+  filterCache entries, last build's ledger summary
+- ``GET /mlt?id=`` / ``GET /tv?id=`` → MoreLikeThis / term vectors
+- ``GET /wildcard?pattern=pre*`` → wildcard expansion;
+  ``GET /cluster?q=...`` → result clustering (Carrot2 analog);
+  ``GET /group_query?gq=label:terms;...`` → per-label rankings
 
 Scale shape: one server process serves one index replica; the index
 directory is immutable between maintenance ops, so replicas scale
@@ -74,6 +83,25 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+
+
+def _parse_labeled_spec(spec: str) -> dict[str, list[str]]:
+    """Parse ``label:terms;label2:terms`` (facet.query / group.query
+    HTTP specs). A label-less or duplicate segment raises ValueError —
+    the same caller-error policy as malformed ltr= segments — instead
+    of silently creating an empty or overwritten group."""
+    queries: dict[str, list[str]] = {}
+    for part in spec.split(";"):
+        if not part.strip():
+            continue
+        label, sep, ts = part.partition(":")
+        if not sep or not label.strip():
+            raise ValueError(f"segment {part!r} needs label:terms")
+        if label in queries:
+            raise ValueError(f"duplicate label {label!r}")
+        queries[label] = ts.split()
+    return queries
 
 
 def _make_handler(idx, lock: threading.Lock):
@@ -160,12 +188,11 @@ def _make_handler(idx, lock: threading.Lock):
                         self._json(400, {"error": "missing fq"})
                         return
                     field = qs.get("field", ["code.content"])[0]
-                    queries = {}
-                    for part in spec.split(";"):
-                        if not part.strip():
-                            continue
-                        label, _, ts = part.partition(":")
-                        queries[label] = ts.split()
+                    try:
+                        queries = _parse_labeled_spec(spec)
+                    except ValueError as e:
+                        self._json(400, {"error": str(e)})
+                        return
                     with lock:
                         out = idx.facet_queries(queries, field=field)
                     self._json(200, {"counts": out})
@@ -382,12 +409,11 @@ def _make_handler(idx, lock: threading.Lock):
                         return
                     field = qs.get("field", ["code.content"])[0]
                     k = int(qs.get("k", ["10"])[0])
-                    queries = {}
-                    for part in spec.split(";"):
-                        if not part.strip():
-                            continue
-                        label, _, ts = part.partition(":")
-                        queries[label] = ts.split()
+                    try:
+                        queries = _parse_labeled_spec(spec)
+                    except ValueError as e:
+                        self._json(400, {"error": str(e)})
+                        return
                     with lock:
                         out = idx.topk_queries(queries, k=k, field=field)
                     self._json(200, {"groups": {

@@ -1365,3 +1365,60 @@ def test_metrics(spark, built):
     assert idx.metrics()["filter_cache"]["entries"] == 1
     idx.refresh()                   # invalidation resets entries
     assert idx.metrics()["filter_cache"]["entries"] == 0
+
+
+def test_dunder_terms_survive_vocab_surfaces(spark, tmp_path):
+    """Pseudo transport rows are FIELD-keyed ('__dl__', '__docs__');
+    real dunder tokens like __init__ must stay visible to every
+    vocabulary surface (wildcard, range, fuzzy, page term vectors)."""
+    src = synth_source(spark, 60).withColumn(
+        "content", F.concat(F.lit("__init__ __main__ "), F.col("content")))
+    out = str(tmp_path / "dunder")
+    build_index(spark, src, out, n_buckets=2)
+    idx = open_index(spark, out)
+    wt = dict(idx.wildcard_terms("__*"))
+    assert "__init__" in wt and "__main__" in wt
+    assert "__init__" in dict(idx.range_terms("__a", "__z"))
+    assert any(t == "__init__"
+               for t, _, _ in idx.fuzzy_terms("__init_", max_dist=1))
+    page = [d for d, _ in idx.topk(["__init__"], k=3)]
+    assert page
+    tv = idx.page_term_vectors(page)
+    assert any(t == "__init__" for _, t, _ in tv)
+    for d in page:
+        assert dict(idx.doc_term_vector(d, top_m=10**6)) == \
+            {t: tf for dd, t, tf in tv if dd == d}
+
+
+def test_predicate_ids_sees_deletes(spark, tmp_path):
+    """filterCache lookups subtract tombstones LIVE: delete() without
+    refresh() must not serve deleted ids from the cached set."""
+    src = synth_source(spark, 80)
+    out = str(tmp_path / "fc")
+    build_index(spark, src, out, n_buckets=2)
+    idx = open_index(spark, out)
+    keep = idx.predicate_ids("lang = 'python'")
+    victim = next(iter(keep))
+    idx.delete([victim])
+    after = idx.predicate_ids("lang = 'python'")
+    assert victim not in after and after == keep - {victim}
+
+
+def test_metrics_single_generation(spark, tmp_path):
+    """The ledger is append-only across generations: a forced rebuild
+    must report ONE generation's rows (never the sum), and a resume
+    that skipped every bucket (fresh manifest id, no new ledger rows)
+    falls back to the completed generation instead of zeros."""
+    src = synth_source(spark, 60)
+    out = str(tmp_path / "gen")
+    build_index(spark, src, out, n_buckets=2)
+    first = open_index(spark, out).metrics()["last_build"]
+    build_index(spark, src, out, n_buckets=2, resume=False)  # rebuild
+    second = open_index(spark, out).metrics()["last_build"]
+    assert second["buckets_done"] == first["buckets_done"] == 2
+    assert second["postings_emitted"] == first["postings_emitted"]
+    assert second["build_id"] != first["build_id"]
+    build_index(spark, src, out, n_buckets=2)  # resume: all skipped
+    third = open_index(spark, out).metrics()["last_build"]
+    assert third["buckets_done"] == 2          # fallback, not zeros
+    assert third["build_id"] == second["build_id"]

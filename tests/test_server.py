@@ -626,3 +626,41 @@ def test_metrics_endpoint(served):
     assert status == 200
     assert body["term_cache"]["entries"] >= 1
     assert body["last_build"]["buckets_done"] > 0
+
+
+def test_review_fixes_session9(served):
+    """Session-9 review hardening: /select 400s on non-dict params /
+    string facet / bare-string fields works; gq label-less and
+    duplicate segments 400; dunder-prefixed vocabulary terms are
+    expandable (pseudo rows are FIELD-keyed, not term-keyed)."""
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+
+    def post_select(payload):
+        req = urllib.request.Request(
+            base + "/select", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+
+    # bare-string fields now accepted (coerced to [field])
+    ok = post_select({"query": "def", "limit": 2, "fields": "lang"})
+    assert ok["response"]["docs"] and "lang" in ok["response"]["docs"][0]
+    # malformed-but-valid-JSON shapes → 400, never a dropped connection
+    for payload in ({"query": "def", "params": "mm=2"},
+                    {"query": "def", "facet": ["x"]},
+                    {"query": "def", "facet": {"a": "terms"}},
+                    {"query": "def", "facet": {"a": {"type": "terms"}}},
+                    {"query": "def", "filter": [1]}):
+        req = urllib.request.Request(
+            base + "/select", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400, payload
+
+    # gq: label-less and duplicate segments are caller errors
+    for gq in ("def", "a:def;a:return"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{base}/group_query?gq={gq}")
+        assert e.value.code == 400, gq
