@@ -204,3 +204,50 @@ class FtShards:
                                  limit=(1 << 31) - 1)
                for sh in self.shards]
         return self._merge_vocab(per, "count", limit)
+
+    def fuzzy_terms(self, term: str, field: str = "code.content",
+                    max_dist: int = 1, limit: int = 10
+                    ) -> list[tuple[str, int, int]]:
+        """Distributed fuzzy expansion: per-shard edit-distance matches
+        (complete lists — the length band + distance prune shard-side),
+        dfs summed, the monolithic (distance ASC, df DESC, term ASC)
+        rank re-applied globally. Distance is a pure function of the
+        term pair, so shards always agree on it."""
+        agg: dict[str, tuple[int, int]] = {}
+        for sh in self.shards:
+            for t, df, dist in sh.fuzzy_terms(term, field=field,
+                                              max_dist=max_dist,
+                                              limit=(1 << 31) - 1):
+                prev = agg.get(t)
+                agg[t] = (prev[0] + df if prev else df, dist)
+        ranked = sorted(agg.items(),
+                        key=lambda kv: (kv[1][1], -kv[1][0], kv[0]))
+        return [(t, df, dist) for t, (df, dist) in ranked[:limit]]
+
+    def spellcheck(self, terms: list[str], field: str = "code.content",
+                   max_dist: int = 2) -> dict:
+        """Distributed spellcheck: a term present on ANY shard maps to
+        itself with its GLOBAL df; absent terms take the best global
+        fuzzy correction (:meth:`fuzzy_terms` rank) — the SolrCloud
+        spellcheck.collate merge."""
+        out = []
+        changed = False
+        for t in terms:
+            gdf = sum(
+                sum(int(r["df"]) for r in sh._fetch_term_rows([t], field)
+                    .get(t, []))
+                for sh in self.shards)
+            if gdf > 0:
+                out.append((t, t, gdf, 0))
+                continue
+            cands = self.fuzzy_terms(t, field=field, max_dist=max_dist,
+                                     limit=1)
+            if cands:
+                c, df, dist = cands[0]
+                out.append((t, c, df, dist))
+                changed = changed or c != t
+            else:
+                out.append((t, t, 0, 0))
+        return {"terms": out,
+                "collation": " ".join(c for _, c, _, _ in out),
+                "changed": changed}

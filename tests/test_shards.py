@@ -125,3 +125,17 @@ def test_sharded_vocab_components(setup):
     assert shards.wildcard_terms("re*") == mono.wildcard_terms("re*")
     assert shards.wildcard_terms("v?lue") == mono.wildcard_terms("v?lue")
     assert shards.terms_enum(limit=15)  # non-trivial
+
+
+def test_sharded_fuzzy_and_spellcheck(setup):
+    """Distributed fuzzy expansion and spellcheck equal the
+    monolithic index (global dfs, same (dist, df DESC, term) rank)."""
+    mono, shards = setup
+    assert shards.fuzzy_terms("deff", max_dist=1) == \
+        mono.fuzzy_terms("deff", max_dist=1)
+    assert shards.fuzzy_terms("retur", max_dist=2, limit=5) == \
+        mono.fuzzy_terms("retur", max_dist=2, limit=5)
+    sc_s = shards.spellcheck(["def", "retunr", "zzzzqqqq"])
+    sc_m = mono.spellcheck(["def", "retunr", "zzzzqqqq"])
+    assert sc_s == sc_m and sc_s["changed"]
+    assert shards.fuzzy_terms("deff", max_dist=1)  # non-trivial
