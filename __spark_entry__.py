@@ -1295,6 +1295,26 @@ def q_dsir_select(spark, sf_dir):
     return dsir_select(docs, docs.filter(F.col("lang") == "zh"), 100)
 
 
+def q_dataset_shards(spark, sf_dir):
+    """Deterministic round-robin dataset sharding over the epoch-
+    shuffle order (textops.shard_assignments): shard sizes balance to
+    ±1 and each shard is a uniform corpus sample."""
+    from ftidx.textops import shard_assignments
+
+    return shard_assignments(_docs(spark, sf_dir), n_shards=7, seed=42) \
+        .orderBy("position")
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budgeted slice (textops.take_token_budget): whole docs in
+    deterministic shuffle order while the running word-token total
+    stays within 12,000 (~44% of the corpus); the crossing doc is excluded."""
+    from ftidx.textops import take_token_budget
+
+    return take_token_budget(_docs(spark, sf_dir), 12_000, seed=42) \
+        .orderBy("position")
+
+
 def q_collocations(spark, sf_dir):
     """Adjacent-bigram PMI collocation mining (textops.collocations):
     all bigrams with count ≥ 10 and their pointwise mutual information
@@ -2040,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_loglik": q_unigram_loglik,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "dataset_shards": q_dataset_shards,
+        "token_budget": q_token_budget,
         "bm25_boosted": q_bm25_boosted,
         "score_explain": q_score_explain,
         "collocations": q_collocations,
@@ -4148,6 +4170,40 @@ def oracle_sql() -> dict[str, str]:
               FROM events e, unnest(generate_series(0, 3)) AS t(k)
             )
             GROUP BY wstart, event_type
+        """,
+        "dataset_shards": """
+            WITH ord AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id)
+                       AS position
+              FROM documents
+            )
+            SELECT doc_id, position,
+                   ((position - 1) % 7)::INT AS shard,
+                   ((position - 1) // 7 + 1)::BIGINT AS pos_in_shard
+            FROM ord ORDER BY position
+        """,
+        "token_budget": """
+            WITH toks AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                       x -> x <> '')) AS n_tokens,
+                     md5(doc_id::VARCHAR || ':42') AS k
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     row_number() OVER (ORDER BY k, doc_id) AS position,
+                     sum(n_tokens) OVER (
+                       ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+              FROM toks
+            )
+            SELECT position, doc_id, n_tokens, cum_tokens
+            FROM cum WHERE cum_tokens <= 12000 ORDER BY position
         """,
         "shuffle_corpus": """
             SELECT row_number() OVER (

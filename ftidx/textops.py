@@ -950,3 +950,66 @@ def dsir_select(raw: DataFrame, target: DataFrame, n_keep: int,
         .filter(F.col("rank") <= n_keep)
         .select("doc_id", "dl", "log_w_r", "sel_key_r", "rank")
     )
+
+
+def shard_assignments(docs: DataFrame, n_shards: int, seed: int = 42,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic dataset sharding — the write-out plan for a
+    curated corpus as N training shards: docs take the
+    :func:`shuffle_corpus` global pseudo-random order (salted md5,
+    engine/layout-reproducible), then deal round-robin, so shard sizes
+    balance to ±1 and each shard is itself a uniform sample of the
+    corpus (contiguous range-slicing would let corpus ordering bias a
+    shard). Returns (doc_id, position, shard, pos_in_shard) — enough
+    for any writer to produce byte-identical shards on any engine.
+
+    Scale shape: one range-partitioned total sort of an (id, hash)
+    projection (the same cost as the epoch shuffle that training needs
+    anyway); the shard arithmetic is pure column expressions."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    w = Window.orderBy(F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        F.col(id_col))
+    pos = F.row_number().over(w)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pos.alias("position"),
+        ((pos - 1) % n_shards).cast("int").alias("shard"),
+        (((pos - 1) - (pos - 1) % n_shards) / n_shards + 1)
+        .cast("long").alias("pos_in_shard"),
+    )
+
+
+def take_token_budget(docs: DataFrame, budget_tokens: int,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """Token-budgeted corpus slice — "the first 1B tokens of the
+    shuffled corpus", the standard way a training run consumes a
+    curated dataset: walk the :func:`shuffle_corpus` deterministic
+    order and keep whole docs while the RUNNING token total stays
+    within ``budget_tokens``; the doc that would cross the budget is
+    excluded (a training pipeline never truncates a doc mid-stream —
+    packing handles intra-sequence splits). Token rule =
+    :func:`token_counts`' word tokens (regex split), so the budget
+    means the same thing as the corpus statistics. Returns (position,
+    doc_id, n_tokens, cum_tokens) in stream order.
+
+    Scale shape: one total sort (the epoch shuffle) plus one running
+    window sum over an (id, count) projection — both linear; the
+    filter is a pure column predicate, so nothing downstream reads
+    excluded docs."""
+    n_tok = F.size(F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+        lambda x: x != ""))
+    key = F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       n_tok.alias("n_tokens"), key.alias("_k"))
+    w = Window.orderBy("_k", "doc_id")
+    cum = (base.withColumn("position", F.row_number().over(w))
+           .withColumn("cum_tokens",
+                       F.sum("n_tokens").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (cum.filter(F.col("cum_tokens") <= budget_tokens)
+            .select("position", "doc_id", "n_tokens", "cum_tokens"))

@@ -1128,3 +1128,48 @@ def test_dsir_weights_and_select(spark):
     hard = dsir_select(docs, target, 5, gumbel=False).collect()
     top5 = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert sorted(r["doc_id"] for r in hard) == sorted(d for d, _ in top5)
+
+
+def test_shard_assignments_and_token_budget(spark):
+    """Dataset sharding: round-robin over the deterministic shuffle
+    order — sizes balance to ±1, every doc assigned exactly once,
+    (shard, pos_in_shard) reconstructs position. Token budget: whole
+    docs kept in stream order while the running total fits; the
+    crossing doc and everything after are excluded."""
+    from ftidx.textops import (shard_assignments, shuffle_corpus,
+                               take_token_budget)
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1)) for i in range(97)],
+        ["doc_id", "text"])
+
+    sa = shard_assignments(docs, n_shards=5, seed=9).collect()
+    assert len(sa) == 97 and len({r["doc_id"] for r in sa}) == 97
+    sizes = {}
+    for r in sa:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+        assert r["shard"] == (r["position"] - 1) % 5
+        assert r["pos_in_shard"] == (r["position"] - 1) // 5 + 1
+    assert set(sizes) == set(range(5))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # the order IS the epoch shuffle
+    perm = {r["doc_id"]: r["position"]
+            for r in shuffle_corpus(docs, seed=9).collect()}
+    assert all(perm[r["doc_id"]] == r["position"] for r in sa)
+    with pytest.raises(ValueError):
+        shard_assignments(docs, 0)
+
+    tb = sorted(take_token_budget(docs, 120, seed=9).collect(),
+                key=lambda r: r["position"])
+    assert tb and tb[-1]["cum_tokens"] <= 120
+    # contiguous prefix of the stream, exact running sums
+    assert [r["position"] for r in tb] == list(range(1, len(tb) + 1))
+    run = 0
+    for r in tb:
+        assert r["n_tokens"] == (r["doc_id"] % 7) + 1
+        run += r["n_tokens"]
+        assert r["cum_tokens"] == run
+    # the next doc in stream order would cross the budget
+    nxt = [r for r in take_token_budget(docs, 10**9, seed=9).collect()
+           if r["position"] == len(tb) + 1]
+    assert nxt and run + nxt[0]["n_tokens"] > 120
