@@ -2075,7 +2075,9 @@ class FtIndex:
             # generation and report the manifest's build id; a resume
             # that skipped every bucket writes a fresh manifest id with
             # NO ledger rows, so fall back to the most complete
-            # generation (ties → lexicographically greatest id)
+            # generation (ties broken deterministically by id; tied
+            # complete generations describe the same index — resume
+            # verifies the build params match — so any is valid)
             per_gen = (
                 led.filter(F.col("status") == "done")
                 .groupBy("build_id")
