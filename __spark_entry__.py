@@ -2120,7 +2120,7 @@ def oracle_sql() -> dict[str, str]:
         "field_stats": f"""
             WITH {_TOK_CTE},
             dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id)
-            SELECT count(*) AS n_docs, sum(len) AS total_len,
+            SELECT count(*) AS n_docs, sum(len)::BIGINT AS total_len,
                    round(sum(len)::DOUBLE / count(*), 5) AS avgdl
             FROM dl
         """,
@@ -2621,7 +2621,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'merge')
             )
             SELECT d.lang AS value, count(*) AS n_docs,
-                   sum(d.n_chars) AS sum_chars,
+                   sum(d.n_chars)::BIGINT AS sum_chars,
                    round(avg(d.n_chars), 5) AS avg_chars,
                    min(d.n_chars) AS min_chars,
                    max(d.n_chars) AS max_chars
@@ -3099,7 +3099,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK_CTE},
             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
                    GROUP BY doc_id, term),
-            per AS (SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_uniq,
+            per AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens, count(*) AS n_uniq,
                            max(tf) AS top_tf FROM tf GROUP BY doc_id),
             arr AS (
               SELECT doc_id,
@@ -3191,7 +3191,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
                    GROUP BY doc_id, term)
-            SELECT doc_id, sum(tf) AS dl, round(sum(tf * llr), 5) AS log_w_r
+            SELECT doc_id, sum(tf)::BIGINT AS dl, round(sum(tf * llr), 5) AS log_w_r
             FROM tf JOIN lr USING (term)
             GROUP BY doc_id ORDER BY doc_id
         """,
@@ -3218,7 +3218,7 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
                    GROUP BY doc_id, term),
             w AS (
-              SELECT doc_id, sum(tf) AS dl, round(sum(tf * llr), 5) AS log_w_r
+              SELECT doc_id, sum(tf)::BIGINT AS dl, round(sum(tf * llr), 5) AS log_w_r
               FROM tf JOIN lr USING (term) GROUP BY doc_id
             ),
             u AS (
@@ -3752,7 +3752,7 @@ def oracle_sql() -> dict[str, str]:
                                       ROWS UNBOUNDED PRECEDING) AS session_id
               FROM flagged
             )
-            SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+            SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
             FROM sessions GROUP BY user_id
         """,
         "set_ops": """
@@ -4202,7 +4202,7 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_tokens
               FROM toks
             )
-            SELECT position, doc_id, n_tokens, cum_tokens
+            SELECT position, doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens
             FROM cum WHERE cum_tokens <= 12000 ORDER BY position
         """,
         "shuffle_corpus": """

@@ -20,6 +20,49 @@ TABLES = [
 ]
 
 
+def _spark_kind(dt) -> str:
+    """Collapse a Spark DataType to a dtype *kind* the driver's hash is
+    sensitive to: integer vs float vs bool vs everything-else.  The
+    driver hashes pandas-converted values, so DuckDB HUGEINT (-> float64)
+    vs Spark LongType hashes differently even when values are ==."""
+    name = dt.simpleString()
+    if name in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if name in ("float", "double") or name.startswith("decimal"):
+        return "f"
+    if name == "boolean":
+        return "b"
+    return "o"
+
+
+def _pandas_kind(dtype) -> str:
+    k = dtype.kind  # numpy kind codes
+    if k in ("i", "u"):
+        return "i"
+    if k == "f":
+        return "f"
+    if k == "b":
+        return "b"
+    return "o"
+
+
+def dtype_mismatches(sdf, odf) -> list[str]:
+    """Column-level dtype-kind mismatches between the Spark result and the
+    DuckDB result *as pandas* (the driver's view of it)."""
+    skinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+    out = []
+    for col in odf.columns:
+        ok = _pandas_kind(odf[col].dtype)
+        sk = skinds.get(col)
+        if sk is None:
+            continue  # column-name mismatch is reported separately
+        # object-kind pandas columns (strings, dates, all-None) carry no
+        # numeric signal; only flag numeric-kind disagreements
+        if {sk, ok} <= {"i", "f", "b"} and sk != ok:
+            out.append(f"{col}: spark={sk} oracle={ok}")
+    return out
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -71,13 +114,15 @@ def main():
             continue
         ores = con.sql(oracles[name])
         ocols = [d[0] for d in ores.description]
-        orows = ores.fetchall()
+        odf = ores.df()  # pandas view: what the driver hashes (HUGEINT -> float64)
+        orows = ores.fetchall()  # native view: NaN/Timestamp-artifact-free values
         ok_cols = sorted(scols) == sorted(ocols)
+        bad_dtypes = dtype_mismatches(sdf, odf) if ok_cols else []
         a, b = canon(srows, scols), canon(orows, ocols)
         ok_rows = len(a) == len(b)
         ok_vals = a == b
-        status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
-        print(f"{name:28s} rows={len(a):6d}/{len(b):6d} cols={'OK' if ok_cols else scols+ocols} vals={'OK' if ok_vals else 'MISMATCH'} -> {status}")
+        status = "OK" if (ok_cols and ok_rows and ok_vals and not bad_dtypes) else "FAIL"
+        print(f"{name:28s} rows={len(a):6d}/{len(b):6d} cols={'OK' if ok_cols else scols+ocols} vals={'OK' if ok_vals else 'MISMATCH'} dtypes={'OK' if not bad_dtypes else bad_dtypes} -> {status}")
         if status == "FAIL":
             failures.append(name)
             if not ok_vals and ok_rows:
