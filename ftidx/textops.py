@@ -618,19 +618,35 @@ def top_fraction(docs: DataFrame, score_col: str, fraction: float = 0.2,
     keep count = floor(fraction · n); rank = row_number over
     (score DESC, id ASC), so the kept set is exact and deterministic.
 
-    Scale note: the global rank is one total-order sort — fine into
-    the billions for a (score, id) projection, but at 10^12 rows
-    derive an approximate score THRESHOLD from a hash sample instead
-    and filter; this exact variant doubles as that path's oracle."""
-    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
-    n = docs.select(F.count(F.lit(1)).alias("n"))
-    return (
-        docs.select(id_col, score_col)
-        .withColumn("rank", F.row_number().over(w))
-        .crossJoin(F.broadcast(n))
-        .filter(F.col("rank") <= F.floor(F.col("n") * fraction))
-        .select(id_col, score_col, "rank")
-    )
+    Scale shape: the sampled-threshold path — an approxQuantile sketch
+    (one aggregation, KB to the driver) picks a score threshold with a
+    1.5× safety margin; only the candidate superset that clears it is
+    ranked, via :func:`_global_rank`'s parallel prefix-scan (range
+    exchange + per-partition windows, never a single-partition sort).
+    The result is still EXACT: if at least ``keep`` rows clear the
+    threshold, the keep-th global score clears it too, so every true
+    top-``keep`` row is a candidate and its candidate-rank equals its
+    global rank (everything above it also cleared). When the sketch
+    misses (pathological distributions), fall back to ranking the full
+    projection — correctness never depends on the sketch."""
+    proj = docs.select(id_col, score_col)
+    n = proj.count()
+    keep = int(n * fraction)
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    if keep <= 0:
+        return (proj.filter(F.lit(False))
+                .withColumn("rank", F.lit(None).cast("long")))
+    cand = proj
+    if keep < n:
+        q = max(0.0, 1.0 - min(1.0, fraction * 1.5))
+        thr = proj.stat.approxQuantile(score_col, [q], 0.001)
+        if thr:
+            filtered = proj.filter(F.col(score_col) >= thr[0])
+            if filtered.count() >= keep:
+                cand = filtered
+    return (_global_rank(cand, order)
+            .filter(F.col("_grank") <= keep)
+            .select(id_col, score_col, F.col("_grank").alias("rank")))
 
 
 def mix_domains(docs: DataFrame, shares_permille: dict[str, int],
@@ -778,6 +794,62 @@ def multi_snippets(docs: DataFrame, term: str, n_snippets: int = 3,
     )
 
 
+def _global_rank(df: DataFrame, order_cols: list,
+                 running_col: str | None = None,
+                 partitions: int = 32) -> DataFrame:
+    """Global 1-based ``row_number`` (and optional inclusive running
+    sum) over a total order WITHOUT an ``Exchange SinglePartition`` —
+    the parallel prefix-scan decomposition :func:`pack_sequences`
+    pioneered, factored out for every op that needs a corpus-wide
+    position. A bare ``Window.orderBy(...)`` (no partitionBy) plans as
+    Exchange SinglePartition → Sort → Window: ONE task sorts and scans
+    the entire corpus, the textbook 10^12-row killer. Instead:
+
+      1. ``repartitionByRange`` on the order key — ascending key
+         ranges land on ascending partition ids (Spark's
+         RangePartitioner contract), so partition id IS the coarse
+         rank;
+      2. rank/cumsum WITHIN each partition — a window keyed by
+         ``spark_partition_id()``, fully parallel;
+      3. collect only the P per-partition (count, sum) rows — a few
+         KB at any corpus size — prefix-sum them on the driver;
+      4. broadcast-join the per-partition offsets back.
+
+    ``order_cols`` may carry ``.desc()``; the induced total order must
+    be UNIQUE (callers append the id column as tiebreak). Pass a
+    NARROW projection — the frame is cached between the totals pass
+    and the join. Returns the input columns plus ``_grank`` (global
+    row_number, long) and, when ``running_col`` is given, ``_gcum``
+    (inclusive running sum, long)."""
+    d = (df.repartitionByRange(partitions, *order_cols)
+         .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    d = d.withColumn("_lrn", F.row_number().over(w).cast("long"))
+    if running_col is not None:
+        d = d.withColumn(
+            "_lcum",
+            F.sum(F.col(running_col).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    d = d.cache()
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if running_col is not None:
+        aggs.append(F.sum(F.col(running_col).cast("long")).alias("_tot"))
+    stats = d.groupBy("_pid").agg(*aggs).collect()
+    offsets, acc_n, acc_s = [], 0, 0
+    for r in sorted(stats, key=lambda r: r["_pid"]):
+        offsets.append((int(r["_pid"]), acc_n, acc_s))
+        acc_n += int(r["_cnt"])
+        if running_col is not None:
+            acc_s += int(r["_tot"] or 0)
+    off = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _rnoff long, _sumoff long")
+    d = (d.join(F.broadcast(off), "_pid")
+         .withColumn("_grank", F.col("_rnoff") + F.col("_lrn")))
+    if running_col is not None:
+        d = d.withColumn("_gcum", F.col("_sumoff") + F.col("_lcum"))
+    return d.drop("_pid", "_lrn", "_lcum", "_rnoff", "_sumoff")
+
+
 def shuffle_corpus(docs: DataFrame, seed: int = 42,
                    id_col: str = "doc_id") -> DataFrame:
     """Deterministic corpus shuffle for training-epoch construction:
@@ -787,15 +859,17 @@ def shuffle_corpus(docs: DataFrame, seed: int = 42,
     partition layout (unlike orderBy(rand()), whose order depends on
     the RNG stream per partition). Returns (position, doc_id).
 
-    Scale shape: one range-partitioned total sort of (hash, id) — the
-    same cost as any epoch shuffle; consumers that only need the order
-    stream the sorted output and can skip the position column (it
-    exists so the oracle can pin the permutation exactly)."""
-    w = Window.orderBy(F.md5(F.concat_ws(
-        ":", F.col(id_col).cast("string"), F.lit(str(seed)))),
-        F.col(id_col))
-    return docs.select(
-        F.row_number().over(w).alias("position"), F.col(id_col))
+    Scale shape: :func:`_global_rank`'s parallel prefix-scan over a
+    two-column (hash, id) projection — range exchange + per-partition
+    windows, never a single-partition sort; consumers that only need
+    the order stream the range-sorted output and can skip the position
+    column (it exists so the oracle can pin the permutation exactly)."""
+    key = F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    base = docs.select(F.col(id_col).alias("doc_id"), key.alias("_k"))
+    return (_global_rank(base, [F.col("_k"), F.col("doc_id")])
+            .select(F.col("_grank").alias("position"),
+                    F.col("doc_id").alias(id_col)))
 
 
 def temperature_shares(counts: dict[str, int], tau: float = 0.5) -> dict[str, int]:
@@ -933,9 +1007,11 @@ def dsir_select(raw: DataFrame, target: DataFrame, n_keep: int,
     discipline. Returns (doc_id, dl, log_w_r, sel_key_r, rank).
 
     Scale shape: :func:`dsir_logratios` plus one column expression and
-    ONE total-order sort of a (key, id) projection — at 10^12 docs
-    derive an approximate key threshold from a hash sample instead
-    (:func:`top_fraction`'s scale note applies verbatim)."""
+    :func:`_global_rank`'s parallel prefix-scan over the (key, id)
+    projection — range exchange + per-partition windows, never a
+    single-partition sort; at 10^12 docs additionally prefilter with
+    an approximate key threshold first (:func:`top_fraction`'s
+    sampled-threshold path shows the pattern)."""
     w = dsir_logratios(raw, target, text_col=text_col, id_col=id_col,
                        alpha=alpha)
     if gumbel:
@@ -943,12 +1019,12 @@ def dsir_select(raw: DataFrame, target: DataFrame, n_keep: int,
         key = F.round(F.col("log_w_r") + (-F.log(-F.log(u))), 5)
     else:
         key = F.col("log_w_r")
-    win = Window.orderBy(F.desc("sel_key_r"), F.asc("doc_id"))
+    d = w.withColumn("sel_key_r", key)
     return (
-        w.withColumn("sel_key_r", key)
-        .withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= n_keep)
-        .select("doc_id", "dl", "log_w_r", "sel_key_r", "rank")
+        _global_rank(d, [F.col("sel_key_r").desc(), F.col("doc_id").asc()])
+        .filter(F.col("_grank") <= n_keep)
+        .select("doc_id", "dl", "log_w_r", "sel_key_r",
+                F.col("_grank").alias("rank"))
     )
 
 
@@ -963,22 +1039,25 @@ def shard_assignments(docs: DataFrame, n_shards: int, seed: int = 42,
     shard). Returns (doc_id, position, shard, pos_in_shard) — enough
     for any writer to produce byte-identical shards on any engine.
 
-    Scale shape: one range-partitioned total sort of an (id, hash)
-    projection (the same cost as the epoch shuffle that training needs
-    anyway); the shard arithmetic is pure column expressions."""
+    Scale shape: :func:`_global_rank`'s parallel prefix-scan over an
+    (id, hash) projection — range exchange + per-partition windows +
+    a KB-sized driver prefix-sum, never a single-partition sort; the
+    shard arithmetic is pure column expressions (integer ``div``,
+    exact past 2^53)."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    w = Window.orderBy(F.md5(F.concat_ws(
-        ":", F.col(id_col).cast("string"), F.lit(str(seed)))),
-        F.col(id_col))
-    pos = F.row_number().over(w)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        pos.alias("position"),
-        ((pos - 1) % n_shards).cast("int").alias("shard"),
-        (((pos - 1) - (pos - 1) % n_shards) / n_shards + 1)
-        .cast("long").alias("pos_in_shard"),
-    )
+    key = F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    base = docs.select(F.col(id_col).alias("doc_id"), key.alias("_k"))
+    pos = F.col("_grank")
+    return (_global_rank(base, [F.col("_k"), F.col("doc_id")])
+            .select(
+                "doc_id",
+                pos.alias("position"),
+                ((pos - 1) % n_shards).cast("int").alias("shard"),
+                (F.expr(f"(_grank - 1) div {int(n_shards)}") + 1)
+                .cast("long").alias("pos_in_shard"),
+            ))
 
 
 def take_token_budget(docs: DataFrame, budget_tokens: int,
@@ -995,21 +1074,21 @@ def take_token_budget(docs: DataFrame, budget_tokens: int,
     means the same thing as the corpus statistics. Returns (position,
     doc_id, n_tokens, cum_tokens) in stream order.
 
-    Scale shape: one total sort (the epoch shuffle) plus one running
-    window sum over an (id, count) projection — both linear; the
-    filter is a pure column predicate, so nothing downstream reads
-    excluded docs."""
+    Scale shape: :func:`_global_rank`'s parallel prefix-scan with a
+    running sum over an (id, count, hash) projection — range exchange,
+    per-partition cumsum, KB driver prefix-sum — never a single-
+    partition window; the budget filter is a pure column predicate, so
+    nothing downstream reads excluded docs."""
     n_tok = F.size(F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
         lambda x: x != ""))
     key = F.md5(F.concat_ws(
         ":", F.col(id_col).cast("string"), F.lit(str(seed))))
     base = docs.select(F.col(id_col).alias("doc_id"),
-                       n_tok.alias("n_tokens"), key.alias("_k"))
-    w = Window.orderBy("_k", "doc_id")
-    cum = (base.withColumn("position", F.row_number().over(w))
-           .withColumn("cum_tokens",
-                       F.sum("n_tokens").over(
-                           w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (cum.filter(F.col("cum_tokens") <= budget_tokens)
-            .select("position", "doc_id", "n_tokens", "cum_tokens"))
+                       n_tok.cast("long").alias("n_tokens"),
+                       key.alias("_k"))
+    cum = _global_rank(base, [F.col("_k"), F.col("doc_id")],
+                       running_col="n_tokens")
+    return (cum.filter(F.col("_gcum") <= budget_tokens)
+            .select(F.col("_grank").alias("position"), "doc_id",
+                    "n_tokens", F.col("_gcum").alias("cum_tokens")))

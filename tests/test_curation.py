@@ -1116,11 +1116,11 @@ def test_dsir_weights_and_select(spark):
     import math
     assert all(math.isfinite(v) for v in w.values())  # smoothing works
 
-    sel = dsir_select(docs, target, 20).collect()
+    sel = sorted(dsir_select(docs, target, 20).collect(),
+                 key=lambda r: r["rank"])
     assert len(sel) == 20
-    assert [r["rank"] for r in sel] == sorted(r["rank"] for r in sel)
-    keys = [(-r["sel_key_r"], r["doc_id"]) for r in
-            sorted(sel, key=lambda r: r["rank"])]
+    assert [r["rank"] for r in sel] == list(range(1, 21))
+    keys = [(-r["sel_key_r"], r["doc_id"]) for r in sel]
     assert keys == sorted(keys)
     again = dsir_select(docs, target, 20).collect()
     assert sorted(r["doc_id"] for r in sel) == \
@@ -1173,3 +1173,40 @@ def test_shard_assignments_and_token_budget(spark):
     nxt = [r for r in take_token_budget(docs, 10**9, seed=9).collect()
            if r["position"] == len(tb) + 1]
     assert nxt and run + nxt[0]["n_tokens"] > 120
+
+
+def test_corpus_order_ops_plan_shape(spark):
+    """The last-mile corpus-order ops must never plan an Exchange
+    SinglePartition (ONE task sorting the whole corpus — the 10^12-row
+    killer a bare Window.orderBy produces): all five now use
+    _global_rank's parallel prefix-scan (range exchange +
+    per-partition windows + broadcast offset join), so the only
+    exchanges allowed are rangepartitioning / hashpartitioning /
+    broadcast."""
+    from pyspark.sql import functions as F
+    from ftidx.textops import (dsir_select, shard_assignments,
+                               shuffle_corpus, take_token_budget,
+                               top_fraction)
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1) + ("alpha beta" if i % 3 else "gamma"),
+          float(i % 13)) for i in range(200)],
+        "doc_id long, text string, score double")
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    plans = {
+        "shuffle_corpus": fmt(shuffle_corpus(docs, seed=3)),
+        "shard_assignments": fmt(shard_assignments(docs, 4, seed=3)),
+        "take_token_budget": fmt(take_token_budget(docs, 100, seed=3)),
+        "top_fraction": fmt(top_fraction(docs, "score", 0.2)),
+        "dsir_select": fmt(dsir_select(docs, target, 10)),
+    }
+    for name, plan in plans.items():
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+        # the decomposition's signature: a range exchange feeds the rank
+        assert "rangepartitioning" in plan or "InMemory" in plan, name
