@@ -1692,10 +1692,10 @@ def q_multi_snippets(spark, sf_dir):
 
 def q_ann_ivf_kmeans(spark, sf_dir):
     # IVF with a Lloyd-refined coarse quantizer (ann.kmeans_centroids →
-    # ivf_cosine_topk(centroids=)). Iterative float means make a SQL
-    # twin infeasible (the sanctioned no-oracle class: iterative
-    # algorithms); correctness is pytest-proven (monotone distortion,
-    # determinism, cluster purity) — this entry pins rows/schema.
+    # ivf_cosine_topk(centroids=)). Every step is deterministic (md5
+    # init, round-before-argmin assignment, floor-shift-quantized
+    # means), so the fixed iteration count unrolls into an exact SQL
+    # twin — the last rows-only contract entry is now oracle-checked.
     from ftidx.ann import ivf_cosine_topk, kmeans_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1992,7 +1992,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver window (first 50): rotated for round 3 so every
+        # entry the r02 driver never reached gets a CORRECTNESS row;
+        # 4 anchors (incl. the two formerly-red dtype fixes) lead. ---
         "term_stats": q_term_stats,
+        "bm25_topk": q_bm25_topk,
+        "field_stats": q_field_stats,
+        "facet_stats": q_facet_stats,
+        "sessionize": q_sessionize,
+        "repetition": q_repetition,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "token_budget": q_token_budget,
+        "dataset_shards": q_dataset_shards,
+        "shuffle_corpus": q_shuffle_corpus,
+        "top_fraction": q_top_fraction,
+        "seq_pack": q_seq_pack,
+        "phrase_match": q_phrase_match,
+        "phrase_near": q_phrase_near,
+        "collapse_by_source": q_collapse_by_source,
+        "group_topm": q_group_topm,
+        "bm25_boost_mult": q_bm25_boost_mult,
+        "tfidf_vectors": q_tfidf_vectors,
+        "sorted_page": q_sorted_page,
+        "cursor_page": q_cursor_page,
+        "chunk_spans": q_chunk_spans,
+        "scrub": q_scrub,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
+        "unigram_loglik": q_unigram_loglik,
+        "bm25_boosted": q_bm25_boosted,
+        "score_explain": q_score_explain,
+        "collocations": q_collocations,
+        "terms_component": q_terms_component,
+        "join_filter": q_join_filter,
+        "significant_terms": q_significant_terms,
+        "hybrid_rrf": q_hybrid_rrf,
+        "bm25_synonyms": q_bm25_synonyms,
+        "facet_query_counts": q_facet_query_counts,
+        "passage_topk": q_passage_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "dup_components_quality": q_dup_components_quality,
+        "bm25_elevated": q_bm25_elevated,
+        "ann_sq_topk": q_ann_sq_topk,
+        "dup_components": q_dup_components,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "window_topk_orders": q_window_topk_orders,
+        "events_tumbling": q_events_tumbling,
+        "events_window_topn": q_events_window_topn,
+        # --- unchecked remainder: rotate into the window next round ---
+        "json_extract_agg": q_json_extract_agg,
+        "set_ops": q_set_ops,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "domain_mix": q_domain_mix,
+        "temperature_mix": q_temperature_mix,
+        "line_dedup": q_line_dedup,
+        "epoch_mix": q_epoch_mix,
+        "bm25_min_match": q_bm25_min_match,
+        "bm25_dismax": q_bm25_dismax,
+        "bm25_phrase_boost": q_bm25_phrase_boost,
+        "facet_prefix_page": q_facet_prefix_page,
+        "bm25_boost_query": q_bm25_boost_query,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "multi_snippets": q_multi_snippets,
+        "events_hopping": q_events_hopping,
+        # --- green in CORRECTNESS_r02 (driver-verified last round) ---
         "bm25_rerank": q_bm25_rerank,
         "parent_block_join": q_parent_block_join,
         "dup_spans": q_dup_spans,
@@ -2002,13 +2071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_interval": q_facet_interval,
         "facet_nested": q_facet_nested,
         "doc_lengths": q_doc_lengths,
-        "field_stats": q_field_stats,
         "bm25_scores": q_bm25_scores,
-        "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "facet_lang": q_facet_lang,
         "facet_pivot": q_facet_pivot,
-        "facet_stats": q_facet_stats,
         "facet_percentiles": q_facet_percentiles,
         "facet_range": q_facet_range,
         "contamination": q_contamination,
@@ -2042,67 +2108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
-        "phrase_match": q_phrase_match,
-        "phrase_near": q_phrase_near,
-        "collapse_by_source": q_collapse_by_source,
-        "group_topm": q_group_topm,
-        "bm25_boost_mult": q_bm25_boost_mult,
-        "tfidf_vectors": q_tfidf_vectors,
-        "sorted_page": q_sorted_page,
-        "cursor_page": q_cursor_page,
-        "chunk_spans": q_chunk_spans,
-        "repetition": q_repetition,
-        "scrub": q_scrub,
-        "token_counts": q_token_counts,
-        "quality_scores": q_quality_scores,
-        "corpus_split": q_corpus_split,
-        "stratified_sample": q_stratified_sample,
-        "unigram_loglik": q_unigram_loglik,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "dataset_shards": q_dataset_shards,
-        "token_budget": q_token_budget,
-        "bm25_boosted": q_bm25_boosted,
-        "score_explain": q_score_explain,
-        "collocations": q_collocations,
-        "terms_component": q_terms_component,
-        "join_filter": q_join_filter,
-        "significant_terms": q_significant_terms,
-        "hybrid_rrf": q_hybrid_rrf,
-        "bm25_synonyms": q_bm25_synonyms,
-        "facet_query_counts": q_facet_query_counts,
-        "passage_topk": q_passage_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "dup_components_quality": q_dup_components_quality,
-        "top_fraction": q_top_fraction,
-        "bm25_elevated": q_bm25_elevated,
-        "ann_sq_topk": q_ann_sq_topk,
-        "seq_pack": q_seq_pack,
-        "dup_components": q_dup_components,
-        "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "broadcast_dim_join": q_broadcast_dim_join,
-        "window_topk_orders": q_window_topk_orders,
-        "events_tumbling": q_events_tumbling,
-        "events_window_topn": q_events_window_topn,
-        "json_extract_agg": q_json_extract_agg,
-        "sessionize": q_sessionize,
-        "set_ops": q_set_ops,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "domain_mix": q_domain_mix,
-        "temperature_mix": q_temperature_mix,
-        "line_dedup": q_line_dedup,
-        "epoch_mix": q_epoch_mix,
-        "bm25_min_match": q_bm25_min_match,
-        "bm25_dismax": q_bm25_dismax,
-        "bm25_phrase_boost": q_bm25_phrase_boost,
-        "facet_prefix_page": q_facet_prefix_page,
-        "bm25_boost_query": q_bm25_boost_query,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "multi_snippets": q_multi_snippets,
-        "events_hopping": q_events_hopping,
-        "shuffle_corpus": q_shuffle_corpus,
     }
 
 
@@ -2925,6 +2930,94 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.cid, sum(c.x * q.qx) AS dot,
                      sum(c.x * c.x) AS nc, sum(q.qx * q.qx) AS nq
               FROM cflat c JOIN qv q USING (i) GROUP BY c.cid
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (
+                  ORDER BY round(dot / (sqrt(nc) * sqrt(nq)), 5) DESC, cid) AS rn
+                FROM pdots) WHERE rn <= 4
+            ),
+            dots AS (
+              SELECT f.vec_id, sum(f.x * q.qx) AS dot,
+                     sum(f.x * f.x) AS na, sum(q.qx * q.qx) AS nq
+              FROM flat f JOIN qv q USING (i)
+              WHERE f.vec_id IN (SELECT vec_id FROM assign
+                                 WHERE cid IN (SELECT cid FROM probes))
+              GROUP BY f.vec_id
+            )
+            SELECT vec_id, cosine FROM (
+              SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 5) AS cosine,
+                     row_number() OVER (
+                       ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 5) DESC,
+                                vec_id) AS rn
+              FROM dots) WHERE rn <= 10
+        """,
+        # Lloyd's iterations UNROLLED in SQL (iters=2, n_centroids=8):
+        # every step of ann.kmeans_centroids is deterministic — md5
+        # hash-sample init, L2² rounded to 5 before the argmin (ties →
+        # lowest cid), per-component means quantized floor(m·1e6+0.5)/1e6
+        # (the floor-shift both engines compute bit-identically), empty
+        # cells keep the previous centroid — so the refined quantizer and
+        # the IVF query on top of it have an exact SQL twin after all.
+        "ann_ivf_kmeans": f"""
+            WITH {_EMB_FLAT_CTE},
+            qv AS (SELECT i, x AS qx FROM flat WHERE vec_id = 0),
+            c0 AS (
+              SELECT c.cid, f.i, f.x AS c FROM flat f
+              JOIN (SELECT vec_id AS cid FROM embeddings
+                    ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8) c
+                ON f.vec_id = c.cid
+            ),
+            a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+                FROM (SELECT f.vec_id, c.cid,
+                             round(sum((f.x - c.c) * (f.x - c.c)), 5) AS d2
+                      FROM flat f JOIN c0 c USING (i)
+                      GROUP BY f.vec_id, c.cid)) WHERE rn = 1
+            ),
+            m1 AS (
+              SELECT a.cid, f.i, floor(avg(f.x) * 1e6 + 0.5) / 1e6 AS m
+              FROM a1 a JOIN flat f USING (vec_id) GROUP BY a.cid, f.i
+            ),
+            c1 AS (
+              SELECT c0.cid, c0.i, coalesce(m1.m, c0.c) AS c
+              FROM c0 LEFT JOIN m1 ON c0.cid = m1.cid AND c0.i = m1.i
+            ),
+            a2 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+                FROM (SELECT f.vec_id, c.cid,
+                             round(sum((f.x - c.c) * (f.x - c.c)), 5) AS d2
+                      FROM flat f JOIN c1 c USING (i)
+                      GROUP BY f.vec_id, c.cid)) WHERE rn = 1
+            ),
+            m2 AS (
+              SELECT a.cid, f.i, floor(avg(f.x) * 1e6 + 0.5) / 1e6 AS m
+              FROM a2 a JOIN flat f USING (vec_id) GROUP BY a.cid, f.i
+            ),
+            c2 AS (
+              SELECT c1.cid, c1.i, coalesce(m2.m, c1.c) AS c
+              FROM c1 LEFT JOIN m2 ON c1.cid = m2.cid AND c1.i = m2.i
+            ),
+            adots AS (
+              SELECT f.vec_id, c.cid, sum(f.x * c.c) AS dot,
+                     sum(f.x * f.x) AS na, sum(c.c * c.c) AS nc
+              FROM flat f JOIN c2 c USING (i) GROUP BY f.vec_id, c.cid
+            ),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY round(dot / (sqrt(na) * sqrt(nc)), 5) DESC, cid) AS rn
+                FROM adots) WHERE rn = 1
+            ),
+            pdots AS (
+              SELECT c.cid, sum(c.c * q.qx) AS dot,
+                     sum(c.c * c.c) AS nc, sum(q.qx * q.qx) AS nq
+              FROM c2 c JOIN qv q USING (i) GROUP BY c.cid
             ),
             probes AS (
               SELECT cid FROM (

@@ -20,6 +20,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -594,7 +596,12 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
                 lambda s: s["m"]).alias("mvec"))
             .collect()
         )
-        new = {int(r["centroid_id"]): [round(float(x), 6)
+        # floor-shift, NOT round(): Python round() is banker's while
+        # SQL round() is half-away — floor(x·1e6 + 0.5)/1e6 is the one
+        # rule every engine computes bit-identically (quantize_int8's
+        # discipline), which is what lets the DuckDB oracle unroll
+        # these iterations exactly
+        new = {int(r["centroid_id"]): [math.floor(float(x) * 1e6 + 0.5) / 1e6
                                        for x in r["mvec"]]
                for r in means}
         cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
