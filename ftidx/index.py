@@ -672,6 +672,22 @@ class FtIndex:
         self._positions = (
             spark.read.parquet(str(pos_dir)) if pos_dir.exists() else None
         )
+        # streamed positional deltas (Solr soft-commit parity): union
+        # them in like the postings deltas, so a doc streamed in is
+        # phrase-queryable BEFORE compact_deltas; phrase_docs merges
+        # same-doc occurrences across segments defensively already
+        dpos_dir = self.path / "delta_positions"
+        if dpos_dir.exists() and any(dpos_dir.iterdir()):
+            from ftidx.positions import _POS_COLS
+
+            dpos = (
+                spark.read.option("basePath", str(dpos_dir))
+                .parquet(str(dpos_dir / "batch=*")).select(_POS_COLS)
+            )
+            self._positions = (
+                dpos if self._positions is None
+                else self._positions.select(_POS_COLS).unionByName(dpos)
+            )
         self._term_cache.clear()
         self._cache_bytes = 0
         # Solr filterCache analog: fq-predicate → frozen doc-id set;

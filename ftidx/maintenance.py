@@ -262,6 +262,31 @@ def _merge_segments_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame([row])[_POSTINGS_COLS]
 
 
+def _merge_positions_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one group = one (field, term, bucket) of
+    positional segment rows (base + streamed delta batches). Decode
+    every run, drop duplicate doc ids (first wins — content-addressed
+    replays carry identical positions, so compaction stays idempotent
+    under a crash-rerun), re-encode as ONE self-contained row."""
+    from ftidx.positions import (_POS_COLS, decode_positions_row,
+                                 encode_positions_row)
+
+    rows = pdf.to_dict("records")
+    if len(rows) == 1:
+        return pdf[_POS_COLS]
+    id_runs, plists = [], []
+    for r in rows:
+        ids, pl = decode_positions_row(r)
+        id_runs.append(ids)
+        plists.extend(pl)
+    ids = np.concatenate(id_runs)
+    uniq, first = np.unique(ids, return_index=True)
+    enc = encode_positions_row(uniq, [plists[i] for i in first])
+    row = {"term": rows[0]["term"], "field": rows[0]["field"],
+           "bucket": int(rows[0]["bucket"]), **enc}
+    return pd.DataFrame([row])[_POS_COLS]
+
+
 def compact_deltas(spark: SparkSession, index_path: str) -> dict:
     """Fold streamed delta segments into the base index (the delta
     compaction streaming.py's merge-on-read model promises).
@@ -324,9 +349,40 @@ def compact_deltas(spark: SparkSession, index_path: str) -> dict:
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(str(path / "doclen"))
     )
+    # positional deltas fold the same way: base + delta rows of the
+    # affected buckets merge to one self-contained row per (field,
+    # term, bucket); streamed docs stay phrase-queryable throughout
+    dpos = path / "delta_positions"
+    if _has_files(dpos):
+        from ftidx.positions import _POS_COLS, POSITIONS_SCHEMA
+
+        p_delta = (
+            spark.read.option("basePath", str(dpos))
+            .parquet(str(dpos / "batch=*")).select(_POS_COLS)
+        )
+        pbuckets = sorted(
+            int(r["bucket"])
+            for r in p_delta.select("bucket").distinct().collect()
+        )
+        p_frames = [p_delta]
+        if _has_files(path / "positions"):
+            p_frames.append(
+                spark.read.parquet(str(path / "positions"))
+                .filter(F.col("bucket").isin(pbuckets)).select(_POS_COLS)
+            )
+        pmerged = p_frames[0] if len(p_frames) == 1 \
+            else p_frames[0].unionByName(p_frames[1])
+        (
+            pmerged.repartition(max(len(pbuckets), 1), "bucket")
+            .groupBy("field", "term", "bucket")
+            .applyInPandas(_merge_positions_dedup, schema=POSITIONS_SCHEMA)
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(str(path / "positions"))
+        )
     _refresh_stats(spark, path)
     shutil.rmtree(deltas)
     shutil.rmtree(path / "delta_doclen", ignore_errors=True)
+    shutil.rmtree(dpos, ignore_errors=True)
     return {"buckets_compacted": buckets, "segments_folded": int(n_segments)}
 
 

@@ -24,8 +24,11 @@ a Solr replacement asks for beyond bag-of-words. Design:
   :meth:`ftidx.index.FtIndex.phrase_topk`.
 
 Opt-in (``build_index(..., positions=True)``) because positions
-roughly double index size and encode cost. Streamed deltas are
-term-only for now: phrase queries serve from the compacted base.
+roughly double index size and encode cost. Streamed deltas carry
+positions too when the base does (streaming.index_microbatch writes
+``delta_positions/batch=<epoch>``; FtIndex unions them at read time;
+maintenance.compact_deltas folds them) — a doc visible to term
+queries is visible to phrase queries, Solr soft-commit parity.
 """
 
 from __future__ import annotations

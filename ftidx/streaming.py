@@ -90,9 +90,18 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, index_path: str,
     # read becomes an indexed id-ledger or Bloom filter; the plan shape
     # (broadcast-able anti-join on a uniform key) is unchanged.
     live = live.dropDuplicates(["doc_id"])
+    # the seen-set must EXCLUDE this epoch's own batch dir: a same-epoch
+    # replay would otherwise anti-join its docs away against its own
+    # prior write (an empty delta overwriting a good one), and the lazy
+    # plan would hold a listing of part files the overwrite below
+    # deletes (FileNotFoundException on the later positional write)
     seen_dir = out / "delta_doclen"
-    if seen_dir.exists() and any(seen_dir.iterdir()):
-        seen = spark.read.parquet(str(seen_dir)).select("doc_id").distinct()
+    prior = sorted(
+        str(p) for p in seen_dir.iterdir()
+        if p.is_dir() and p.name != f"batch={epoch_id}"
+    ) if seen_dir.exists() else []
+    if prior:
+        seen = spark.read.parquet(*prior).select("doc_id").distinct()
         live = live.join(seen, "doc_id", "left_anti")
     bucket_of = live.select("doc_id", "bucket")
     # fused tokenize→tf/dl kernel (no token shuffle, no doclen join)
@@ -108,6 +117,25 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, index_path: str,
     postings = _encode_postings_df(tf_len, [], 1, shuffle_parts)
     postings.write.mode("overwrite").parquet(str(out / "deltas" / f"batch={epoch_id}"))
     doclen.write.mode("overwrite").parquet(str(out / "delta_doclen" / f"batch={epoch_id}"))
+    # positional parity for streamed docs (Solr soft-commit analog:
+    # a doc visible to term queries is visible to phrase queries too):
+    # when the base index carries positions, emit the batch's
+    # positional blobs as an epoch-keyed delta segment — FtIndex
+    # unions them at read time, compact_deltas folds them into the
+    # base rows. Same idempotency (overwrite-own-epoch), same
+    # bucket-local kernel as the batch build.
+    pos_base = out / "positions"
+    if pos_base.exists() and any(pos_base.iterdir()):
+        from ftidx.positions import POSITIONS_SCHEMA, _bucket_local_positions
+
+        pdocs = live.select("doc_id", "bucket", "content", "lang",
+                            "repo", "path")
+        (
+            pdocs.repartition(max(min(n_buckets, shuffle_parts), 1), "bucket")
+            .mapInPandas(_bucket_local_positions, schema=POSITIONS_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(str(out / "delta_positions" / f"batch={epoch_id}"))
+        )
 
 
 def start_indexing_stream(

@@ -308,3 +308,52 @@ def test_trending_terms_stream(spark, tmp_path):
     assert all(r["win_start"] != ts(0) for r in out2)  # no W1 re-emit
     w200 = [(r["term"], r["n"]) for r in out2 if r["win_start"] == ts(180)]
     assert w200 == [("doc", 1), ("later", 1)]
+
+
+def test_streamed_docs_phrase_queryable(spark, tmp_path):
+    """Solr soft-commit parity for phrases: a doc ingested via the
+    streaming path is phrase-queryable BEFORE compaction (positional
+    delta segments union into the serving handle) and stays queryable
+    after compact_deltas folds them into the base positions table."""
+    from datetime import datetime
+
+    from ftidx.index import build_index, open_index
+    from ftidx.maintenance import compact_deltas
+    from ftidx.schema import SOURCE_SCHEMA
+    from ftidx.streaming import index_microbatch
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 100), out, n_buckets=4,
+                hot_df_threshold=50, positions=True)
+    idx = open_index(spark, out)
+    assert idx.phrase_topk(["zebra", "quantum", "lattice"]) == []
+
+    extra = spark.createDataFrame(
+        [("orgx/projx", "src/x/phrasefile.py", "c" * 40, "python",
+          "zebra quantum lattice\nalpha beta", False,
+          datetime(2024, 3, 1, 12, 0)),
+         ("orgx/projx", "src/x/other.py", "d" * 40, "python",
+          "lattice quantum zebra backwards", False,
+          datetime(2024, 3, 1, 12, 1))],
+        SOURCE_SCHEMA)
+    index_microbatch(extra, 0, out, n_buckets=4)
+    assert (tmp_path / "idx" / "delta_positions" / "batch=0").exists()
+
+    idx.refresh()
+    hits = idx.phrase_topk(["zebra", "quantum", "lattice"])
+    assert len(hits) == 1  # only the in-order doc; the reversed one misses
+    phrase_doc, score_before = hits[0]
+    assert score_before > 0
+    # same-epoch replay is idempotent (overwrite-own-delta)
+    index_microbatch(extra, 0, out, n_buckets=4)
+    idx.refresh()
+    assert idx.phrase_topk(["zebra", "quantum", "lattice"]) == hits
+
+    compact_deltas(spark, out)
+    idx.refresh()
+    after = idx.phrase_topk(["zebra", "quantum", "lattice"])
+    assert after == [(phrase_doc, score_before)]
+    assert not (tmp_path / "idx" / "delta_positions").exists()
+    # base-built phrases still served from the folded table
+    assert idx.phrase_topk(["zebra", "quantum"]) == [(phrase_doc, pytest.approx(
+        idx.phrase_topk(["zebra", "quantum"])[0][1]))]
