@@ -360,7 +360,7 @@ def _write_ledger_rows(ledger_dir: Path, rows: list[tuple]) -> None:
             ("status", pa.string()), ("n_docs", pa.int64()),
             ("postings_emitted", pa.int64()), ("bytes_compressed", pa.int64()),
             ("skew_ratio", pa.float64()), ("elapsed_sec", pa.float64()),
-            ("tracking_id", pa.string()),
+            ("tracking_id", pa.string()), ("error", pa.string()),
         ]),
     )
     pq.write_table(table, ledger_dir / f"part-{uuid.uuid4().hex}.parquet")
@@ -383,6 +383,97 @@ def _write_stats_rows(stats_dir: Path, rows) -> None:
         }
     )
     pq.write_table(table, stats_dir / "part-0.parquet")
+
+
+def _build_bucket_group(spark, docs, group, out, ledger_dir, build_id,
+                        tracking_id, clustered, t0, _t) -> None:
+    """One bucket group of a build pass: encode + write postings, then
+    metrics/doclen/docs explodes off the WRITTEN postings, then the
+    group's "done" ledger rows. Factored out of :func:`build_index` so
+    the caller can persist a per-bucket failure reason (S27) on ANY
+    exception the group's jobs raise."""
+    docs_g = docs.filter(F.col("bucket").isin(group))
+
+    # ---- bucket-local strategy (default): shuffle RAW DOCS by
+    # bucket (the minimal shuffle — raw docs are ~25× smaller than
+    # their tf rows), then ONE kernel tokenizes, aggregates, sorts
+    # and encodes each bucket's postings — the Lucene segment-writer
+    # model. tf rows never hit the shuffle system; doclen + the docs
+    # table ride along as pseudo-postings rows, so this ONE job is
+    # the only consumer of the corpus (see _bucket_local_encode).
+    enc_in = docs_g
+    if not clustered:
+        enc_in = enc_in.repartition(len(group), "bucket")
+    postings = (
+        enc_in
+        .mapInPandas(_bucket_local_encode, schema=POSTINGS_SCHEMA)
+        .withColumn(
+            "n_bytes",
+            F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(str(out / "postings"))
+    t_enc = _t("encode+write", t0)
+
+    # everything below reads the WRITTEN postings (column-pruned,
+    # pseudo-row-filtered) — never the corpus
+    from concurrent.futures import ThreadPoolExecutor
+
+    written = spark.read.parquet(str(out / "postings")).filter(
+        F.col("bucket").isin(group)
+    )
+
+    def metrics():
+        # S29/S30 analog: postings/bytes/skew from what was written
+        real = written.filter(~F.col("field").startswith(PSEUDO_PREFIX))
+        met = real.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("postings_emitted"),
+            F.sum("n_bytes").alias("bytes_compressed"),
+            (F.max("df") / F.avg("df")).alias("skew_ratio"),
+        ).collect()
+        nd = written.filter(F.col("field").startswith(DOCLEN_FIELD_PREFIX)) \
+            .groupBy("bucket").agg(F.max("df").alias("n")).collect()
+        return met, nd
+
+    def explode_doclen():
+        (written.filter(F.col("field").startswith(DOCLEN_FIELD_PREFIX))
+         .select("field", "bucket", "doc_ids", "tfs")
+         .mapInPandas(_explode_doclen,
+                      schema="doc_id long, field string, len long, bucket int")
+         .repartition(len(group), "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "doclen")))
+
+    def explode_docs():
+        (written.filter(F.col("field") == DOCS_FIELD)
+         .select("dls")
+         .mapInPandas(_explode_docs, schema=DOCS_TABLE_SCHEMA)
+         .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "docs")))
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_met = ex.submit(metrics)
+        f_dl = ex.submit(explode_doclen)
+        f_docs = ex.submit(explode_docs)
+        met, nd = f_met.result()
+        f_dl.result()
+        f_docs.result()
+    tp = _t("metrics+explodes", t_enc)
+
+    ndocs = {r["bucket"]: int(r["n"]) for r in nd}
+    elapsed = time.time() - t0
+    rows = [
+        (build_id, int(r["bucket"]), "done", int(ndocs.get(r["bucket"], 0)),
+         int(r["postings_emitted"]), int(r["bytes_compressed"]),
+         float(r["skew_ratio"]), elapsed, tracking_id, None)
+        for r in met
+    ]
+    # buckets in the group with zero live docs still get a ledger row
+    for b in group:
+        if b not in {r[1] for r in rows}:
+            rows.append((build_id, b, "done", 0, 0, 0, 1.0, elapsed,
+                         tracking_id, None))
+    _write_ledger_rows(ledger_dir, rows)
+    _t("ledger", tp)
 
 
 def build_index(
@@ -459,87 +550,25 @@ def build_index(
         group = pending[gi : gi + group_size]
         t0 = time.time()
         tracking_id = uuid.uuid4().hex  # lineage analog, Indexer.java:235-246
-        docs_g = docs.filter(F.col("bucket").isin(group))
-
-        # ---- bucket-local strategy (default): shuffle RAW DOCS by
-        # bucket (the minimal shuffle — raw docs are ~25× smaller than
-        # their tf rows), then ONE kernel tokenizes, aggregates, sorts
-        # and encodes each bucket's postings — the Lucene segment-writer
-        # model. tf rows never hit the shuffle system; doclen + the docs
-        # table ride along as pseudo-postings rows, so this ONE job is
-        # the only consumer of the corpus (see _bucket_local_encode).
-        enc_in = docs_g
-        if not clustered:
-            enc_in = enc_in.repartition(len(group), "bucket")
-        postings = (
-            enc_in
-            .mapInPandas(_bucket_local_encode, schema=POSTINGS_SCHEMA)
-            .withColumn(
-                "n_bytes",
-                F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
-            )
-        )
-        postings.write.mode("overwrite").partitionBy("bucket") \
-            .parquet(str(out / "postings"))
-        t_enc = _t("encode+write", t0)
-
-        # everything below reads the WRITTEN postings (column-pruned,
-        # pseudo-row-filtered) — never the corpus
-        from concurrent.futures import ThreadPoolExecutor
-
-        written = spark.read.parquet(str(out / "postings")).filter(
-            F.col("bucket").isin(group)
-        )
-
-        def metrics():
-            # S29/S30 analog: postings/bytes/skew from what was written
-            real = written.filter(~F.col("field").startswith(PSEUDO_PREFIX))
-            met = real.groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("postings_emitted"),
-                F.sum("n_bytes").alias("bytes_compressed"),
-                (F.max("df") / F.avg("df")).alias("skew_ratio"),
-            ).collect()
-            nd = written.filter(F.col("field").startswith(DOCLEN_FIELD_PREFIX)) \
-                .groupBy("bucket").agg(F.max("df").alias("n")).collect()
-            return met, nd
-
-        def explode_doclen():
-            (written.filter(F.col("field").startswith(DOCLEN_FIELD_PREFIX))
-             .select("field", "bucket", "doc_ids", "tfs")
-             .mapInPandas(_explode_doclen,
-                          schema="doc_id long, field string, len long, bucket int")
-             .repartition(len(group), "bucket")
-             .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "doclen")))
-
-        def explode_docs():
-            (written.filter(F.col("field") == DOCS_FIELD)
-             .select("dls")
-             .mapInPandas(_explode_docs, schema=DOCS_TABLE_SCHEMA)
-             .write.mode("overwrite").partitionBy("bucket").parquet(str(out / "docs")))
-
-        with ThreadPoolExecutor(max_workers=3) as ex:
-            f_met = ex.submit(metrics)
-            f_dl = ex.submit(explode_doclen)
-            f_docs = ex.submit(explode_docs)
-            met, nd = f_met.result()
-            f_dl.result()
-            f_docs.result()
-        tp = _t("metrics+explodes", t_enc)
-
-        ndocs = {r["bucket"]: int(r["n"]) for r in nd}
-        elapsed = time.time() - t0
-        rows = [
-            (build_id, int(r["bucket"]), "done", int(ndocs.get(r["bucket"], 0)),
-             int(r["postings_emitted"]), int(r["bytes_compressed"]),
-             float(r["skew_ratio"]), elapsed, tracking_id)
-            for r in met
-        ]
-        # buckets in the group with zero live docs still get a ledger row
-        for b in group:
-            if b not in {r[1] for r in rows}:
-                rows.append((build_id, b, "done", 0, 0, 0, 1.0, elapsed, tracking_id))
-        _write_ledger_rows(ledger_dir, rows)
-        _t("ledger", tp)
+        try:
+            _build_bucket_group(
+                spark, docs, group, out, ledger_dir, build_id,
+                tracking_id, clustered, t0, _t)
+        except Exception as exc:
+            # S27 failure-reason persistence (queueFail analog,
+            # RawRepoQueueBean.java:28-34): record WHY the group's
+            # buckets failed before re-raising — status stays
+            # non-"done" so resume retries them, and the reason
+            # survives in the ledger for FtIndex.metrics / GET
+            # /metrics instead of living only in driver logs
+            msg = f"{type(exc).__name__}: {exc}"[:1000]
+            elapsed = time.time() - t0
+            _write_ledger_rows(ledger_dir, [
+                (build_id, int(b), "failed", 0, 0, 0, 1.0, elapsed,
+                 tracking_id, msg)
+                for b in group
+            ])
+            raise
         built.extend(group)
 
     if positions and pending:
@@ -2085,7 +2114,11 @@ class FtIndex:
         }
         ledger_dir = self.path / "ledger"
         if ledger_dir.exists() and any(ledger_dir.iterdir()):
-            led = self.spark.read.parquet(str(ledger_dir))
+            # mergeSchema: ledgers written before the S27 error column
+            # existed coexist with rows that carry it — without the
+            # merge, Spark picks one file's schema arbitrarily
+            led = self.spark.read.option("mergeSchema", "true") \
+                .parquet(str(ledger_dir))
             # the ledger is append-only across build generations — a
             # blind sum double-counts after a rebuild. Aggregate per
             # generation and report the manifest's build id; a resume
@@ -2116,6 +2149,36 @@ class FtIndex:
                     "max_skew_ratio": float(row["max_skew"] or 0.0),
                     "task_sec_total": float(row["task_sec"] or 0.0),
                 }
+            # S27 queueFail analog (RawRepoQueueBean.java:28-34): the
+            # persisted per-bucket failure reasons, so an operator sees
+            # WHY a bucket failed from /metrics, not driver logs. The
+            # ledger is append-only, so reasons survive the resume that
+            # fixed them; unresolved = failed buckets with no "done"
+            # row anywhere (i.e. still pending a successful retry).
+            if "error" in led.columns:
+                fails = (
+                    led.filter(F.col("status") == "failed")
+                    .select("build_id", "bucket", "tracking_id", "error")
+                    .collect()
+                )
+                if fails:
+                    done_b = {
+                        int(r["bucket"])
+                        for r in led.filter(F.col("status") == "done")
+                        .select("bucket").distinct().collect()
+                    }
+                    out["failures"] = {
+                        "count": len(fails),
+                        "unresolved_buckets": sorted(
+                            {int(r["bucket"]) for r in fails} - done_b),
+                        "rows": [
+                            {"build_id": r["build_id"],
+                             "bucket": int(r["bucket"]),
+                             "tracking_id": r["tracking_id"],
+                             "error": r["error"]}
+                            for r in fails[:50]
+                        ],
+                    }
         return out
 
     def predicate_ids(self, predicate: str) -> frozenset:

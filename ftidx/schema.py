@@ -103,6 +103,13 @@ CHECKPOINT_SCHEMA = T.StructType(
         T.StructField("skew_ratio", T.DoubleType(), False),
         T.StructField("elapsed_sec", T.DoubleType(), False),
         T.StructField("tracking_id", T.StringType(), False),
+        # failure reason, null on success — the reference persists the
+        # error string back onto the failed queue item
+        # (RawRepoQueueBean.java:28-34) so an operator can see WHY a
+        # bucket failed without trawling driver logs; resume retries
+        # failed buckets (they never get status=done) and the reason
+        # survives in the append-only ledger
+        T.StructField("error", T.StringType(), True),
     ]
 )
 

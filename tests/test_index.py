@@ -165,6 +165,47 @@ def test_ledger_metrics(spark, built):
     assert all(r["tracking_id"] for r in rows)
 
 
+def test_failed_bucket_reason_persisted(spark, tmp_path):
+    """S27 queueFail parity (RawRepoQueueBean.java:28-34): when a
+    bucket group's job dies, the ledger records status=failed WITH the
+    error string; the resumed (fixed) run retries those buckets, and
+    the reason still surfaces in FtIndex.metrics afterwards — the
+    append-only ledger is the operator's forensic record."""
+    out = str(tmp_path / "idx_poison")
+    src = synth_source(spark, 120, partitions=3)
+
+    def poison(batches):
+        for pdf in batches:
+            raise RuntimeError("poisoned partition: disk XYZ stanza")
+            yield pdf  # pragma: no cover
+
+    bad = src.mapInPandas(poison, schema=src.schema)
+    with pytest.raises(Exception):
+        build_index(spark, bad, out, n_buckets=4, build_id="badrun")
+
+    led = spark.read.option("mergeSchema", "true").parquet(f"{out}/ledger")
+    failed = led.filter(F.col("status") == "failed").collect()
+    assert {r["bucket"] for r in failed} == set(range(4))
+    assert all(r["build_id"] == "badrun" for r in failed)
+    assert all(r["error"] and "poisoned partition: disk XYZ" in r["error"]
+               for r in failed), failed[0]["error"]
+
+    # fixed source, same index dir: failed buckets are NOT in the done
+    # set, so resume rebuilds all of them and the build completes
+    summary = build_index(spark, src, out, n_buckets=4, build_id="goodrun")
+    assert sorted(summary["built"]) == [0, 1, 2, 3]
+    assert summary["skipped"] == []
+
+    idx = open_index(spark, out)
+    assert idx.topk(["def"], 3)  # index actually serves
+    m = idx.metrics()
+    assert m["failures"]["count"] == 4
+    assert m["failures"]["unresolved_buckets"] == []
+    rec = m["failures"]["rows"][0]
+    assert rec["build_id"] == "badrun" and "disk XYZ" in rec["error"]
+    assert m["last_build"]["buckets_done"] == 4
+
+
 def test_grouped_salted_strategy_agrees(spark, tmp_path, built):
     """The grouped+salted encode path (streaming/micro-batch) must
     produce byte-identical postings to the bucket-local build path for
