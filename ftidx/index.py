@@ -594,6 +594,13 @@ def build_index(
     return {"built": built, "skipped": skipped, "n_buckets": n_buckets, "build_id": build_id}
 
 
+def _idset_cost(ids: frozenset) -> int:
+    """Approximate resident bytes of a cached filter id-set: ~28 bytes
+    per int object + ~2× 8-byte hash slots (frozenset overallocates),
+    plus fixed set/dict-entry overhead."""
+    return len(ids) * 90 + 256
+
+
 def _entry_cost(rows: list[dict]) -> int:
     """Approximate resident bytes of a cached term entry: blobs plus
     the decoded uint64 arrays wand memoizes onto the rows (~8×/stream
@@ -632,6 +639,15 @@ class FtIndex:
         self._cache_bytes = 0
         self._cache_hits = 0
         self._cache_misses = 0
+        # filterCache gets the same LRU discipline as the term cache:
+        # POST /select accepts arbitrary predicate strings, and each
+        # memoized id-set holds one long per matching doc — unbounded,
+        # a varied or broad-filter workload grows driver memory until
+        # refresh(). Bounded by entry count AND approximate bytes.
+        self._filter_cache_max = 1024
+        self._filter_cache_max_bytes = int(
+            _os.environ.get("FTIDX_FILTER_CACHE_MB", "64")) * 1024 * 1024
+        self._filter_cache_bytes = 0
         self.refresh()
 
     def refresh(self) -> None:
@@ -720,8 +736,12 @@ class FtIndex:
         self._term_cache.clear()
         self._cache_bytes = 0
         # Solr filterCache analog: fq-predicate → frozen doc-id set;
-        # invalidated with the rest of the handle state
-        self._filter_cache: dict[str, frozenset] = {}
+        # invalidated with the rest of the handle state; LRU-bounded
+        # (entries + bytes) — see predicate_ids
+        from collections import OrderedDict
+
+        self._filter_cache: OrderedDict[str, frozenset] = OrderedDict()
+        self._filter_cache_bytes = 0
 
     # -- maintenance -----------------------------------------------------
     def delete(self, doc_ids: list[int]) -> None:
@@ -2062,6 +2082,11 @@ class FtIndex:
 
         got = (
             rows.mapInPandas(find_doc, schema="term string, tf long")
+            # a doc's (term, tf) can be SPLIT across base + streamed/
+            # upserted delta segment rows — sum before the cut, like
+            # page_term_vectors, or /tv and more_like_this would see
+            # duplicate terms with partial tfs on a delta-carrying index
+            .groupBy("term").agg(F.sum("tf").alias("tf"))
             .orderBy(F.desc("tf"), F.asc("term")).limit(top_m).collect()
         )
         return [(r["term"], int(r["tf"])) for r in got]
@@ -2108,7 +2133,11 @@ class FtIndex:
                 "hit_rate": round(self._cache_hits / probes, 4)
                             if probes else None,
             },
-            "filter_cache": {"entries": len(self._filter_cache)},
+            "filter_cache": {
+                "entries": len(self._filter_cache),
+                "bytes": int(self._filter_cache_bytes),
+                "max_bytes": int(self._filter_cache_max_bytes),
+            },
             "tombstones_pending": len(self._tombstones),
             "build_id": self.manifest.get("build_id"),
         }
@@ -2193,7 +2222,9 @@ class FtIndex:
         trade the term cache already makes; an analytic-scale filter
         belongs in :meth:`topk_where`, which stays distributed."""
         cached = self._filter_cache.get(predicate)
-        if cached is None:
+        if cached is not None:
+            self._filter_cache.move_to_end(predicate)  # LRU touch
+        else:
             docs = self.spark.read.parquet(str(self.path / "docs"))
             cached = frozenset(
                 int(r["doc_id"])
@@ -2201,6 +2232,15 @@ class FtIndex:
                 .select("doc_id").collect()
             )
             self._filter_cache[predicate] = cached
+            self._filter_cache_bytes += _idset_cost(cached)
+            # same discipline as the term cache: user-supplied
+            # predicate strings are unbounded, driver memory is not
+            while self._filter_cache and (
+                len(self._filter_cache) > self._filter_cache_max
+                or self._filter_cache_bytes > self._filter_cache_max_bytes
+            ):
+                _, old = self._filter_cache.popitem(last=False)
+                self._filter_cache_bytes -= _idset_cost(old)
         # tombstones subtract at LOOKUP time: delete() grows the
         # tombstone set without refresh(), and a baked-in subtraction
         # would keep serving deleted ids from the cache
@@ -2270,6 +2310,10 @@ class FtIndex:
         mm = params.get("mm")
         offset = int(body.get("offset", 0))
         limit = int(body.get("limit", 10))
+        # Solr 400s on negative start/rows; without this, limit=-1
+        # would slice to nearly the whole match set
+        if offset < 0 or limit < 0:
+            raise ValueError("'offset' and 'limit' must be >= 0")
 
         # full filtered match set: numFound and facets need it all —
         # the ranking itself is the driver-side serving kernel, which

@@ -96,7 +96,8 @@ def _parse_labeled_spec(spec: str) -> dict[str, list[str]]:
         if not part.strip():
             continue
         label, sep, ts = part.partition(":")
-        if not sep or not label.strip():
+        label = label.strip()  # 'a:x; a :y' is a duplicate, and padded
+        if not sep or not label:  # labels must not leak into responses
             raise ValueError(f"segment {part!r} needs label:terms")
         if label in queries:
             raise ValueError(f"duplicate label {label!r}")
@@ -739,9 +740,17 @@ def _make_handler(idx, lock: threading.Lock):
                 self._json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — user-supplied SQL
                 # exprs (sort=/ltr=/fl=/bf=) surface as Spark
-                # Parse/AnalysisException; a malformed param must yield
-                # an HTTP error, never a dropped connection
-                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                # Parse/AnalysisException → the caller's fault (400,
+                # same policy as POST /select). Anything else is a
+                # server-side fault (index corruption, I/O, bugs) and
+                # must register on 5xx alerting, never masquerade as a
+                # client error — but still answer, never drop the
+                # connection.
+                if type(e).__name__ in ("AnalysisException",
+                                        "ParseException"):
+                    self._json(400, {"error": str(e).split("\n")[0]})
+                else:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         def do_POST(self):
             self._t0 = time.monotonic()

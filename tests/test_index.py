@@ -1449,6 +1449,64 @@ def test_predicate_ids_sees_deletes(spark, tmp_path):
     assert victim not in after and after == keep - {victim}
 
 
+def test_filter_cache_lru_bounded(spark, tmp_path):
+    """POST /select accepts arbitrary predicate strings — the
+    filterCache must be LRU-bounded (entries AND bytes) like the term
+    cache, and eviction must never change results."""
+    src = synth_source(spark, 80)
+    out = str(tmp_path / "fclru")
+    build_index(spark, src, out, n_buckets=2)
+    idx = open_index(spark, out)
+    idx._filter_cache_max = 2
+    preds = ["lang = 'python'", "path LIKE 'src/%'", "NOT deleted"]
+    expect = [idx.predicate_ids(p) for p in preds]
+    assert len(idx._filter_cache) == 2
+    assert preds[0] not in idx._filter_cache  # oldest evicted
+    # LRU touch: re-query preds[1], insert preds[0] → preds[2] evicted
+    idx.predicate_ids(preds[1])
+    assert idx.predicate_ids(preds[0]) == expect[0]
+    assert set(idx._filter_cache) == {preds[0], preds[1]}
+    # byte budget: a set larger than the budget is evicted immediately
+    # but the caller still gets the correct result
+    idx._filter_cache_max_bytes = 1
+    got = idx.predicate_ids("doc_id >= 0")
+    assert got and "doc_id >= 0" not in idx._filter_cache
+    assert idx._filter_cache_bytes >= 0
+    m = idx.metrics()["filter_cache"]
+    assert m["max_bytes"] == 1 and m["entries"] == len(idx._filter_cache)
+
+
+def test_doc_term_vector_sums_split_segments(spark, tmp_path):
+    """A doc's (term, tf) split across base/delta segment rows (the
+    at-least-once shape historical indexes can carry on disk) must be
+    SUMMED by doc_term_vector — same defensive semantics as
+    page_term_vectors, so /tv and more_like_this never see duplicate
+    terms with partial tfs."""
+    import shutil as sh
+    from datetime import datetime
+
+    from ftidx.schema import SOURCE_SCHEMA
+    from ftidx.streaming import index_microbatch
+
+    out = str(tmp_path / "tvsplit")
+    build_index(spark, synth_source(spark, 60), out, n_buckets=2)
+    row = [("orgt/projt", "src/t/tvdoc.py", "e" * 40, "python",
+            "qqsplit qqsplit marker alpha", False,
+            datetime(2024, 6, 1, 8, 0))]
+    index_microbatch(spark.createDataFrame(row, SOURCE_SCHEMA), 0, out,
+                     n_buckets=2)
+    # simulate a historical duplicate delta segment on disk
+    sh.copytree(f"{out}/deltas/batch=0", f"{out}/deltas/batch=1")
+    sh.copytree(f"{out}/delta_doclen/batch=0", f"{out}/delta_doclen/batch=1")
+    idx = open_index(spark, out)
+    doc = idx.topk(["qqsplit"], k=1)[0][0]
+    tv = dict(idx.doc_term_vector(doc, top_m=10))
+    assert tv["qqsplit"] == 4  # 2 per segment row, summed — not two rows
+    page = {t: tf for d, t, tf in idx.page_term_vectors([doc]) if d == doc}
+    assert tv == {t: tf for t, tf in sorted(
+        page.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+
+
 def test_metrics_single_generation(spark, tmp_path):
     """The ledger is append-only across generations: a forced rebuild
     must report ONE generation's rows (never the sum), and a resume

@@ -69,6 +69,57 @@ def test_stats_and_errors(served):
     assert e.value.code == 404
 
 
+def test_server_fault_is_500_not_400(served):
+    """A genuine server-side fault must register on 5xx alerting, not
+    masquerade as a client error; malformed user SQL stays 400."""
+    srv, idx = served
+    real = idx.topk
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated index corruption")
+
+    idx.topk = boom
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"http://{srv.host}:{srv.port}/search?q=def&k=3")
+        assert e.value.code == 500
+        assert "simulated index corruption" in json.loads(
+            e.value.read())["error"]
+    finally:
+        idx.topk = real
+    # user-supplied SQL error is still the caller's fault
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"http://{srv.host}:{srv.port}/search?q=def&k=3"
+             "&sort=no_such_column%20asc")
+    assert e.value.code == 400
+
+
+def test_select_rejects_negative_paging(served):
+    srv, _ = served
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/select",
+        data=json.dumps({"query": "def", "limit": -1}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/select",
+        data=json.dumps({"query": "def", "offset": -5}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+
+
+def test_labeled_spec_strips_labels():
+    from ftidx.server import _parse_labeled_spec
+
+    assert _parse_labeled_spec(" a :x y") == {"a": ["x", "y"]}
+    with pytest.raises(ValueError, match="duplicate"):
+        _parse_labeled_spec("a:x; a :y")
+
+
 def test_refresh_after_delete(served):
     srv, idx = served
     base = f"http://{srv.host}:{srv.port}"
