@@ -6,8 +6,10 @@ batch shapes) is real and tested. Decode backends:
 
 - ``backend="native"``: REAL decode for the formats a pure
   numpy/stdlib stack can honestly own — uncompressed 24-bit BMP
-  (struct header parse + padded-row pixel array) and PCM WAV (stdlib
-  ``wave``). Features/resize then run on actual pixels/samples.
+  (struct header parse + padded-row pixel array), 8-bit PNG (stdlib
+  zlib inflate + full five-filter unfiltering; gray/RGB/RGBA/palette)
+  and PCM WAV (stdlib ``wave``). Features/resize then run on actual
+  pixels/samples; containers are sniffed by magic (:func:`image_decode`).
 - ``backend="fake"`` (default): a deterministic, pure-numpy fake
   decoder driven by a hash of the payload — stable outputs for tests
   and benchmarks of the plumbing, independent of payload format.
@@ -137,6 +139,139 @@ def bmp_decode(b: bytes) -> np.ndarray:
     return lum.round().astype(np.uint8)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(px: np.ndarray) -> bytes:
+    """Grayscale (H, W) uint8 plane → 8-bit grayscale PNG bytes
+    (stdlib zlib deflate, filter 0 scanlines — spec-minimal but a
+    fully valid PNG any reader accepts)."""
+    import struct
+    import zlib
+
+    h, w = px.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse PNG per-scanline filtering (spec §9: None/Sub/Up/
+    Average/Paeth). Scanlines carry a leading filter byte; Sub/Paeth
+    recurrences are sequential within a row, so this runs a per-byte
+    loop — fine for the thumbnail/feature sizes this codec serves;
+    wide production rasters belong to the `real` backend."""
+    stride = w * bpp
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint16)
+    for r in range(h):
+        f, line = raw[r, 0], raw[r, 1:].astype(np.uint16)
+        prev = out[r - 1] if r else np.zeros(stride, np.uint16)
+        if f == 0:
+            out[r] = line
+        elif f == 1:  # Sub
+            acc = line.copy()
+            for i in range(bpp, stride):
+                acc[i] = (acc[i] + acc[i - bpp]) & 0xFF
+            out[r] = acc
+        elif f == 2:  # Up
+            out[r] = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            acc = line.copy()
+            for i in range(stride):
+                a = acc[i - bpp] if i >= bpp else 0
+                acc[i] = (acc[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+            out[r] = acc
+        elif f == 4:  # Paeth
+            acc = line.copy()
+            for i in range(stride):
+                a = int(acc[i - bpp]) if i >= bpp else 0
+                b_ = int(prev[i])
+                c = int(out[r - 1, i - bpp]) if (r and i >= bpp) else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                acc[i] = (acc[i] + pred) & 0xFF
+            out[r] = acc
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+    return out.astype(np.uint8)
+
+
+def png_decode(b: bytes) -> np.ndarray:
+    """PNG bytes → grayscale (H, W) uint8 plane (BT.601 luma for
+    color). Pure stdlib (zlib inflate + struct): 8-bit gray / gray+A /
+    RGB / RGBA / palette, all five scanline filters. 16-bit and
+    interlaced PNGs raise through the codec gate — same honest-
+    capability contract as bmp_decode."""
+    import struct
+    import zlib
+
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG (depth={depth}, "
+            f"interlace={interlace}) — route wider inputs to the "
+            f"`real` backend")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    px = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[..., 0]]
+        ctype, channels = 2, 3
+    if ctype == 0:
+        return px[..., 0].copy()
+    if ctype == 4:  # gray + alpha: alpha is metadata, luma is channel 0
+        return px[..., 0].copy()
+    rgb = px[..., :3].astype(np.float64)
+    lum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return lum.round().astype(np.uint8)
+
+
+def image_decode(b: bytes) -> np.ndarray:
+    """Native-backend image dispatch: sniff the container magic and
+    route to the matching pure-python codec (BMP, PNG). Compressed
+    formats we cannot honestly decode (JPEG, WebP, …) raise through
+    :func:`_require_real_backend` — the marked integration point."""
+    if len(b) >= 2 and b[:2] == b"BM":
+        return bmp_decode(b)
+    if len(b) >= 8 and b[:8] == _PNG_SIG:
+        return png_decode(b)
+    if len(b) >= 3 and b[:3] == b"\xff\xd8\xff":
+        _require_real_backend("JPEG", "Pillow")
+    raise ValueError("unrecognized image container (native backend "
+                     "decodes BMP and PNG)")
+
+
 def wav_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
     """int16 mono samples → PCM WAV bytes (stdlib wave)."""
     import io
@@ -204,7 +339,7 @@ def image_features(media: DataFrame, backend: str = "fake") -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 if native:
-                    plane = bmp_decode(b)
+                    plane = image_decode(b)
                     mean, std, entropy, phash = _plane_features(plane)
                 else:
                     arr = np.frombuffer(b, dtype=np.uint8)
@@ -250,7 +385,7 @@ def resize_images(media: DataFrame, w: int = 8, h: int = 8,
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p or b"")
                 if native:
-                    thumb = _nn_downsample(bmp_decode(b), h, w)
+                    thumb = _nn_downsample(image_decode(b), h, w)
                 else:
                     thumb = _fake_pixels(b, w, h)
                 rows.append((int(mid), thumb.tobytes(), w, h))
@@ -346,8 +481,14 @@ def synth_native_media(spark, n: int = 24) -> DataFrame:
             px = ((np.add.outer(np.arange(h), np.arange(w)) * (3 + i))
                   % 256).astype(np.uint8)
             px ^= rng.integers(0, 8, size=px.shape, dtype=np.uint8)
-            rows.append((i, "image", bytearray(bmp_encode(px)),
-                         "image/bmp", w, h, None))
+            # alternate containers: same plane kinds through BMP and
+            # PNG exercise both native codecs end-to-end
+            if i % 4 == 0:
+                rows.append((i, "image", bytearray(bmp_encode(px)),
+                             "image/bmp", w, h, None))
+            else:
+                rows.append((i, "image", bytearray(png_encode(px)),
+                             "image/png", w, h, None))
         else:
             t = np.arange(1600 + (i % 5) * 400)
             tone = (3000 * np.sin(2 * np.pi * t * (110 + 13 * i) / 8000)

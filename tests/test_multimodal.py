@@ -76,8 +76,9 @@ def test_real_backend_gated(media):
 def test_native_bmp_roundtrip_and_features(spark):
     import numpy as np
 
-    from ftidx.multimodal import (bmp_decode, bmp_encode, image_features,
-                                  resize_images, synth_native_media)
+    from ftidx.multimodal import (bmp_decode, bmp_encode, image_decode,
+                                  image_features, resize_images,
+                                  synth_native_media)
 
     # codec round-trip: encode → decode reproduces the plane exactly
     px = (np.add.outer(np.arange(13), np.arange(17)) % 256).astype(np.uint8)
@@ -89,7 +90,7 @@ def test_native_bmp_roundtrip_and_features(spark):
     rows = {r["media_id"]: r for r in media.collect()}
     assert set(feats) == {i for i in range(12) if i % 2 == 0}
     for mid, r in feats.items():
-        plane = bmp_decode(bytes(rows[mid]["payload"]))
+        plane = image_decode(bytes(rows[mid]["payload"]))
         assert plane.shape == (rows[mid]["height"], rows[mid]["width"])
         assert abs(r["mean_byte"] - plane.mean()) < 1e-4
         assert abs(r["std_byte"] - plane.std()) < 1e-4
@@ -99,7 +100,7 @@ def test_native_bmp_roundtrip_and_features(spark):
         media, w=6, h=4, backend="native").collect()}
     for mid, r in thumbs.items():
         t = np.frombuffer(bytes(r["thumb"]), dtype=np.uint8).reshape(4, 6)
-        plane = bmp_decode(bytes(rows[mid]["payload"]))
+        plane = image_decode(bytes(rows[mid]["payload"]))
         # corners of an NN downsample are the source corners
         assert t[0, 0] == plane[0, 0] and t[-1, -1] == plane[-1, -1]
 
@@ -137,3 +138,121 @@ def test_native_gate_on_compressed(spark):
                    b"padding padding padding")
     with _pt.raises(Exception):
         wav_decode(b"ID3 mp3-ish garbage that wave cannot parse")
+
+
+def _png_raw(w, h, ctype, scanlines, plte=None, depth=8, interlace=0):
+    """Assemble a PNG byte stream from pre-filtered scanlines — an
+    encoder-independent fixture so png_decode's unfiltering is tested
+    against the spec, not against our own filter-0 encoder."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype,
+                                      0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_roundtrip_and_all_filters():
+    import numpy as np
+    import pytest as _pt
+
+    from ftidx.multimodal import image_decode, png_decode, png_encode
+
+    px = ((np.add.outer(np.arange(11), np.arange(19)) * 7) % 256) \
+        .astype(np.uint8)
+    assert np.array_equal(png_decode(png_encode(px)), px)
+    assert np.array_equal(image_decode(png_encode(px)), px)
+
+    # every filter type, hand-filtered per the PNG spec (§9) so decode
+    # is checked against an independent construction
+    plane = ((np.add.outer(np.arange(4), np.arange(5)) * 31 + 3) % 256) \
+        .astype(np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    for ftype in (0, 1, 2, 3, 4):
+        lines = []
+        for r in range(4):
+            row = plane[r].astype(int)
+            prev = plane[r - 1].astype(int) if r else [0] * 5
+            enc = []
+            for i in range(5):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = (plane[r - 1][i - 1] if (r and i) else 0)
+                if ftype == 0:
+                    v = row[i]
+                elif ftype == 1:
+                    v = row[i] - a
+                elif ftype == 2:
+                    v = row[i] - b
+                elif ftype == 3:
+                    v = row[i] - ((a + b) >> 1)
+                else:
+                    v = row[i] - paeth(a, int(b), int(c))
+                enc.append(v & 0xFF)
+            lines.append(bytes([ftype] + enc))
+        got = png_decode(_png_raw(5, 4, 0, lines))
+        assert np.array_equal(got, plane), f"filter {ftype}"
+
+    # RGB, RGBA and palette color types reduce to BT.601 luma
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 100, 50
+    lum = round(0.299 * 200 + 0.587 * 100 + 0.114 * 50)
+    lines = [b"\x00" + rgb[r].tobytes() for r in range(2)]
+    assert (png_decode(_png_raw(2, 2, 2, lines)) == lum).all()
+    rgba = np.dstack([rgb, np.full((2, 2), 7, np.uint8)])
+    lines = [b"\x00" + rgba[r].tobytes() for r in range(2)]
+    assert (png_decode(_png_raw(2, 2, 6, lines)) == lum).all()
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    lines = [b"\x00" + idx[r].tobytes() for r in range(2)]
+    pal = bytes([200, 100, 50, 0, 0, 0])
+    got = png_decode(_png_raw(2, 2, 3, lines, plte=pal))
+    assert got[0, 0] == lum and got[0, 1] == 0
+
+    # honest gates: 16-bit and interlaced raise NotImplementedError,
+    # JPEG magic routes to the real-backend gate, garbage is ValueError
+    with _pt.raises(NotImplementedError):
+        png_decode(_png_raw(5, 4, 0, lines, depth=16))
+    with _pt.raises(NotImplementedError):
+        png_decode(_png_raw(5, 4, 0, lines, interlace=1))
+    with _pt.raises(NotImplementedError):
+        image_decode(b"\xff\xd8\xff jpeg-ish")
+    with _pt.raises(ValueError):
+        image_decode(b"garbage that is neither bmp nor png")
+
+
+def test_png_bmp_feature_identity(spark):
+    """The SAME pixel plane through either container must yield
+    identical native features/phash/thumbnails — the codec is
+    container-transparent."""
+    import numpy as np
+
+    from ftidx.multimodal import (MEDIA_SCHEMA, bmp_encode, image_features,
+                                  png_encode, resize_images)
+
+    px = ((np.add.outer(np.arange(24), np.arange(32)) * 5 + 11) % 256) \
+        .astype(np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(bmp_encode(px)), "image/bmp", 32, 24, None),
+         (1, "image", bytearray(png_encode(px)), "image/png", 32, 24, None)],
+        MEDIA_SCHEMA)
+    f = {r["media_id"]: r for r in
+         image_features(media, backend="native").collect()}
+    for col in ("mean_byte", "std_byte", "entropy_bits", "phash"):
+        assert f[0][col] == f[1][col], col
+    t = {r["media_id"]: bytes(r["thumb"]) for r in
+         resize_images(media, w=8, h=8, backend="native").collect()}
+    assert t[0] == t[1]
