@@ -906,17 +906,20 @@ class FtIndex:
 
     def query_string(self, q: str, k: int = 10,
                      field: str = "code.content",
-                     min_match: int | None = None) -> list[tuple[int, float]]:
+                     min_match: int | None = None,
+                     kernel: str = "auto") -> list[tuple[int, float]]:
         """Lucene/Solr query-string search — ``+must -not field:term
         "a b"~slop term^boost`` — parsed and executed by
         :mod:`ftidx.qparse` against this handle's cached postings and
         positions; ``min_match`` applies Solr ``mm`` over the optional
-        clauses. The drop-in surface for a user migrating Solr query
-        strings from the reference."""
+        clauses. ``kernel="auto"`` block-max-prunes pure-disjunction
+        queries (see :func:`ftidx.qparse.execute`). The drop-in
+        surface for a user migrating Solr query strings from the
+        reference."""
         from ftidx.qparse import execute
 
         return execute(self, q, k=k, default_field=field,
-                       min_match=min_match)
+                       min_match=min_match, kernel=kernel)
 
     def topk_batch(self, queries: list[list[str]], k: int = 10,
                    field: str = "code.content",

@@ -113,7 +113,8 @@ def parse_query(q: str) -> list[Clause]:
 
 def execute(idx, q: str, k: int = 10,
             default_field: str = "code.content",
-            min_match: int | None = None) -> list[tuple[int, float]]:
+            min_match: int | None = None,
+            kernel: str = "auto") -> list[tuple[int, float]]:
     """Run a parsed query against an :class:`ftidx.index.FtIndex`.
 
     One cached-postings accumulation scores every non-prohibited term
@@ -123,7 +124,19 @@ def execute(idx, q: str, k: int = 10,
     ``mm`` over the OPTIONAL (should) term clauses: a doc must match at
     least that many of them, on top of every required clause — phrases
     here are always required (see module docstring), so mm never
-    counts them."""
+    counts them.
+
+    ``kernel="auto"`` routes PURE-DISJUNCTION queries (every clause an
+    optional term clause on one field — the search-box common case)
+    through block-max WAND (:func:`ftidx.wand.score_block_max`):
+    boosts fold into each term's idf (both the score and the block
+    upper bound are linear in idf, so pruning stays exact), and the
+    exhaustive path below accumulates in the identical (df, term)
+    order with the identical scaled-idf arithmetic, making the two
+    paths bit-identical — pinned by the fuzz rank-identity test.
+    Pruning is unsound under +/- masks, phrases, mm≥2 or multi-field
+    scoring, so anything else falls through to the exhaustive path
+    (``kernel="exhaustive"`` forces it)."""
     from ftidx.positions import near_docs, phrase_docs
     from ftidx.wand import bm25_contrib
 
@@ -132,6 +145,28 @@ def execute(idx, q: str, k: int = 10,
     clauses = parse_query(q)
     if not clauses:
         return []
+
+    if (kernel == "auto"
+            and (min_match is None or min_match <= 1)
+            and all(c.occur == "" and not c.is_phrase and c.fuzzy is None
+                    and not c.wildcard and c.range is None for c in clauses)
+            and len({c.field or default_field for c in clauses}) == 1):
+        from ftidx.wand import TermList, score_block_max
+
+        fld = clauses[0].field or default_field
+        boosts: dict[str, float] = {}
+        for c in clauses:
+            boosts[c.terms[0]] = boosts.get(c.terms[0], 0.0) + c.boost
+        lists, avgdl = idx._term_lists(sorted(boosts), fld)
+        if not lists:
+            return []
+        weighted = [TermList(tl.term, tl.rows, boosts[tl.term] * tl.idf)
+                    for tl in lists]
+        tombs = idx._tombstones
+        ids, scores = score_block_max(weighted, avgdl, k + len(tombs))
+        return [(int(i), float(s))
+                for i, s in zip(ids.astype(np.int64), scores)
+                if int(i) not in tombs][:k]
 
     # single-term "phrases" act as plain term clauses
     for c in clauses:
@@ -243,13 +278,19 @@ def execute(idx, q: str, k: int = 10,
             boosts[c.terms[0]] = boosts.get(c.terms[0], 0.0) + c.boost
         for t in phrase_score_terms.get(fld, []):
             boosts[t] = boosts.get(t, 0.0) + 1.0
-        for t, w in sorted(boosts.items()):
+        # (df, term) accumulation order + idf-folded boost: the exact
+        # arithmetic score_block_max runs, so the WAND fast path above
+        # is bit-identical to this path on pure disjunctions
+        for t, w in sorted(boosts.items(),
+                           key=lambda kv: (by_name[kv[0]].df
+                                           if kv[0] in by_name else 0,
+                                           kv[0])):
             tl = by_name.get(t)
             if tl is None:
                 continue
             ids, tfs, dls = tl.decode_all()
             decoded[(fld, t)] = ids
-            per_term.append((ids, w * bm25_contrib(tfs, dls, tl.idf, avgdl)))
+            per_term.append((ids, bm25_contrib(tfs, dls, w * tl.idf, avgdl)))
         # prohibited fuzzy groups need ids but never scores; constant-
         # score groups (any occur) need ids — their scoring is the flat
         # boost applied over the union below, never per-term BM25

@@ -330,3 +330,54 @@ def test_execute_fuzz_never_throws(qidx):
         assert keys == sorted(keys)
 
     check()
+
+
+def test_wand_fast_path_rank_identity(qidx):
+    """Pure-disjunction queries route through block-max WAND
+    (kernel="auto") and must be BIT-identical — ids AND scores — to
+    the exhaustive path on fuzzed vocabulary/boost/duplicate/unknown
+    combinations: the exhaustive path accumulates in the same
+    (df, term) order with the same idf-folded boost arithmetic, so
+    pruning exactness is the only degree of freedom under test."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["def", "return", "value", "merge", "class", "import",
+             "self", "data", "nosuchterm", "zzzmissing"]
+    term = st.builds(
+        lambda t, b: t if b is None else f"{t}^{b}",
+        st.sampled_from(vocab),
+        st.one_of(st.none(), st.sampled_from(["0.5", "2", "3.25"])))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(term, min_size=1, max_size=5), st.sampled_from([1, 3, 10]))
+    def check(terms, k):
+        q = " ".join(terms)
+        fast = qidx.query_string(q, k=k)                       # auto → WAND
+        slow = qidx.query_string(q, k=k, kernel="exhaustive")
+        assert fast == slow  # exact float equality, by construction
+
+    check()
+
+    # non-disjunction shapes must NOT take the fast path: +/-, phrase,
+    # mm>=2 and per-clause fields all fall through — same answers either way
+    for q, mm in [("+def return", None), ("def -return", None),
+                  ('"def return"', None), ("def return value", 2),
+                  ("code.ident.split:merge def", None)]:
+        assert qidx.query_string(q, k=8, min_match=mm) == \
+            qidx.query_string(q, k=8, min_match=mm, kernel="exhaustive")
+
+
+def test_wand_fast_path_tombstones(spark, tmp_path):
+    """The fast path over-fetches k+len(tombstones) then filters, so a
+    deleted current-top doc drops out without shrinking the page."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 120), out, n_buckets=4)
+    idx = open_index(spark, out)
+    before = idx.query_string("def return", k=5)
+    assert len(before) == 5
+    top = before[0][0]
+    idx.delete([top])
+    after = idx.query_string("def return", k=5)
+    assert top not in [d for d, _ in after] and len(after) == 5
+    assert after == idx.query_string("def return", k=5, kernel="exhaustive")
