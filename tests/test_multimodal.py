@@ -228,7 +228,9 @@ def test_png_roundtrip_and_all_filters():
         png_decode(_png_raw(5, 4, 0, lines, depth=16))
     with _pt.raises(NotImplementedError):
         png_decode(_png_raw(5, 4, 0, lines, interlace=1))
-    with _pt.raises(NotImplementedError):
+    # JPEG magic now routes to the native baseline codec: truncated /
+    # structurally-corrupt input is a ValueError, not a capability gate
+    with _pt.raises(ValueError):
         image_decode(b"\xff\xd8\xff jpeg-ish")
     with _pt.raises(ValueError):
         image_decode(b"garbage that is neither bmp nor png")
