@@ -1,0 +1,163 @@
+"""MJPEG-in-AVI video container — pure stdlib RIFF parse/build.
+
+With :mod:`ftidx.jpeg` providing a real baseline JPEG codec, Motion
+JPEG in an AVI container is a video format a numpy/stdlib stack can
+honestly own end-to-end: every frame is an independent baseline JPEG,
+the container is a flat RIFF chunk tree (no inter-frame prediction,
+no bitstream parsing beyond chunk walking).
+
+Decoder: :func:`avi_meta` reads the ``avih``/``strh``/``strf`` headers
+(frame timing, raster dims, codec fourcc); :func:`avi_frames` walks the
+``movi`` LIST yielding (frame_index, jpeg_bytes) for the video stream's
+``..dc``/``..db`` chunks. Non-MJPEG fourccs (H.264, VP9, …) raise
+``NotImplementedError`` naming the real-backend dependency — the same
+honest-capability contract as the image codecs.
+
+Encoder: :func:`avi_encode` wraps per-frame grayscale JPEGs in a
+spec-shaped AVI (RIFF → hdrl(avih, strl(strh, strf)) → movi → idx1),
+so fixtures decode in any media player.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+
+
+def _chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""  # RIFF chunks are word-aligned
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _list(kind: bytes, data: bytes) -> bytes:
+    return _chunk(b"LIST", kind + data)
+
+
+def avi_encode(frames: list[np.ndarray], fps: int = 10,
+               quality: int = 90) -> bytes:
+    """Grayscale (H, W) uint8 planes → MJPEG AVI bytes. All frames
+    must share one raster size (the container declares a single
+    biWidth/biHeight)."""
+    from .jpeg import jpeg_encode
+
+    if not frames:
+        raise ValueError("avi_encode needs at least one frame")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all frames must share one raster size")
+    jpegs = [jpeg_encode(f, quality=quality) for f in frames]
+    n = len(jpegs)
+    max_bytes = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,      # dwMicroSecPerFrame
+        max_bytes * fps,       # dwMaxBytesPerSec
+        0,                     # dwPaddingGranularity
+        0x10,                  # AVIF_HASINDEX
+        n, 0, 1,               # totalframes, initialframes, streams
+        max_bytes,             # suggested buffer
+        w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps,                # dwScale / dwRate: rate/scale = fps
+        0, n,                  # start, length (frames)
+        max_bytes, 10_000, 0,  # bufsize, quality, samplesize
+        0, 0, w, h)            # rcFrame
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0x47504A4D,  # biCompression = 'MJPG' LE
+        max_bytes, 0, 0, 0, 0)
+
+    hdrl = _list(b"hdrl",
+                 _chunk(b"avih", avih)
+                 + _list(b"strl",
+                         _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi_chunks, idx, offset = [], [], 4  # offsets relative to 'movi' tag
+    for j in jpegs:
+        ck = _chunk(b"00dc", j)
+        movi_chunks.append(ck)
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, offset, len(j)))
+        offset += len(ck)
+    movi = _list(b"movi", b"".join(movi_chunks))
+    idx1 = _chunk(b"idx1", b"".join(idx))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _walk(b: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (fourcc, data_start, data_len) for each chunk in [pos, end)."""
+    while pos + 8 <= end:
+        fourcc, ln = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        yield fourcc, pos + 8, ln
+        pos += 8 + ln + (ln & 1)  # word alignment
+
+
+def avi_meta(b: bytes) -> dict:
+    """AVI header metadata: n_frames, fps, width, height, fourcc,
+    duration_ms. Raises ValueError on non-AVI, NotImplementedError on
+    non-MJPEG video codecs."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    meta = {}
+    for fourcc, start, ln in _walk(b, 12, len(b)):
+        if fourcc != b"LIST" or b[start : start + 4] != b"hdrl":
+            continue
+        for f2, s2, l2 in _walk(b, start + 4, start + ln):
+            if f2 == b"avih":
+                us, _mb, _pg, _fl, total, _ini, _ns, _sb, w, h = \
+                    struct.unpack_from("<IIIIIIIIII", b, s2)
+                meta.update(n_frames=total, width=w, height=h,
+                            us_per_frame=us)
+            elif f2 == b"LIST" and b[s2 : s2 + 4] == b"strl":
+                for f3, s3, _l3 in _walk(b, s2 + 4, s2 + l2):
+                    if f3 == b"strh" and b[s3 : s3 + 4] == b"vids":
+                        meta["fourcc"] = b[s3 + 4 : s3 + 8].decode(
+                            "ascii", "replace")
+        break
+    if "n_frames" not in meta:
+        raise ValueError("AVI missing avih header")
+    cc = meta.get("fourcc", "").upper()
+    if cc != "MJPG":
+        raise NotImplementedError(
+            f"AVI video codec {cc!r} requires a real backend (av); "
+            f"native decodes MJPG only")
+    us = meta.pop("us_per_frame", 0) or 100_000
+    meta["fps"] = round(1_000_000 / us, 3)
+    meta["duration_ms"] = int(meta["n_frames"] * us / 1000)
+    return meta
+
+
+def avi_frames(b: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield (frame_index, jpeg_bytes) from the movi LIST. Validates
+    the container via :func:`avi_meta` first (including the MJPG
+    codec gate)."""
+    avi_meta(b)
+    i = 0
+    for fourcc, start, ln in _walk(b, 12, len(b)):
+        if fourcc != b"LIST" or b[start : start + 4] != b"movi":
+            continue
+        for f2, s2, l2 in _walk(b, start + 4, start + ln):
+            # '..dc' compressed / '..db' uncompressed video chunks
+            if f2[2:4] in (b"dc", b"db"):
+                yield i, b[s2 : s2 + l2]
+                i += 1
+        return
+
+
+def avi_decode_frames(b: bytes, every_ms: int = 1000) -> list[tuple[int, np.ndarray]]:
+    """Decode the luma plane of one frame per ``every_ms`` of video
+    time (frame 0 always included) — the sampling contract of
+    :func:`ftidx.multimodal.sample_frames`. Returns
+    [(source_frame_index, plane), ...]."""
+    from .jpeg import jpeg_decode
+
+    meta = avi_meta(b)
+    step = max(1, round(meta["fps"] * every_ms / 1000))
+    out = []
+    for i, j in avi_frames(b):
+        if i % step == 0:
+            out.append((i, jpeg_decode(j)))
+    return out

@@ -9,7 +9,9 @@ batch shapes) is real and tested. Decode backends:
   (struct header parse + padded-row pixel array), 8-bit PNG (stdlib
   zlib inflate + full five-filter unfiltering; gray/RGB/RGBA/palette),
   baseline sequential JPEG (:mod:`ftidx.jpeg` — Huffman entropy
-  decode, dequant, IDCT, luma plane) and PCM WAV (stdlib ``wave``).
+  decode, dequant, IDCT, luma plane), MJPEG-in-AVI video
+  (:mod:`ftidx.avi` — RIFF chunk walk + per-frame JPEG) and PCM WAV
+  (stdlib ``wave``).
   Features/resize then run on actual pixels/samples; containers are
   sniffed by magic (:func:`image_decode`).
 - ``backend="fake"`` (default): a deterministic, pure-numpy fake
@@ -408,16 +410,28 @@ def resize_images(media: DataFrame, w: int = 8, h: int = 8,
 
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   backend: str = "fake") -> DataFrame:
-    """Video frame sampling: one fake frame per `every_ms` of duration
-    (payload-hash-seeded, so frame k is deterministic)."""
+    """Video frame sampling: one frame per `every_ms` of video time.
+    ``native``: REAL decode — MJPEG-in-AVI payloads parsed by
+    :mod:`ftidx.avi`, each sampled frame's luma plane decoded by the
+    baseline JPEG codec; ``frame_idx`` is the SOURCE frame index.
+    Other video codecs (H.264, VP9, …) raise through the honest gate
+    inside ``avi_meta``. ``fake``: one hash-seeded plane per sampled
+    slot (frame k deterministic in the payload)."""
     if backend == "real":
         _require_real_backend("video", "av")
+    native = backend == "native"
 
     def kernel(batches):
+        from .avi import avi_decode_frames
+
         for pdf in batches:
             rows = []
             for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 b = bytes(p) if p is not None else b""
+                if native:
+                    for src_idx, plane in avi_decode_frames(b, every_ms):
+                        rows.append((int(mid), src_idx, plane.tobytes()))
+                    continue
                 n = max(1, int((dur or 0) // every_ms))
                 for k in range(n):
                     rows.append((int(mid), k, _fake_pixels(b + k.to_bytes(4, "big")).tobytes()))
@@ -478,9 +492,11 @@ def audio_features(media: DataFrame, backend: str = "fake") -> DataFrame:
 
 
 def synth_native_media(spark, n: int = 24) -> DataFrame:
-    """Deterministic REAL media table: actual BMP images and PCM WAV
-    clips (synthesized gradients/tones, seed-addressed) for the native
-    backend's end-to-end decode tests."""
+    """Deterministic REAL media table: actual BMP/PNG/JPEG images,
+    MJPEG-AVI clips and PCM WAV tones (synthesized gradients,
+    seed-addressed) for the native backend's end-to-end decode tests.
+    Even ids are images; odd ids are audio except ``i % 6 == 5``,
+    which are video."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(2000 + i)
@@ -503,6 +519,18 @@ def synth_native_media(spark, n: int = 24) -> DataFrame:
 
                 rows.append((i, "image", bytearray(jpeg_encode(px, 95)),
                              "image/jpeg", w, h, None))
+        elif i % 6 == 5:
+            # real MJPEG-in-AVI: drifting gradient frames
+            from .avi import avi_encode
+
+            h, w = 24, 32
+            frames = [((np.add.outer(np.arange(h), np.arange(w)) * 5
+                        + 17 * k) % 256).astype(np.uint8)
+                      for k in range(4 + i % 3)]
+            fps = 4
+            rows.append((i, "video", bytearray(avi_encode(frames, fps=fps)),
+                         "video/x-msvideo", w, h,
+                         int(1000 * len(frames) / fps)))
         else:
             t = np.arange(1600 + (i % 5) * 400)
             tone = (3000 * np.sin(2 * np.pi * t * (110 + 13 * i) / 8000)

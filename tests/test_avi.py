@@ -1,0 +1,96 @@
+"""MJPEG-in-AVI container tests (ftidx.avi) + native video sampling."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ftidx.avi import avi_decode_frames, avi_encode, avi_frames, avi_meta
+
+
+def _frames(n, h=24, w=32, drift=17):
+    return [((np.add.outer(np.arange(h), np.arange(w)) * 5 + drift * k)
+             % 256).astype(np.uint8) for k in range(n)]
+
+
+def test_container_roundtrip_meta_and_frames():
+    frames = _frames(6)
+    b = avi_encode(frames, fps=3, quality=95)
+    meta = avi_meta(b)
+    assert meta["n_frames"] == 6 and meta["fourcc"] == "MJPG"
+    assert meta["width"] == 32 and meta["height"] == 24
+    assert meta["fps"] == pytest.approx(3.0, abs=0.01)
+    assert meta["duration_ms"] == pytest.approx(2000, abs=5)
+
+    from ftidx.jpeg import jpeg_decode
+
+    got = list(avi_frames(b))
+    assert [i for i, _ in got] == list(range(6))
+    for (_, j), src in zip(got, frames):
+        plane = jpeg_decode(j)
+        assert plane.shape == src.shape
+        # q=95 on a smooth gradient: tight reconstruction
+        assert np.abs(plane.astype(int) - src.astype(int)).max() <= 12
+
+
+def test_frame_sampling_contract():
+    # 3 fps, every_ms=1000 -> every 3rd source frame, frame 0 included
+    b = avi_encode(_frames(8), fps=3)
+    sampled = avi_decode_frames(b, every_ms=1000)
+    assert [i for i, _ in sampled] == [0, 3, 6]
+    # every_ms smaller than a frame interval -> every frame
+    assert [i for i, _ in avi_decode_frames(b, every_ms=1)] == list(range(8))
+
+
+def test_codec_gate_and_garbage():
+    b = avi_encode(_frames(2), fps=4)
+    # patch the strh fourcc MJPG -> H264: the honest capability gate
+    i = b.find(b"vids") + 4
+    patched = b[:i] + b"H264" + b[i + 4:]
+    with pytest.raises(NotImplementedError, match="H264"):
+        avi_meta(patched)
+    with pytest.raises(ValueError):
+        avi_meta(b"RIFFxxxxWAVE")  # RIFF but not AVI
+    with pytest.raises(ValueError):
+        avi_meta(b"not even riff")
+    # truncated header: missing avih
+    with pytest.raises(ValueError):
+        avi_meta(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
+
+
+def test_chunk_word_alignment():
+    """Odd-length JPEG payloads must be padded to even offsets or every
+    later chunk misparses — force an odd jpeg length and round-trip."""
+    frames = _frames(5, h=16, w=16, drift=31)
+    b = avi_encode(frames, fps=5, quality=85)
+    lens = [len(j) for _, j in avi_frames(b)]
+    assert len(lens) == 5  # all frames recovered regardless of parity
+    # the fixture set should contain at least one odd-length frame;
+    # if codecs shift, drift/quality above should be re-tuned
+    assert any(ln % 2 == 1 for ln in lens)
+
+
+def test_native_spark_sample_frames(spark):
+    from ftidx.multimodal import (MEDIA_SCHEMA, sample_frames,
+                                  synth_native_media)
+
+    frames = _frames(6, h=24, w=32)
+    payload = avi_encode(frames, fps=4, quality=95)
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(payload), "video/x-msvideo", 32, 24, 1500)],
+        MEDIA_SCHEMA)
+    got = sample_frames(media, every_ms=1000, backend="native").collect()
+    # 4 fps, 1000ms step -> source frames 0 and 4
+    assert sorted(r["frame_idx"] for r in got) == [0, 4]
+    ref = dict(avi_decode_frames(payload, every_ms=1000))
+    for r in got:
+        plane = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(24, 32)
+        assert np.array_equal(plane, ref[r["frame_idx"]])
+
+    # synth table now carries real video rows that sample end-to-end
+    media = synth_native_media(spark, 12).cache()
+    vids = {r["media_id"] for r in media.collect() if r["kind"] == "video"}
+    assert vids == {i for i in range(12) if i % 6 == 5}
+    sampled = sample_frames(media, every_ms=1000, backend="native").collect()
+    assert {r["media_id"] for r in sampled} == vids
+    assert all(r["frame_idx"] >= 0 for r in sampled)
