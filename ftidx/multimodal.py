@@ -10,8 +10,9 @@ batch shapes) is real and tested. Decode backends:
   zlib inflate + full five-filter unfiltering; gray/RGB/RGBA/palette),
   baseline sequential JPEG (:mod:`ftidx.jpeg` — Huffman entropy
   decode, dequant, IDCT, luma plane), MJPEG-in-AVI video
-  (:mod:`ftidx.avi` — RIFF chunk walk + per-frame JPEG) and PCM WAV
-  (stdlib ``wave``).
+  (:mod:`ftidx.avi` — RIFF chunk walk + per-frame JPEG), PCM WAV
+  (stdlib ``wave``) and FLAC (:mod:`ftidx.flac` — rice residuals,
+  fixed/LPC predictors, stereo decorrelation).
   Features/resize then run on actual pixels/samples; containers are
   sniffed by magic (:func:`image_decode`).
 - ``backend="fake"`` (default): a deterministic, pure-numpy fake
@@ -313,6 +314,25 @@ def wav_decode(b: bytes) -> tuple[np.ndarray, int]:
         return raw, f.getframerate()
 
 
+def audio_decode(b: bytes) -> tuple[np.ndarray, int]:
+    """Native-backend audio dispatch: sniff the container magic and
+    route to the matching pure-python codec (PCM WAV, FLAC). Formats
+    we cannot honestly decode (MP3, Ogg/Vorbis, AAC, …) raise
+    ``NotImplementedError`` — the marked integration point."""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return wav_decode(b)
+    if len(b) >= 4 and b[:4] == b"fLaC":
+        from .flac import flac_decode
+
+        return flac_decode(b)
+    if len(b) >= 3 and (b[:3] == b"ID3" or (b[0] == 0xFF and b[1] & 0xE0 == 0xE0)):
+        _require_real_backend("MP3", "soundfile")
+    if len(b) >= 4 and b[:4] == b"OggS":
+        _require_real_backend("Ogg", "soundfile")
+    raise ValueError("unrecognized audio container (native backend "
+                     "decodes PCM WAV and FLAC)")
+
+
 def _nn_downsample(px: np.ndarray, h: int, w: int) -> np.ndarray:
     """Nearest-neighbour resample — deterministic, shape-agnostic."""
     ys = np.linspace(0, px.shape[0] - 1, h).round().astype(int)
@@ -463,7 +483,7 @@ def audio_features(media: DataFrame, backend: str = "fake") -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p or b"")
-                samples, _rate = wav_decode(b)
+                samples, _rate = audio_decode(b)
                 q = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
                 counts = np.bincount(q, minlength=256)
                 pr = counts[counts > 0] / max(q.size, 1)
@@ -536,9 +556,17 @@ def synth_native_media(spark, n: int = 24) -> DataFrame:
             tone = (3000 * np.sin(2 * np.pi * t * (110 + 13 * i) / 8000)
                     + rng.normal(0, 120, t.size))
             samples = np.clip(tone, -32768, 32767).astype(np.int16)
-            rows.append((i, "audio", bytearray(wav_encode(samples)),
-                         "audio/wav", None, None,
-                         int(1000 * t.size / 8000)))
+            if i % 4 == 3:  # rotate containers: FLAC is lossless, so
+                # features match the WAV encode of the same samples
+                from .flac import flac_encode
+
+                rows.append((i, "audio", bytearray(flac_encode(samples)),
+                             "audio/flac", None, None,
+                             int(1000 * t.size / 8000)))
+            else:
+                rows.append((i, "audio", bytearray(wav_encode(samples)),
+                             "audio/wav", None, None,
+                             int(1000 * t.size / 8000)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

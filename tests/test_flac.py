@@ -1,0 +1,118 @@
+"""FLAC codec tests (ftidx.flac) + native audio dispatch.
+
+FLAC is lossless, so every round trip asserts EXACT equality — any
+bit error anywhere in the rice/predictor/CRC/decorrelation chain
+corrupts the tail of the stream, which exactness catches.
+"""
+
+import numpy as np
+import pytest
+
+from ftidx.flac import _crc8, _crc16, flac_decode, flac_encode
+
+
+def _tone(n=3000, freq=110, noise=50, seed=5):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    sig = 2000 * np.sin(2 * np.pi * t * freq / 8000) \
+        + rng.normal(0, noise, t.size)
+    return np.clip(sig, -32768, 32767).astype(np.int16)
+
+
+def test_crc_spec_vectors():
+    # CRC-8 poly 0x07 and CRC-16 poly 0x8005, init 0 — standard vectors
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+def test_mono_roundtrip_exact_across_blocksizes():
+    sig = _tone()
+    for bsz in (1024, 192, 777):
+        dec, rate = flac_decode(flac_encode(sig, rate=8000, blocksize=bsz))
+        assert rate == 8000
+        assert np.array_equal(dec, sig), bsz
+
+
+def test_every_subframe_type_roundtrips():
+    sig = _tone()
+    # verbatim (forced), constant, fixed-predictor, noise fallback
+    assert np.array_equal(
+        flac_decode(flac_encode(sig, force_verbatim=True))[0], sig)
+    flat = np.full(2048, -123, np.int16)
+    assert np.array_equal(flac_decode(flac_encode(flat))[0], flat)
+    rng = np.random.default_rng(9)
+    noise = rng.integers(-32768, 32768, 2500).astype(np.int16)
+    assert np.array_equal(flac_decode(flac_encode(noise))[0], noise)
+    # the tonal encode actually compresses (fixed predictors + rice
+    # are doing real work, not falling back to verbatim)
+    assert len(flac_encode(sig)) < 2 * sig.size * 0.75
+
+
+def test_stereo_all_decorrelation_modes():
+    t = np.arange(3000)
+    rng = np.random.default_rng(5)
+    left = (1500 * np.sin(2 * np.pi * t * 220 / 8000)).astype(np.int16)
+    right = np.clip(1200 * np.sin(2 * np.pi * t * 330 / 8000)
+                    + rng.normal(0, 30, t.size), -32768, 32767).astype(np.int16)
+    st = np.stack([left, right])
+    want = st.astype(np.int64).mean(axis=0).astype(np.int16)  # mono mean
+    for mode in (None, "left-side", "right-side", "mid-side"):
+        dec, _ = flac_decode(flac_encode(st, stereo_mode=mode))
+        assert np.array_equal(dec, want), mode
+
+
+def test_header_crc_detects_corruption():
+    b = bytearray(flac_encode(_tone(500)))
+    # find the first frame sync (after fLaC + 4-byte block hdr + 34 info)
+    i = 42
+    assert b[i] == 0xFF and b[i + 1] & 0xFC == 0xF8
+    b[i + 2] ^= 0x40  # flip a header bit -> CRC-8 must catch it
+    with pytest.raises(ValueError, match="CRC|sync"):
+        flac_decode(bytes(b))
+
+
+def test_gates_and_garbage():
+    from ftidx.multimodal import audio_decode
+
+    with pytest.raises(ValueError):
+        flac_decode(b"not flac")
+    with pytest.raises(NotImplementedError, match="MP3"):
+        audio_decode(b"ID3\x04rest-of-an-mp3")
+    with pytest.raises(NotImplementedError, match="Ogg"):
+        audio_decode(b"OggS\x00rest-of-an-ogg")
+    with pytest.raises(ValueError):
+        audio_decode(b"some unknown container")
+
+
+def test_wav_flac_feature_identity(spark):
+    """Lossless means the SAME samples through either container must
+    yield identical native audio features — the audio twin of the
+    BMP/PNG container-transparency test."""
+    from ftidx.multimodal import (MEDIA_SCHEMA, audio_features,
+                                  wav_encode)
+
+    sig = _tone(2400, freq=175, seed=11)
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(wav_encode(sig, rate=8000)),
+          "audio/wav", None, None, 300),
+         (1, "audio", bytearray(flac_encode(sig, rate=8000)),
+          "audio/flac", None, None, 300)],
+        MEDIA_SCHEMA)
+    f = {r["media_id"]: r for r in
+         audio_features(media, backend="native").collect()}
+    for col in ("mean_byte", "std_byte", "entropy_bits", "ahash"):
+        assert f[0][col] == f[1][col], col
+
+
+def test_synth_rotation_carries_flac(spark):
+    from ftidx.multimodal import audio_features, synth_native_media
+
+    media = synth_native_media(spark, 24).cache()
+    mimes = {r["mime"] for r in media.collect() if r["kind"] == "audio"}
+    assert {"audio/wav", "audio/flac"} <= mimes
+    # every audio row (either container) produces native features
+    audio_ids = {r["media_id"] for r in media.collect()
+                 if r["kind"] == "audio"}
+    feats = {r["media_id"] for r in
+             audio_features(media, backend="native").collect()}
+    assert feats == audio_ids

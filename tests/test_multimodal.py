@@ -108,8 +108,9 @@ def test_native_bmp_roundtrip_and_features(spark):
 def test_native_wav_features(spark):
     import numpy as np
 
-    from ftidx.multimodal import (audio_features, synth_native_media,
-                                  wav_decode, wav_encode)
+    from ftidx.multimodal import (audio_decode, audio_features,
+                                  synth_native_media, wav_decode,
+                                  wav_encode)
 
     samples = (1000 * np.sin(np.arange(800) / 7.0)).astype(np.int16)
     out, rate = wav_decode(wav_encode(samples, rate=8000))
@@ -122,7 +123,8 @@ def test_native_wav_features(spark):
     # odd ids are audio except i % 6 == 5 (those are MJPEG-AVI video)
     assert set(feats) == {i for i in range(12) if i % 2 == 1 and i % 6 != 5}
     for mid, r in feats.items():
-        s, _ = wav_decode(bytes(rows[mid]["payload"]))
+        # rotation carries WAV and FLAC rows; audio_decode dispatches
+        s, _ = audio_decode(bytes(rows[mid]["payload"]))
         assert abs(r["mean_byte"] - s.mean()) < 1e-4
         assert abs(r["std_byte"] - s.std()) < 1e-4
         assert len(r["ahash"]) == 64
