@@ -386,7 +386,8 @@ def _write_stats_rows(stats_dir: Path, rows) -> None:
 
 
 def _build_bucket_group(spark, docs, group, out, ledger_dir, build_id,
-                        tracking_id, clustered, t0, _t) -> None:
+                        tracking_id, clustered, t0, _t,
+                        store_content=False) -> None:
     """One bucket group of a build pass: encode + write postings, then
     metrics/doclen/docs explodes off the WRITTEN postings, then the
     group's "done" ledger rows. Factored out of :func:`build_index` so
@@ -414,6 +415,16 @@ def _build_bucket_group(spark, docs, group, out, ledger_dir, build_id,
     )
     postings.write.mode("overwrite").partitionBy("bucket") \
         .parquet(str(out / "postings"))
+    if store_content:
+        # Solr stored="true" analog: raw text persisted next to the
+        # index so serving-time highlighting / document retrieval
+        # never needs the source. Same dynamic-partition-overwrite
+        # discipline as every other per-group write (resume-safe).
+        (docs_g.filter(F.col("content").isNotNull()
+                       & ~F.col("deleted"))
+         .select("doc_id", "content", "bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(str(out / "stored")))
     t_enc = _t("encode+write", t0)
 
     # everything below reads the WRITTEN postings (column-pruned,
@@ -489,12 +500,18 @@ def build_index(
     resume: bool = True,
     docs_ready: bool = False,
     positions: bool = False,
+    store_content: bool = False,
 ) -> dict:
     """Build (or resume) a persistent index under ``out_dir``.
 
     ``positions=True`` additionally writes the positional table
     (ftidx.positions) enabling exact phrase queries — opt-in since it
     roughly doubles index bytes and tokenize cost.
+
+    ``store_content=True`` additionally persists raw text per doc
+    (``stored/``, Solr stored="true" analog) enabling serving-time
+    highlighting and full-document retrieval — opt-in since stored
+    text dominates index bytes on large corpora.
 
     Returns a summary dict (buckets built/skipped, totals).
     """
@@ -553,7 +570,8 @@ def build_index(
         try:
             _build_bucket_group(
                 spark, docs, group, out, ledger_dir, build_id,
-                tracking_id, clustered, t0, _t)
+                tracking_id, clustered, t0, _t,
+                store_content=store_content)
         except Exception as exc:
             # S27 failure-reason persistence (queueFail analog,
             # RawRepoQueueBean.java:28-34): record WHY the group's
@@ -2573,6 +2591,112 @@ class FtIndex:
                                *[c for c in columns if c != "doc_id"])
         rows = docs.collect()
         return {int(r["doc_id"]): r.asDict() for r in rows}
+
+    def highlight(self, doc_ids: list[int], terms: list[str],
+                  frag_size: int = 100, max_frags: int = 1,
+                  pre: str = "<em>", post: str = "</em>",
+                  text_col: str = "content") -> dict[int, list[str]]:
+        """Solr HighlightComponent analog (``hl=``): per-hit snippet
+        fragments with query-term occurrences wrapped in ``pre``/
+        ``post`` tags. Fragment selection is best-window: among
+        windows of ``frag_size`` chars anchored at term occurrences,
+        prefer (most DISTINCT terms, most total hits, earliest) —
+        greedy non-overlapping selection up to ``max_frags``.
+
+        Requires an index built with ``store_content=True`` (the Solr
+        stored="true" analog) — raises ValueError otherwise. Docs
+        without stored text (e.g. streamed-in after the batch build)
+        map to an empty list, as do docs with no term occurrence.
+
+        Page-shaped cost by construction: ONE id+bucket-pruned scan of
+        the stored table for the page, then pure-python fragmenting
+        over k strings on the driver — the same cost model as ``fl=``
+        enrichment, never a corpus job. Matching is case-insensitive
+        on raw stored text (Solr's simple/unified highlighter over a
+        stored field).
+        """
+        if frag_size <= 0 or max_frags <= 0:
+            raise ValueError("frag_size and max_frags must be positive")
+        stored_dir = self.path / "stored"
+        if not stored_dir.exists():
+            raise ValueError(
+                "highlighting needs stored text: build the index with "
+                "store_content=True")
+        qterms = sorted({t.lower() for t in terms if t},
+                        key=len, reverse=True)  # longest-first: "foobar"
+        # wins over "foo" at the same start offset
+        ids = [d for d in dict.fromkeys(doc_ids)
+               if d not in self._tombstones]
+        docs: dict[int, dict] = {}
+        if ids:
+            # resolve the page's buckets in ONE doclen scan (same
+            # discipline as fetch_docs), prune the stored scan to them
+            dl_dir = self.path / "doclen"
+            buckets: list[int] = []
+            if dl_dir.exists() and any(dl_dir.iterdir()):
+                buckets = sorted({
+                    int(r["bucket"]) for r in
+                    self.spark.read.parquet(str(dl_dir))
+                    .filter(F.col("doc_id").isin(ids))
+                    .select("bucket").distinct().collect()
+                })
+            stored = self.spark.read.parquet(str(stored_dir))
+            if buckets:
+                stored = stored.filter(F.col("bucket").isin(buckets))
+            docs = {int(r["doc_id"]): {text_col: r[text_col]} for r in
+                    stored.filter(F.col("doc_id").isin(ids))
+                    .select("doc_id", text_col).collect()}
+        out: dict[int, list[str]] = {}
+        for did in dict.fromkeys(doc_ids):
+            row = docs.get(did)
+            text = (row or {}).get(text_col) or ""
+            low = text.lower()
+            occs: list[tuple[int, int]] = []  # (start, end) non-overlap
+            taken: list[tuple[int, int]] = []
+            occ_term: dict[int, str] = {}
+            for t in qterms:
+                i = low.find(t)
+                while i >= 0:
+                    if not any(s < i + len(t) and i < e for s, e in taken):
+                        occs.append((i, i + len(t)))
+                        taken.append((i, i + len(t)))
+                        occ_term[i] = t
+                    i = low.find(t, i + 1)
+            if not occs:
+                out[did] = []
+                continue
+            occs.sort()
+            frags: list[str] = []
+            remaining = list(range(len(occs)))
+            for _ in range(max_frags):
+                if not remaining:
+                    break
+                best = None  # (n_distinct, n_hits, -start, i0, iN)
+                for ai, i0 in enumerate(remaining):
+                    s0 = occs[i0][0]
+                    group = [i0]
+                    for i1 in remaining[ai + 1:]:
+                        if occs[i1][1] <= s0 + frag_size:
+                            group.append(i1)
+                    distinct = len({occ_term[occs[i][0]] for i in group})
+                    cand = (distinct, len(group), -s0, group)
+                    if best is None or cand[:3] > best[:3]:
+                        best = cand
+                group = best[3]
+                ws = occs[group[0]][0]
+                we = min(len(text), max(occs[group[-1]][1], ws + frag_size))
+                ws = max(0, we - frag_size) if we - ws < frag_size else ws
+                piece = text[ws:we]
+                # insert tags back-to-front so offsets stay valid
+                inside = [occs[i] for i in group
+                          if occs[i][0] >= ws and occs[i][1] <= we]
+                for s, e in sorted(inside, reverse=True):
+                    piece = (piece[: s - ws] + pre + piece[s - ws : e - ws]
+                             + post + piece[e - ws :])
+                frags.append(piece)
+                remaining = [i for i in remaining if i not in group]
+            out[did] = frags
+        return out
 
     def topk_distributed(self, terms: list[str], k: int = 10,
                          field: str = "code.content", mode: str = "or",

@@ -66,6 +66,10 @@ Endpoints (all JSON):
 - ``GET /wildcard?pattern=pre*`` → wildcard expansion;
   ``GET /cluster?q=...`` → result clustering (Carrot2 analog);
   ``GET /group_query?gq=label:terms;...`` → per-label rankings
+- ``hl=true`` (or ``hl=a,b``) on /search → highlighting: best-window
+  snippet fragments per hit with term occurrences tagged
+  (``hl.size=``, ``hl.frags=``, ``hl.tag=mark``; needs an index built
+  with ``store_content=True``; response key ``highlighting``)
 
 Scale shape: one server process serves one index replica; the index
 directory is immutable between maintenance ops, so replicas scale
@@ -729,11 +733,32 @@ def _make_handler(idx, lock: threading.Lock):
                                     if c.strip()]
                             stored = idx.fetch_docs(
                                 [d for d, _ in hits], columns=cols)
-                    self._json(200, {"hits": [
+                        # hl= highlighting: hl=true reuses the query
+                        # terms, hl=a,b highlights those; page-shaped
+                        # (one fetch_docs scan + driver fragmenting)
+                        hl = qs.get("hl", [""])[0]
+                        highlighting = None
+                        if hl and hits:
+                            hterms = terms if hl.lower() == "true" \
+                                else [t for t in hl.split(",") if t.strip()]
+                            tag = qs.get("hl.tag", ["em"])[0]
+                            highlighting = {
+                                str(d): frags for d, frags in idx.highlight(
+                                    [d for d, _ in hits], hterms,
+                                    frag_size=int(
+                                        qs.get("hl.size", ["100"])[0]),
+                                    max_frags=int(
+                                        qs.get("hl.frags", ["1"])[0]),
+                                    pre=f"<{tag}>", post=f"</{tag}>",
+                                ).items()}
+                    body = {"hits": [
                         {"doc_id": d, "score": s,
                          **{c: v for c, v in stored.get(d, {}).items()
                             if c != "doc_id"}} for d, s in hits
-                    ]})
+                    ]}
+                    if highlighting is not None:
+                        body["highlighting"] = highlighting
+                    self._json(200, body)
                 else:
                     self._json(404, {"error": "unknown path"})
             except ValueError as e:  # bad k, missing positions table, ...

@@ -1529,3 +1529,74 @@ def test_metrics_single_generation(spark, tmp_path):
     # (uuid order is arbitrary), and the counts must match regardless
     assert third["build_id"] in (first["build_id"], second["build_id"])
     assert third["postings_emitted"] == second["postings_emitted"]
+
+
+def test_highlight_fragments(spark, tmp_path):
+    """Solr hl= analog: best-window selection, tag wrapping,
+    longest-term-wins overlap, multi-fragment greediness."""
+    from datetime import datetime
+
+    from ftidx.index import build_index, open_index
+
+    rows = [
+        ("r", f"f{i}.py", "c1",  "python", text, False,
+         datetime(2024, 1, 1))
+        for i, text in enumerate([
+            # doc 0: 'alpha' twice near each other + 'beta' far away
+            "alpha one alpha two " + "x" * 200 + " beta end",
+            # doc 1: window with BOTH terms beats window with more of one
+            "alpha alpha alpha " + "y" * 150 + " alpha beta tail",
+            # doc 2: no query terms at all
+            "nothing relevant here",
+        ])
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, deleted boolean, modified timestamp")
+    out = str(tmp_path / "hlidx")
+    build_index(spark, src, out, n_buckets=2, store_content=True)
+    idx = open_index(spark, out)
+    by_path = {r["path"]: r["doc_id"] for r in
+               spark.read.parquet(out + "/docs").collect()}
+
+    ids = [by_path["f0.py"], by_path["f1.py"], by_path["f2.py"]]
+    hl = idx.highlight(ids, ["alpha", "beta"], frag_size=60, max_frags=1)
+    # doc 0: the alpha-pair window (2 hits) wins over single-hit windows
+    assert hl[ids[0]][0].count("<em>alpha</em>") == 2
+    # doc 1: the (alpha, beta) window wins though an all-alpha window
+    # has more total hits — distinct-terms ranks first
+    assert "<em>beta</em>" in hl[ids[1]][0]
+    # doc 2: no occurrences -> empty list
+    assert hl[ids[2]] == []
+
+    # multi-fragment: second fragment picks the next-best window
+    hl2 = idx.highlight([ids[0]], ["alpha", "beta"],
+                        frag_size=40, max_frags=2)
+    joined = "".join(hl2[ids[0]])
+    assert "<em>beta</em>" in joined and "<em>alpha</em>" in joined
+    assert len(hl2[ids[0]]) == 2
+
+    # longest-term-wins: 'alphabet' vs 'alpha' at the same offset
+    src2 = spark.createDataFrame(
+        [("r", "g.py", "c1", "python", "the alphabet song", False,
+          datetime(2024, 1, 1))],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, modified timestamp")
+    out2 = str(tmp_path / "hlidx2")
+    build_index(spark, src2, out2, n_buckets=1, store_content=True)
+    idx2 = open_index(spark, out2)
+    did = spark.read.parquet(out2 + "/docs").collect()[0]["doc_id"]
+    hl3 = idx2.highlight([did], ["alpha", "alphabet"])
+    assert "<em>alphabet</em>" in hl3[did][0]
+    assert "<em>alpha</em>s" not in hl3[did][0]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        idx.highlight(ids, ["alpha"], frag_size=0)
+
+    # an index built WITHOUT store_content refuses with a clear error
+    out3 = str(tmp_path / "hlidx3")
+    build_index(spark, src2, out3, n_buckets=1)
+    idx3 = open_index(spark, out3)
+    with _pt.raises(ValueError, match="store_content"):
+        idx3.highlight([did], ["alpha"])

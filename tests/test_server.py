@@ -23,7 +23,7 @@ def _get(url):
 def served(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("srv") / "idx")
     build_index(spark, synth_source(spark, 200), out, n_buckets=4,
-                hot_df_threshold=50, positions=True)
+                hot_df_threshold=50, positions=True, store_content=True)
     idx = open_index(spark, out)
     srv = FtServer(idx).start()
     yield srv, idx
@@ -715,3 +715,29 @@ def test_review_fixes_session9(served):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(f"{base}/group_query?gq={gq}")
         assert e.value.code == 400, gq
+
+
+def test_highlight_endpoint(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _get(f"{base}/search?q=def+return&k=5&hl=true")
+    assert status == 200
+    hl = body["highlighting"]
+    assert set(hl) == {str(h["doc_id"]) for h in body["hits"]}
+    # every hit matched at least one term somewhere in its content,
+    # so at least one fragment across the page carries a tag
+    tagged = [f for frags in hl.values() for f in frags]
+    assert any("<em>" in f and "</em>" in f for f in tagged)
+    # HTTP result equals the engine call on the same page
+    want = idx.highlight([h["doc_id"] for h in body["hits"]],
+                         ["def", "return"])
+    assert hl == {str(d): f for d, f in want.items()}
+    # custom tag + explicit terms + fragment size
+    status, body = _get(
+        f"{base}/search?q=def&k=3&hl=def&hl.tag=mark&hl.size=40")
+    assert status == 200
+    for frags in body["highlighting"].values():
+        for f in frags:
+            assert "<mark>" in f
+            # fragment length: frag_size chars + tag overhead
+            assert len(f) <= 40 + f.count("<mark>") * len("<mark></mark>")
