@@ -684,6 +684,17 @@ def q_embedding_near_pairs(spark, sf_dir):
     return embedding_near_pairs(emb, threshold=0.35, n_planes=4)
 
 
+def q_semdedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): cluster with the md5-sampled IVF
+    # quantizer, pairwise cosine WITHIN cells only, dup iff a lower-id
+    # cluster-mate sits at cosine >= 0.35 (rounded to 5 before the
+    # compare) -> fully deterministic, full DuckDB oracle
+    from ftidx.dedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, threshold=0.35, n_centroids=16)
+
+
 def q_phrase_match(spark, sf_dir):
     """Positional phrase query (the ftidx positions table's contract
     twin in SQL-parity tokenization): docs containing the bigram
@@ -2108,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "semdedup": q_semdedup,
     }
 
 
@@ -3059,6 +3071,47 @@ def oracle_sql() -> dict[str, str]:
                    round(dot / (sqrt(na) * sqrt(nb)), 5) AS cosine
             FROM dots
             WHERE round(dot / (sqrt(na) * sqrt(nb)), 5) >= 0.35
+        """,
+        "semdedup": f"""
+            WITH {_EMB_FLAT_CTE},
+            cents AS (
+              SELECT vec_id AS cid FROM embeddings
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+            ),
+            cflat AS (
+              SELECT c.cid, f.i, f.x FROM flat f JOIN cents c ON f.vec_id = c.cid
+            ),
+            adots AS (
+              SELECT f.vec_id, c.cid, sum(f.x * c.x) AS dot,
+                     sum(f.x * f.x) AS na, sum(c.x * c.x) AS nc
+              FROM flat f JOIN cflat c USING (i) GROUP BY f.vec_id, c.cid
+            ),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY round(dot / (sqrt(na) * sqrt(nc)), 5) DESC, cid) AS rn
+                FROM adots) WHERE rn = 1
+            ),
+            pairs AS (
+              SELECT a.vec_id AS pid, b.vec_id AS did
+              FROM assign a JOIN assign b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+            ),
+            pcos AS (
+              SELECT p.did,
+                     round(sum(fa.x * fb.x)
+                           / (sqrt(sum(fa.x * fa.x)) * sqrt(sum(fb.x * fb.x))),
+                           5) AS c
+              FROM pairs p
+              JOIN flat fa ON fa.vec_id = p.pid
+              JOIN flat fb ON fb.vec_id = p.did AND fb.i = fa.i
+              GROUP BY p.pid, p.did
+            ),
+            nn AS (SELECT did, max(c) AS nn_cos FROM pcos GROUP BY did)
+            SELECT a.vec_id, a.cid AS centroid_id, nn.nn_cos,
+                   coalesce(nn.nn_cos >= 0.35, FALSE) AS is_dup
+            FROM assign a LEFT JOIN nn ON nn.did = a.vec_id
         """,
         "phrase_match": f"""
             WITH {_TOKPOS_CTE},

@@ -638,3 +638,68 @@ def trim_duplicate_spans(docs: DataFrame, gram: int = 48, stride: int = 16,
             F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.95,
+             n_centroids: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster the vectors with
+    the IVF coarse quantizer, then compare pairs ONLY within a
+    cluster; a vector is a semantic duplicate iff some LOWER-id
+    cluster-mate sits at cosine ≥ ``threshold`` (the deterministic
+    keep-min-id exemplar rule :func:`dedup_clusters` uses; pass a
+    refined ``centroids=`` from :func:`ftidx.ann.kmeans_centroids` to
+    reuse an offline quantizer).
+
+    Returns (id, centroid_id, nn_cos, is_dup): ``nn_cos`` is the max
+    cosine to any lower-id cluster-mate (NULL for the cluster's
+    min-id member), rounded to 5 decimals BEFORE the threshold
+    compare (the engine's cross-engine float discipline).
+
+    Scale shape — the paper's point: pairwise work drops from n² to
+    Σ_c |c|², so size ``n_centroids`` ≈ n / target_cell (SemDeDup uses
+    50k clusters for LAION-440M). Assignment is a broadcast centroid
+    crossJoin (the corpus never shuffles for it); the pair join
+    shuffles once on centroid_id. K-means keeps cells near-balanced;
+    a degenerate hot cell is capped the same way hot shingles are —
+    sub-split it on an extra SRP-LSH bit before the self-join.
+    Duplicates across cluster boundaries are missed by construction —
+    the paper's accepted recall trade; raise n_probe-style recall by
+    unioning verdicts across two quantizers if needed."""
+    from .ann import _dot, _norm, ivf_assign, ivf_centroids
+
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    e = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(assigned.withColumnRenamed(id_col, "id"), "id")
+    )
+    lo = e.select(F.col("id").alias("prior_id"), F.col("v").alias("vp"),
+                  "centroid_id")
+    hi = e.select(F.col("id").alias("dup_id"), F.col("v").alias("vd"),
+                  "centroid_id")
+    vp = F.transform(F.col("vp"), lambda x: x.cast("double"))
+    vd = F.transform(F.col("vd"), lambda x: x.cast("double"))
+    cos = F.round(_dot(vp, vd) / (_norm(vp) * _norm(vd)), 5)
+    nn = (
+        hi.join(lo, "centroid_id")
+        .filter(F.col("prior_id") < F.col("dup_id"))
+        .select("dup_id", cos.alias("cos"))
+        .groupBy("dup_id")
+        .agg(F.max("cos").alias("nn_cos"))
+        .withColumnRenamed("dup_id", "id")
+    )
+    return (
+        e.select("id", "centroid_id")
+        .join(nn, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "centroid_id",
+            "nn_cos",
+            F.coalesce(F.col("nn_cos") >= F.lit(threshold),
+                       F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -1210,3 +1210,62 @@ def test_corpus_order_ops_plan_shape(spark):
         assert "Exchange SinglePartition" not in plan, (name, plan)
         # the decomposition's signature: a range exchange feeds the rank
         assert "rangepartitioning" in plan or "InMemory" in plan, name
+
+
+def test_semdedup_planted_pair(emb):
+    """The planted near-dup (101 ~ 100) lands in 100's cell and is
+    marked dup; the keep-min-id exemplar (100) survives."""
+    from ftidx.dedup import semdedup
+
+    rows = {r["vec_id"]: r for r in
+            semdedup(emb, threshold=0.95, n_centroids=4).collect()}
+    assert len(rows) == emb.count()
+    assert rows[101]["is_dup"] and rows[101]["nn_cos"] > 0.99
+    assert not rows[100]["is_dup"]
+    # every cluster's min-id member has no lower-id mate -> NULL nn_cos
+    assert any(r["nn_cos"] is None and not r["is_dup"] for r in rows.values())
+
+
+def test_semdedup_matches_brute_force(emb):
+    """Pairwise-within-cell verdicts == a numpy recount over the SAME
+    cell assignment (ivf_assign is pinned by test_ivf_topk)."""
+    import numpy as np
+
+    from ftidx.ann import ivf_assign, ivf_centroids
+    from ftidx.dedup import semdedup
+
+    thr = 0.5
+    cents = ivf_centroids(emb, 4)
+    cell = {r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign(emb, cents).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 5)
+
+    got = {r["vec_id"]: r for r in
+           semdedup(emb, threshold=thr, n_centroids=4).collect()}
+    for vid, v in vecs.items():
+        mates = [cos(v, vecs[o]) for o in vecs
+                 if o < vid and cell[o] == cell[vid]]
+        exp_nn = max(mates) if mates else None
+        r = got[vid]
+        assert r["centroid_id"] == cell[vid]
+        if exp_nn is None:
+            assert r["nn_cos"] is None and not r["is_dup"]
+        else:
+            assert r["nn_cos"] == pytest.approx(exp_nn, abs=1e-9)
+            assert r["is_dup"] == (exp_nn >= thr)
+
+
+def test_semdedup_threshold_monotone(emb):
+    from ftidx.dedup import semdedup
+
+    strict = {r["vec_id"] for r in
+              semdedup(emb, threshold=0.99, n_centroids=4).collect()
+              if r["is_dup"]}
+    loose = {r["vec_id"] for r in
+             semdedup(emb, threshold=0.3, n_centroids=4).collect()
+             if r["is_dup"]}
+    assert strict <= loose and len(loose) > len(strict)
