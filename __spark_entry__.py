@@ -695,6 +695,37 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, threshold=0.35, n_centroids=16)
 
 
+def _geo_points(spark, sf_dir):
+    # deterministic per-doc coordinates from the engine's salted-md5
+    # uniform (u7 -> lat, u8 -> lon) — portable verbatim to the oracle
+    from ftidx.textops import _md5_uniform
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        (_md5_uniform(F.col("doc_id"), 7) * 180.0 - 90.0).alias("lat"),
+        (_md5_uniform(F.col("doc_id"), 8) * 360.0 - 180.0).alias("lon"),
+    )
+
+
+def q_geo_radius(spark, sf_dir):
+    # Solr {!geofilt}: bbox prefilter (superset, prunes only) + exact
+    # haversine <= radius; distance rounded to 5 before the compare
+    from ftidx.geo import geo_radius
+
+    return geo_radius(_geo_points(spark, sf_dir), 37.0, -5.0, 3000.0) \
+        .select("doc_id", "dist_km_r")
+
+
+def q_geo_knn(spark, sf_dir):
+    # Solr sort=geodist() asc: k nearest docs, round-5 distance then
+    # id tie-break -> TakeOrderedAndProject
+    from ftidx.geo import geo_knn
+
+    return geo_knn(_geo_points(spark, sf_dir), 10.0, 20.0, k=15) \
+        .select("doc_id", "dist_km_r")
+
+
 def q_phrase_match(spark, sf_dir):
     """Positional phrase query (the ftidx positions table's contract
     twin in SQL-parity tokenization): docs containing the bigram
@@ -1052,6 +1083,36 @@ def _ann_bucket_cte(n_planes: int) -> str:
               SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
               FROM bits GROUP BY vec_id
             )"""
+
+
+def _md5_u_sql(col: str, seed: int) -> str:
+    """The engine's salted-md5 uniform as SQL: u = (first-6-hex-digits
+    of md5('<col>:<seed>') + 0.5) / 16^6 — mirrors
+    ftidx.textops._md5_uniform digit for digit."""
+    h = f"md5({col}::VARCHAR || ':{seed}')"
+    b = f"(instr('0123456789abcdef', substring({h}, 1, 1)) - 1)"
+    for i in range(2, 7):
+        b = f"({b} * 16 + (instr('0123456789abcdef', substring({h}, {i}, 1)) - 1))"
+    return f"(({b})::DOUBLE + 0.5) / 16777216.0"
+
+
+def _geo_sql(lat: float, lon: float) -> tuple[str, str]:
+    """(points CTE, haversine-km expression over pts.lat/pts.lon) —
+    mirrors q_geo_* / ftidx.geo.haversine_km: coordinates from the
+    salted-md5 uniforms (seeds 7/8), distance 2R·asin(√clamped)."""
+    pts = f"""pts AS (
+              SELECT doc_id,
+                     {_md5_u_sql('doc_id', 7)} * 180.0 - 90.0 AS lat,
+                     {_md5_u_sql('doc_id', 8)} * 360.0 - 180.0 AS lon
+              FROM documents
+            )"""
+    dist = (
+        f"2 * 6371.0088 * asin(sqrt(least(1.0, "
+        f"sin(radians(({lat}) - lat) / 2) * sin(radians(({lat}) - lat) / 2)"
+        f" + cos(radians(lat)) * cos(radians({lat}))"
+        f" * sin(radians(({lon}) - lon) / 2) * sin(radians(({lon}) - lon) / 2))))"
+    )
+    return pts, dist
 
 
 # --------------------------------------------------------------------------
@@ -2120,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "semdedup": q_semdedup,
+        "geo_radius": q_geo_radius,
+        "geo_knn": q_geo_knn,
     }
 
 
@@ -3112,6 +3175,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, a.cid AS centroid_id, nn.nn_cos,
                    coalesce(nn.nn_cos >= 0.35, FALSE) AS is_dup
             FROM assign a LEFT JOIN nn ON nn.did = a.vec_id
+        """,
+        "geo_radius": f"""
+            WITH {_geo_sql(37.0, -5.0)[0]},
+            d AS (SELECT doc_id, round({_geo_sql(37.0, -5.0)[1]}, 5)
+                         AS dist_km_r FROM pts)
+            SELECT doc_id, dist_km_r FROM d WHERE dist_km_r <= 3000.0
+        """,
+        "geo_knn": f"""
+            WITH {_geo_sql(10.0, 20.0)[0]},
+            d AS (SELECT doc_id, round({_geo_sql(10.0, 20.0)[1]}, 5)
+                         AS dist_km_r FROM pts)
+            SELECT doc_id, dist_km_r FROM (
+              SELECT doc_id, dist_km_r,
+                     row_number() OVER (ORDER BY dist_km_r, doc_id) AS rn
+              FROM d) WHERE rn <= 15
         """,
         "phrase_match": f"""
             WITH {_TOKPOS_CTE},

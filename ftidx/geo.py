@@ -1,0 +1,146 @@
+"""Geospatial search — Solr spatial parity (the reference's Solr 9.4
+delegates `{!geofilt}`, `{!bbox}` and `geodist()` sorting to Lucene's
+LatLonPoint; see /root/reference/pom.xml:32-36 for the delegation).
+
+All operators are pure codegen expressions (JVM-side trig, no UDFs)
+over any DataFrame with latitude/longitude columns:
+
+- :func:`haversine_km` — great-circle distance expression.
+- :func:`geo_bbox` — rectangle filter (`{!bbox}`): pure comparisons,
+  pushdown-able to the parquet scan; with lat-bucketed table layout it
+  becomes partition pruning.
+- :func:`geo_radius` — radius filter (`{!geofilt}`): a cheap bounding
+  box PREFILTERS (strict superset, 1% margin), then the exact
+  haversine decides membership — so the bbox only prunes work and can
+  never change the answer, the same prefilter-then-exact discipline as
+  ``top_fraction``'s sampled threshold.
+- :func:`geo_knn` — k nearest by distance (`sort=geodist() asc`):
+  plans as TakeOrderedAndProject, never a global sort.
+- :func:`geo_join` — per-center radius neighbors for a SMALL center
+  set (broadcast crossJoin + exact filter).
+
+Scale shape at 10^12 rows: the bbox predicates are the only thing the
+full corpus ever evaluates; trig runs on bbox survivors only. Skew is
+a non-issue (no shuffle at all for filter/knn; geo_join broadcasts the
+small side). Distances round to 5 decimals (≈1 cm) before any compare
+or rank — the engine's cross-engine float discipline; the formula uses
+only sin/cos/asin/sqrt, which DuckDB reproduces to well under the
+rounding grain, so oracle verdicts are stable.
+
+FtIndex integration: ``search_sorted`` / ``topk_where`` already accept
+arbitrary SQL expressions over docs-table metadata, so an index whose
+docs table carries lat/lon columns gets `sort=geodist() asc` and
+geofilt `fq` for free by passing :func:`haversine_sql` text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean radius
+KM_PER_DEG_LAT = 111.19492664455873  # pi * R / 180
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km between two (degree) points.
+
+    2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))), argument clamped
+    to 1.0 so antipodal rounding can never feed asin out of domain.
+    Unrounded — callers round to 5 before comparing or ranking."""
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def haversine_sql(lat_col: str, lon_col: str, lat: float, lon: float) -> str:
+    """The same formula as ANSI-SQL text — for ``search_sorted`` /
+    ``topk_where`` expression slots and for DuckDB oracles."""
+    return (
+        f"2 * {EARTH_RADIUS_KM} * asin(sqrt(least(1.0, "
+        f"sin(radians(({lat}) - {lat_col}) / 2) * sin(radians(({lat}) - {lat_col}) / 2)"
+        f" + cos(radians({lat_col})) * cos(radians({lat}))"
+        f" * sin(radians(({lon}) - {lon_col}) / 2) * sin(radians(({lon}) - {lon_col}) / 2)"
+        f")))"
+    )
+
+
+def _bbox_bounds(lat: float, lon: float, radius_km: float):
+    """Strict-superset bounding box for a radius: Δlat from the km/deg
+    constant, Δlon widened by 1/cos at the box's worst latitude, both
+    with a 1% margin. Near-polar boxes (|lat|+Δ ≥ 89.9°) drop the
+    longitude constraint entirely — still a superset, just looser."""
+    import math
+
+    dlat = radius_km / KM_PER_DEG_LAT * 1.01
+    lat_lo, lat_hi = lat - dlat, lat + dlat
+    worst = min(89.9, max(abs(lat_lo), abs(lat_hi)))
+    if worst >= 89.9:
+        return lat_lo, lat_hi, -180.0, 180.0
+    dlon = radius_km / (KM_PER_DEG_LAT * math.cos(math.radians(worst))) * 1.01
+    if dlon >= 180.0:
+        return lat_lo, lat_hi, -180.0, 180.0
+    return lat_lo, lat_hi, lon - dlon, lon + dlon
+
+
+def geo_bbox(df: DataFrame, lat_min: float, lat_max: float,
+             lon_min: float, lon_max: float,
+             lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Rectangle filter (Solr ``{!bbox}``): four pushdown-able
+    comparisons, no trig."""
+    return df.filter(
+        (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
+        & (F.col(lon_col) >= lon_min) & (F.col(lon_col) <= lon_max))
+
+
+def geo_radius(df: DataFrame, lat: float, lon: float, radius_km: float,
+               lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Radius filter (Solr ``{!geofilt pt=lat,lon d=km}``): bbox
+    prefilter (superset — prunes only), exact haversine ≤ radius
+    decides. Adds ``dist_km_r`` (rounded to 5)."""
+    lat_lo, lat_hi, lon_lo, lon_hi = _bbox_bounds(lat, lon, radius_km)
+    dist = F.round(
+        haversine_km(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon)), 5)
+    return (
+        geo_bbox(df, lat_lo, lat_hi, lon_lo, lon_hi, lat_col, lon_col)
+        .withColumn("dist_km_r", dist)
+        .filter(F.col("dist_km_r") <= radius_km)
+    )
+
+
+def geo_knn(df: DataFrame, lat: float, lon: float, k: int = 10,
+            lat_col: str = "lat", lon_col: str = "lon",
+            id_col: str = "doc_id") -> DataFrame:
+    """k nearest points (Solr ``sort=geodist() asc``): distance rounds
+    to 5 BEFORE the rank, ties break on id — TakeOrderedAndProject,
+    never a global sort. At corpus scale, wrap with :func:`geo_radius`
+    at an expanding radius for the indexed variant; exact knn over
+    everything is the honest baseline."""
+    dist = F.round(
+        haversine_km(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon)), 5)
+    return (
+        df.withColumn("dist_km_r", dist)
+        .orderBy(F.asc("dist_km_r"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def geo_join(points: DataFrame, centers: DataFrame, radius_km: float,
+             lat_col: str = "lat", lon_col: str = "lon",
+             center_lat: str = "c_lat", center_lon: str = "c_lon") -> DataFrame:
+    """All (point, center) pairs within ``radius_km``, for a SMALL
+    center set: broadcast crossJoin + exact haversine — the points
+    side never shuffles. Adds ``dist_km_r``."""
+    dist = F.round(
+        haversine_km(F.col(lat_col), F.col(lon_col),
+                     F.col(center_lat), F.col(center_lon)), 5)
+    return (
+        points.crossJoin(F.broadcast(centers))
+        .withColumn("dist_km_r", dist)
+        .filter(F.col("dist_km_r") <= radius_km)
+    )

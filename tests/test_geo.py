@@ -1,0 +1,108 @@
+"""Geospatial operators: haversine against known city distances, the
+radius / knn / join paths against a pure-Python brute force over a
+deterministic point set, and the bbox-prefilter superset property
+(the bbox may only PRUNE — the exact haversine decides membership)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.geo import (
+    EARTH_RADIUS_KM,
+    _bbox_bounds,
+    geo_bbox,
+    geo_join,
+    geo_knn,
+    geo_radius,
+    haversine_km,
+)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1) / 2, math.radians(lon2 - lon1) / 2
+    a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(min(1.0, a)))
+
+
+def _u(doc_id, seed):
+    h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+    return (int(h[:6], 16) + 0.5) / 16 ** 6
+
+
+def _points(n=200):
+    return [(i, _u(i, 7) * 180 - 90, _u(i, 8) * 360 - 180) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return spark.createDataFrame(_points(), "doc_id long, lat double, lon double")
+
+
+def test_haversine_known_distances(spark):
+    cases = [
+        # (lat1, lon1, lat2, lon2, expected_km, tol)
+        (51.5074, -0.1278, 48.8566, 2.3522, 343.6, 2.0),   # London-Paris
+        (0.0, 0.0, 0.0, 1.0, 111.195, 0.01),               # 1 deg on equator
+        (0.0, 0.0, 0.0, 0.0, 0.0, 1e-9),                   # same point
+        (0.0, 0.0, 0.0, 180.0, math.pi * EARTH_RADIUS_KM, 0.01),  # antipodal
+    ]
+    df = spark.createDataFrame(cases, "a double, b double, c double, d double, e double, t double")
+    rows = df.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km"),
+        "e", "t").collect()
+    for r in rows:
+        assert r["km"] == pytest.approx(r["e"], abs=r["t"])
+
+
+def test_geo_radius_matches_brute_force(pts):
+    lat, lon, radius = 37.0, -5.0, 3000.0
+    got = {r["doc_id"]: r["dist_km_r"] for r in
+           geo_radius(pts, lat, lon, radius).collect()}
+    exp = {i: round(_hav(la, lo, lat, lon), 5)
+           for i, la, lo in _points() if round(_hav(la, lo, lat, lon), 5) <= radius}
+    assert got.keys() == exp.keys() and len(got) > 0
+    for k in got:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_bbox_is_strict_superset(pts):
+    lat, lon, radius = 37.0, -5.0, 3000.0
+    la, lb, lo, lh = _bbox_bounds(lat, lon, radius)
+    boxed = {r["doc_id"] for r in geo_bbox(pts, la, lb, lo, lh).collect()}
+    inside = {r["doc_id"] for r in geo_radius(pts, lat, lon, radius).collect()}
+    assert inside <= boxed
+
+
+def test_near_pole_bbox_keeps_all_longitudes(pts):
+    # a pole-touching radius: points at ANY longitude can be inside;
+    # the bbox must drop the lon constraint, not clip them away
+    lat, lon, radius = 89.0, 0.0, 500.0
+    la, lb, lo, lh = _bbox_bounds(lat, lon, radius)
+    assert lo == -180.0 and lh == 180.0
+    got = {r["doc_id"] for r in geo_radius(pts, lat, lon, radius).collect()}
+    exp = {i for i, a, b in _points() if round(_hav(a, b, lat, lon), 5) <= radius}
+    assert got == exp
+
+
+def test_geo_knn_matches_brute_force(pts):
+    lat, lon, k = 10.0, 20.0, 7
+    got = [(r["doc_id"], r["dist_km_r"]) for r in
+           geo_knn(pts, lat, lon, k=k).collect()]
+    exp = sorted(
+        ((round(_hav(a, b, lat, lon), 5), i) for i, a, b in _points()))[:k]
+    assert got == [(i, d) for d, i in exp]
+
+
+def test_geo_join_matches_per_center_radius(spark, pts):
+    centers = spark.createDataFrame(
+        [(0, 37.0, -5.0), (1, -20.0, 140.0)], "cid long, c_lat double, c_lon double")
+    got = {(r["cid"], r["doc_id"]) for r in
+           geo_join(pts, centers, 2500.0).collect()}
+    exp = set()
+    for cid, cla, clo in [(0, 37.0, -5.0), (1, -20.0, 140.0)]:
+        for r in geo_radius(pts, cla, clo, 2500.0).collect():
+            exp.add((cid, r["doc_id"]))
+    assert got == exp
