@@ -726,6 +726,28 @@ def q_geo_knn(spark, sf_dir):
         .select("doc_id", "dist_km_r")
 
 
+def q_graph_expand(spark, sf_dir):
+    # Solr {!graph maxDepth=4}: BFS min-hop depths from seeds {0,1,2}
+    # over a deterministic md5-derived edge table (src = hash-bucket of
+    # doc_id, dst = doc_id) -> DuckDB recursive-CTE oracle (min(depth)
+    # over all bounded walks == BFS first-visit depth)
+    from ftidx.graph import graph_expand
+    from ftidx.textops import _md5_uniform
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    edges = None
+    for seed in (9, 10):  # two hash families -> branching factor ~2
+        e = docs.select(
+            F.floor(_md5_uniform(F.col("doc_id"), seed) * F.lit(float(n)))
+            .cast("long").alias("src"),
+            F.col("doc_id").alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    return graph_expand(edges, seeds, max_depth=4)
+
+
 def q_phrase_match(spark, sf_dir):
     """Positional phrase query (the ftidx positions table's contract
     twin in SQL-parity tokenization): docs containing the bigram
@@ -2183,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "geo_radius": q_geo_radius,
         "geo_knn": q_geo_knn,
+        "graph_expand": q_graph_expand,
     }
 
 
@@ -3190,6 +3213,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, dist_km_r,
                      row_number() OVER (ORDER BY dist_km_r, doc_id) AS rn
               FROM d) WHERE rn <= 15
+        """,
+        "graph_expand": f"""
+            WITH RECURSIVE edges AS (
+              SELECT floor({_md5_u_sql('doc_id', 9)}
+                           * (SELECT count(*) FROM documents))::BIGINT AS src,
+                     doc_id AS dst
+              FROM documents
+              UNION ALL
+              SELECT floor({_md5_u_sql('doc_id', 10)}
+                           * (SELECT count(*) FROM documents))::BIGINT AS src,
+                     doc_id AS dst
+              FROM documents
+            ),
+            walk(node, depth) AS (
+              SELECT * FROM (VALUES (0::BIGINT, 0), (1::BIGINT, 0),
+                                    (2::BIGINT, 0)) v(node, depth)
+              UNION ALL
+              SELECT e.dst, w.depth + 1
+              FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.depth < 4
+            )
+            SELECT node, min(depth)::INT AS depth FROM walk GROUP BY node
         """,
         "phrase_match": f"""
             WITH {_TOKPOS_CTE},

@@ -1,0 +1,77 @@
+"""Graph traversal — Solr `{!graph}` query-parser parity (Lucene's
+GraphTermsQuery / graph traversal the reference's Solr tier exposes as
+`{!graph from=f to=f maxDepth=N traversalFilter=...}`; delegation per
+/root/reference/pom.xml:32-36).
+
+:func:`graph_expand` is distributed breadth-first expansion from a
+seed set over an edge DataFrame: each round joins the FRONTIER (not
+the visited set, and never the whole graph) against the edge table,
+anti-joins away already-visited nodes, and records first-visit depth —
+BFS first-visit IS min-hop distance, so the result is
+(node, depth = min #hops from any seed), seeds at depth 0.
+
+Scale shape at 10^12 edges: per round, one shuffle join keyed on the
+edge source column — the edge table can be bucketed on ``from_col`` so
+the frontier (small) ships to the edges, never the reverse; the
+visited set grows to O(reachable nodes), which for query-shaped
+traversals (maxDepth ≤ a few) is tiny relative to the corpus. Each
+round localCheckpoints frontier and visited to cut Catalyst lineage —
+the same discipline as ``dedup.connected_components``. Rounds stop
+early when the frontier empties (one cheap limit(1) probe per round,
+never a full count).
+
+`traversalFilter` is expressed by pre-filtering the edge DataFrame —
+a declarative predicate Catalyst pushes into the edge scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def graph_expand(edges: DataFrame, seeds: DataFrame, max_depth: int = 3,
+                 from_col: str = "src", to_col: str = "dst",
+                 return_root: bool = True) -> DataFrame:
+    """BFS expansion: (node, depth) for every node within ``max_depth``
+    hops of any seed, depth = the MINIMUM hop count (first visit).
+
+    ``seeds`` is a one-column DataFrame (any name) of starting nodes;
+    ``return_root=False`` drops the depth-0 seed rows from the result
+    (Solr's returnRoot=false; like Solr, a root never re-emits at a
+    positive depth — roots enter the visited set before round 1)."""
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    scol = seeds.columns[0]
+    e = edges.select(F.col(from_col).alias("_src"), F.col(to_col).alias("_dst"))
+    frontier = (seeds.select(F.col(scol).alias("node"))
+                .distinct()
+                .withColumn("depth", F.lit(0)))
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_src"])
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not return_root:
+        return visited.filter(F.col("depth") > 0)
+    return visited
+
+
+def graph_reachable(edges: DataFrame, seeds: DataFrame, max_iter: int = 20,
+                    from_col: str = "src", to_col: str = "dst") -> DataFrame:
+    """Transitive closure from the seed set (unbounded depth, cycle-
+    safe): :func:`graph_expand` rounds until the frontier empties or
+    ``max_iter`` — the visited anti-join makes cycles terminate.
+    Returns (node, depth) like graph_expand."""
+    return graph_expand(edges, seeds, max_depth=max_iter,
+                        from_col=from_col, to_col=to_col)

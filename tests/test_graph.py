@@ -1,0 +1,106 @@
+"""Graph traversal: BFS depths against a hand-built graph and a pure-
+Python BFS recount, cycle termination, max_depth cutoff, returnRoot
+semantics, and multi-seed min-depth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.graph import graph_expand, graph_reachable
+
+#         1 -> 2 -> 3 -> 4          10 <-> 11 (cycle)
+#              2 -> 5               20 (isolated, no edges)
+EDGES = [(1, 2), (2, 3), (3, 4), (2, 5), (10, 11), (11, 10)]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def _seeds(spark, *nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_bfs_depths(spark, edges):
+    got = {r["node"]: r["depth"]
+           for r in graph_expand(edges, _seeds(spark, 1), max_depth=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}
+
+
+def test_max_depth_cutoff(spark, edges):
+    got = {r["node"]: r["depth"]
+           for r in graph_expand(edges, _seeds(spark, 1), max_depth=1).collect()}
+    assert got == {1: 0, 2: 1}
+    only_seed = graph_expand(edges, _seeds(spark, 1), max_depth=0).collect()
+    assert [(r["node"], r["depth"]) for r in only_seed] == [(1, 0)]
+
+
+def test_cycle_terminates(spark, edges):
+    got = {r["node"]: r["depth"]
+           for r in graph_expand(edges, _seeds(spark, 10), max_depth=10).collect()}
+    assert got == {10: 0, 11: 1}
+
+
+def test_return_root_false(spark, edges):
+    got = {r["node"]: r["depth"]
+           for r in graph_expand(edges, _seeds(spark, 1), max_depth=2,
+                                 return_root=False).collect()}
+    assert got == {2: 1, 3: 2, 5: 2}
+
+
+def test_multi_seed_min_depth(spark, edges):
+    # node 3: depth 2 from seed 1, depth 1 from seed 2 -> min wins
+    got = {r["node"]: r["depth"]
+           for r in graph_expand(edges, _seeds(spark, 1, 2), max_depth=3).collect()}
+    assert got[3] == 1 and got[1] == 0 and got[2] == 0 and got[4] == 2
+
+
+def test_isolated_seed(spark, edges):
+    got = graph_expand(edges, _seeds(spark, 20), max_depth=5).collect()
+    assert [(r["node"], r["depth"]) for r in got] == [(20, 0)]
+
+
+def test_negative_depth_rejected(spark, edges):
+    with pytest.raises(ValueError):
+        graph_expand(edges, _seeds(spark, 1), max_depth=-1)
+
+
+def test_reachable_closure(spark, edges):
+    got = {r["node"] for r in graph_reachable(edges, _seeds(spark, 1)).collect()}
+    assert got == {1, 2, 3, 4, 5}
+
+
+def test_bfs_matches_brute_force(spark):
+    # deterministic pseudo-random graph; recount with a Python BFS
+    import hashlib
+
+    n = 60
+    pairs = []
+    for i in range(n):
+        h = hashlib.md5(f"g{i}".encode()).hexdigest()
+        pairs.append((i, int(h[:4], 16) % n))
+        pairs.append((i, int(h[4:8], 16) % n))
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    seeds, max_depth = [0, 7], 4
+
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    exp, frontier = {s: 0 for s in seeds}, set(seeds)
+    for depth in range(1, max_depth + 1):
+        nxt = {d for s in frontier for d in adj.get(s, ()) if d not in exp}
+        for d in nxt:
+            exp[d] = depth
+        frontier = nxt
+
+    got = {r["node"]: r["depth"] for r in
+           graph_expand(edges, _seeds(spark, *seeds), max_depth=max_depth).collect()}
+    assert got == exp
+
+
+def test_traversal_filter_prefilter(spark, edges):
+    # Solr traversalFilter == a predicate on the edge frame
+    filtered = edges.filter(F.col("dst") != 5)
+    got = {r["node"] for r in
+           graph_expand(filtered, _seeds(spark, 1), max_depth=3).collect()}
+    assert got == {1, 2, 3, 4}
