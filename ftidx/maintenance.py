@@ -532,24 +532,210 @@ def upsert(spark: SparkSession, index_path: str, new_source: DataFrame,
     if not dirty:
         return {"buckets_rebuilt": [], "skipped": "no changes"}
 
-    # drop dirty partitions up front: dynamic overwrite only replaces
-    # partitions present in the NEW output, so a bucket that becomes
-    # empty must not leave stale files behind
     has_positions = _has_files(path / "positions")
+    has_stored = _has_files(path / "stored")
+    _clear_bucket_partitions(path, dirty)
+    _clear_ledger_rows(spark, path, dirty)
+    summary = build_index(spark, new_source, str(path), n_buckets=n_buckets,
+                          resume=True, positions=has_positions,
+                          store_content=has_stored, **build_kwargs)
+    return {"buckets_rebuilt": summary["built"], "skipped": summary["skipped"]}
+
+
+def _clear_bucket_partitions(path: Path, dirty: list[int]) -> None:
+    """Drop dirty partitions up front: dynamic overwrite only replaces
+    partitions present in the NEW output, so a bucket that becomes
+    empty (or unstored) must not leave stale files behind. ``stored``
+    is included — a rebuilt bucket's text must never lag its postings
+    (highlighting would serve pre-update content)."""
     for b in dirty:
-        for sub in ("postings", "doclen", "docs", "positions"):
+        for sub in ("postings", "doclen", "docs", "positions", "stored"):
             shutil.rmtree(path / sub / f"bucket={b}", ignore_errors=True)
 
-    # clear ledger rows for dirty buckets → build_index resumes them
+
+def _clear_ledger_rows(spark: SparkSession, path: Path, dirty: list[int]) -> None:
+    """Remove the dirty buckets' ledger rows → build_index's resume
+    path sees them as pending and rebuilds exactly those."""
     ledger_dir = path / "ledger"
     led = spark.read.parquet(str(ledger_dir))
     kept = led.filter(~F.col("bucket").isin(dirty)).collect()
     shutil.rmtree(ledger_dir)
     if kept:
         spark.createDataFrame(kept, led.schema).write.parquet(str(ledger_dir))
-    summary = build_index(spark, new_source, str(path), n_buckets=n_buckets,
-                          resume=True, positions=has_positions, **build_kwargs)
+
+
+_SOURCE_COLS = ["repo", "path", "commit", "lang", "content", "deleted",
+                "modified"]
+
+
+def upsert_docs(spark: SparkSession, index_path: str,
+                partial_source: DataFrame, **build_kwargs) -> dict:
+    """Partial add-or-replace by unique key — Solr ``/update``
+    semantics: every (repo, path) in ``partial_source`` is added or
+    replaced; every doc NOT mentioned is left untouched. Contrast
+    :func:`upsert`, whose input is the FULL source state and whose
+    absences therefore mean deletion (state-sync semantics).
+
+    Requires an index built with ``store_content=True`` — Solr's own
+    constraint (partial updates need every field stored), because
+    rebuilding a bucket re-tokenizes EVERY doc in it and the unchanged
+    bucket-mates' text must come from the stored table, not from a
+    caller re-shipping the corpus.
+
+    Scale shape: O(affected buckets) end-to-end. One broadcast key
+    join against the (bucket-partitioned, column-pruned) docs table
+    resolves old buckets; ``prepare_docs`` over just the partial rows
+    resolves new buckets; only those buckets' docs/stored partitions
+    are read back to reconstruct bucket-mates; the rebuild runs
+    through ``build_index``'s resume path over exactly those buckets.
+    The corpus is never rescanned. Bucket membership and within-bucket
+    ranks are pure functions of (key set, content), so the result is
+    bit-identical to a fresh build over the edited full source — the
+    same invariant :func:`upsert` pins.
+
+    Refuses while streamed delta segments exist (a bucket rebuild
+    re-ranks doc_ids; delta rows referencing them would dangle) — run
+    :func:`compact_deltas` first, mirroring compact_tombstones.
+    """
+    from ftidx.build import prepare_docs
+    from ftidx.index import build_index
+
+    path = Path(index_path)
+    n_buckets = json.loads((path / "_manifest.json").read_text())["n_buckets"]
+    if not _has_files(path / "stored"):
+        raise ValueError(
+            "upsert_docs needs an index built with store_content=True "
+            "(Solr parity: partial updates reconstruct docs from stored "
+            "fields); rebuild with store_content=True or use "
+            "ftidx.maintenance.upsert with the full source table")
+    if _has_files(path / "deltas"):
+        raise ValueError(
+            f"upsert_docs: streamed deltas exist under {path / 'deltas'}; "
+            "run compact_deltas first (a bucket rebuild re-ranks doc_ids)")
+
+    new_rows = partial_source.select(*_SOURCE_COLS)
+    keys = new_rows.select("repo", "path").distinct()
+    docs = spark.read.parquet(str(path / "docs"))
+    old_b = (docs.join(F.broadcast(keys), ["repo", "path"])
+             .select(F.col("bucket").alias("b")))
+    new_b = prepare_docs(new_rows, n_buckets).select(F.col("bucket").alias("b"))
+    dirty = sorted(int(r["b"]) for r in old_b.union(new_b).distinct().collect())
+    if not dirty:
+        return {"buckets_rebuilt": [], "skipped": "no docs"}
+
+    # reconstruct source rows for every doc currently in a dirty
+    # bucket (minus the keys being replaced): metadata from docs,
+    # text from stored — both scans bucket-pruned
+    in_dirty = docs.filter(F.col("bucket").isin(dirty))
+    stored = (spark.read.parquet(str(path / "stored"))
+              .filter(F.col("bucket").isin(dirty))
+              .select("doc_id", "content"))
+    mates = in_dirty.join(F.broadcast(keys), ["repo", "path"], "left_anti")
+    # refuse to silently turn a doc with text into a metadata-only
+    # doc: every live bucket-mate that HAD content must have it stored
+    missing = (mates.filter((~F.col("deleted"))
+                            & F.col("content_sha256").isNotNull())
+               .join(stored, "doc_id", "left_anti").count())
+    if missing:
+        raise ValueError(
+            f"upsert_docs: {missing} doc(s) in the affected buckets have "
+            "content but no stored text (streamed in without "
+            "store_content?); compact/rebuild before partial updates")
+    recon = (mates.drop("content")
+             .join(stored, "doc_id", "left")
+             .select(*_SOURCE_COLS))
+    # materialize BEFORE clearing the dirty partitions: the lazy plan
+    # reads the very docs/stored files the rebuild overwrites (the
+    # lazy-recompute failure update_fields documents) — localCheckpoint
+    # pins the bucket-sized merged set off the source files
+    merged = new_rows.unionByName(recon).localCheckpoint(eager=True)
+
+    has_positions = _has_files(path / "positions")
+    _clear_bucket_partitions(path, dirty)
+    _clear_ledger_rows(spark, path, dirty)
+    summary = build_index(spark, merged, str(path), n_buckets=n_buckets,
+                          resume=True, positions=has_positions,
+                          store_content=True, **build_kwargs)
     return {"buckets_rebuilt": summary["built"], "skipped": summary["skipped"]}
+
+
+def atomic_update(spark: SparkSession, index_path: str,
+                  ops: dict[int, dict[str, dict]], **build_kwargs) -> dict:
+    """Solr atomic update: per-doc field MODIFIERS applied server-side
+    — the caller never re-ships the document. ``ops`` maps doc_id →
+    {field: {"set": value}}; each doc is reconstructed from the docs
+    table + stored text (Solr's real-time-get-then-reindex mechanics),
+    the modifiers applied, and the result pushed through
+    :func:`upsert_docs` (only the affected buckets rebuild; setting
+    ``content`` re-tokenizes — exactly Solr re-indexing an atomic
+    update of an indexed field).
+
+    Allowed fields: any source column except the uniqueKey components
+    ``repo``/``path`` (Solr parity: the uniqueKey cannot be atomically
+    modified — that's a different document). ``{"set": True}`` on
+    ``deleted`` tombstones the doc through the normal routing.
+    Modifier ops other than ``set`` raise: ``inc`` needs a numeric
+    field and ``add``/``remove`` need a multivalued field, and the
+    source schema (input_hint) has neither.
+
+    The op set is page-shaped (Solr atomic updates arrive as point
+    requests), so modifier application is driver-side over one
+    bucket-pruned fetch; the rebuild is upsert_docs' O(affected
+    buckets) path.
+    """
+    if not ops:
+        return {"updated": 0, "buckets_rebuilt": []}
+    for did, fields in ops.items():
+        for field, mod in fields.items():
+            if field in ("repo", "path"):
+                raise ValueError(
+                    f"doc {did}: uniqueKey component '{field}' cannot be "
+                    "atomically updated (Solr parity) — add the new key "
+                    "and delete the old")
+            if field not in _SOURCE_COLS:
+                raise ValueError(f"doc {did}: unknown field '{field}'")
+            if not isinstance(mod, dict) or len(mod) != 1:
+                raise ValueError(
+                    f"doc {did}.{field}: modifier must be a single-op "
+                    "dict like {'set': value}")
+            op = next(iter(mod))
+            if op != "set":
+                raise ValueError(
+                    f"doc {did}.{field}: unsupported modifier '{op}' — "
+                    "'inc' needs a numeric field and 'add'/'remove' a "
+                    "multivalued field; the source schema has neither")
+
+    path = Path(index_path)
+    if not _has_files(path / "stored"):
+        raise ValueError(
+            "atomic_update needs an index built with store_content=True "
+            "(Solr parity: atomic updates reconstruct from stored fields)")
+    ids = [int(d) for d in ops]
+    docs = spark.read.parquet(str(path / "docs"))
+    id_rows = docs.filter(F.col("doc_id").isin(ids))
+    buckets = sorted(int(r["bucket"]) for r in
+                     id_rows.select("bucket").distinct().collect())
+    stored = (spark.read.parquet(str(path / "stored"))
+              .filter(F.col("bucket").isin(buckets))
+              .select("doc_id", "content"))
+    current = {r["doc_id"]: r.asDict() for r in
+               id_rows.drop("content", "bucket")
+               .join(stored, "doc_id", "left").collect()}
+    unknown = [d for d in ids if d not in current]
+    if unknown:
+        raise ValueError(f"atomic_update: unknown doc_id(s) {unknown}")
+
+    updated = []
+    for did, fields in ops.items():
+        row = current[int(did)]
+        for field, mod in fields.items():
+            row[field] = mod["set"]
+        updated.append(tuple(row[c] for c in _SOURCE_COLS))
+    from ftidx.schema import SOURCE_SCHEMA
+
+    partial = spark.createDataFrame(updated, SOURCE_SCHEMA)
+    res = upsert_docs(spark, index_path, partial, **build_kwargs)
+    return {"updated": len(updated), **res}
 
 
 # Columns a doc can change WITHOUT touching postings: stored-only,

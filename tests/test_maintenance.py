@@ -395,3 +395,147 @@ def test_snapshot_detects_mid_copy_append(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError):
         snapshot(str(idx_dir), str(tmp_path / "bk"))
     assert not (tmp_path / "bk").exists()
+
+
+def test_upsert_docs_partial_add_or_replace(spark, tmp_path):
+    """Solr /update semantics: docs in the partial set are replaced or
+    added; everything absent is UNTOUCHED — and the result is
+    bit-identical to a fresh build over the edited full source."""
+    from ftidx.maintenance import upsert_docs
+
+    out = str(tmp_path / "idx")
+    src1 = synth_source(spark, 200)
+    build_index(spark, src1, out, n_buckets=8, hot_df_threshold=50,
+                store_content=True)
+
+    rows = sorted((r.asDict() for r in src1.collect()),
+                  key=lambda r: (r["repo"], r["path"]))
+    i0 = next(i for i, r in enumerate(rows) if not r["deleted"])
+    edit = dict(rows[i0], content=rows[i0]["content"] + "\nupserteditterm")
+    new = dict(edit, repo="brand", path="new/file.py",
+               content="def upsertnewterm(): pass")
+    partial = spark.createDataFrame([edit, new], src1.schema)
+    res = upsert_docs(spark, out, partial, hot_df_threshold=50)
+    assert res["buckets_rebuilt"]
+
+    out2 = str(tmp_path / "fresh")
+    merged = [edit, new] + [r for i, r in enumerate(rows) if i != i0]
+    build_index(spark, spark.createDataFrame(merged, src1.schema), out2,
+                n_buckets=8, hot_df_threshold=50, store_content=True)
+    assert _dump(spark, out) == _dump(spark, out2)
+    # absence means untouched, not removed (contrast upsert)
+    assert spark.read.parquet(f"{out}/docs").count() == 201
+    # stored text refreshed alongside postings
+    stored = {r["content"] for r in
+              spark.read.parquet(f"{out}/stored").collect()}
+    assert edit["content"] in stored and new["content"] in stored
+    assert rows[i0]["content"] not in stored
+
+
+def test_upsert_docs_requires_stored_and_compacted(spark, tmp_path):
+    from ftidx.maintenance import upsert_docs
+    from ftidx.streaming import index_microbatch
+
+    out = str(tmp_path / "idx")
+    src = synth_source(spark, 120)
+    build_index(spark, src, out, n_buckets=4, hot_df_threshold=50)
+    one = spark.createDataFrame([src.first().asDict()], src.schema)
+    with pytest.raises(ValueError, match="store_content"):
+        upsert_docs(spark, out, one)
+
+    out2 = str(tmp_path / "idx2")
+    build_index(spark, src, out2, n_buckets=4, hot_df_threshold=50,
+                store_content=True)
+    extra = synth_source(spark, 130).join(
+        src.select("repo", "path"), ["repo", "path"], "left_anti")
+    index_microbatch(extra, 0, out2, n_buckets=4)
+    with pytest.raises(ValueError, match="compact_deltas"):
+        upsert_docs(spark, out2, one)
+
+
+def test_atomic_update_set_modifiers(spark, tmp_path):
+    """Atomic {'set': ...} on content + lang: server-side reconstruction
+    from stored fields, re-tokenize, equality with a fresh build."""
+    from ftidx.maintenance import atomic_update
+
+    out = str(tmp_path / "idx")
+    src = synth_source(spark, 160)
+    build_index(spark, src, out, n_buckets=4, hot_df_threshold=50,
+                store_content=True)
+    rows = sorted((r.asDict() for r in src.collect()),
+                  key=lambda r: (r["repo"], r["path"]))
+    i0 = next(i for i, r in enumerate(rows) if not r["deleted"])
+    target = rows[i0]
+    did = spark.read.parquet(f"{out}/docs").filter(
+        (F.col("repo") == target["repo"]) & (F.col("path") == target["path"])
+    ).first()["doc_id"]
+
+    res = atomic_update(
+        spark, out,
+        {did: {"content": {"set": "def atomicsetterm(): pass"},
+               "lang": {"set": "go"}}},
+        hot_df_threshold=50)
+    assert res["updated"] == 1 and res["buckets_rebuilt"]
+
+    idx = open_index(spark, out)
+    hits = idx.topk(["atomicsetterm"], 5)
+    assert len(hits) == 1
+    meta = spark.read.parquet(f"{out}/docs").filter(
+        (F.col("repo") == target["repo"]) & (F.col("path") == target["path"])
+    ).first()
+    assert meta["lang"] == "go"
+
+    out2 = str(tmp_path / "fresh")
+    edited = [dict(r) for r in rows]
+    edited[i0] = dict(edited[i0], content="def atomicsetterm(): pass", lang="go")
+    build_index(spark, spark.createDataFrame(edited, src.schema), out2,
+                n_buckets=4, hot_df_threshold=50, store_content=True)
+    assert _dump(spark, out) == _dump(spark, out2)
+
+
+def test_atomic_update_tombstone_and_validations(spark, tmp_path):
+    from ftidx.maintenance import atomic_update
+
+    out = str(tmp_path / "idx")
+    src = synth_source(spark, 120)
+    build_index(spark, src, out, n_buckets=4, hot_df_threshold=50,
+                store_content=True)
+    idx = open_index(spark, out)
+    top = idx.topk(["def"], 1)[0][0]
+
+    with pytest.raises(ValueError, match="uniqueKey"):
+        atomic_update(spark, out, {top: {"repo": {"set": "x"}}})
+    with pytest.raises(ValueError, match="unknown field"):
+        atomic_update(spark, out, {top: {"nosuch": {"set": 1}}})
+    with pytest.raises(ValueError, match="unsupported modifier"):
+        atomic_update(spark, out, {top: {"lang": {"inc": 1}}})
+    with pytest.raises(ValueError, match="unknown doc_id"):
+        atomic_update(spark, out, {999999999: {"lang": {"set": "go"}}})
+
+    # {'set': True} on deleted tombstones through the normal routing
+    res = atomic_update(spark, out, {top: {"deleted": {"set": True}}},
+                        hot_df_threshold=50)
+    assert res["updated"] == 1
+    idx2 = open_index(spark, out)
+    assert top not in [d for d, _ in idx2.topk(["def"], 10)]
+
+
+def test_upsert_refreshes_stored_partitions(spark, tmp_path):
+    """Regression (stored/ postdates upsert): a full-state upsert must
+    rewrite the dirty buckets' stored text, or highlighting serves
+    pre-update content."""
+    out = str(tmp_path / "idx")
+    src1 = synth_source(spark, 150)
+    build_index(spark, src1, out, n_buckets=4, hot_df_threshold=50,
+                store_content=True)
+    rows = sorted((r.asDict() for r in src1.collect()),
+                  key=lambda r: (r["repo"], r["path"]))
+    i0 = next(i for i, r in enumerate(rows) if not r["deleted"])
+    rows[i0] = dict(rows[i0], content=rows[i0]["content"] + "\nstorededit")
+    src2 = spark.createDataFrame(rows, src1.schema)
+    upsert(spark, out, src2, hot_df_threshold=50)
+    stored = {r["content"] for r in
+              spark.read.parquet(f"{out}/stored").collect()}
+    assert rows[i0]["content"] in stored
+    n_live = sum(1 for r in rows if not r["deleted"])
+    assert spark.read.parquet(f"{out}/stored").count() == n_live
