@@ -109,6 +109,40 @@ def _parse_labeled_spec(spec: str) -> dict[str, list[str]]:
     return queries
 
 
+def _apply_add(idx, docs) -> int:
+    """POST /update "add" list → :func:`ftidx.maintenance.upsert_docs`.
+
+    Each doc must carry the full source row (repo, path, commit, lang,
+    content; deleted/modified optional — Solr likewise requires every
+    field on an add, only ATOMIC requests may be partial). ``modified``
+    accepts an ISO-8601 string."""
+    from datetime import datetime
+
+    from ftidx.maintenance import upsert_docs
+    from ftidx.schema import SOURCE_SCHEMA
+
+    if not isinstance(docs, list) or not docs:
+        raise ValueError("add must be a non-empty list of docs")
+    rows = []
+    for d in docs:
+        if not isinstance(d, dict):
+            raise ValueError("each add doc must be a JSON object")
+        missing = [k for k in ("repo", "path", "commit", "lang", "content")
+                   if k not in d]
+        if missing:
+            raise ValueError(f"add doc missing field(s) {missing}")
+        mod = d.get("modified")
+        if isinstance(mod, str):
+            mod = datetime.fromisoformat(mod)
+        rows.append((str(d["repo"]), str(d["path"]), str(d["commit"]),
+                     str(d["lang"]),
+                     None if d["content"] is None else str(d["content"]),
+                     bool(d.get("deleted", False)), mod))
+    partial = idx.spark.createDataFrame(rows, SOURCE_SCHEMA)
+    upsert_docs(idx.spark, str(idx.path), partial)
+    return len(rows)
+
+
 def _make_handler(idx, lock: threading.Lock):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; serving logs belong to WSGI tiers
@@ -820,6 +854,61 @@ def _make_handler(idx, lock: threading.Lock):
                     idx.refresh()
                 self._json(200, {"status": "compacted",
                                  "deltas": deltas, "tombstones": tombs})
+            elif path == "/update":
+                # Solr /update (JSON) — the write API: add-or-replace
+                # docs ("add": [docs…] → upsert_docs, stored-field
+                # reconstruction, O(affected buckets)), atomic field
+                # modifiers ("atomic": {id: {field: {"set": v}}} →
+                # atomic_update), delete-by-id ("delete": {"ids": […]}
+                # → tombstones). The handle refreshes afterwards so
+                # the next query serves the new state (Solr
+                # soft-commit). delete-by-query stays an offline
+                # maintenance op (it rewrites postings).
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(body, dict):
+                        raise ValueError("/update body must be a JSON object")
+                    unknown = set(body) - {"add", "atomic", "delete"}
+                    if unknown:
+                        raise ValueError(
+                            f"unsupported /update key(s): {sorted(unknown)}")
+                    if not body:
+                        raise ValueError(
+                            "/update needs add, atomic and/or delete")
+                    out = {}
+                    with lock:
+                        if "add" in body:
+                            out["added"] = _apply_add(idx, body["add"])
+                        if "atomic" in body:
+                            from ftidx.maintenance import atomic_update
+
+                            if not isinstance(body["atomic"], dict):
+                                raise ValueError(
+                                    "atomic must map doc_id -> "
+                                    "{field: {'set': value}}")
+                            ops = {int(k): v
+                                   for k, v in body["atomic"].items()}
+                            res = atomic_update(idx.spark, str(idx.path),
+                                                ops)
+                            out["atomic"] = res["updated"]
+                        if "delete" in body:
+                            d = body["delete"]
+                            if not isinstance(d, dict) or \
+                                    set(d) != {"ids"} or \
+                                    not isinstance(d["ids"], list):
+                                raise ValueError(
+                                    "delete must be {'ids': [doc_id, …]} "
+                                    "(delete-by-query is the offline "
+                                    "maintenance.delete_by_query op)")
+                            idx.delete([int(x) for x in d["ids"]])
+                            out["deleted"] = len(d["ids"])
+                        idx.refresh()
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, out)
             else:
                 self._json(404, {"error": "unknown path"})
 

@@ -741,3 +741,68 @@ def test_highlight_endpoint(served):
             assert "<mark>" in f
             # fragment length: frag_size chars + tag overhead
             assert len(f) <= 40 + f.count("<mark>") * len("<mark></mark>")
+
+
+@pytest.fixture()
+def served_rw(spark, tmp_path):
+    """Function-scoped read-write server: /update mutates the index, so
+    it never shares the module-scoped read-only fixture."""
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 120), out, n_buckets=4,
+                hot_df_threshold=50, store_content=True)
+    idx = open_index(spark, out)
+    srv = FtServer(idx).start()
+    yield srv, idx
+    srv.stop()
+
+
+def _post_json(url, body):
+    import urllib.error
+
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_update_add_atomic_delete(served_rw):
+    srv, idx = served_rw
+    base = f"http://{srv.host}:{srv.port}"
+    # add a brand-new doc -> immediately searchable (soft-commit)
+    doc = {"repo": "brand", "path": "new/file.py", "commit": "c1",
+           "lang": "python", "content": "def httpupdaterm(): pass"}
+    status, body = _post_json(f"{base}/update", {"add": [doc]})
+    assert status == 200 and body["added"] == 1
+    status, res = _get(f"{base}/search?q=httpupdaterm&k=5")
+    assert status == 200 and len(res["hits"]) == 1
+    did = res["hits"][0]["doc_id"]
+
+    # atomic {'set': ...} on lang, served through /get afterwards
+    status, body = _post_json(
+        f"{base}/update", {"atomic": {str(did): {"lang": {"set": "go"}}}})
+    assert status == 200 and body["atomic"] == 1
+    status, res = _get(f"{base}/search?q=httpupdaterm&k=5")
+    did2 = res["hits"][0]["doc_id"]  # bucket rebuild may re-rank ids
+    status, g = _get(f"{base}/get?id={did2}")
+    assert status == 200 and g["doc"]["lang"] == "go"
+
+    # delete by id -> gone from search
+    status, body = _post_json(f"{base}/update", {"delete": {"ids": [did2]}})
+    assert status == 200 and body["deleted"] == 1
+    status, res = _get(f"{base}/search?q=httpupdaterm&k=5")
+    assert res["hits"] == []
+
+
+def test_update_validation_400s(served_rw):
+    srv, _ = served_rw
+    base = f"http://{srv.host}:{srv.port}"
+    for bad in ({}, {"nope": 1}, {"add": []}, {"add": [{"repo": "x"}]},
+                {"delete": {"query": "*:*"}},
+                {"atomic": {"1": {"repo": {"set": "x"}}}},
+                {"atomic": {"1": {"lang": {"inc": 1}}}}):
+        status, body = _post_json(f"{base}/update", bad)
+        assert status == 400 and "error" in body, bad
