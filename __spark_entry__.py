@@ -748,6 +748,34 @@ def q_graph_expand(spark, sf_dir):
     return graph_expand(edges, seeds, max_depth=4)
 
 
+def q_stream_rollup(spark, sf_dir):
+    # Solr Streaming Expressions: select(having(rollup(table(...))))
+    # compiled to ONE DataFrame plan; table() is the jdbc()-source
+    # analog, so the whole expression is SQL-expressible
+    from ftidx.streamexpr import StreamContext, evaluate
+
+    ctx = StreamContext(tables={
+        "documents": spark.read.parquet(f"{sf_dir}/documents.parquet")})
+    return evaluate(
+        'select(having(rollup(table(documents), over="lang", count(*), '
+        'sum(n_chars)), gt(count(*), 3)), '
+        '"lang", "count(*) as cnt", "sum(n_chars) as sum_chars")', ctx)
+
+
+def q_stream_join_top(spark, sf_dir):
+    # Streaming Expressions join + global cut: innerJoin a per-lang
+    # rollup back onto the docs stream, TakeOrdered the 10 largest
+    from ftidx.streamexpr import StreamContext, evaluate
+
+    ctx = StreamContext(tables={
+        "documents": spark.read.parquet(f"{sf_dir}/documents.parquet")})
+    return evaluate(
+        'select(top(n=10, innerJoin(table(documents), '
+        'rollup(table(documents), over="lang", count(*)), on="lang"), '
+        'sort="n_chars desc, doc_id asc"), '
+        '"doc_id", "lang", "n_chars", "count(*) as lang_n")', ctx)
+
+
 def q_phrase_match(spark, sf_dir):
     """Positional phrase query (the ftidx positions table's contract
     twin in SQL-parity tokenization): docs containing the bigram
@@ -2206,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius": q_geo_radius,
         "geo_knn": q_geo_knn,
         "graph_expand": q_graph_expand,
+        "stream_rollup": q_stream_rollup,
+        "stream_join_top": q_stream_join_top,
     }
 
 
@@ -3235,6 +3265,20 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.depth < 4
             )
             SELECT node, min(depth)::INT AS depth FROM walk GROUP BY node
+        """,
+        "stream_rollup": """
+            SELECT lang, count(*) AS cnt, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY lang HAVING count(*) > 3
+        """,
+        "stream_join_top": """
+            WITH r AS (SELECT lang, count(*) AS lang_n FROM documents
+                       GROUP BY lang)
+            SELECT doc_id, lang, n_chars, lang_n FROM (
+              SELECT d.doc_id, d.lang, d.n_chars, r.lang_n,
+                     row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id)
+                       AS rn
+              FROM documents d JOIN r USING (lang)
+            ) WHERE rn <= 10
         """,
         "phrase_match": f"""
             WITH {_TOKPOS_CTE},

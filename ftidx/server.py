@@ -854,6 +854,47 @@ def _make_handler(idx, lock: threading.Lock):
                     idx.refresh()
                 self._json(200, {"status": "compacted",
                                  "deltas": deltas, "tombstones": tombs})
+            elif path == "/stream":
+                # Solr Streaming Expressions (/stream): body
+                # {"expr": "...", "rows": cap} — parsed and compiled
+                # to ONE DataFrame plan (ftidx.streamexpr). The served
+                # context binds this index as collection 'idx' and its
+                # docs table as table(docs), the jdbc()-source analog.
+                # Response mirrors Solr: result-set.docs + EOF row.
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    expr = body.get("expr") if isinstance(body, dict) \
+                        else None
+                    if not isinstance(expr, str) or not expr:
+                        raise ValueError(
+                            '/stream body must be {"expr": "…"}')
+                    cap = int(body.get("rows", 1000))
+                    if cap < 0:
+                        raise ValueError("rows must be >= 0")
+                    from ftidx.streamexpr import StreamContext, evaluate
+
+                    with lock:
+                        docs = idx.spark.read.parquet(
+                            str(idx.path / "docs"))
+                        ctx = StreamContext(tables={"docs": docs},
+                                            indexes={"idx": idx})
+                        rows = evaluate(expr, ctx).limit(cap).collect()
+                    out = [{k: (v.isoformat()
+                                if hasattr(v, "isoformat") else v)
+                            for k, v in r.asDict().items()} for r in rows]
+                    out.append({"EOF": True})
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:
+                    if type(e).__name__ in ("AnalysisException",
+                                            "ParseException"):
+                        self._json(400, {"error": str(e).split("\n")[0]})
+                        return
+                    raise
+                self._json(200, {"result-set": {"docs": out}})
             elif path == "/update":
                 # Solr /update (JSON) — the write API: add-or-replace
                 # docs ("add": [docs…] → upsert_docs, stored-field

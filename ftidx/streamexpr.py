@@ -1,0 +1,438 @@
+"""Solr Streaming Expressions — the `/stream` API (Solr's
+parallel-SQL/stream-decorator surface, delegated to Solr by the
+reference like every other query feature; pom.xml:32-36).
+
+An expression like
+
+    top(n=5,
+        rollup(search(idx, q="def return", rows=100),
+               over="lang", count(*), sum(score)),
+        sort="count(*) desc")
+
+parses into a node tree and COMPILES TO ONE DATAFRAME PLAN — no
+per-decorator materialization: Catalyst sees the whole pipeline
+(search → groupBy → TakeOrdered here) and optimizes it as a unit,
+which is the Spark-first reading of Solr's "stream decorators compose
+lazily" contract.
+
+Sources
+-------
+- ``search(collection, q="…", k=N, fl="a,b")`` — top-k BM25 over an
+  FtIndex bound in the context (query_string surface; fl joins stored
+  metadata columns).
+- ``table(name)`` — a DataFrame bound in the context; the analog of
+  Solr's ``jdbc()`` stream source (external relations as streams).
+
+Decorators
+----------
+``select`` (projection + `as` renames), ``sort``, ``top`` (TakeOrdered
+— never a global sort), ``unique`` (first row per key under the given
+sort), ``rollup`` (groupBy aggregates with Solr's literal metric
+names: ``count(*)``, ``sum(f)``, ``avg(f)``, ``min(f)``, ``max(f)``),
+``innerJoin`` / ``leftOuterJoin`` / ``hashJoin`` (hashJoin broadcasts
+the right side — Solr's own hint that the right stream fits in
+memory), ``merge`` (sorted union), ``intersect`` / ``complement``
+(left-semi / left-anti joins on the ``on`` key), ``having`` (boolean
+ops ``eq, gt, lt, gteq, lteq, and, or, not`` over rollup output).
+
+Unsupported decorators raise ValueError naming themselves — the
+grammar is a strict subset, never a silent no-op.
+
+Scale shape: every decorator maps to a declarative op (no UDFs, no
+driver materialization); ``top`` is the only global cut and plans as
+TakeOrderedAndProject. A `/stream` POST route serves the result.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- parser
+
+
+@dataclass
+class Node:
+    """A function-call node: name(positional_args…, key=value…)."""
+    name: str
+    args: list = field(default_factory=list)      # Node | str
+    params: dict = field(default_factory=dict)    # key -> str | Node
+
+
+class _P:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def err(self, msg: str):
+        raise ValueError(f"stream expression parse error at {self.i}: {msg}")
+
+    def ws(self):
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def peek(self) -> str:
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def ident(self) -> str:
+        j = self.i
+        while j < len(self.s) and (self.s[j].isalnum() or self.s[j] in "_.*"):
+            j += 1
+        if j == self.i:
+            self.err(f"expected identifier, found {self.peek()!r}")
+        tok, self.i = self.s[self.i:j], j
+        return tok
+
+    def quoted(self) -> str:
+        # "…" with backslash escapes (Solr's quoting)
+        assert self.s[self.i] == '"'
+        self.i += 1
+        out = []
+        while self.i < len(self.s):
+            c = self.s[self.i]
+            if c == "\\" and self.i + 1 < len(self.s):
+                out.append(self.s[self.i + 1])
+                self.i += 2
+                continue
+            if c == '"':
+                self.i += 1
+                return "".join(out)
+            out.append(c)
+            self.i += 1
+        self.err("unterminated quoted string")
+
+    def value(self):
+        """A parameter value: quoted string, nested call, or bare token
+        up to the next top-level ',' or ')'."""
+        self.ws()
+        if self.peek() == '"':
+            return self.quoted()
+        j = self.i
+        depth = 0
+        while j < len(self.s):
+            c = self.s[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            j += 1
+        raw = self.s[self.i:j].strip()
+        if "(" in raw:  # nested call as a value (e.g. having's boolean)
+            sub = _P(raw)
+            node = sub.call()
+            sub.ws()
+            if sub.i != len(raw):
+                self.err(f"trailing input in nested value: {raw!r}")
+            self.i = j
+            return node
+        self.i = j
+        return raw
+
+    def call(self) -> Node:
+        self.ws()
+        name = self.ident()
+        self.ws()
+        if self.peek() != "(":
+            self.err(f"expected '(' after {name!r}")
+        self.i += 1
+        node = Node(name)
+        self.ws()
+        if self.peek() == ")":
+            self.i += 1
+            return node
+        while True:
+            self.ws()
+            save = self.i
+            # try: identifier followed by '=' (param) or '(' (nested call)
+            if self.peek() == '"':
+                node.args.append(self.quoted())
+            else:
+                try:
+                    tok = self.ident()
+                except ValueError:
+                    tok = None
+                self.ws()
+                if tok is not None and self.peek() == "=":
+                    self.i += 1
+                    node.params[tok] = self.value()
+                elif tok is not None and self.peek() == "(":
+                    self.i = save
+                    node.args.append(self.call())
+                elif tok is not None:
+                    node.args.append(tok)
+                else:
+                    self.err(f"unexpected {self.peek()!r}")
+            self.ws()
+            if self.peek() == ",":
+                self.i += 1
+                continue
+            if self.peek() == ")":
+                self.i += 1
+                return node
+            self.err(f"expected ',' or ')', found {self.peek()!r}")
+
+
+def parse(expr: str) -> Node:
+    p = _P(expr)
+    node = p.call()
+    p.ws()
+    if p.i != len(expr):
+        p.err(f"trailing input: {expr[p.i:]!r}")
+    return node
+
+
+# ------------------------------------------------------------- evaluator
+
+_METRICS = {"count", "sum", "avg", "min", "max"}
+_BOOL_OPS = {"eq", "gt", "lt", "gteq", "lteq", "and", "or", "not"}
+
+
+def _sort_cols(spec: str):
+    cols = []
+    for part in spec.split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        if len(toks) > 2 or (len(toks) == 2 and
+                             toks[1].lower() not in ("asc", "desc")):
+            raise ValueError(f"bad sort spec {part.strip()!r}")
+        c = F.col(toks[0])
+        cols.append(c.desc() if len(toks) == 2 and toks[1].lower() == "desc"
+                    else c.asc())
+    if not cols:
+        raise ValueError("empty sort spec")
+    return cols
+
+
+def _metric(node: Node):
+    """sum(f)/count(*)/… → (agg Column aliased with Solr's literal
+    metric name, e.g. 'sum(score)')."""
+    if node.name not in _METRICS:
+        raise ValueError(f"unsupported rollup metric {node.name!r}")
+    if len(node.args) != 1 or node.params or not isinstance(node.args[0], str):
+        raise ValueError(f"metric {node.name} takes one field arg")
+    f = node.args[0]
+    label = f"{node.name}({f})"
+    if node.name == "count":
+        return F.count(F.lit(1)).alias(label)
+    if f == "*":
+        raise ValueError(f"{node.name}(*) is not a thing; name a field")
+    return getattr(F, node.name)(F.col(f)).alias(label)
+
+
+def _bool(node: Node):
+    """having's boolean tree → Column predicate. Operands are field
+    names (incl. Solr-literal metric names like 'sum(score)') or
+    numeric literals."""
+    def operand(x):
+        if isinstance(x, Node):
+            if x.name in _METRICS:
+                # metric reference == the rollup column's literal name
+                return F.col(f"{x.name}({x.args[0]})")
+            return _bool(x)
+        try:
+            return F.lit(float(x)) if "." in x else F.lit(int(x))
+        except ValueError:
+            return F.col(x)
+
+    if node.name not in _BOOL_OPS:
+        raise ValueError(f"unsupported boolean op {node.name!r}")
+    a = [operand(x) for x in node.args]
+    if node.name == "not":
+        if len(a) != 1:
+            raise ValueError("not() takes one arg")
+        return ~a[0]
+    if len(a) != 2:
+        raise ValueError(f"{node.name}() takes two args")
+    x, y = a
+    return {"eq": x == y, "gt": x > y, "lt": x < y,
+            "gteq": x >= y, "lteq": x <= y,
+            "and": x & y, "or": x | y}[node.name]
+
+
+class StreamContext:
+    """Bindings for a /stream evaluation: ``tables`` (name → DataFrame,
+    the jdbc()-analog sources) and ``indexes`` (name → FtIndex, the
+    search() collections)."""
+
+    def __init__(self, tables: dict | None = None,
+                 indexes: dict | None = None):
+        self.tables = tables or {}
+        self.indexes = indexes or {}
+
+
+def evaluate(expr: str | Node, ctx: StreamContext) -> DataFrame:
+    node = parse(expr) if isinstance(expr, str) else expr
+    return _eval(node, ctx)
+
+
+def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
+    name = node.name
+
+    if name == "table":
+        if len(node.args) != 1 or not isinstance(node.args[0], str):
+            raise ValueError("table() takes one name arg")
+        t = node.args[0]
+        if t not in ctx.tables:
+            raise ValueError(f"unknown table {t!r}")
+        return ctx.tables[t]
+
+    if name == "search":
+        if not node.args or not isinstance(node.args[0], str):
+            raise ValueError("search() needs a collection name first")
+        coll = node.args[0]
+        if coll not in ctx.indexes:
+            raise ValueError(f"unknown collection {coll!r}")
+        idx = ctx.indexes[coll]
+        q = node.params.get("q")
+        if not isinstance(q, str) or not q:
+            raise ValueError("search() needs q=\"…\"")
+        k = int(node.params.get("k", node.params.get("rows", 10)))
+        hits = idx.query_string(q, k=k)
+        spark = idx.spark
+        df = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in hits],
+            "doc_id long, score double")
+        fl = node.params.get("fl", "")
+        if fl:
+            cols = [c.strip() for c in str(fl).split(",") if c.strip()]
+            meta = [c for c in cols if c not in ("doc_id", "score")]
+            if meta:
+                docs = spark.read.parquet(str(idx.path / "docs")) \
+                    .select("doc_id", *meta)
+                df = df.join(docs, "doc_id", "left")
+            df = df.select(*(["doc_id", "score"]
+                             + [c for c in cols
+                                if c not in ("doc_id", "score")]))
+        return df
+
+    if name == "select":
+        if not node.args or not isinstance(node.args[0], Node):
+            raise ValueError("select() needs a stream first")
+        df = _eval(node.args[0], ctx)
+        outs = []
+        for spec in node.args[1:]:
+            if not isinstance(spec, str):
+                raise ValueError("select() fields must be strings")
+            parts = spec.split(" as ")
+            if len(parts) == 2:
+                outs.append(F.col(parts[0].strip())
+                            .alias(parts[1].strip()))
+            else:
+                outs.append(F.col(spec.strip()))
+        if not outs:
+            raise ValueError("select() needs at least one field")
+        return df.select(*outs)
+
+    if name == "sort":
+        df = _eval(_stream_arg(node), ctx)
+        return df.orderBy(*_sort_cols(_req(node, "by")))
+
+    if name == "top":
+        df = _eval(_stream_arg(node), ctx)
+        n = int(_req(node, "n"))
+        return df.orderBy(*_sort_cols(_req(node, "sort"))).limit(n)
+
+    if name == "unique":
+        df = _eval(_stream_arg(node), ctx)
+        over = [c.strip() for c in _req(node, "over").split(",")]
+        sort = node.params.get("sort")
+        order = _sort_cols(sort) if sort else [F.col(c).asc() for c in over]
+        w = Window.partitionBy(*over).orderBy(*order)
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+
+    if name == "rollup":
+        df = _eval(_stream_arg(node), ctx)
+        over = [c.strip() for c in _req(node, "over").split(",")]
+        metrics = [a for a in node.args[1:] if isinstance(a, Node)]
+        if not metrics:
+            raise ValueError("rollup() needs at least one metric")
+        return df.groupBy(*over).agg(*[_metric(m) for m in metrics])
+
+    if name in ("innerJoin", "leftOuterJoin", "hashJoin"):
+        streams = [a for a in node.args if isinstance(a, Node)]
+        if len(streams) != 2:
+            raise ValueError(f"{name}() needs exactly two streams")
+        left, right = _eval(streams[0], ctx), _eval(streams[1], ctx)
+        on_spec = _req(node, "on")
+        how = "left" if name == "leftOuterJoin" else "inner"
+        # rename the right side's join keys before building the
+        # condition: when both streams derive from the same source
+        # (rollup joined back onto its input), bare column refs are
+        # ambiguous and Spark warns about a trivially-true predicate
+        pairs = []
+        for part in on_spec.split(","):
+            l, r = (x.strip() for x in part.split("=", 1)) if "=" in part \
+                else (part.strip(), part.strip())
+            pairs.append((l, r))
+        for _, r in pairs:
+            right = right.withColumnRenamed(r, f"__sx_{r}")
+        if name == "hashJoin":
+            right = F.broadcast(right)
+        cond = left[pairs[0][0]] == right[f"__sx_{pairs[0][1]}"]
+        for l, r in pairs[1:]:
+            cond = cond & (left[l] == right[f"__sx_{r}"])
+        out = left.join(right, cond, how)
+        return out.drop(*[f"__sx_{r}" for _, r in pairs])
+
+    if name in ("intersect", "complement"):
+        # Solr set decorators: emit LEFT tuples whose key does (does
+        # not) appear in the right stream — left-semi / left-anti
+        streams = [a for a in node.args if isinstance(a, Node)]
+        if len(streams) != 2:
+            raise ValueError(f"{name}() needs exactly two streams")
+        left, right = _eval(streams[0], ctx), _eval(streams[1], ctx)
+        how = "left_semi" if name == "intersect" else "left_anti"
+        pairs = []
+        for part in _req(node, "on").split(","):
+            l, r = (x.strip() for x in part.split("=", 1)) if "=" in part \
+                else (part.strip(), part.strip())
+            pairs.append((l, r))
+        for _, r in pairs:  # same self-join disambiguation as the joins
+            right = right.withColumnRenamed(r, f"__sx_{r}")
+        cond = left[pairs[0][0]] == right[f"__sx_{pairs[0][1]}"]
+        for l, r in pairs[1:]:
+            cond = cond & (left[l] == right[f"__sx_{r}"])
+        return left.join(right, cond, how)
+
+    if name == "merge":
+        streams = [a for a in node.args if isinstance(a, Node)]
+        if len(streams) < 2:
+            raise ValueError("merge() needs two or more streams")
+        dfs = [_eval(s, ctx) for s in streams]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.orderBy(*_sort_cols(_req(node, "on")))
+
+    if name == "having":
+        df = _eval(_stream_arg(node), ctx)
+        preds = [a for a in node.args if isinstance(a, Node)
+                 and a.name in _BOOL_OPS]
+        if len(preds) != 1:
+            raise ValueError("having() needs exactly one boolean")
+        return df.filter(_bool(preds[0]))
+
+    raise ValueError(f"unsupported stream function {name!r}")
+
+
+def _stream_arg(node: Node) -> Node:
+    streams = [a for a in node.args if isinstance(a, Node)
+               and a.name not in _BOOL_OPS and a.name not in _METRICS]
+    if len(streams) != 1:
+        raise ValueError(f"{node.name}() needs exactly one input stream")
+    return streams[0]
+
+
+def _req(node: Node, key: str) -> str:
+    v = node.params.get(key)
+    if not isinstance(v, str) or not v:
+        raise ValueError(f"{node.name}() needs {key}=")
+    return v

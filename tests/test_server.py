@@ -806,3 +806,34 @@ def test_update_validation_400s(served_rw):
                 {"atomic": {"1": {"lang": {"inc": 1}}}}):
         status, body = _post_json(f"{base}/update", bad)
         assert status == 400 and "error" in body, bad
+
+
+def test_stream_endpoint(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    expr = ('top(n=3, rollup(search(idx, q="def return", k=20, fl="lang"), '
+            'over="lang", count(*)), sort="count(*) desc, lang asc")')
+    status, body = _post_json(f"{base}/stream", {"expr": expr})
+    assert status == 200
+    docs = body["result-set"]["docs"]
+    assert docs[-1] == {"EOF": True}
+    from ftidx.streamexpr import StreamContext, evaluate
+    exp = [r.asDict() for r in
+           evaluate(expr, StreamContext(indexes={"idx": idx})).collect()]
+    assert docs[:-1] == exp and exp
+
+    # table(docs) = the jdbc()-analog source over this index's docs
+    status, body = _post_json(
+        f"{base}/stream",
+        {"expr": 'top(n=2, select(table(docs), "doc_id", "lang"), '
+                 'sort="doc_id asc")'})
+    assert status == 200
+    rows = body["result-set"]["docs"][:-1]
+    assert len(rows) == 2 and set(rows[0]) == {"doc_id", "lang"}
+
+    for bad in ({"expr": "daemon(table(docs))"}, {}, {"expr": ""},
+                {"expr": 'top(n=1, table(nosuch), sort="x asc")'},
+                {"expr": 'top(n=1, select(table(docs), "nocol"), '
+                         'sort="nocol asc")'}):
+        status, body = _post_json(f"{base}/stream", bad)
+        assert status == 400 and "error" in body, bad

@@ -1,0 +1,204 @@
+"""Solr Streaming Expressions: parser structure + escapes + error
+paths (pure Python), each decorator against a hand-built DataFrame
+recount, the search() source against the dedicated query surface, and
+one composed end-to-end pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.streamexpr import Node, StreamContext, evaluate, parse
+
+# ------------------------------------------------------------- parser
+
+
+def test_parse_structure():
+    n = parse('top(n=5, rollup(table(t), over="lang", count(*), '
+              'sum(score)), sort="count(*) desc")')
+    assert n.name == "top" and n.params["n"] == "5"
+    r = n.args[0]
+    assert r.name == "rollup" and r.params["over"] == "lang"
+    assert [m.name for m in r.args if isinstance(m, Node)] == \
+        ["table", "count", "sum"]
+
+
+def test_parse_quoting_and_escapes():
+    n = parse('search(idx, q="a \\"b\\" c, d")')
+    assert n.params["q"] == 'a "b" c, d'
+    assert n.args == ["idx"]
+
+
+def test_parse_errors():
+    for bad in ("top(n=5", 'search(idx, q="unterminated)', "top(n=5))",
+                "", "top"):
+        with pytest.raises(ValueError):
+            parse(bad)
+
+
+# ---------------------------------------------------------- decorators
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    rows = [(i, "py" if i < 15 else ("go" if i < 25 else "js"),
+             i % 5, f"d{i}") for i in range(30)]
+    t = spark.createDataFrame(rows, "id long, lang string, v long, nm string")
+    dims = spark.createDataFrame(
+        [("py", "python"), ("go", "golang")], "lang string, full string")
+    return StreamContext(tables={"t": t, "dims": dims}), t, dims
+
+
+def test_select_and_rename(ctx):
+    c, t, _ = ctx
+    got = evaluate('select(table(t), "id", "v as val")', c)
+    assert got.columns == ["id", "val"]
+    assert got.count() == 30
+
+
+def test_sort_and_top(ctx):
+    c, t, _ = ctx
+    got = [r["id"] for r in
+           evaluate('top(n=4, table(t), sort="v desc, id asc")', c).collect()]
+    exp = [r["id"] for r in
+           t.orderBy(F.desc("v"), F.asc("id")).limit(4).collect()]
+    assert got == exp
+    # top plans as a global cut, not a full sort
+    plan = evaluate('top(n=4, table(t), sort="v desc, id asc")',
+                    c)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unique_first_per_key(ctx):
+    c, t, _ = ctx
+    got = {r["lang"]: r["id"] for r in
+           evaluate('unique(table(t), over="lang", sort="id asc")',
+                    c).collect()}
+    exp = {r["lang"]: r["id"] for r in
+           t.groupBy("lang").agg(F.min("id").alias("id")).collect()}
+    assert got == exp
+
+
+def test_rollup_metrics(ctx):
+    c, t, _ = ctx
+    got = {r["lang"]: (r["count(*)"], r["sum(v)"], r["avg(v)"],
+                       r["min(v)"], r["max(v)"]) for r in
+           evaluate('rollup(table(t), over="lang", count(*), sum(v), '
+                    'avg(v), min(v), max(v))', c).collect()}
+    exp = {r["lang"]: (r["c"], r["s"], r["a"], r["mn"], r["mx"]) for r in
+           t.groupBy("lang").agg(
+               F.count(F.lit(1)).alias("c"), F.sum("v").alias("s"),
+               F.avg("v").alias("a"), F.min("v").alias("mn"),
+               F.max("v").alias("mx")).collect()}
+    assert got == exp
+
+
+def test_having_on_metric(ctx):
+    c, t, _ = ctx
+    got = {r["lang"] for r in
+           evaluate('having(rollup(table(t), over="lang", sum(v)), '
+                    'gt(sum(v), 15))', c).collect()}
+    exp = {r["lang"] for r in
+           t.groupBy("lang").agg(F.sum("v").alias("s")).collect()
+           if r["s"] > 15}
+    assert got == exp and 0 < len(got) < 3
+
+
+def test_joins(ctx):
+    c, t, dims = ctx
+    inner = evaluate('innerJoin(table(t), table(dims), on="lang")', c)
+    assert inner.count() == t.filter(F.col("lang") != "js").count()
+    assert "full" in inner.columns and inner.columns.count("lang") == 1
+
+    louter = evaluate('leftOuterJoin(table(t), table(dims), on="lang")', c)
+    assert louter.count() == 30
+    assert louter.filter(F.col("full").isNull()).count() == \
+        t.filter(F.col("lang") == "js").count()
+
+    hashed = evaluate('hashJoin(table(t), table(dims), on="lang")', c)
+    assert {(r["id"], r["full"]) for r in hashed.collect()} == \
+        {(r["id"], r["full"]) for r in inner.collect()}
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_intersect_and_complement(ctx):
+    c, t, dims = ctx
+    semi = evaluate('intersect(table(t), table(dims), on="lang")', c)
+    assert semi.columns == t.columns
+    assert semi.count() == t.filter(F.col("lang").isin("py", "go")).count()
+    anti = evaluate('complement(table(t), table(dims), on="lang")', c)
+    assert anti.count() == t.filter(F.col("lang") == "js").count()
+    assert semi.count() + anti.count() == t.count()
+
+
+def test_merge_sorted_union(ctx):
+    c, t, _ = ctx
+    got = [r["id"] for r in
+           evaluate('merge(select(table(t), "id"), select(table(t), "id"), '
+                    'on="id asc")', c).collect()]
+    assert got == sorted(got) and len(got) == 60
+
+
+def test_error_paths(ctx):
+    c, _, _ = ctx
+    for bad in ('table(nosuch)', 'daemon(table(t))',
+                'rollup(table(t), over="lang")',
+                'top(table(t), sort="v desc")',          # n missing
+                'top(n=2, table(t))',                    # sort missing
+                'having(rollup(table(t), over="lang", count(*)), '
+                'gt(count(*), 1), gt(count(*), 2))',
+                'select(table(t))',
+                'innerJoin(table(t), on="lang")',
+                'rollup(table(t), over="lang", median(v))'):
+        with pytest.raises(ValueError):
+            evaluate(bad, c)
+
+
+# ------------------------------------------------------- search source
+
+
+@pytest.fixture(scope="module")
+def stream_idx(spark, tmp_path_factory):
+    from ftidx.index import build_index, open_index
+    from ftidx.synth import synth_source
+
+    out = str(tmp_path_factory.mktemp("sx") / "idx")
+    build_index(spark, synth_source(spark, 150), out, n_buckets=4,
+                hot_df_threshold=50)
+    return open_index(spark, out)
+
+
+def test_search_source_matches_query_string(stream_idx):
+    c = StreamContext(indexes={"idx": stream_idx})
+    got = [(r["doc_id"], r["score"]) for r in
+           evaluate('sort(search(idx, q="def return", k=8), '
+                    'by="score desc, doc_id asc")', c).collect()]
+    exp = stream_idx.query_string("def return", k=8)
+    assert got == sorted(exp, key=lambda h: (-h[1], h[0]))
+
+
+def test_search_fl_joins_metadata(stream_idx):
+    c = StreamContext(indexes={"idx": stream_idx})
+    got = evaluate('search(idx, q="def", k=5, fl="lang,repo")', c)
+    assert got.columns == ["doc_id", "score", "lang", "repo"]
+    assert got.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_composed_pipeline(stream_idx):
+    """search → rollup → having → top, equal to the hand-built chain."""
+    c = StreamContext(indexes={"idx": stream_idx})
+    expr = ('top(n=2, having(rollup(search(idx, q="def return", k=50, '
+            'fl="lang"), over="lang", count(*), sum(score)), '
+            'gt(count(*), 2)), sort="sum(score) desc, lang asc")')
+    got = [(r["lang"], r["count(*)"]) for r in evaluate(expr, c).collect()]
+
+    hits = stream_idx.query_string("def return", k=50)
+    spark = stream_idx.spark
+    df = spark.createDataFrame(hits, "doc_id long, score double")
+    docs = spark.read.parquet(f"{stream_idx.path}/docs").select(
+        "doc_id", "lang")
+    exp = [(r["lang"], r["c"]) for r in
+           df.join(docs, "doc_id").groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("c"), F.sum("score").alias("s"))
+           .filter(F.col("c") > 2)
+           .orderBy(F.desc("s"), F.asc("lang")).limit(2).collect()]
+    assert got == exp and got
