@@ -930,10 +930,11 @@ def _md5_uniform(id_expr, seed: int, digits: int = 6):
     portable verbatim to the SQL oracle — never ``rand()``, which no
     two engines (or even two runs) reproduce."""
     h = F.md5(F.concat_ws(":", id_expr.cast("string"), F.lit(str(seed))))
-    binv = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
-    for i in range(2, digits + 1):
-        binv = binv * 16 + (
-            F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1)
+    # conv() parses the hex prefix in ONE expression — the equivalent
+    # per-digit instr() chain re-inlines the md5 subexpression O(d²)
+    # times (no codegen CSE), which blew whole-stage codegen past the
+    # 64 KB method limit when two hash families met in one stage
+    binv = F.conv(F.substring(h, 1, digits), 16, 10).cast("long")
     return (binv.cast("double") + F.lit(0.5)) / F.lit(float(16 ** digits))
 
 

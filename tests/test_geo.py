@@ -106,3 +106,24 @@ def test_geo_join_matches_per_center_radius(spark, pts):
         for r in geo_radius(pts, cla, clo, 2500.0).collect():
             exp.add((cid, r["doc_id"]))
     assert got == exp
+
+
+def test_bbox_filters_push_to_parquet_scan(spark, tmp_path):
+    """The bbox prefilter is the ONLY thing the full corpus evaluates
+    — it must reach the parquet scan as pushed filters (with lat/lon
+    partitioning it becomes partition pruning at cluster scale)."""
+    p = str(tmp_path / "pts")
+    spark.createDataFrame(_points(), "doc_id long, lat double, lon double") \
+        .write.parquet(p)
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = geo_radius(spark.read.parquet(p), 37.0, -5.0, 3000.0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for frag in ("GreaterThanOrEqual(lat", "LessThanOrEqual(lat",
+                 "GreaterThanOrEqual(lon", "LessThanOrEqual(lon"):
+        assert frag in pushed, frag
