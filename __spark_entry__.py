@@ -2161,13 +2161,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_topk": q_ann_sq_topk,
         "dup_components": q_dup_components,
         "lang_id": q_lang_id,
+        # --- round-3 session-3 additions, placed INSIDE the driver's
+        # 50-entry window so each new operator family gets a hard
+        # CORRECTNESS_r03 row; the six standard ops they displace
+        # (fingerprints … events_window_topn) carry driver-green rows
+        # from rounds 1-2 and move just below the window ---
+        "semdedup": q_semdedup,
+        "geo_radius": q_geo_radius,
+        "geo_knn": q_geo_knn,
+        "graph_expand": q_graph_expand,
+        "stream_rollup": q_stream_rollup,
+        "stream_join_top": q_stream_join_top,
+        # --- unchecked remainder: rotate into the window next round ---
         "fingerprints": q_fingerprints,
         "agg_pricing_summary": q_agg_pricing_summary,
         "broadcast_dim_join": q_broadcast_dim_join,
         "window_topk_orders": q_window_topk_orders,
         "events_tumbling": q_events_tumbling,
         "events_window_topn": q_events_window_topn,
-        # --- unchecked remainder: rotate into the window next round ---
         "json_extract_agg": q_json_extract_agg,
         "set_ops": q_set_ops,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -2230,12 +2241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
-        "semdedup": q_semdedup,
-        "geo_radius": q_geo_radius,
-        "geo_knn": q_geo_knn,
-        "graph_expand": q_graph_expand,
-        "stream_rollup": q_stream_rollup,
-        "stream_join_top": q_stream_join_top,
     }
 
 
