@@ -854,6 +854,53 @@ def _make_handler(idx, lock: threading.Lock):
                     idx.refresh()
                 self._json(200, {"status": "compacted",
                                  "deltas": deltas, "tombstones": tombs})
+            elif path == "/sql":
+                # Solr Parallel SQL (/sql — the JDBC interface): a
+                # read-only SELECT over this index's docs table,
+                # registered as view `docs`. Solr compiles SQL to
+                # streaming expressions over the collection; here
+                # Spark IS the SQL engine, so the statement compiles
+                # straight to a Catalyst plan. Guard: one statement
+                # (no ';'), first keyword SELECT or WITH — Spark runs
+                # single statements and a SELECT cannot mutate, so
+                # the endpoint is structurally read-only.
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    stmt = body.get("stmt") if isinstance(body, dict) \
+                        else None
+                    if not isinstance(stmt, str) or not stmt.strip():
+                        raise ValueError('/sql body must be {"stmt": "…"}')
+                    stmt = stmt.strip().rstrip(";").strip()
+                    if ";" in stmt:
+                        raise ValueError("one statement only")
+                    head = stmt.split(None, 1)[0].lower()
+                    if head not in ("select", "with"):
+                        raise ValueError(
+                            "read-only endpoint: statement must start "
+                            "with SELECT or WITH")
+                    cap = int(body.get("rows", 1000))
+                    if cap < 0:
+                        raise ValueError("rows must be >= 0")
+                    with lock:
+                        idx.spark.read.parquet(str(idx.path / "docs")) \
+                            .createOrReplaceTempView("docs")
+                        rows = idx.spark.sql(stmt).limit(cap).collect()
+                    out = [{k: (v.isoformat()
+                                if hasattr(v, "isoformat") else v)
+                            for k, v in r.asDict().items()} for r in rows]
+                    out.append({"EOF": True})
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:
+                    if type(e).__name__ in ("AnalysisException",
+                                            "ParseException"):
+                        self._json(400, {"error": str(e).split("\n")[0]})
+                        return
+                    raise
+                self._json(200, {"result-set": {"docs": out}})
             elif path == "/stream":
                 # Solr Streaming Expressions (/stream): body
                 # {"expr": "...", "rows": cap} — parsed and compiled

@@ -8,6 +8,7 @@ import json
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from ftidx.index import build_index, open_index
 from ftidx.server import FtServer
@@ -836,4 +837,36 @@ def test_stream_endpoint(served):
                 {"expr": 'top(n=1, select(table(docs), "nocol"), '
                          'sort="nocol asc")'}):
         status, body = _post_json(f"{base}/stream", bad)
+        assert status == 400 and "error" in body, bad
+
+
+def test_sql_endpoint(served):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _post_json(
+        f"{base}/sql",
+        {"stmt": "SELECT lang, count(*) AS n FROM docs "
+                 "GROUP BY lang ORDER BY n DESC, lang"})
+    assert status == 200
+    docs = body["result-set"]["docs"]
+    assert docs[-1] == {"EOF": True}
+    exp = [(r["lang"], r["n"]) for r in
+           idx.spark.read.parquet(f"{idx.path}/docs")
+           .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), F.asc("lang")).collect()]
+    assert [(d["lang"], d["n"]) for d in docs[:-1]] == exp
+
+    # WITH works; trailing semicolon tolerated
+    status, body = _post_json(
+        f"{base}/sql",
+        {"stmt": "WITH c AS (SELECT count(*) AS n FROM docs) "
+                 "SELECT n FROM c;"})
+    assert status == 200 and body["result-set"]["docs"][0]["n"] > 0
+
+    for bad in ({"stmt": "DROP TABLE docs"},
+                {"stmt": "INSERT INTO docs VALUES (1)"},
+                {"stmt": "SELECT 1; SELECT 2"},
+                {"stmt": "SELECT nosuchcol FROM docs"},
+                {"stmt": ""}, {}):
+        status, body = _post_json(f"{base}/sql", bad)
         assert status == 400 and "error" in body, bad
