@@ -61,6 +61,9 @@ def curate_corpus(
     near_dup_threshold: float = 0.8,
     contamination_ngram: int = 8,
     transitive: bool = False,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_centroids: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -75,7 +78,10 @@ def curate_corpus(
        ``transitive=True`` run connected components over the pair graph
        and keep exactly one doc (the min id) per duplicate CLUSTER —
        the full-closure dedup a production corpus wants
-    4. decontamination (when ``probes`` given): drop docs sharing an
+    4. semantic dedup (when ``embeddings`` given — (vec_id, embedding)
+       rows keyed by doc id): SemDeDup cluster-local cosine pruning
+       drops paraphrase-level duplicates the lexical stages can't see
+    5. decontamination (when ``probes`` given): drop docs sharing an
        n-gram shingle with any probe
     """
     q = quality_scores(docs, text_col=text_col, id_col=id_col)
@@ -101,6 +107,20 @@ def curate_corpus(
         losers = near_dup_losers(stage2, threshold=near_dup_threshold) \
             .withColumnRenamed("doc_id", id_col)
         stage3 = stage2.join(losers, id_col, "left_anti")
+
+    if embeddings is not None:
+        from ftidx.dedup import semdedup
+
+        # restrict to current survivors FIRST (cells stay as small as
+        # the surviving corpus), then drop semantic dups
+        surv_emb = embeddings.join(
+            stage3.select(F.col(id_col).alias("vec_id")), "vec_id")
+        sem_dups = semdedup(
+            surv_emb, threshold=semantic_threshold,
+            n_centroids=semantic_centroids,
+        ).filter(F.col("is_dup")) \
+            .select(F.col("vec_id").alias(id_col))
+        stage3 = stage3.join(sem_dups, id_col, "left_anti")
 
     if probes is not None:
         dirty = contamination(

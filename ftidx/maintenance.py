@@ -616,7 +616,10 @@ def upsert_docs(spark: SparkSession, index_path: str,
     new_rows = partial_source.select(*_SOURCE_COLS)
     keys = new_rows.select("repo", "path").distinct()
     docs = spark.read.parquet(str(path / "docs"))
-    old_b = (docs.join(F.broadcast(keys), ["repo", "path"])
+    # no forced broadcast: a point update's key set is tiny (AQE
+    # broadcasts it automatically), but a BULK partial update may not
+    # fit the driver — let the planner decide
+    old_b = (docs.join(keys, ["repo", "path"])
              .select(F.col("bucket").alias("b")))
     new_b = prepare_docs(new_rows, n_buckets).select(F.col("bucket").alias("b"))
     dirty = sorted(int(r["b"]) for r in old_b.union(new_b).distinct().collect())
@@ -630,7 +633,7 @@ def upsert_docs(spark: SparkSession, index_path: str,
     stored = (spark.read.parquet(str(path / "stored"))
               .filter(F.col("bucket").isin(dirty))
               .select("doc_id", "content"))
-    mates = in_dirty.join(F.broadcast(keys), ["repo", "path"], "left_anti")
+    mates = in_dirty.join(keys, ["repo", "path"], "left_anti")
     # refuse to silently turn a doc with text into a metadata-only
     # doc: every live bucket-mate that HAD content must have it stored
     missing = (mates.filter((~F.col("deleted"))

@@ -20,6 +20,9 @@ Sources
 - ``search(collection, q="…", k=N, fl="a,b")`` — top-k BM25 over an
   FtIndex bound in the context (query_string surface; fl joins stored
   metadata columns).
+- ``facet(collection, q="…", buckets="f", count(*)…, bucketSorts=,
+  bucketSizeLimit=)`` — aggregates over the FULL match set (match ids
+  decode executor-side; never a top-k truncation).
 - ``table(name)`` — a DataFrame bound in the context; the analog of
   Solr's ``jdbc()`` stream source (external relations as streams).
 
@@ -32,7 +35,8 @@ names: ``count(*)``, ``sum(f)``, ``avg(f)``, ``min(f)``, ``max(f)``),
 ``innerJoin`` / ``leftOuterJoin`` / ``hashJoin`` (hashJoin broadcasts
 the right side — Solr's own hint that the right stream fits in
 memory), ``merge`` (sorted union), ``intersect`` / ``complement``
-(left-semi / left-anti joins on the ``on`` key), ``having`` (boolean
+(left-semi / left-anti joins on the ``on`` key), ``fetch`` (stored-
+field enrichment from a collection's docs table), ``having`` (boolean
 ops ``eq, gt, lt, gteq, lteq, and, or, not`` over rollup output).
 
 Unsupported decorators raise ValueError naming themselves — the
@@ -312,6 +316,59 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
                                 if c not in ("doc_id", "score")]))
         return df
 
+    if name == "facet":
+        # Solr facet() stream source: aggregates over the FULL match
+        # set of q — never a top-k truncation. Match ids decode
+        # executor-side from the term-pruned postings
+        # (FtIndex._matched_ids), inner-join the docs table for field
+        # values, one map-side-combinable groupBy; buckets ranked by
+        # bucketSorts, cut at bucketSizeLimit (TakeOrdered).
+        if not node.args or not isinstance(node.args[0], str):
+            raise ValueError("facet() needs a collection name first")
+        coll = node.args[0]
+        if coll not in ctx.indexes:
+            raise ValueError(f"unknown collection {coll!r}")
+        idx = ctx.indexes[coll]
+        q = node.params.get("q")
+        if not isinstance(q, str) or not q.split():
+            raise ValueError('facet() needs q="term …" (disjunction)')
+        buckets = [c.strip() for c in _req(node, "buckets").split(",")]
+        metrics = [a for a in node.args[1:] if isinstance(a, Node)]
+        if not metrics:
+            raise ValueError("facet() needs at least one metric")
+        sorts = node.params.get("bucketSorts", "count(*) desc")
+        limit = int(node.params.get("bucketSizeLimit", 10))
+        field = node.params.get("field", "code.content")
+        ids = idx._matched_ids(q.split(), field)
+        docs = idx.spark.read.parquet(str(idx.path / "docs"))
+        return (docs.join(ids, "doc_id")
+                .groupBy(*buckets)
+                .agg(*[_metric(m) for m in metrics])
+                .orderBy(*_sort_cols(sorts)).limit(limit))
+
+    if name == "fetch":
+        # Solr fetch(): enrich stream tuples with stored fields from a
+        # collection — a left join against the (column-pruned) docs
+        # table on the `on` key
+        if not node.args or not isinstance(node.args[0], str):
+            raise ValueError("fetch() needs a collection name first")
+        coll = node.args[0]
+        if coll not in ctx.indexes:
+            raise ValueError(f"unknown collection {coll!r}")
+        df = _eval(_stream_arg(node), ctx)
+        on_spec = _req(node, "on")
+        l, r = (x.strip() for x in on_spec.split("=", 1)) if "=" in on_spec \
+            else (on_spec.strip(), on_spec.strip())
+        fl = [c.strip() for c in _req(node, "fl").split(",") if c.strip()]
+        fl = [c for c in fl if c not in df.columns]  # already-present
+        if not fl:
+            return df
+        idx = ctx.indexes[coll]
+        docs = idx.spark.read.parquet(str(idx.path / "docs")) \
+            .select(F.col(r).alias("__sx_on"), *fl)
+        return df.join(docs, df[l] == F.col("__sx_on"), "left") \
+            .drop("__sx_on")
+
     if name == "select":
         if not node.args or not isinstance(node.args[0], Node):
             raise ValueError("select() needs a stream first")
@@ -411,6 +468,16 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out.orderBy(*_sort_cols(_req(node, "on")))
+
+    if name == "parallel":
+        # Solr parallel(workers, stream, sort=) shards the stream over
+        # N workers and merge-sorts at the coordinator. Spark executes
+        # EVERY stream distributed already, so parallel() reduces to
+        # its inner stream — plus the merge sort when given (the only
+        # observable part of the contract here)
+        df = _eval(_stream_arg(node), ctx)
+        sort = node.params.get("sort")
+        return df.orderBy(*_sort_cols(sort)) if sort else df
 
     if name == "having":
         df = _eval(_stream_arg(node), ctx)

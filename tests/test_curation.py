@@ -1269,3 +1269,27 @@ def test_semdedup_threshold_monotone(emb):
              semdedup(emb, threshold=0.3, n_centroids=4).collect()
              if r["is_dup"]}
     assert strict <= loose and len(loose) > len(strict)
+
+
+def test_curate_semantic_stage(spark, docs, emb):
+    """SemDeDup stage: a doc whose embedding sits at cosine >= the
+    threshold next to a lower-id survivor is dropped; docs without an
+    embedding row are untouched (left_anti only removes flagged ids)."""
+    from ftidx.curate import curate_corpus
+    from ftidx.dedup import semdedup
+
+    # docs fixture ids are 0..6; emb fixture ids 0..29 + 100/101 —
+    # build a docs frame matching the emb ids so the stage can bite
+    rows = [(int(r["vec_id"]), f"text body number {r['vec_id']} "
+             + "alpha beta gamma delta") for r in emb.collect()]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    clean = curate_corpus(d, min_tokens=1, min_quality=0.0,
+                          near_dup_threshold=1.01,  # disable lexical
+                          embeddings=emb, semantic_threshold=0.95,
+                          semantic_centroids=4)
+    ids = {r["doc_id"] for r in clean.collect()}
+    sem = {r["vec_id"]: r for r in
+           semdedup(emb, threshold=0.95, n_centroids=4).collect()}
+    assert 101 not in ids and 100 in ids  # planted pair: keep-min-id
+    for vid, r in sem.items():
+        assert (vid in ids) == (not r["is_dup"])

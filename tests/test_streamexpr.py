@@ -202,3 +202,38 @@ def test_composed_pipeline(stream_idx):
            .filter(F.col("c") > 2)
            .orderBy(F.desc("s"), F.asc("lang")).limit(2).collect()]
     assert got == exp and got
+
+
+def test_fetch_enriches_from_collection(stream_idx):
+    c = StreamContext(indexes={"idx": stream_idx})
+    got = evaluate('fetch(idx, search(idx, q="def", k=5), '
+                   'fl="lang,repo", on="doc_id")', c)
+    assert got.columns == ["doc_id", "score", "lang", "repo"]
+    assert got.filter(F.col("lang").isNull()).count() == 0
+    base = evaluate('search(idx, q="def", k=5, fl="lang,repo")', c)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, base.collect()))
+
+
+def test_parallel_reduces_to_inner(ctx):
+    c, t, _ = ctx
+    got = [r["id"] for r in
+           evaluate('parallel(workers=4, select(table(t), "id"), '
+                    'sort="id desc")', c).collect()]
+    assert got == sorted((r["id"] for r in t.collect()), reverse=True)
+
+
+def test_facet_source_full_match_set(stream_idx):
+    """facet() aggregates the WHOLE match set (exact, not top-k):
+    equal to a recount over _matched_ids joined to the docs table."""
+    c = StreamContext(indexes={"idx": stream_idx})
+    got = {r["lang"]: r["count(*)"] for r in
+           evaluate('facet(idx, q="def return", buckets="lang", '
+                    'count(*), bucketSorts="count(*) desc, lang asc", '
+                    'bucketSizeLimit=100)', c).collect()}
+    ids = stream_idx._matched_ids(["def", "return"], "code.content")
+    docs = stream_idx.spark.read.parquet(f"{stream_idx.path}/docs")
+    exp = {r["lang"]: r["n"] for r in
+           docs.join(ids, "doc_id").groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exp and sum(got.values()) > 10
