@@ -487,6 +487,24 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
             raise ValueError("having() needs exactly one boolean")
         return df.filter(_bool(preds[0]))
 
+    redirect = {
+        "daemon": "recurring execution is Structured Streaming's job — "
+                  "see ftidx.streaming (or schedule the expression "
+                  "externally)",
+        "topic": "checkpointed pub-sub over an index is served by "
+                 "ftidx.streaming's delta ingestion + FtIndex.refresh",
+        "update": "writes go through POST /update "
+                  "(maintenance.upsert_docs / atomic_update)",
+        "commit": "POST /compact folds deltas and tombstones",
+        "knnSearch": "vector search lives in ftidx.ann "
+                     "(cosine_topk / ivf / pq / rrf_fuse)",
+        "significantTerms": "ftidx.textops.significant_terms",
+        "stats": "rollup() over the stream, or FtIndex.match_stats",
+    }
+    if name in redirect:
+        raise ValueError(
+            f"stream function {name!r} is not part of this surface: "
+            f"{redirect[name]}")
     raise ValueError(f"unsupported stream function {name!r}")
 
 

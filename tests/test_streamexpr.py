@@ -237,3 +237,13 @@ def test_facet_source_full_match_set(stream_idx):
            docs.join(ids, "doc_id").groupBy("lang")
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == exp and sum(got.values()) > 10
+
+
+def test_redirect_errors_name_the_real_surface(ctx):
+    c, _, _ = ctx
+    with pytest.raises(ValueError, match="Structured Streaming"):
+        evaluate('daemon(table(t))', c)
+    with pytest.raises(ValueError, match="ftidx.ann"):
+        evaluate('knnSearch(idx, q="x")', c)
+    with pytest.raises(ValueError, match="POST /update"):
+        evaluate('update(idx, table(t))', c)
