@@ -1293,3 +1293,29 @@ def test_curate_semantic_stage(spark, docs, emb):
     assert 101 not in ids and 100 in ids  # planted pair: keep-min-id
     for vid, r in sem.items():
         assert (vid in ids) == (not r["is_dup"])
+
+
+def test_compression_ratio_signal(spark):
+    from ftidx.textops import compression_ratio
+
+    import os
+    rows = [
+        (0, "the " * 500),                       # boilerplate: tiny ratio
+        (1, os.urandom(400).hex()),              # high-entropy-ish hex
+        (2, "def f(x):\n    return x + 1\n" * 8),
+        (3, ""),                                 # empty -> ratio 1.0
+        (4, None),                               # NULL  -> ratio 1.0
+    ]
+    out = {r["doc_id"]: r for r in
+           compression_ratio(
+               spark.createDataFrame(rows, "doc_id long, text string")
+           ).collect()}
+    assert out[0]["ratio_r"] < 0.05
+    assert out[1]["ratio_r"] > out[0]["ratio_r"] * 5
+    assert 0.0 < out[2]["ratio_r"] < 1.0
+    assert out[3]["ratio_r"] == 1.0 and out[3]["n_bytes"] == 0
+    assert out[4]["ratio_r"] == 1.0
+    # exact recount for one doc
+    import zlib
+    b = ("the " * 500).encode()
+    assert out[0]["n_compressed"] == len(zlib.compress(b, 6))

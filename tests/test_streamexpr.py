@@ -247,3 +247,21 @@ def test_redirect_errors_name_the_real_surface(ctx):
         evaluate('knnSearch(idx, q="x")', c)
     with pytest.raises(ValueError, match="POST /update"):
         evaluate('update(idx, table(t))', c)
+
+
+def test_parse_never_crashes():
+    """Any input either parses to a Node or raises ValueError — the
+    parser must never throw anything else (the /stream route maps
+    ValueError to 400; an unexpected exception would 500)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def run(s):
+        try:
+            parse(s)
+        except ValueError:
+            pass
+
+    run()
