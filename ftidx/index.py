@@ -1596,6 +1596,32 @@ class FtIndex:
         )
         return [(r["term"], int(r["df"]), int(r["dist"])) for r in vocab.collect()]
 
+    def phonetic_terms(self, term: str, field: str = "code.content",
+                       limit: int = 50) -> list[tuple[str, int]]:
+        """Phonetic term expansion (Solr PhoneticFilterFactory with the
+        Soundex encoder): vocabulary terms sharing the query term's
+        soundex code — "smith" matches "smyth"/"smithe" — ranked
+        (df DESC, term ASC), capped at ``limit`` (the multi-term
+        expansion cap the fuzzy/wildcard paths use). Returns
+        (term, df_global). Non-alphabetic query terms (soundex is
+        undefined for them) return [].
+
+        Plan shape: one column-pruned (term, df) vocabulary scan with
+        a codegen ``soundex()`` equality — same sublinear-vocab cost
+        as :meth:`fuzzy_terms`, no posting blob is touched."""
+        import re as _re
+
+        if not _re.match(r"^[A-Za-z]", term or ""):
+            return []
+        vocab = (
+            self._postings.filter(F.col("field") == field)
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .filter(F.soundex(F.col("term")) == F.soundex(F.lit(term)))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+        )
+        return [(r["term"], int(r["df"])) for r in vocab.collect()]
+
     def wildcard_terms(self, pattern: str, field: str = "code.content",
                        limit: int = 50) -> list[tuple[str, int]]:
         """Wildcard term expansion (Lucene WildcardQuery, Solr

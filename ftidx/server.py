@@ -264,6 +264,17 @@ def _make_handler(idx, lock: threading.Lock):
                         {"term": t, "df": df, "dist": dist}
                         for t, df, dist in out
                     ]})
+                elif u.path == "/phonetic":
+                    term = qs.get("term", [""])[0]
+                    if not term:
+                        self._json(400, {"error": "missing term"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        out = idx.phonetic_terms(term, field=field)
+                    self._json(200, {"terms": [
+                        {"term": t, "df": df} for t, df in out
+                    ]})
                 elif u.path == "/wildcard":
                     # Lucene WildcardQuery expansion introspection
                     # (mirror of /fuzzy): which vocabulary terms does

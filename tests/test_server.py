@@ -870,3 +870,33 @@ def test_sql_endpoint(served):
                 {"stmt": ""}, {}):
         status, body = _post_json(f"{base}/sql", bad)
         assert status == 400 and "error" in body, bad
+
+
+def test_phonetic_endpoint(spark, tmp_path):
+    """Soundex expansion: smith/smyth/smithe share S530; 'xyzzy'
+    doesn't; non-alphabetic query -> empty, not an error."""
+    docs = spark.createDataFrame(
+        [("r", f"f{i}.txt", f"c{i}", "text", txt, False, None)
+         for i, txt in enumerate([
+             "smith wrote code", "smyth wrote more", "smithe again",
+             "completely unrelated xyzzy"])],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, modified timestamp")
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_buckets=2, hot_df_threshold=50)
+    idx = open_index(spark, out)
+    got = [t for t, _ in idx.phonetic_terms("smith")]
+    assert set(got) == {"smith", "smyth", "smithe"}
+    assert idx.phonetic_terms("42") == []
+
+    srv = FtServer(idx).start()
+    try:
+        status, body = _get(
+            f"http://{srv.host}:{srv.port}/phonetic?term=smith")
+        assert status == 200
+        assert {t["term"] for t in body["terms"]} == set(got)
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError):
+            _get(f"http://{srv.host}:{srv.port}/phonetic?term=")
+    finally:
+        srv.stop()
