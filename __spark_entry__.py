@@ -726,6 +726,21 @@ def q_geo_knn(spark, sf_dir):
         .select("doc_id", "dist_km_r")
 
 
+_PENTAGON = [(10.0, -20.0), (45.0, -10.0), (38.0, 25.0), (5.0, 30.0),
+             (-8.0, 3.0)]
+
+
+def q_geo_polygon(spark, sf_dir):
+    # Lucene LatLonShape polygon containment: even-odd ray casting as
+    # ONE codegen expression; the oracle predicate is GENERATED from
+    # the same edge list and float literals (ftidx.geo.polygon_sql),
+    # so both engines evaluate identical arithmetic
+    from ftidx.geo import point_in_polygon
+
+    return point_in_polygon(_geo_points(spark, sf_dir), _PENTAGON) \
+        .select("doc_id", "lat", "lon")
+
+
 def q_graph_expand(spark, sf_dir):
     # Solr {!graph maxDepth=4}: BFS min-hop depths from seeds {0,1,2}
     # over a deterministic md5-derived edge table (src = hash-bucket of
@@ -2160,7 +2175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_elevated": q_bm25_elevated,
         "ann_sq_topk": q_ann_sq_topk,
         "dup_components": q_dup_components,
-        "lang_id": q_lang_id,
         # --- round-3 session-3 additions, placed INSIDE the driver's
         # 50-entry window so each new operator family gets a hard
         # CORRECTNESS_r03 row; the six standard ops they displace
@@ -2169,10 +2183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "geo_radius": q_geo_radius,
         "geo_knn": q_geo_knn,
+        "geo_polygon": q_geo_polygon,
         "graph_expand": q_graph_expand,
         "stream_rollup": q_stream_rollup,
         "stream_join_top": q_stream_join_top,
         # --- unchecked remainder: rotate into the window next round ---
+        "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "agg_pricing_summary": q_agg_pricing_summary,
         "broadcast_dim_join": q_broadcast_dim_join,
@@ -2245,6 +2261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ftidx.geo import polygon_sql
+
     return {
         "term_stats": f"""
             WITH {_TOK_CTE}
@@ -3248,6 +3266,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, dist_km_r,
                      row_number() OVER (ORDER BY dist_km_r, doc_id) AS rn
               FROM d) WHERE rn <= 15
+        """,
+        "geo_polygon": f"""
+            WITH {_geo_sql(0.0, 0.0)[0]}
+            SELECT doc_id, lat, lon FROM pts
+            WHERE {polygon_sql(_PENTAGON)}
         """,
         "graph_expand": f"""
             WITH RECURSIVE edges AS (

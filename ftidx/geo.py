@@ -144,3 +144,68 @@ def geo_join(points: DataFrame, centers: DataFrame, radius_km: float,
         .withColumn("dist_km_r", dist)
         .filter(F.col("dist_km_r") <= radius_km)
     )
+
+
+def _ring_edges(polygon):
+    """Closed-ring edge list, HORIZONTAL EDGES DROPPED: a horizontal
+    ray never crosses a horizontal edge in the strict-inequality
+    crossing test, and keeping them would put a division by zero
+    inside the (short-circuited, but engine-dependent) AND. Dropping
+    them is exact for the ray-casting parity rule."""
+    pts = list(polygon)
+    if pts[0] != pts[-1]:
+        pts = pts + [pts[0]]
+    return [(la1, lo1, la2, lo2)
+            for (la1, lo1), (la2, lo2) in zip(pts, pts[1:])
+            if la1 != la2]
+
+
+def point_in_polygon(df: DataFrame, polygon, lat_col: str = "lat",
+                     lon_col: str = "lon") -> DataFrame:
+    """Polygon containment filter (Solr `{!field f=geo}Intersects
+    (POLYGON((…)))`, Lucene LatLonShape): even-odd ray casting — a
+    point is inside iff a horizontal ray eastward crosses the ring an
+    odd number of times. ``polygon`` is a small literal ring of
+    (lat, lon) vertices (closed automatically).
+
+    Compiles to ONE codegen expression — a sum of per-edge crossing
+    tests over the literal vertex list, no UDF, no join, no explode;
+    the full corpus evaluates |edges| comparisons per row and the
+    planner can wrap it with a :func:`geo_bbox` prefilter over the
+    ring's bounding box for pushdown (done here automatically).
+    Boundary points follow the strict-inequality parity convention
+    (edges touching the ray at a vertex count once per non-horizontal
+    edge) — the standard even-odd rule, identical in the SQL twin
+    :func:`polygon_sql` generates."""
+    edges = _ring_edges(polygon)
+    if not edges:
+        raise ValueError("polygon needs at least one non-horizontal edge")
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    crossings = None
+    for la1, lo1, la2, lo2 in edges:
+        cond = (
+            ((F.lit(la1) > lat) != (F.lit(la2) > lat))
+            & (lon < (F.lit(lo2) - F.lit(lo1)) * (lat - F.lit(la1))
+               / (F.lit(la2) - F.lit(la1)) + F.lit(lo1))
+        )
+        c = F.when(cond, 1).otherwise(0)
+        crossings = c if crossings is None else crossings + c
+    lats = [e[0] for e in edges] + [e[2] for e in edges]
+    lons = [e[1] for e in edges] + [e[3] for e in edges]
+    boxed = geo_bbox(df, min(lats), max(lats), min(lons), max(lons),
+                     lat_col, lon_col)
+    return boxed.filter(crossings % 2 == 1)
+
+
+def polygon_sql(polygon, lat_col: str = "lat", lon_col: str = "lon") -> str:
+    """The same even-odd crossing predicate as ANSI-SQL text (for the
+    DuckDB oracle and for ``topk_where``-style fq slots) — generated
+    from the SAME edge list and the same float literals, so both
+    engines evaluate identical arithmetic."""
+    terms = []
+    for la1, lo1, la2, lo2 in _ring_edges(polygon):
+        terms.append(
+            f"(CASE WHEN (({la1!r} > {lat_col}) <> ({la2!r} > {lat_col}))"
+            f" AND ({lon_col} < ({lo2!r} - {lo1!r}) * ({lat_col} - {la1!r})"
+            f" / ({la2!r} - {la1!r}) + {lo1!r}) THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"

@@ -127,3 +127,60 @@ def test_bbox_filters_push_to_parquet_scan(spark, tmp_path):
     for frag in ("GreaterThanOrEqual(lat", "LessThanOrEqual(lat",
                  "GreaterThanOrEqual(lon", "LessThanOrEqual(lon"):
         assert frag in pushed, frag
+
+
+PENT = [(10.0, -20.0), (45.0, -10.0), (38.0, 25.0), (5.0, 30.0), (-8.0, 3.0)]
+
+
+def _pip(lat, lon, poly):
+    pts = list(poly) + [poly[0]]
+    n = 0
+    for (a1, o1), (a2, o2) in zip(pts, pts[1:]):
+        if a1 == a2:
+            continue
+        if ((a1 > lat) != (a2 > lat)) and \
+                lon < (o2 - o1) * (lat - a1) / (a2 - a1) + o1:
+            n += 1
+    return n % 2 == 1
+
+
+def test_point_in_polygon_matches_brute_force(pts):
+    from ftidx.geo import point_in_polygon
+
+    got = {r["doc_id"] for r in point_in_polygon(pts, PENT).collect()}
+    exp = {i for i, la, lo in _points() if _pip(la, lo, PENT)}
+    assert got == exp and 0 < len(got) < 200
+
+
+def test_polygon_rectangle_equals_bbox(spark, pts):
+    """A lat/lon-aligned rectangle ring (two horizontal edges dropped)
+    must equal the plain bbox filter."""
+    from ftidx.geo import geo_bbox, point_in_polygon
+
+    rect = [(-10.0, -30.0), (20.0, -30.0), (20.0, 40.0), (-10.0, 40.0)]
+    got = {r["doc_id"] for r in point_in_polygon(pts, rect).collect()}
+    # strict-inequality parity vs bbox's closed bounds can differ only
+    # ON the boundary; the hash-derived points never land exactly there
+    exp = {r["doc_id"] for r in
+           geo_bbox(pts, -10.0, 20.0, -30.0, 40.0).collect()}
+    assert got == exp and got
+
+
+def test_polygon_sql_twin_agrees(pts):
+    """polygon_sql is the byte-level twin: running it through Spark SQL
+    over the same frame selects the same rows."""
+    from ftidx.geo import point_in_polygon, polygon_sql
+
+    pts.createOrReplaceTempView("pts_v")
+    sql = polygon_sql(PENT)
+    got = {r["doc_id"] for r in pts.sparkSession.sql(
+        f"SELECT doc_id FROM pts_v WHERE {sql}").collect()}
+    exp = {r["doc_id"] for r in point_in_polygon(pts, PENT).collect()}
+    assert got == exp
+
+
+def test_degenerate_polygon_rejected(pts):
+    from ftidx.geo import point_in_polygon
+
+    with pytest.raises(ValueError):
+        point_in_polygon(pts, [(5.0, 1.0), (5.0, 9.0)])  # all horizontal
