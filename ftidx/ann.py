@@ -201,13 +201,16 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its nearest centroid by cosine → the IVF
     inverted lists (vec_id, centroid_id). One broadcast crossJoin
-    against the (tiny) centroid set, argmax per vector via window —
-    the scan side never shuffles; only |vectors| × |centroids| scored
-    rows exist transiently inside the stage. Cosine is rounded to 5
-    decimals BEFORE the argmax (ties then break on centroid_id) so the
-    cell assignment is stable across engines' float summation orders."""
-    from pyspark.sql import Window
-
+    against the (tiny) centroid set; the argmax is
+    max(struct(cos, −centroid_id)) under a groupBy — a vector's
+    |centroids| scored rows are partition-local after the broadcast
+    join, so the map-side combiner collapses them to ONE row per
+    vector BEFORE any exchange (the previous Window.partitionBy argmax
+    shuffled all |vectors|×|centroids| scored rows instead; at 10⁹
+    vectors × 50k cells that difference is the job). Cosine is rounded
+    to 5 decimals BEFORE the argmax and ties break on the LOWEST
+    centroid_id (max of the negated id) — bit-identical to the window
+    form's (cos DESC, centroid_id ASC) discipline."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = F.transform(F.col("cvec"), lambda x: x.cast("double"))
     scored = (
@@ -215,12 +218,13 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
         .crossJoin(F.broadcast(centroids))
         .withColumn("c_cos", F.round(_dot(v, c) / (_norm(v) * _norm(c)), 5))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "centroid_id")
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("c_cos"),
+                            (-F.col("centroid_id")).alias("neg_cid")))
+             .alias("_b"))
     )
+    return best.select(id_col, (-F.col("_b.neg_cid")).alias("centroid_id"))
 
 
 def ivf_cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
@@ -444,13 +448,19 @@ def pq_adc_topk(embeddings: DataFrame, query: list[float], k: int = 10,
         "s int, j int, qd2 double")
     from pyspark.sql import Window
 
+    # global cut FIRST (TakeOrderedAndProject — never a full sort),
+    # then rank the k survivors: a bare row_number window would drag
+    # the whole coded corpus through ONE partition
     w = Window.orderBy(F.asc("dist2"), F.asc(id_col))
-    return (
+    topk = (
         codes.join(F.broadcast(lut), ["s", "j"])
         .groupBy(id_col)
         .agg(F.round(F.sum("qd2"), 5).alias("dist2"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .orderBy(F.asc("dist2"), F.asc(id_col))
+        .limit(k)
+    )
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", id_col, "dist2")
     )
 
@@ -525,14 +535,19 @@ def ivfpq_topk(embeddings: DataFrame, query: list[float], k: int = 10,
 
     from pyspark.sql import Window
 
+    # cut first (TakeOrderedAndProject over the probed candidates),
+    # rank the k survivors after — same discipline as pq_adc_topk
     w = Window.orderBy(F.asc("dist2"), F.asc(id_col))
-    return (
+    topk = (
         codes.join(assigned, id_col)
         .join(F.broadcast(lut), ["centroid_id", "s", "j"])
         .groupBy(id_col)
         .agg(F.round(F.sum("qd2"), 5).alias("dist2"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .orderBy(F.asc("dist2"), F.asc(id_col))
+        .limit(k)
+    )
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", id_col, "dist2")
     )
 

@@ -1856,13 +1856,18 @@ class FtIndex:
             .agg(F.count(F.lit(1)).alias("n_docs"))
         )
         if sort == "index":
-            w = Window.orderBy(F.asc("value"))
+            order = [F.asc("value")]
         else:
-            w = Window.orderBy(F.desc("n_docs"), F.asc("value"))
+            order = [F.desc("n_docs"), F.asc("value")]
+        # cut to the page FIRST (TakeOrderedAndProject over offset+k
+        # rows), then rank the survivors — a bare row_number window
+        # would drag every distinct facet value through one partition,
+        # which a high-cardinality field turns into a real stall
+        w = Window.orderBy(*order)
         out = (
-            agg.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > offset)
-                    & (F.col("_rn") <= offset + k_facets))
+            agg.orderBy(*order).limit(offset + k_facets)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > offset)
             .select("value", "n_docs")
         )
         if missing:
@@ -2007,11 +2012,14 @@ class FtIndex:
             .withColumn("sub_rank", F.row_number().over(sub_w))
             .filter(F.col("sub_rank") <= k_sub)
         )
+        # same cut-first discipline as facet_counts: limit the head
+        # frame to k_buckets before the ranking window touches it
         head_w = Window.orderBy(F.desc("n_docs"), F.asc("value"))
         heads = (
             ranked.filter(F.col("sub_rank") == 1)
+            .select("value", "n_docs")
+            .orderBy(F.desc("n_docs"), F.asc("value")).limit(k_buckets)
             .select("value", F.row_number().over(head_w).alias("bucket_rank"))
-            .filter(F.col("bucket_rank") <= k_buckets)
         )
         return (
             ranked.join(F.broadcast(heads), "value")

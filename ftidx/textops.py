@@ -600,10 +600,13 @@ def passage_bm25(docs: DataFrame, terms: list[str], chunk_len: int = 64,
         F.desc("score_r"), F.asc("chunk"))
     best = (scored.withColumn("rn", F.row_number().over(wd))
             .filter(F.col("rn") == 1).drop("rn"))
+    # cut to k via TakeOrderedAndProject FIRST, then rank the k
+    # survivors — a bare row_number window would single-partition the
+    # whole match set (every doc containing a query term)
     wr = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
     return (
-        best.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
+        best.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k)
+        .withColumn("rank", F.row_number().over(wr))
         .select("rank", "doc_id", "chunk", "score_r")
     )
 
