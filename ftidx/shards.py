@@ -205,6 +205,16 @@ class FtShards:
                for sh in self.shards]
         return self._merge_vocab(per, "count", limit)
 
+    def phonetic_terms(self, term: str, field: str = "code.content",
+                       limit: int = 50) -> list[tuple[str, int]]:
+        """Distributed phonetic expansion: per-shard soundex matches
+        (complete lists — the soundex equality prunes shard-side; the
+        code is a pure function of the term, so shards always agree),
+        dfs summed, global (df DESC, term ASC) rank re-applied."""
+        per = [sh.phonetic_terms(term, field=field, limit=(1 << 31) - 1)
+               for sh in self.shards]
+        return self._merge_vocab(per, "count", limit)
+
     def fuzzy_terms(self, term: str, field: str = "code.content",
                     max_dist: int = 1, limit: int = 10
                     ) -> list[tuple[str, int, int]]:

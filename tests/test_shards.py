@@ -139,3 +139,13 @@ def test_sharded_fuzzy_and_spellcheck(setup):
     sc_m = mono.spellcheck(["def", "retunr", "zzzzqqqq"])
     assert sc_s == sc_m and sc_s["changed"]
     assert shards.fuzzy_terms("deff", max_dist=1)  # non-trivial
+
+
+def test_sharded_phonetic_equals_monolithic(setup):
+    """Distributed soundex expansion equals the monolithic index
+    (global dfs, same df DESC / term ASC rank)."""
+    mono, shards = setup
+    for q in ("def", "handler", "return"):
+        assert shards.phonetic_terms(q) == mono.phonetic_terms(q)
+    assert shards.phonetic_terms("handler")  # non-trivial
+    assert shards.phonetic_terms("42") == []
