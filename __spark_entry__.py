@@ -741,6 +741,22 @@ def q_geo_polygon(spark, sf_dir):
         .select("doc_id", "lat", "lon")
 
 
+_HEATMAP_BOX = (-60.0, 70.0, -150.0, 160.0, 6, 9)  # lat_min/max, lon_min/max, rows, cols
+
+
+def q_geo_heatmap(spark, sf_dir):
+    # Solr facet.heatmap (HeatmapFacetCounter): points in the query
+    # rectangle histogrammed into a rows x cols grid — one pushdown
+    # bbox filter + one grid-cardinality groupBy; the cell widths are
+    # driver-computed float literals shared verbatim with the oracle
+    # (ftidx.geo.heatmap_sql), so binning is digit-identical
+    from ftidx.geo import geo_heatmap
+
+    la0, la1, lo0, lo1, r, c = _HEATMAP_BOX
+    return geo_heatmap(_geo_points(spark, sf_dir), la0, la1, lo0, lo1,
+                       rows=r, cols=c)
+
+
 def q_graph_expand(spark, sf_dir):
     # Solr {!graph maxDepth=4}: BFS min-hop depths from seeds {0,1,2}
     # over a deterministic md5-derived edge table (src = hash-bucket of
@@ -2133,7 +2149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry the r02 driver never reached gets a CORRECTNESS row;
         # 4 anchors (incl. the two formerly-red dtype fixes) lead. ---
         "term_stats": q_term_stats,
-        "bm25_topk": q_bm25_topk,
         "field_stats": q_field_stats,
         "facet_stats": q_facet_stats,
         "sessionize": q_sessionize,
@@ -2184,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius": q_geo_radius,
         "geo_knn": q_geo_knn,
         "geo_polygon": q_geo_polygon,
+        "geo_heatmap": q_geo_heatmap,
         "graph_expand": q_graph_expand,
         "stream_rollup": q_stream_rollup,
         "stream_join_top": q_stream_join_top,
@@ -2211,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_snippets": q_multi_snippets,
         "events_hopping": q_events_hopping,
         # --- green in CORRECTNESS_r02 (driver-verified last round) ---
+        "bm25_topk": q_bm25_topk,
         "bm25_rerank": q_bm25_rerank,
         "parent_block_join": q_parent_block_join,
         "dup_spans": q_dup_spans,
@@ -2261,7 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ftidx.geo import polygon_sql
+    from ftidx.geo import heatmap_sql, polygon_sql
 
     return {
         "term_stats": f"""
@@ -3271,6 +3288,16 @@ def oracle_sql() -> dict[str, str]:
             WITH {_geo_sql(0.0, 0.0)[0]}
             SELECT doc_id, lat, lon FROM pts
             WHERE {polygon_sql(_PENTAGON)}
+        """,
+        "geo_heatmap": f"""
+            WITH {_geo_sql(0.0, 0.0)[0]}
+            SELECT {heatmap_sql(*_HEATMAP_BOX)[1]} AS cell_y,
+                   {heatmap_sql(*_HEATMAP_BOX)[2]} AS cell_x,
+                   count(*) AS n_docs
+            FROM pts
+            WHERE {heatmap_sql(*_HEATMAP_BOX)[0]}
+            GROUP BY 1, 2
+            ORDER BY cell_y, cell_x
         """,
         "graph_expand": f"""
             WITH RECURSIVE edges AS (

@@ -146,6 +146,66 @@ def geo_join(points: DataFrame, centers: DataFrame, radius_km: float,
     )
 
 
+def geo_heatmap(df: DataFrame, lat_min: float, lat_max: float,
+                lon_min: float, lon_max: float,
+                rows: int = 8, cols: int = 8,
+                lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Spatial heatmap facet (Solr ``facet.heatmap``, the
+    HeatmapFacetCounter grid): points inside the query rectangle are
+    histogrammed into a ``rows`` × ``cols`` grid of equal-size cells;
+    returns (cell_y, cell_x, n_docs), empty cells omitted (the
+    DataFrame-native analog of Solr's sparse ``counts_ints2D`` rows —
+    a null row there is exactly an all-empty grid row here).
+    ``cell_y`` counts northward from ``lat_min``, ``cell_x`` eastward
+    from ``lon_min``. Points exactly on the north/east box edges clamp
+    into the last cell (the grid covers the CLOSED box, matching
+    :func:`geo_bbox`'s inclusive filter).
+
+    Scale shape at 10^12 rows: the bbox comparisons are pushdown-able
+    to the scan, the cell indices are one codegen floor expression,
+    and the histogram is one map-side-combinable groupBy whose key
+    cardinality is rows × cols — the reduce side is grid-sized no
+    matter the corpus. Cell widths are computed driver-side and
+    embedded as literals; :func:`heatmap_sql` emits the same
+    arithmetic from the same Python floats, so a SQL oracle reproduces
+    the binning digit-for-digit."""
+    if rows < 1 or cols < 1:
+        raise ValueError(f"grid must be at least 1x1, got {rows}x{cols}")
+    if not (lat_max > lat_min and lon_max > lon_min):
+        raise ValueError("empty heatmap box")
+    cell_h = (lat_max - lat_min) / rows
+    cell_w = (lon_max - lon_min) / cols
+    cell_y = F.least(F.floor((F.col(lat_col) - F.lit(lat_min)) / F.lit(cell_h)),
+                     F.lit(rows - 1)).cast("int")
+    cell_x = F.least(F.floor((F.col(lon_col) - F.lit(lon_min)) / F.lit(cell_w)),
+                     F.lit(cols - 1)).cast("int")
+    return (
+        geo_bbox(df, lat_min, lat_max, lon_min, lon_max, lat_col, lon_col)
+        .groupBy(cell_y.alias("cell_y"), cell_x.alias("cell_x"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.asc("cell_y"), F.asc("cell_x"))
+    )
+
+
+def heatmap_sql(lat_min: float, lat_max: float, lon_min: float,
+                lon_max: float, rows: int = 8, cols: int = 8,
+                lat_col: str = "lat", lon_col: str = "lon"
+                ) -> tuple[str, str, str]:
+    """:func:`geo_heatmap`'s arithmetic as ANSI-SQL text — (bbox
+    predicate, cell_y expression, cell_x expression), generated from
+    the SAME Python float literals (repr round-trips doubles exactly)
+    so an oracle engine evaluates identical binning."""
+    cell_h = (lat_max - lat_min) / rows
+    cell_w = (lon_max - lon_min) / cols
+    pred = (f"({lat_col} >= {lat_min!r} AND {lat_col} <= {lat_max!r}"
+            f" AND {lon_col} >= {lon_min!r} AND {lon_col} <= {lon_max!r})")
+    y = (f"CAST(least(CAST(floor(({lat_col} - {lat_min!r}) / {cell_h!r})"
+         f" AS BIGINT), {rows - 1}) AS INTEGER)")
+    x = (f"CAST(least(CAST(floor(({lon_col} - {lon_min!r}) / {cell_w!r})"
+         f" AS BIGINT), {cols - 1}) AS INTEGER)")
+    return pred, y, x
+
+
 def _ring_edges(polygon):
     """Closed-ring edge list, HORIZONTAL EDGES DROPPED: a horizontal
     ray never crosses a horizontal edge in the strict-inequality

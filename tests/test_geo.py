@@ -184,3 +184,63 @@ def test_degenerate_polygon_rejected(pts):
 
     with pytest.raises(ValueError):
         point_in_polygon(pts, [(5.0, 1.0), (5.0, 9.0)])  # all horizontal
+
+
+BOX = (-50.0, 60.0, -120.0, 100.0, 5, 7)
+
+
+def test_heatmap_matches_brute_force(pts):
+    """geo_heatmap equals a pure-Python grid recount over the same
+    deterministic point set (clamp, closed box, mincount=1)."""
+    from ftidx.geo import geo_heatmap
+
+    la0, la1, lo0, lo1, r, c = BOX
+    ch, cw = (la1 - la0) / r, (lo1 - lo0) / c
+    exp = {}
+    for i, la, lo in _points():
+        if la0 <= la <= la1 and lo0 <= lo <= lo1:
+            cy = min(int(math.floor((la - la0) / ch)), r - 1)
+            cx = min(int(math.floor((lo - lo0) / cw)), c - 1)
+            exp[(cy, cx)] = exp.get((cy, cx), 0) + 1
+    got = {(row["cell_y"], row["cell_x"]): row["n_docs"]
+           for row in geo_heatmap(pts, la0, la1, lo0, lo1, rows=r, cols=c).collect()}
+    assert got == exp and got  # non-trivial
+
+
+def test_heatmap_edge_points_clamp_into_last_cell(spark):
+    """Points exactly on the north/east box edges land in the last
+    row/column (closed box), never an out-of-range index."""
+    from ftidx.geo import geo_heatmap
+
+    edge = spark.createDataFrame(
+        [(1, 60.0, 100.0), (2, -50.0, -120.0), (3, 60.0, -120.0)],
+        "doc_id long, lat double, lon double")
+    la0, la1, lo0, lo1, r, c = BOX
+    got = {(row["cell_y"], row["cell_x"]): row["n_docs"]
+           for row in geo_heatmap(edge, la0, la1, lo0, lo1, rows=r, cols=c).collect()}
+    assert got == {(r - 1, c - 1): 1, (0, 0): 1, (r - 1, 0): 1}
+
+
+def test_heatmap_sql_twin_agrees(pts):
+    """heatmap_sql is the byte-level twin: the generated predicate and
+    cell expressions produce the same grid through Spark SQL."""
+    from ftidx.geo import geo_heatmap, heatmap_sql
+
+    pts.createOrReplaceTempView("pts_hm")
+    pred, y, x = heatmap_sql(*BOX)
+    got = {(row["cell_y"], row["cell_x"]): row["n_docs"]
+           for row in pts.sparkSession.sql(
+               f"SELECT {y} AS cell_y, {x} AS cell_x, count(*) AS n_docs "
+               f"FROM pts_hm WHERE {pred} GROUP BY 1, 2").collect()}
+    exp = {(row["cell_y"], row["cell_x"]): row["n_docs"]
+           for row in geo_heatmap(pts, *BOX[:4], rows=BOX[4], cols=BOX[5]).collect()}
+    assert got == exp
+
+
+def test_heatmap_rejects_degenerate_grid_and_box(pts):
+    from ftidx.geo import geo_heatmap
+
+    with pytest.raises(ValueError):
+        geo_heatmap(pts, 0.0, 10.0, 0.0, 10.0, rows=0)
+    with pytest.raises(ValueError):
+        geo_heatmap(pts, 10.0, 10.0, 0.0, 10.0)
