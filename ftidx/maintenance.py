@@ -918,3 +918,225 @@ def restore(backup_dir: str, index_path: str, *,
 
         publish(alias_path, dst)
     return str(dst)
+
+
+# ---------------------------------------------------------------------------
+# shard lifecycle: SPLITSHARD / MERGEINDEXES
+# ---------------------------------------------------------------------------
+
+_BUCKET_TABLES = ("postings", "docs", "doclen", "positions", "stored")
+
+
+def _live_buckets(path: Path) -> list[int]:
+    """Bucket ordinals present on disk (from the docs table's hive
+    partition dirs — the one table every index generation has)."""
+    docs = path / "docs"
+    if not docs.exists():
+        return []
+    return sorted(int(d.name.split("=", 1)[1]) for d in docs.iterdir()
+                  if d.is_dir() and d.name.startswith("bucket="))
+
+
+def _require_compacted(path: Path, op: str) -> dict:
+    man_path = path / "_manifest.json"
+    if not man_path.exists():
+        raise FileNotFoundError(f"{path}: no _manifest.json")
+    manifest = json.loads(man_path.read_text())
+    if manifest.get("status") != "done":
+        raise ValueError(f"{op}: {path} build status is "
+                         f"{manifest.get('status')!r}, not 'done'")
+    for d in ("deltas", "delta_doclen", "delta_positions"):
+        if _has_files(path / d):
+            raise ValueError(
+                f"{op}: {path} has uncompacted streamed deltas under "
+                f"{d}/ — run maintenance.compact_deltas first (bucket "
+                "ownership must be settled before shards move)")
+    return manifest
+
+
+def _refresh_child_stats(spark: SparkSession, child: Path) -> None:
+    """Recompute the per-field (n_docs, total_len, avgdl) stats table
+    from the child's own doclen partitions — identical aggregation to
+    build_index's finalize, so a child is indistinguishable from a
+    fresh build over its slice."""
+    from ftidx.index import _write_stats_rows
+
+    rows = (
+        spark.read.parquet(str(child / "doclen"))
+        .groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("total_len"),
+            (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+        )
+        .collect()
+    )
+    _write_stats_rows(child / "stats", rows)
+
+
+def split_index(spark: SparkSession, index_path: str,
+                out_paths: list[str]) -> dict:
+    """Split one index into ``len(out_paths)`` child shards (Solr
+    SPLITSHARD): child ``i`` owns every bucket with
+    ``bucket % n_children == i`` — the hash-range split, since the
+    bucket ordinal IS the corpus hash range unit
+    (``pmod(xxhash64(repo,path,commit), n_buckets)``).
+
+    doc_ids embed their bucket (``bucket << 40 | rank``), so moving
+    whole buckets preserves every doc_id verbatim: no re-ranking, no
+    rewrite — the split is a file-level move of the bucket partitions
+    of postings/docs/doclen (+ positions/stored when present), plus a
+    bucket-filtered copy of tombstones and ledger and a per-child
+    stats recompute. Children keep the parent's ``n_buckets``
+    (the global bucket universe): post-split writes route to the child
+    owning ``bucket % n_children``, exactly SolrCloud's hash-range
+    router. Query the children as one via :class:`ftidx.shards
+    .FtShards` — global-stats scoring makes the ranking
+    layout-invariant (pinned by test: split shards == parent,
+    score-identical).
+
+    Refuses uncompacted deltas (bucket ownership must be settled) and
+    more children than live buckets (a shard with no corpus is a
+    config error, not a degenerate index). At 10^12 files this is an
+    object-store server-side copy per bucket partition — no data plane
+    job at all except the grid-sized stats agg per child."""
+    src = Path(index_path)
+    manifest = _require_compacted(src, "split_index")
+    n_children = len(out_paths)
+    if n_children < 2:
+        raise ValueError("split_index needs at least 2 out_paths")
+    buckets = _live_buckets(src)
+    if n_children > len(buckets):
+        raise ValueError(
+            f"split_index: {n_children} children but only "
+            f"{len(buckets)} live buckets — every child must own at "
+            "least one bucket")
+    for p in out_paths:
+        d = Path(p)
+        if d.exists() and any(d.iterdir()):
+            raise ValueError(f"split_index: out path {d} is not empty")
+
+    owned = {i: [b for b in buckets if b % n_children == i]
+             for i in range(n_children)}
+    for i, p in enumerate(out_paths):
+        child = Path(p)
+        child.mkdir(parents=True, exist_ok=True)
+        for kind in _BUCKET_TABLES:
+            src_kind = src / kind
+            if not src_kind.exists():
+                continue
+            for b in owned[i]:
+                part = src_kind / f"bucket={b}"
+                if part.exists():
+                    shutil.copytree(part, child / kind / f"bucket={b}")
+        # tombstones: doc_id >> 40 names the owning bucket, so the
+        # child's subset is one pushdown-able filter over a small table
+        if _has_files(src / "tombstones"):
+            mine = (
+                spark.read.parquet(str(src / "tombstones"))
+                .filter(F.pmod(F.shiftright(F.col("doc_id"), 40),
+                               F.lit(n_children)) == i)
+            )
+            if mine.take(1):
+                mine.write.parquet(str(child / "tombstones"))
+        if _has_files(src / "ledger"):
+            (
+                spark.read.option("mergeSchema", "true")
+                .parquet(str(src / "ledger"))
+                .filter(F.pmod(F.col("bucket"), F.lit(n_children)) == i)
+                .write.parquet(str(child / "ledger"))
+            )
+        _refresh_child_stats(spark, child)
+        (child / "_manifest.json").write_text(json.dumps({
+            **{k: v for k, v in manifest.items() if k != "status"},
+            "status": "done",
+            "build_id": f"{manifest.get('build_id')}-s{i}",
+            "split_from": manifest.get("build_id"),
+            "n_shards": n_children,
+            "shard_ordinal": i,
+        }))
+    return {"n_children": n_children,
+            "buckets": {i: owned[i] for i in range(n_children)}}
+
+
+def merge_indexes(spark: SparkSession, paths: list[str],
+                  out_path: str) -> dict:
+    """Merge shards with DISJOINT bucket sets into one index (Solr
+    CoreAdmin MERGEINDEXES / Lucene ``addIndexes``): the exact inverse
+    of :func:`split_index`, and like Lucene's, correct only when the
+    caller guarantees id-uniqueness — here that is checkable, so it IS
+    checked: doc_ids embed their bucket, hence disjoint bucket sets ⇔
+    disjoint doc_id spaces, and overlap refuses with the honest
+    redirect (overlapping corpora are an upsert/rebuild, not a merge).
+
+    File-level union of every bucket partition, ledger/tombstone
+    concatenation, one stats recompute over the merged doclen — the
+    same "indistinguishable from a fresh build" discipline as split
+    (pinned by test: split → merge round-trips to query-identical).
+    Children must share ``n_buckets`` (one bucket universe) and be
+    delta-compacted."""
+    if len(paths) < 2:
+        raise ValueError("merge_indexes needs at least 2 source paths")
+    manifests = [_require_compacted(Path(p), "merge_indexes") for p in paths]
+    n_buckets = {m.get("n_buckets") for m in manifests}
+    if len(n_buckets) != 1:
+        raise ValueError(
+            f"merge_indexes: sources disagree on n_buckets ({n_buckets}) "
+            "— shards must share one bucket universe")
+    per = [_live_buckets(Path(p)) for p in paths]
+    seen: dict[int, str] = {}
+    for p, bs in zip(paths, per):
+        for b in bs:
+            if b in seen:
+                raise ValueError(
+                    f"merge_indexes: bucket {b} exists in both {seen[b]} "
+                    f"and {p} — overlapping doc_id spaces; merge is for "
+                    "disjoint shards (split_index children). For "
+                    "overlapping corpora use maintenance.upsert / a "
+                    "fresh build")
+            seen[b] = p
+    dst = Path(out_path)
+    if dst.exists() and any(dst.iterdir()):
+        raise ValueError(f"merge_indexes: out path {dst} is not empty")
+    dst.mkdir(parents=True, exist_ok=True)
+
+    for p, bs in zip(paths, per):
+        src = Path(p)
+        for kind in _BUCKET_TABLES:
+            if not (src / kind).exists():
+                continue
+            for b in bs:
+                part = src / kind / f"bucket={b}"
+                if part.exists():
+                    shutil.copytree(part, dst / kind / f"bucket={b}")
+    tomb = [spark.read.parquet(str(Path(p) / "tombstones"))
+            for p in paths if _has_files(Path(p) / "tombstones")]
+    if tomb:
+        t = tomb[0]
+        for more in tomb[1:]:
+            t = t.unionByName(more)
+        t.write.parquet(str(dst / "tombstones"))
+    led = [spark.read.option("mergeSchema", "true")
+           .parquet(str(Path(p) / "ledger"))
+           for p in paths if _has_files(Path(p) / "ledger")]
+    if led:
+        cols = set()
+        for df in led:
+            cols.update(df.columns)
+        uni = None
+        for df in led:
+            for c in sorted(cols - set(df.columns)):
+                df = df.withColumn(c, F.lit(None).cast("string"))
+            uni = df if uni is None else uni.unionByName(df)
+        uni.write.parquet(str(dst / "ledger"))
+    _refresh_child_stats(spark, dst)
+    (dst / "_manifest.json").write_text(json.dumps({
+        **{k: v for k, v in manifests[0].items()
+           if k not in ("status", "shard_ordinal", "n_shards",
+                        "split_from")},
+        "status": "done",
+        "build_id": "+".join(m.get("build_id", "?") for m in manifests),
+        "merged_from": [m.get("build_id") for m in manifests],
+    }))
+    return {"n_sources": len(paths),
+            "n_buckets_moved": sum(len(bs) for bs in per)}

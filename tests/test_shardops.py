@@ -1,0 +1,127 @@
+"""Shard lifecycle (split_index / merge_indexes — Solr SPLITSHARD and
+CoreAdmin MERGEINDEXES): splitting moves whole bucket partitions, so
+doc_ids survive verbatim and the children, queried as one FtShards
+with global stats, must rank EXACTLY like the parent; merging the
+children back must round-trip to a query-identical index. Refusal
+paths: uncompacted deltas, non-empty targets, more children than
+buckets, overlapping bucket sets on merge."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ftidx.index import build_index, open_index
+from ftidx.maintenance import merge_indexes, split_index
+from ftidx.shards import FtShards
+from ftidx.synth import synth_source
+
+TERMS = ["def", "value", "merge"]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("shop")
+    corpus = synth_source(spark, 300).cache()
+    parent = str(root / "parent")
+    build_index(spark, corpus, parent, n_buckets=8, store_content=True)
+    corpus.unpersist()
+    kids = [str(root / "kid0"), str(root / "kid1"), str(root / "kid2")]
+    info = split_index(spark, parent, kids)
+    return root, parent, kids, info
+
+
+def test_split_assigns_modulo_and_preserves_doc_ids(spark, setup):
+    _, parent, kids, info = setup
+    assert set(info["buckets"][0]) == {0, 3, 6}
+    assert set(info["buckets"][1]) == {1, 4, 7}
+    assert set(info["buckets"][2]) == {2, 5}
+    pdocs = {r["doc_id"] for r in
+             spark.read.parquet(f"{parent}/docs").select("doc_id").collect()}
+    kdocs = set()
+    for k in kids:
+        mine = {r["doc_id"] for r in
+                spark.read.parquet(f"{k}/docs").select("doc_id").collect()}
+        assert not (kdocs & mine)  # disjoint doc_id spaces
+        kdocs |= mine
+    assert kdocs == pdocs
+
+
+def test_split_children_rank_identical_to_parent(spark, setup):
+    _, parent, kids, _ = setup
+    mono = open_index(spark, parent)
+    shards = FtShards.open(spark, kids)
+    big = 10**6
+    mono_hits = dict(mono.topk(TERMS, k=big, kernel="exhaustive"))
+    sh_hits = {d: s for _, d, s in shards.topk(TERMS, k=big)}
+    assert set(sh_hits) == set(mono_hits) and mono_hits
+    for d, s in mono_hits.items():
+        assert sh_hits[d] == pytest.approx(s, rel=1e-9)
+    # global stats equal the parent's exactly
+    n, avgdl = shards.global_stats("code.content")
+    pn, pavg = mono.stats["code.content"]
+    assert n == pn and avgdl == pytest.approx(pavg, rel=1e-12)
+
+
+def test_split_merge_round_trips(spark, setup, tmp_path):
+    _, parent, kids, _ = setup
+    merged_p = str(tmp_path / "merged")
+    merge_indexes(spark, kids, merged_p)
+    mono = open_index(spark, parent)
+    merged = open_index(spark, merged_p)
+    assert merged.stats == mono.stats
+    big = 10**6
+    assert mono.topk(TERMS, k=big, kernel="exhaustive") == \
+        merged.topk(TERMS, k=big, kernel="exhaustive")
+    man = json.loads((tmp_path / "merged" / "_manifest.json").read_text())
+    assert man["status"] == "done" and len(man["merged_from"]) == 3
+
+
+def test_split_routes_tombstones_to_owner(spark, setup, tmp_path):
+    _, parent, _, _ = setup
+    mono = open_index(spark, parent)
+    victim = mono.topk(TERMS, k=1, kernel="exhaustive")[0][0]
+    # fresh copy so the module-scoped fixture stays undeleted
+    import shutil
+
+    p2 = str(tmp_path / "p2")
+    shutil.copytree(parent, p2)
+    idx2 = open_index(spark, p2)
+    idx2.delete([victim])
+    kids = [str(tmp_path / "k0"), str(tmp_path / "k1")]
+    split_index(spark, p2, kids)
+    owner = (victim >> 40) % 2
+    for i, k in enumerate(kids):
+        tdir = tmp_path / f"k{i}" / "tombstones"
+        ids = ({r["doc_id"] for r in spark.read.parquet(str(tdir)).collect()}
+               if tdir.exists() else set())
+        assert ids == ({victim} if i == owner else set())
+    shards = FtShards.open(spark, kids)
+    assert victim not in {d for _, d, _ in shards.topk(TERMS, k=10**6)}
+
+
+def test_split_and_merge_refusals(spark, setup, tmp_path):
+    root, parent, kids, _ = setup
+    # more children than live buckets
+    with pytest.raises(ValueError, match="live buckets"):
+        split_index(spark, parent, [str(tmp_path / f"x{i}") for i in range(9)])
+    # non-empty target
+    busy = tmp_path / "busy"
+    busy.mkdir()
+    (busy / "junk").write_text("x")
+    with pytest.raises(ValueError, match="not empty"):
+        split_index(spark, parent, [str(busy), str(tmp_path / "y")])
+    # uncompacted deltas
+    import shutil
+
+    p3 = tmp_path / "p3"
+    shutil.copytree(parent, p3)
+    (p3 / "deltas").mkdir()
+    (p3 / "deltas" / "batch=0").mkdir()
+    (p3 / "deltas" / "batch=0" / "f.parquet").write_text("x")
+    with pytest.raises(ValueError, match="compact_deltas"):
+        split_index(spark, str(p3), [str(tmp_path / "a"), str(tmp_path / "b")])
+    # merge overlap: a shard merged with itself shares every bucket
+    with pytest.raises(ValueError, match="disjoint"):
+        merge_indexes(spark, [kids[0], kids[0]], str(tmp_path / "m"))
