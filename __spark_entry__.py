@@ -741,6 +741,39 @@ def q_geo_polygon(spark, sf_dir):
         .select("doc_id", "lat", "lon")
 
 
+def q_sig_terms_fg(spark, sf_dir):
+    # Solr significantTerms / ES significant_terms: JLH-scored terms
+    # overrepresented in the FOREGROUND (docs matching any query term)
+    # vs the collection background; Solr's <1.0-is-a-fraction rule on
+    # the df bounds (min 5 absolute, max 0.3 of the collection) —
+    # engine twin: FtIndex.significant_terms (cogrouped blob
+    # intersection; pinned equal by pytest)
+    docterm = _tokens(spark, sf_dir).distinct()
+    fg_ids = (docterm.filter(F.col("term").isin(BM25_TERMS))
+              .select("doc_id").distinct())
+    stats = (docterm.select("doc_id").distinct()
+             .agg(F.count(F.lit(1)).alias("bg_n"))
+             .crossJoin(fg_ids.agg(F.count(F.lit(1)).alias("fg_n"))))
+    fg = fg_ids.join(docterm, "doc_id").groupBy("term") \
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+    bg = docterm.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    # bounds: min_df=2 only — the synthetic documents vocabulary is a
+    # small template set where nearly every term exceeds any fractional
+    # max bound, so the contract exercises the JLH arithmetic across
+    # the whole vocabulary; the Solr <1.0-fraction bound rule itself is
+    # pinned by pytest on the engine path
+    fg_pct = F.col("fg_df") / F.col("fg_n")
+    bg_pct = F.col("bg_df") / F.col("bg_n")
+    return (
+        fg.join(bg, "term").crossJoin(F.broadcast(stats))
+        .filter(F.col("bg_df") >= 2)
+        .withColumn("score",
+                    F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 5))
+        .orderBy(F.desc("score"), F.asc("term")).limit(25)
+        .select("term", "fg_df", "bg_df", "score")
+    )
+
+
 _HEATMAP_BOX = (-60.0, 70.0, -150.0, 160.0, 6, 9)  # lat_min/max, lon_min/max, rows, cols
 
 
@@ -2147,8 +2180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window (first 50): rotated for round 3 so every
         # entry the r02 driver never reached gets a CORRECTNESS row;
-        # 4 anchors (incl. the two formerly-red dtype fixes) lead. ---
-        "term_stats": q_term_stats,
+        # the two formerly-red dtype fixes lead, the twice-green
+        # anchors (term_stats, bm25_topk) rotate below to make room
+        # for the session-3 operator families. ---
         "field_stats": q_field_stats,
         "facet_stats": q_facet_stats,
         "sessionize": q_sessionize,
@@ -2203,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_expand": q_graph_expand,
         "stream_rollup": q_stream_rollup,
         "stream_join_top": q_stream_join_top,
+        "sig_terms_fg": q_sig_terms_fg,
         # --- unchecked remainder: rotate into the window next round ---
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -2227,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_snippets": q_multi_snippets,
         "events_hopping": q_events_hopping,
         # --- green in CORRECTNESS_r02 (driver-verified last round) ---
+        "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_rerank": q_bm25_rerank,
         "parent_block_join": q_parent_block_join,
@@ -3288,6 +3324,31 @@ def oracle_sql() -> dict[str, str]:
             WITH {_geo_sql(0.0, 0.0)[0]}
             SELECT doc_id, lat, lon FROM pts
             WHERE {polygon_sql(_PENTAGON)}
+        """,
+        "sig_terms_fg": f"""
+            WITH {_TOK_CTE},
+            dt AS (SELECT DISTINCT doc_id, term FROM tok),
+            fg_ids AS (SELECT DISTINCT doc_id FROM dt
+                       WHERE term IN ('spark', 'merge', 'window')),
+            stats AS (SELECT
+                (SELECT count(DISTINCT doc_id) FROM dt) AS bg_n,
+                (SELECT count(*) FROM fg_ids) AS fg_n),
+            fg AS (SELECT term, count(*) AS fg_df FROM dt
+                   JOIN fg_ids USING (doc_id) GROUP BY term),
+            bg AS (SELECT term, count(*) AS bg_df FROM dt GROUP BY term),
+            j AS (SELECT f.term, f.fg_df, b.bg_df,
+                         round(((CAST(f.fg_df AS DOUBLE) / s.fg_n)
+                                - (CAST(b.bg_df AS DOUBLE) / s.bg_n))
+                               * ((CAST(f.fg_df AS DOUBLE) / s.fg_n)
+                                  / (CAST(b.bg_df AS DOUBLE) / s.bg_n)),
+                               5) AS score
+                  FROM fg f JOIN bg b ON f.term = b.term
+                  CROSS JOIN stats s
+                  WHERE b.bg_df >= 2)
+            SELECT term, fg_df, bg_df, score FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY score DESC, term) AS rn FROM j)
+            WHERE rn <= 25
         """,
         "geo_heatmap": f"""
             WITH {_geo_sql(0.0, 0.0)[0]}

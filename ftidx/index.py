@@ -1904,6 +1904,107 @@ class FtIndex:
             matched = matched.join(F.broadcast(tomb), "doc_id", "left_anti")
         return matched
 
+    def significant_terms(self, terms: list[str],
+                          field: str = "code.content", limit: int = 20,
+                          min_doc_freq: float = 5.0,
+                          max_doc_freq: float = 0.3,
+                          min_term_length: int = 1) -> DataFrame:
+        """Significant terms of a query's result set (Solr
+        ``significantTerms`` streaming source / ES
+        ``significant_terms``): terms statistically overrepresented in
+        the FOREGROUND (docs matching ANY query term, tombstones
+        excluded) versus the BACKGROUND (the whole collection).
+
+        Returns (term, fg_df, bg_df, score) — the top ``limit`` by
+        (score DESC, term ASC), scored with JLH
+        ``(fg% − bg%) · (fg% / bg%)`` rounded to 5 (the engine's
+        cross-engine float grain). ``min_doc_freq`` / ``max_doc_freq``
+        follow Solr's rule: values < 1.0 are a fraction of the
+        collection size, values ≥ 1 are absolute document counts, both
+        applied to the GLOBAL background df. Query terms themselves are
+        not excluded (Solr parity — the max_doc_freq bound is what
+        keeps stop-like terms out). Background dfs count not-yet-
+        compacted tombstoned docs, exactly as Lucene df does until
+        segments merge.
+
+        Scale shape: the full-field postings scan is the honest cost
+        (Solr walks the terms dict too) but ships COMPRESSED blobs, not
+        exploded rows — candidate segments and the foreground id set
+        are cogrouped by bucket (one shuffle each, the foreground's
+        authoritative bucket resolved from doclen so streamed-delta
+        hash ids route correctly), each kernel call intersects via one
+        searchsorted, and only (term, count) pairs leave the executor;
+        the reduce side is vocabulary-sized. The final cut is
+        orderBy+limit — TakeOrderedAndProject, never a global sort."""
+        fg = self._matched_ids(terms, field)
+        bucket_src = [self.path / "doclen", self.path / "delta_doclen"]
+        dl = None
+        for d in bucket_src:
+            if d.exists() and any(d.iterdir()):
+                part = (self.spark.read.parquet(str(d))
+                        .filter(F.col("field") == field)
+                        .select("doc_id", "bucket"))
+                dl = part if dl is None else dl.unionByName(part)
+        if dl is None:
+            return self.spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, score double")
+        fgb = fg.join(dl, "doc_id").select("doc_id", "bucket").distinct()
+        fg_n = fgb.count()
+        bg_n, _ = self.stats.get(field, (0, 1.0))
+        if fg_n == 0 or bg_n == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, score double")
+        min_df = min_doc_freq * bg_n if min_doc_freq < 1.0 else min_doc_freq
+        max_df = max_doc_freq * bg_n if max_doc_freq < 1.0 else max_doc_freq
+        posts = self._postings.filter(
+            (F.col("field") == field)
+            & (F.length("term") >= min_term_length)
+        ).select("bucket", "term", "df", "doc_ids")
+
+        def intersect(pdf: pd.DataFrame, fdf: pd.DataFrame) -> pd.DataFrame:
+            from ftidx.codec import delta_decode, varint_decode
+
+            if not len(pdf) or not len(fdf):
+                return pd.DataFrame(
+                    {"term": pd.Series([], dtype="object"),
+                     "fg_c": pd.Series([], dtype="int64"),
+                     "seg_df": pd.Series([], dtype="int64")})
+            ids = np.sort(fdf["doc_id"].to_numpy(np.uint64))
+            t_out, c_out, d_out = [], [], []
+            for term, seg_df, blob in zip(pdf["term"], pdf["df"],
+                                          pdf["doc_ids"]):
+                arr = delta_decode(varint_decode(blob))
+                pos = np.searchsorted(ids, arr)
+                ok = pos < ids.size
+                ok[ok] = ids[pos[ok]] == arr[ok]
+                t_out.append(term)
+                c_out.append(int(ok.sum()))
+                d_out.append(int(seg_df))
+            return pd.DataFrame(
+                {"term": pd.Series(t_out, dtype="object"),
+                 "fg_c": pd.Series(c_out, dtype="int64"),
+                 "seg_df": pd.Series(d_out, dtype="int64")})
+
+        per_seg = (
+            posts.groupBy("bucket")
+            .cogroup(fgb.groupBy("bucket"))
+            .applyInPandas(intersect,
+                           schema="term string, fg_c long, seg_df long")
+        )
+        fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
+        bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_n))
+        return (
+            per_seg.groupBy("term")
+            .agg(F.sum("fg_c").alias("fg_df"), F.sum("seg_df").alias("bg_df"))
+            .filter((F.col("fg_df") > 0)
+                    & (F.col("bg_df") >= float(min_df))
+                    & (F.col("bg_df") <= float(max_df)))
+            .withColumn("score",
+                        F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 5))
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(limit)
+        )
+
     def facet_queries(self, queries: dict[str, list[str]],
                       field: str = "code.content") -> dict[str, int]:
         """Solr ``facet.query``: match count per labeled subquery

@@ -487,6 +487,32 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
             raise ValueError("having() needs exactly one boolean")
         return df.filter(_bool(preds[0]))
 
+    if name == "significantTerms":
+        # Solr significantTerms stream source: terms overrepresented
+        # in q's FOREGROUND match set vs the collection background —
+        # FtIndex.significant_terms (cogrouped blob intersection, JLH
+        # score); minDocFreq/maxDocFreq follow Solr's <1.0 = fraction
+        # rule, applied to the global background df.
+        if not node.args or not isinstance(node.args[0], str):
+            raise ValueError("significantTerms() needs a collection "
+                             "name first")
+        coll = node.args[0]
+        if coll not in ctx.indexes:
+            raise ValueError(f"unknown collection {coll!r}")
+        idx = ctx.indexes[coll]
+        q = node.params.get("q")
+        if not isinstance(q, str) or not q.split():
+            raise ValueError('significantTerms() needs q="term …" '
+                             "(disjunction)")
+        return idx.significant_terms(
+            q.split(),
+            field=str(node.params.get("field", "code.content")),
+            limit=int(node.params.get("limit", 20)),
+            min_doc_freq=float(node.params.get("minDocFreq", 5.0)),
+            max_doc_freq=float(node.params.get("maxDocFreq", 0.3)),
+            min_term_length=int(node.params.get("minTermLength", 1)),
+        )
+
     redirect = {
         "daemon": "recurring execution is Structured Streaming's job — "
                   "see ftidx.streaming (or schedule the expression "
@@ -498,7 +524,6 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
         "commit": "POST /compact folds deltas and tombstones",
         "knnSearch": "vector search lives in ftidx.ann "
                      "(cosine_topk / ivf / pq / rrf_fuse)",
-        "significantTerms": "ftidx.textops.significant_terms",
         "stats": "rollup() over the stream, or FtIndex.match_stats",
     }
     if name in redirect:

@@ -265,3 +265,91 @@ def test_parse_never_crashes():
             pass
 
     run()
+
+
+# ------------------------------------------- significantTerms source
+
+
+def _sig_brute(stream_idx, q_terms, field="code.content"):
+    """Independent recount: re-derive per-doc term sets with
+    tokenize_doc over the regenerated synth corpus (doc ids joined via
+    the docs table), then python JLH."""
+    from ftidx.synth import synth_source_pandas
+    from ftidx.tokenize import tokenize_doc
+
+    spark = stream_idx.spark
+    pdf = synth_source_pandas(150)
+    content = {(r.repo, r.path): (r.lang, r.content)
+               for r in pdf.itertuples()}
+    live = {int(r["doc_id"]) for r in spark.read.parquet(
+        f"{stream_idx.path}/doclen").filter(F.col("field") == field)
+        .select("doc_id").collect()}
+    terms_of = {}
+    for r in spark.read.parquet(f"{stream_idx.path}/docs") \
+            .select("doc_id", "repo", "path").collect():
+        if int(r["doc_id"]) in live:
+            lang, text = content[(r["repo"], r["path"])]
+            terms_of[int(r["doc_id"])] = set(
+                tokenize_doc(text, lang, r["repo"], r["path"])
+                .get(field, []))
+    fg_docs = {d for d, ts in terms_of.items() if ts & set(q_terms)}
+    fg_n, bg_n = len(fg_docs), len(terms_of)
+    fg_df, bg_df = {}, {}
+    for d, ts in terms_of.items():
+        for t in ts:
+            bg_df[t] = bg_df.get(t, 0) + 1
+            if d in fg_docs:
+                fg_df[t] = fg_df.get(t, 0) + 1
+    out = {}
+    for t, f in fg_df.items():
+        b = bg_df[t]
+        fp, bp = f / fg_n, b / bg_n
+        out[t] = (f, b, (fp - bp) * (fp / bp))
+    return out, fg_n, bg_n
+
+
+def test_significant_terms_matches_brute_force(stream_idx):
+    q = ["def", "return"]
+    exp, fg_n, bg_n = _sig_brute(stream_idx, q)
+    # no cut (huge limit), min_df=2 absolute, no effective max bound
+    got = stream_idx.significant_terms(
+        q, limit=10**6, min_doc_freq=2, max_doc_freq=10**9).collect()
+    exp = {t: v for t, v in exp.items() if v[1] >= 2}
+    assert {r["term"] for r in got} == set(exp) and exp
+    for r in got:
+        f, b, s = exp[r["term"]]
+        assert (r["fg_df"], r["bg_df"]) == (f, b)
+        assert r["score"] == pytest.approx(s, abs=2e-5)
+    # returned order is (score desc, term asc) over the rounded score
+    keys = [(-r["score"], r["term"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_significant_terms_solr_fraction_bounds(stream_idx):
+    """Solr's rule: bound values < 1.0 are fractions of the collection
+    size; ubiquitous terms fall to a fractional max_doc_freq."""
+    q = ["def", "return"]
+    _, _, bg_n = _sig_brute(stream_idx, q)
+    wide = {r["term"]: r["bg_df"] for r in stream_idx.significant_terms(
+        q, limit=10**6, min_doc_freq=2, max_doc_freq=10**9).collect()}
+    assert max(wide.values()) > 0.5 * bg_n  # a stop-like term exists
+    capped = {r["term"] for r in stream_idx.significant_terms(
+        q, limit=10**6, min_doc_freq=2, max_doc_freq=0.5).collect()}
+    assert capped == {t for t, b in wide.items() if b <= 0.5 * bg_n}
+    floor5 = {r["term"] for r in stream_idx.significant_terms(
+        q, limit=10**6, min_doc_freq=5.0, max_doc_freq=10**9).collect()}
+    assert floor5 == {t for t, b in wide.items() if b >= 5}
+
+
+def test_significant_terms_stream_source(stream_idx):
+    c = StreamContext(indexes={"idx": stream_idx})
+    got = [(r["term"], r["fg_df"], r["bg_df"], r["score"]) for r in
+           evaluate('significantTerms(idx, q="def return", limit=8, '
+                    'minDocFreq=2, maxDocFreq=1000000)', c).collect()]
+    exp = [(r["term"], r["fg_df"], r["bg_df"], r["score"]) for r in
+           stream_idx.significant_terms(
+               ["def", "return"], limit=8, min_doc_freq=2,
+               max_doc_freq=10**6).collect()]
+    assert got == exp and len(got) == 8
+    with pytest.raises(ValueError, match="collection"):
+        evaluate('significantTerms(nope, q="def")', c)
