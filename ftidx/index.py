@@ -1536,6 +1536,54 @@ class FtIndex:
                                   k=k, field=field)
         return dict(zip(labels, results))
 
+    def export(self, terms: list[str], sort: str, fl: list[str],
+               field: str = "code.content") -> DataFrame:
+        """Solr ExportHandler (``/export``): the FULL match set —
+        never a page — ordered by ``sort`` and projected to ``fl``,
+        as a DataFrame the caller streams (``toLocalIterator``) or
+        writes back out (the 10^12-row path: ``.write.parquet``, a
+        distributed sorted export with no driver materialization).
+
+        ``sort`` is Solr's ``"col asc, col2 desc"`` (expressions over
+        docs-table columns allowed, Solr sort-by-function); ``doc_id``
+        ASC is always the final tiebreak so the stream order is total.
+        Both ``sort`` and ``fl`` are REQUIRED — exactly Solr's /export
+        contract (it refuses without them). Tombstones are excluded.
+
+        Plan shape: the match set decodes executor-side
+        (:meth:`_matched_ids`), one id-keyed join against the
+        column-pruned docs table (only fl + sort references are read),
+        then ONE range-partitioned total sort — ``orderBy`` here is
+        Spark's sampled-range exchange, each partition sorts in
+        parallel; never a single-partition window."""
+        if not sort or not str(sort).strip():
+            raise ValueError("export requires sort= (Solr /export "
+                             "contract)")
+        if not fl:
+            raise ValueError("export requires fl= (Solr /export "
+                             "contract)")
+        keys = []
+        for part in str(sort).split(","):
+            part = part.strip()
+            if not part:
+                continue
+            toks = part.rsplit(None, 1)
+            if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
+                expr, direction = toks[0], toks[1].lower()
+            else:
+                expr, direction = part, "asc"
+            col = F.expr(expr)
+            keys.append(col.asc() if direction == "asc" else col.desc())
+        if not keys:
+            raise ValueError("export: empty sort spec")
+        matched = self._matched_ids(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        return (
+            docs.join(matched, "doc_id")
+            .orderBy(*keys, F.asc("doc_id"))
+            .select(*fl)
+        )
+
     def match_stats(self, terms: list[str], stat_col: str = "lang",
                     field: str = "code.content",
                     cardinality: bool = False, rsd: float = 0.01) -> DataFrame:

@@ -47,6 +47,10 @@ Endpoints (all JSON):
   synonym groups, each scored as one merged pseudo-term
 - ``GET /facet_query?fq=py:python;js:javascript+node`` → facet.query
   match counts per labeled subquery
+- ``GET /export?q=a&sort=path asc&fl=doc_id,path`` → Solr
+  ExportHandler: the FULL sorted match set, streamed row-by-row from
+  ``toLocalIterator`` (close-delimited JSON; never materialized
+  driver-side); sort= and fl= required, exactly Solr's contract
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
@@ -219,6 +223,49 @@ def _make_handler(idx, lock: threading.Lock):
                         {"doc_id": r["doc_id"], on: r[on],
                          "score": r["score"]} for r in rows
                     ]})
+                elif u.path == "/export":
+                    # Solr ExportHandler: the FULL sorted match set,
+                    # streamed — close-delimited JSON written row by
+                    # row from toLocalIterator, so the result never
+                    # materializes driver-side; numFound follows the
+                    # docs array (counted while streaming — no second
+                    # job). sort= and fl= are required, as in Solr.
+                    terms = qs.get("q", [""])[0].split()
+                    sort = qs.get("sort", [""])[0]
+                    fl = [c.strip() for c in qs.get("fl", [""])[0]
+                          .split(",") if c.strip()]
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        # plan + first-partition fetch under the lock;
+                        # a concurrent /compact that deletes delta
+                        # files can fail an in-flight stream (the
+                        # client sees a truncated body) — the offline
+                        # export path (FtIndex.export(...).write) is
+                        # the consistency-critical surface
+                        try:
+                            df = idx.export(terms, sort, fl,
+                                            field=field)
+                        except ValueError as e:
+                            self._json(400, {"error": str(e)})
+                            return
+                        it = df.toLocalIterator()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(b'{"response": {"docs": [')
+                    n = 0
+                    for row in it:
+                        # default=str: timestamps/dates in metadata
+                        # columns serialize as their ISO repr
+                        piece = json.dumps(row.asDict(), default=str)
+                        self.wfile.write(
+                            (("," if n else "") + piece).encode())
+                        n += 1
+                    self.wfile.write(
+                        ('], "numFound": %d}}' % n).encode())
                 elif u.path == "/facet_query":
                     # Solr facet.query: counts per labeled subquery,
                     # fq=label:term1+term2;label2:...

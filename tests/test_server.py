@@ -900,3 +900,55 @@ def test_phonetic_endpoint(spark, tmp_path):
             _get(f"http://{srv.host}:{srv.port}/phonetic?term=")
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------- /export
+
+
+def test_export_engine_full_sorted_match_set(served):
+    """FtIndex.export returns EVERY match (never a page), totally
+    ordered, projected to fl — equal to the hand-built recount."""
+    srv, idx = served
+    got = [(r["doc_id"], r["path"]) for r in
+           idx.export(["def"], "path desc", ["doc_id", "path"]).collect()]
+    spark = idx.spark
+    matched = idx._matched_ids(["def"], "code.content")
+    exp = [(r["doc_id"], r["path"]) for r in
+           spark.read.parquet(f"{idx.path}/docs")
+           .join(matched, "doc_id").select("doc_id", "path")
+           .collect()]
+    exp.sort(key=lambda t: (t[1],), reverse=True)
+    # stable total order: path desc then doc_id asc
+    exp = sorted(exp, key=lambda t: t[0])
+    exp.sort(key=lambda t: t[1], reverse=True)
+    assert got == exp and len(got) > 20  # full set, not a page
+    with pytest.raises(ValueError, match="sort"):
+        idx.export(["def"], "", ["doc_id"])
+    with pytest.raises(ValueError, match="fl"):
+        idx.export(["def"], "path asc", [])
+
+
+def test_export_route_streams_full_set(served):
+    srv, idx = served
+    url = (f"http://{srv.host}:{srv.port}/export?q=def"
+           f"&sort=path+asc&fl=doc_id,path,lang")
+    with urllib.request.urlopen(url, timeout=120) as r:
+        assert r.status == 200
+        body = json.loads(r.read())
+    docs = body["response"]["docs"]
+    assert body["response"]["numFound"] == len(docs)
+    exp = [r.asDict() for r in
+           idx.export(["def"], "path asc",
+                      ["doc_id", "path", "lang"]).collect()]
+    assert docs == exp and len(docs) > 20
+    # Solr contract: refuses without sort / fl; unknown q is empty
+    for bad in ("q=def&fl=doc_id", "q=def&sort=path+asc", "sort=x&fl=y"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://{srv.host}:{srv.port}/export?{bad}", timeout=30)
+        assert ei.value.code == 400
+    with urllib.request.urlopen(
+            f"http://{srv.host}:{srv.port}/export?q=zzzzqqqq"
+            f"&sort=path+asc&fl=doc_id", timeout=120) as r:
+        empty = json.loads(r.read())
+    assert empty["response"] == {"docs": [], "numFound": 0}
