@@ -1952,6 +1952,59 @@ class FtIndex:
             matched = matched.join(F.broadcast(tomb), "doc_id", "left_anti")
         return matched
 
+    def attach_vectors(self, source, id_col: str = "doc_id",
+                       vec_col: str = "embedding") -> None:
+        """Register a doc_id-keyed embedding table with this handle —
+        the Solr 9 DenseVectorField analog (the vectors live beside
+        the index; queries compose). ``source`` is a DataFrame or a
+        parquet path; rows whose id has no indexed doc are allowed
+        (they can never be returned — the tombstone/fq joins decide).
+        Serving-side state only; nothing is written into the index
+        directory."""
+        df = (self.spark.read.parquet(source)
+              if isinstance(source, str) else source)
+        self._vectors = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(vec_col).alias("embedding"))
+
+    def knn(self, vector: list[float], k: int = 10,
+            terms: list[str] | None = None,
+            field: str = "code.content") -> DataFrame:
+        """Solr ``{!knn f=vector topK=k}[…]`` — dense-vector top-k by
+        cosine over the attached embedding table, composable with a
+        term filter exactly like Solr's fq-composed knn (PRE-filtering
+        semantics: the candidate set is restricted FIRST, then the k
+        nearest of the survivors are returned — Solr 9.1+ knn with
+        fq). Tombstoned docs never return. Returns (doc_id, cosine),
+        round-5 cosine, (cosine DESC, doc_id ASC) tie discipline —
+        TakeOrderedAndProject, never a global sort.
+
+        Scale path: this is the exact brute-force baseline (one
+        column-pruned scan of the vector table, codegen dot product).
+        For 10^9+ vectors serve through :mod:`ftidx.ann`'s IVF/PQ
+        indexes instead — same contract, cell-probed scan."""
+        vectors = getattr(self, "_vectors", None)
+        if vectors is None:
+            raise ValueError(
+                "no vectors attached — call attach_vectors(df_or_path)"
+                " first (Solr: the field must be a DenseVectorField)")
+        from ftidx.ann import with_cosine
+
+        cand = vectors
+        if terms:
+            cand = cand.join(self._matched_ids(terms, field), "doc_id")
+        elif self._tombstones:
+            tomb = self.spark.createDataFrame(
+                [(int(d),) for d in sorted(self._tombstones)],
+                "doc_id long")
+            cand = cand.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return (
+            with_cosine(cand, "embedding", [float(v) for v in vector])
+            .select("doc_id", "cosine")
+            .orderBy(F.desc("cosine"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def significant_terms(self, terms: list[str],
                           field: str = "code.content", limit: int = 20,
                           min_doc_freq: float = 5.0,

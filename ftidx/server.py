@@ -51,6 +51,9 @@ Endpoints (all JSON):
   ExportHandler: the FULL sorted match set, streamed row-by-row from
   ``toLocalIterator`` (close-delimited JSON; never materialized
   driver-side); sort= and fl= required, exactly Solr's contract
+- ``POST /knn``          → Solr 9 ``{!knn}`` dense-vector top-k over
+  the attached DenseVectorField-analog table (``{"vector": […],
+  "k": 10, "q": "optional pre-filter terms"}``)
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
@@ -895,6 +898,34 @@ def _make_handler(idx, lock: threading.Lock):
                         return
                     raise
                 self._json(200, out)
+            elif path == "/knn":
+                # Solr {!knn f=vector topK=k} over the attached
+                # DenseVectorField-analog table; optional q= composes
+                # as a PRE-filter (Solr 9.1+ fq semantics)
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    vec = body.get("vector")
+                    if (not isinstance(vec, list) or not vec
+                            or not all(isinstance(x, (int, float))
+                                       and not isinstance(x, bool)
+                                       for x in vec)):
+                        raise ValueError(
+                            "/knn body needs vector: [numbers]")
+                    k = int(body.get("k", 10))
+                    terms = str(body.get("q", "")).split() or None
+                    fld = str(body.get("field", "code.content"))
+                    with lock:
+                        rows = idx.knn(vec, k=k, terms=terms,
+                                       field=fld).collect()
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {"docs": [
+                    {"doc_id": r["doc_id"], "score": r["cosine"]}
+                    for r in rows
+                ]})
             elif path == "/refresh":
                 with lock:
                     idx.refresh()

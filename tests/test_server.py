@@ -952,3 +952,76 @@ def test_export_route_streams_full_set(served):
             f"&sort=path+asc&fl=doc_id", timeout=120) as r:
         empty = json.loads(r.read())
     assert empty["response"] == {"docs": [], "numFound": 0}
+
+
+# ------------------------------------------------------------- /knn
+
+
+def _fake_embs(doc_ids, dim=6):
+    """Deterministic per-doc embedding: md5-derived floats in [-1, 1]."""
+    import hashlib
+
+    out = {}
+    for d in doc_ids:
+        h = hashlib.md5(f"emb:{d}".encode()).hexdigest()
+        out[d] = [int(h[i * 4:i * 4 + 4], 16) / 32768.0 - 1.0
+                  for i in range(dim)]
+    return out
+
+
+def test_knn_matches_numpy_and_composes_fq(served):
+    import numpy as np
+
+    srv, idx = served
+    spark = idx.spark
+    ids = [int(r["doc_id"]) for r in
+           spark.read.parquet(f"{idx.path}/docs")
+           .select("doc_id").collect()]
+    embs = _fake_embs(ids)
+    vecs = spark.createDataFrame(
+        [(d, e) for d, e in embs.items()],
+        "doc_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="attach_vectors"):
+        idx.knn([1.0] * 6)
+    idx.attach_vectors(vecs)
+    q = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4]
+    got = [(r["doc_id"], r["cosine"]) for r in idx.knn(q, k=7).collect()]
+    qv = np.array(q)
+    scored = sorted(
+        ((round(float(np.dot(e, qv)
+                      / (np.linalg.norm(e) * np.linalg.norm(qv))), 5), -d)
+         for d, e in embs.items()), reverse=True)
+    exp = [(-nd, c) for c, nd in scored[:7]]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gc), (ed, ec) in zip(got, exp):
+        assert gc == pytest.approx(ec, abs=2e-5)
+    # fq composition: candidates restricted BEFORE the cut
+    allowed = {int(r["doc_id"]) for r in
+               idx._matched_ids(["beta"], "code.content").collect()}
+    assert allowed and len(allowed) < len(ids)
+    filt = [int(r["doc_id"]) for r in
+            idx.knn(q, k=10**6, terms=["beta"]).collect()]
+    assert set(filt) == allowed
+
+
+def test_knn_route_parity_and_rejections(served):
+    srv, idx = served
+    q = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4]
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/knn",
+        data=json.dumps({"vector": q, "k": 5}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        body = json.loads(r.read())
+    exp = [{"doc_id": r["doc_id"], "score": r["cosine"]}
+           for r in idx.knn(q, k=5).collect()]
+    assert body["docs"] == exp and len(exp) == 5
+    for bad in ({}, {"vector": []}, {"vector": "x"},
+                {"vector": [1.0, "a"]}, {"vector": [True, 1.0]}):
+        breq = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/knn",
+            data=json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(breq, timeout=30)
+        assert ei.value.code == 400
