@@ -774,6 +774,39 @@ def q_sig_terms_fg(spark, sf_dir):
     )
 
 
+# Solr facet.range date gap: [start + i*gap, start + (i+1)*gap) buckets
+# anchored at an off-midnight start with a +7HOUR gap — real date-math
+# binning, not truncation. Epochs precomputed driver-side as integer
+# literals shared verbatim with the oracle.
+_DFR_START = "2024-01-03 05:00:00"
+_DFR_END = "2024-01-25 05:00:00"
+_DFR_STEP = 7 * 3600
+_DFR_S_EPOCH = 1704258000  # utc epoch of _DFR_START
+assert __import__("calendar").timegm((2024, 1, 3, 5, 0, 0)) == _DFR_S_EPOCH
+
+
+def q_date_facet(spark, sf_dir):
+    # engine twin: FtIndex.facet_range_date (same floor-over-epoch
+    # arithmetic; the month/year calendar path is pytest-pinned)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    col = F.col("ts")
+    base = e.filter(
+        col.isNotNull()
+        & (col >= F.lit(_DFR_START).cast("timestamp"))
+        & (col < F.lit(_DFR_END).cast("timestamp")))
+    idx = F.floor((col.cast("timestamp").cast("long")
+                   - F.lit(_DFR_S_EPOCH)) / F.lit(_DFR_STEP))
+    epoch = F.lit(_DFR_S_EPOCH) + idx * F.lit(_DFR_STEP)
+    return (
+        base.groupBy(epoch.alias("bucket_epoch"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("bucket_iso", F.date_format(
+            F.timestamp_seconds(F.col("bucket_epoch")),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .select("bucket_epoch", "bucket_iso", "n_docs")
+    )
+
+
 _HEATMAP_BOX = (-60.0, 70.0, -150.0, 160.0, 6, 9)  # lat_min/max, lon_min/max, rows, cols
 
 
@@ -2239,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_top": q_stream_join_top,
         "sig_terms_fg": q_sig_terms_fg,
         # --- unchecked remainder: rotate into the window next round ---
+        "date_facet": q_date_facet,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -3324,6 +3358,23 @@ def oracle_sql() -> dict[str, str]:
             WITH {_geo_sql(0.0, 0.0)[0]}
             SELECT doc_id, lat, lon FROM pts
             WHERE {polygon_sql(_PENTAGON)}
+        """,
+        "date_facet": f"""
+            WITH b AS (
+              SELECT {_DFR_S_EPOCH}
+                     + CAST(floor((CAST(floor(epoch(ts)) AS BIGINT)
+                                   - {_DFR_S_EPOCH}) / {_DFR_STEP}.0)
+                            AS BIGINT) * {_DFR_STEP} AS bucket_epoch
+              FROM events
+              WHERE ts IS NOT NULL
+                AND ts >= TIMESTAMP '{_DFR_START}'
+                AND ts < TIMESTAMP '{_DFR_END}'
+            )
+            SELECT bucket_epoch,
+                   strftime(make_timestamp(bucket_epoch * 1000000),
+                            '%Y-%m-%dT%H:%M:%SZ') AS bucket_iso,
+                   count(*) AS n_docs
+            FROM b GROUP BY 1, 2
         """,
         "sig_terms_fg": f"""
             WITH {_TOK_CTE},

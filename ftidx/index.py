@@ -2144,6 +2144,80 @@ class FtIndex:
             .orderBy(F.asc("bucket_start"))
         )
 
+    _DATE_GAP_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                         "DAY": 86400}
+
+    def facet_range_date(self, terms: list[str], start: str, end: str,
+                         gap: str, facet: str = "modified",
+                         field: str = "code.content") -> DataFrame:
+        """Date range faceting (Solr ``facet.range`` on a date field
+        with date-math gaps: ``facet.range.gap=+7HOUR``, ``+1MONTH``):
+        matching docs histogrammed into ``[start + i·gap,
+        start + (i+1)·gap)`` buckets over a timestamp docs-table
+        column. Returns (bucket_start timestamp, n_docs), empty
+        buckets omitted (mincount=1, :meth:`facet_range`'s
+        discipline), ordered by bucket.
+
+        Gap arithmetic is Solr's, not truncation: buckets anchor at
+        ``start`` (a ``+7HOUR`` gap from 05:00 bins at 05:00, 12:00,
+        19:00 …). SECOND/MINUTE/HOUR/DAY gaps are fixed-width — one
+        codegen floor over epoch seconds. MONTH/YEAR gaps are
+        variable-width calendar steps — bucket i starts at
+        ``add_months(start, i·n)`` exactly; the index is found by a
+        months_between estimate corrected ±1 against the true
+        add_months boundaries (months_between's 31-day fractional
+        error is < one bucket step, so the guess is always within
+        one). Everything stays a codegen expression + one
+        grid-cardinality groupBy — :meth:`facet_range`'s scale
+        shape."""
+        import re
+
+        m = re.fullmatch(r"\+?(\d+)(SECOND|MINUTE|HOUR|DAY|MONTH|YEAR)S?",
+                         gap.strip(), re.IGNORECASE)
+        if not m:
+            raise ValueError(
+                f"bad gap {gap!r} — use Solr date math like +1DAY, "
+                "+7HOUR, +2MONTH")
+        n, unit = int(m.group(1)), m.group(2).upper()
+        if n < 1:
+            raise ValueError("gap must be at least 1 unit")
+        matched = self._matched_ids(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        col = F.col(facet).cast("timestamp")
+        s_lit = F.lit(start).cast("timestamp")
+        e_lit = F.lit(end).cast("timestamp")
+        base = (docs.join(matched, "doc_id")
+                .filter(col.isNotNull() & (col >= s_lit) & (col < e_lit)))
+        if unit in self._DATE_GAP_SECONDS:
+            step = n * self._DATE_GAP_SECONDS[unit]
+            idx = F.floor((col.cast("long") - s_lit.cast("long"))
+                          / F.lit(step))
+            bucket = F.timestamp_seconds(
+                s_lit.cast("long") + idx * F.lit(step))
+        else:
+            months = n * (12 if unit == "YEAR" else 1)
+            guess = F.floor(F.months_between(col, s_lit)
+                            / F.lit(float(months))).cast("int")
+            # correct the 31-day-normalized estimate against the TRUE
+            # calendar boundaries (always within ±1)
+            # timestamp_add keeps the clock-time anchor and clamps
+            # month-ends (Jan 31 +1MONTH → Feb 29) — Java Calendar
+            # date math, i.e. exactly Solr's
+            idx = (
+                F.when(col >= F.timestamp_add("MONTH",
+                                              (guess + 1) * months, s_lit),
+                       guess + 1)
+                .when(col < F.timestamp_add("MONTH", guess * months, s_lit),
+                      guess - 1)
+                .otherwise(guess)
+            )
+            bucket = F.timestamp_add("MONTH", idx * months, s_lit)
+        return (
+            base.groupBy(bucket.alias("bucket_start"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.asc("bucket_start"))
+        )
+
     def facet_interval(self, terms: list[str],
                        intervals: list[tuple[float, float, str]],
                        facet: str = "n_chars",

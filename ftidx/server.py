@@ -59,6 +59,9 @@ Endpoints (all JSON):
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
   (Solr stats.field + stats.facet)
 - ``GET /facet_range?q=a&col=n&start=0&end=100&gap=10`` → range facets
+- ``GET /facet_range_date?q=a&col=modified&start=…&end=…&gap=%2B1MONTH``
+  → date range facets with Solr date-math gaps (calendar-exact
+  MONTH/YEAR steps incl. Java's month-end clamp)
 - ``GET /spellcheck?q=teh+quik`` → corrections + collated query
 - ``GET /get?id=123``    → real-time-get of one doc's metadata row
 - ``POST /refresh``      → re-open the handle after maintenance ops
@@ -358,6 +361,33 @@ def _make_handler(idx, lock: threading.Lock):
                     self._json(200, {"buckets": [
                         {"start": r["bucket_start"], "n_docs": r["n_docs"]}
                         for r in rows
+                    ]})
+                elif u.path == "/facet_range_date":
+                    # Solr facet.range over a date field with date-
+                    # math gaps (+7HOUR, +1MONTH); bucket starts
+                    # returned as ISO strings
+                    terms = qs.get("q", [""])[0].split()
+                    start = qs.get("start", [""])[0]
+                    end = qs.get("end", [""])[0]
+                    gap = qs.get("gap", [""])[0]
+                    if not terms or not start or not end or not gap:
+                        self._json(400, {"error":
+                                         "need q, start, end, gap"})
+                        return
+                    col = qs.get("col", ["modified"])[0]
+                    field = qs.get("field", ["code.content"])[0]
+                    try:
+                        with lock:
+                            rows = idx.facet_range_date(
+                                terms, start, end, gap, facet=col,
+                                field=field).collect()
+                    except ValueError as e:
+                        self._json(400, {"error": str(e)})
+                        return
+                    self._json(200, {"buckets": [
+                        {"start": r["bucket_start"].strftime(
+                            "%Y-%m-%dT%H:%M:%SZ"),
+                         "n_docs": r["n_docs"]} for r in rows
                     ]})
                 elif u.path == "/facet_interval":
                     # Solr facet.interval: set=label:lo:hi;label2:lo:hi

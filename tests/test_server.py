@@ -1025,3 +1025,108 @@ def test_knn_route_parity_and_rejections(served):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(breq, timeout=30)
         assert ei.value.code == 400
+
+
+def test_export_unknown_column_answers_400(served):
+    srv, idx = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            f"http://{srv.host}:{srv.port}/export?q=def"
+            f"&sort=path+asc&fl=doc_id,nope_col", timeout=30)
+    assert ei.value.code == 400
+
+
+# ------------------------------------------------- /facet_range_date
+
+
+def _add_months_clamped(dt, n):
+    """Java Calendar / java.time plusMonths semantics: add n months to
+    the ORIGINAL anchor, clamping the day to the target month's last."""
+    import calendar as _cal
+    from datetime import datetime as _dt
+
+    y, m = divmod((dt.year * 12 + dt.month - 1) + n, 12)
+    m += 1
+    day = min(dt.day, _cal.monthrange(y, m)[1])
+    return _dt(y, m, day, dt.hour, dt.minute, dt.second, dt.microsecond)
+
+
+def _date_facet_recount(idx, terms, start, end, gap_fn):
+    """Python recount: matched docs' modified values binned by the
+    bucket-boundary function."""
+    from datetime import datetime as _dt
+
+    spark = idx.spark
+    ids = {int(r["doc_id"]) for r in
+           idx._matched_ids(terms, "code.content").collect()}
+    s = _dt.fromisoformat(start)
+    e = _dt.fromisoformat(end)
+    exp = {}
+    for r in spark.read.parquet(f"{idx.path}/docs") \
+            .select("doc_id", "modified").collect():
+        if int(r["doc_id"]) not in ids or r["modified"] is None:
+            continue
+        v = r["modified"]
+        if not (s <= v < e):
+            continue
+        exp[gap_fn(s, v)] = exp.get(gap_fn(s, v), 0) + 1
+    return exp
+
+
+def test_facet_range_date_fixed_gap_matches_recount(served):
+    from datetime import timedelta
+
+    srv, idx = served
+    start, end = "2024-02-03 05:00:00", "2024-09-01 00:00:00"
+
+    def bucket(s, v):
+        step = timedelta(days=11)
+        return s + step * int((v - s) // step)
+
+    exp = _date_facet_recount(idx, ["def"], start, end, bucket)
+    got = {r["bucket_start"]: r["n_docs"] for r in
+           idx.facet_range_date(["def"], start, end, "+11DAY").collect()}
+    assert got == exp and len(got) > 5
+
+
+def test_facet_range_date_month_gap_clamps_like_java(served):
+    srv, idx = served
+    start, end = "2024-01-31 02:30:00", "2024-12-30 00:00:00"
+
+    def bucket(s, v):
+        # largest i with add_months(s, i) <= v
+        i = 0
+        while _add_months_clamped(s, i + 1) <= v:
+            i += 1
+        return _add_months_clamped(s, i)
+
+    exp = _date_facet_recount(idx, ["def"], start, end, bucket)
+    got = {r["bucket_start"]: r["n_docs"] for r in
+           idx.facet_range_date(["def"], start, end,
+                                "+1MONTH").collect()}
+    assert got == exp and len(got) > 5
+    # the clamped boundary is actually present: Jan 31 +1MONTH = Feb 29
+    assert any(b.month == 2 and b.day == 29 for b in got)
+    with pytest.raises(ValueError, match="date math"):
+        idx.facet_range_date(["def"], start, end, "fortnight")
+
+
+def test_facet_range_date_route(served):
+    srv, idx = served
+    url = (f"http://{srv.host}:{srv.port}/facet_range_date?q=def"
+           f"&start=2024-02-03+05:00:00&end=2024-09-01+00:00:00"
+           f"&gap=%2B11DAY")
+    status, body = _get(url)
+    assert status == 200
+    exp = [{"start": r["bucket_start"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "n_docs": r["n_docs"]} for r in
+           idx.facet_range_date(["def"], "2024-02-03 05:00:00",
+                                "2024-09-01 00:00:00", "+11DAY").collect()]
+    assert body["buckets"] == exp and exp
+    for bad in ("q=def&start=2024-01-01&end=2024-02-01",
+                "q=def&start=2024-01-01&end=2024-02-01&gap=nope"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://{srv.host}:{srv.port}/facet_range_date?{bad}",
+                timeout=30)
+        assert ei.value.code == 400
