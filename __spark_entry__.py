@@ -788,20 +788,27 @@ assert __import__("calendar").timegm((2024, 1, 3, 5, 0, 0)) == _DFR_S_EPOCH
 def q_date_facet(spark, sf_dir):
     # engine twin: FtIndex.facet_range_date (same floor-over-epoch
     # arithmetic; the month/year calendar path is pytest-pinned)
+    # all arithmetic stays TIMESTAMP_NTZ (events.ts's type) — like
+    # events_tumbling, the binning is a pure function of the WALL
+    # time, so the row is green under ANY driver session timezone;
+    # casting through session-tz TIMESTAMP would shift the epoch by
+    # the tz offset while the UTC-anchored literal stayed put
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     col = F.col("ts")
+    s_ntz = F.lit(_DFR_START).cast("timestamp_ntz")
     base = e.filter(
-        col.isNotNull()
-        & (col >= F.lit(_DFR_START).cast("timestamp"))
-        & (col < F.lit(_DFR_END).cast("timestamp")))
-    idx = F.floor((col.cast("timestamp").cast("long")
-                   - F.lit(_DFR_S_EPOCH)) / F.lit(_DFR_STEP))
+        col.isNotNull() & (col >= s_ntz)
+        & (col < F.lit(_DFR_END).cast("timestamp_ntz")))
+    idx = F.floor(F.timestamp_diff("SECOND", s_ntz, col)
+                  / F.lit(_DFR_STEP))
     epoch = F.lit(_DFR_S_EPOCH) + idx * F.lit(_DFR_STEP)
     return (
         base.groupBy(epoch.alias("bucket_epoch"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("bucket_iso", F.date_format(
-            F.timestamp_seconds(F.col("bucket_epoch")),
+            F.timestamp_add(
+                "SECOND", F.col("bucket_epoch") - F.lit(_DFR_S_EPOCH),
+                F.lit(_DFR_START).cast("timestamp_ntz")),
             "yyyy-MM-dd'T'HH:mm:ss'Z'"))
         .select("bucket_epoch", "bucket_iso", "n_docs")
     )

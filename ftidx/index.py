@@ -1963,9 +1963,17 @@ class FtIndex:
         directory."""
         df = (self.spark.read.parquet(source)
               if isinstance(source, str) else source)
-        self._vectors = df.select(
+        vecs = df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(vec_col).alias("embedding"))
+        first = vecs.select("embedding").first()
+        if first is None or first[0] is None:
+            raise ValueError("attach_vectors: empty vector table")
+        # dimension recorded once at attach (one tiny job) so a
+        # mis-sized query vector is a 400-able ValueError instead of
+        # NULL cosines from a silently padded zip_with
+        self._vector_dim = len(first[0])
+        self._vectors = vecs
 
     def knn(self, vector: list[float], k: int = 10,
             terms: list[str] | None = None,
@@ -1988,6 +1996,12 @@ class FtIndex:
             raise ValueError(
                 "no vectors attached — call attach_vectors(df_or_path)"
                 " first (Solr: the field must be a DenseVectorField)")
+        if k < 0:
+            raise ValueError(f"k must be >= 0, got {k}")
+        if len(vector) != self._vector_dim:
+            raise ValueError(
+                f"query vector has {len(vector)} dims, attached table "
+                f"has {self._vector_dim}")
         from ftidx.ann import with_cosine
 
         cand = vectors
@@ -2065,11 +2079,23 @@ class FtIndex:
         def intersect(pdf: pd.DataFrame, fdf: pd.DataFrame) -> pd.DataFrame:
             from ftidx.codec import delta_decode, varint_decode
 
-            if not len(pdf) or not len(fdf):
+            if not len(pdf):
                 return pd.DataFrame(
                     {"term": pd.Series([], dtype="object"),
                      "fg_c": pd.Series([], dtype="int64"),
                      "seg_df": pd.Series([], dtype="int64")})
+            if not len(fdf):
+                # a bucket with postings but NO foreground docs still
+                # contributes its segment dfs to the BACKGROUND sums —
+                # dropping them would undercount bg_df for any query
+                # whose matches concentrate in few buckets (cogroup is
+                # full-outer over keys, so this branch runs for every
+                # foreground-free bucket); no blob decode needed
+                return pd.DataFrame(
+                    {"term": pdf["term"].astype("object"),
+                     "fg_c": pd.Series(0, index=pdf.index,
+                                       dtype="int64"),
+                     "seg_df": pdf["df"].astype("int64")})
             ids = np.sort(fdf["doc_id"].to_numpy(np.uint64))
             t_out, c_out, d_out = [], [], []
             for term, seg_df, blob in zip(pdf["term"], pdf["df"],
@@ -2181,11 +2207,22 @@ class FtIndex:
         n, unit = int(m.group(1)), m.group(2).upper()
         if n < 1:
             raise ValueError("gap must be at least 1 unit")
+        from datetime import datetime as _dt
+
+        # parse driver-side so a typo is a ValueError, not a NULL cast
+        # that silently empties the filter (Solr 400s on bad dates)
+        try:
+            s_dt = _dt.fromisoformat(str(start))
+            e_dt = _dt.fromisoformat(str(end))
+        except ValueError as exc:
+            raise ValueError(f"bad start/end date: {exc}") from None
+        if s_dt >= e_dt:
+            raise ValueError(f"start {start!r} must precede end {end!r}")
         matched = self._matched_ids(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
         col = F.col(facet).cast("timestamp")
-        s_lit = F.lit(start).cast("timestamp")
-        e_lit = F.lit(end).cast("timestamp")
+        s_lit = F.lit(s_dt)
+        e_lit = F.lit(e_dt)
         base = (docs.join(matched, "doc_id")
                 .filter(col.isNotNull() & (col >= s_lit) & (col < e_lit)))
         if unit in self._DATE_GAP_SECONDS:

@@ -1006,18 +1006,22 @@ def split_index(spark: SparkSession, index_path: str,
     if n_children < 2:
         raise ValueError("split_index needs at least 2 out_paths")
     buckets = _live_buckets(src)
-    if n_children > len(buckets):
+    owned = {i: [b for b in buckets if b % n_children == i]
+             for i in range(n_children)}
+    empty = [i for i in range(n_children) if not owned[i]]
+    if empty:
+        # checked BEFORE anything is written: sparse live-bucket sets
+        # (or more children than buckets) can leave a child with no
+        # corpus under the modulo assignment — a shard with no buckets
+        # is a config error, not a degenerate index
         raise ValueError(
-            f"split_index: {n_children} children but only "
-            f"{len(buckets)} live buckets — every child must own at "
-            "least one bucket")
+            f"split_index: child(ren) {empty} would own no bucket — "
+            f"{n_children} children over live buckets {buckets}; "
+            "every child must own at least one")
     for p in out_paths:
         d = Path(p)
         if d.exists() and any(d.iterdir()):
             raise ValueError(f"split_index: out path {d} is not empty")
-
-    owned = {i: [b for b in buckets if b % n_children == i]
-             for i in range(n_children)}
     for i, p in enumerate(out_paths):
         child = Path(p)
         child.mkdir(parents=True, exist_ok=True)
@@ -1032,13 +1036,14 @@ def split_index(spark: SparkSession, index_path: str,
         # tombstones: doc_id >> 40 names the owning bucket, so the
         # child's subset is one pushdown-able filter over a small table
         if _has_files(src / "tombstones"):
-            mine = (
+            # written unconditionally (possibly 0 rows) — one job per
+            # child, same emptiness convention as the ledger copy
+            (
                 spark.read.parquet(str(src / "tombstones"))
                 .filter(F.pmod(F.shiftright(F.col("doc_id"), 40),
                                F.lit(n_children)) == i)
+                .write.parquet(str(child / "tombstones"))
             )
-            if mine.take(1):
-                mine.write.parquet(str(child / "tombstones"))
         if _has_files(src / "ledger"):
             (
                 spark.read.option("mergeSchema", "true")
@@ -1120,14 +1125,12 @@ def merge_indexes(spark: SparkSession, paths: list[str],
            .parquet(str(Path(p) / "ledger"))
            for p in paths if _has_files(Path(p) / "ledger")]
     if led:
-        cols = set()
-        for df in led:
-            cols.update(df.columns)
-        uni = None
-        for df in led:
-            for c in sorted(cols - set(df.columns)):
-                df = df.withColumn(c, F.lit(None).cast("string"))
-            uni = df if uni is None else uni.unionByName(df)
+        uni = led[0]
+        for df in led[1:]:
+            # allowMissingColumns nulls absent columns AT THEIR OWN
+            # TYPE — hand-adding them as string would coerce the real
+            # column stringward in the union
+            uni = uni.unionByName(df, allowMissingColumns=True)
         uni.write.parquet(str(dst / "ledger"))
     _refresh_child_stats(spark, dst)
     (dst / "_manifest.json").write_text(json.dumps({

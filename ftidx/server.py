@@ -261,17 +261,26 @@ def _make_handler(idx, lock: threading.Lock):
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
-                    self.wfile.write(b'{"response": {"docs": [')
-                    n = 0
-                    for row in it:
-                        # default=str: timestamps/dates in metadata
-                        # columns serialize as their ISO repr
-                        piece = json.dumps(row.asDict(), default=str)
+                    try:
+                        self.wfile.write(b'{"response": {"docs": [')
+                        n = 0
+                        for row in it:
+                            # default=str: timestamps/dates in
+                            # metadata columns serialize as ISO repr
+                            piece = json.dumps(row.asDict(),
+                                               default=str)
+                            self.wfile.write(
+                                (("," if n else "") + piece).encode())
+                            n += 1
                         self.wfile.write(
-                            (("," if n else "") + piece).encode())
-                        n += 1
-                    self.wfile.write(
-                        ('], "numFound": %d}}' % n).encode())
+                            ('], "numFound": %d}}' % n).encode())
+                    except Exception:
+                        # the 200 status line is already on the wire —
+                        # a second response would interleave into the
+                        # body; close instead, so the client sees a
+                        # clean truncation (unterminated JSON = error)
+                        self.close_connection = True
+                        return
                 elif u.path == "/facet_query":
                     # Solr facet.query: counts per labeled subquery,
                     # fq=label:term1+term2;label2:...
@@ -952,6 +961,12 @@ def _make_handler(idx, lock: threading.Lock):
                         json.JSONDecodeError) as e:
                     self._json(400, {"error": str(e)})
                     return
+                except Exception as e:  # same policy as /select
+                    if type(e).__name__ in ("AnalysisException",
+                                            "ParseException"):
+                        self._json(400, {"error": str(e).split("\n")[0]})
+                        return
+                    raise
                 self._json(200, {"docs": [
                     {"doc_id": r["doc_id"], "score": r["cosine"]}
                     for r in rows

@@ -93,9 +93,10 @@ def test_split_routes_tombstones_to_owner(spark, setup, tmp_path):
     split_index(spark, p2, kids)
     owner = (victim >> 40) % 2
     for i, k in enumerate(kids):
+        # every child gets a tombstone table (possibly 0 rows — the
+        # ledger's emptiness convention); only the owner's has the id
         tdir = tmp_path / f"k{i}" / "tombstones"
-        ids = ({r["doc_id"] for r in spark.read.parquet(str(tdir)).collect()}
-               if tdir.exists() else set())
+        ids = {r["doc_id"] for r in spark.read.parquet(str(tdir)).collect()}
         assert ids == ({victim} if i == owner else set())
     shards = FtShards.open(spark, kids)
     assert victim not in {d for _, d, _ in shards.topk(TERMS, k=10**6)}
@@ -104,8 +105,15 @@ def test_split_routes_tombstones_to_owner(spark, setup, tmp_path):
 def test_split_and_merge_refusals(spark, setup, tmp_path):
     root, parent, kids, _ = setup
     # more children than live buckets
-    with pytest.raises(ValueError, match="live buckets"):
+    with pytest.raises(ValueError, match="would own no bucket"):
         split_index(spark, parent, [str(tmp_path / f"x{i}") for i in range(9)])
+    # sparse ownership: kid0 owns {0, 3, 6}; all three are ≡ 0 mod 3,
+    # so splitting it into 3 leaves children 1 and 2 bucket-less even
+    # though n_children <= n_buckets — must refuse BEFORE any write
+    with pytest.raises(ValueError, match="would own no bucket"):
+        split_index(spark, kids[0],
+                    [str(tmp_path / f"sp{i}") for i in range(3)])
+    assert not (tmp_path / "sp0").exists()
     # non-empty target
     busy = tmp_path / "busy"
     busy.mkdir()

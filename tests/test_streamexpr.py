@@ -353,3 +353,34 @@ def test_significant_terms_stream_source(stream_idx):
     assert got == exp and len(got) == 8
     with pytest.raises(ValueError, match="collection"):
         evaluate('significantTerms(nope, q="def")', c)
+
+
+def test_significant_terms_concentrated_foreground_full_bg(stream_idx):
+    """Regression: a query whose matches live in FEW buckets must
+    still sum background dfs over ALL buckets (the cogroup's
+    foreground-free branch) — bg_df equals the brute-force global."""
+    # uniquemarker terms appear in exactly one doc → one bucket
+    q = ["uniquemarker0000097"]
+    exp, fg_n, _ = _sig_brute(stream_idx, q)
+    assert fg_n == 1
+    got = {r["term"]: (r["fg_df"], r["bg_df"]) for r in
+           stream_idx.significant_terms(
+               q, limit=10**6, min_doc_freq=1, max_doc_freq=10**9)
+           .collect()}
+    assert got and set(got) == set(exp)
+    for t, (f, b) in got.items():
+        assert (f, b) == exp[t][:2], t
+
+
+def test_knn_validates_k_and_dimension(stream_idx):
+    import pytest as _pt
+
+    vecs = stream_idx.spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+        "doc_id long, embedding array<double>")
+    stream_idx.attach_vectors(vecs)
+    with _pt.raises(ValueError, match="dims"):
+        stream_idx.knn([1.0, 0.0, 0.0])
+    with _pt.raises(ValueError, match="k must be"):
+        stream_idx.knn([1.0, 0.0], k=-1)
+    assert stream_idx.knn([1.0, 0.0], k=0).collect() == []
