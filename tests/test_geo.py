@@ -244,3 +244,29 @@ def test_heatmap_rejects_degenerate_grid_and_box(pts):
         geo_heatmap(pts, 0.0, 10.0, 0.0, 10.0, rows=0)
     with pytest.raises(ValueError):
         geo_heatmap(pts, 10.0, 10.0, 0.0, 10.0)
+
+
+def test_heatmap_bbox_pushes_to_scan_and_single_agg(spark, tmp_path):
+    """Plan shape: the heatmap's box reaches the parquet scan as
+    pushed filters, and the histogram is ONE hash aggregate pair
+    (partial + final over a grid-sized key) — no window, no sort
+    beyond the final grid-sized orderBy."""
+    from ftidx.geo import geo_heatmap
+
+    p = str(tmp_path / "hm")
+    spark.createDataFrame(_points(), "doc_id long, lat double, lon double") \
+        .write.parquet(p)
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = geo_heatmap(spark.read.parquet(p), *BOX[:4],
+                         rows=BOX[4], cols=BOX[5])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for frag in ("GreaterThanOrEqual(lat", "LessThanOrEqual(lat",
+                 "GreaterThanOrEqual(lon", "LessThanOrEqual(lon"):
+        assert frag in pushed, frag
+    assert "Window" not in plan

@@ -384,3 +384,15 @@ def test_knn_validates_k_and_dimension(stream_idx):
     with _pt.raises(ValueError, match="k must be"):
         stream_idx.knn([1.0, 0.0], k=-1)
     assert stream_idx.knn([1.0, 0.0], k=0).collect() == []
+
+
+def test_knn_plans_as_take_ordered(stream_idx):
+    """{!knn}'s cut is TakeOrderedAndProject — never a global sort of
+    the scored vector table."""
+    vecs = stream_idx.spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "doc_id long, embedding array<double>")
+    stream_idx.attach_vectors(vecs)
+    plan = stream_idx.knn([1.0, 0.5], k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
