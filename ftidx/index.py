@@ -1543,6 +1543,8 @@ class FtIndex:
         as a DataFrame the caller streams (``toLocalIterator``) or
         writes back out (the 10^12-row path: ``.write.parquet``, a
         distributed sorted export with no driver materialization).
+        The unsorted bulk sibling is :meth:`export_matches` (straight
+        to a parquet sink, no sort stage at all).
 
         ``sort`` is Solr's ``"col asc, col2 desc"`` (expressions over
         docs-table columns allowed, Solr sort-by-function); ``doc_id``
@@ -2411,7 +2413,8 @@ class FtIndex:
         join is id-keyed, and rows stream straight to the sink without
         ever visiting the driver. Returns the exported row count (read
         back from the sink's footer metadata — no second scan of the
-        data pages)."""
+        data pages). For Solr's SORTED streaming contract (sort=/fl=
+        required, rows in order) use :meth:`export`."""
         matched = self._matched_ids(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
         if columns:
