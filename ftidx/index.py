@@ -612,6 +612,51 @@ def build_index(
     return {"built": built, "skipped": skipped, "n_buckets": n_buckets, "build_id": build_id}
 
 
+def _parse_sort_keys(sort: str) -> list:
+    """Solr ``"col asc, col2 desc"`` sort spec → orderBy key columns
+    (expressions allowed, direction defaults asc). Raises ValueError
+    on an empty spec — shared by :meth:`FtIndex.export` and
+    :meth:`ftidx.shards.FtShards.export`."""
+    if not sort or not str(sort).strip():
+        raise ValueError("export requires sort= (Solr /export contract)")
+    keys = []
+    for part in str(sort).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        toks = part.rsplit(None, 1)
+        if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
+            expr, direction = toks[0], toks[1].lower()
+        else:
+            expr, direction = part, "asc"
+        col = F.expr(expr)
+        keys.append(col.asc() if direction == "asc" else col.desc())
+    if not keys:
+        raise ValueError("export: empty sort spec")
+    return keys
+
+
+def _sig_score_cut(agg: DataFrame, fg_n: int, bg_n: int, limit: int,
+                   min_doc_freq: float, max_doc_freq: float) -> DataFrame:
+    """significant-terms bounds + JLH score + cut over a
+    (term, fg_df, bg_df) aggregate frame — shared by the single-index
+    and sharded paths so both apply Solr's <1.0-is-a-fraction df rule
+    and the (score DESC, term ASC) TakeOrdered cut identically."""
+    min_df = min_doc_freq * bg_n if min_doc_freq < 1.0 else min_doc_freq
+    max_df = max_doc_freq * bg_n if max_doc_freq < 1.0 else max_doc_freq
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_n))
+    return (
+        agg.filter((F.col("fg_df") > 0)
+                   & (F.col("bg_df") >= float(min_df))
+                   & (F.col("bg_df") <= float(max_df)))
+        .withColumn("score",
+                    F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 5))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(limit)
+    )
+
+
 def _idset_cost(ids: frozenset) -> int:
     """Approximate resident bytes of a cached filter id-set: ~28 bytes
     per int object + ~2× 8-byte hash slots (frozenset overallocates),
@@ -1558,26 +1603,10 @@ class FtIndex:
         then ONE range-partitioned total sort — ``orderBy`` here is
         Spark's sampled-range exchange, each partition sorts in
         parallel; never a single-partition window."""
-        if not sort or not str(sort).strip():
-            raise ValueError("export requires sort= (Solr /export "
-                             "contract)")
         if not fl:
             raise ValueError("export requires fl= (Solr /export "
                              "contract)")
-        keys = []
-        for part in str(sort).split(","):
-            part = part.strip()
-            if not part:
-                continue
-            toks = part.rsplit(None, 1)
-            if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
-                expr, direction = toks[0], toks[1].lower()
-            else:
-                expr, direction = part, "asc"
-            col = F.expr(expr)
-            keys.append(col.asc() if direction == "asc" else col.desc())
-        if not keys:
-            raise ValueError("export: empty sort spec")
+        keys = _parse_sort_keys(sort)
         matched = self._matched_ids(terms, field)
         docs = self.spark.read.parquet(str(self.path / "docs"))
         return (
@@ -2053,6 +2082,23 @@ class FtIndex:
         searchsorted, and only (term, count) pairs leave the executor;
         the reduce side is vocabulary-sized. The final cut is
         orderBy+limit — TakeOrderedAndProject, never a global sort."""
+        agg, fg_n = self._sig_aggregates(terms, field, min_term_length)
+        bg_n, _ = self.stats.get(field, (0, 1.0))
+        if agg is None or fg_n == 0 or bg_n == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, score double")
+        return _sig_score_cut(agg, fg_n, bg_n, limit,
+                              min_doc_freq, max_doc_freq)
+
+    def _sig_aggregates(self, terms: list[str], field: str,
+                        min_term_length: int
+                        ) -> tuple[DataFrame | None, int]:
+        """:meth:`significant_terms`' per-collection aggregation —
+        ((term, fg_df, bg_df) frame, fg_n), no bounds/score applied —
+        factored out so :class:`ftidx.shards.FtShards` can sum these
+        partials across shards and score with GLOBAL statistics (an
+        EXACT distributed merge; Solr's distributed significantTerms
+        merges per-shard top candidates and is approximate)."""
         fg = self._matched_ids(terms, field)
         bucket_src = [self.path / "doclen", self.path / "delta_doclen"]
         dl = None
@@ -2063,16 +2109,9 @@ class FtIndex:
                         .select("doc_id", "bucket"))
                 dl = part if dl is None else dl.unionByName(part)
         if dl is None:
-            return self.spark.createDataFrame(
-                [], "term string, fg_df long, bg_df long, score double")
+            return None, 0
         fgb = fg.join(dl, "doc_id").select("doc_id", "bucket").distinct()
         fg_n = fgb.count()
-        bg_n, _ = self.stats.get(field, (0, 1.0))
-        if fg_n == 0 or bg_n == 0:
-            return self.spark.createDataFrame(
-                [], "term string, fg_df long, bg_df long, score double")
-        min_df = min_doc_freq * bg_n if min_doc_freq < 1.0 else min_doc_freq
-        max_df = max_doc_freq * bg_n if max_doc_freq < 1.0 else max_doc_freq
         posts = self._postings.filter(
             (F.col("field") == field)
             & (F.length("term") >= min_term_length)
@@ -2120,19 +2159,9 @@ class FtIndex:
             .applyInPandas(intersect,
                            schema="term string, fg_c long, seg_df long")
         )
-        fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
-        bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_n))
-        return (
-            per_seg.groupBy("term")
-            .agg(F.sum("fg_c").alias("fg_df"), F.sum("seg_df").alias("bg_df"))
-            .filter((F.col("fg_df") > 0)
-                    & (F.col("bg_df") >= float(min_df))
-                    & (F.col("bg_df") <= float(max_df)))
-            .withColumn("score",
-                        F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 5))
-            .orderBy(F.desc("score"), F.asc("term"))
-            .limit(limit)
-        )
+        agg = per_seg.groupBy("term").agg(
+            F.sum("fg_c").alias("fg_df"), F.sum("seg_df").alias("bg_df"))
+        return agg, fg_n
 
     def facet_queries(self, queries: dict[str, list[str]],
                       field: str = "code.content") -> dict[str, int]:

@@ -33,6 +33,7 @@ caches and tombstone sets — nothing is shared except this wrapper.
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from ftidx.wand import TermList, bm25_contrib, bm25_idf
 
@@ -261,3 +262,70 @@ class FtShards:
         return {"terms": out,
                 "collation": " ".join(c for _, c, _, _ in out),
                 "changed": changed}
+
+
+    # -- distributed analytics --------------------------------------------
+
+    def significant_terms(self, terms: list[str],
+                          field: str = "code.content", limit: int = 20,
+                          min_doc_freq: float = 5.0,
+                          max_doc_freq: float = 0.3,
+                          min_term_length: int = 1):
+        """Distributed significantTerms — EXACT, unlike Solr's
+        distributed mode (which merges per-shard top candidates and
+        can miss a term that is mid-ranked everywhere): each shard
+        computes its full (term, fg_df, bg_df) aggregate (the same
+        cogrouped blob intersection as the single-index path, no
+        bounds applied shard-side), the partials union and sum in one
+        vocabulary-sized shuffle, and bounds + JLH score + cut apply
+        once with GLOBAL fg_n / bg_n. Returns the same
+        (term, fg_df, bg_df, score) frame, layout-invariant (pinned
+        by test: 2 shards == monolithic)."""
+        from ftidx.index import _sig_score_cut
+
+        parts, fg_n, bg_n = [], 0, 0
+        for sh in self.shards:
+            agg, n = sh._sig_aggregates(terms, field, min_term_length)
+            if agg is not None:
+                parts.append(agg)
+            fg_n += n
+            bg_n += sh.stats.get(field, (0, 1.0))[0]
+        spark = self.shards[0].spark
+        if not parts or fg_n == 0 or bg_n == 0:
+            return spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, score double")
+        uni = parts[0]
+        for p in parts[1:]:
+            uni = uni.unionByName(p)
+        agg = uni.groupBy("term").agg(
+            F.sum("fg_df").alias("fg_df"), F.sum("bg_df").alias("bg_df"))
+        return _sig_score_cut(agg, fg_n, bg_n, limit,
+                              min_doc_freq, max_doc_freq)
+
+    def export(self, terms: list[str], sort: str, fl: list[str],
+               field: str = "code.content"):
+        """Distributed sorted export (Solr /export with shards=): each
+        shard contributes its UNSORTED projected match frame (ids are
+        shard-local, so a ``shard`` ordinal column is always
+        prepended), the union makes ONE range-partitioned total sort —
+        sorting per shard first would only duplicate work the global
+        sort redoes. Tie discipline extends the single-index rule:
+        (sort keys, shard ASC, doc_id ASC)."""
+        from ftidx.index import _parse_sort_keys
+
+        keys = _parse_sort_keys(sort)
+        if not fl:
+            raise ValueError("export requires fl= (Solr /export "
+                             "contract)")
+        frames = []
+        for si, sh in enumerate(self.shards):
+            frames.append(
+                sh.spark.read.parquet(str(sh.path / "docs"))
+                .join(sh._matched_ids(terms, field), "doc_id")
+                .withColumn("shard", F.lit(si)))
+        uni = frames[0]
+        for fr in frames[1:]:
+            uni = uni.unionByName(fr)
+        cols = ["shard"] + [c for c in fl if c != "shard"]
+        return (uni.orderBy(*keys, F.asc("shard"), F.asc("doc_id"))
+                .select(*cols))

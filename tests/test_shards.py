@@ -149,3 +149,36 @@ def test_sharded_phonetic_equals_monolithic(setup):
         assert shards.phonetic_terms(q) == mono.phonetic_terms(q)
     assert shards.phonetic_terms("handler")  # non-trivial
     assert shards.phonetic_terms("42") == []
+
+
+def test_sharded_significant_terms_equals_monolithic(setup):
+    """Distributed significantTerms is EXACT: per-shard aggregates
+    summed, bounds + JLH applied once with global stats — results
+    layout-invariant vs the monolithic index."""
+    mono, shards = setup
+    for q in (["def"], ["def", "return"]):
+        m = [(r["term"], r["fg_df"], r["bg_df"], r["score"]) for r in
+             mono.significant_terms(q, limit=15, min_doc_freq=2,
+                                    max_doc_freq=0.9).collect()]
+        s = [(r["term"], r["fg_df"], r["bg_df"], r["score"]) for r in
+             shards.significant_terms(q, limit=15, min_doc_freq=2,
+                                      max_doc_freq=0.9).collect()]
+        assert m == s and m
+
+
+def test_sharded_export_is_layout_invariant(setup):
+    """Sorted export over shards: natural-key sequence equals the
+    monolithic export under a unique total sort."""
+    mono, shards = setup
+    sort = "repo asc, path asc, commit asc"
+    fl = ["repo", "path", "commit"]
+    m = [(r["repo"], r["path"], r["commit"]) for r in
+         mono.export(["def"], sort, fl).collect()]
+    s = [(r["repo"], r["path"], r["commit"]) for r in
+         shards.export(["def"], sort, fl).collect()]
+    assert m == s and len(m) > 50
+    assert shards.export(["def"], sort, ["shard", "path"]).columns \
+        == ["shard", "path"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sort"):
+        shards.export(["def"], "", fl)
