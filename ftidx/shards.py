@@ -329,3 +329,29 @@ class FtShards:
         cols = ["shard"] + [c for c in fl if c != "shard"]
         return (uni.orderBy(*keys, F.asc("shard"), F.asc("doc_id"))
                 .select(*cols))
+
+    def knn(self, vector: list[float], k: int = 10,
+            terms: list[str] | None = None,
+            field: str = "code.content") -> list[tuple[int, int, float]]:
+        """Distributed dense-vector top-k (SolrCloud knn scatter-
+        gather): each shard returns its local k nearest over its OWN
+        attached vector table (cosine is per-vector — no global
+        statistics needed, so unlike BM25 there is no stats phase),
+        the coordinator merge-sorts the ≤ n_shards·k candidates by
+        (cosine DESC, shard ASC, doc_id ASC) and cuts at k — exact,
+        the textbook top-k merge property. Returns
+        (shard, doc_id, cosine) rows; every shard must have vectors
+        attached (ValueError names the first one that has not)."""
+        if k <= 0:
+            return []
+        merged = []
+        for si, sh in enumerate(self.shards):
+            if getattr(sh, "_vectors", None) is None:
+                raise ValueError(
+                    f"shard {si} has no vectors attached — call "
+                    "attach_vectors on every shard first")
+            for r in sh.knn(vector, k=k, terms=terms,
+                            field=field).collect():
+                merged.append((-float(r["cosine"]), si, int(r["doc_id"])))
+        merged.sort()
+        return [(si, d, -negc) for negc, si, d in merged[:k]]

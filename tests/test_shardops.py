@@ -133,3 +133,43 @@ def test_split_and_merge_refusals(spark, setup, tmp_path):
     # merge overlap: a shard merged with itself shares every bucket
     with pytest.raises(ValueError, match="disjoint"):
         merge_indexes(spark, [kids[0], kids[0]], str(tmp_path / "m"))
+
+
+def test_sharded_knn_equals_parent(spark, setup):
+    """split children + per-shard vector tables: the scatter-gather
+    knn merge returns exactly the parent's top-k (doc_ids survive the
+    split verbatim, cosine needs no global stats)."""
+    import hashlib
+
+    from ftidx.index import open_index
+    from ftidx.shards import FtShards
+
+    _, parent, kids, _ = setup
+    mono = open_index(spark, parent)
+    shards = FtShards.open(spark, kids)
+    ids = [int(r["doc_id"]) for r in
+           spark.read.parquet(f"{parent}/docs").select("doc_id").collect()]
+
+    def emb(d):
+        h = hashlib.md5(f"v:{d}".encode()).hexdigest()
+        return [int(h[i * 4:i * 4 + 4], 16) / 32768.0 - 1.0
+                for i in range(5)]
+
+    all_vecs = spark.createDataFrame(
+        [(d, emb(d)) for d in ids], "doc_id long, embedding array<double>")
+    mono.attach_vectors(all_vecs)
+    with pytest.raises(ValueError, match="no vectors attached"):
+        shards.knn([1.0] * 5)
+    for si, sh in enumerate(shards.shards):
+        own = {int(r["doc_id"]) for r in
+               spark.read.parquet(f"{kids[si]}/docs")
+               .select("doc_id").collect()}
+        sh.attach_vectors(spark.createDataFrame(
+            [(d, emb(d)) for d in ids if d in own],
+            "doc_id long, embedding array<double>"))
+    q = [0.4, -0.1, 0.8, 0.2, -0.6]
+    exp = [(int(r["doc_id"]), r["cosine"])
+           for r in mono.knn(q, k=9).collect()]
+    got = [(d, c) for _, d, c in shards.knn(q, k=9)]
+    assert got == exp and len(got) == 9
+    assert shards.knn(q, k=0) == []
