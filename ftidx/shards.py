@@ -355,3 +355,40 @@ class FtShards:
                 merged.append((-float(r["cosine"]), si, int(r["doc_id"])))
         merged.sort()
         return [(si, d, -negc) for negc, si, d in merged[:k]]
+
+    def facet_range(self, terms: list[str], facet: str = "n_chars",
+                    start: float = 0, end: float = 1 << 30,
+                    gap: float = 100, field: str = "code.content"
+                    ) -> list[tuple[float, int]]:
+        """Distributed range faceting: bucket boundaries are a pure
+        function of (start, gap), so shards always agree on bucket
+        identity — the coordinator just sums per-bucket counts
+        (complete lists, bucket cardinality = (end-start)/gap, exact
+        like facet_counts' merge). Returns ordered
+        (bucket_start, n_docs), empty buckets omitted."""
+        from collections import Counter
+
+        agg: Counter = Counter()
+        for sh in self.shards:
+            for r in sh.facet_range(terms, facet=facet, start=start,
+                                    end=end, gap=gap,
+                                    field=field).collect():
+                agg[float(r["bucket_start"])] += int(r["n_docs"])
+        return sorted(agg.items())
+
+    def facet_range_date(self, terms: list[str], start: str, end: str,
+                         gap: str, facet: str = "modified",
+                         field: str = "code.content"):
+        """Distributed date range faceting — same agreement argument
+        as :meth:`facet_range` (bucket starts derive from the shared
+        (start, gap) date math), summed at the coordinator. Returns
+        ordered (bucket_start datetime, n_docs)."""
+        from collections import Counter
+
+        agg: Counter = Counter()
+        for sh in self.shards:
+            for r in sh.facet_range_date(terms, start, end, gap,
+                                         facet=facet,
+                                         field=field).collect():
+                agg[r["bucket_start"]] += int(r["n_docs"])
+        return sorted(agg.items())

@@ -182,3 +182,27 @@ def test_sharded_export_is_layout_invariant(setup):
     import pytest as _pt
     with _pt.raises(ValueError, match="sort"):
         shards.export(["def"], "", fl)
+
+
+def test_sharded_range_facets_equal_monolithic(setup):
+    """Range and date-range facet merges: bucket identity is a pure
+    function of (start, gap), so summed shard buckets equal the
+    monolithic histograms exactly."""
+    mono, shards = setup
+    # numeric merge: `bucket` is the only numeric docs column and its
+    # ordinals are layout-DEPENDENT (4-bucket mono vs 2-bucket
+    # shards), so pin count conservation here; the per-bucket exact
+    # equality of the shared Counter-merge is pinned by the
+    # layout-invariant date column below
+    m = [(float(r["bucket_start"]), int(r["n_docs"])) for r in
+         mono.facet_range(["def"], facet="bucket", start=0,
+                          end=8, gap=2).collect()]
+    s2 = shards.facet_range(["def"], facet="bucket", start=0, end=8, gap=2)
+    assert sum(n for _, n in s2) == sum(n for _, n in m) and m and s2
+    md = [(r["bucket_start"], int(r["n_docs"])) for r in
+          mono.facet_range_date(["def"], "2024-01-05 03:00:00",
+                                "2024-12-20 00:00:00",
+                                "+20DAY").collect()]
+    assert shards.facet_range_date(["def"], "2024-01-05 03:00:00",
+                                   "2024-12-20 00:00:00",
+                                   "+20DAY") == md and md
