@@ -2201,6 +2201,49 @@ class FtIndex:
             .orderBy(F.asc("bucket_start"))
         )
 
+    def facet_range_other(self, terms: list[str], facet: str,
+                          start, end, date: bool = False,
+                          field: str = "code.content") -> dict:
+        """Solr ``facet.range.other=all``: the three counts OUTSIDE
+        and ACROSS the range grid — ``before`` (< start), ``after``
+        (≥ end) and ``between`` (the whole [start, end) span) — over
+        the query's match set. One pass, three conditional sums in a
+        single aggregate (never three scans); NULL values count in
+        none of the three, exactly Solr. ``date=True`` treats
+        start/end as ISO datetimes over a timestamp column (validated
+        driver-side like :meth:`facet_range_date`)."""
+        if date:
+            from datetime import datetime as _dt
+
+            try:
+                start = _dt.fromisoformat(str(start))
+                end = _dt.fromisoformat(str(end))
+            except ValueError as exc:
+                raise ValueError(f"bad start/end date: {exc}") from None
+            col = F.col(facet).cast("timestamp")
+        else:
+            start, end = float(start), float(end)
+            col = F.col(facet).cast("double")
+        if start >= end:
+            raise ValueError(f"start {start!r} must precede end {end!r}")
+        matched = self._matched_ids(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        row = (
+            docs.join(matched, "doc_id")
+            .agg(
+                F.coalesce(F.sum(F.when(col < F.lit(start), 1)),
+                           F.lit(0)).alias("before"),
+                F.coalesce(F.sum(F.when((col >= F.lit(start))
+                                        & (col < F.lit(end)), 1)),
+                           F.lit(0)).alias("between"),
+                F.coalesce(F.sum(F.when(col >= F.lit(end), 1)),
+                           F.lit(0)).alias("after"),
+            ).collect()[0]
+        )
+        return {"before": int(row["before"]),
+                "between": int(row["between"]),
+                "after": int(row["after"])}
+
     _DATE_GAP_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
                          "DAY": 86400}
 

@@ -367,10 +367,17 @@ def _make_handler(idx, lock: threading.Lock):
                         rows = idx.facet_range(
                             terms, facet=col, start=lo, end=hi, gap=gap,
                             field=field).collect()
-                    self._json(200, {"buckets": [
+                        other = (idx.facet_range_other(
+                                     terms, col, lo, hi, field=field)
+                                 if qs.get("other", [""])[0] == "all"
+                                 else None)
+                    out = {"buckets": [
                         {"start": r["bucket_start"], "n_docs": r["n_docs"]}
                         for r in rows
-                    ]})
+                    ]}
+                    if other is not None:
+                        out["other"] = other
+                    self._json(200, out)
                 elif u.path == "/facet_range_date":
                     # Solr facet.range over a date field with date-
                     # math gaps (+7HOUR, +1MONTH); bucket starts
@@ -390,14 +397,22 @@ def _make_handler(idx, lock: threading.Lock):
                             rows = idx.facet_range_date(
                                 terms, start, end, gap, facet=col,
                                 field=field).collect()
+                            other = (idx.facet_range_other(
+                                         terms, col, start, end,
+                                         date=True, field=field)
+                                     if qs.get("other", [""])[0] == "all"
+                                     else None)
                     except ValueError as e:
                         self._json(400, {"error": str(e)})
                         return
-                    self._json(200, {"buckets": [
+                    out = {"buckets": [
                         {"start": r["bucket_start"].strftime(
                             "%Y-%m-%dT%H:%M:%SZ"),
                          "n_docs": r["n_docs"]} for r in rows
-                    ]})
+                    ]}
+                    if other is not None:
+                        out["other"] = other
+                    self._json(200, out)
                 elif u.path == "/facet_interval":
                     # Solr facet.interval: set=label:lo:hi;label2:lo:hi
                     terms = qs.get("q", [""])[0].split()

@@ -1130,3 +1130,34 @@ def test_facet_range_date_route(served):
                 f"http://{srv.host}:{srv.port}/facet_range_date?{bad}",
                 timeout=30)
         assert ei.value.code == 400
+
+
+def test_facet_range_other_matches_recount_and_route(served):
+    from datetime import datetime as _dt
+
+    srv, idx = served
+    ids = {int(r["doc_id"]) for r in
+           idx._matched_ids(["def"], "code.content").collect()}
+    vals = {int(r["doc_id"]): r["modified"] for r in
+            idx.spark.read.parquet(f"{idx.path}/docs")
+            .select("doc_id", "modified").collect()}
+    s, e = _dt(2024, 3, 1, 12), _dt(2024, 9, 15, 6)
+    exp = {"before": 0, "between": 0, "after": 0}
+    for d in ids:
+        v = vals[d]
+        exp["before" if v < s else ("between" if v < e else "after")] += 1
+    got = idx.facet_range_other(
+        ["def"], "modified", "2024-03-01 12:00:00",
+        "2024-09-15 06:00:00", date=True)
+    assert got == exp and all(exp.values())
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/facet_range_date?q=def"
+        f"&start=2024-03-01+12:00:00&end=2024-09-15+06:00:00"
+        f"&gap=%2B1MONTH&other=all")
+    assert status == 200 and body["other"] == exp
+    assert sum(b["n_docs"] for b in body["buckets"]) == exp["between"]
+    # numeric flavor: bucket column, full span -> everything between
+    n = idx.facet_range_other(["def"], "bucket", 0, 100)
+    assert n == {"before": 0, "between": len(ids), "after": 0}
+    with pytest.raises(ValueError, match="precede"):
+        idx.facet_range_other(["def"], "bucket", 5, 5)
