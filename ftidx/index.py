@@ -2270,6 +2270,25 @@ class FtIndex:
         one). Everything stays a codegen expression + one
         grid-cardinality groupBy — :meth:`facet_range`'s scale
         shape."""
+        base, bucket = self._date_bucket_base(terms, start, end, gap,
+                                              facet=facet, field=field)
+        return (
+            base.groupBy(bucket.alias("bucket_start"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.asc("bucket_start"))
+        )
+
+    def _date_bucket_base(self, terms: list[str], start: str, end: str,
+                          gap: str, facet: str = "modified",
+                          field: str = "code.content"):
+        """Shared Solr date-math bucketing: the match-set docs frame
+        filtered to ``[start, end)`` on ``facet`` plus the bucket-start
+        Column (``start + i·gap``). :meth:`facet_range_date` counts per
+        bucket; the ``/stream`` ``timeseries()`` source aggregates
+        arbitrary metrics over the same buckets. All codegen — the gap
+        arithmetic (fixed-width epoch floor vs calendar add_months with
+        the ±1 months_between correction) is documented on
+        :meth:`facet_range_date`."""
         import re
 
         m = re.fullmatch(r"\+?(\d+)(SECOND|MINUTE|HOUR|DAY|MONTH|YEAR)S?",
@@ -2323,11 +2342,7 @@ class FtIndex:
                 .otherwise(guess)
             )
             bucket = F.timestamp_add("MONTH", idx * months, s_lit)
-        return (
-            base.groupBy(bucket.alias("bucket_start"))
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy(F.asc("bucket_start"))
-        )
+        return base, bucket
 
     def facet_interval(self, terms: list[str],
                        intervals: list[tuple[float, float, str]],

@@ -23,6 +23,18 @@ Sources
 - ``facet(collection, q="…", buckets="f", count(*)…, bucketSorts=,
   bucketSizeLimit=)`` — aggregates over the FULL match set (match ids
   decode executor-side; never a top-k truncation).
+- ``stats(collection, q="…", count(*), sum(f)…)`` — Solr's stats()
+  source: ONE tuple of metrics over the full match set (facet()
+  without buckets).
+- ``timeseries(collection, q="…", field="modified", start=, end=,
+  gap="+1DAY", count(*)…)`` — metrics per Solr date-math bucket;
+  EVERY bucket in [start, end) is emitted (count 0 when empty),
+  exactly Solr's timeseries contract. ``field`` names the DATE
+  column (Solr's contract); ``searchField`` the match field.
+- ``knnSearch(collection, id=N, qf="…", k=…)`` — Solr's text knn
+  (MoreLikeThis over the source doc's top tf·idf terms);
+  ``vector="0.1,0.2,…"`` instead of ``id`` runs the dense-vector
+  cosine knn over the attached embedding table.
 - ``table(name)`` — a DataFrame bound in the context; the analog of
   Solr's ``jdbc()`` stream source (external relations as streams).
 
@@ -299,22 +311,10 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
             raise ValueError("search() needs q=\"…\"")
         k = int(node.params.get("k", node.params.get("rows", 10)))
         hits = idx.query_string(q, k=k)
-        spark = idx.spark
-        df = spark.createDataFrame(
+        df = idx.spark.createDataFrame(
             [(int(d), float(s)) for d, s in hits],
             "doc_id long, score double")
-        fl = node.params.get("fl", "")
-        if fl:
-            cols = [c.strip() for c in str(fl).split(",") if c.strip()]
-            meta = [c for c in cols if c not in ("doc_id", "score")]
-            if meta:
-                docs = spark.read.parquet(str(idx.path / "docs")) \
-                    .select("doc_id", *meta)
-                df = df.join(docs, "doc_id", "left")
-            df = df.select(*(["doc_id", "score"]
-                             + [c for c in cols
-                                if c not in ("doc_id", "score")]))
-        return df
+        return _apply_fl(idx, df, node.params.get("fl", ""))
 
     if name == "facet":
         # Solr facet() stream source: aggregates over the FULL match
@@ -345,6 +345,88 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
                 .groupBy(*buckets)
                 .agg(*[_metric(m) for m in metrics])
                 .orderBy(*_sort_cols(sorts)).limit(limit))
+
+    if name == "stats":
+        # Solr stats() stream source: metrics over the FULL match set
+        # of q — facet() without buckets; ONE aggregate row, same
+        # executor-side id decode + map-side-combinable aggregate
+        idx = _collection(node, ctx)
+        q = node.params.get("q")
+        if not isinstance(q, str) or not q.split():
+            raise ValueError('stats() needs q="term …" (disjunction)')
+        metrics = [a for a in node.args[1:] if isinstance(a, Node)]
+        if not metrics:
+            raise ValueError("stats() needs at least one metric")
+        field = node.params.get("field", "code.content")
+        ids = idx._matched_ids(q.split(), field)
+        docs = idx.spark.read.parquet(str(idx.path / "docs"))
+        return docs.join(ids, "doc_id").agg(*[_metric(m) for m in metrics])
+
+    if name == "timeseries":
+        # Solr timeseries() stream source: metrics per date-math
+        # bucket over the match set. `field` names the DATE column
+        # (Solr's contract — the match field is `searchField`). Unlike
+        # facet_range_date's mincount=1 discipline, Solr's timeseries
+        # emits EVERY bucket in [start, end): the bounded bucket grid
+        # is generated driver-side (it is (end-start)/gap rows — KB;
+        # refused above 10k like Solr's facet-range limit) and the
+        # aggregates left-join onto it, count(*) coalesced to 0,
+        # sum/avg/min/max NULL on empty buckets.
+        idx = _collection(node, ctx)
+        q = node.params.get("q")
+        if not isinstance(q, str) or not q.split():
+            raise ValueError('timeseries() needs q="term …" '
+                             "(disjunction)")
+        metrics = [a for a in node.args[1:] if isinstance(a, Node)]
+        if not metrics:
+            raise ValueError("timeseries() needs at least one metric")
+        start = _req(node, "start")
+        end = _req(node, "end")
+        gap = _req(node, "gap")
+        date_col = str(node.params.get("field", "modified"))
+        search_field = str(node.params.get("searchField", "code.content"))
+        base, bucket = idx._date_bucket_base(
+            q.split(), start, end, gap, facet=date_col, field=search_field)
+        agg = (base.groupBy(bucket.alias("bucket_start"))
+               .agg(*[_metric(m) for m in metrics]))
+        grid = idx.spark.createDataFrame(
+            [(b,) for b in _date_grid(start, end, gap)],
+            "bucket_start timestamp")
+        out = grid.join(F.broadcast(agg), "bucket_start", "left")
+        for m in metrics:
+            if m.name == "count":
+                label = f"count({m.args[0]})"
+                out = out.withColumn(
+                    label, F.coalesce(F.col(label), F.lit(0)))
+        return out.orderBy(F.asc("bucket_start"))
+
+    if name == "knnSearch":
+        # Solr knnSearch() stream source: the k docs nearest a SOURCE
+        # DOC by text similarity — MoreLikeThis over the doc's top
+        # tf·idf terms (FtIndex.more_like_this), BM25-ranked, source
+        # excluded. vector="…" instead of id= runs the dense-vector
+        # cosine knn over the attached embedding table (Solr's {!knn}
+        # as a stream source); both emit (doc_id, score).
+        idx = _collection(node, ctx)
+        k = int(node.params.get("k", 10))
+        vec_spec = node.params.get("vector")
+        if vec_spec is not None:
+            vec = [float(x) for x in str(vec_spec).split(",") if x.strip()]
+            df = idx.knn(vec, k=k).select(
+                "doc_id", F.col("cosine").alias("score"))
+            return _apply_fl(idx, df, node.params.get("fl", ""))
+        doc_id = node.params.get("id")
+        if doc_id is None:
+            raise ValueError("knnSearch() needs id= (the source doc) "
+                             "or vector=")
+        qf = str(node.params.get("qf", "code.content"))
+        hits = idx.more_like_this(
+            int(doc_id), k=k, field=qf,
+            max_query_terms=int(node.params.get("maxqt", 12)))
+        df = idx.spark.createDataFrame(
+            [(int(d), float(s)) for d, s in hits],
+            "doc_id long, score double")
+        return _apply_fl(idx, df, node.params.get("fl", ""))
 
     if name == "fetch":
         # Solr fetch(): enrich stream tuples with stored fields from a
@@ -522,15 +604,90 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
         "update": "writes go through POST /update "
                   "(maintenance.upsert_docs / atomic_update)",
         "commit": "POST /compact folds deltas and tombstones",
-        "knnSearch": "vector search lives in ftidx.ann "
-                     "(cosine_topk / ivf / pq / rrf_fuse)",
-        "stats": "rollup() over the stream, or FtIndex.match_stats",
     }
     if name in redirect:
         raise ValueError(
             f"stream function {name!r} is not part of this surface: "
             f"{redirect[name]}")
     raise ValueError(f"unsupported stream function {name!r}")
+
+
+def _collection(node: Node, ctx: StreamContext):
+    """First positional arg as a bound FtIndex collection."""
+    if not node.args or not isinstance(node.args[0], str):
+        raise ValueError(f"{node.name}() needs a collection name first")
+    coll = node.args[0]
+    if coll not in ctx.indexes:
+        raise ValueError(f"unknown collection {coll!r}")
+    return ctx.indexes[coll]
+
+
+def _apply_fl(idx, df: DataFrame, fl) -> DataFrame:
+    """Solr's fl= on a hit stream: join requested stored fields from
+    the collection's docs table (column-pruned scan) and project in
+    fl order, doc_id/score always leading."""
+    if not fl:
+        return df
+    cols = [c.strip() for c in str(fl).split(",") if c.strip()]
+    meta = [c for c in cols if c not in ("doc_id", "score")]
+    if meta:
+        docs = idx.spark.read.parquet(str(idx.path / "docs")) \
+            .select("doc_id", *meta)
+        df = df.join(docs, "doc_id", "left")
+    return df.select(*(["doc_id", "score"]
+                       + [c for c in cols
+                          if c not in ("doc_id", "score")]))
+
+
+def _date_grid(start: str, end: str, gap: str):
+    """Driver-side bucket-start grid for timeseries(): every
+    ``start + i·gap`` in [start, end). Month/year steps use the same
+    end-of-month clamp as Spark's ``timestamp_add("MONTH", …)`` (Java
+    Calendar date math — Jan 31 +1MONTH → Feb 28/29), each step taken
+    from START so the clamp never compounds. Bounded: the grid is
+    (end-start)/gap entries; above 10_000 the request is refused
+    (Solr's facet-range bucket limit discipline) — so this stays a
+    KB-sized local relation at any corpus scale."""
+    import calendar
+    import re
+    from datetime import datetime as _dt
+    from datetime import timedelta
+
+    m = re.fullmatch(r"\+?(\d+)(SECOND|MINUTE|HOUR|DAY|MONTH|YEAR)S?",
+                     gap.strip(), re.IGNORECASE)
+    if not m:
+        raise ValueError(f"bad gap {gap!r} — use Solr date math like "
+                         "+1DAY, +7HOUR, +2MONTH")
+    n, unit = int(m.group(1)), m.group(2).upper()
+    if n < 1:
+        raise ValueError("gap must be at least 1 unit")
+    try:
+        s_dt = _dt.fromisoformat(str(start))
+        e_dt = _dt.fromisoformat(str(end))
+    except ValueError as exc:
+        raise ValueError(f"bad start/end date: {exc}") from None
+    if s_dt >= e_dt:
+        raise ValueError(f"start {start!r} must precede end {end!r}")
+
+    secs = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+    out = []
+    i = 0
+    while True:
+        if unit in secs:
+            b = s_dt + timedelta(seconds=i * n * secs[unit])
+        else:
+            months = i * n * (12 if unit == "YEAR" else 1)
+            y = s_dt.year + (s_dt.month - 1 + months) // 12
+            mo = (s_dt.month - 1 + months) % 12 + 1
+            d = min(s_dt.day, calendar.monthrange(y, mo)[1])
+            b = s_dt.replace(year=y, month=mo, day=d)
+        if b >= e_dt:
+            return out
+        out.append(b)
+        i += 1
+        if i > 10_000:
+            raise ValueError(
+                "timeseries grid exceeds 10000 buckets — widen the gap")
 
 
 def _stream_arg(node: Node) -> Node:

@@ -243,8 +243,8 @@ def test_redirect_errors_name_the_real_surface(ctx):
     c, _, _ = ctx
     with pytest.raises(ValueError, match="Structured Streaming"):
         evaluate('daemon(table(t))', c)
-    with pytest.raises(ValueError, match="ftidx.ann"):
-        evaluate('knnSearch(idx, q="x")', c)
+    with pytest.raises(ValueError, match="streaming"):
+        evaluate('topic(idx, q="x")', c)
     with pytest.raises(ValueError, match="POST /update"):
         evaluate('update(idx, table(t))', c)
 
@@ -396,3 +396,100 @@ def test_knn_plans_as_take_ordered(stream_idx):
     plan = stream_idx.knn([1.0, 0.5], k=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------- stats / timeseries / knnSearch sources
+
+
+def test_stats_source_matches_recount(stream_idx):
+    """stats() is ONE metrics tuple over the FULL match set — equal to
+    the hand aggregate over _matched_ids joined to the docs table."""
+    c = StreamContext(indexes={"idx": stream_idx})
+    got = evaluate('stats(idx, q="def return", count(*), sum(bucket), '
+                   'avg(bucket), min(bucket), max(bucket))', c)
+    assert got.columns == ["count(*)", "sum(bucket)", "avg(bucket)",
+                           "min(bucket)", "max(bucket)"]
+    row = got.collect()[0]
+    ids = stream_idx._matched_ids(["def", "return"], "code.content")
+    docs = stream_idx.spark.read.parquet(f"{stream_idx.path}/docs")
+    exp = docs.join(ids, "doc_id").agg(
+        F.count(F.lit(1)), F.sum("bucket"), F.avg("bucket"),
+        F.min("bucket"), F.max("bucket")).collect()[0]
+    assert tuple(row) == tuple(exp) and row[0] > 10
+    with pytest.raises(ValueError, match="metric"):
+        evaluate('stats(idx, q="def")', c)
+
+
+def test_timeseries_emits_every_bucket(stream_idx):
+    """timeseries() covers the WHOLE [start, end) grid — empty buckets
+    present with count 0 (Solr's contract, unlike facet_range_date's
+    mincount=1) — and per-bucket metrics equal a hand recount."""
+    c = StreamContext(indexes={"idx": stream_idx})
+    got = evaluate('timeseries(idx, q="uniquemarker0000097", '
+                   'field="modified", start="2024-01-01", '
+                   'end="2025-01-01", gap="+1MONTH", count(*), '
+                   'avg(bucket))', c).collect()
+    assert [r["bucket_start"].month for r in got] == list(range(1, 13))
+    assert len(got) == 12 and got[0].bucket_start.year == 2024
+    # exactly one doc carries that marker → one bucket at count 1
+    assert sorted(r["count(*)"] for r in got) == [0] * 11 + [1]
+    hit = [r for r in got if r["count(*)"] == 1][0]
+    assert hit["avg(bucket)"] is not None
+    empty = [r for r in got if r["count(*)"] == 0][0]
+    assert empty["avg(bucket)"] is None
+    # counts agree with facet_range_date (the mincount=1 projection)
+    frd = {r["bucket_start"]: r["n_docs"] for r in
+           stream_idx.facet_range_date(
+               ["uniquemarker0000097"], "2024-01-01", "2025-01-01",
+               "+1MONTH").collect()}
+    assert {r["bucket_start"]: r["count(*)"] for r in got
+            if r["count(*)"] > 0} == frd
+
+
+def test_timeseries_error_paths(stream_idx):
+    c = StreamContext(indexes={"idx": stream_idx})
+    with pytest.raises(ValueError, match="gap"):
+        evaluate('timeseries(idx, q="def", start="2024-01-01", '
+                 'end="2025-01-01", gap="fortnight", count(*))', c)
+    with pytest.raises(ValueError, match="10000"):
+        evaluate('timeseries(idx, q="def", start="2000-01-01", '
+                 'end="2025-01-01", gap="+1MINUTE", count(*))', c)
+    with pytest.raises(ValueError, match="precede"):
+        evaluate('timeseries(idx, q="def", start="2025-01-01", '
+                 'end="2024-01-01", gap="+1DAY", count(*))', c)
+
+
+def test_knnsearch_text_matches_mlt(stream_idx):
+    """knnSearch(id=…) is MoreLikeThis as a stream source: tuples equal
+    FtIndex.more_like_this, source doc excluded."""
+    src = stream_idx.spark.read.parquet(f"{stream_idx.path}/docs") \
+        .orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    c = StreamContext(indexes={"idx": stream_idx})
+    got = [(r["doc_id"], r["score"]) for r in
+           evaluate(f'knnSearch(idx, id={src}, qf="code.content", k=5)',
+                    c).collect()]
+    exp = stream_idx.more_like_this(int(src), k=5, field="code.content")
+    assert got == [(int(d), float(s)) for d, s in exp] and got
+    assert int(src) not in [d for d, _ in got]
+    with pytest.raises(ValueError, match="id="):
+        evaluate('knnSearch(idx, k=5)', c)
+
+
+def test_knnsearch_vector_matches_engine_knn(stream_idx):
+    """knnSearch(vector=…) is the dense-vector knn over the attached
+    embedding table, cosine aliased to score; fl joins stored fields."""
+    spark = stream_idx.spark
+    ids = [int(r["doc_id"]) for r in spark.read.parquet(
+        f"{stream_idx.path}/docs").select("doc_id").collect()]
+    rows = [(d, [float((d * 7 + j * 3) % 11 - 5) for j in range(4)])
+            for d in ids]
+    vecs = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    stream_idx.attach_vectors(vecs)
+    c = StreamContext(indexes={"idx": stream_idx})
+    got = evaluate('knnSearch(idx, vector="1.0,-2.0,0.5,3.0", k=6, '
+                   'fl="lang")', c)
+    assert got.columns == ["doc_id", "score", "lang"]
+    rows_got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = [(r["doc_id"], r["cosine"]) for r in
+           stream_idx.knn([1.0, -2.0, 0.5, 3.0], k=6).collect()]
+    assert rows_got == exp and len(rows_got) == 6
