@@ -54,6 +54,21 @@ tok AS (
 """
 
 
+def _ranked(df: DataFrame, order, n: int, col: str = "rank") -> DataFrame:
+    """1..n row_number rank WITHOUT an unpartitioned window over the
+    full frame: the global cut is ``orderBy().limit(n)`` — planned as
+    TakeOrderedAndProject (per-partition top-n heaps; no single task
+    ever sorts a corpus-proportional match set) — and the row_number
+    window then runs over the <= n surviving rows only. Pages and
+    cursors slice the rank column afterwards. Every call site's
+    ``order`` ends in a unique key (doc_id / term / source / value),
+    i.e. a TOTAL order, which makes cut-then-rank value-identical to
+    ranking the full frame."""
+    w = Window.orderBy(*order)
+    return (df.orderBy(*order).limit(n)
+            .withColumn(col, F.row_number().over(w)))
+
+
 # --------------------------------------------------------------------------
 # engine stages (SURVEY §2: Q2/Q4 stats, Q7 scoring, S9/S19/S20/S21/S22,
 # S7/S8 tombstones)
@@ -128,13 +143,9 @@ def q_bm25_scores(spark, sf_dir):
 
 
 def q_bm25_topk(spark, sf_dir):
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
-        _bm25_scored(spark, sf_dir)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    return _ranked(_bm25_scored(spark, sf_dir),
+                   [F.desc("score_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r")
-    )
 
 
 def q_bm25_topk_and(spark, sf_dir):
@@ -165,13 +176,9 @@ def q_bm25_topk_and(spark, sf_dir):
         .filter(F.col("n_hit") == len(BM25_TERMS))
     )
     xdocs = tf.filter(F.col("term") == "slow").select("doc_id").distinct()
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
-        scored.join(xdocs, "doc_id", "left_anti")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    return _ranked(scored.join(xdocs, "doc_id", "left_anti"),
+                   [F.desc("score_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r")
-    )
 
 
 def q_bm25_multifield(spark, sf_dir):
@@ -199,12 +206,8 @@ def q_bm25_multifield(spark, sf_dir):
                 + F.coalesce(F.col("kw_score"), F.lit(0.0)), 5).alias("score_r"),
         )
     )
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
-        combined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    return _ranked(combined, [F.desc("score_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r")
-    )
 
 
 def q_fuzzy_vocab(spark, sf_dir):
@@ -252,12 +255,8 @@ def q_bm25_wildcard(spark, sf_dir):
                         F.coalesce(F.col("wc"), F.lit(0.0)), 5)
                 .alias("score_r"))
     )
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
-        combined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    return _ranked(combined, [F.desc("score_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r")
-    )
 
 
 def q_term_range_match(spark, sf_dir):
@@ -284,9 +283,8 @@ def q_result_clusters(spark, sf_dir):
     # with no qualifying term drop (engine: the "(other)" cluster)
     tok = _tokens(spark, sf_dir)
     scored = _bm25_scored(spark, sf_dir, ["merge"])
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    page = (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20).select("doc_id"))
+    page = _ranked(scored, [F.desc("score_r"), F.asc("doc_id")], 20) \
+        .select("doc_id")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = tok.select("doc_id").distinct().count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -312,13 +310,9 @@ def q_bm25_topk_filtered(spark, sf_dir):
     # BEFORE the top-k cut
     scored = _bm25_scored(spark, sf_dir)
     keep = _docs(spark, sf_dir).filter(F.col("n_chars") >= 300).select("doc_id")
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
-        scored.join(keep, "doc_id")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    return _ranked(scored.join(keep, "doc_id"),
+                   [F.desc("score_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r")
-    )
 
 
 def q_match_stats(spark, sf_dir):
@@ -370,15 +364,12 @@ def q_mlt(spark, sf_dir):
                 / (F.col("df") + F.lit(0.5)))
     # seed term vector scored by tf*idf against corpus-wide df
     dfreq_all = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    tw = Window.orderBy(F.desc("tsel"), F.asc("term"))
-    qterms = (
+    qterms = _ranked(
         tf.join(F.broadcast(seed), tf.doc_id == F.col("seed_id"))
         .select("term", F.col("tf").alias("seed_tf"))
         .join(dfreq_all, "term").crossJoin(F.broadcast(stats))
-        .withColumn("tsel", F.round(F.col("seed_tf") * idf, 5))
-        .withColumn("trank", F.row_number().over(tw))
-        .filter(F.col("trank") <= 8).select("term")
-    )
+        .withColumn("tsel", F.round(F.col("seed_tf") * idf, 5)),
+        [F.desc("tsel"), F.asc("term")], 8, col="trank").select("term")
     m = tf.join(F.broadcast(qterms), "term")
     dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     j = (m.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
@@ -387,17 +378,14 @@ def q_mlt(spark, sf_dir):
         F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
                                    + F.lit(B) * F.col("dl") / F.col("avgdl"))
     )
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
+    return _ranked(
         j.withColumn("contrib", contrib)
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 5).alias("score_r"))
         .join(F.broadcast(seed), F.col("doc_id") == F.col("seed_id"),
-              "left_anti")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+              "left_anti"),
+        [F.desc("score_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r")
-    )
 
 
 def q_first_snippet(spark, sf_dir):
@@ -1012,13 +1000,9 @@ def q_group_topm(spark, sf_dir):
         .withColumn("group_size",
                     F.count(F.lit(1)).over(Window.partitionBy("source")))
     )
-    heads = (
-        members.filter(F.col("member_rank") == 1)
-        .withColumn("group_rank", F.row_number().over(
-            Window.orderBy(F.desc("score_r"), F.asc("doc_id"))))
-        .filter(F.col("group_rank") <= 8)
-        .select("source", "group_rank")
-    )
+    heads = _ranked(members.filter(F.col("member_rank") == 1),
+                    [F.desc("score_r"), F.asc("doc_id")], 8,
+                    col="group_rank").select("source", "group_rank")
     return (
         members.filter(F.col("member_rank") <= 2)
         .join(F.broadcast(heads), "source")
@@ -1033,16 +1017,13 @@ def q_bm25_boost_mult(spark, sf_dir):
     recency/quality-weight pattern, scaling relevance instead of
     drowning it. Engine twin: FtIndex.topk_boosted(mode="mult")."""
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    w = Window.orderBy(F.desc("final_r"), F.asc("doc_id"))
-    return (
+    return _ranked(
         _bm25_scored(spark, sf_dir).join(docs, "doc_id")
         .withColumn("boost_r", F.round(
             F.lit(100.0) / (F.lit(0.05) * F.col("n_chars") + F.lit(100.0)), 5))
-        .withColumn("final_r", F.round(F.col("score_r") * F.col("boost_r"), 5))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        .withColumn("final_r", F.round(F.col("score_r") * F.col("boost_r"), 5)),
+        [F.desc("final_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r", "boost_r", "final_r")
-    )
 
 
 def q_tfidf_vectors(spark, sf_dir):
@@ -1072,14 +1053,11 @@ def q_sorted_page(spark, sf_dir):
     (lang ASC) with score DESC / id ASC tiebreakers, second page of 10
     — FtIndex.search_sorted's contract twin."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
-    w = Window.orderBy(F.asc("lang"), F.desc("score_r"), F.asc("doc_id"))
-    return (
-        _bm25_scored(spark, sf_dir)
-        .join(docs, "doc_id")
-        .withColumn("page_rank", F.row_number().over(w))
-        .filter((F.col("page_rank") > 10) & (F.col("page_rank") <= 20))
+    return _ranked(_bm25_scored(spark, sf_dir).join(docs, "doc_id"),
+                   [F.asc("lang"), F.desc("score_r"), F.asc("doc_id")],
+                   20, col="page_rank") \
+        .filter(F.col("page_rank") > 10) \
         .select("page_rank", "doc_id", "lang", "score_r")
-    )
 
 
 def q_cursor_page(spark, sf_dir):
@@ -1090,8 +1068,9 @@ def q_cursor_page(spark, sf_dir):
     stays O(rows) at any depth instead of O(start+rows)."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     scored = _bm25_scored(spark, sf_dir).join(docs, "doc_id")
-    w = Window.orderBy(F.asc("lang"), F.desc("score_r"), F.asc("doc_id"))
-    cur = (scored.withColumn("rn", F.row_number().over(w))
+    cur = (_ranked(scored,
+                   [F.asc("lang"), F.desc("score_r"), F.asc("doc_id")],
+                   10, col="rn")
            .filter(F.col("rn") == 10)
            .select(F.col("lang").alias("c_lang"),
                    F.col("score_r").alias("c_score"),
@@ -1103,13 +1082,10 @@ def q_cursor_page(spark, sf_dir):
               | ((F.col("score_r") == F.col("c_score"))
                  & (F.col("doc_id") > F.col("c_id")))))
     )
-    pw = Window.orderBy(F.asc("lang"), F.desc("score_r"), F.asc("doc_id"))
-    return (
-        scored.crossJoin(F.broadcast(cur)).filter(beyond)
-        .withColumn("page_rank", F.row_number().over(pw))
-        .filter(F.col("page_rank") <= 10)
+    return _ranked(scored.crossJoin(F.broadcast(cur)).filter(beyond),
+                   [F.asc("lang"), F.desc("score_r"), F.asc("doc_id")],
+                   10, col="page_rank") \
         .select("page_rank", "doc_id", "lang", "score_r")
-    )
 
 
 def q_chunk_spans(spark, sf_dir):
@@ -1430,16 +1406,13 @@ def q_bm25_boosted(spark, sf_dir):
     Both components rounded to 5 before the sum so the cross-engine
     ordering is over identical values."""
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    w = Window.orderBy(F.desc("final_r"), F.asc("doc_id"))
-    return (
+    return _ranked(
         _bm25_scored(spark, sf_dir).join(docs, "doc_id")
         .withColumn("boost_r", F.round(
             F.lit(0.1) * F.log(F.lit(1.0) + F.col("n_chars")), 5))
-        .withColumn("final_r", F.round(F.col("score_r") + F.col("boost_r"), 5))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        .withColumn("final_r", F.round(F.col("score_r") + F.col("boost_r"), 5)),
+        [F.desc("final_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r", "boost_r", "final_r")
-    )
 
 
 def q_score_explain(spark, sf_dir):
@@ -1454,10 +1427,9 @@ def q_score_explain(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
     )
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    top1 = (_bm25_scored(spark, sf_dir)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select(F.col("doc_id").alias("t_id")))
+    top1 = (_ranked(_bm25_scored(spark, sf_dir),
+                    [F.desc("score_r"), F.asc("doc_id")], 1, col="rn")
+            .select(F.col("doc_id").alias("t_id")))
     m = tf.filter(F.col("term").isin(BM25_TERMS))
     dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -1555,15 +1527,12 @@ def q_terms_component(spark, sf_dir):
     """Solr TermsComponent (engine twin: FtIndex.terms_enum): vocab
     terms with prefix 's', df ≥ 3, ranked df DESC / term ASC, top
     30."""
-    w = Window.orderBy(F.desc("df"), F.asc("term"))
-    return (
+    return _ranked(
         _tokens(spark, sf_dir)
         .filter(F.col("term").startswith("s"))
         .groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 3)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 30)
-    )
+        .filter(F.col("df") >= 3),
+        [F.desc("df"), F.asc("term")], 30)
 
 
 def q_bm25_elevated(spark, sf_dir):
@@ -1572,23 +1541,16 @@ def q_bm25_elevated(spark, sf_dir):
     pinned to ranks 1-2 in id order; organic BM25 (elevated ids
     removed) fills ranks 3+; top 10 overall."""
     scored = _bm25_scored(spark, sf_dir)
-    we = Window.orderBy(F.asc("doc_id"))
-    elev = (
-        scored.withColumn("rank", F.row_number().over(we))
-        .filter(F.col("rank") <= 2)
+    elev = _ranked(scored, [F.asc("doc_id")], 2) \
         .withColumn("elevated", F.lit(1))
-    )
-    wo = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
     org = (
-        scored.join(elev.select("doc_id"), "doc_id", "left_anti")
-        .withColumn("rank", F.row_number().over(wo) + F.lit(2))
+        _ranked(scored.join(elev.select("doc_id"), "doc_id", "left_anti"),
+                [F.desc("score_r"), F.asc("doc_id")], 8)
+        .withColumn("rank", F.col("rank") + F.lit(2))
         .withColumn("elevated", F.lit(0))
     )
     cols = ["rank", "doc_id", "score_r", "elevated"]
-    return (
-        elev.select(*cols).unionByName(org.select(*cols))
-        .filter(F.col("rank") <= 10)
-    )
+    return elev.select(*cols).unionByName(org.select(*cols))
 
 
 def q_ann_sq_topk(spark, sf_dir):
@@ -1634,6 +1596,10 @@ def q_hybrid_rrf(spark, sf_dir):
     doc_id in the testdata), rrf = Σ 1/(60+rank), top 10."""
     from ftidx.ann import rrf_fuse, with_cosine
 
+    # full rankings by definition (rrf sums 1/(60+rank) over EVERY
+    # rank) — the one place a total-order window over the match set is
+    # the spec itself, not a top-k shortcut; production path cuts both
+    # lists to k before fusing (ann.rrf_fuse's contract)
     wt = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
     text = (
         _bm25_scored(spark, sf_dir)
@@ -1676,15 +1642,12 @@ def q_bm25_synonyms(spark, sf_dir):
         F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
                                    + F.lit(B) * F.col("dl") / F.col("avgdl"))
     )
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
+    return _ranked(
         j.withColumn("contrib", contrib)
         .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), 5).alias("score_r"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        .agg(F.round(F.sum("contrib"), 5).alias("score_r")),
+        [F.desc("score_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r")
-    )
 
 
 def q_facet_query_counts(spark, sf_dir):
@@ -1812,12 +1775,8 @@ def q_bm25_min_match(spark, sf_dir):
              F.count(F.lit(1)).alias("n_hit"))
         .filter(F.col("n_hit") >= 2)
     )
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    return _ranked(scored, [F.desc("score_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r")
-    )
 
 
 def q_bm25_dismax(spark, sf_dir):
@@ -1844,12 +1803,8 @@ def q_bm25_dismax(spark, sf_dir):
                 F.round(F.greatest(a, b)
                         + F.lit(0.1) * F.least(a, b), 5).alias("score_d"))
     )
-    w = Window.orderBy(F.desc("score_d"), F.asc("doc_id"))
-    return (
-        combined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    return _ranked(combined, [F.desc("score_d"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_d")
-    )
 
 
 def q_bm25_phrase_boost(spark, sf_dir):
@@ -1892,19 +1847,16 @@ def q_bm25_phrase_boost(spark, sf_dir):
         .select("doc_id").distinct()
         .withColumn("has_phrase", F.lit(1))
     )
-    wtop = Window.orderBy(F.desc("score_b"), F.asc("doc_id"))
-    return (
+    return _ranked(
         scored.join(pdocs, "doc_id", "left")
         .crossJoin(F.broadcast(idfsum))
         .withColumn(
             "score_b",
             F.round(F.col("score")
                     + F.lit(2.0) * F.col("idf_sum")
-                    * F.coalesce(F.col("has_phrase"), F.lit(0)), 5))
-        .withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= 10)
+                    * F.coalesce(F.col("has_phrase"), F.lit(0)), 5)),
+        [F.desc("score_b"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_b")
-    )
 
 
 def q_multi_snippets(spark, sf_dir):
@@ -1957,12 +1909,8 @@ def q_bm25_boost_query(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 5).alias("score_r"))
     )
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    return _ranked(scored, [F.desc("score_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "score_r")
-    )
 
 
 def q_facet_prefix_page(spark, sf_dir):
@@ -1979,12 +1927,9 @@ def q_facet_prefix_page(spark, sf_dir):
         .groupBy(F.col("lang").alias("value"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    w = Window.orderBy(F.asc("value"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 1) & (F.col("rn") <= 3))
+    return _ranked(agg, [F.asc("value")], 3, col="rn") \
+        .filter(F.col("rn") > 1) \
         .select("value", "n_docs", "rn")
-    )
 
 
 def q_epoch_mix(spark, sf_dir):
@@ -2022,22 +1967,22 @@ def q_bm25_rerank(spark, sf_dir):
     main = _bm25_scored(spark, sf_dir)
     rr = _bm25_scored(spark, sf_dir, terms=["batch", "table"]).select(
         "doc_id", F.col("score_r").alias("rr_r"))
-    head_w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    final_w = Window.orderBy(F.desc("final_r"), F.asc("doc_id"))
-    return (
-        main.withColumn("rnk", F.row_number().over(head_w))
+    # head membership (rnk <= N) via the TakeOrdered cut, not a window
+    # over the full match set: the head is KB-sized, broadcast back
+    head = _ranked(main, [F.desc("score_r"), F.asc("doc_id")], N,
+                   col="rnk").select("doc_id", "rnk")
+    return _ranked(
+        main.join(F.broadcast(head), "doc_id", "left")
         .join(rr, "doc_id", "left")
         .withColumn(
             "final_r",
             F.round(
                 F.col("score_r")
-                + F.when(F.col("rnk") <= N,
+                + F.when(F.col("rnk").isNotNull(),
                          F.lit(W) * F.coalesce("rr_r", F.lit(0.0)))
-                .otherwise(F.lit(0.0)), 5))
-        .withColumn("rank", F.row_number().over(final_w))
-        .filter(F.col("rank") <= 10)
+                .otherwise(F.lit(0.0)), 5)),
+        [F.desc("final_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "final_r")
-    )
 
 
 def q_parent_block_join(spark, sf_dir):
@@ -2055,13 +2000,9 @@ def q_parent_block_join(spark, sf_dir):
         F.round(F.avg("score_r"), 5).alias("score_avg"),
         F.round(F.min("score_r"), 5).alias("score_min"),
     )
-    w = Window.orderBy(F.desc("score_total"), F.asc("source"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    return _ranked(agg, [F.desc("score_total"), F.asc("source")], 10) \
         .select("rank", "source", "n_children", "score_max",
                 "score_total", "score_avg", "score_min")
-    )
 
 
 def q_dup_spans(spark, sf_dir):
@@ -2101,16 +2042,13 @@ def q_bm25_ltr(spark, sf_dir):
         (F.col("lang") == "en").cast("double").alias("f_en"),
     )
     scored = _bm25_scored(spark, sf_dir).join(docs, "doc_id")
-    w = Window.orderBy(F.desc("final_r"), F.asc("doc_id"))
-    return (
+    return _ranked(
         scored.withColumn(
             "final_r",
             F.round(F.col("score_r") + F.col("f_len")
-                    + F.lit(0.3) * F.col("f_en"), 5))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+                    + F.lit(0.3) * F.col("f_en"), 5)),
+        [F.desc("final_r"), F.asc("doc_id")], 10) \
         .select("rank", "doc_id", "final_r")
-    )
 
 
 def q_trim_spans(spark, sf_dir):
@@ -2174,12 +2112,9 @@ def q_facet_nested(spark, sf_dir):
         .withColumn("sub_rank", F.row_number().over(sub_w))
         .filter(F.col("sub_rank") <= 2)
     )
-    head_w = Window.orderBy(F.desc("n_docs"), F.asc("value"))
-    heads = (
-        ranked.filter(F.col("sub_rank") == 1)
-        .select("value", F.row_number().over(head_w).alias("bucket_rank"))
-        .filter(F.col("bucket_rank") <= 3)
-    )
+    heads = _ranked(ranked.filter(F.col("sub_rank") == 1),
+                    [F.desc("n_docs"), F.asc("value")], 3,
+                    col="bucket_rank").select("value", "bucket_rank")
     return (
         ranked.join(heads, "value")
         .select("bucket_rank", "value", "n_docs", "sub_rank",

@@ -1,0 +1,50 @@
+"""Plan-shape regression for the driver contract's top-k queries: the
+global rank cut must plan as TakeOrderedAndProject (per-partition top-n
+heaps via _ranked's orderBy().limit(n)), never a row_number window over
+the full match set (Exchange SinglePartition -> Sort of a corpus-
+proportional frame -- the 'runs at sf0.1, dies at 100x' shape). The
+residual single-partition window over the <= n cut survivors is
+bounded and fine."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", [
+    "bm25_topk", "bm25_topk_and", "bm25_topk_filtered", "bm25_dismax",
+    "bm25_boosted", "bm25_ltr", "parent_block_join", "sorted_page",
+    "terms_component",
+])
+def test_topk_contract_queries_plan_take_ordered(spark, name):
+    import __spark_entry__ as e
+
+    df = e.queries()[name](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_ranked_helper_cut_then_rank_identity(spark):
+    """_ranked == full-frame row_number ranking on the same total
+    order (the refactor's correctness contract), and the plan carries
+    the TakeOrderedAndProject cut."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _ranked
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("score"), F.col("id").alias("doc_id"))
+    order = [F.desc("score"), F.asc("doc_id")]
+    got = [(r["score"], r["doc_id"], r["rank"]) for r in
+           _ranked(df, order, 25).collect()]
+    w = Window.orderBy(*order)
+    exp = [(r["score"], r["doc_id"], r["rank"]) for r in
+           df.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 25).collect()]
+    assert sorted(got) == sorted(exp) and len(got) == 25
+    assert "TakeOrderedAndProject" in _plan(_ranked(df, order, 25))
