@@ -1133,6 +1133,46 @@ tokpos AS (
 )
 """
 
+# Naive Bayes training + scoring (classify.nb_model / nb_scores):
+# Laplace-smoothed dense (term x label) grid, log_cond rounded to 5
+# BEFORE the scoring sum exactly as the engine does, priors MLE over
+# the documents table. Ends at the `scores` CTE; queries append their
+# own final SELECT.
+_NB_CTE = """
+WITH ltok AS (
+  SELECT doc_id, label, term FROM (
+    SELECT doc_id, lang AS label,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+sparse AS (SELECT term, label, count(*) AS c FROM ltok GROUP BY term, label),
+totals AS (SELECT label, count(*) AS t_l FROM ltok GROUP BY label),
+vocab AS (SELECT DISTINCT term FROM ltok),
+vsz AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+grid AS (
+  SELECT g.term, g.label,
+         round(ln((coalesce(s.c, 0) + 1.0) / (g.t_l + v)), 5) AS log_cond_r
+  FROM (SELECT term, label, t_l FROM vocab CROSS JOIN totals) g
+  LEFT JOIN sparse s ON g.term = s.term AND g.label = s.label
+  CROSS JOIN vsz
+),
+priors AS (
+  SELECT lang AS label,
+         ln(count(*) / (SELECT count(*)::DOUBLE FROM documents)) AS log_prior
+  FROM documents GROUP BY lang
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ltok GROUP BY doc_id, term),
+s0 AS (
+  SELECT tf.doc_id, g.label, sum(tf.tf * g.log_cond_r) AS ll
+  FROM tf JOIN grid g USING (term) GROUP BY tf.doc_id, g.label
+),
+scores AS (
+  SELECT doc_id, label, round(ll + log_prior, 5) AS score_r
+  FROM s0 JOIN priors USING (label)
+)
+"""
+
 _SHINGLE_CTE = _TOKPOS_CTE + """,
 led AS (
   SELECT doc_id, term,
@@ -1468,6 +1508,36 @@ def q_unigram_loglik(spark, sf_dir):
     from ftidx.textops import unigram_loglik
 
     return unigram_loglik(_docs(spark, sf_dir))
+
+
+def q_nb_scores(spark, sf_dir):
+    """Multinomial Naive Bayes posterior matrix (classify.nb_scores):
+    the full (doc x lang) log-posterior grid, model trained on the
+    corpus itself with Laplace smoothing — closed form, so every cell
+    is SQL-reproducible. The fastText-style router in its
+    oracle-checkable variant."""
+    from ftidx.classify import nb_scores
+
+    return nb_scores(_docs(spark, sf_dir))
+
+
+def q_nb_classify(spark, sf_dir):
+    """NB argmax (classify.nb_classify): one (doc_id, pred, score_r)
+    per doc, ties label-ASC; the window is PARTITIONED BY doc_id
+    (n_labels rows of per-doc state — bounded at any corpus size)."""
+    from ftidx.classify import nb_classify
+
+    return nb_classify(_docs(spark, sf_dir))
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Jelinek-Mercer bigram LM quality gate (classify.
+    lm_bigram_scores): per-doc mean bigram log-likelihood under the
+    corpus's own interpolated bigram model (lambda=0.9) — the CCNet
+    perplexity filter, monotone form."""
+    from ftidx.classify import lm_bigram_scores
+
+    return lm_bigram_scores(_docs(spark, sf_dir))
 
 
 def q_dsir_weights(spark, sf_dir):
@@ -2214,6 +2284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_top": q_stream_join_top,
         "sig_terms_fg": q_sig_terms_fg,
         # --- unchecked remainder: rotate into the window next round ---
+        "nb_scores": q_nb_scores,
+        "nb_classify": q_nb_classify,
+        "lm_perplexity": q_lm_perplexity,
         "date_facet": q_date_facet,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -3691,6 +3764,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(tf * ln(cf / total)) / sum(tf), 5) AS avg_ll
             FROM tf JOIN cf USING (term) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "nb_scores": _NB_CTE + """
+            SELECT doc_id, label, score_r FROM scores
+        """,
+        "nb_classify": _NB_CTE + """
+            SELECT doc_id, label AS pred, score_r FROM (
+              SELECT doc_id, label, score_r,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_r DESC, label) AS rn
+              FROM scores
+            ) WHERE rn = 1
+        """,
+        "lm_perplexity": f"""
+            WITH {_TOKPOS_CTE},
+            seq AS (
+              SELECT doc_id, term AS a,
+                     lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+              FROM tokpos
+            ),
+            big AS (SELECT a, b, count(*) AS c_ab
+                    FROM seq WHERE b IS NOT NULL GROUP BY a, b),
+            uni AS (SELECT term, count(*) AS c FROM tokpos GROUP BY term),
+            tot AS (SELECT count(*)::DOUBLE AS n_tok,
+                           count(DISTINCT term)::DOUBLE AS v FROM tokpos)
+            SELECT s.doc_id, count(*) AS n_bigrams,
+                   round(sum(ln(0.9 * big.c_ab / ua.c
+                                + (1.0 - 0.9) * (ub.c + 1.0)
+                                  / (n_tok + v))) / count(*), 5)
+                     AS avg_ll_r
+            FROM (SELECT * FROM seq WHERE b IS NOT NULL) s
+            JOIN big USING (a, b)
+            JOIN uni ua ON s.a = ua.term
+            JOIN uni ub ON s.b = ub.term
+            CROSS JOIN tot
+            GROUP BY s.doc_id
         """,
         "bm25_boosted": _BM25_CTE + """,
             boosted AS (

@@ -1,0 +1,225 @@
+"""Model-based curation: train lightweight statistical models ON the
+corpus with one Spark pass, then score every document against them —
+the supervised/likelihood tier of a pre-training data pipeline, above
+the heuristic gates in :mod:`ftidx.textops`.
+
+Two model families, both chosen because training is a pair of
+map-side-combinable aggregations and scoring is a broadcast join —
+the only shapes that survive 100 TB:
+
+- **Multinomial Naive Bayes** over document labels (language,
+  domain, quality tier): the fastText-style linear classifier a
+  curation pipeline uses to route documents, in its closed-form
+  variant — no iterative optimizer, so training is deterministic and
+  expressible as SQL (every number is oracle-checkable).
+- **Interpolated bigram language model**: per-document mean
+  log-likelihood under a Jelinek-Mercer-smoothed bigram LM — the
+  CCNet-style perplexity quality gate (common prose scores high;
+  base64 blobs, wrong-language text and keyboard mash score low).
+
+All pure DataFrame compositions (codegen'd); formulas use round() so
+the DuckDB oracle reproduces the doubles exactly. Reference analogy:
+the reference delegates *all* text analytics to Solr and has no model
+tier at all — this module is parity-plus for the curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ftidx.textops import TOKEN_SPLIT, _tokens
+
+
+# --------------------------------------------------------------------------
+# multinomial Naive Bayes
+# --------------------------------------------------------------------------
+
+def nb_model(docs: DataFrame, label_col: str = "lang",
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Train a multinomial Naive Bayes model: for every (term, label)
+    pair the Laplace-smoothed class-conditional log-probability
+
+        log_cond(t, l) = ln( (c(t,l) + 1) / (T(l) + V) )
+
+    where c(t,l) is term t's token count inside class l, T(l) the
+    class's total tokens and V the corpus-wide vocabulary size.
+    Returns the FULL dense (term x label) grid — including the
+    zero-count smoothed cells — as (term, label, log_cond_r), because
+    scoring needs the smoothed floor for terms a class never saw.
+
+    Scale shape: token counts are two map-side-combinable groupBys
+    over ONE tokenize pass; the dense grid is vocab x n_labels rows
+    (model-sized, not corpus-sized) built by a distinct-terms x
+    distinct-labels cross join with the sparse counts LEFT-joined on.
+    At 100 TB truncate the vocabulary to top-V by corpus frequency
+    first (one TakeOrdered) — the standard fastText/NB cap — and the
+    grid stays broadcastable.
+    """
+    labeled = docs.select(F.col(id_col).alias("doc_id"),
+                          F.col(label_col).alias("label"), text_col)
+    tok = _tokens(labeled, text_col, "doc_id").join(
+        labeled.select("doc_id", "label"), "doc_id")
+    sparse = tok.groupBy("term", "label").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.groupBy("label").agg(F.count(F.lit(1)).alias("t_l"))
+    vocab = tok.select("term").distinct()
+    v = vocab.count()
+    grid = vocab.crossJoin(totals)  # vocab x labels — model-sized
+    return (
+        grid.join(sparse, ["term", "label"], "left")
+        .select(
+            "term", "label",
+            F.round(F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                          / (F.col("t_l") + F.lit(float(v)))), 5)
+            .alias("log_cond_r"),
+        )
+    )
+
+
+def nb_scores(docs: DataFrame, model: DataFrame | None = None,
+              label_col: str = "lang", text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Score every document against every class: the full posterior
+    matrix (doc_id, label, score_r) with
+
+        score(d, l) = ln prior(l) + sum_t tf(d,t) * log_cond(t, l)
+
+    priors MLE from the labeled set's class doc counts. ``model`` is
+    the :func:`nb_model` output; omitted, it trains on ``docs``
+    itself (self-scoring — the contract-query configuration).
+
+    Scale shape: the corpus-sized side is the per-doc tf table; the
+    model grid and priors broadcast onto it (vocab x labels rows).
+    One doc-keyed aggregation produces the matrix; no corpus-wide
+    sort anywhere. Every term in ``docs`` is in the grid when the
+    model trained on the same corpus; with a foreign model, OOV terms
+    drop out of the inner join — the standard truncation (their
+    smoothed floor is class-independent up to T(l), a documented
+    approximation that keeps the join inner).
+    """
+    if model is None:
+        model = nb_model(docs, label_col, text_col, id_col)
+    labeled = docs.select(F.col(id_col).alias("doc_id"),
+                          F.col(label_col).alias("label"), text_col)
+    n_docs = labeled.count()
+    priors = (labeled.groupBy("label")
+              .agg(F.log(F.count(F.lit(1)) / F.lit(float(n_docs)))
+                   .alias("log_prior")))
+    tf = (_tokens(labeled, text_col, "doc_id")
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    scored = (
+        tf.join(F.broadcast(model), "term")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.col("tf") * F.col("log_cond_r")).alias("ll"))
+        .join(F.broadcast(priors), "label")
+        .select("doc_id", "label",
+                F.round(F.col("ll") + F.col("log_prior"), 5)
+                .alias("score_r"))
+    )
+    return scored
+
+
+def nb_classify(docs: DataFrame, model: DataFrame | None = None,
+                label_col: str = "lang", text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Argmax over :func:`nb_scores`: one (doc_id, pred, score_r) row
+    per document, ties broken label-ASC so the result is a pure
+    function of the corpus.
+
+    Scale shape: the argmax is a row_number window PARTITIONED BY
+    doc_id — per-doc state is n_labels rows, so partitions stay
+    bounded at any corpus size (this is the partitioned-window shape
+    that is fine at scale; only UNpartitioned windows are banned).
+    """
+    scored = nb_scores(docs, model, label_col, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_r"), F.asc("label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("label").alias("pred"), "score_r")
+    )
+
+
+# --------------------------------------------------------------------------
+# interpolated bigram language model
+# --------------------------------------------------------------------------
+
+def _pos_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT))
+            .alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def lm_bigram_scores(docs: DataFrame, ref: DataFrame | None = None,
+                     lam: float = 0.9, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean bigram log-likelihood under a Jelinek-Mercer
+    interpolated bigram model trained on ``ref`` (the CCNet recipe:
+    score the crawl against a clean reference corpus's LM; ``ref``
+    omitted trains on ``docs`` itself — the contract-query
+    configuration). ppl = exp(-avg_ll); the monotone avg_ll is
+    returned so no exp() precision games.
+
+        P(b | a) = lam * c_ab / c_a          (0 when a or (a,b) unseen)
+                 + (1 - lam) * (c_b + 1) / (N + V)
+
+    — the backoff unigram is add-1 smoothed over the model's
+    vocabulary V, so OOV bigrams score a finite floor instead of
+    ln(0) (a SELF-trained MLE cannot distinguish noise: a unique
+    word's only bigram gets conditional probability ~lam, which is
+    why the gate needs a reference model to separate prose from
+    keyboard mash). Docs with fewer than two tokens have no bigrams
+    and are omitted (a curation pipeline gates those on length, not
+    perplexity). Returns (doc_id, n_bigrams, avg_ll_r) rounded to 5.
+
+    Scale shape: bigrams come from lead(term) over a window
+    PARTITIONED BY doc_id (bounded per-doc state, one doc-keyed
+    shuffle — never a positional self-join). Unigram and bigram
+    counts are map-side-combinable groupBys over the reference; the
+    score joins are (a,b)- and term-keyed LEFT joins against the
+    model tables. A reference slice is Wikipedia-sized, so at 100 TB
+    both model tables broadcast and the corpus-sized side never
+    shuffles for the join at all.
+    """
+    tok = _pos_tokens(docs, text_col, id_col)
+    rtok = tok if ref is None else _pos_tokens(ref, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+
+    def bigrams(t: DataFrame) -> DataFrame:
+        return (t.withColumn("nxt", F.lead("term").over(w))
+                .filter(F.col("nxt").isNotNull())
+                .select("doc_id", F.col("term").alias("a"),
+                        F.col("nxt").alias("b")))
+
+    seq = bigrams(tok)
+    rseq = seq if ref is None else bigrams(rtok)
+    c_ab = rseq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = rtok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    stats = rtok.agg(
+        F.count(F.lit(1)).cast("double").alias("n_tok"),
+        F.countDistinct("term").cast("double").alias("v"))
+    ca = uni.select(F.col("term").alias("a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("term").alias("b"), F.col("c").alias("c_b"))
+    cond = F.when(
+        F.coalesce(F.col("c_a"), F.lit(0)) > 0,
+        F.lit(lam) * F.coalesce(F.col("c_ab"), F.lit(0)) / F.col("c_a"),
+    ).otherwise(F.lit(0.0))
+    back = (F.lit(1.0 - lam) * (F.coalesce(F.col("c_b"), F.lit(0)) + F.lit(1.0))
+            / (F.col("n_tok") + F.col("v")))
+    return (
+        seq.join(c_ab, ["a", "b"], "left")
+        .join(ca, "a", "left").join(cb, "b", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(F.log(cond + back)) / F.count(F.lit(1)), 5)
+            .alias("avg_ll_r"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""ftidx.bpe: distributed BPE training pinned against a pure-Python
+reference implementation (same corpus statistics, same tie-breaks) —
+the merge list must be IDENTICAL, not merely similar, because both
+sides are deterministic functions of the word-count table."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from ftidx.bpe import END, bpe_encode, train_bpe, word_counts
+
+CORPUS = [
+    (1, "low low low low low"),
+    (2, "lower lower newest newest"),
+    (3, "newest newest newest newest"),
+    (4, "widest widest widest"),
+    (5, "the new low and the newest wide"),
+]
+
+
+def _py_word_counts(rows):
+    c: Counter = Counter()
+    for _, text in rows:
+        for w in re.split(r"[^a-z0-9_]+", text.lower()):
+            if w:
+                c[w] += 1
+    return c
+
+
+def _py_train(rows, n_merges):
+    """Reference BPE (Sennrich et al. 2016 pseudocode) with the
+    engine's tie-break: count DESC, then (a, b) ASC."""
+    wc = _py_word_counts(rows)
+    symtab = {w: list(w[:-1]) + [w[-1] + END] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in symtab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        merges.append(best)
+        a, b = best
+        for w, syms in symtab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            symtab[w] = res
+    return merges
+
+
+def _py_encode(word, merges):
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word[:-1]) + [word[-1] + END]
+    while len(syms) >= 2:
+        cand = [(ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks]
+        if not cand:
+            break
+        _, i = min(cand)
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_word_counts_match(spark, docs_df):
+    exp = _py_word_counts(CORPUS)
+    got = {r["word"]: r["n"] for r in word_counts(docs_df).collect()}
+    assert got == dict(exp)
+
+
+def test_merge_list_identical_to_reference(spark, docs_df):
+    exp = _py_train(CORPUS, 20)
+    got = train_bpe(docs_df, n_merges=20)
+    assert got == exp
+    # the textbook corpus learns 'est</w>' early via e+s, es+t</w>
+    merged = {a + b for a, b in got}
+    assert "est" + END in merged or "est" in merged
+
+
+def test_train_exhausts_gracefully(spark):
+    """More merges requested than pairs exist: the loop stops when the
+    pair table drains instead of erroring."""
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=50)
+    assert merges == [("a", "b" + END)]
+
+
+def test_encode_counts_match_reference(spark, docs_df):
+    merges = _py_train(CORPUS, 12)
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_encode(docs_df, merges).collect()}
+    for doc_id, text in CORPUS:
+        words = [w for w in re.split(r"[^a-z0-9_]+", text.lower()) if w]
+        n_toks = sum(len(_py_encode(w, merges)) for w in words)
+        assert got[doc_id] == (len(words), n_toks), doc_id
+
+
+def test_encode_with_no_merges_is_char_count(spark):
+    df = spark.createDataFrame([(7, "abc de")], "doc_id long, text string")
+    row = bpe_encode(df, []).collect()[0]
+    assert (row["n_words"], row["n_bpe_tokens"]) == (2, 5)

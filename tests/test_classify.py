@@ -1,0 +1,171 @@
+"""ftidx.classify: Naive Bayes train/score/argmax and the bigram-LM
+quality gate, each pinned against a pure-Python recount on a small
+labeled corpus — the same independent-recount discipline as the
+dedup/ANN suites."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the cat sat on the mat", "en"),
+    (2, "the dog ate the bone and the cat", "en"),
+    (3, "a quick brown fox jumps", "en"),
+    (4, "el gato y el perro", "es"),
+    (5, "la casa de la playa y el sol", "es"),
+    (6, "el sol y la luna", "es"),
+    (7, "cat", "en"),
+    (8, "y", "es"),
+]
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+
+
+def _py_model():
+    """(grid, priors, vocab): the hand recount of nb_model/priors."""
+    sparse: Counter = Counter()
+    totals: Counter = Counter()
+    vocab = set()
+    for _, text, lab in DOCS:
+        for t in _toks(text):
+            sparse[(t, lab)] += 1
+            totals[lab] += 1
+            vocab.add(t)
+    v = float(len(vocab))
+    labels = sorted({lab for _, _, lab in DOCS})
+    grid = {
+        (t, lab): round(math.log((sparse.get((t, lab), 0) + 1.0)
+                                 / (totals[lab] + v)), 5)
+        for t in vocab for lab in labels
+    }
+    n = float(len(DOCS))
+    priors = {lab: math.log(sum(1 for d in DOCS if d[2] == lab) / n)
+              for lab in labels}
+    return grid, priors, vocab, labels
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_nb_model_grid_matches_recount(spark, docs_df):
+    from ftidx.classify import nb_model
+
+    grid, _, vocab, labels = _py_model()
+    got = {(r["term"], r["label"]): r["log_cond_r"]
+           for r in nb_model(docs_df).collect()}
+    assert set(got) == set(grid), "grid must be the DENSE vocab x labels set"
+    for key, exp in grid.items():
+        assert got[key] == pytest.approx(exp, abs=1e-9), key
+
+
+def test_nb_scores_matrix_matches_recount(spark, docs_df):
+    from ftidx.classify import nb_scores
+
+    grid, priors, _, labels = _py_model()
+    exp = {}
+    for doc_id, text, _ in DOCS:
+        tf = Counter(_toks(text))
+        for lab in labels:
+            ll = sum(c * grid[(t, lab)] for t, c in tf.items())
+            exp[(doc_id, lab)] = round(ll + priors[lab], 5)
+    got = {(r["doc_id"], r["label"]): r["score_r"]
+           for r in nb_scores(docs_df).collect()}
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == pytest.approx(exp[key], abs=2e-5), key
+
+
+def test_nb_classify_recovers_labels(spark, docs_df):
+    """Self-classification on a separable corpus recovers every label
+    (docs 7/8 are single-marker-token probes), and the argmax equals
+    the scores-matrix argmax with label-ASC ties."""
+    from ftidx.classify import nb_classify, nb_scores
+
+    scores = {}
+    for r in nb_scores(docs_df).collect():
+        scores.setdefault(r["doc_id"], []).append((r["score_r"], r["label"]))
+    exp = {d: sorted(v, key=lambda p: (-p[0], p[1]))[0][1]
+           for d, v in scores.items()}
+    got = {r["doc_id"]: r["pred"] for r in nb_classify(docs_df).collect()}
+    assert got == exp
+    truth = {d: lab for d, _, lab in DOCS}
+    assert got == truth  # the corpus is separable: NB must recover it
+
+
+def test_lm_bigram_scores_match_recount(spark, docs_df):
+    from ftidx.classify import lm_bigram_scores
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    seqs = {}
+    for doc_id, text, _ in DOCS:
+        ts = _toks(text)
+        uni.update(ts)
+        pairs = list(zip(ts, ts[1:]))
+        big.update(pairs)
+        seqs[doc_id] = pairs
+    n_tok = float(sum(uni.values()))
+    v = float(len(uni))
+    lam = 0.9
+    exp = {}
+    for doc_id, pairs in seqs.items():
+        if not pairs:
+            continue
+        ll = sum(math.log(lam * big[(a, b)] / uni[a]
+                          + (1.0 - lam) * (uni[b] + 1.0) / (n_tok + v))
+                 for a, b in pairs)
+        exp[doc_id] = (len(pairs), round(ll / len(pairs), 5))
+    rows = {r["doc_id"]: (r["n_bigrams"], r["avg_ll_r"])
+            for r in lm_bigram_scores(docs_df).collect()}
+    assert set(rows) == set(exp), "single-token docs must be omitted"
+    for d, (n, ll) in exp.items():
+        assert rows[d][0] == n
+        assert rows[d][1] == pytest.approx(ll, abs=2e-5)
+
+
+def test_lm_common_prose_beats_noise(spark):
+    """The quality-gate property itself (the CCNet configuration):
+    scored against a reference-corpus LM, a doc of reference-common
+    bigrams outscores keyboard mash — whose bigrams are OOV and land
+    on the add-1 backoff floor instead of ln(0)."""
+    from ftidx.classify import lm_bigram_scores
+
+    schema = "doc_id long, text string, lang string"
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat", "en") for i in range(10)], schema)
+    crawl = spark.createDataFrame(
+        [(0, "the cat sat on the mat", "en"),
+         (99, "zq9 xv7 qqj wmz", "xx")], schema)
+    df = lm_bigram_scores(crawl, ref=ref)
+    got = {r["doc_id"]: r["avg_ll_r"] for r in df.collect()}
+    assert got[0] > got[99]
+    assert got[99] is not None and math.isfinite(got[99])  # OOV floor
+
+
+def test_lm_self_vs_ref_consistency(spark, docs_df):
+    """ref=docs must equal the ref=None self-trained path exactly
+    (same model, two code routes)."""
+    from ftidx.classify import lm_bigram_scores
+
+    a = sorted(map(tuple, lm_bigram_scores(docs_df).collect()))
+    b = sorted(map(tuple, lm_bigram_scores(docs_df, ref=docs_df).collect()))
+    assert a == b
+
+
+def test_nb_scores_plan_has_no_single_partition_exchange(spark, docs_df):
+    """Scale-shape pin: training + scoring is aggregations and joins;
+    the only windows anywhere in the family are PARTITIONED BY doc_id
+    (nb_classify). No single-partition exchange may appear."""
+    from ftidx.classify import nb_classify
+
+    plan = nb_classify(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
