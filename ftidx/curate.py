@@ -64,6 +64,8 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.95,
     semantic_centroids: int = 16,
+    lm_ref: DataFrame | None = None,
+    lm_min_avg_ll: float = -8.0,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -81,7 +83,14 @@ def curate_corpus(
     4. semantic dedup (when ``embeddings`` given — (vec_id, embedding)
        rows keyed by doc id): SemDeDup cluster-local cosine pruning
        drops paraphrase-level duplicates the lexical stages can't see
-    5. decontamination (when ``probes`` given): drop docs sharing an
+    5. model quality gate (when ``lm_ref`` given — a clean reference
+       corpus): the CCNet step — score every survivor's mean bigram
+       log-likelihood under the reference LM
+       (:func:`ftidx.classify.lm_bigram_scores`) and drop docs below
+       ``lm_min_avg_ll`` (avg_ll = -ln(ppl); -8 ≈ ppl 3000, the
+       permissive tail cut). Runs AFTER dedup so the model join pays
+       only for survivors.
+    6. decontamination (when ``probes`` given): drop docs sharing an
        n-gram shingle with any probe
     """
     q = quality_scores(docs, text_col=text_col, id_col=id_col)
@@ -121,6 +130,16 @@ def curate_corpus(
         ).filter(F.col("is_dup")) \
             .select(F.col("vec_id").alias(id_col))
         stage3 = stage3.join(sem_dups, id_col, "left_anti")
+
+    if lm_ref is not None:
+        from ftidx.classify import lm_bigram_scores
+
+        lm = lm_bigram_scores(
+            stage3, ref=lm_ref, text_col=text_col, id_col=id_col)
+        # anti-join the LOSERS so bigram-less docs (unscoreable) pass
+        lm_losers = (lm.filter(F.col("avg_ll_r") < F.lit(lm_min_avg_ll))
+                     .select(F.col("doc_id").alias(id_col)))
+        stage3 = stage3.join(lm_losers, id_col, "left_anti")
 
     if probes is not None:
         dirty = contamination(

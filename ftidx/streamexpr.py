@@ -49,7 +49,12 @@ the right side — Solr's own hint that the right stream fits in
 memory), ``merge`` (sorted union), ``intersect`` / ``complement``
 (left-semi / left-anti joins on the ``on`` key), ``fetch`` (stored-
 field enrichment from a collection's docs table), ``having`` (boolean
-ops ``eq, gt, lt, gteq, lteq, and, or, not`` over rollup output).
+ops ``eq, gt, lt, gteq, lteq, and, or, not`` over rollup output),
+``cartesianProduct`` (one tuple per element of a multivalued field —
+explode), ``nodes`` (ONE graph hop per wrapping, Solr's gatherNodes:
+distinct gather-field values of edges whose walk-from matches the
+inner stream; scatter="branches,leaves" unions the frontier in;
+multi-hop cycle-safe closures live in ftidx.graph).
 
 Unsupported decorators raise ValueError naming themselves — the
 grammar is a strict subset, never a silent no-op.
@@ -568,6 +573,68 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
         if len(preds) != 1:
             raise ValueError("having() needs exactly one boolean")
         return df.filter(_bool(preds[0]))
+
+    if name == "cartesianProduct":
+        # Solr cartesianProduct(stream, field): one output tuple per
+        # element of a multivalued field — exactly explode(); the
+        # scalar columns ride along unchanged. `productSort` reorders
+        # the result when given (Solr's optional param).
+        df = _eval(_stream_arg(node), ctx)
+        fields = [a for a in node.args[1:] if isinstance(a, str)]
+        if len(fields) != 1:
+            raise ValueError("cartesianProduct() needs exactly one "
+                             "field to explode")
+        fld = fields[0].strip()
+        if fld not in df.columns:
+            raise ValueError(f"unknown field {fld!r}")
+        others = [c for c in df.columns if c != fld]
+        out = df.select(*others, F.explode(fld).alias(fld)) \
+            .select(*df.columns)
+        sort = node.params.get("productSort")
+        return out.orderBy(*_sort_cols(sort)) if sort else out
+
+    if name == "nodes":
+        # Solr nodes() graph source: ONE traversal hop per wrapping
+        # (depth composes by nesting, per Solr) — gather the distinct
+        # `to` values of edges whose `from` matches the inner stream's
+        # walk column. Edge set = the named collection's docs table
+        # (or a bound table, for arbitrary edge lists); the hop is one
+        # distinct + one key join, never a driver-side walk. Multi-hop
+        # closures with cycle-safe visited sets live in
+        # ftidx.graph.graph_expand / graph_reachable.
+        if not node.args or not isinstance(node.args[0], str):
+            raise ValueError("nodes() needs a collection name first")
+        coll = node.args[0]
+        if coll in ctx.indexes:
+            idx = ctx.indexes[coll]
+            edges = idx.spark.read.parquet(str(idx.path / "docs"))
+        elif coll in ctx.tables:
+            edges = ctx.tables[coll]
+        else:
+            raise ValueError(f"unknown collection {coll!r}")
+        df = _eval(_stream_arg(node), ctx)
+        walk = _req(node, "walk")
+        if "->" not in walk:
+            raise ValueError('nodes() walk must be "streamField->edgeField"')
+        src_col, from_col = (x.strip() for x in walk.split("->", 1))
+        gather = _req(node, "gather").strip()
+        for c, side in ((from_col, "edge"), (gather, "edge")):
+            if c not in edges.columns:
+                raise ValueError(f"unknown {side} field {c!r}")
+        if src_col not in df.columns:
+            raise ValueError(f"unknown stream field {src_col!r}")
+        frontier = df.select(F.col(src_col).alias("__sx_from")).distinct()
+        out = (edges.join(frontier,
+                          edges[from_col] == F.col("__sx_from"))
+               .select(F.col(gather).alias("node")).distinct())
+        if str(node.params.get("scatter", "leaves")) not in (
+                "leaves", "branches,leaves", "leaves,branches"):
+            raise ValueError("scatter supports leaves / branches,leaves")
+        if "branches" in str(node.params.get("scatter", "")):
+            out = out.unionByName(
+                frontier.select(F.col("__sx_from").alias("node"))) \
+                .distinct()
+        return out
 
     if name == "significantTerms":
         # Solr significantTerms stream source: terms overrepresented

@@ -299,6 +299,33 @@ def test_curate_corpus_pipeline(spark, docs):
     assert rep["docs_in"] == 7 and rep["docs_out"] == len(ids)
 
 
+def test_curate_corpus_lm_gate(spark):
+    """The model quality gate (stage 5): scored against a reference
+    LM, keyboard mash lands on the OOV backoff floor and is dropped;
+    reference-like prose survives; and a bigram-less doc (unscoreable)
+    passes rather than being silently dropped by a join."""
+    from ftidx.classify import lm_bigram_scores
+    from ftidx.curate import curate_corpus
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat too") for i in range(8)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "zq9a xv7b qqjc wmzd k2je p0qf rr8g hh3h"),
+         (3, "cat")],
+        "doc_id long, text string")
+    # pick a threshold strictly between the two scored docs
+    sc = {r["doc_id"]: r["avg_ll_r"]
+          for r in lm_bigram_scores(docs, ref=ref).collect()}
+    assert sc[2] < sc[1]
+    thr = (sc[1] + sc[2]) / 2.0
+    clean = curate_corpus(docs, min_tokens=1, min_quality=0.0,
+                          lm_ref=ref, lm_min_avg_ll=thr)
+    ids = {r["doc_id"] for r in clean.collect()}
+    assert 1 in ids and 2 not in ids and 3 in ids
+
+
 def test_chunk_tokens(spark):
     from ftidx.textops import chunk_tokens
 

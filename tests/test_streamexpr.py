@@ -138,6 +138,54 @@ def test_merge_sorted_union(ctx):
     assert got == sorted(got) and len(got) == 60
 
 
+def test_cartesian_product_explodes_multivalue(spark):
+    rows = [(1, ["a", "b"], 7), (2, ["c"], 8), (3, [], 9)]
+    t = spark.createDataFrame(rows, "id long, tags array<string>, v long")
+    c = StreamContext(tables={"t": t})
+    got = sorted((r["id"], r["tags"], r["v"]) for r in
+                 evaluate('cartesianProduct(table(t), "tags")', c).collect())
+    assert got == [(1, "a", 7), (1, "b", 7), (2, "c", 8)]  # empty drops
+    srt = [r["tags"] for r in evaluate(
+        'cartesianProduct(table(t), "tags", productSort="tags desc")',
+        c).collect()]
+    assert srt == ["c", "b", "a"]
+    with pytest.raises(ValueError):
+        evaluate('cartesianProduct(table(t), "nosuch")', c)
+    with pytest.raises(ValueError):
+        evaluate('cartesianProduct(table(t))', c)
+
+
+def test_nodes_single_hop_and_scatter(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("d", "a"), ("x", "y")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    c = StreamContext(tables={"edges": edges, "seeds": seeds})
+    one = {r["node"] for r in evaluate(
+        'nodes(edges, table(seeds), walk="node->src", gather="dst")',
+        c).collect()}
+    assert one == {"b", "c"}
+    # depth composes by nesting, exactly Solr
+    two = {r["node"] for r in evaluate(
+        'nodes(edges, nodes(edges, table(seeds), walk="node->src", '
+        'gather="dst"), walk="node->src", gather="dst")', c).collect()}
+    assert two == {"d"}
+    branches = {r["node"] for r in evaluate(
+        'nodes(edges, table(seeds), walk="node->src", gather="dst", '
+        'scatter="branches,leaves")', c).collect()}
+    assert branches == {"a", "b", "c"}
+    for bad in (
+        'nodes(nosuch, table(seeds), walk="node->src", gather="dst")',
+        'nodes(edges, table(seeds), walk="node:src", gather="dst")',
+        'nodes(edges, table(seeds), walk="node->src", gather="zz")',
+        'nodes(edges, table(seeds), walk="zz->src", gather="dst")',
+        'nodes(edges, table(seeds), walk="node->src", gather="dst", '
+        'scatter="weird")',
+    ):
+        with pytest.raises(ValueError):
+            evaluate(bad, c)
+
+
 def test_error_paths(ctx):
     c, _, _ = ctx
     for bad in ('table(nosuch)', 'daemon(table(t))',
