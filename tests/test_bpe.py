@@ -111,6 +111,17 @@ def test_encode_counts_match_reference(spark, docs_df):
         assert got[doc_id] == (len(words), n_toks), doc_id
 
 
+def test_single_char_words(spark):
+    """A one-character word's symbol array is just ['x</w>'] (the
+    slice-length-0 edge of _init_symbols) and never feeds the pair
+    table; encode counts it as one token."""
+    df = spark.createDataFrame([(1, "a b a ab")], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=3)
+    assert merges == [("a", "b" + END)]
+    row = bpe_encode(df, merges).collect()[0]
+    assert (row["n_words"], row["n_bpe_tokens"]) == (4, 4)
+
+
 def test_encode_with_no_merges_is_char_count(spark):
     df = spark.createDataFrame([(7, "abc de")], "doc_id long, text string")
     row = bpe_encode(df, []).collect()[0]
