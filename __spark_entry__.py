@@ -1540,6 +1540,21 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_bigram_scores(_docs(spark, sf_dir))
 
 
+def q_stream_regress(spark, sf_dir):
+    """Math Expressions through the /stream grammar
+    (streamexpr let + regress): OLS of doc length in tokens against
+    n_chars over the documents table — slope = cov/var as ONE
+    aggregation row, the Spark-first reading of Solr's driver-side
+    array regress()."""
+    from ftidx.streamexpr import StreamContext, evaluate
+
+    dl = (_tokens(spark, sf_dir)
+          .groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
+    rel = _docs(spark, sf_dir).select("doc_id", "n_chars").join(dl, "doc_id")
+    return evaluate('let(a=table(rel), regress(a, "n_chars", "dl"))',
+                    StreamContext(tables={"rel": rel}))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (textops.dsir_logratios, Xie et al.
     2023 unigram variant): raw = whole documents table, target = its
@@ -2287,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_scores": q_nb_scores,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
+        "stream_regress": q_stream_regress,
         "date_facet": q_date_facet,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -3767,6 +3783,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nb_scores": _NB_CTE + """
             SELECT doc_id, label, score_r FROM scores
+        """,
+        "stream_regress": f"""
+            WITH {_TOK_CTE},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            rel AS (SELECT d.doc_id, d.n_chars, dl.dl
+                    FROM documents d JOIN dl USING (doc_id))
+            SELECT round(covar_samp(n_chars, dl) / var_samp(n_chars), 5)
+                     AS slope,
+                   round(avg(dl) - covar_samp(n_chars, dl)
+                         / var_samp(n_chars) * avg(n_chars), 5) AS intercept,
+                   round(corr(n_chars, dl) * corr(n_chars, dl), 5) AS r2,
+                   count(n_chars) AS n
+            FROM rel
         """,
         "nb_classify": _NB_CTE + """
             SELECT doc_id, label AS pred, score_r FROM (

@@ -56,6 +56,18 @@ distinct gather-field values of edges whose walk-from matches the
 inner stream; scatter="branches,leaves" unions the frontier in;
 multi-hop cycle-safe closures live in ftidx.graph).
 
+Math Expressions
+----------------
+``let(a=<stream>, …, <expr>)`` binds streams to variables — decorators
+reference a binding as ``table(a)``; the math functions below also
+accept the bare name — then ``describe mean sum min max
+stddev variance percentile`` (one relation column → one agg row) and
+``corr cov regress hist`` (two columns of ONE relation / equal-width
+bins). Solr evaluates these over driver-side arrays; here every one
+is an aggregation, so the vector never leaves the executors — which
+is also why corr/cov/regress take (relation, xcol, ycol): positional
+alignment of two independent distributed streams has no meaning.
+
 Unsupported decorators raise ValueError naming themselves — the
 grammar is a strict subset, never a silent no-op.
 
@@ -574,6 +586,32 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
             raise ValueError("having() needs exactly one boolean")
         return df.filter(_bool(preds[0]))
 
+    if name == "let":
+        # Solr Math Expressions entry point: let(a=<stream>, b=<stream>,
+        # <expr>) binds streams to variables IN ORDER (later bindings
+        # may reference earlier ones), then evaluates the one
+        # positional expression with the bindings visible as table()
+        # names and as bare-variable args to the math functions. The
+        # whole thing still compiles to ONE plan — bindings are lazy
+        # DataFrames, never materialized by the binding itself.
+        exprs = [a for a in node.args if isinstance(a, Node)]
+        if len(exprs) != 1:
+            raise ValueError("let() needs exactly one expression after "
+                             "the bindings")
+        if not node.params:
+            raise ValueError("let() needs at least one binding")
+        scope = dict(ctx.tables)
+        sub = StreamContext(tables=scope, indexes=ctx.indexes)
+        for k, v in node.params.items():
+            if not isinstance(v, Node):
+                raise ValueError(
+                    f"let() binding {k!r} must be a stream expression")
+            scope[k] = _eval(v, sub)
+        return _eval(exprs[0], sub)
+
+    if name in _MATH_FNS:
+        return _math(node, ctx)
+
     if name == "cartesianProduct":
         # Solr cartesianProduct(stream, field): one output tuple per
         # element of a multivalued field — exactly explode(); the
@@ -677,6 +715,117 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
             f"stream function {name!r} is not part of this surface: "
             f"{redirect[name]}")
     raise ValueError(f"unsupported stream function {name!r}")
+
+
+_MATH_FNS = {"describe", "mean", "sum", "min", "max", "stddev",
+             "variance", "percentile", "corr", "cov", "regress", "hist"}
+
+
+def _math(node: Node, ctx: StreamContext) -> DataFrame:
+    """Solr Math Expressions over bound relations — the Spark-first
+    reading: Solr's math functions operate on driver-side numeric
+    arrays pulled out of streams; here every function is an
+    AGGREGATION over a bound relation's columns (one codegen agg row,
+    or a grid-sized groupBy for hist), so the vector never leaves the
+    executors. corr/cov/regress accordingly take (relation, xcol,
+    ycol) — two columns of ONE relation — because positional alignment
+    of two independent distributed streams has no distributed meaning.
+    Doubles round to 5 (the repo-wide oracle discipline)."""
+    name = node.name
+    src = node.args[0] if node.args else None
+    if isinstance(src, Node):
+        df = _eval(src, ctx)
+    elif isinstance(src, str) and src in ctx.tables:
+        df = ctx.tables[src]
+    else:
+        raise ValueError(
+            f"{name}() needs a bound variable or stream first")
+    cols = [a for a in node.args[1:] if isinstance(a, str)]
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"unknown column {c!r}")
+
+    def one(col):
+        if len(cols) != 1:
+            raise ValueError(f"{name}() takes exactly one column")
+        return F.col(col)
+
+    def two():
+        if len(cols) != 2:
+            raise ValueError(f"{name}() takes exactly two columns")
+        return F.col(cols[0]), F.col(cols[1])
+
+    r5 = lambda e: F.round(e, 5)  # noqa: E731
+    if name == "describe":
+        c = one(cols[0] if cols else "")
+        return df.agg(
+            F.count(c).alias("n"), r5(F.mean(c)).alias("mean"),
+            r5(F.stddev_samp(c)).alias("stddev"),
+            F.min(c).alias("min"), F.max(c).alias("max"),
+            r5(F.sum(c)).alias("sum"))
+    if name in ("mean", "sum", "min", "max", "stddev", "variance"):
+        c = one(cols[0] if cols else "")
+        fn = {"mean": F.mean, "sum": F.sum, "min": F.min, "max": F.max,
+              "stddev": F.stddev_samp, "variance": F.var_samp}[name]
+        return df.agg(r5(fn(c)).alias(name))
+    if name == "percentile":
+        c = one(cols[0] if cols else "")
+        p = float(node.params.get("p", 50)) / 100.0
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("p must be in [0, 100]")
+        return df.agg(r5(F.expr(
+            f"percentile(`{cols[0]}`, {p!r})")).alias("percentile"))
+    if name in ("corr", "cov"):
+        x, y = two()
+        fn = F.corr if name == "corr" else F.covar_samp
+        return df.agg(r5(fn(x, y)).alias(name))
+    if name == "regress":
+        # OLS slope/intercept/r2 in ONE agg: slope = cov/var (the
+        # samp/pop distinction cancels in the ratio), intercept =
+        # mean(y) - slope*mean(x), r2 = corr^2
+        x, y = two()
+        slope = F.covar_samp(x, y) / F.var_samp(x)
+        return df.agg(
+            r5(slope).alias("slope"),
+            r5(F.mean(y) - slope * F.mean(x)).alias("intercept"),
+            r5(F.corr(x, y) * F.corr(x, y)).alias("r2"),
+            F.count(x).alias("n"))
+    if name == "hist":
+        # equal-width histogram: the min/max agg is ONE row
+        # crossJoined back (broadcast), the bin groupBy is bins-sized;
+        # EVERY bin in [0, bins) emits via a driver-built grid (bins
+        # is a user parameter, always tiny), count 0 when empty
+        c = one(cols[0] if cols else "")
+        bins = int(node.params.get("bins", 10))
+        if not 1 <= bins <= 10_000:
+            raise ValueError("bins must be in [1, 10000]")
+        spark = df.sparkSession
+        ext = df.agg(F.min(c).cast("double").alias("lo"),
+                     F.max(c).cast("double").alias("hi"))
+        binned = (
+            df.crossJoin(F.broadcast(ext))
+            .select(F.when(
+                F.col("hi") == F.col("lo"), F.lit(0)
+            ).otherwise(F.least(
+                F.lit(bins - 1),
+                F.floor((c - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                        * bins).cast("int"))).alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("count"))
+        )
+        grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+        return (
+            grid.join(binned, "bin", "left")
+            .crossJoin(F.broadcast(ext))
+            .select(
+                "bin",
+                r5(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo"))
+                   / bins).alias("lo_edge"),
+                r5(F.col("lo") + (F.col("bin") + 1)
+                   * (F.col("hi") - F.col("lo")) / bins).alias("hi_edge"),
+                F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+            .orderBy("bin")
+        )
+    raise ValueError(f"unsupported math function {name!r}")
 
 
 def _collection(node: Node, ctx: StreamContext):

@@ -186,6 +186,81 @@ def test_nodes_single_hop_and_scatter(spark):
             evaluate(bad, c)
 
 
+def test_math_scalar_aggs_match_recount(ctx):
+    import statistics
+
+    c, t, _ = ctx
+    vs = [r["v"] for r in t.collect()]
+    got = evaluate('let(a=table(t), describe(a, "v"))', c).collect()[0]
+    assert got["n"] == len(vs)
+    assert got["mean"] == pytest.approx(round(statistics.mean(vs), 5))
+    assert got["stddev"] == pytest.approx(round(statistics.stdev(vs), 5))
+    assert (got["min"], got["max"], got["sum"]) == \
+        (min(vs), max(vs), sum(vs))
+    p = evaluate('let(a=table(t), percentile(a, "v", p=50))',
+                 c).collect()[0]["percentile"]
+    assert p == pytest.approx(round(statistics.median(vs), 5))
+
+
+def test_math_regress_and_corr_match_recount(ctx):
+    import statistics
+
+    c, t, _ = ctx
+    rows = [(r["id"], r["v"]) for r in t.collect()]
+    xs, ys = [float(a) for a, _ in rows], [float(b) for _, b in rows]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+    var = sum((x - mx) ** 2 for x in xs) / (n - 1)
+    slope = cov / var
+    r = cov / (statistics.stdev(xs) * statistics.stdev(ys))
+    got = evaluate('let(a=table(t), regress(a, "id", "v"))', c).collect()[0]
+    assert got["slope"] == pytest.approx(round(slope, 5), abs=2e-5)
+    assert got["intercept"] == pytest.approx(round(my - slope * mx, 5),
+                                             abs=2e-5)
+    assert got["r2"] == pytest.approx(round(r * r, 5), abs=2e-5)
+    cc = evaluate('let(a=table(t), corr(a, "id", "v"))', c).collect()[0]
+    assert cc["corr"] == pytest.approx(round(r, 5), abs=2e-5)
+
+
+def test_math_hist_bins_and_zero_fill(spark):
+    t = spark.createDataFrame([(float(i),) for i in range(10)] + [(100.0,)],
+                              "v double")
+    c = StreamContext(tables={"t": t})
+    rows = evaluate('let(a=table(t), hist(a, "v", bins=4))', c).collect()
+    assert [r["bin"] for r in rows] == [0, 1, 2, 3]
+    assert sum(r["count"] for r in rows) == 11
+    assert rows[0]["lo_edge"] == 0.0 and rows[3]["hi_edge"] == 100.0
+    assert rows[1]["count"] == 0 and rows[2]["count"] == 0  # zero-fill
+    assert rows[0]["count"] == 10 and rows[3]["count"] == 1
+
+
+def test_let_bindings_compose_and_reference_earlier(ctx):
+    c, t, _ = ctx
+    got = evaluate(
+        'let(a=table(t), b=having(rollup(table(a), over="lang", count(*)), '
+        'gt(count(*), 6)), mean(b, "count(*)"))', c).collect()[0]
+    # lang counts: py 15, go 10, js 5 -> >6 keeps 15 and 10
+    assert got["mean"] == pytest.approx(12.5)
+
+
+def test_math_error_paths(ctx):
+    c, _, _ = ctx
+    for bad in (
+        'let(mean(a, "v"))',                       # no bindings
+        'let(a=table(t))',                         # no expression
+        'let(a=table(t), mean(a, "v"), mean(a, "v"))',
+        'let(a=table(t), mean(a, "nosuch"))',
+        'let(a=table(t), mean(a, "v", "id"))',     # one column only
+        'let(a=table(t), corr(a, "v"))',           # two columns needed
+        'let(a=table(t), percentile(a, "v", p=200))',
+        'let(a=table(t), hist(a, "v", bins=0))',
+        'mean(unbound, "v")',
+    ):
+        with pytest.raises(ValueError):
+            evaluate(bad, c)
+
+
 def test_error_paths(ctx):
     c, _, _ = ctx
     for bad in ('table(nosuch)', 'daemon(table(t))',
