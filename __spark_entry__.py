@@ -1555,6 +1555,28 @@ def q_stream_regress(spark, sf_dir):
                     StreamContext(tables={"rel": rel}))
 
 
+def q_rule_tags(spark, sf_dir):
+    """Percolator-style reverse search (textops.tag_rules): two
+    registered conjunctive rule queries tag the corpus at ingest —
+    broadcast rule table onto distinct (doc, term) pairs, one
+    (doc, rule)-keyed aggregation."""
+    from ftidx.textops import tag_rules
+
+    return tag_rules(_docs(spark, sf_dir),
+                     {"sparky": ["spark", "merge"],
+                      "windowed": ["window"]}, mode="all")
+
+
+def q_kl_divergence(spark, sf_dir):
+    """Domain-drift KL (textops.kl_divergence): each lang slice's
+    add-1-smoothed unigram distribution against the 'en' slice's,
+    summed over the corpus vocabulary — the per-dump shift monitor."""
+    from ftidx.textops import kl_divergence
+
+    return kl_divergence(_docs(spark, sf_dir), group_col="lang",
+                         base="en")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (textops.dsir_logratios, Xie et al.
     2023 unigram variant): raw = whole documents table, target = its
@@ -2303,6 +2325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
         "stream_regress": q_stream_regress,
+        "rule_tags": q_rule_tags,
+        "kl_divergence": q_kl_divergence,
         "date_facet": q_date_facet,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -3783,6 +3807,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nb_scores": _NB_CTE + """
             SELECT doc_id, label, score_r FROM scores
+        """,
+        "rule_tags": f"""
+            WITH {_TOK_CTE},
+            dt AS (SELECT DISTINCT doc_id, term FROM tok),
+            r AS (SELECT * FROM (VALUES
+                    ('sparky', 'spark', 2), ('sparky', 'merge', 2),
+                    ('windowed', 'window', 1)) t(rule, term, n_terms)),
+            h AS (SELECT doc_id, rule, count(*) AS n_hit,
+                         max(n_terms) AS nt
+                  FROM dt JOIN r USING (term) GROUP BY doc_id, rule)
+            SELECT doc_id, rule, n_hit FROM h WHERE n_hit = nt
+        """,
+        "kl_divergence": """
+            WITH ltok AS (
+              SELECT doc_id, grp, term FROM (
+                SELECT doc_id, lang AS grp,
+                       unnest(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9_]+')) AS term
+                FROM documents
+              ) WHERE term <> ''
+            ),
+            sparse AS (SELECT term, grp, count(*) AS c
+                       FROM ltok GROUP BY term, grp),
+            totals AS (SELECT grp, count(*) AS t_g FROM ltok GROUP BY grp),
+            vocab AS (SELECT DISTINCT term FROM ltok),
+            vsz AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+            bc AS (SELECT term, count(*) AS bc FROM ltok
+                   WHERE grp = 'en' GROUP BY term),
+            bn AS (SELECT count(*)::DOUBLE AS base_n FROM ltok
+                   WHERE grp = 'en'),
+            grid AS (
+              SELECT g.term, g.grp, g.t_g,
+                     coalesce(s.c, 0) AS c, coalesce(b.bc, 0) AS cb
+              FROM (SELECT term, grp, t_g FROM vocab CROSS JOIN totals) g
+              LEFT JOIN sparse s ON g.term = s.term AND g.grp = s.grp
+              LEFT JOIN bc b ON g.term = b.term
+            )
+            SELECT grp AS "group", max(t_g) AS n_tokens,
+                   round(sum(((c + 1.0) / (t_g + v))
+                             * ln(((c + 1.0) / (t_g + v))
+                                  / ((cb + 1.0) / (base_n + v)))), 5)
+                     AS kl_r
+            FROM grid CROSS JOIN vsz CROSS JOIN bn
+            GROUP BY grp
         """,
         "stream_regress": f"""
             WITH {_TOK_CTE},

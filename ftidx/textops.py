@@ -1143,3 +1143,95 @@ def compression_ratio(docs: DataFrame, text_col: str = "text",
     return docs.select(id_col, text_col).mapInPandas(
         kernel, schema="doc_id long, n_bytes long, n_compressed long, "
                        "ratio_r double")
+
+
+def tag_rules(docs: DataFrame, rules: dict[str, list[str]],
+              mode: str = "all", text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Percolator-style reverse search: registered rule queries match
+    INCOMING documents (the Elasticsearch percolate idea, absent from
+    Solr) — the routing/labeling step a curation pipeline runs at
+    ingest ("looks like code", "mentions benchmark X", topic buckets).
+    ``rules`` maps a label to its term list; ``mode="all"`` requires
+    every term (conjunctive), ``"any"`` at least one. Output one
+    (doc_id, rule, n_hit) row per match; a doc matches any number of
+    rules.
+
+    Scale shape: the rule table is user-registered (KB) and
+    broadcasts onto the corpus's distinct (doc, term) pairs — terms
+    are pre-filtered to the rules' union vocabulary, so the join
+    input is the corpus' matching tokens only, and the match decision
+    is one (doc, rule)-keyed count aggregation. No corpus shuffle
+    beyond that aggregation; never a per-rule scan."""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    spark = docs.sparkSession
+    rows = [(label, t, len(set(terms)))
+            for label, terms in rules.items() for t in set(terms)]
+    rtab = spark.createDataFrame(
+        rows, "rule string, term string, n_terms int")
+    toks = (_tokens(docs, text_col, id_col)
+            .select("doc_id", "term").distinct())
+    hits = (
+        toks.join(F.broadcast(rtab), "term")
+        .groupBy("doc_id", "rule")
+        .agg(F.count(F.lit(1)).alias("n_hit"),
+             F.first("n_terms").alias("n_terms"))
+    )
+    if mode == "all":
+        hits = hits.filter(F.col("n_hit") == F.col("n_terms"))
+    return hits.select("doc_id", "rule", "n_hit")
+
+
+def kl_divergence(docs: DataFrame, group_col: str = "lang",
+                  base: str | None = None, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Domain-drift monitor: per-group KL divergence of each group's
+    add-1-smoothed unigram distribution from the ``base`` group's (or
+    from the whole corpus when ``base`` is None) —
+
+        KL(g || base) = sum_t p_g(t) * ln(p_g(t) / p_base(t))
+
+    over the corpus-wide vocabulary with Laplace smoothing on BOTH
+    sides (so unseen terms contribute finitely). The number a mixing
+    pipeline tracks per dump/domain to catch distribution shift
+    before training does. Output (group, n_tokens, kl_r) rounded 5.
+
+    Scale shape: two map-side-combinable count aggregations over one
+    tokenize pass; the dense (term x group) grid is vocab x n_groups
+    (model-sized — same shape as classify.nb_model) built with one
+    LEFT join; the KL sum is a groups-sized aggregation. The corpus
+    shuffles once, for the counts."""
+    labeled = docs.select(F.col(id_col).alias("doc_id"),
+                          F.col(group_col).alias("grp"), text_col)
+    tok = _tokens(labeled, text_col, "doc_id").join(
+        labeled.select("doc_id", "grp"), "doc_id")
+    sparse = tok.groupBy("term", "grp").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.groupBy("grp").agg(F.count(F.lit(1)).alias("t_g"))
+    vocab = tok.select("term").distinct()
+    v = vocab.count()
+    if base is None:
+        base_c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("bc"))
+        base_n = tok.count()
+    else:
+        base_tok = tok.filter(F.col("grp") == base)
+        base_c = base_tok.groupBy("term").agg(F.count(F.lit(1)).alias("bc"))
+        base_n = base_tok.count()
+        if base_n == 0:
+            raise ValueError(f"base group {base!r} has no tokens")
+    grid = (
+        vocab.crossJoin(totals)
+        .join(sparse, ["term", "grp"], "left")
+        .join(base_c, "term", "left")
+    )
+    p_g = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) \
+        / (F.col("t_g") + F.lit(float(v)))
+    p_b = (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(1.0)) \
+        / (F.lit(float(base_n)) + F.lit(float(v)))
+    return (
+        grid.groupBy(F.col("grp").alias("group"))
+        .agg(F.first("t_g").alias("n_tokens"),
+             F.round(F.sum(p_g * F.log(p_g / p_b)), 5).alias("kl_r"))
+    )

@@ -1346,3 +1346,70 @@ def test_compression_ratio_signal(spark):
     import zlib
     b = ("the " * 500).encode()
     assert out[0]["n_compressed"] == len(zlib.compress(b, 6))
+
+
+def test_tag_rules_modes_and_recount(spark):
+    from ftidx.textops import tag_rules
+
+    docs = spark.createDataFrame(
+        [(1, "spark merge window"), (2, "spark only here"),
+         (3, "merge spark merge"), (4, "nothing relevant")],
+        "doc_id long, text string")
+    rules = {"sm": ["spark", "merge"], "w": ["window"]}
+    got = {(r["doc_id"], r["rule"]): r["n_hit"]
+           for r in tag_rules(docs, rules, mode="all").collect()}
+    assert got == {(1, "sm"): 2, (3, "sm"): 2, (1, "w"): 1}
+    any_got = {(r["doc_id"], r["rule"]) for r in
+               tag_rules(docs, rules, mode="any").collect()}
+    assert any_got == {(1, "sm"), (2, "sm"), (3, "sm"), (1, "w")}
+    # duplicate terms in a rule must not double-count (set semantics)
+    dup = {(r["doc_id"], r["rule"]) for r in
+           tag_rules(docs, {"sm": ["spark", "spark", "merge"]},
+                     mode="all").collect()}
+    assert dup == {(1, "sm"), (3, "sm")}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tag_rules(docs, rules, mode="weird")
+    with _pt.raises(ValueError):
+        tag_rules(docs, {})
+
+
+def test_kl_divergence_recount_and_base(spark):
+    import math
+    from collections import Counter
+
+    from ftidx.textops import kl_divergence
+
+    rows = [(1, "a a b", "x"), (2, "a b b c", "x"),
+            (3, "c c d", "y"), (4, "a d", "y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    toks = {"x": Counter(), "y": Counter()}
+    for _, t, g in rows:
+        toks[g].update(t.split())
+    vocab = set(toks["x"]) | set(toks["y"])
+    v = float(len(vocab))
+
+    def kl(g, base_counts, base_n):
+        tg = sum(toks[g].values())
+        s = 0.0
+        for t in vocab:
+            pg = (toks[g].get(t, 0) + 1.0) / (tg + v)
+            pb = (base_counts.get(t, 0) + 1.0) / (base_n + v)
+            s += pg * math.log(pg / pb)
+        return round(s, 5)
+
+    # base = whole corpus
+    allc = toks["x"] + toks["y"]
+    got = {r["group"]: (r["n_tokens"], r["kl_r"])
+           for r in kl_divergence(docs, group_col="lang").collect()}
+    assert got["x"] == (7, kl("x", allc, float(sum(allc.values()))))
+    assert got["y"] == (5, kl("y", allc, float(sum(allc.values()))))
+    # base = named group; KL(x||x) over smoothed dists == 0
+    got2 = {r["group"]: r["kl_r"]
+            for r in kl_divergence(docs, group_col="lang",
+                                   base="x").collect()}
+    assert got2["x"] == 0.0
+    assert got2["y"] == kl("y", toks["x"], float(sum(toks["x"].values())))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kl_divergence(docs, group_col="lang", base="nosuch")
