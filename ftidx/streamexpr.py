@@ -43,7 +43,9 @@ Decorators
 ``select`` (projection + `as` renames), ``sort``, ``top`` (TakeOrdered
 — never a global sort), ``unique`` (first row per key under the given
 sort), ``rollup`` (groupBy aggregates with Solr's literal metric
-names: ``count(*)``, ``sum(f)``, ``avg(f)``, ``min(f)``, ``max(f)``),
+names: ``count(*)``, ``sum(f)``, ``avg(f)``, ``min(f)``, ``max(f)``,
+``countDist(f)`` — Solr's EXACT distinct — and ``std(f)``, usable in
+rollup/stats/facet/timeseries alike),
 ``innerJoin`` / ``leftOuterJoin`` / ``hashJoin`` (hashJoin broadcasts
 the right side — Solr's own hint that the right stream fits in
 memory), ``merge`` (sorted union), ``intersect`` / ``complement``
@@ -222,7 +224,7 @@ def parse(expr: str) -> Node:
 
 # ------------------------------------------------------------- evaluator
 
-_METRICS = {"count", "sum", "avg", "min", "max"}
+_METRICS = {"count", "sum", "avg", "min", "max", "countDist", "std"}
 _BOOL_OPS = {"eq", "gt", "lt", "gteq", "lteq", "and", "or", "not"}
 
 
@@ -256,6 +258,10 @@ def _metric(node: Node):
         return F.count(F.lit(1)).alias(label)
     if f == "*":
         raise ValueError(f"{node.name}(*) is not a thing; name a field")
+    if node.name == "countDist":  # Solr's EXACT distinct rollup metric
+        return F.countDistinct(F.col(f)).alias(label)
+    if node.name == "std":  # Solr rollup std() = sample stddev
+        return F.round(F.stddev_samp(F.col(f)), 5).alias(label)
     return getattr(F, node.name)(F.col(f)).alias(label)
 
 

@@ -244,6 +244,22 @@ def test_let_bindings_compose_and_reference_earlier(ctx):
     assert got["mean"] == pytest.approx(12.5)
 
 
+def test_rollup_countdist_and_std(ctx):
+    import statistics
+
+    c, t, _ = ctx
+    rows = evaluate('rollup(table(t), over="lang", countDist(v), std(v))',
+                    c).collect()
+    by = {r["lang"]: (r["countDist(v)"], r["std(v)"]) for r in rows}
+    data = {}
+    for r in t.collect():
+        data.setdefault(r["lang"], []).append(r["v"])
+    for lang, vs in data.items():
+        assert by[lang][0] == len(set(vs))
+        assert by[lang][1] == pytest.approx(
+            round(statistics.stdev(vs), 5), abs=2e-5)
+
+
 def test_math_error_paths(ctx):
     c, _, _ = ctx
     for bad in (
