@@ -126,3 +126,69 @@ def test_encode_with_no_merges_is_char_count(spark):
     df = spark.createDataFrame([(7, "abc de")], "doc_id long, text string")
     row = bpe_encode(df, []).collect()[0]
     assert (row["n_words"], row["n_bpe_tokens"]) == (2, 5)
+
+
+# ---------------------------------------------------------- properties
+
+def test_merge_kernel_nonoverlap_left_to_right():
+    """The BPE merge rule on runs: adjacent pairs merge left-to-right
+    without overlap — 'aaaa' -> [aa, aa], 'aaa' -> [aa, a]."""
+    import pandas as pd
+
+    from ftidx.bpe import _merge_kernel
+
+    pdf = pd.DataFrame({"word": ["aaaa", "aaa", "baa"],
+                        "n": [1, 1, 1],
+                        "syms": [["a", "a", "a", "a"],
+                                 ["a", "a", "a"],
+                                 ["b", "a", "a"]]})
+    out = next(_merge_kernel("a", "a")([pdf]))
+    got = {w: list(s) for w, s in zip(out["word"], out["syms"])}
+    assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"],
+                   "baa": ["b", "aa"]}
+
+
+def test_encode_word_property_matches_reference():
+    """_encode_word == the reference lowest-rank-first encoder for
+    random words under merge lists trained on random corpora."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ftidx.bpe import _encode_word
+
+    words = st.text(alphabet="abc", min_size=1, max_size=10)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(words, min_size=1, max_size=8), words)
+    def prop(corpus_words, probe):
+        rows = [(1, " ".join(corpus_words))]
+        merges = _py_train(rows, 12)
+        ranks = {p: i for i, p in enumerate(merges)}
+        assert _encode_word(probe, ranks) == _py_encode(probe, merges)
+
+    prop()
+
+
+def test_train_encode_consistency(spark, docs_df):
+    """The BPE invariant: encoding a TRAINING word with the learned
+    ranks reproduces exactly the symbols training left it with."""
+    from ftidx.bpe import _encode_word, train_bpe
+
+    merges = train_bpe(docs_df, n_merges=15)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # reproduce training's final symtab with the reference trainer
+    wc = _py_word_counts(CORPUS)
+    symtab = {w: list(w[:-1]) + [w[-1] + END] for w in wc}
+    for a, b in merges:
+        for w, syms in symtab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            symtab[w] = res
+    for w, final in symtab.items():
+        assert _encode_word(w, ranks) == final, w
