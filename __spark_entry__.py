@@ -1702,24 +1702,28 @@ def q_hybrid_rrf(spark, sf_dir):
     with the cosine ranking to query vector 0 (vec_id aligns with
     doc_id in the testdata), rrf = Σ 1/(60+rank), top 10."""
     from ftidx.ann import rrf_fuse, with_cosine
+    from ftidx.textops import _global_rank
 
     # full rankings by definition (rrf sums 1/(60+rank) over EVERY
-    # rank) — the one place a total-order window over the match set is
-    # the spec itself, not a top-k shortcut; production path cuts both
-    # lists to k before fusing (ann.rrf_fuse's contract)
-    wt = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    # rank) — but a total-order rank needs no single-partition window:
+    # _global_rank's range-exchange + per-partition row_number +
+    # driver prefix-sum gives the identical rank column (the order is
+    # unique), so even the spec's full ranking scales; production path
+    # cuts both lists to k before fusing (ann.rrf_fuse's contract)
     text = (
-        _bm25_scored(spark, sf_dir)
-        .withColumn("rank", F.row_number().over(wt))
-        .select(F.col("doc_id").alias("id"), "rank")
+        _global_rank(_bm25_scored(spark, sf_dir),
+                     [F.desc("score_r"), F.asc("doc_id")])
+        .select(F.col("doc_id").alias("id"),
+                F.col("_grank").cast("int").alias("rank"))
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    wv = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     vec = (
-        with_cosine(emb.select("vec_id", "embedding"), "embedding", query)
-        .withColumn("rank", F.row_number().over(wv))
-        .select(F.col("vec_id").alias("id"), "rank")
+        _global_rank(with_cosine(emb.select("vec_id", "embedding"),
+                                 "embedding", query).select("vec_id", "cosine"),
+                     [F.desc("cosine"), F.asc("vec_id")])
+        .select(F.col("vec_id").alias("id"),
+                F.col("_grank").cast("int").alias("rank"))
     )
     return rrf_fuse([text, vec], k=10)
 

@@ -28,6 +28,25 @@ def test_topk_contract_queries_plan_take_ordered(spark, name):
     assert "TakeOrderedAndProject" in plan, (name, plan)
 
 
+def test_hybrid_rrf_no_single_partition_sort_or_window(spark):
+    """The spec's full rankings route through _global_rank (range
+    exchange + per-partition windows + driver prefix-sum), so the only
+    Exchange SinglePartition left is the final stage of the SCALAR
+    avgdl aggregate — P partial rows to one reducer, the correct and
+    unavoidable shape for a global agg. Assert exactly that: every
+    single-partition exchange's child is a partial scalar
+    HashAggregate, never a Sort/Window over corpus rows."""
+    import __spark_entry__ as e
+
+    df = e.queries()["hybrid_rrf"](spark, SF)
+    lines = _plan(df).splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1]
+            assert "HashAggregate(keys=[], functions=[partial_" in child, \
+                (line, child)
+
+
 def test_ranked_helper_cut_then_rank_identity(spark):
     """_ranked == full-frame row_number ranking on the same total
     order (the refactor's correctness contract), and the plan carries
