@@ -711,6 +711,16 @@ class FtIndex:
         self._filter_cache_max_bytes = int(
             _os.environ.get("FTIDX_FILTER_CACHE_MB", "64")) * 1024 * 1024
         self._filter_cache_bytes = 0
+        # Solr queryResultCache analog: (query shape) → the final
+        # ranked [(doc_id, score)] page. Same LRU discipline; hits
+        # skip the whole decode/score path. Invalidated by refresh()
+        # AND delete() (a cached page may hold a just-tombstoned doc).
+        self._result_cache_max = 4096
+        self._result_cache_max_bytes = int(
+            _os.environ.get("FTIDX_RESULT_CACHE_MB", "32")) * 1024 * 1024
+        self._result_cache_bytes = 0
+        self._result_hits = 0
+        self._result_misses = 0
         self.refresh()
 
     def refresh(self) -> None:
@@ -805,6 +815,8 @@ class FtIndex:
 
         self._filter_cache: OrderedDict[str, frozenset] = OrderedDict()
         self._filter_cache_bytes = 0
+        self._result_cache: OrderedDict[tuple, list] = OrderedDict()
+        self._result_cache_bytes = 0
 
     # -- maintenance -----------------------------------------------------
     def delete(self, doc_ids: list[int]) -> None:
@@ -814,6 +826,9 @@ class FtIndex:
         df = self.spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
         df.write.mode("append").parquet(str(self.path / "tombstones"))
         self._tombstones.update(int(d) for d in doc_ids)
+        # cached result pages may hold a just-tombstoned doc
+        self._result_cache.clear()
+        self._result_cache_bytes = 0
 
     def delete_by_query(self, *, terms: list[str] | None = None,
                         field: str = "code.content", where: str | None = None,
@@ -892,7 +907,31 @@ class FtIndex:
         ``min_match=m`` requires at least m of the terms (Solr ``mm``,
         between OR and AND); ``exclude`` drops docs containing any of
         those terms — the Solr ``+must -not`` query surface beyond
-        bag-of-words OR."""
+        bag-of-words OR.
+
+        Repeat queries serve from the queryResultCache (Solr analog):
+        the final ranked page keyed by the full query shape,
+        LRU-bounded, invalidated by refresh()/delete()."""
+        ckey = ("topk", field, tuple(terms), k, kernel, mode,
+                tuple(exclude or ()), min_match)
+        hit = self._result_cache.get(ckey)
+        if hit is not None:
+            self._result_cache.move_to_end(ckey)
+            self._result_hits += 1
+            return list(hit)
+        self._result_misses += 1
+        out = self._topk_uncached(terms, k, field, kernel, mode,
+                                  exclude, min_match)
+        self._result_cache[ckey] = out
+        self._result_cache_bytes += 40 * len(out) + 96
+        while (len(self._result_cache) > self._result_cache_max
+               or self._result_cache_bytes > self._result_cache_max_bytes):
+            _, old = self._result_cache.popitem(last=False)
+            self._result_cache_bytes -= 40 * len(old) + 96
+        return list(out)
+
+    def _topk_uncached(self, terms, k, field, kernel, mode,
+                       exclude, min_match) -> list[tuple[int, float]]:
         lists, avgdl = self._term_lists(terms, field)
         if not lists:
             return []
@@ -2595,6 +2634,17 @@ class FtIndex:
                 "entries": len(self._filter_cache),
                 "bytes": int(self._filter_cache_bytes),
                 "max_bytes": int(self._filter_cache_max_bytes),
+            },
+            "result_cache": {
+                "entries": len(self._result_cache),
+                "bytes": int(self._result_cache_bytes),
+                "max_bytes": int(self._result_cache_max_bytes),
+                "hits": self._result_hits,
+                "misses": self._result_misses,
+                "hit_rate": round(
+                    self._result_hits
+                    / (self._result_hits + self._result_misses), 4)
+                    if (self._result_hits + self._result_misses) else None,
             },
             "tombstones_pending": len(self._tombstones),
             "build_id": self.manifest.get("build_id"),

@@ -1399,13 +1399,19 @@ def test_metrics(spark, built):
     assert lb["buckets_done"] > 0 and lb["postings_emitted"] > 0
     assert lb["bytes_compressed"] > 0 and lb["max_skew_ratio"] >= 1.0
 
-    idx.topk(["def"], k=3)          # cold: misses
-    idx.topk(["def"], k=3)          # warm: hits
+    idx.topk(["def"], k=3)          # cold: term-cache misses
+    # the repeat query now serves from the RESULT cache without
+    # touching the term cache; a different shape over the same term
+    # is the term-cache warm path
+    idx.topk(["def"], k=4)          # warm: term-cache hits
     m1 = idx.metrics()
     tc = m1["term_cache"]
     assert tc["entries"] >= 1 and tc["bytes"] > 0
     assert tc["misses"] >= 1 and tc["hits"] >= 1
     assert 0.0 < tc["hit_rate"] < 1.0
+    idx.topk(["def"], k=3)          # result-cache hit
+    rc = idx.metrics()["result_cache"]
+    assert rc["hits"] >= 1 and rc["entries"] >= 2
     idx.predicate_ids("lang = 'python'")
     assert idx.metrics()["filter_cache"]["entries"] == 1
     idx.refresh()                   # invalidation resets entries
@@ -1600,3 +1606,45 @@ def test_highlight_fragments(spark, tmp_path):
     idx3 = open_index(spark, out3)
     with _pt.raises(ValueError, match="store_content"):
         idx3.highlight([did], ["alpha"])
+
+
+def test_query_result_cache(spark, built):
+    """Solr queryResultCache analog: a repeat topk serves the cached
+    page (identical tuples, hit counter moves), a different query
+    shape misses, delete() invalidates so a tombstoned doc never
+    serves from cache, and the LRU respects the entry bound."""
+    out, _ = built
+    idx = open_index(spark, out)
+    assert idx.metrics()["result_cache"]["entries"] == 0
+    a = idx.topk(["def", "return"], k=5)
+    h0 = idx._result_hits
+    b = idx.topk(["def", "return"], k=5)
+    assert b == a and idx._result_hits == h0 + 1
+    # a different shape (same terms, different k / mode) must miss
+    idx.topk(["def", "return"], k=3)
+    idx.topk(["def", "return"], k=5, mode="and")
+    m = idx.metrics()["result_cache"]
+    assert m["entries"] == 3 and m["hits"] >= 1 and m["bytes"] > 0
+
+    # delete() invalidation: the cached page holds the current top-1;
+    # after tombstoning it the SAME query must not serve it
+    top1 = a[0][0]
+    idx.delete([top1])
+    assert idx.metrics()["result_cache"]["entries"] == 0
+    c = idx.topk(["def", "return"], k=5)
+    assert top1 not in [d for d, _ in c]
+
+    # entry-bound LRU eviction
+    idx._result_cache.clear()
+    idx._result_cache_bytes = 0
+    old_max = idx._result_cache_max
+    idx._result_cache_max = 4
+    try:
+        for i in range(8):
+            idx.topk(["def"], k=i + 1)
+        assert len(idx._result_cache) == 4
+    finally:
+        idx._result_cache_max = old_max
+    # refresh drops everything
+    idx.refresh()
+    assert idx.metrics()["result_cache"]["entries"] == 0
