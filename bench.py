@@ -106,20 +106,36 @@ def main():
         total = sum(len(h) for h in idx_docs.topk_batch(QUERY_TERMS, k=10))
         timings["query_batch"] = time.time() - t0
 
-        # 4. warm single-query latency over the synth index
+        # 4. warm single-query latency over the synth index.
+        # use_cache=False: measure the SCORING path (decode + WAND),
+        # comparable round-over-round — otherwise the queryResultCache
+        # would serve every repeat in ~0.1 ms and the number would
+        # measure an OrderedDict lookup, not the engine
         idx = open_index(spark, f"{tmp}/idx_synth")
-        for terms in SYNTH_QUERIES:  # warm-up
-            idx.topk(terms, k=10)
+        for terms in SYNTH_QUERIES:  # warm-up (term cache)
+            idx.topk(terms, k=10, use_cache=False)
         lats = []
         for _ in range(3):
             for terms in SYNTH_QUERIES:
                 t0 = time.time()
-                idx.topk(terms, k=10)
+                idx.topk(terms, k=10, use_cache=False)
                 lats.append(time.time() - t0)
         lats.sort()
         p50 = lats[len(lats) // 2]
         p95 = lats[int(len(lats) * 0.95)]
         timings["query_p95"] = p95
+        # the served-repeat path (queryResultCache hit), reported
+        # separately — NOT added into the headline sum
+        for terms in SYNTH_QUERIES:
+            idx.topk(terms, k=10)  # populate
+        clats = []
+        for _ in range(3):
+            for terms in SYNTH_QUERIES:
+                t0 = time.time()
+                idx.topk(terms, k=10)
+                clats.append(time.time() - t0)
+        clats.sort()
+        cached_p95 = clats[int(len(clats) * 0.95)]
 
         out = {
             "metric": "ftidx index-build + BM25 top-k",
@@ -129,6 +145,7 @@ def main():
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "files_per_sec": round(n_synth / build_synth, 1),
             "query_p50_sec": round(p50, 4),
+            "query_p95_cached_sec": round(cached_p95, 5),
             "n_synth_files": n_synth,
             "cpus": cpus,
         }

@@ -902,7 +902,8 @@ class FtIndex:
     def topk(self, terms: list[str], k: int = 10, field: str = "code.content",
              kernel: str = "block_max", mode: str = "or",
              exclude: list[str] | None = None,
-             min_match: int | None = None) -> list[tuple[int, float]]:
+             min_match: int | None = None,
+             use_cache: bool = True) -> list[tuple[int, float]]:
         """``mode="and"`` requires every term (conjunctive BM25);
         ``min_match=m`` requires at least m of the terms (Solr ``mm``,
         between OR and AND); ``exclude`` drops docs containing any of
@@ -911,7 +912,12 @@ class FtIndex:
 
         Repeat queries serve from the queryResultCache (Solr analog):
         the final ranked page keyed by the full query shape,
-        LRU-bounded, invalidated by refresh()/delete()."""
+        LRU-bounded, invalidated by refresh()/delete().
+        ``use_cache=False`` bypasses it both ways (no read, no insert)
+        — benchmarks measuring the scoring path use this."""
+        if not use_cache:
+            return self._topk_uncached(terms, k, field, kernel, mode,
+                                       exclude, min_match)
         ckey = ("topk", field, tuple(terms), k, kernel, mode,
                 tuple(exclude or ()), min_match)
         hit = self._result_cache.get(ckey)
