@@ -177,7 +177,8 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
         for pdf in batches:
             ids, n_words, n_toks = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in splitter.split(str(text).lower()) if w]
+                words = [] if text is None else \
+                    [w for w in splitter.split(str(text).lower()) if w]
                 total = 0
                 for w in words:
                     got = memo.get(w)

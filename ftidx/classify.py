@@ -187,6 +187,9 @@ def lm_bigram_scores(docs: DataFrame, ref: DataFrame | None = None,
     both model tables broadcast and the corpus-sized side never
     shuffles for the join at all.
     """
+    if not 0.0 <= lam < 1.0:
+        # lam=1.0 would make OOV bigrams ln(0) — the backoff needs mass
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
     tok = _pos_tokens(docs, text_col, id_col)
     rtok = tok if ref is None else _pos_tokens(ref, text_col, id_col)
     w = Window.partitionBy("doc_id").orderBy("pos")

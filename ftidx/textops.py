@@ -1168,8 +1168,11 @@ def tag_rules(docs: DataFrame, rules: dict[str, list[str]],
     if not rules:
         raise ValueError("rules must be non-empty")
     spark = docs.sparkSession
-    rows = [(label, t, len(set(terms)))
-            for label, terms in rules.items() for t in set(terms)]
+    # tokens are lowercased, so rule terms must be too — a rule
+    # registered as "Spark" would otherwise silently never match
+    rows = [(label, t, len({x.lower() for x in terms}))
+            for label, terms in rules.items()
+            for t in {x.lower() for x in terms}]
     rtab = spark.createDataFrame(
         rows, "rule string, term string, n_terms int")
     toks = (_tokens(docs, text_col, id_col)

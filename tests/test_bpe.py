@@ -192,3 +192,11 @@ def test_train_encode_consistency(spark, docs_df):
             symtab[w] = res
     for w, final in symtab.items():
         assert _encode_word(w, ranks) == final, w
+
+
+def test_encode_null_text(spark):
+    df = spark.createDataFrame([(1, None), (2, "ab")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_encode(df, []).collect()}
+    assert got == {1: (0, 0), 2: (1, 2)}

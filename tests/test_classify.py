@@ -169,3 +169,11 @@ def test_nb_scores_plan_has_no_single_partition_exchange(spark, docs_df):
 
     plan = nb_classify(docs_df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_lm_lam_bounds(spark, docs_df):
+    from ftidx.classify import lm_bigram_scores
+
+    for bad in (1.0, -0.1, 2.0):
+        with pytest.raises(ValueError):
+            lm_bigram_scores(docs_df, lam=bad)

@@ -1413,3 +1413,16 @@ def test_kl_divergence_recount_and_base(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         kl_divergence(docs, group_col="lang", base="nosuch")
+
+
+def test_tag_rules_case_insensitive_registration(spark):
+    """Rule terms register lowercased (tokens are lowercased): 'Spark'
+    and 'spark' are the SAME term and must not inflate n_terms."""
+    from ftidx.textops import tag_rules
+
+    docs = spark.createDataFrame([(1, "spark merge")],
+                                 "doc_id long, text string")
+    got = [(r["doc_id"], r["rule"], r["n_hit"]) for r in
+           tag_rules(docs, {"sm": ["Spark", "spark", "MERGE"]},
+                     mode="all").collect()]
+    assert got == [(1, "sm", 2)]
