@@ -392,3 +392,41 @@ class FtShards:
                                          field=field).collect():
                 agg[r["bucket_start"]] += int(r["n_docs"])
         return sorted(agg.items())
+
+    def match_stats(self, terms: list[str], stat_col: str = "lang",
+                    field: str = "code.content",
+                    cardinality: bool = False, rsd: float = 0.01):
+        """Distributed stats component (Solr stats.field over
+        shards=…): every shard contributes its PROJECTED match frame
+        (just the stat expression's column, evaluated shard-side with
+        that shard's match set) and ONE aggregation runs over the
+        union — which is why n_values stays the EXACT distinct count:
+        per-shard distinct counts don't merge (the same value on two
+        shards would double-count), but the unioned value stream
+        feeds a single count_distinct. count/min/max/HLL would merge
+        fine either way; the union costs the same single job and
+        keeps every metric exact. Mirrors FtIndex.match_stats'
+        output schema exactly."""
+        import pyspark.sql.functions as F
+
+        frames = []
+        for sh in self.shards:
+            matched = sh._matched_ids(terms, field)
+            docs = sh.spark.read.parquet(str(sh.path / "docs"))
+            frames.append(
+                docs.join(matched, "doc_id")
+                .select(F.expr(stat_col).alias("_v")))
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        c = F.col("_v")
+        aggs = [
+            F.count(F.lit(1)).alias("n_matched"),
+            F.count_distinct(c).alias("n_values"),
+            F.min(c).alias("min_value"),
+            F.max(c).alias("max_value"),
+        ]
+        if cardinality:
+            aggs.append(F.approx_count_distinct(c, rsd=rsd)
+                        .alias("cardinality"))
+        return u.agg(*aggs)

@@ -206,3 +206,25 @@ def test_sharded_range_facets_equal_monolithic(setup):
     assert shards.facet_range_date(["def"], "2024-01-05 03:00:00",
                                    "2024-12-20 00:00:00",
                                    "+20DAY") == md and md
+
+
+def test_match_stats_layout_invariant(spark, setup):
+    """Sharded stats == monolithic stats on the same corpus: count,
+    EXACT distinct (the metric per-shard partials cannot give),
+    min/max, and the HLL column all layout-invariant."""
+    mono, shards = setup
+    terms = ["def", "return"]
+    m = mono.match_stats(terms, stat_col="lang", cardinality=True).collect()[0]
+    s = shards.match_stats(terms, stat_col="lang",
+                           cardinality=True).collect()[0]
+    assert (s["n_matched"], s["n_values"], s["min_value"],
+            s["max_value"]) == \
+        (m["n_matched"], m["n_values"], m["min_value"], m["max_value"])
+    assert s["n_matched"] > 0 and s["n_values"] > 1
+    # HLL sketches merge over the same value stream; at this
+    # cardinality (a handful of langs) the estimate is exact
+    assert s["cardinality"] == m["cardinality"] == s["n_values"]
+    # expression stats (Solr stats on a function query) too
+    me = mono.match_stats(terms, stat_col="length(path) % 7").collect()[0]
+    se = shards.match_stats(terms, stat_col="length(path) % 7").collect()[0]
+    assert tuple(se) == tuple(me)
