@@ -1,0 +1,59 @@
+"""Layout-sensitivity audit: the full driver contract at an ODD
+parallelism (default 3 cores, 7 shuffle partitions) — any query whose
+VALUES depend on partitioning (a nondeterministic first(), an
+unseeded sample, a partition-ordered collect) diverges from the
+DuckDB oracle here even when the stock 8-core sweep is green. The
+driver runs its own session shape; this is the guard that the
+contract is a pure function of the data, not of the layout.
+
+Usage: python tools/check_layout.py [sf_dir] [cores] [partitions]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    from check_contract import TABLES, canon
+
+    import __spark_entry__ as entrymod
+    from ftidx.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    parts = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    spark = get_spark(cores=cores, app_name="layout-audit",
+                      shuffle_partitions=parts)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:28s} rows={len(srows)} (no oracle)", flush=True)
+            continue
+        ores = con.sql(oracles[name])
+        ocols = [d[0] for d in ores.description]
+        a = canon(srows, sdf.columns)
+        b = canon(ores.fetchall(), ocols)
+        ok = sorted(sdf.columns) == sorted(ocols) and a == b
+        print(f"{name:28s} {'OK' if ok else 'LAYOUT-FAIL'}", flush=True)
+        if not ok:
+            failures.append(name)
+    print("FAILURES:", failures)
+    if failures:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
