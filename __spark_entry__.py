@@ -1567,6 +1567,18 @@ def q_rule_tags(spark, sf_dir):
                       "windowed": ["window"]}, mode="all")
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule bundle (textops.gopher_rules, Rae et al.
+    2021): per-rule evidence + keep verdict, all per-row codegen array
+    expressions — zero shuffle. Stopword list fitted to the synthetic
+    corpus vocabulary so the verdict actually separates (the paper's
+    English list shares only 'the'/'a' with this vocab)."""
+    from ftidx.textops import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir),
+                        stopwords=["the", "a", "data", "window", "batch"])
+
+
 def q_kl_divergence(spark, sf_dir):
     """Domain-drift KL (textops.kl_divergence): each lang slice's
     add-1-smoothed unigram distribution against the 'en' slice's,
@@ -2331,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_regress": q_stream_regress,
         "rule_tags": q_rule_tags,
         "kl_divergence": q_kl_divergence,
+        "gopher_rules": q_gopher_rules,
         "date_facet": q_date_facet,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -3822,6 +3835,57 @@ def oracle_sql() -> dict[str, str]:
                          max(n_terms) AS nt
                   FROM dt JOIN r USING (term) GROUP BY doc_id, rule)
             SELECT doc_id, rule, n_hit FROM h WHERE n_hit = nt
+        """,
+        "gopher_rules": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS w
+              FROM documents
+            ),
+            ws AS (
+              SELECT doc_id, count(*) AS n_words,
+                     round(sum(length(w))::DOUBLE / count(*), 5)
+                       AS mean_wlen_r,
+                     round(sum(CASE WHEN regexp_matches(w, '[a-z]')
+                               THEN 1 ELSE 0 END)::DOUBLE / count(*), 5)
+                       AS alpha_ratio_r,
+                     count(DISTINCT w) FILTER (
+                       WHERE w IN ('the', 'a', 'data', 'window', 'batch'))
+                       AS n_stop
+              FROM w GROUP BY doc_id
+            ),
+            l AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\n')) AS ln
+              FROM documents
+            ),
+            ls AS (
+              SELECT doc_id,
+                     round(sum(CASE WHEN regexp_matches(ln, '^\s*[-*•]')
+                               THEN 1 ELSE 0 END)::DOUBLE / count(*), 5)
+                       AS bullet_ratio_r,
+                     round(sum(CASE WHEN ln LIKE '%...'
+                               THEN 1 ELSE 0 END)::DOUBLE / count(*), 5)
+                       AS ellipsis_ratio_r
+              FROM l GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(ws.n_words, 0) AS n_words,
+                   ws.mean_wlen_r, ws.alpha_ratio_r,
+                   ls.bullet_ratio_r, ls.ellipsis_ratio_r,
+                   coalesce(ws.n_stop, 0) AS n_stop,
+                   coalesce(
+                     ws.n_words BETWEEN 50 AND 100000
+                     AND ws.mean_wlen_r BETWEEN 3.0 AND 10.0
+                     AND ws.alpha_ratio_r >= 0.8
+                     AND ls.bullet_ratio_r <= 0.9
+                     AND ls.ellipsis_ratio_r <= 0.3
+                     AND ws.n_stop >= 2, false) AS keep
+            FROM documents d
+            LEFT JOIN ws USING (doc_id)
+            LEFT JOIN ls USING (doc_id)
         """,
         "kl_divergence": """
             WITH ltok AS (

@@ -790,7 +790,9 @@ def _math(node: Node, ctx: StreamContext) -> DataFrame:
         # samp/pop distinction cancels in the ratio), intercept =
         # mean(y) - slope*mean(x), r2 = corr^2
         x, y = two()
-        slope = F.covar_samp(x, y) / F.var_samp(x)
+        # try_divide: a constant-x relation yields NULL slope (the
+        # OLS-undefined case) instead of ANSI-mode divide-by-zero
+        slope = F.try_divide(F.covar_samp(x, y), F.var_samp(x))
         return df.agg(
             r5(slope).alias("slope"),
             r5(F.mean(y) - slope * F.mean(x)).alias("intercept"),

@@ -1238,3 +1238,76 @@ def kl_divergence(docs: DataFrame, group_col: str = "lang",
         .agg(F.first("t_g").alias("n_tokens"),
              F.round(F.sum(p_g * F.log(p_g / p_b)), 5).alias("kl_r"))
     )
+
+
+GOPHER_STOPWORDS = ["the", "and", "of", "to", "in"]
+
+
+def gopher_rules(docs: DataFrame, *, min_words: int = 50,
+                 max_words: int = 100_000, min_mean_wlen: float = 3.0,
+                 max_mean_wlen: float = 10.0, min_alpha_ratio: float = 0.8,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3, min_stopwords: int = 2,
+                 stopwords: list[str] | None = None,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021, Table A1's
+    deterministic subset) — the canonical pre-training repetition-free
+    document filter, emitting the per-rule evidence alongside the
+    verdict so a pipeline can audit WHY a doc dropped:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_wlen, max_mean_wlen]
+    - fraction of words containing an alphabetic char >= min_alpha_ratio
+    - fraction of lines starting with a bullet <= max_bullet_ratio
+    - fraction of lines ending with an ellipsis <= max_ellipsis_ratio
+    - at least min_stopwords DISTINCT stopwords present (the Gopher
+      "stop word" sanity check; ``stopwords`` defaults to the paper's
+      5-word English list — tune it to the corpus language/domain)
+
+    Output: (doc_id, n_words, mean_wlen_r, alpha_ratio_r,
+    bullet_ratio_r, ellipsis_ratio_r, n_stop, keep). Docs with zero
+    words are emitted with keep=false (they fail min_words).
+
+    Scale shape: ZERO shuffle — every metric is a per-row codegen
+    expression over the word/line arrays (filter/aggregate/size
+    higher-order functions), so the op is a mapper: it pipelines with
+    whatever stage follows and never materializes tokens."""
+    low = F.lower(F.col(text_col))
+    words = F.filter(F.split(low, r"\s+"), lambda x: x != "")
+    lines = F.split(low, "\n")
+    n_words = F.size(words).cast("long")
+    sum_wlen = F.aggregate(words, F.lit(0),
+                           lambda acc, w: acc + F.length(w))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    stop = [s.lower() for s in (stopwords or GOPHER_STOPWORDS)]
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(s) for s in stop]))).cast("long")
+    # ANSI mode (Spark 4 default) makes 0/0 THROW, not NULL — a
+    # zero-word doc must yield NULL word metrics, not kill the job
+    mean_wlen = F.round(F.when(n_words > 0, sum_wlen / n_words), 5)
+    alpha_ratio = F.round(F.when(n_words > 0, n_alpha / n_words), 5)
+    bullet_ratio = F.round(F.when(n_lines > 0, n_bullet / n_lines), 5)
+    ellipsis_ratio = F.round(F.when(n_lines > 0, n_ellipsis / n_lines), 5)
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wlen.between(min_mean_wlen, max_mean_wlen)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (n_stop >= min_stopwords)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen_r"),
+        alpha_ratio.alias("alpha_ratio_r"),
+        bullet_ratio.alias("bullet_ratio_r"),
+        ellipsis_ratio.alias("ellipsis_ratio_r"),
+        n_stop.alias("n_stop"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

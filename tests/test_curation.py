@@ -1426,3 +1426,34 @@ def test_tag_rules_case_insensitive_registration(spark):
            tag_rules(docs, {"sm": ["Spark", "spark", "MERGE"]},
                      mode="all").collect()]
     assert got == [(1, "sm", 2)]
+
+
+def test_gopher_rules_recount_and_edges(spark):
+    """Per-rule evidence against a hand recount, plus the edge docs:
+    empty text (keep=false, NULL word metrics), a bullet-heavy doc,
+    and an ellipsis-heavy doc."""
+    from ftidx.textops import gopher_rules
+
+    good = ("the cat and the dog walk to the house of friends in town "
+            * 6).strip()
+    rows = [
+        (1, good),
+        (2, ""),
+        (3, "- one\n- two\n- three\n- four"),
+        (4, "first line...\nsecond line...\nthird"),
+        (5, "zz " * 60),  # no stopwords, no alpha problem, fails n_stop
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_rules(docs, min_words=10).collect()}
+    w = good.split()
+    assert got[1]["n_words"] == len(w)
+    assert got[1]["mean_wlen_r"] == pytest.approx(
+        round(sum(len(x) for x in w) / len(w), 5))
+    assert got[1]["alpha_ratio_r"] == 1.0 and got[1]["n_stop"] == 5
+    assert got[1]["keep"] is True
+    assert got[2]["n_words"] == 0 and got[2]["keep"] is False
+    assert got[2]["mean_wlen_r"] is None  # 0/0 — no word metrics
+    assert got[3]["bullet_ratio_r"] == 1.0 and got[3]["keep"] is False
+    assert got[4]["ellipsis_ratio_r"] == pytest.approx(round(2 / 3, 5))
+    assert got[5]["n_stop"] == 0 and got[5]["keep"] is False
