@@ -1579,6 +1579,15 @@ def q_gopher_rules(spark, sf_dir):
                         stopwords=["the", "a", "data", "window", "batch"])
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (textops.winnow_fingerprints, Schleimer
+    et al. 2003 / MOSS): per-window rightmost-minimum k-gram hash
+    selection — span-level provenance with the shared-run guarantee."""
+    from ftidx.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
 def q_kl_divergence(spark, sf_dir):
     """Domain-drift KL (textops.kl_divergence): each lang slice's
     add-1-smoothed unigram distribution against the 'en' slice's,
@@ -2344,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_tags": q_rule_tags,
         "kl_divergence": q_kl_divergence,
         "gopher_rules": q_gopher_rules,
+        "winnow": q_winnow,
         "date_facet": q_date_facet,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -3835,6 +3845,44 @@ def oracle_sql() -> dict[str, str]:
                          max(n_terms) AS nt
                   FROM dt JOIN r USING (term) GROUP BY doc_id, rule)
             SELECT doc_id, rule, n_hit FROM h WHERE n_hit = nt
+        """,
+        "winnow": r"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9_]+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ws) - 4)) AS gpos,
+                     len(ws) - 4 AS n_grams, ws
+              FROM arrs WHERE len(ws) >= 5
+            ),
+            gh AS (
+              SELECT doc_id, gpos, n_grams,
+                     md5(array_to_string(ws[gpos:gpos+4], ' ')) AS h
+              FROM g
+            ),
+            e AS (
+              SELECT doc_id, gpos, h,
+                     unnest(generate_series(
+                       greatest(1, gpos - 3),
+                       least(gpos, greatest(1, n_grams - 3)))) AS j
+              FROM gh
+            ),
+            sel AS (SELECT doc_id, j, min(h) AS mh
+                    FROM e GROUP BY doc_id, j),
+            pick AS (
+              SELECT e.doc_id, e.j, max(e.gpos) AS pos
+              FROM e JOIN sel ON e.doc_id = sel.doc_id
+                             AND e.j = sel.j AND e.h = sel.mh
+              GROUP BY e.doc_id, e.j
+            )
+            SELECT DISTINCT p.doc_id, p.pos, gh.h
+            FROM pick p JOIN gh ON gh.doc_id = p.doc_id
+                               AND gh.gpos = p.pos
         """,
         "gopher_rules": r"""
             WITH w AS (

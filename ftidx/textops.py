@@ -1311,3 +1311,62 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50,
         n_stop.alias("n_stop"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the
+    MOSS algorithm): hash every word k-gram, slide a window of ``w``
+    consecutive hashes, select each window's MINIMUM (rightmost on
+    ties), and keep the distinct selections. The guarantee the strided
+    grams in :func:`ftidx.dedup.char_grams` lack: ANY shared run of
+    ≥ w+k-1 words between two documents shares at least one selected
+    fingerprint, while selection density stays ~2/(w+1) — robust
+    span-level provenance/overlap detection at a fraction of the
+    all-grams cost. Docs with fewer than k words emit nothing; docs
+    with fewer than w grams emit their single overall minimum (the
+    one-window degenerate case). Output (doc_id, pos, h) — 1-based
+    gram position, portable md5 hash (string min order is the same
+    everywhere).
+
+    Scale shape: grams are per-row codegen (sequence → slice →
+    concat_ws → md5 → posexplode); each gram replicates into ≤ w
+    window memberships (w is small: the paper's 4-8) and ONE
+    doc-keyed aggregation picks the per-window minima — per-doc state
+    is bounded, the shuffle is the gram table × w, linear in corpus
+    tokens."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    words = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                     lambda x: x != "")
+    n_grams = F.size(words) - F.lit(k - 1)
+    starts = F.sequence(F.lit(1), n_grams)
+    grams = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))))
+    g = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    n_grams.alias("n_grams"),
+                    F.posexplode(grams).alias("p0", "h"))
+        .filter(F.col("n_grams") >= 1)
+        .select("doc_id", "n_grams",
+                (F.col("p0") + 1).alias("gpos"), "h")
+    )
+    # window starts run 1 .. max(1, n_grams-w+1); gram gpos belongs to
+    # windows [gpos-w+1, gpos] clipped to that range
+    win_hi = F.greatest(F.lit(1), F.col("n_grams") - F.lit(w - 1))
+    e = g.select(
+        "doc_id", "gpos", "h",
+        F.explode(F.sequence(
+            F.greatest(F.lit(1), F.col("gpos") - F.lit(w - 1)),
+            F.least(F.col("gpos"), win_hi))).alias("j"),
+    )
+    picked = (
+        e.groupBy("doc_id", "j")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("gpos")).alias("ng")))
+             .alias("m"))
+        .select("doc_id", (-F.col("m.ng")).alias("pos"),
+                F.col("m.h").alias("h"))
+        .distinct()
+    )
+    return picked

@@ -1457,3 +1457,69 @@ def test_gopher_rules_recount_and_edges(spark):
     assert got[3]["bullet_ratio_r"] == 1.0 and got[3]["keep"] is False
     assert got[4]["ellipsis_ratio_r"] == pytest.approx(round(2 / 3, 5))
     assert got[5]["n_stop"] == 0 and got[5]["keep"] is False
+
+
+def _py_winnow(text, k, w):
+    import hashlib
+    import re as _re
+
+    ws = [x for x in _re.split(r"[^a-z0-9_]+", text.lower()) if x]
+    n = len(ws) - k + 1
+    if n < 1:
+        return set()
+    hs = [hashlib.md5(" ".join(ws[i:i + k]).encode()).hexdigest()
+          for i in range(n)]
+    hi = max(1, n - w + 1)
+    out = set()
+    for j in range(hi):
+        win = hs[j:j + w]
+        m = min(win)
+        # rightmost occurrence of the minimum
+        pos = j + max(i for i, h in enumerate(win) if h == m)
+        out.add((pos + 1, m))
+    return out
+
+
+def test_winnow_matches_reference(spark):
+    from ftidx.textops import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "tiny doc"),          # fewer words than k -> nothing
+        (4, "a b c d e"),         # exactly one gram (k=5) -> one pick
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs, k=5, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+    for doc_id, text in rows:
+        exp = _py_winnow(text, 5, 4)
+        assert got.get(doc_id, set()) == exp, doc_id
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The winnowing theorem: two docs sharing a run of >= w+k-1 words
+    share at least one selected fingerprint hash."""
+    from ftidx.textops import winnow_fingerprints
+
+    shared = "one two three four five six seven eight"  # 8 = w+k-1
+    docs = spark.createDataFrame(
+        [(1, "xx yy " + shared + " zz"),
+         (2, shared + " qq rr ss tt uu")],
+        "doc_id long, text string")
+    fp = {}
+    for r in winnow_fingerprints(docs, k=5, w=4).collect():
+        fp.setdefault(r["doc_id"], set()).add(r["h"])
+    assert fp[1] & fp[2], "guaranteed shared fingerprint missing"
+
+
+def test_winnow_validates_params(spark):
+    from ftidx.textops import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        winnow_fingerprints(docs, k=0)
+    with _pt.raises(ValueError):
+        winnow_fingerprints(docs, w=0)
