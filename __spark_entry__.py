@@ -1266,6 +1266,62 @@ def _md5_u_sql(col: str, seed: int) -> str:
     return f"(({b})::DOUBLE + 0.5) / 16777216.0"
 
 
+def _mmr_sql(k: int, pool: int, lam: float) -> str:
+    """Unrolled-SQL twin of ftidx.ann.mmr_rerank(query=vec 0): the k
+    greedy rounds become a CTE chain — p{r} picks round r's argmax of
+    round-5(λ·qcos − (1−λ)·max-cos-to-selected) over the not-yet-
+    selected pool, s{r} accumulates the selected ids. Exact because
+    every cosine is rounded to 5 BEFORE any comparison on both
+    engines (the ann_ivf_kmeans unrolling discipline)."""
+    lam_s, oml_s = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [f"""
+            qv AS (SELECT i, x AS qx FROM flat WHERE vec_id = 0),
+            qc AS (
+              SELECT f.vec_id AS id,
+                     round(sum(f.x * q.qx)
+                           / (sqrt(sum(f.x * f.x)) * sqrt(sum(q.qx * q.qx))),
+                           5) AS qcos
+              FROM flat f JOIN qv q USING (i) GROUP BY f.vec_id
+            ),
+            cand AS (SELECT id, qcos FROM qc
+                     ORDER BY qcos DESC, id LIMIT {int(pool)}),
+            pc AS (
+              SELECT fa.vec_id AS ia, fb.vec_id AS ib,
+                     round(sum(fa.x * fb.x)
+                           / (sqrt(sum(fa.x * fa.x)) * sqrt(sum(fb.x * fb.x))),
+                           5) AS c
+              FROM flat fa JOIN flat fb
+                ON fa.i = fb.i AND fa.vec_id <> fb.vec_id
+              WHERE fa.vec_id IN (SELECT id FROM cand)
+                AND fb.vec_id IN (SELECT id FROM cand)
+              GROUP BY fa.vec_id, fb.vec_id
+            ),
+            p1 AS (SELECT id, qcos, round({lam_s} * qcos, 5) AS mmr
+                   FROM cand ORDER BY round({lam_s} * qcos, 5) DESC, id
+                   LIMIT 1),
+            s1 AS (SELECT id FROM p1)"""]
+    for r in range(2, int(k) + 1):
+        parts.append(f""",
+            m{r} AS (
+              SELECT c.id, c.qcos, max(pc.c) AS ms
+              FROM cand c JOIN pc
+                ON pc.ia = c.id AND pc.ib IN (SELECT id FROM s{r - 1})
+              WHERE c.id NOT IN (SELECT id FROM s{r - 1})
+              GROUP BY c.id, c.qcos
+            ),
+            p{r} AS (SELECT id, qcos,
+                            round({lam_s} * qcos - {oml_s} * ms, 5) AS mmr
+                     FROM m{r}
+                     ORDER BY round({lam_s} * qcos - {oml_s} * ms, 5) DESC, id
+                     LIMIT 1),
+            s{r} AS (SELECT id FROM s{r - 1}
+                     UNION ALL SELECT id FROM p{r})""")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT {r} AS rank, id AS vec_id, qcos AS qcos_r, mmr AS mmr_r "
+        f"FROM p{r}" for r in range(1, int(k) + 1))
+    return "".join(parts) + f"\n            {finals}"
+
+
 def _geo_sql(lat: float, lon: float) -> tuple[str, str]:
     """(points CTE, haversine-km expression over pts.lat/pts.lon) —
     mirrors q_geo_* / ftidx.geo.haversine_km: coordinates from the
@@ -2254,6 +2310,43 @@ def q_facet_nested(spark, sf_dir):
     )
 
 
+def q_prototype_prune(spark, sf_dir):
+    # SSL-prototype pruning (Sorscher et al. 2022): IVF-cell cluster,
+    # rank each cluster most-prototypical-first by round-5 cosine to
+    # the OWN centroid, drop the top 300 permille of every cluster —
+    # verdict emitted, not filtered, so the oracle checks ranks, cuts
+    # and keep flags for EVERY vector
+    from ftidx.dedup import prototype_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return prototype_prune(emb, drop_permille=300, n_centroids=16)
+
+
+def q_mmr_rerank(spark, sf_dir):
+    # Maximal Marginal Relevance diversification (Carbonell &
+    # Goldstein 1998): top-20 cosine pool for the vec 0 query, then 5
+    # greedy picks maximizing 0.7*qcos - 0.3*max-cos-to-selected; all
+    # cosines round-5 before the argmax, so the 5 rounds unroll into
+    # an exact SQL twin (_mmr_sql)
+    from ftidx.ann import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return mmr_rerank(emb, query, k=5, pool=20, lam=0.7)
+
+
+def q_weighted_sample(spark, sf_dir):
+    # Efraimidis-Spirakis A-ES: 100-doc sample with inclusion odds
+    # proportional to token count — key = ln(md5-uniform)/weight,
+    # round-5, TakeOrderedAndProject cut
+    from ftidx.textops import weighted_sample
+
+    dl = _tokens(spark, sf_dir).groupBy("doc_id") \
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    return weighted_sample(dl, 100, "n_tok", id_col="doc_id", seed=11)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the real ftidx pipeline over sf0.001 documents —
     code-aware tokenize → tf/doclen/stats → batch BM25 top-10."""
@@ -2354,6 +2447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_divergence": q_kl_divergence,
         "gopher_rules": q_gopher_rules,
         "winnow": q_winnow,
+        "prototype_prune": q_prototype_prune,
+        "mmr_rerank": q_mmr_rerank,
+        "weighted_sample": q_weighted_sample,
         "date_facet": q_date_facet,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -3845,6 +3941,63 @@ def oracle_sql() -> dict[str, str]:
                          max(n_terms) AS nt
                   FROM dt JOIN r USING (term) GROUP BY doc_id, rule)
             SELECT doc_id, rule, n_hit FROM h WHERE n_hit = nt
+        """,
+        "prototype_prune": f"""
+            WITH {_EMB_FLAT_CTE},
+            cents AS (
+              SELECT vec_id AS cid FROM embeddings
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+            ),
+            cflat AS (
+              SELECT c.cid, f.i, f.x FROM flat f JOIN cents c
+                ON f.vec_id = c.cid
+            ),
+            adots AS (
+              SELECT f.vec_id, c.cid, sum(f.x * c.x) AS dot,
+                     sum(f.x * f.x) AS na, sum(c.x * c.x) AS nc
+              FROM flat f JOIN cflat c USING (i) GROUP BY f.vec_id, c.cid
+            ),
+            assign AS (
+              SELECT vec_id, cid, c_cos FROM (
+                SELECT vec_id, cid,
+                       round(dot / (sqrt(na) * sqrt(nc)), 5) AS c_cos,
+                       row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY round(dot / (sqrt(na) * sqrt(nc)), 5) DESC,
+                                  cid) AS rn
+                FROM adots) WHERE rn = 1
+            ),
+            ranked AS (
+              SELECT vec_id, cid, c_cos,
+                     row_number() OVER (
+                       PARTITION BY cid
+                       ORDER BY c_cos DESC, vec_id) AS pr,
+                     count(*) OVER (PARTITION BY cid) AS n
+              FROM assign
+            )
+            SELECT vec_id, cid AS centroid_id, c_cos AS proto_cos,
+                   pr AS proto_rank,
+                   pr > floor(n * 300 / 1000.0) AS kept
+            FROM ranked
+        """,
+        "mmr_rerank": f"""
+            WITH {_EMB_FLAT_CTE},{_mmr_sql(5, 20, 0.7)}
+        """,
+        "weighted_sample": f"""
+            WITH {_TOK_CTE},
+            dl AS (SELECT doc_id, count(*) AS n_tok FROM tok
+                   GROUP BY doc_id),
+            keyed AS (
+              SELECT doc_id, n_tok::DOUBLE AS weight,
+                     round(ln({_md5_u_sql('doc_id', 11)})
+                           / n_tok::DOUBLE, 5) AS key_r
+              FROM dl WHERE n_tok > 0
+            ),
+            cut AS (SELECT doc_id, weight, key_r FROM keyed
+                    ORDER BY key_r DESC, doc_id LIMIT 100)
+            SELECT row_number() OVER (ORDER BY key_r DESC, doc_id) AS rank,
+                   doc_id, weight, key_r
+            FROM cut
         """,
         "winnow": r"""
             WITH arrs AS (

@@ -623,3 +623,80 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     return spark.createDataFrame(
         [(cid, vec) for cid, vec in cents],
         "centroid_id bigint, cvec array<double>")
+
+
+def mmr_rerank(embeddings: DataFrame, query: list[float], k: int = 5,
+               pool: int = 20, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998): diversify a relevance ranking by greedily picking, k times,
+    the candidate maximizing ``λ·cos(q, d) − (1−λ)·max_{s∈selected}
+    cos(d, s)`` — the result-diversification stage of a retrieval
+    pipeline and the diverse-sampling stage of a training-data one
+    (pick k spread-out exemplars from a dense semantic region).
+
+    Two stages. (1) Candidate pool: the ``pool`` highest round-5
+    query-cosines (id tie-break) — TakeOrderedAndProject, never a
+    global sort. (2) Greedy selection: k rounds; each round broadcasts
+    the ≤ k already-selected vectors (KBs) into one distributed pass
+    over the pool that computes each remaining candidate's round-5
+    diversity term and takes the argmax — so the pool can be millions
+    of rows without any driver-side matrix. The first pick maximizes
+    pure relevance (empty selected set ⇒ diversity 0). Per-round
+    arithmetic happens on already-rounded values (qcos and pairwise
+    cosines rounded to 5 first, the MMR combination rounded to 5
+    after), which is what lets a SQL oracle unroll the k rounds
+    exactly.
+
+    Returns (rank, id, qcos_r, mmr_r) — rank in pick order."""
+    if k < 1 or pool < k:
+        raise ValueError(f"need 1 <= k <= pool, got k={k} pool={pool}")
+    if not 0.0 <= float(lam) <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    spark = embeddings.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cand = (
+        embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
+        .withColumn("qcos", F.round(_dot(F.col("v"), q)
+                                    / (_norm(F.col("v")) * _norm(q)), 5))
+        .orderBy(F.desc("qcos"), F.asc("id"))
+        .limit(int(pool))
+    )
+    # The pool is re-scanned once per round; persist so round r doesn't
+    # recompute the corpus-wide top-pool cut r times.
+    cand = cand.persist()
+    try:
+        picks: list[tuple] = []   # (rank, id, qcos, mmr, vec)
+        sel_vecs: list[list[float]] = []
+        sel_ids: list[int] = []
+        for rnd in range(int(k)):
+            if sel_vecs:
+                divs = [F.round(_dot(F.col("v"), F.array(
+                            *[F.lit(float(x)) for x in s]))
+                        / (_norm(F.col("v")) * _norm(F.array(
+                            *[F.lit(float(x)) for x in s]))), 5)
+                        for s in sel_vecs]
+                div = F.greatest(*divs) if len(divs) > 1 else divs[0]
+            else:
+                div = F.lit(0.0)
+            mmr = F.round(F.lit(float(lam)) * F.col("qcos")
+                          - F.lit(1.0 - float(lam)) * div, 5)
+            row = (
+                cand.filter(~F.col("id").isin(sel_ids) if sel_ids
+                            else F.lit(True))
+                .withColumn("mmr", mmr)
+                .orderBy(F.desc("mmr"), F.asc("id"))
+                .limit(1)
+                .first()
+            )
+            if row is None:
+                break
+            picks.append((rnd + 1, row["id"], float(row["qcos"]),
+                          float(row["mmr"])))
+            sel_ids.append(row["id"])
+            sel_vecs.append([float(x) for x in row["v"]])
+        return spark.createDataFrame(
+            picks, f"rank int, {id_col} bigint, qcos_r double, mmr_r double")
+    finally:
+        cand.unpersist()

@@ -703,3 +703,73 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
                        F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def prototype_prune(embeddings: DataFrame, drop_permille: int = 300,
+                    n_centroids: int = 16, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    centroids: DataFrame | None = None) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486): cluster the embedding
+    space, score every example by its cosine to its OWN cluster
+    centroid ("prototypicality"), and drop the most prototypical
+    ``drop_permille``/1000 of each cluster — the paper's finding is
+    that easy/redundant examples (nearest the prototype) are the ones
+    a large corpus can shed with the least loss. The dual of
+    :func:`semdedup` (which removes near-identical *pairs*): this
+    thins the dense core of every semantic region whether or not any
+    two members are near-duplicates.
+
+    Returns every vector as (id, centroid_id, proto_cos, proto_rank,
+    kept): ``proto_cos`` is the round-5 cosine to the assigned
+    centroid, ``proto_rank`` ranks the cluster most-prototypical
+    first (cos DESC, id ASC — total order), and ``kept`` is False for
+    ranks ≤ floor(|cluster| · drop_permille / 1000). Emitting the
+    verdict rather than filtering keeps the op auditable (the Gopher
+    rule-bundle discipline); callers filter on ``kept``.
+
+    Scale shape: assignment is ONE broadcast centroid crossJoin with
+    the argmax collapsed map-side (``max(struct(cos, -cid, cos))``
+    before any exchange — :func:`ftidx.ann.ivf_assign`'s shape, kept
+    here because this op also needs the winning cosine). The rank
+    window partitions by centroid_id, so per-task state is one
+    cluster's rows, never the corpus; cluster counts ride the same
+    window (count over the unordered frame), no second aggregation
+    job. Per-example permille thresholds, round-5 cosines and id
+    tie-breaks make the verdict a pure function of the data —
+    layout-proof, hence the full SQL oracle."""
+    from .ann import _dot, _norm, ivf_centroids
+
+    if not 0 <= int(drop_permille) <= 1000:
+        raise ValueError(f"drop_permille must be in [0, 1000], "
+                         f"got {drop_permille}")
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_centroids, id_col, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    scored = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", F.round(_dot(v, c) / (_norm(v) * _norm(c)), 5))
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("c_cos"),
+                            (-F.col("centroid_id")).alias("neg_cid")))
+             .alias("_b"))
+        .select(id_col,
+                (-F.col("_b.neg_cid")).alias("centroid_id"),
+                F.col("_b.c_cos").alias("proto_cos"))
+    )
+    w = Window.partitionBy("centroid_id")
+    wr = w.orderBy(F.desc("proto_cos"), F.asc(id_col))
+    ranked = (
+        best
+        .withColumn("proto_rank", F.row_number().over(wr))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+    )
+    cut = F.floor(F.col("_n") * F.lit(int(drop_permille)) / F.lit(1000.0))
+    return ranked.select(
+        id_col, "centroid_id", "proto_cos", "proto_rank",
+        (F.col("proto_rank") > cut).alias("kept"),
+    )

@@ -1370,3 +1370,46 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
         .distinct()
     )
     return picked
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, the A-ES exponential-keys scheme): every row gets the key
+    ``ln(u) / w`` with ``u`` the engine's salted-md5 uniform and ``w``
+    its weight; the n LARGEST keys are exactly a weight-proportional
+    sample without replacement — the one-pass, merge-able formulation
+    of the sequential "spin a roulette wheel n times, removing
+    winners" procedure, which cannot be distributed. The training-data
+    use: draw a fixed-size corpus where a doc's inclusion probability
+    is proportional to its token count (or quality score) instead of
+    uniform per-doc.
+
+    Rows with weight ≤ 0 or NULL are excluded (zero weight = never
+    sampled; a negative weight is meaningless here). Keys are rounded
+    to 5 decimals BEFORE the cut with id tie-break — the engine's
+    cross-engine float discipline (ln() is libm-dependent in its last
+    ulp) — making the sample a pure function of (id, seed, weight).
+
+    Scale shape: the key is one codegen expression per row (no
+    shuffle to compute it) and the cut is ``orderBy().limit(n)`` —
+    TakeOrderedAndProject per-partition heaps, so the full corpus is
+    never sorted and never moves; only ≤ n rows per partition reach
+    the driver-side merge. Returns (rank, id, weight, key_r) in draw
+    order (key DESC = first drawn)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    u = _md5_uniform(F.col(id_col), seed)
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 5)
+    base = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(F.col(id_col), w.alias("weight"), key.alias("key_r"))
+        .orderBy(F.desc("key_r"), F.asc(id_col))
+        .limit(int(n))
+    )
+    wr = Window.orderBy(F.desc("key_r"), F.asc(id_col))
+    return base.withColumn("rank", F.row_number().over(wr)) \
+        .select("rank", id_col, "weight", "key_r")

@@ -1523,3 +1523,188 @@ def test_winnow_validates_params(spark):
         winnow_fingerprints(docs, k=0)
     with _pt.raises(ValueError):
         winnow_fingerprints(docs, w=0)
+
+
+def test_prototype_prune_matches_numpy(emb):
+    import numpy as np
+
+    from ftidx.ann import ivf_centroids
+    from ftidx.dedup import prototype_prune
+
+    out = {r["vec_id"]: r for r in prototype_prune(
+        emb, drop_permille=300, n_centroids=4).collect()}
+    assert len(out) == emb.count()
+
+    # numpy recount: same hash-sampled centroids, round-5 cosine,
+    # lowest-cid ties, per-cluster (cos DESC, id ASC) rank, floor cut
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    cents = [(int(r["centroid_id"]), np.array(r["cvec"], dtype=np.float64))
+             for r in ivf_centroids(emb, 4).collect()]
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 5)
+
+    assign = {}
+    for vid, v in vecs.items():
+        best = max(((cos(v, c), -cid) for cid, c in cents))
+        assign[vid] = (-best[1], best[0])
+    clusters: dict[int, list] = {}
+    for vid, (cid, c) in assign.items():
+        clusters.setdefault(cid, []).append((-c, vid))
+    for cid, members in clusters.items():
+        members.sort()
+        n = len(members)
+        cut = int(np.floor(n * 300 / 1000.0))
+        for rank0, (negc, vid) in enumerate(members):
+            r = out[vid]
+            assert r["centroid_id"] == cid
+            assert r["proto_rank"] == rank0 + 1
+            assert r["proto_cos"] == pytest.approx(-negc, abs=1e-9)
+            assert r["kept"] == (rank0 + 1 > cut)
+    # at 300 permille some rows of the near-dup pair's dense cell drop
+    assert any(not r["kept"] for r in out.values())
+
+
+def test_prototype_prune_edges(emb):
+    from ftidx.dedup import prototype_prune
+
+    all_kept = prototype_prune(emb, drop_permille=0, n_centroids=4)
+    assert all_kept.filter(~F.col("kept")).count() == 0
+    none_kept = prototype_prune(emb, drop_permille=1000, n_centroids=4)
+    assert none_kept.filter(F.col("kept")).count() == 0
+    with pytest.raises(ValueError):
+        prototype_prune(emb, drop_permille=1001)
+
+
+def _mmr_reference(vecs, qv, k, pool, lam):
+    """Pure-Python MMR with the engine's round-5 discipline."""
+    import numpy as np
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 5)
+
+    qc = sorted(((-cos(v, qv), vid) for vid, v in vecs.items()))[:pool]
+    cand = [(vid, -negc) for negc, vid in qc]
+    picks, sel = [], []
+    for _ in range(k):
+        best = None
+        for vid, q in cand:
+            if vid in {s for s, _ in sel}:
+                continue
+            div = max((cos(vecs[vid], sv) for _, sv in sel), default=0.0)
+            mmr = round(lam * q - (1.0 - lam) * div, 5)
+            cand_key = (-mmr, vid)
+            if best is None or cand_key < best[0]:
+                best = (cand_key, vid, q, mmr)
+        picks.append((best[1], best[2], best[3]))
+        sel.append((best[1], vecs[best[1]]))
+    return picks
+
+
+def test_mmr_rerank_matches_reference(emb):
+    import numpy as np
+
+    from ftidx.ann import mmr_rerank
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    qv = vecs[100]
+    got = mmr_rerank(emb, [float(x) for x in qv], k=5, pool=12,
+                     lam=0.7).orderBy("rank").collect()
+    want = _mmr_reference(vecs, qv, 5, 12, 0.7)
+    assert [(r["vec_id"], r["qcos_r"], r["mmr_r"]) for r in got] == \
+        [(vid, pytest.approx(q, abs=2e-5), pytest.approx(m, abs=2e-5))
+         for vid, q, m in want]
+
+
+def test_mmr_rerank_diversifies_two_clusters(spark):
+    # query sits BETWEEN two tight clusters; pure relevance would take
+    # both A-cluster near-dups first, MMR interleaves the clusters
+    from ftidx.ann import mmr_rerank
+
+    rows = [
+        (1, [1.0, 0.02, 0.0]),   # cluster A
+        (2, [1.0, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 0.01, 1.0]),   # cluster B
+        (4, [0.0, 0.02, 1.0]),   # near-dup of 3
+    ]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.0, 0.9]  # slightly A-leaning
+    got = [r["vec_id"] for r in
+           mmr_rerank(emb2, q, k=3, pool=4, lam=0.7).orderBy("rank").collect()]
+    assert got[0] in (1, 2)          # most relevant: an A vector
+    assert got[1] in (3, 4)          # diversity flips to cluster B
+    assert got[2] in (1, 2)          # back to A's remaining near-dup
+
+
+def test_mmr_rerank_lam1_is_pure_relevance(emb):
+    from ftidx.ann import cosine_topk, mmr_rerank
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 100).first()["embedding"]]
+    got = [r["vec_id"] for r in
+           mmr_rerank(emb, qv, k=4, pool=10, lam=1.0).orderBy("rank").collect()]
+    top = [r["vec_id"] for r in cosine_topk(emb, qv, k=4).collect()]
+    assert got == top
+
+
+def test_mmr_rerank_param_guards(emb):
+    from ftidx.ann import mmr_rerank
+
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, [1.0] * 8, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, [1.0] * 8, k=5, pool=3)
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, [1.0] * 8, lam=1.5)
+
+
+def test_weighted_sample_matches_reference(spark):
+    import hashlib
+    import math
+
+    from ftidx.textops import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 20, "w", id_col="doc_id",
+                          seed=9).orderBy("rank").collect()
+
+    def key(i, w):
+        h = hashlib.md5(f"{i}:9".encode()).hexdigest()
+        u = (int(h[:6], 16) + 0.5) / 16 ** 6
+        return round(math.log(u) / w, 5)
+
+    want = sorted(((-key(i, w), i, w) for i, w in rows))[:20]
+    assert [(r["doc_id"], r["weight"], r["key_r"]) for r in got] == \
+        [(i, w, -negk) for negk, i, w in want]
+    assert [r["rank"] for r in got] == list(range(1, 21))
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from ftidx.textops import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double")
+    got = {r["doc_id"] for r in
+           weighted_sample(df, 10, "w", id_col="doc_id").collect()}
+    assert got == {1, 5}
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
+
+
+def test_weighted_sample_weight_proportionality(spark):
+    # a doc with 50x the weight of its peers should appear in the
+    # sample far more often across seeds — the A-ES guarantee
+    from ftidx.textops import weighted_sample
+
+    rows = [(i, 50.0 if i == 0 else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    hits = sum(
+        1 for s in range(12)
+        if any(r["doc_id"] == 0 for r in
+               weighted_sample(df, 5, "w", id_col="doc_id", seed=s).collect())
+    )
+    assert hits >= 10
