@@ -1143,3 +1143,96 @@ def merge_indexes(spark: SparkSession, paths: list[str],
     }))
     return {"n_sources": len(paths),
             "n_buckets_moved": sum(len(bs) for bs in per)}
+
+
+def merge_delta_tier(spark: SparkSession, index_path: str,
+                     max_batches: int = 8) -> dict:
+    """Tiered delta-segment merging (the Lucene TieredMergePolicy idea
+    applied to the streamed ``deltas/batch=*`` layout): when the
+    number of delta batch dirs exceeds ``max_batches``, fold the
+    SMALLEST ones (by on-disk bytes) into a single merged batch —
+    WITHOUT touching the base index. :func:`compact_deltas` is the
+    base-rewrite "forceMerge": it costs O(every bucket the deltas
+    touch) and rewrites base partitions; this policy is the cheap
+    amortizer between compactions, O(merged deltas) only. Continuous
+    streaming then holds query-side read amplification at
+    ``max_batches`` segment unions instead of one per micro-batch
+    forever, and repeated tier merges stay cheap because each merge
+    removes the smallest tier (small batches pay, big merged batches
+    are left alone — Lucene's geometric-tier invariant).
+
+    Merged output: one ``batch=<id>`` dir per delta family (postings
+    via :func:`_merge_segments_dedup` → ONE segment per (field, term,
+    bucket); doclen re-grouped exactly as index_microbatch built it;
+    positions via :func:`_merge_positions_dedup`), with ``<id>``
+    allocated from a reserved range (≥ 10^9) so a crashed stream
+    replaying a real epoch id can never overwrite a merged tier.
+    Victim dirs are removed only after every merged family is
+    written, postings first and doclen LAST — the at-least-once
+    seen-set (index_microbatch's anti-join) reads delta_doclen, so a
+    crash mid-removal can only leave duplicate rows (which the
+    content-addressed doc-id dedup in every reader and in
+    compact_deltas already absorbs), never lose ids from the
+    seen-set. Open FtIndex handles refresh() as after compaction."""
+    if max_batches < 1:
+        raise ValueError(f"max_batches must be >= 1, got {max_batches}")
+    path = Path(index_path)
+    deltas = path / "deltas"
+    dirs = sorted(
+        d for d in deltas.iterdir()
+        if d.is_dir() and d.name.startswith("batch=")
+    ) if deltas.exists() else []
+    if len(dirs) <= max_batches:
+        return {"merged": [], "into": None, "n_batches": len(dirs)}
+
+    def _bytes(d: Path) -> int:
+        return sum(f.stat().st_size for f in d.rglob("*") if f.is_file())
+
+    sized = sorted((_bytes(d), d.name) for d in dirs)
+    n_merge = len(dirs) - max_batches + 1
+    victims = [name for _, name in sized[:n_merge]]
+    ids = [int(d.name.split("=", 1)[1]) for d in dirs]
+    merged_id = max([i for i in ids if i >= 10 ** 9], default=10 ** 9 - 1) + 1
+
+    families = []  # (subdir, merge_fn) pairs actually present
+    v_post = [str(deltas / v) for v in victims if (deltas / v).exists()]
+    if v_post:
+        merged_p = (
+            spark.read.parquet(*v_post).select(_POSTINGS_COLS)
+            .groupBy("field", "term", "bucket")
+            .applyInPandas(_merge_segments_dedup, schema=POSTINGS_SCHEMA)
+        )
+        merged_p.write.mode("overwrite").parquet(
+            str(deltas / f"batch={merged_id}"))
+        families.append(deltas)
+    dpos = path / "delta_positions"
+    v_pos = [str(dpos / v) for v in victims if (dpos / v).exists()]
+    if v_pos:
+        from ftidx.positions import _POS_COLS, POSITIONS_SCHEMA
+
+        merged_pos = (
+            spark.read.parquet(*v_pos).select(_POS_COLS)
+            .groupBy("field", "term", "bucket")
+            .applyInPandas(_merge_positions_dedup, schema=POSITIONS_SCHEMA)
+        )
+        merged_pos.write.mode("overwrite").parquet(
+            str(dpos / f"batch={merged_id}"))
+        families.append(dpos)
+    ddl = path / "delta_doclen"
+    v_dl = [str(ddl / v) for v in victims if (ddl / v).exists()]
+    if v_dl:
+        merged_dl = (
+            spark.read.parquet(*v_dl)
+            .groupBy("doc_id", "field", "bucket")
+            .agg(F.max("len").alias("len"))
+            .select("doc_id", "field", "len", "bucket")
+        )
+        merged_dl.write.mode("overwrite").parquet(
+            str(ddl / f"batch={merged_id}"))
+        families.append(ddl)
+    # removal order: postings / positions victims first, doclen last
+    for fam in families:
+        for v in victims:
+            shutil.rmtree(fam / v, ignore_errors=True)
+    return {"merged": victims, "into": f"batch={merged_id}",
+            "n_batches": max_batches}

@@ -539,3 +539,117 @@ def test_upsert_refreshes_stored_partitions(spark, tmp_path):
     assert rows[i0]["content"] in stored
     n_live = sum(1 for r in rows if not r["deleted"])
     assert spark.read.parquet(f"{out}/stored").count() == n_live
+
+
+def test_merge_delta_tier_preserves_queries(spark, tmp_path):
+    """Tier-merging the smallest delta batches must leave every query
+    result identical, cut the batch-dir count to max_batches, and stay
+    compatible with a later full compaction."""
+    from ftidx.index import FtIndex
+    from ftidx.maintenance import compact_deltas, merge_delta_tier
+    from ftidx.streaming import index_microbatch, query_with_deltas
+
+    out = str(tmp_path / "idx")
+    base_src = synth_source(spark, 120)
+    build_index(spark, base_src, out, n_buckets=4, hot_df_threshold=50)
+    extra = synth_source(spark, 220).join(
+        base_src.select("repo", "path"), ["repo", "path"], "left_anti"
+    ).cache()
+    for e in range(4):
+        b = extra.filter(F.xxhash64("path") % 4 == e)
+        index_microbatch(b, e, out, n_buckets=4)
+
+    before = query_with_deltas(spark, out, ["def", "alpha"], k=10)
+    assert any(d >= (1 << 40) for d, _ in before)
+
+    # below threshold -> no-op
+    noop = merge_delta_tier(spark, out, max_batches=8)
+    assert noop["merged"] == [] and noop["n_batches"] == 4
+
+    res = merge_delta_tier(spark, out, max_batches=2)
+    # 4 batches, keep-2 policy: 3 smallest merged into one reserved-id dir
+    assert len(res["merged"]) == 3 and res["into"] == "batch=1000000000"
+    ddirs = sorted(p.name for p in (tmp_path / "idx" / "deltas").iterdir())
+    assert len(ddirs) == 2 and "batch=1000000000" in ddirs
+
+    after = query_with_deltas(spark, out, ["def", "alpha"], k=10)
+    assert [d for d, _ in after] == [d for d, _ in before]
+    for (_, a), (_, b) in zip(after, before):
+        assert a == pytest.approx(b, rel=1e-9)
+
+    # a second tier merge allocates the NEXT reserved id
+    res2 = merge_delta_tier(spark, out, max_batches=1)
+    assert res2["into"] == "batch=1000000001"
+    assert len(list((tmp_path / "idx" / "deltas").iterdir())) == 1
+
+    # full compaction still lands on the same answers
+    compact_deltas(spark, out)
+    idx = FtIndex(spark, out)
+    plain = idx.topk(["def", "alpha"], 10)
+    assert [d for d, _ in plain] == [d for d, _ in before]
+
+
+def test_merge_delta_tier_replay_after_merge(spark, tmp_path):
+    """An at-least-once replay of an epoch whose batch dir was tier-
+    merged must not double-score: the merged delta_doclen keeps the
+    seen-set intact, so the replay's rows anti-join away."""
+    from ftidx.maintenance import merge_delta_tier
+    from ftidx.streaming import index_microbatch, query_with_deltas
+
+    out = str(tmp_path / "idx")
+    base_src = synth_source(spark, 100)
+    build_index(spark, base_src, out, n_buckets=4, hot_df_threshold=50)
+    extra = synth_source(spark, 180).join(
+        base_src.select("repo", "path"), ["repo", "path"], "left_anti"
+    ).cache()
+    parts = [extra.filter(F.xxhash64("path") % 3 == e) for e in range(3)]
+    for e, b in enumerate(parts):
+        index_microbatch(b, e, out, n_buckets=4)
+    before = query_with_deltas(spark, out, ["def"], k=10)
+
+    merge_delta_tier(spark, out, max_batches=1)
+    # replay epoch 1 in a LATER epoch id (the cross-batch redelivery
+    # path; same-epoch replay would just overwrite its own dir)
+    index_microbatch(parts[1], 9, out, n_buckets=4)
+
+    after = query_with_deltas(spark, out, ["def"], k=10)
+    assert [d for d, _ in after] == [d for d, _ in before]
+    for (_, a), (_, b) in zip(after, before):
+        assert a == pytest.approx(b, rel=1e-9)
+
+    with pytest.raises(ValueError):
+        merge_delta_tier(spark, out, max_batches=0)
+
+
+def test_merge_delta_tier_keeps_streamed_phrases(spark, tmp_path):
+    """Positional delta segments tier-merge too: a doc streamed in
+    stays phrase-queryable with identical hits after the merge."""
+    from ftidx.index import FtIndex
+    from ftidx.maintenance import merge_delta_tier
+    from ftidx.streaming import index_microbatch
+
+    out = str(tmp_path / "idx")
+    base_src = synth_source(spark, 80)
+    build_index(spark, base_src, out, n_buckets=4, hot_df_threshold=50,
+                positions=True)
+    extra = synth_source(spark, 150).join(
+        base_src.select("repo", "path"), ["repo", "path"], "left_anti"
+    ).cache()
+    for e in range(3):
+        index_microbatch(extra.filter(F.xxhash64("path") % 3 == e), e,
+                         out, n_buckets=4)
+
+    idx = FtIndex(spark, out)
+    phrase = ["plain", "words"]
+    before = idx.phrase_topk(phrase, k=50)
+    assert any(d >= (1 << 40) for d, _ in before)  # streamed doc hits
+
+    res = merge_delta_tier(spark, out, max_batches=1)
+    assert len(res["merged"]) == 3
+    assert len(list((tmp_path / "idx" / "delta_positions").iterdir())) == 1
+
+    idx.refresh()
+    after = idx.phrase_topk(phrase, k=50)
+    assert [d for d, _ in after] == [d for d, _ in before]
+    for (_, a), (_, b) in zip(after, before):
+        assert a == pytest.approx(b, rel=1e-9)
