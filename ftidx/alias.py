@@ -63,3 +63,110 @@ def open_alias(spark, alias_path: str | os.PathLike):
     from ftidx.index import FtIndex
 
     return FtIndex(spark, resolve(alias_path))
+
+
+# ---------------------------------------------------------------------------
+# Time-routed alias (Solr TRA: CREATEALIAS router.name=time
+# router.field=modified router.interval=+1MONTH)
+# ---------------------------------------------------------------------------
+
+_TRA_FORMATS = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}
+
+
+def tra_route(spark, source, root: str | os.PathLike,
+              interval: str = "month", n_buckets: int = 8,
+              **build_kwargs) -> dict:
+    """Write path of a time-routed alias: partition the incoming batch
+    by the time window of its ``modified`` column and add-or-replace
+    each slice into that window's OWN child index under
+    ``root/w=<window>/`` — Solr's TRA router, which creates a
+    collection per interval and routes each update to the collection
+    owning its timestamp. A window seen for the first time gets a
+    fresh ``build_index`` (``store_content=True`` — the TRA child must
+    support partial updates, Solr's own stored-fields constraint);
+    an existing window takes the :func:`ftidx.maintenance.upsert_docs`
+    O(affected buckets) path, so steady-state ingest (which touches
+    only the newest window or two) never rewrites history.
+
+    Scale shape: the window key is one codegen ``date_format``; only
+    the distinct window labels of THIS batch are collected (a handful
+    of strings); each window slice is an independent filtered build —
+    embarrassingly parallel across windows on a real cluster, and the
+    per-window index is exactly the partition-pruning unit query-side
+    (:func:`tra_open`). Returns {window: "built" | "upserted"}."""
+    from pyspark.sql import functions as F
+
+    from ftidx.index import build_index
+    from ftidx.maintenance import upsert_docs
+
+    if interval not in _TRA_FORMATS:
+        raise ValueError(f"interval must be one of {sorted(_TRA_FORMATS)}, "
+                         f"got {interval!r}")
+    fmt = _TRA_FORMATS[interval]
+    win = F.date_format("modified", fmt)
+    windows = sorted(
+        r["w"] for r in source.select(win.alias("w")).distinct().collect()
+        if r["w"] is not None
+    )
+    if not windows:
+        return {}
+    rootp = Path(root)
+    rootp.mkdir(parents=True, exist_ok=True)
+    out: dict[str, str] = {}
+    for w in windows:
+        child = rootp / f"w={w}"
+        part = source.filter(win == w)
+        if (child / "_manifest.json").exists():
+            upsert_docs(spark, str(child), part, **build_kwargs)
+            out[w] = "upserted"
+        else:
+            build_index(spark, part, str(child), n_buckets=n_buckets,
+                        store_content=True, **build_kwargs)
+            out[w] = "built"
+    return out
+
+
+def tra_children(root: str | os.PathLike) -> list[tuple[str, str]]:
+    """(window, child-index-path) pairs under a TRA root, window ASC —
+    only FINISHED children (manifest present), so a reader never opens
+    a half-built window."""
+    rootp = Path(root)
+    if not rootp.exists():
+        return []
+    out = []
+    for d in sorted(rootp.iterdir()):
+        if d.is_dir() and d.name.startswith("w=") \
+                and (d / "_manifest.json").exists():
+            out.append((d.name[2:], str(d)))
+    return out
+
+
+def tra_open(spark, root: str | os.PathLike,
+             start: str | None = None, end: str | None = None):
+    """Query path of a time-routed alias: open ONLY the child indexes
+    whose window overlaps [``start``, ``end``] (ISO date/timestamp
+    strings, either side open) as an :class:`ftidx.shards.FtShards` —
+    the TRA read story: a time-bounded query fans out to the handful
+    of windows it can touch and the rest of history is pruned from
+    the plan by the window LABEL alone, no child's data ever read.
+    Window labels are zero-padded date prefixes, so overlap is a pure
+    string compare of the bound truncated to label length (exact for
+    prefix-aligned windows). The handle carries ``tra_windows`` — the
+    labels actually opened — so callers can assert pruning."""
+    from ftidx.shards import FtShards
+
+    kids = tra_children(root)
+    if not kids:
+        raise FileNotFoundError(f"no TRA children under {root}")
+    sel = [
+        (w, p) for w, p in kids
+        if (start is None or w >= str(start)[:len(w)])
+        and (end is None or w <= str(end)[:len(w)])
+    ]
+    if not sel:
+        raise ValueError(
+            f"no TRA window overlaps [{start}, {end}]; "
+            f"available: {[w for w, _ in kids]}")
+    shards = FtShards.open(spark, [p for _, p in sel])
+    shards.tra_windows = [w for w, _ in sel]
+    return shards

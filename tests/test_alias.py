@@ -62,3 +62,62 @@ def test_publish_refuses_non_symlink(two_generations):
     clash.mkdir()
     with pytest.raises(ValueError):
         publish(clash, g1)
+
+
+def test_tra_route_open_prune_upsert(spark, tmp_path):
+    """Time-routed alias: writes route to per-window children, reads
+    prune by window label, an overlapping second batch upserts."""
+    from pyspark.sql import functions as F
+
+    from ftidx.alias import tra_children, tra_open, tra_route
+
+    # synth `modified` month = 1 + (i % 12): keep Jan..Mar only
+    src = synth_source(spark, 200, partitions=4) \
+        .filter(F.month("modified") <= 3).cache()
+    root = tmp_path / "tra"
+    res = tra_route(spark, src, root, interval="month", n_buckets=4,
+                    hot_df_threshold=50)
+    assert res == {"2024-01": "built", "2024-02": "built",
+                   "2024-03": "built"}
+    assert [w for w, _ in tra_children(root)] == \
+        ["2024-01", "2024-02", "2024-03"]
+
+    # unpruned read: doc count across shards == live rows routed
+    allsh = tra_open(spark, root)
+    assert allsh.tra_windows == ["2024-01", "2024-02", "2024-03"]
+    n_live = src.filter(~F.col("deleted")).count()
+    assert allsh.global_stats("code.content")[0] == n_live
+
+    # pruned read: Feb only — the other windows never open
+    feb = tra_open(spark, root, start="2024-02-01", end="2024-02-28")
+    assert feb.tra_windows == ["2024-02"]
+    n_feb = src.filter(~F.col("deleted") & (F.month("modified") == 2)).count()
+    assert feb.global_stats("code.content")[0] == n_feb
+    hits = feb.topk(["def", "alpha"], k=5)
+    assert hits and all(s > 0 for _, _, s in hits)
+
+    # open-ended bounds + out-of-range refusal
+    tail = tra_open(spark, root, start="2024-03-01")
+    assert tail.tra_windows == ["2024-03"]
+    with pytest.raises(ValueError, match="no TRA window"):
+        tra_open(spark, root, start="2025-01-01")
+    with pytest.raises(FileNotFoundError):
+        tra_open(spark, tmp_path / "nope")
+    with pytest.raises(ValueError, match="interval"):
+        tra_route(spark, src, root, interval="hour")
+
+    # second batch: one edited Feb doc -> that window upserts in place
+    victim = src.filter(~F.col("deleted") & (F.month("modified") == 2)) \
+        .select("repo", "path").first()
+    edit = (
+        src.filter((F.col("repo") == victim["repo"])
+                   & (F.col("path") == victim["path"]))
+        .withColumn("content",
+                    F.concat(F.col("content"), F.lit("\nzanzibar_token")))
+    )
+    res2 = tra_route(spark, edit, root, interval="month", n_buckets=4,
+                     hot_df_threshold=50)
+    assert res2 == {"2024-02": "upserted"}
+    feb2 = tra_open(spark, root, start="2024-02-01", end="2024-02-28")
+    assert feb2.global_stats("code.content")[0] == n_feb  # replaced, not added
+    assert feb2.topk(["zanzibar_token"], k=3)  # the edit is searchable
