@@ -1644,6 +1644,23 @@ def q_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
 
 
+def q_s_stem_terms(spark, sf_dir):
+    """S-stemmed term statistics (ftidx.stem.s_stem_col — Harman 1991,
+    the Solr EnglishMinimalStemFilterFactory family): every token
+    s-stemmed by ONE codegen CASE chain (no regex engine, no Python),
+    then df/cf per stem — the analysis-chain twin of term_stats. Top
+    100 (df DESC, cf DESC, stem ASC); the oracle runs the literal same
+    CASE generated by ftidx.stem.s_stem_sql."""
+    from ftidx.stem import s_stem_col
+
+    tok = _tokens(spark, sf_dir).withColumn("stem", s_stem_col(F.col("term")))
+    agg = tok.groupBy("stem").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("cf"),
+    )
+    return _ranked(agg, [F.desc("df"), F.desc("cf"), F.asc("stem")], 100)
+
+
 def q_kl_divergence(spark, sf_dir):
     """Domain-drift KL (textops.kl_divergence): each lang slice's
     add-1-smoothed unigram distribution against the 'en' slice's,
@@ -2522,7 +2539,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "s_stem_terms": q_s_stem_terms,
     }
+
+
+def _s_stem_terms_oracle() -> str:
+    from ftidx.stem import s_stem_sql
+
+    return f"""
+        WITH {_TOK_CTE},
+        st AS (SELECT doc_id, {s_stem_sql('term')} AS stem FROM tok),
+        agg AS (SELECT stem, count(DISTINCT doc_id) AS df,
+                       count(*) AS cf
+                FROM st GROUP BY stem)
+        SELECT rank, stem, df, cf FROM (
+          SELECT row_number() OVER (ORDER BY df DESC, cf DESC, stem ASC)
+                   AS rank, stem, df, cf
+          FROM agg
+        ) WHERE rank <= 100 ORDER BY rank
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5108,4 +5143,5 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM documents
         """,
+        "s_stem_terms": _s_stem_terms_oracle(),
     }

@@ -1746,6 +1746,58 @@ class FtIndex:
         )
         return [(r["term"], int(r["df"])) for r in vocab.collect()]
 
+    def stem_terms(self, term: str, field: str = "code.content",
+                   limit: int = 50, algo: str = "porter") -> list[tuple[str, int]]:
+        """Stemming term expansion (Solr PorterStemFilterFactory /
+        EnglishMinimalStemFilterFactory semantics at query time):
+        vocabulary terms whose stem equals the query term's stem —
+        "merging" matches "merge"/"merges"/"merged" — ranked (df DESC,
+        term ASC), capped at ``limit`` (the shared multi-term expansion
+        cap). Returns (term, df_global).
+
+        Plan shape: one column-pruned (term, df) vocabulary scan, the
+        same sublinear-vocab cost as :meth:`fuzzy_terms` /
+        :meth:`phonetic_terms`. ``algo='s'`` (Harman S stemmer) is a
+        pure codegen CASE chain; ``algo='porter'`` runs the full Porter
+        (1980) algorithm once per unique vocabulary term inside an
+        Arrow kernel (ftidx/stem.py) — vocabulary-sized Python work,
+        never corpus-sized."""
+        from ftidx.stem import porter_stem, s_stem, s_stem_col, stem_tokens
+
+        if not term:
+            return []
+        vocab = (
+            self._postings.filter(F.col("field") == field)
+            .groupBy("term").agg(F.sum("df").alias("df"))
+        )
+        if algo == "s":
+            matched = vocab.filter(
+                s_stem_col(F.col("term")) == F.lit(s_stem(term)))
+        else:
+            matched = (
+                stem_tokens(vocab, col="term", algo=algo)
+                .filter(F.col("stem") == F.lit(porter_stem(term)))
+                .drop("stem")
+            )
+        rows = (matched.orderBy(F.desc("df"), F.asc("term"))
+                .limit(limit).collect())
+        return [(r["term"], int(r["df"])) for r in rows]
+
+    def stem_topk(self, terms: list[str], k: int = 10,
+                  field: str = "code.content", algo: str = "porter",
+                  limit: int = 50) -> list[tuple[int, float]]:
+        """Stemmed BM25 top-k: each query term scores as the synonym
+        group of its stem class (every surface form sharing its stem),
+        via :meth:`topk_synonyms` — tf summed across forms, idf from
+        the merged df. This is the ranking an index-time stemmed field
+        produces, with no reindex when the analyzer changes."""
+        groups: dict[str, list[str]] = {}
+        for t in terms:
+            exp = [w for w, _ in self.stem_terms(
+                t, field=field, limit=limit, algo=algo)]
+            groups[t] = exp or [t]
+        return self.topk_synonyms(groups, k=k, field=field)
+
     def wildcard_terms(self, pattern: str, field: str = "code.content",
                        limit: int = 50) -> list[tuple[str, int]]:
         """Wildcard term expansion (Lucene WildcardQuery, Solr

@@ -337,6 +337,24 @@ def _make_handler(idx, lock: threading.Lock):
                     self._json(200, {"terms": [
                         {"term": t, "df": df} for t, df in out
                     ]})
+                elif u.path == "/stem":
+                    # stemming expansion introspection (mirror of
+                    # /phonetic): which vocabulary terms share the
+                    # query term's Porter (or algo=s Harman) stem
+                    term = qs.get("term", [""])[0]
+                    if not term:
+                        self._json(400, {"error": "missing term"})
+                        return
+                    field = qs.get("field", ["code.content"])[0]
+                    algo = qs.get("algo", ["porter"])[0]
+                    if algo not in ("porter", "s"):
+                        self._json(400, {"error": f"unknown algo {algo!r}"})
+                        return
+                    with lock:
+                        out = idx.stem_terms(term, field=field, algo=algo)
+                    self._json(200, {"terms": [
+                        {"term": t, "df": df} for t, df in out
+                    ]})
                 elif u.path == "/wildcard":
                     # Lucene WildcardQuery expansion introspection
                     # (mirror of /fuzzy): which vocabulary terms does

@@ -1,0 +1,267 @@
+"""Stemming analysis filters (Solr analysis-chain parity).
+
+The reference's Solr schema runs analyzer chains per field type; the
+standard English text_general chain ends in a stem filter so that a
+query for ``merge`` also matches ``merges``/``merging``. Two stemmers
+here, at the two ends of the cost/SQL-expressibility spectrum:
+
+- :func:`porter_stem` — the full Porter algorithm (M.F. Porter, "An
+  algorithm for suffix stripping", Program 14(3), 1980; Solr
+  PorterStemFilterFactory). Pure Python per unique word; the Spark
+  path (:func:`stem_tokens`) memoizes per Arrow batch so the work is
+  vocabulary-sized, not corpus-sized — the same unique-word trick the
+  BPE encoder uses (ftidx/bpe.py).
+- :func:`s_stem` / :func:`s_stem_col` / :func:`s_stem_sql` — the
+  Harman "S stemmer" (D. Harman, "How effective is suffixing?",
+  JASIS 42(1), 1991; Solr EnglishMinimalStemFilterFactory is the same
+  family): three ordered plural rules. Expressible as ONE codegen
+  CASE chain — zero Python in the hot path and an exact DuckDB SQL
+  twin, which is what makes the ``s_stem_terms`` contract row fully
+  oracle-checkable.
+
+Query-time expansion (FtIndex.stem_terms / stem_topk) uses the same
+sublinear vocabulary-scan shape as the fuzzy/wildcard/phonetic paths:
+stem every *vocabulary* term once (term dictionaries are sublinear in
+corpus size — Heaps' law), keep those sharing the query term's stem,
+and run the match as a synonym group. No index rebuild, and recall is
+identical to an index-time stemmed field (both match exactly the
+surface forms whose stem equals the query's).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m in [C](VC)^m[V] — the number of V→C transitions."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if prev_vowel and not v:
+            m += 1
+        prev_vowel = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
+
+
+def _ends_cvc(w: str) -> bool:
+    """*o: ends consonant-vowel-consonant, final consonant not w/x/y."""
+    if len(w) < 3:
+        return False
+    return (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2)
+            and _is_cons(w, len(w) - 1) and w[-1] not in "wxy")
+
+
+def _replace_if(w: str, pairs: list[tuple[str, str]], min_m: int) -> str:
+    """First suffix in ``pairs`` that matches wins (longest listed
+    first, per the paper); replacement applies only if m(stem) is
+    above the threshold — a matching-but-refused suffix still ends
+    the step, exactly as in the paper's step tables."""
+    for suf, rep in pairs:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _measure(stem) > min_m:
+                return stem + rep
+            return w
+    return w
+
+
+@lru_cache(maxsize=65536)
+def porter_stem(word: str) -> str:
+    """Porter (1980) stemmer, the original published step tables.
+
+    Lowercase alphabetic input assumed (the tokenizer lowercases);
+    words of length <= 2 are returned unchanged, as in the paper.
+    """
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        cut = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            cut = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            cut = w[:-3]
+        if cut is not None:
+            w = cut
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2 (m > 0)
+    w = _replace_if(w, [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+        ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+        ("biliti", "ble"),
+    ], 0)
+
+    # step 3 (m > 0)
+    w = _replace_if(w, [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ], 0)
+
+    # step 4 (m > 1); "ion" additionally requires the stem to end s/t
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _measure(stem) > 1 and (suf != "ion" or stem[-1:] in ("s", "t")):
+                w = stem
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
+
+
+# --------------------------------------------------------------------------
+# Harman S stemmer — three ordered rules, codegen + SQL twins
+# --------------------------------------------------------------------------
+
+def s_stem(word: str) -> str:
+    """Pure-Python spec of the Harman (1991) S stemmer. Words shorter
+    than 3 characters pass through (both twins apply the same guard,
+    keeping the three engines — Python / Spark codegen / DuckDB —
+    character-identical)."""
+    w = word
+    if len(w) < 3:
+        return w
+    # first rule whose SUFFIX matches decides; its exception list means
+    # "leave unchanged", never "fall through to the next rule" (else
+    # the guarded eies/aies words would get double-stripped by es→e)
+    if w.endswith("ies"):
+        return w if w.endswith(("eies", "aies")) else w[:-3] + "y"
+    if w.endswith("es"):
+        return w if w.endswith(("aes", "ees", "oes")) else w[:-1]
+    if w.endswith("s"):
+        return w if w.endswith(("us", "ss")) else w[:-1]
+    return w
+
+
+def s_stem_col(c: Column) -> Column:
+    """S stemmer as ONE whole-stage-codegen expression over a string
+    column — suffix tests are ``endswith`` (no regex engine, no
+    lookbehind, so the DuckDB twin in :func:`s_stem_sql` is LIKE-only
+    and byte-identical). The hot path stays JVM-side."""
+    drop = lambda n: c.substr(F.lit(1), F.length(c) - n)  # noqa: E731
+    # flattened first-match-decides chain: each rule's exception
+    # suffixes fire BEFORE the rule itself, yielding the word unchanged
+    # (mirrors s_stem's stop-don't-fall-through semantics exactly)
+    return (
+        F.when(F.length(c) < 3, c)
+        .when(c.endswith("eies") | c.endswith("aies"), c)
+        .when(c.endswith("ies"), F.concat(drop(3), F.lit("y")))
+        .when(c.endswith("aes") | c.endswith("ees") | c.endswith("oes"), c)
+        .when(c.endswith("es"), drop(1))
+        .when(c.endswith("us") | c.endswith("ss"), c)
+        .when(c.endswith("s"), drop(1))
+        .otherwise(c)
+    )
+
+
+def s_stem_sql(expr: str) -> str:
+    """The DuckDB CASE twin of :func:`s_stem_col`, generated from the
+    same rule order so the contract row's oracle is the literal same
+    computation."""
+    return f"""CASE
+      WHEN length({expr}) < 3 THEN {expr}
+      WHEN {expr} LIKE '%eies' OR {expr} LIKE '%aies' THEN {expr}
+      WHEN {expr} LIKE '%ies'
+        THEN substring({expr}, 1, length({expr}) - 3) || 'y'
+      WHEN {expr} LIKE '%aes' OR {expr} LIKE '%ees'
+           OR {expr} LIKE '%oes' THEN {expr}
+      WHEN {expr} LIKE '%es'
+        THEN substring({expr}, 1, length({expr}) - 1)
+      WHEN {expr} LIKE '%us' OR {expr} LIKE '%ss' THEN {expr}
+      WHEN {expr} LIKE '%s'
+        THEN substring({expr}, 1, length({expr}) - 1)
+      ELSE {expr} END"""
+
+
+def stem_tokens(tokens: DataFrame, col: str = "term",
+                algo: str = "porter", out: str = "stem") -> DataFrame:
+    """Add a stemmed column to a token frame.
+
+    ``algo='s'`` is pure codegen (zero Python). ``algo='porter'`` runs
+    the full algorithm once per UNIQUE word per Arrow batch (pandas
+    map over a memo dict built from ``unique()``) — vocabulary-sized
+    Python work inside a corpus-sized mapInPandas, the same shape as
+    the BPE encoder's word memo (ftidx/bpe.py)."""
+    if algo == "s":
+        return tokens.withColumn(out, s_stem_col(F.col(col)))
+    if algo != "porter":
+        raise ValueError(f"unknown stemmer {algo!r} (want 'porter' or 's')")
+
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in tokens.schema.fields)
+    schema = f"{fields}, {out} string"
+
+    def kernel(batches):
+        for pdf in batches:
+            uniq = pdf[col].dropna().unique()
+            memo = {w: porter_stem(w) for w in uniq}
+            pdf = pdf.copy()
+            pdf[out] = pdf[col].map(memo)
+            yield pdf
+
+    return tokens.mapInPandas(kernel, schema=schema)

@@ -1,0 +1,180 @@
+"""Stemming analysis filters (ftidx/stem.py) — Porter golden vectors,
+S-stemmer three-way identity (Python / Spark codegen / DuckDB SQL),
+and the FtIndex query-time expansion + stemmed top-k."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.index import build_index, open_index
+from ftidx.stem import porter_stem, s_stem, s_stem_col, s_stem_sql, stem_tokens
+
+# (input, stem) pairs from the worked examples in Porter (1980) —
+# every step of the paper exercised at least once.
+PORTER_GOLDEN = [
+    # step 1a
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("caress", "caress"), ("cats", "cat"),
+    # step 1b (+ the at/bl/iz, double-consonant and cvc repairs)
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("falling", "fall"),
+    ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"),
+    # step 1c
+    ("happy", "happi"), ("sky", "sky"),
+    # step 2
+    ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("valenci", "valenc"),
+    ("hesitanci", "hesit"), ("digitizer", "digit"),
+    ("conformabli", "conform"), ("radicalli", "radic"),
+    # differentli: step 2 yields "different" (the paper's per-step
+    # example); step 4 then strips ent (m("differ")=2) — full-run stem
+    ("differentli", "differ"), ("vileli", "vile"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"),
+    ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"),
+    ("formaliti", "formal"), ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"),
+    # step 3
+    ("triplicate", "triplic"), ("formative", "form"),
+    ("formalize", "formal"), ("electriciti", "electr"),
+    ("electrical", "electr"), ("hopeful", "hope"),
+    ("goodness", "good"),
+    # step 4
+    ("revival", "reviv"), ("allowance", "allow"),
+    ("inference", "infer"), ("airliner", "airlin"),
+    ("gyroscopic", "gyroscop"), ("adjustable", "adjust"),
+    ("defensible", "defens"), ("irritant", "irrit"),
+    ("replacement", "replac"), ("adjustment", "adjust"),
+    ("dependent", "depend"), ("adoption", "adopt"),
+    ("homologou", "homolog"), ("communism", "commun"),
+    ("activate", "activ"), ("angulariti", "angular"),
+    ("homologous", "homolog"), ("effective", "effect"),
+    ("bowdlerize", "bowdler"),
+    # step 5
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+    # short words pass through
+    ("a", "a"), ("is", "is"),
+]
+
+
+def test_porter_golden_vectors():
+    for word, want in PORTER_GOLDEN:
+        assert porter_stem(word) == want, f"{word}: {porter_stem(word)!r} != {want!r}"
+
+
+def test_porter_idempotent_on_common_suffix_families():
+    # plural/gerund/past collapse to one class — the property the
+    # expansion path relies on
+    for family in (["merge", "merges", "merged", "merging"],
+                   ["index", "indexes", "indexing", "indexed"],
+                   ["run", "runs"]):
+        stems = {porter_stem(w) for w in family}
+        assert len(stems) == 1, (family, stems)
+
+
+S_CASES = [
+    ("queries", "query"), ("bodies", "body"),      # ies -> y
+    ("eies", "eies"), ("aies", "aies"),            # guarded ies
+    ("merges", "merge"), ("indexes", "indexe"),    # es -> e
+    ("canoes", "canoes"), ("sees", "sees"),        # guarded es (oes/ees)
+    ("runs", "run"), ("windows", "window"),        # s -> ''
+    ("class", "class"), ("focus", "focus"),        # guarded s (ss/us)
+    ("is", "is"), ("as", "as"),                    # < 3 chars pass
+    ("spark", "spark"),                            # no rule
+]
+
+
+def test_s_stem_three_way_identity(spark):
+    """Python spec == Spark codegen == DuckDB CASE on the same words."""
+    words = [w for w, _ in S_CASES]
+    want = {w: s for w, s in S_CASES}
+    for w, s in S_CASES:
+        assert s_stem(w) == s, (w, s_stem(w))
+
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    got_spark = {r["term"]: r["stem"]
+                 for r in df.withColumn("stem", s_stem_col(F.col("term"))).collect()}
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"term": words}))
+    got_sql = dict(con.execute(
+        f"SELECT term, {s_stem_sql('term')} AS stem FROM t").fetchall())
+    assert got_sql == want
+
+
+def test_stem_tokens_porter_kernel(spark):
+    df = spark.createDataFrame(
+        [(1, "merges"), (2, "merging"), (3, "ponies"), (4, "sky")],
+        "doc_id long, term string")
+    got = {r["term"]: r["stem"]
+           for r in stem_tokens(df, algo="porter").collect()}
+    assert got == {"merges": "merg", "merging": "merg",
+                   "ponies": "poni", "sky": "sky"}
+    with pytest.raises(ValueError):
+        stem_tokens(df, algo="lovins")
+
+
+def test_index_stem_expansion_and_topk(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("r", f"f{i}.txt", f"c{i}", "text", txt, False, None)
+         for i, txt in enumerate([
+             "merge conflict resolved",
+             "merges happen daily and merges pile up",
+             "merging branches merging trees",
+             "unrelated window content"])],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, modified timestamp")
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_buckets=2, hot_df_threshold=50)
+    idx = open_index(spark, out)
+
+    exp = dict(idx.stem_terms("merging"))
+    assert set(exp) == {"merge", "merges", "merging"}
+
+    # S-stemmer groups plurals only (merging keeps its g-form)
+    exp_s = dict(idx.stem_terms("merges", algo="s"))
+    assert "merges" in exp_s and "merge" in exp_s and "merging" not in exp_s
+
+    # stemmed top-k hits every doc containing ANY surface form; the
+    # ranking equals topk_synonyms over the same expansion group
+    hits = idx.stem_topk(["merging"], k=10)
+    assert len(hits) == 3
+    syn = idx.topk_synonyms({"merging": ["merge", "merges"]}, k=10)
+    assert hits == syn
+
+    # a term whose stem class is only itself degrades to plain topk
+    solo = idx.stem_topk(["window"], k=10)
+    assert [d for d, _ in solo] == [d for d, _ in idx.topk(["window"], k=10)]
+
+
+def test_stem_http_route(spark, tmp_path):
+    from tests.test_server import FtServer, _get
+
+    docs = spark.createDataFrame(
+        [("r", "a.txt", "c1", "text", "merge merges merging", False, None)],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, modified timestamp")
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_buckets=1, hot_df_threshold=50)
+    idx = open_index(spark, out)
+    srv = FtServer(idx).start()
+    try:
+        status, body = _get(
+            f"http://{srv.host}:{srv.port}/stem?term=merging")
+        assert status == 200
+        assert {t["term"] for t in body["terms"]} == {
+            "merge", "merges", "merging"}
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError):
+            _get(f"http://{srv.host}:{srv.port}/stem?term=x&algo=nope")
+    finally:
+        srv.stop()
