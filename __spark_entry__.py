@@ -1661,6 +1661,61 @@ def q_s_stem_terms(spark, sf_dir):
     return _ranked(agg, [F.desc("df"), F.desc("cf"), F.asc("stem")], 100)
 
 
+def _ltr_linear_model():
+    from ftidx.ltr import LinearModel
+
+    # fixed "uploaded" model (Solr model store): trained offline,
+    # applied verbatim — weights shared by the Spark query AND the
+    # generated oracle so both score the literal same arithmetic
+    return LinearModel({"f_bm25": 2.0, "f_matched": 0.5, "f_dl": -0.001,
+                        "f_logchars": 0.25, "f_lang_en": 1.5})
+
+
+def _ltr_trees_model():
+    from ftidx.ltr import Tree, TreesModel
+
+    t1 = Tree("f_dl", 60.0,
+              left=Tree("f_bm25", 1.0,
+                        left=Tree(value=0.1), right=Tree(value=0.9)),
+              right=Tree("f_logchars", 6.0,
+                         left=Tree(value=0.3), right=Tree(value=0.5)))
+    t2 = Tree("f_lang_en", 0.5,
+              left=Tree(value=-0.2),
+              right=Tree("f_matched", 2.0,
+                         left=Tree(value=0.2), right=Tree(value=0.7)))
+    return TreesModel([(1.0, t1), (0.8, t2)])
+
+
+def q_ltr_linear(spark, sf_dir):
+    """Solr LTR LinearModel over logged features (ftidx.ltr): the
+    corpus-wide feature frame (BM25 over the query terms, matched-term
+    count, field length, ln(1+chars), lang flag — Solr fl=[features]
+    logging) scored by a fixed uploaded model; top 20 (score DESC,
+    doc_id). The oracle runs the SQL twin generated from the SAME
+    model object (LinearModel.score_sql) over the features_sql CTE."""
+    from ftidx.ltr import document_features, score_features
+
+    feats = document_features(_docs(spark, sf_dir), BM25_TERMS)
+    scored = score_features(feats, _ltr_linear_model())
+    return _ranked(
+        scored.select("doc_id", "f_bm25", "f_matched", "ltr_score"),
+        [F.desc("ltr_score"), F.asc("doc_id")], 20)
+
+
+def q_ltr_trees(spark, sf_dir):
+    """Solr LTR MultipleAdditiveTreesModel: two regression trees over
+    the logged features, evaluated as ONE codegen nested-CASE
+    expression; the oracle's nested CASE is generated from the same
+    tree objects (TreesModel.score_sql). Top 20 (score DESC, doc_id)."""
+    from ftidx.ltr import document_features, score_features
+
+    feats = document_features(_docs(spark, sf_dir), BM25_TERMS)
+    scored = score_features(feats, _ltr_trees_model())
+    return _ranked(
+        scored.select("doc_id", "f_dl", "f_lang_en", "ltr_score"),
+        [F.desc("ltr_score"), F.asc("doc_id")], 20)
+
+
 def q_kl_divergence(spark, sf_dir):
     """Domain-drift KL (textops.kl_divergence): each lang slice's
     add-1-smoothed unigram distribution against the 'en' slice's,
@@ -2540,7 +2595,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "s_stem_terms": q_s_stem_terms,
+        "ltr_linear": q_ltr_linear,
+        "ltr_trees": q_ltr_trees,
     }
+
+
+def _ltr_oracle(model, keep_cols: str) -> str:
+    from ftidx.ltr import features_sql
+
+    return f"""
+        WITH {features_sql(BM25_TERMS).lstrip()}
+        SELECT rank, doc_id, {keep_cols}, ltr_score FROM (
+          SELECT row_number() OVER (ORDER BY ltr_score DESC, doc_id)
+                   AS rank, doc_id, {keep_cols}, ltr_score
+          FROM (SELECT doc_id, {keep_cols},
+                       round({model.score_sql()}, 5) AS ltr_score
+                FROM feats)
+        ) WHERE rank <= 20 ORDER BY rank
+    """
 
 
 def _s_stem_terms_oracle() -> str:
@@ -5144,4 +5216,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "s_stem_terms": _s_stem_terms_oracle(),
+        "ltr_linear": _ltr_oracle(_ltr_linear_model(),
+                                  "f_bm25, f_matched"),
+        "ltr_trees": _ltr_oracle(_ltr_trees_model(),
+                                 "f_dl, f_lang_en"),
     }

@@ -1212,6 +1212,88 @@ class FtIndex:
         return [(int(i), float(s))
                 for i, s in zip(ids2.astype(np.int64), scores2)]
 
+    def ltr_rerank(self, terms: list[str], model, k: int = 10,
+                   rerank_docs: int = 100,
+                   field: str = "code.content") -> list[tuple[int, float]]:
+        """Solr LTR rescoring (``rq={!ltr model=m reRankDocs=N}``,
+        LTRRescorer): the main query's top ``rerank_docs`` candidates
+        are rescored by ``model`` (ftidx.ltr LinearModel / TreesModel)
+        over serving-time features and reordered (model score DESC,
+        doc_id ASC); the tail keeps its original BM25 order BELOW the
+        rescored head — LTRRescorer places every rescored doc first,
+        model scores and BM25 scores are deliberately not compared.
+
+        Serving-time feature store (every value from the warm term
+        cache — no Spark job):
+
+        - ``orig``        — the main query's BM25 score
+        - ``matched``     — number of distinct query terms in the doc
+        - ``dl``          — the doc's field length
+        - ``bm25@<fld>``  — BM25 of the same terms on another field
+          (the SolrFeature arbitrary-subquery analog)
+        """
+        from ftidx.wand import score_exhaustive
+
+        if k <= 0 or not terms:
+            return []
+        lists, avgdl = self._term_lists(terms, field)
+        if not lists:
+            return []
+        ids, scores = score_exhaustive(lists, avgdl, 1 << 31)
+        if self._tombstones:
+            keep = ~np.isin(ids.astype(np.int64),
+                            np.fromiter(self._tombstones, np.int64))
+            ids, scores = ids[keep], scores[keep]
+        n = min(int(rerank_docs), ids.size)
+        head = ids[:n].astype(np.int64)
+        hs_order = np.argsort(head)
+        hs = head[hs_order]
+
+        feats: dict[str, np.ndarray] = {}
+        need = model.features()
+        if "orig" in need:
+            feats["orig"] = scores[:n].astype(np.float64)
+        if "matched" in need or "dl" in need:
+            matched = np.zeros(n, np.float64)
+            dl_f = np.zeros(n, np.float64)
+            for tl in lists:
+                dids, _tfs, dls = tl.decode_all()
+                dids = dids.astype(np.int64)
+                pos = np.searchsorted(hs, dids)
+                pos_c = np.minimum(pos, max(hs.size - 1, 0))
+                hit = (pos < hs.size) & (hs[pos_c] == dids) \
+                    if hs.size else np.zeros(dids.size, bool)
+                matched[hs_order[pos_c[hit]]] += 1.0
+                dl_f[hs_order[pos_c[hit]]] = dls[hit]
+            feats["matched"] = matched
+            feats["dl"] = dl_f
+        for name in sorted(need):
+            if name.startswith("bm25@"):
+                fld = name.split("@", 1)[1]
+                flists, favgdl = self._term_lists(terms, fld)
+                vals = np.zeros(n, np.float64)
+                if flists:
+                    rids, rscores = score_exhaustive(flists, favgdl, 1 << 31)
+                    order = np.argsort(rids)
+                    rid_s = rids[order].astype(np.int64)
+                    rsc_s = rscores[order]
+                    pos = np.searchsorted(rid_s, hs)
+                    pos_c = np.minimum(pos, max(rid_s.size - 1, 0))
+                    hit = (pos < rid_s.size) & (rid_s[pos_c] == hs) \
+                        if rid_s.size else np.zeros(hs.size, bool)
+                    vals[hs_order[hit]] = rsc_s[pos_c[hit]]
+                feats[name] = vals
+        unknown = need - set(feats)
+        if unknown:
+            raise ValueError(f"unknown LTR features: {sorted(unknown)}")
+
+        mscore = model.score_np(feats)
+        order = np.lexsort((head, -mscore))
+        out = [(int(head[i]), float(mscore[i])) for i in order]
+        out += [(int(i), float(s))
+                for i, s in zip(ids[n:].astype(np.int64), scores[n:])]
+        return out[:k]
+
     def topk_phrase_boosted(self, terms: list[str], k: int = 10,
                             pf_weight: float = 2.0,
                             field: str = "code.content") -> list[tuple[int, float]]:

@@ -1,0 +1,173 @@
+"""Learning-to-rank (ftidx/ltr.py + FtIndex.ltr_rerank) — model-twin
+identity (codegen / SQL / numpy), closed-form training vs numpy
+lstsq, and the LTRRescorer serving semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.index import build_index, open_index
+from ftidx.ltr import (LinearModel, Tree, TreesModel, document_features,
+                       features_sql, score_features, train_linear)
+
+
+def _tree_fixture() -> TreesModel:
+    t1 = Tree("x", 2.0,
+              left=Tree("y", 1.0, left=Tree(value=0.1), right=Tree(value=0.9)),
+              right=Tree(value=0.5))
+    t2 = Tree("y", 0.5, left=Tree(value=-0.2), right=Tree(value=0.7))
+    return TreesModel([(1.0, t1), (0.5, t2)])
+
+
+def test_model_three_way_identity(spark):
+    """score_col == score_sql == score_np on the same feature rows,
+    for both model families."""
+    rows = [(float(x), float(y)) for x in (-1, 0, 1, 2, 3)
+            for y in (0.0, 0.5, 1.0, 1.5)]
+    pdf = pd.DataFrame(rows, columns=["x", "y"])
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
+
+    for model in (LinearModel({"x": 2.0, "y": -0.5}), _tree_fixture()):
+        got_np = model.score_np({"x": pdf["x"].to_numpy(),
+                                 "y": pdf["y"].to_numpy()})
+        got_spark = np.array([r["s"] for r in
+                              sdf.withColumn("s", model.score_col())
+                              .orderBy("x", "y").collect()])
+        got_sql = con.execute(
+            f"SELECT {model.score_sql()} AS s FROM t ORDER BY x, y"
+        ).df()["s"].to_numpy()
+        ordered = pdf.sort_values(["x", "y"]).index
+        assert np.array_equal(got_np[ordered], got_spark)
+        assert np.array_equal(got_spark, got_sql)
+
+    assert _tree_fixture().features() == {"x", "y"}
+    with pytest.raises(ValueError):
+        LinearModel({})
+    with pytest.raises(ValueError):
+        TreesModel([])
+
+
+def test_document_features_matches_sql_twin(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark merge window spark", "en", "s0", 24),
+         (1, "merge only here", "de", "s1", 15),
+         (2, "nothing relevant at all", "en", "s2", 23),
+         (3, "window window window spark", "fr", "s3", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    feats = document_features(docs, ["spark", "merge", "window"])
+    got = feats.orderBy("doc_id").toPandas()
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = con.execute(
+        "WITH " + features_sql(["spark", "merge", "window"]).lstrip()
+        + " SELECT * FROM feats ORDER BY doc_id").df()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+    # unmatched doc logs zeros, not nulls
+    row2 = got[got.doc_id == 2].iloc[0]
+    assert row2.f_bm25 == 0.0 and row2.f_matched == 0.0 and row2.f_dl == 4.0
+
+
+def test_train_linear_recovers_weights_and_matches_lstsq(spark):
+    rng = np.random.default_rng(7)
+    n = 400
+    X = rng.normal(size=(n, 3))
+    y = X @ np.array([1.5, -2.0, 0.25]) + 0.75
+    pdf = pd.DataFrame(X, columns=["a", "b", "c"])
+    pdf["y"] = y
+    sdf = spark.createDataFrame(pdf)
+
+    model, b0 = train_linear(sdf, "y", ["a", "b", "c"])
+    w = [model.weights[c] for c in ("a", "b", "c")]
+    assert np.allclose(w, [1.5, -2.0, 0.25], atol=1e-9)
+    assert abs(b0 - 0.75) < 1e-9
+
+    # noisy labels: closed-form == numpy least squares on the same data
+    y2 = y + rng.normal(scale=0.3, size=n)
+    pdf2 = pdf.assign(y=y2)
+    sdf2 = spark.createDataFrame(pdf2)
+    model2, b2 = train_linear(sdf2, "y", ["a", "b", "c"])
+    A = np.hstack([X, np.ones((n, 1))])
+    ref, *_ = np.linalg.lstsq(A, y2, rcond=None)
+    got = np.array([model2.weights["a"], model2.weights["b"],
+                    model2.weights["c"], b2])
+    assert np.allclose(got, ref, atol=1e-8)
+
+    # ridge shrinks toward zero
+    model_r, _ = train_linear(sdf2, "y", ["a", "b", "c"], l2=100.0)
+    assert all(abs(model_r.weights[c]) < abs(model2.weights[c])
+               for c in ("a", "b", "c"))
+
+    with pytest.raises(ValueError):
+        train_linear(sdf, "y", [])
+
+
+def test_ltr_rerank_serving(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("r", "a.py", "c0", "python",
+          "merge merge merge merge", False, None),            # high tf, short
+         ("r", "b.py", "c1", "python",
+          "merge " + "filler " * 40, False, None),            # 1 tf, long
+         ("r", "c.py", "c2", "python",
+          "merge merge squashMerge mergeBranch", False, None),  # ident field hit
+         ("r", "d.py", "c3", "python",
+          "unrelated window text", False, None)],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, modified timestamp")
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_buckets=2, hot_df_threshold=50)
+    idx = open_index(spark, out)
+
+    base = idx.topk(["merge"], k=10)
+    assert len(base) == 3
+
+    # identity model: rescoring by 'orig' reproduces the base ranking
+    ident = idx.ltr_rerank(["merge"], LinearModel({"orig": 1.0}), k=10)
+    assert [d for d, _ in ident] == [d for d, _ in base]
+
+    # dl-loving model inverts: the long doc must come first
+    long_doc = idx.ltr_rerank(["merge"], LinearModel({"dl": 1.0}), k=10)
+    assert long_doc[0][1] > long_doc[-1][1]
+    dls = {d: s for d, s in long_doc}
+    assert max(dls.values()) >= 40  # the filler doc's length won
+
+    # cross-field feature: only c.py has 'merge' in code.ident.split
+    xf = idx.ltr_rerank(
+        ["merge"], LinearModel({"bm25@code.ident.split": 1.0}), k=10)
+    assert xf[0][1] > 0 and all(s == 0.0 for _, s in xf[1:])
+
+    # reRankDocs=1: only the head is rescored; the tail keeps BM25
+    # order below it even when its model score would be higher
+    part = idx.ltr_rerank(["merge"], LinearModel({"dl": 1.0}),
+                          k=10, rerank_docs=1)
+    assert part[0][0] == base[0][0]
+    assert [d for d, _ in part[1:]] == [d for d, _ in base[1:]]
+
+    # trees model runs end-to-end; unknown feature raises
+    tm = TreesModel([(1.0, Tree("matched", 1.5, left=Tree(value=0.0),
+                                right=Tree(value=1.0)))])
+    tr = idx.ltr_rerank(["merge"], tm, k=10)
+    assert {s for _, s in tr} <= {0.0, 1.0}
+    with pytest.raises(ValueError):
+        idx.ltr_rerank(["merge"], LinearModel({"nosuch": 1.0}), k=10)
+    assert idx.ltr_rerank([], LinearModel({"orig": 1.0}), k=10) == []
+
+
+def test_score_features_corpus_mode(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark spark", "en", "s", 11), (1, "none", "de", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    feats = document_features(docs, ["spark"])
+    scored = score_features(
+        feats, LinearModel({"f_bm25": 2.0, "f_lang_en": 1.0}))
+    got = {r["doc_id"]: r["ltr_score"] for r in scored.collect()}
+    assert got[0] > got[1] and got[1] == 0.0
