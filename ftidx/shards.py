@@ -216,6 +216,99 @@ class FtShards:
                for sh in self.shards]
         return self._merge_vocab(per, "count", limit)
 
+    def stem_terms(self, term: str, field: str = "code.content",
+                   limit: int = 50, algo: str = "porter"
+                   ) -> list[tuple[str, int]]:
+        """Distributed stemming expansion: per-shard stem-class matches
+        (complete lists — the stem is a pure function of the term, so
+        shards always agree on class membership), dfs summed, global
+        (df DESC, term ASC) rank re-applied."""
+        per = [sh.stem_terms(term, field=field, limit=(1 << 31) - 1,
+                             algo=algo)
+               for sh in self.shards]
+        return self._merge_vocab(per, "count", limit)
+
+    def ltr_rerank(self, terms: list[str], model, k: int = 10,
+                   rerank_docs: int = 100, field: str = "code.content"
+                   ) -> list[tuple[int, int, float]]:
+        """Distributed LTR rescoring (SolrCloud ``rq={!ltr}``): the
+        GLOBAL top ``rerank_docs`` (scored with global idf/avgdl via
+        :meth:`topk`) are rescored by ``model`` and reordered (model
+        score DESC, shard ASC, doc_id ASC) above the original-order
+        tail — LTRRescorer semantics, coordinator-side. Per-doc
+        features come from the owning shard's postings (every doc
+        lives in exactly one shard) and cross-field BM25 uses that
+        field's GLOBAL stats, so each feature value — and therefore
+        each model score — equals the monolithic
+        :meth:`FtIndex.ltr_rerank` on the union corpus (pinned in
+        tests). Returns (shard, doc_id, score) triples."""
+        if k <= 0 or not terms:
+            return []
+        base = self.topk(terms, k=int(rerank_docs) + int(k), field=field)
+        if not base:
+            return []
+        n = min(int(rerank_docs), len(base))
+        head = base[:n]
+        pos = {(si, d): i for i, (si, d, _) in enumerate(head)}
+
+        need = model.features()
+        feats: dict[str, np.ndarray] = {}
+        if "orig" in need:
+            feats["orig"] = np.array([s for _, _, s in head], np.float64)
+        if "matched" in need or "dl" in need:
+            matched = np.zeros(n, np.float64)
+            dl_f = np.zeros(n, np.float64)
+            qterms, per_shard, _ = self._gather(terms, field)
+            for si, by_term in enumerate(per_shard):
+                own = np.array(sorted(d for s2, d in pos if s2 == si),
+                               np.int64)
+                if not own.size:
+                    continue
+                for t in qterms:
+                    rows = by_term.get(t, [])
+                    if not rows:
+                        continue
+                    ids, _tfs, dls = TermList(t, rows, 0.0).decode_all()
+                    ids = ids.astype(np.int64)
+                    p = np.searchsorted(own, ids)
+                    p_c = np.minimum(p, own.size - 1)
+                    hit = (p < own.size) & (own[p_c] == ids)
+                    for d, dlv in zip(ids[hit], dls[hit]):
+                        i = pos[(si, int(d))]
+                        matched[i] += 1.0
+                        dl_f[i] = float(dlv)
+            feats["matched"] = matched
+            feats["dl"] = dl_f
+        for name in sorted(need):
+            if name.startswith("bm25@"):
+                fld = name.split("@", 1)[1]
+                vals = np.zeros(n, np.float64)
+                qterms, per_shard, gdf = self._gather(terms, fld)
+                n_docs, avgdl = self.global_stats(fld)
+                for si, by_term in enumerate(per_shard):
+                    for t in qterms:
+                        rows = by_term.get(t, [])
+                        if not rows:
+                            continue
+                        ids, tfs, dls = TermList(t, rows, 0.0).decode_all()
+                        idf = bm25_idf(n_docs, gdf[t])
+                        contribs = bm25_contrib(tfs, dls, idf, avgdl)
+                        for d, c in zip(ids.astype(np.int64), contribs):
+                            i = pos.get((si, int(d)))
+                            if i is not None:
+                                vals[i] += float(c)
+                feats[name] = vals
+        unknown = need - set(feats)
+        if unknown:
+            raise ValueError(f"unknown LTR features: {sorted(unknown)}")
+
+        mscore = model.score_np(feats) if n else np.zeros(0)
+        order = sorted(range(n), key=lambda i: (-mscore[i],
+                                                head[i][0], head[i][1]))
+        out = [(head[i][0], head[i][1], float(mscore[i])) for i in order]
+        out += [(si, d, s) for si, d, s in base[n:]]
+        return out[:k]
+
     def fuzzy_terms(self, term: str, field: str = "code.content",
                     max_dist: int = 1, limit: int = 10
                     ) -> list[tuple[str, int, int]]:

@@ -228,3 +228,49 @@ def test_match_stats_layout_invariant(spark, setup):
     me = mono.match_stats(terms, stat_col="length(path) % 7").collect()[0]
     se = shards.match_stats(terms, stat_col="length(path) % 7").collect()[0]
     assert tuple(se) == tuple(me)
+
+
+def test_sharded_stem_terms(setup):
+    """Stem-class expansion merged across shards == monolithic (dfs
+    summed; the stem is a pure function of the term)."""
+    mono, shards = setup
+    for algo in ("porter", "s"):
+        got = shards.stem_terms("values", algo=algo)
+        want = mono.stem_terms("values", algo=algo)
+        assert got == want and got, (algo, got, want)
+
+
+def test_sharded_ltr_equals_monolithic(spark, setup):
+    """Distributed LTR rescoring with every candidate in the head:
+    per-doc model scores must equal the monolithic rerank (global-idf
+    orig + owning-shard matched/dl + global-stats cross-field BM25)."""
+    from ftidx.ltr import LinearModel, Tree, TreesModel
+
+    mono, shards = setup
+    big = 10**6
+    for model in (
+        LinearModel({"orig": 1.0, "matched": 0.3, "dl": -0.01,
+                     "bm25@code.ident.split": 0.5}),
+        TreesModel([(1.0, Tree("matched", 2.0, left=Tree(value=0.1),
+                               right=Tree("dl", 25.0,
+                                          left=Tree(value=0.9),
+                                          right=Tree(value=0.4))))]),
+    ):
+        mono_hits = mono.ltr_rerank(TERMS, model, k=big, rerank_docs=big)
+        sh_hits = shards.ltr_rerank(TERMS, model, k=big, rerank_docs=big)
+        assert len(mono_hits) == len(sh_hits) > 0
+        mk = _keyed(spark, {str(mono.path): list(mono_hits)})
+        sk = {}
+        for path, want_si in ((str(shards.shards[0].path), 0),
+                              (str(shards.shards[1].path), 1)):
+            rows = [(d, s) for si, d, s in sh_hits if si == want_si]
+            sk.update(_keyed(spark, {path: rows}))
+        assert set(mk) == set(sk)
+        for key, s in mk.items():
+            assert sk[key] == pytest.approx(s, rel=1e-9, abs=1e-12), key
+
+    # k cut + unknown feature guard
+    assert len(shards.ltr_rerank(TERMS, LinearModel({"orig": 1.0}),
+                                 k=3, rerank_docs=big)) == 3
+    with pytest.raises(ValueError):
+        shards.ltr_rerank(TERMS, LinearModel({"bogus": 1.0}), k=3)
