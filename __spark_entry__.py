@@ -2464,7 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "dataset_shards": q_dataset_shards,
         "shuffle_corpus": q_shuffle_corpus,
-        "top_fraction": q_top_fraction,
+        "s_stem_terms": q_s_stem_terms,
         "seq_pack": q_seq_pack,
         "phrase_match": q_phrase_match,
         "phrase_near": q_phrase_near,
@@ -2472,8 +2472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_topm": q_group_topm,
         "bm25_boost_mult": q_bm25_boost_mult,
         "tfidf_vectors": q_tfidf_vectors,
-        "sorted_page": q_sorted_page,
-        "cursor_page": q_cursor_page,
+        "ltr_linear": q_ltr_linear,
+        "ltr_trees": q_ltr_trees,
         "chunk_spans": q_chunk_spans,
         "scrub": q_scrub,
         "token_counts": q_token_counts,
@@ -2594,9 +2594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
-        "s_stem_terms": q_s_stem_terms,
-        "ltr_linear": q_ltr_linear,
-        "ltr_trees": q_ltr_trees,
+        "top_fraction": q_top_fraction,
+        "sorted_page": q_sorted_page,
+        "cursor_page": q_cursor_page,
     }
 
 

@@ -1217,7 +1217,10 @@ class FtIndex:
                    field: str = "code.content") -> list[tuple[int, float]]:
         """Solr LTR rescoring (``rq={!ltr model=m reRankDocs=N}``,
         LTRRescorer): the main query's top ``rerank_docs`` candidates
-        are rescored by ``model`` (ftidx.ltr LinearModel / TreesModel)
+        are rescored by ``model`` (ftidx.ltr LinearModel / TreesModel).
+        Complements :meth:`topk_ltr` (the full-match-set linear
+        combination over stored-column feature EXPRESSIONS): this is
+        the head-only second stage with a trained model object
         over serving-time features and reordered (model score DESC,
         doc_id ASC); the tail keeps its original BM25 order BELOW the
         rescored head — LTRRescorer places every rescored doc first,
