@@ -168,6 +168,73 @@ class TreesModel:
 
 
 # --------------------------------------------------------------------------
+# model store JSON (Solr uploads models to /schema/model-store as JSON:
+# {"class": "...LinearModel", "params": {"weights": {...}}} /
+# {"class": "...MultipleAdditiveTreesModel", "params": {"trees": [
+#   {"weight": w, "root": {"feature": f, "threshold": t,
+#                          "left": {...}, "right": {"value": v}}}]}})
+# --------------------------------------------------------------------------
+
+def model_from_json(obj: dict):
+    """Parse a Solr-shaped model-store JSON dict into a LinearModel or
+    TreesModel. Raises ValueError on unknown class or malformed trees
+    (the 400 path of the /ltr route)."""
+    if not isinstance(obj, dict):
+        raise ValueError("model must be a JSON object")
+    cls = str(obj.get("class", ""))
+    params = obj.get("params")
+    if not isinstance(params, dict):
+        raise ValueError("model needs a params object")
+    if cls.endswith("LinearModel") or cls == "linear":
+        weights = params.get("weights")
+        if not isinstance(weights, dict) or not weights:
+            raise ValueError("LinearModel params.weights must be a "
+                             "non-empty object")
+        return LinearModel({str(f): float(w) for f, w in weights.items()})
+    if cls.endswith("MultipleAdditiveTreesModel") or cls == "trees":
+        trees = params.get("trees")
+        if not isinstance(trees, list) or not trees:
+            raise ValueError("TreesModel params.trees must be a "
+                             "non-empty array")
+
+        def node(d) -> Tree:
+            if not isinstance(d, dict):
+                raise ValueError("tree node must be an object")
+            if "value" in d:
+                return Tree(value=float(d["value"]))
+            if not all(k in d for k in ("feature", "threshold",
+                                        "left", "right")):
+                raise ValueError("internal node needs feature/threshold/"
+                                 "left/right")
+            return Tree(str(d["feature"]), float(d["threshold"]),
+                        node(d["left"]), node(d["right"]))
+
+        return TreesModel([(float(t.get("weight", 1.0)), node(t["root"]))
+                           for t in trees])
+    raise ValueError(f"unknown model class {cls!r}")
+
+
+def model_to_json(model) -> dict:
+    """Serialize a model back to the Solr model-store JSON shape
+    (round-trips with :func:`model_from_json`)."""
+    if isinstance(model, LinearModel):
+        return {"class": "org.apache.solr.ltr.model.LinearModel",
+                "params": {"weights": dict(model.weights)}}
+    if isinstance(model, TreesModel):
+        def node(t: Tree) -> dict:
+            if t.is_leaf:
+                return {"value": t.value}
+            return {"feature": t.feature, "threshold": t.threshold,
+                    "left": node(t.left), "right": node(t.right)}
+
+        return {"class":
+                "org.apache.solr.ltr.model.MultipleAdditiveTreesModel",
+                "params": {"trees": [{"weight": w, "root": node(t)}
+                                     for w, t in model.trees]}}
+    raise ValueError(f"not an LTR model: {type(model).__name__}")
+
+
+# --------------------------------------------------------------------------
 # feature logging (flat DataFrame path)
 # --------------------------------------------------------------------------
 

@@ -54,6 +54,9 @@ Endpoints (all JSON):
 - ``POST /knn``          → Solr 9 ``{!knn}`` dense-vector top-k over
   the attached DenseVectorField-analog table (``{"vector": […],
   "k": 10, "q": "optional pre-filter terms"}``)
+- ``POST /ltr``          → Solr ``rq={!ltr}`` rescoring: ``{"q":
+  "terms", "model": <model-store JSON — LinearModel or
+  MultipleAdditiveTreesModel>, "k": 10, "reRankDocs": 100}``
 - ``GET /stats``         → field statistics (n_docs, avgdl)
 - ``GET /pivot?q=a&pivot=lang,repo`` → hierarchical facet.pivot counts
 - ``GET /facet_stats?q=a&facet=lang`` → per-bucket doclen stats
@@ -970,6 +973,35 @@ def _make_handler(idx, lock: threading.Lock):
                         return
                     raise
                 self._json(200, out)
+            elif path == "/ltr":
+                # Solr rq={!ltr model=... reRankDocs=N}: body carries
+                # the query terms + a model-store-shaped JSON model
+                # ({"class": "...LinearModel", "params": {"weights":
+                # {...}}} or the MultipleAdditiveTreesModel shape) —
+                # exactly what Solr's /schema/model-store accepts;
+                # rescoring runs on the handle's warm term cache
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    terms = str(body.get("q", "")).split()
+                    if not terms:
+                        raise ValueError('/ltr body needs q: "terms"')
+                    from ftidx.ltr import model_from_json
+
+                    model = model_from_json(body.get("model"))
+                    k = int(body.get("k", 10))
+                    rrd = int(body.get("reRankDocs", 100))
+                    fld = str(body.get("field", "code.content"))
+                    with lock:
+                        hits = idx.ltr_rerank(terms, model, k=k,
+                                              rerank_docs=rrd, field=fld)
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {"docs": [
+                    {"doc_id": d, "score": s} for d, s in hits
+                ]})
             elif path == "/knn":
                 # Solr {!knn f=vector topK=k} over the attached
                 # DenseVectorField-analog table; optional q= composes

@@ -171,3 +171,60 @@ def test_score_features_corpus_mode(spark):
         feats, LinearModel({"f_bm25": 2.0, "f_lang_en": 1.0}))
     got = {r["doc_id"]: r["ltr_score"] for r in scored.collect()}
     assert got[0] > got[1] and got[1] == 0.0
+
+
+def test_model_store_json_roundtrip():
+    from ftidx.ltr import model_from_json, model_to_json
+
+    lin = LinearModel({"orig": 1.0, "dl": -0.01})
+    lin2 = model_from_json(model_to_json(lin))
+    assert lin2.weights == lin.weights
+
+    tm = _tree_fixture()
+    tm2 = model_from_json(model_to_json(tm))
+    feats = {"x": np.array([0.0, 1.5, 3.0]), "y": np.array([0.2, 0.8, 1.2])}
+    assert np.array_equal(tm2.score_np(feats), tm.score_np(feats))
+
+    # Solr's short + fully-qualified class names both accepted
+    assert model_from_json({"class": "linear",
+                            "params": {"weights": {"a": 1.0}}})
+    for bad in ({}, {"class": "linear"}, {"class": "nope", "params": {}},
+                {"class": "linear", "params": {"weights": {}}},
+                {"class": "trees", "params": {"trees": []}},
+                {"class": "trees", "params": {"trees": [
+                    {"weight": 1, "root": {"feature": "x"}}]}}):
+        with pytest.raises(ValueError):
+            model_from_json(bad)
+
+
+def test_ltr_http_route(spark, tmp_path):
+    from tests.test_server import FtServer, _post_json
+
+    docs = spark.createDataFrame(
+        [("r", f"f{i}.txt", f"c{i}", "text", txt, False, None)
+         for i, txt in enumerate(
+             ["merge merge merge", "merge " + "pad " * 30, "none here"])],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, modified timestamp")
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_buckets=1, hot_df_threshold=50)
+    idx = open_index(spark, out)
+    srv = FtServer(idx).start()
+    base = f"http://{srv.host}:{srv.port}"
+    try:
+        status, body = _post_json(f"{base}/ltr", {
+            "q": "merge",
+            "model": {"class": "linear",
+                      "params": {"weights": {"dl": 1.0}}}})
+        assert status == 200 and len(body["docs"]) == 2
+        assert body["docs"][0]["score"] >= 30  # the padded doc leads
+        want = idx.ltr_rerank(["merge"], LinearModel({"dl": 1.0}), k=10)
+        assert [(d["doc_id"], d["score"]) for d in body["docs"]] == \
+            [(d, s) for d, s in want]
+        for bad in ({"q": "", "model": {}},
+                    {"q": "merge", "model": {"class": "nope",
+                                             "params": {}}}):
+            status, body = _post_json(f"{base}/ltr", bad)
+            assert status == 400 and "error" in body
+    finally:
+        srv.stop()
