@@ -1716,6 +1716,26 @@ def q_ltr_trees(spark, sf_dir):
         [F.desc("ltr_score"), F.asc("doc_id")], 20)
 
 
+_HN_QUERIES = [(0, ["spark", "merge"]), (1, ["window", "scan"]),
+               (2, ["filter", "order", "table"])]
+_HN_POSITIVES = [(0, 0), (0, 10), (1, 3), (2, 7)]
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (textops.mine_hard_negatives — the DPR
+    BM25-negatives recipe, Karpukhin et al. 2020): per training query,
+    the top-5 BM25 docs that are not its labeled positives. Corpus
+    tokenized once for the whole query set, query vocabulary broadcast,
+    ranking a query_id-partitioned window."""
+    from ftidx.textops import mine_hard_negatives
+
+    qs = spark.createDataFrame(_HN_QUERIES,
+                               "query_id long, terms array<string>")
+    pos = spark.createDataFrame(_HN_POSITIVES, "query_id long, doc_id long")
+    return mine_hard_negatives(_docs(spark, sf_dir), qs, k=5,
+                               positives=pos)
+
+
 def q_kl_divergence(spark, sf_dir):
     """Domain-drift KL (textops.kl_divergence): each lang slice's
     add-1-smoothed unigram distribution against the 'en' slice's,
@@ -2471,7 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_by_source": q_collapse_by_source,
         "group_topm": q_group_topm,
         "bm25_boost_mult": q_bm25_boost_mult,
-        "tfidf_vectors": q_tfidf_vectors,
+        "hard_negatives": q_hard_negatives,
         "ltr_linear": q_ltr_linear,
         "ltr_trees": q_ltr_trees,
         "chunk_spans": q_chunk_spans,
@@ -2597,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_fraction": q_top_fraction,
         "sorted_page": q_sorted_page,
         "cursor_page": q_cursor_page,
+        "tfidf_vectors": q_tfidf_vectors,
     }
 
 
@@ -2612,6 +2633,43 @@ def _ltr_oracle(model, keep_cols: str) -> str:
                        round({model.score_sql()}, 5) AS ltr_score
                 FROM feats)
         ) WHERE rank <= 20 ORDER BY rank
+    """
+
+
+def _hard_negatives_oracle() -> str:
+    qv = ", ".join(f"({qid}, '{t}')" for qid, terms in _HN_QUERIES
+                   for t in terms)
+    pv = ", ".join(f"({qid}, {d})" for qid, d in _HN_POSITIVES)
+    return f"""
+        WITH {_TOK_CTE},
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs,
+                         sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        q AS (SELECT * FROM (VALUES {qv}) AS v(query_id, term)),
+        dfreq AS (SELECT term, count(*) AS df FROM tf
+                  WHERE term IN (SELECT term FROM q) GROUP BY term),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 5)
+                   AS score_r
+          FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats s
+          GROUP BY q.query_id, tf.doc_id
+        ),
+        pos AS (SELECT * FROM (VALUES {pv}) AS v(query_id, doc_id)),
+        neg AS (SELECT s.* FROM scored s LEFT JOIN pos p
+                ON s.query_id = p.query_id AND s.doc_id = p.doc_id
+                WHERE p.query_id IS NULL)
+        SELECT query_id, rank, doc_id, score_r FROM (
+          SELECT query_id, doc_id, score_r,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_r DESC, doc_id) AS rank
+          FROM neg
+        ) WHERE rank <= 5 ORDER BY query_id, rank
     """
 
 
@@ -5216,6 +5274,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "s_stem_terms": _s_stem_terms_oracle(),
+        "hard_negatives": _hard_negatives_oracle(),
         "ltr_linear": _ltr_oracle(_ltr_linear_model(),
                                   "f_bm25, f_matched"),
         "ltr_trees": _ltr_oracle(_ltr_trees_model(),

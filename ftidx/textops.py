@@ -1413,3 +1413,63 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     wr = Window.orderBy(F.desc("key_r"), F.asc(id_col))
     return base.withColumn("rank", F.row_number().over(wr)) \
         .select("rank", id_col, "weight", "key_r")
+
+
+def mine_hard_negatives(docs: DataFrame, queries: DataFrame, k: int = 5,
+                        positives: DataFrame | None = None,
+                        k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Hard-negative mining for retrieval training (the BM25-negatives
+    recipe of Karpukhin et al. 2020, DPR §4.2): for every training
+    query, the top-``k`` BM25-ranked documents that are NOT among its
+    labeled positives — the lexical near-misses a bi-encoder must
+    learn to push below the positive. One call produces the negatives
+    column for an entire training set.
+
+    ``queries``: (query_id long, terms array<string>) — terms treated
+    as a set (duplicates ignored). ``positives``: optional
+    (query_id, doc_id) pairs anti-joined out; omitted = pure top-k.
+
+    Scale shape: the corpus tokenizes ONCE whatever the query count;
+    query terms explode to a (term, query_id) table that is BROADCAST
+    against the tf rows (a training set's term vocabulary is tiny
+    next to the corpus); scoring is one map-side-combinable
+    (query_id, doc_id) agg; ranking is a window partitioned by
+    query_id — every shuffle is keyed, no corpus-sized data ever
+    passes through a single task. Scores round to 5 (the engine's
+    cross-engine float discipline). Returns
+    (query_id, rank, doc_id, score_r)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.lower("text"),
+                                         "[^a-z0-9_]+")).alias("term"))
+           .filter(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   (F.sum("dl") / F.count(F.lit(1)))
+                   .cast("double").alias("avgdl"))
+    qt = (queries.select("query_id",
+                         F.explode("terms").alias("term")).distinct())
+    # global df per term, over exactly the query vocabulary
+    dfreq = (tf.join(F.broadcast(qt.select("term").distinct()), "term")
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    m = tf.join(F.broadcast(qt), "term")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    scored = (m.join(F.broadcast(dfreq), "term")
+              .join(dl, "doc_id").crossJoin(F.broadcast(stats))
+              .withColumn("contrib", contrib)
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum("contrib"), 5).alias("score_r")))
+    if positives is not None:
+        scored = scored.join(positives.select("query_id", "doc_id"),
+                             ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score_r"))

@@ -1708,3 +1708,43 @@ def test_weighted_sample_weight_proportionality(spark):
                weighted_sample(df, 5, "w", id_col="doc_id", seed=s).collect())
     )
     assert hits >= 10
+
+
+def test_mine_hard_negatives(spark):
+    """DPR BM25-negatives: positives anti-joined out, per-query ranks
+    independent, scores descend within a query, k guard."""
+    from ftidx.textops import mine_hard_negatives
+
+    docs = spark.createDataFrame(
+        [(0, "spark merge spark merge", "en", "s", 24),   # q0 positive
+         (1, "spark merge extra words", "en", "s", 24),   # hard negative
+         (2, "spark only here", "en", "s", 15),
+         (3, "window window scan", "en", "s", 18),        # q1 top
+         (4, "scan of a window pane", "en", "s", 21),
+         (5, "nothing relevant", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    qs = spark.createDataFrame(
+        [(0, ["spark", "merge"]), (1, ["window", "scan"])],
+        "query_id long, terms array<string>")
+    pos = spark.createDataFrame([(0, 0)], "query_id long, doc_id long")
+
+    got = mine_hard_negatives(docs, qs, k=3, positives=pos).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q0: the labeled positive never appears; doc 1 is the top negative
+    q0 = sorted(by_q[0], key=lambda r: r["rank"])
+    assert all(r["doc_id"] != 0 for r in q0)
+    assert q0[0]["doc_id"] == 1
+    # ranks are per-query 1..n and scores descend within each query
+    for rows in by_q.values():
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(rows[i]["score_r"] >= rows[i + 1]["score_r"]
+                   for i in range(len(rows) - 1))
+    # without positives, doc 0 tops q0
+    free = mine_hard_negatives(docs, qs, k=1).collect()
+    top0 = [r for r in free if r["query_id"] == 0][0]
+    assert top0["doc_id"] == 0
+    with pytest.raises(ValueError):
+        mine_hard_negatives(docs, qs, k=0)
