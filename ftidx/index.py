@@ -155,7 +155,7 @@ def _deserialize_meta(blob: bytes) -> pd.DataFrame:
     return pa.ipc.open_stream(pa.py_buffer(blob)).read_all().to_pandas()
 
 
-def _bucket_local_encode(batches):
+def _bucket_local_encode(batches, stem_field: bool = False):
     """mapInPandas kernel for the bucket-local build strategy: input is
     raw docs hash-partitioned by bucket (the ONLY shuffle — raw docs
     are ~25× smaller than the tf rows the grouped strategy shuffles).
@@ -203,7 +203,9 @@ def _bucket_local_encode(batches):
         meta_parts.append(pdf[_DOCS_META_COLS])
         live = pdf[(~pdf["deleted"]) & pdf["content"].notna()]
         if len(live):
-            part = tokenize_tf_batch(live[["doc_id", "content", "lang", "repo", "path"]])
+            part = tokenize_tf_batch(
+                live[["doc_id", "content", "lang", "repo", "path"]],
+                stem_field=stem_field)
             if len(part):
                 tf_parts.append(part)
     if not meta_parts:
@@ -387,7 +389,7 @@ def _write_stats_rows(stats_dir: Path, rows) -> None:
 
 def _build_bucket_group(spark, docs, group, out, ledger_dir, build_id,
                         tracking_id, clustered, t0, _t,
-                        store_content=False) -> None:
+                        store_content=False, stem_field=False) -> None:
     """One bucket group of a build pass: encode + write postings, then
     metrics/doclen/docs explodes off the WRITTEN postings, then the
     group's "done" ledger rows. Factored out of :func:`build_index` so
@@ -405,9 +407,12 @@ def _build_bucket_group(spark, docs, group, out, ledger_dir, build_id,
     enc_in = docs_g
     if not clustered:
         enc_in = enc_in.repartition(len(group), "bucket")
+    from functools import partial
+
     postings = (
         enc_in
-        .mapInPandas(_bucket_local_encode, schema=POSTINGS_SCHEMA)
+        .mapInPandas(partial(_bucket_local_encode, stem_field=stem_field),
+                     schema=POSTINGS_SCHEMA)
         .withColumn(
             "n_bytes",
             F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("dls"),
@@ -501,6 +506,7 @@ def build_index(
     docs_ready: bool = False,
     positions: bool = False,
     store_content: bool = False,
+    stem_field: bool = False,
 ) -> dict:
     """Build (or resume) a persistent index under ``out_dir``.
 
@@ -513,6 +519,15 @@ def build_index(
     highlighting and full-document retrieval — opt-in since stored
     text dominates index bytes on large corpora.
 
+    ``stem_field=True`` additionally indexes ``code.content.stem`` —
+    every content token Porter-stemmed in place (Solr index-time
+    PorterStemFilterFactory on a copyField): querying that field with
+    stemmed terms matches all surface forms, ranking identical to the
+    query-time :meth:`FtIndex.stem_topk` expansion (same tf sums, same
+    merged df, same doc lengths — pinned in tests). Opt-in since it
+    roughly doubles content-field postings. Recorded in the manifest;
+    resume/upsert keep it consistent.
+
     Returns a summary dict (buckets built/skipped, totals).
     """
     out = Path(out_dir)
@@ -524,7 +539,14 @@ def build_index(
         prev = json.loads(manifest_path.read_text())
         if resume and {k: prev.get(k) for k in params} != params:
             raise ValueError(f"resume with mismatched params: {prev} vs {params}")
-    manifest_path.write_text(json.dumps({**params, "status": "building", "build_id": build_id}))
+        if resume and bool(prev.get("stem_field", False)) != bool(stem_field):
+            raise ValueError(
+                f"resume with mismatched stem_field: index has "
+                f"{prev.get('stem_field', False)!r}, caller passed "
+                f"{stem_field!r} — a half-stemmed index would rank "
+                f"inconsistently across buckets")
+    manifest_path.write_text(json.dumps({**params, "stem_field": bool(stem_field),
+                                         "status": "building", "build_id": build_id}))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -571,7 +593,7 @@ def build_index(
             _build_bucket_group(
                 spark, docs, group, out, ledger_dir, build_id,
                 tracking_id, clustered, t0, _t,
-                store_content=store_content)
+                store_content=store_content, stem_field=stem_field)
         except Exception as exc:
             # S27 failure-reason persistence (queueFail analog,
             # RawRepoQueueBean.java:28-34): record WHY the group's
@@ -607,7 +629,8 @@ def build_index(
     ).collect()
     _write_stats_rows(out / "stats", stats)
     manifest_path.write_text(
-        json.dumps({**params, "status": "done", "build_id": build_id})
+        json.dumps({**params, "stem_field": bool(stem_field),
+                    "status": "done", "build_id": build_id})
     )
     return {"built": built, "skipped": skipped, "n_buckets": n_buckets, "build_id": build_id}
 

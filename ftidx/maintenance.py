@@ -534,11 +534,17 @@ def upsert(spark: SparkSession, index_path: str, new_source: DataFrame,
 
     has_positions = _has_files(path / "positions")
     has_stored = _has_files(path / "stored")
+    # the stem analyzer is a manifest property, not an on-disk dir —
+    # rebuilt buckets must keep emitting code.content.stem or the
+    # stemmed field would silently go partial
+    has_stem = bool(json.loads((path / "_manifest.json").read_text())
+                    .get("stem_field", False))
     _clear_bucket_partitions(path, dirty)
     _clear_ledger_rows(spark, path, dirty)
     summary = build_index(spark, new_source, str(path), n_buckets=n_buckets,
                           resume=True, positions=has_positions,
-                          store_content=has_stored, **build_kwargs)
+                          store_content=has_stored, stem_field=has_stem,
+                          **build_kwargs)
     return {"buckets_rebuilt": summary["built"], "skipped": summary["skipped"]}
 
 

@@ -104,9 +104,17 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, index_path: str,
         seen = spark.read.parquet(*prior).select("doc_id").distinct()
         live = live.join(seen, "doc_id", "left_anti")
     bucket_of = live.select("doc_id", "bucket")
-    # fused tokenize→tf/dl kernel (no token shuffle, no doclen join)
+    # fused tokenize→tf/dl kernel (no token shuffle, no doclen join);
+    # the base manifest's stem_field carries into every delta so the
+    # stemmed field stays complete across streamed docs (same parity
+    # rule as the positional deltas below)
+    import json as _json
+
+    has_stem = bool(_json.loads((out / "_manifest.json").read_text())
+                    .get("stem_field", False)) \
+        if (out / "_manifest.json").exists() else False
     tf_len = (
-        tokenize_tf(live)
+        tokenize_tf(live, stem_field=has_stem)
         .withColumnRenamed("dl", "len")
         .join(bucket_of, "doc_id")
     )

@@ -107,13 +107,23 @@ def collections_for(lang: str, repo: str) -> list[str]:
     return out
 
 
-def tokenize_doc(content: str | None, lang: str, repo: str, path: str) -> dict[str, list[str]]:
+def tokenize_doc(content: str | None, lang: str, repo: str, path: str,
+                 stem_field: bool = False) -> dict[str, list[str]]:
     """Pure-function spec: one doc → {field: [terms]} (duplicates kept,
-    order = occurrence order). The golden-file contract."""
+    order = occurrence order). The golden-file contract.
+
+    ``stem_field=True`` additionally emits ``code.content.stem`` — the
+    content tokens Porter-stemmed in place (Solr index-time
+    PorterStemFilterFactory on a copyField; opt-in, see build_index)."""
     fields: dict[str, list[str]] = {}
     text = content or ""
 
     fields["code.content"] = re.findall(WORD_RE, text.lower())
+    if stem_field:
+        from ftidx.stem import porter_stem
+
+        fields["code.content.stem"] = [porter_stem(t)
+                                       for t in fields["code.content"]]
 
     idents = re.findall(IDENT_RE, text)
     compound = [t for t in idents if re.search(COMPOUND_RE, t)]
@@ -187,19 +197,34 @@ def _explode_joined(doc_ids: pd.Series, texts: pd.Series, creg,
     return pd.DataFrame({"doc_id": ids, "field": field, "term": terms})
 
 
-def tokenize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def tokenize_batch(pdf: pd.DataFrame, stem_field: bool = False) -> pd.DataFrame:
     """Vectorized batch tokenizer: pandas DataFrame with columns
     (doc_id, content, lang, repo, path) → rows (doc_id, field, term).
 
     Everything is pandas ``.str`` ops + explode; the only Python-level
     loop is over *unique* date strings (memoized) — bounded by distinct
-    values, not rows.
+    values, not rows. ``stem_field=True`` adds the Porter-stemmed
+    ``code.content.stem`` copy, stemming once per UNIQUE batch token
+    (memo dict — vocabulary-sized Python, same shape as the date
+    normalizer above and the BPE word memo).
     """
     content = pdf["content"].fillna("").astype(str)
     parts: list[pd.DataFrame] = []
 
     parts.append(
         _explode_joined(pdf["doc_id"], content.str.lower(), _WORD_C, "code.content"))
+    if stem_field:
+        from ftidx.stem import porter_stem
+
+        cc = parts[0]
+        memo = {w: porter_stem(w) for w in pd.unique(cc["term"])} \
+            if len(cc) else {}
+        stemmed = pd.DataFrame({
+            "doc_id": cc["doc_id"],
+            "field": "code.content.stem",
+            "term": cc["term"].map(memo),
+        })
+        parts.append(stemmed)
 
     # compound identifiers → keep; subtoken-split the compound ones
     id_row, id_terms = _findall_joined(content, _IDENT_C)
@@ -272,7 +297,7 @@ def tokenize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def tokenize(docs: DataFrame) -> DataFrame:
+def tokenize(docs: DataFrame, stem_field: bool = False) -> DataFrame:
     """Spark entry point: docs (doc_id, content, lang, repo, path, …) →
     token stream (doc_id, field, term).
 
@@ -283,12 +308,13 @@ def tokenize(docs: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            yield tokenize_batch(pdf)
+            yield tokenize_batch(pdf, stem_field=stem_field)
 
     return cols.mapInPandas(run, schema=TOKEN_SCHEMA)
 
 
-def tokenize_tf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def tokenize_tf_batch(pdf: pd.DataFrame,
+                      stem_field: bool = False) -> pd.DataFrame:
     """Batch tokenize + doc-local aggregation: since every doc is fully
     contained in its batch, tf per (doc, field, term) and dl per
     (doc, field) are computed INSIDE the kernel — the map-side-combine
@@ -297,7 +323,7 @@ def tokenize_tf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     (doc_id, field, term, tf, dl)."""
     import numpy as np
 
-    tokens = tokenize_batch(pdf)
+    tokens = tokenize_batch(pdf, stem_field=stem_field)
     if not len(tokens):
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "field": pd.Series(dtype=object),
@@ -333,7 +359,7 @@ def tokenize_tf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 TF_SCHEMA = "doc_id long, field string, term string, tf long, dl long"
 
 
-def tokenize_tf(docs: DataFrame) -> DataFrame:
+def tokenize_tf(docs: DataFrame, stem_field: bool = False) -> DataFrame:
     """Fused tokenize → per-doc tf/dl (no shuffle). The build's hot
     path; equivalence with term_frequencies(tokenize(…)) is asserted in
     tests."""
@@ -341,6 +367,6 @@ def tokenize_tf(docs: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            yield tokenize_tf_batch(pdf)
+            yield tokenize_tf_batch(pdf, stem_field=stem_field)
 
     return cols.mapInPandas(run, schema=TF_SCHEMA)

@@ -178,3 +178,67 @@ def test_stem_http_route(spark, tmp_path):
             _get(f"http://{srv.host}:{srv.port}/stem?term=x&algo=nope")
     finally:
         srv.stop()
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [("r", f"f{i}.txt", f"c{i}", "text", txt, False, None)
+         for i, txt in enumerate(rows)],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, modified timestamp")
+
+
+def test_index_time_stem_field_matches_query_time_expansion(spark, tmp_path):
+    """build_index(stem_field=True) indexes code.content.stem; querying
+    it with stemmed terms ranks EXACTLY like the query-time stem_topk
+    expansion on an unstemmed twin (same tf sums, same merged df, same
+    dls), and the plain field is byte-unchanged by the option."""
+    rows = ["merge conflict resolved",
+            "merges happen daily and merges pile up",
+            "merging branches merging trees",
+            "unrelated window content"]
+    docs = _corpus(spark, rows)
+    plain_dir, stem_dir = str(tmp_path / "plain"), str(tmp_path / "stem")
+    build_index(spark, docs, plain_dir, n_buckets=2, hot_df_threshold=50)
+    build_index(spark, docs, stem_dir, n_buckets=2, hot_df_threshold=50,
+                stem_field=True)
+    plain, stemmed = open_index(spark, plain_dir), open_index(spark, stem_dir)
+
+    got = stemmed.topk([porter_stem("merging")], k=10,
+                       field="code.content.stem")
+    want = plain.stem_topk(["merging"], k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-12)
+
+    # the plain field is unaffected by the analyzer option
+    assert stemmed.topk(["merge"], k=10) == plain.topk(["merge"], k=10)
+    # the stem field's stats exist and share the plain field's doclen
+    assert stemmed.stats["code.content.stem"] == stemmed.stats["code.content"]
+
+
+def test_stem_field_manifest_resume_guard_and_upsert(spark, tmp_path):
+    import json as _json
+
+    from ftidx.maintenance import upsert
+
+    docs = _corpus(spark, ["merging things", "other stuff windows"])
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_buckets=2, hot_df_threshold=50,
+                stem_field=True)
+    man = _json.loads((tmp_path / "idx" / "_manifest.json").read_text())
+    assert man["stem_field"] is True and man["status"] == "done"
+
+    # resuming with a different analyzer refuses (half-stemmed index)
+    with pytest.raises(ValueError, match="stem_field"):
+        build_index(spark, docs, out, n_buckets=2, resume=True,
+                    stem_field=False)
+
+    # upsert keeps emitting the stemmed field for rebuilt buckets
+    edited = _corpus(spark, ["merged everything now", "other stuff windows"])
+    upsert(spark, out, edited)
+    idx = open_index(spark, out)
+    hits = idx.topk([porter_stem("merged")], k=10, field="code.content.stem")
+    assert len(hits) == 1
+    # and the pre-edit surface form is gone (replaced, not added)
+    assert idx.topk(["merging"], k=10, field="code.content") == []
