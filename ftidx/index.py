@@ -1282,7 +1282,14 @@ class FtIndex:
         if "matched" in need or "dl" in need:
             matched = np.zeros(n, np.float64)
             dl_f = np.zeros(n, np.float64)
+            seen_terms: set[str] = set()
             for tl in lists:
+                # a repeated query term must count once toward
+                # 'matched' (the sharded path dedupes via _gather's
+                # sorted(set(terms)) — keep the twins aligned)
+                if tl.term in seen_terms:
+                    continue
+                seen_terms.add(tl.term)
                 dids, _tfs, dls = tl.decode_all()
                 dids = dids.astype(np.int64)
                 pos = np.searchsorted(hs, dids)

@@ -228,3 +228,19 @@ def test_ltr_http_route(spark, tmp_path):
             assert status == 400 and "error" in body
     finally:
         srv.stop()
+
+
+def test_ltr_rerank_duplicate_terms_count_once(spark, tmp_path):
+    """'matched' is a distinct-terms feature: a repeated query term
+    must not double-count (keeps monolithic == sharded, whose _gather
+    dedupes)."""
+    docs = spark.createDataFrame(
+        [("r", "a.txt", "c0", "text", "merge stuff", False, None)],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, modified timestamp")
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_buckets=1, hot_df_threshold=50)
+    idx = open_index(spark, out)
+    hits = idx.ltr_rerank(["merge", "merge"],
+                          LinearModel({"matched": 1.0}), k=10)
+    assert hits and all(s == 1.0 for _, s in hits)
