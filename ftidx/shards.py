@@ -228,6 +228,69 @@ class FtShards:
                for sh in self.shards]
         return self._merge_vocab(per, "count", limit)
 
+    def stem_topk(self, terms: list[str], k: int = 10,
+                  field: str = "code.content", algo: str = "porter"
+                  ) -> list[tuple[int, int, float]]:
+        """Distributed stemmed BM25 (the sharded twin of
+        :meth:`FtIndex.stem_topk`): each query term scores as the
+        synonym group of its GLOBAL stem class (expansion via
+        :meth:`stem_terms`, so shards agree on membership), idf from
+        the group's GLOBAL df (docs in ANY shard containing ANY
+        member — per-shard unique counts sum exactly because docs are
+        disjoint across shards), tf summed across members inside the
+        owning shard, global avgdl — per-doc scores equal the
+        monolithic stem_topk on the union corpus (pinned in tests).
+        Returns (shard, doc_id, score)."""
+        if k <= 0 or not terms:
+            return []
+        n_docs, avgdl = self.global_stats(field)
+        groups: dict[str, list[str]] = {}
+        for t in terms:
+            exp = [w for w, _ in self.stem_terms(
+                t, field=field, limit=(1 << 31) - 1, algo=algo)]
+            groups[t] = exp or [t]
+        members_all = sorted({m for ms in groups.values() for m in ms})
+        per_shard: list[dict] = []
+        gdf = {c: 0 for c in groups}
+        for sh in self.shards:
+            by = sh._fetch_term_rows(members_all, field)
+            sgs = {}
+            for canon, members in groups.items():
+                parts = [TermList(m, by[m], 0.0).decode_all()
+                         for m in dict.fromkeys(members) if by.get(m)]
+                if not parts:
+                    continue
+                ids = np.concatenate([p[0] for p in parts]).astype(np.int64)
+                tfs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+                dls = np.concatenate([p[2] for p in parts]).astype(np.int64)
+                uids, inv = np.unique(ids, return_inverse=True)
+                utf = np.zeros(uids.size, np.int64)
+                np.add.at(utf, inv, tfs)
+                udl = np.zeros(uids.size, np.int64)
+                udl[inv] = dls  # dl is per-doc, same across members
+                sgs[canon] = (uids, utf, udl)
+                gdf[canon] += uids.size
+            per_shard.append(sgs)
+        merged: list[tuple[float, int, int]] = []
+        for si, (sh, sgs) in enumerate(zip(self.shards, per_shard)):
+            all_ids, all_c = [], []
+            for canon, (uids, utf, udl) in sgs.items():
+                idf = bm25_idf(n_docs, gdf[canon])
+                all_ids.append(uids)
+                all_c.append(bm25_contrib(utf, udl, idf, avgdl))
+            if not all_ids:
+                continue
+            cat = np.concatenate(all_ids)
+            catc = np.concatenate(all_c)
+            fids, inv = np.unique(cat, return_inverse=True)
+            scores = np.bincount(inv, weights=catc, minlength=fids.size)
+            tombs = sh._tombstones
+            merged.extend((float(s), si, int(d))
+                          for d, s in zip(fids, scores)
+                          if int(d) not in tombs)
+        merged.sort(key=lambda x: (-x[0], x[1], x[2]))
+        return [(si, d, s) for s, si, d in merged[:k]]
+
     def ltr_rerank(self, terms: list[str], model, k: int = 10,
                    rerank_docs: int = 100, field: str = "code.content"
                    ) -> list[tuple[int, int, float]]:

@@ -274,3 +274,23 @@ def test_sharded_ltr_equals_monolithic(spark, setup):
                                  k=3, rerank_docs=big)) == 3
     with pytest.raises(ValueError):
         shards.ltr_rerank(TERMS, LinearModel({"bogus": 1.0}), k=3)
+
+
+def test_sharded_stem_topk_equals_monolithic(spark, setup):
+    """Stemmed BM25 across shards: per-doc scores equal the monolithic
+    stem_topk (global stem classes, global group df, global avgdl)."""
+    mono, shards = setup
+    big = 10**6
+    mono_hits = mono.stem_topk(["values", "words"], k=big)
+    sh_hits = shards.stem_topk(["values", "words"], k=big)
+    assert len(mono_hits) == len(sh_hits) > 0
+    mk = _keyed(spark, {str(mono.path): list(mono_hits)})
+    sk = {}
+    for path, want_si in ((str(shards.shards[0].path), 0),
+                          (str(shards.shards[1].path), 1)):
+        rows = [(d, s) for si, d, s in sh_hits if si == want_si]
+        sk.update(_keyed(spark, {path: rows}))
+    assert set(mk) == set(sk)
+    for key, s in mk.items():
+        assert sk[key] == pytest.approx(s, rel=1e-9), key
+    assert shards.stem_topk([], k=5) == []
