@@ -35,10 +35,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-parity tokenization: (doc_id, term), duplicates kept."""
+def _tokens(spark: SparkSession, sf_dir: str,
+            docs: DataFrame | None = None) -> DataFrame:
+    """SQL-parity tokenization: (doc_id, term), duplicates kept.
+    ``docs`` overrides the source frame (a sub-collection view)."""
+    base = _docs(spark, sf_dir) if docs is None else docs
     return (
-        _docs(spark, sf_dir)
+        base
         .select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9_]+")).alias("term"))
         .filter(F.col("term") != "")
     )
@@ -97,9 +100,10 @@ def q_field_stats(spark, sf_dir):
     )
 
 
-def _bm25_scored(spark, sf_dir, terms: list[str] | None = None):
+def _bm25_scored(spark, sf_dir, terms: list[str] | None = None,
+                 docs: DataFrame | None = None):
     terms = terms or BM25_TERMS
-    tok = _tokens(spark, sf_dir)
+    tok = _tokens(spark, sf_dir, docs=docs)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -1009,6 +1013,63 @@ def q_group_topm(spark, sf_dir):
         .select("group_rank", "source", "member_rank", "doc_id",
                 "score_r", "group_size")
     )
+
+
+def q_collapse_expand(spark, sf_dir):
+    """Solr collapse + ExpandComponent (engine twin
+    FtIndex.expand_topk): the main page is the top-8 collapsed
+    representatives (best member per source, ranked globally), the
+    expand section the next 2 best members of each page group. Scale
+    shape: within-group ranks are ONE window partitioned by source;
+    the global cut ranks only the one-per-group survivors
+    (cut-then-rank via _ranked); the 8 chosen groups broadcast back
+    onto the member rows."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("score_r"), F.asc("doc_id"))
+    ranked = (
+        _bm25_scored(spark, sf_dir)
+        .join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    page = _ranked(ranked.filter(F.col("rn") == 1),
+                   [F.desc("score_r"), F.asc("doc_id")], 8, col="hit_rank")
+    hits = page.select(
+        "hit_rank", "source", F.lit("hit").alias("section"),
+        F.lit(0).alias("member_rank"), "doc_id", "score_r")
+    expand = (
+        ranked.filter((F.col("rn") >= 2) & (F.col("rn") <= 3))
+        .join(F.broadcast(page.select("source", "hit_rank")), "source")
+        .select("hit_rank", "source", F.lit("expand").alias("section"),
+                (F.col("rn") - 1).alias("member_rank"), "doc_id", "score_r")
+    )
+    return hits.unionByName(expand)
+
+
+def q_xjoin_filter(spark, sf_dir):
+    """Cross-collection join (Solr ``{!join fromIndex=other from=lang
+    to=lang}dup`` + outer BM25 query; engine twin
+    FtIndex.join_topk(from_index=...)): the 'src3' slice of the
+    corpus acts as the FROM collection — its docs matching 'dup'
+    yield a distinct lang key set — and the rest of the corpus is the
+    TO collection, scored with its OWN BM25 statistics (a separate
+    collection owns separate stats) and filtered to those langs.
+    Scale shape: the key set is distinct-reduced (languages ≪ docs)
+    and broadcast; the two collections never co-shuffle."""
+    docs = _docs(spark, sf_dir)
+    inner_docs = docs.filter(F.col("source") == "src3")
+    outer_docs = docs.filter(F.col("source") != "src3")
+    keys = (
+        _tokens(spark, sf_dir, docs=inner_docs)
+        .filter(F.col("term") == "dup")
+        .join(inner_docs.select("doc_id", "lang"), "doc_id")
+        .select("lang").distinct()
+    )
+    scored = _bm25_scored(spark, sf_dir, docs=outer_docs)
+    return _ranked(
+        scored.join(outer_docs.select("doc_id", "lang"), "doc_id")
+        .join(F.broadcast(keys), "lang"),
+        [F.desc("score_r"), F.asc("doc_id")], 10) \
+        .select("rank", "doc_id", "lang", "score_r")
 
 
 def q_bm25_boost_mult(spark, sf_dir):
@@ -2531,6 +2592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_top": q_stream_join_top,
         "sig_terms_fg": q_sig_terms_fg,
         # --- unchecked remainder: rotate into the window next round ---
+        "collapse_expand": q_collapse_expand,
+        "xjoin_filter": q_xjoin_filter,
         "nb_scores": q_nb_scores,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
@@ -3838,6 +3901,75 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN heads h USING (source)
             WHERE h.group_rank <= 8 AND g.member_rank <= 2
         """,
+        "collapse_expand": _BM25_CTE + """,
+            g AS (
+              SELECT d.source, b.doc_id, b.score_r,
+                     row_number() OVER (PARTITION BY d.source
+                                        ORDER BY b.score_r DESC, b.doc_id) AS rn
+              FROM bm25 b JOIN documents d USING (doc_id)
+            ),
+            page AS (
+              SELECT * FROM (
+                SELECT source, doc_id, score_r,
+                       row_number() OVER (ORDER BY score_r DESC, doc_id)
+                         AS hit_rank
+                FROM g WHERE rn = 1
+              ) WHERE hit_rank <= 8
+            )
+            SELECT hit_rank, source, 'hit' AS section, 0 AS member_rank,
+                   doc_id, score_r
+            FROM page
+            UNION ALL
+            SELECT p.hit_rank, g.source, 'expand' AS section,
+                   g.rn - 1 AS member_rank, g.doc_id, g.score_r
+            FROM g JOIN page p USING (source)
+            WHERE g.rn BETWEEN 2 AND 3
+        """,
+        "xjoin_filter": """
+            WITH outer_docs AS (SELECT * FROM documents WHERE source <> 'src3'),
+            tok AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+                FROM outer_docs
+              ) WHERE term <> ''
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+            m AS (SELECT * FROM tf WHERE term IN ('spark', 'merge', 'window')),
+            dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+            scored AS (
+              SELECT m.doc_id,
+                     ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {k1p1}
+                       / (m.tf + {k1} * ({b1} + {b} * dl.dl / s.avgdl)) AS contrib
+              FROM m JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+            ),
+            bm25 AS (SELECT doc_id, round(sum(contrib), 5) AS score_r
+                     FROM scored GROUP BY doc_id),
+            itok AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+                FROM documents WHERE source = 'src3'
+              ) WHERE term <> ''
+            ),
+            keys AS (
+              SELECT DISTINCT d.lang FROM itok t
+              JOIN documents d USING (doc_id)
+              WHERE t.term = 'dup'
+            )
+            SELECT * FROM (
+              SELECT row_number() OVER (ORDER BY b.score_r DESC, b.doc_id)
+                       AS rank,
+                     b.doc_id, d.lang, b.score_r
+              FROM bm25 b
+              JOIN outer_docs d USING (doc_id)
+              JOIN keys USING (lang)
+            ) WHERE rank <= 10
+        """.format(k1p1=K1 + 1.0, k1=K1, b1=1.0 - B, b=B),
         "bm25_boost_mult": _BM25_CTE + """
             SELECT rank, doc_id, score_r, boost_r, final_r FROM (
               SELECT row_number() OVER (ORDER BY final_r DESC, doc_id)

@@ -1618,6 +1618,68 @@ class FtIndex:
             .select("group_value", "group_rank", "doc_id", "score")
         )
 
+    def expand_topk(self, terms: list[str], group_col: str = "lang",
+                    k: int = 10, expand_rows: int = 2,
+                    field: str = "code.content") -> DataFrame:
+        """Collapse + expand (Solr ``{!collapse field=...}`` +
+        ExpandComponent ``expand=true&expand.rows=N``): the main hit
+        page is the top-``k`` group REPRESENTATIVES — each group
+        collapsed to its best (score DESC, doc_id ASC) member, the
+        representatives ranked globally like any other hit page — and
+        for every group on the page the expanded section carries its
+        next ``expand_rows`` best members, so a UI can show "more from
+        this repo/lang" under each hit without a second query.
+
+        Differs from :meth:`topk_grouped` (grouped display: groups
+        ranked by head, N members each) exactly the way Solr's expand
+        differs from result grouping: here the main list IS a flat
+        collapsed page (``hit_rank`` is a global rank), and the
+        expansion is a separate section keyed back to it — the two
+        Solr response sections flattened into one frame.
+
+        Returns (hit_rank, group_value, section, member_rank, doc_id,
+        score): ``section``="hit" rows are the collapsed page
+        (member_rank 0); "expand" rows its per-group expansion,
+        member_rank 1..expand_rows in within-group score order.
+
+        Scale shape: the within-group rank is ONE window partitioned
+        by the group column (never global); only the one-row-per-group
+        survivors reach the global cut, which is
+        orderBy().limit(k) → TakeOrderedAndProject (the hit_rank
+        window then ranks ≤ k rows); the k chosen groups broadcast
+        back onto the member rows, so the expand section costs one
+        broadcast-hash semi-join over the match set — no re-query, no
+        corpus-sized window."""
+        from pyspark.sql import Window
+
+        scored = self._scored_df(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs")).select(
+            "doc_id", F.col(group_col).alias("group_value"))
+        within = Window.partitionBy("group_value").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        ranked = scored.join(docs, "doc_id").withColumn(
+            "rn", F.row_number().over(within))
+        head = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        page = (
+            ranked.filter(F.col("rn") == 1)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .withColumn("hit_rank", F.row_number().over(head))
+        )
+        hits = page.select(
+            "hit_rank", "group_value", F.lit("hit").alias("section"),
+            F.lit(0).alias("member_rank"), "doc_id", "score")
+        expand = (
+            ranked.filter(
+                (F.col("rn") >= 2) & (F.col("rn") <= expand_rows + 1))
+            .join(F.broadcast(page.select("group_value", "hit_rank")),
+                  "group_value")
+            .select("hit_rank", "group_value",
+                    F.lit("expand").alias("section"),
+                    (F.col("rn") - 1).alias("member_rank"),
+                    "doc_id", "score")
+        )
+        return hits.unionByName(expand)
+
     def parent_topk(self, terms: list[str], parent_col: str = "repo",
                     score_mode: str = "max", k: int = 10,
                     field: str = "code.content") -> DataFrame:
@@ -2088,7 +2150,9 @@ class FtIndex:
 
     def join_topk(self, inner_terms: list[str], outer_terms: list[str],
                   k: int = 10, join_col: str = "repo",
-                  field: str = "code.content") -> DataFrame:
+                  field: str = "code.content",
+                  from_index: "FtIndex | None" = None,
+                  from_col: str | None = None) -> DataFrame:
         """Join query (Solr ``{!join from=f to=f}inner`` + outer
         query): rank docs matching ``outer_terms`` whose ``join_col``
         value is shared with at least one doc matching ``inner_terms``
@@ -2096,16 +2160,29 @@ class FtIndex:
         file mentioning 'deprecated'". Returns (doc_id, join_col,
         score) ordered by BM25 of the OUTER query.
 
+        Cross-collection form (Solr ``{!join fromIndex=other
+        from=f to=t}``): pass ``from_index`` to evaluate the inner
+        query against ANOTHER FtIndex — its matches produce the key
+        set via ``from_col`` (that index's column; defaults to
+        ``join_col``), which filters THIS index's outer scoring on
+        ``join_col``. ``from_index=None`` is the same-collection
+        ``{!join}``.
+
         Scale shape: the inner match set decodes executor-side
-        (:meth:`_matched_ids`), reduces to DISTINCT join keys — the
-        small side by construction (repos ≪ docs) — and broadcasts
-        into a semi-join against the distributed outer scoring; the
-        cut is one global TakeOrderedAndProject. No driver
-        materialization of either match set."""
-        inner = self._matched_ids(inner_terms, field)
+        (:meth:`_matched_ids`) on whichever index owns it, reduces to
+        DISTINCT join keys — the small side by construction
+        (repos ≪ docs) — and broadcasts into a semi-join against the
+        distributed outer scoring; the cut is one global
+        TakeOrderedAndProject. No driver materialization of either
+        match set, and the two indexes never co-shuffle: only the
+        distinct-key frame crosses between them."""
+        src = from_index if from_index is not None else self
+        fcol = from_col if from_col is not None else join_col
+        inner = src._matched_ids(inner_terms, field)
+        fdocs = src.spark.read.parquet(str(src.path / "docs"))
+        keys = (fdocs.join(inner, "doc_id")
+                .select(F.col(fcol).alias(join_col)).distinct())
         docs = self.spark.read.parquet(str(self.path / "docs"))
-        keys = (docs.join(inner, "doc_id")
-                .select(join_col).distinct())
         scored = self._scored_df(outer_terms, field)
         return (
             scored.join(docs.select("doc_id", join_col), "doc_id")

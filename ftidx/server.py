@@ -741,6 +741,36 @@ def _make_handler(idx, lock: threading.Lock):
                             else:
                                 hits = idx.phrase_topk(terms, k=k, field=field)
                         elif group:
+                            if qs.get("expand", [""])[0] == "true":
+                                # Solr collapse + ExpandComponent:
+                                # collapsed hit page + per-group
+                                # expansion in the same response
+                                erows = int(qs.get(
+                                    "expand.rows", ["2"])[0])
+                                rows = idx.expand_topk(
+                                    terms, group_col=group, k=k,
+                                    expand_rows=erows,
+                                    field=field).collect()
+                                hits = [r for r in rows
+                                        if r["section"] == "hit"]
+                                hits.sort(key=lambda r: r["hit_rank"])
+                                expanded: dict = {}
+                                for r in rows:
+                                    if r["section"] == "expand":
+                                        expanded.setdefault(
+                                            r["group_value"], []).append(
+                                            {"doc_id": r["doc_id"],
+                                             "score": r["score"],
+                                             "rank": r["member_rank"]})
+                                for v in expanded.values():
+                                    v.sort(key=lambda d: d["rank"])
+                                self._json(200, {"docs": [
+                                    {"doc_id": r["doc_id"],
+                                     "group": r["group_value"],
+                                     "rank": r["hit_rank"],
+                                     "score": r["score"]} for r in hits
+                                ], "expanded": expanded})
+                                return
                             rows = idx.topk_grouped(
                                 terms, group_col=group, k_groups=k,
                                 field=field).collect()

@@ -499,6 +499,75 @@ def test_topk_grouped_collapse(spark, built):
     assert [r["doc_id"] for r in in_top] == [d for d, _ in two_best]
 
 
+def test_expand_topk(spark, built):
+    """Collapse + expand (Solr ExpandComponent): the hit page is the
+    top-k group representatives ranked globally; the expand section
+    carries the next best members of exactly the page's groups."""
+    idx = open_index(spark, built[0])
+    got = idx.expand_topk(["def"], group_col="lang", k=5,
+                          expand_rows=2).collect()
+    all_hits = dict(idx.topk(["def"], k=10**6, kernel="exhaustive"))
+    meta = {r["doc_id"]: r["lang"] for r in
+            spark.read.parquet(f"{built[0]}/docs").collect()}
+    by_group: dict[str, list] = {}
+    for d, s in all_hits.items():
+        by_group.setdefault(meta[d], []).append((d, s))
+    for g in by_group:
+        by_group[g].sort(key=lambda kv: (-kv[1], kv[0]))
+    reps = sorted(((m[0][1], m[0][0], g) for g, m in by_group.items()),
+                  key=lambda t: (-t[0], t[1]))[:5]
+    hits = sorted((r for r in got if r["section"] == "hit"),
+                  key=lambda r: r["hit_rank"])
+    assert [(r["group_value"], r["doc_id"]) for r in hits] == \
+        [(g, d) for _, d, g in reps]
+    assert [r["hit_rank"] for r in hits] == list(range(1, len(reps) + 1))
+    assert all(r["member_rank"] == 0 for r in hits)
+    want_rank = {g: i + 1 for i, (_, _, g) in enumerate(reps)}
+    exp: dict[str, list] = {}
+    for r in got:
+        if r["section"] == "expand":
+            exp.setdefault(r["group_value"], []).append(
+                (r["member_rank"], r["doc_id"], r["hit_rank"]))
+    # expansion exists only for page groups, carries the page's
+    # hit_rank, and is the group's members 2..3 in score order
+    assert set(exp) <= {g for _, _, g in reps}
+    for _, _, g in reps:
+        want = by_group[g][1:3]
+        gotm = sorted(exp.get(g, []))
+        assert [d for _, d, _ in gotm] == [d for d, _ in want], g
+        assert [m for m, _, _ in gotm] == list(range(1, len(want) + 1))
+        assert all(hr == want_rank[g] for _, _, hr in gotm)
+
+
+def test_join_topk_cross_index(spark, built, tmp_path):
+    """{!join fromIndex=other}: the inner query evaluates on ANOTHER
+    index whose matches produce the key set; from_index=self must
+    reproduce the same-collection join exactly."""
+    idx = open_index(spark, built[0])
+    same = idx.join_topk(["alpha"], ["def"], k=8, join_col="lang")
+    via_self = idx.join_topk(["alpha"], ["def"], k=8, join_col="lang",
+                             from_index=idx)
+    assert [tuple(r) for r in same.collect()] == \
+        [tuple(r) for r in via_self.collect()]
+
+    out2 = str(tmp_path / "other")
+    build_index(spark, synth_source(spark, 150, partitions=3), out2,
+                n_buckets=4)
+    other = open_index(spark, out2)
+    got = idx.join_topk(["alpha"], ["def"], k=8, join_col="lang",
+                        from_index=other).collect()
+    meta2 = {r["doc_id"]: r["lang"] for r in
+             spark.read.parquet(f"{out2}/docs").collect()}
+    keys = {meta2[d] for d, _ in other.topk(["alpha"], k=10**6)}
+    meta = {r["doc_id"]: r["lang"] for r in
+            spark.read.parquet(f"{built[0]}/docs").collect()}
+    expect = sorted(((d, s) for d, s in
+                     idx.topk(["def"], k=10**6, kernel="exhaustive")
+                     if meta[d] in keys), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    assert all(r["lang"] in keys for r in got)
+
+
 def test_search_sorted_pagination(spark, built):
     """Solr sort/start/rows: metadata ordering with deterministic
     tiebreak, pages abut with no overlap or gap."""

@@ -217,6 +217,28 @@ def test_slop_group_sort_endpoints(served):
         [r["doc_id"] for r in expect_c]
 
 
+def test_expand_param(served):
+    """collapse + expand over live HTTP equals the library call:
+    collapsed page in rank order, expansion keyed by group."""
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, out = _get(f"{base}/search?q=def&group=lang&expand=true"
+                       f"&expand.rows=2&k=4")
+    assert status == 200
+    rows = idx.expand_topk(["def"], group_col="lang", k=4,
+                           expand_rows=2).collect()
+    hits = sorted((r for r in rows if r["section"] == "hit"),
+                  key=lambda r: r["hit_rank"])
+    assert [(d["group"], d["doc_id"], d["rank"]) for d in out["docs"]] == \
+        [(r["group_value"], r["doc_id"], r["hit_rank"]) for r in hits]
+    for r in rows:
+        if r["section"] == "expand":
+            sect = out["expanded"][r["group_value"]]
+            assert {"doc_id": r["doc_id"], "score": r["score"],
+                    "rank": r["member_rank"]} in sect
+    assert set(out["expanded"]) <= {d["group"] for d in out["docs"]}
+
+
 def test_facet_range_endpoint(served):
     srv, idx = served
     status, body = _get(
