@@ -1540,23 +1540,34 @@ class FtIndex:
                 "n_docs": n_docs, "avgdl": avgdl,
                 "score": round(total, 6), "terms": out}
 
-    def _scored_df(self, terms: list[str], field: str) -> DataFrame:
+    def _scored_df(self, terms: list[str], field: str,
+                   idfs: dict[str, float] | None = None,
+                   avgdl: float | None = None) -> DataFrame:
         """Distributed full scoring of every matching doc: (doc_id,
         score) with tombstones dropped. Per-bucket BM25 inside
         executors via applyInPandas — globally valid because one
         bucket owns all of a doc's postings rows. The shared engine
         under :meth:`topk_where`, :meth:`topk_grouped` and
-        :meth:`search_sorted`."""
+        :meth:`search_sorted`.
+
+        ``idfs``/``avgdl`` override the index's own statistics —
+        FtShards passes GLOBAL values here so every shard of a
+        distributed deployment scores on the same idf/avgdl
+        (SolrCloud ExactStatsCache semantics); when None the local
+        statistics are computed as before."""
         qterms = sorted(set(terms))
         prows = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(qterms)
         )
-        df_by_term = {
-            r["term"]: int(r["df_global"])
-            for r in prows.groupBy("term").agg(F.sum("df").alias("df_global")).collect()
-        }
-        n_docs, avgdl = self.stats.get(field, (0, 1.0))
-        idfs = {t: bm25_idf(n_docs, d) for t, d in df_by_term.items()}
+        if avgdl is None:
+            _, avgdl = self.stats.get(field, (0, 1.0))
+        if idfs is None:
+            df_by_term = {
+                r["term"]: int(r["df_global"])
+                for r in prows.groupBy("term").agg(F.sum("df").alias("df_global")).collect()
+            }
+            n_docs, _ = self.stats.get(field, (0, 1.0))
+            idfs = {t: bm25_idf(n_docs, d) for t, d in df_by_term.items()}
         tombs = self._tombstones
 
         def score_all(pdf: pd.DataFrame) -> pd.DataFrame:

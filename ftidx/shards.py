@@ -458,6 +458,103 @@ class FtShards:
         return _sig_score_cut(agg, fg_n, bg_n, limit,
                               min_doc_freq, max_doc_freq)
 
+    def _scored_union(self, terms: list[str], field: str,
+                      extra_cols: list):
+        """Union of per-shard distributed scoring frames, every shard
+        scored with GLOBAL idf/avgdl (the two-phase SolrCloud stats
+        discipline — local stats would make a doc's score depend on
+        its shard), each row tagged with its shard ordinal and joined
+        to the named columns of its OWN docs table (ids are
+        shard-local). The shared engine under the sharded
+        :meth:`expand_topk` and :meth:`join_topk`."""
+        n_docs, avgdl = self.global_stats(field)
+        qterms, _, gdf = self._gather(terms, field)
+        idfs = {t: bm25_idf(n_docs, gdf[t]) for t in qterms if gdf[t] > 0}
+        frames = []
+        for si, sh in enumerate(self.shards):
+            docs = sh.spark.read.parquet(str(sh.path / "docs")).select(
+                "doc_id", *extra_cols)
+            frames.append(
+                sh._scored_df(terms, field, idfs=idfs, avgdl=avgdl)
+                .join(docs, "doc_id")
+                .withColumn("shard", F.lit(si)))
+        uni = frames[0]
+        for fr in frames[1:]:
+            uni = uni.unionByName(fr)
+        return uni
+
+    def expand_topk(self, terms: list[str], group_col: str = "lang",
+                    k: int = 10, expand_rows: int = 2,
+                    field: str = "code.content"):
+        """Distributed collapse + expand (Solr's collapse/expand under
+        shards=): same semantics as FtIndex.expand_topk over the union
+        corpus — global stats make per-doc scores shard-invariant
+        (pinned by test), and the tie discipline extends the sharded
+        rule: (score DESC, shard ASC, doc_id ASC). Returns the
+        single-index frame plus the ``shard`` ordinal. The group
+        window spans shards (one partitioned exchange of the match
+        set), which is exactly what per-shard collapse cannot do —
+        Solr documents collapse as unreliable when a group straddles
+        shards; this path is exact."""
+        from pyspark.sql import Window
+
+        ranked = (
+            self._scored_union(terms, field,
+                               [F.col(group_col).alias("group_value")])
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("group_value").orderBy(
+                    F.desc("score"), F.asc("shard"), F.asc("doc_id"))))
+        )
+        order = [F.desc("score"), F.asc("shard"), F.asc("doc_id")]
+        head = Window.orderBy(*order)
+        page = (ranked.filter(F.col("rn") == 1)
+                .orderBy(*order).limit(k)
+                .withColumn("hit_rank", F.row_number().over(head)))
+        hits = page.select(
+            "hit_rank", "group_value", F.lit("hit").alias("section"),
+            F.lit(0).alias("member_rank"), "shard", "doc_id", "score")
+        expand = (
+            ranked.filter(
+                (F.col("rn") >= 2) & (F.col("rn") <= expand_rows + 1))
+            .join(F.broadcast(page.select("group_value", "hit_rank")),
+                  "group_value")
+            .select("hit_rank", "group_value",
+                    F.lit("expand").alias("section"),
+                    (F.col("rn") - 1).alias("member_rank"),
+                    "shard", "doc_id", "score"))
+        return hits.unionByName(expand)
+
+    def join_topk(self, inner_terms: list[str], outer_terms: list[str],
+                  k: int = 10, join_col: str = "repo",
+                  field: str = "code.content"):
+        """Distributed join query ({!join} under shards=): the inner
+        match set reduces to distinct join keys PER SHARD and the key
+        union broadcasts into every shard's outer scoring — exact
+        across shards (a doc joins on a key discovered in ANY shard),
+        unlike Solr's {!join}, which is node-local under SolrCloud
+        unless the from-collection is replicated everywhere; the
+        broadcast of the distinct-key frame is this module's version
+        of that replication, sized by distinct keys, not docs.
+        Returns (shard, doc_id, join_col, score), global-stats scored,
+        tie discipline (score DESC, shard ASC, doc_id ASC)."""
+        parts = []
+        for sh in self.shards:
+            docs = sh.spark.read.parquet(str(sh.path / "docs"))
+            parts.append(
+                docs.join(sh._matched_ids(inner_terms, field), "doc_id")
+                .select(join_col))
+        keys = parts[0]
+        for p in parts[1:]:
+            keys = keys.unionByName(p)
+        keys = keys.distinct()
+        outer = self._scored_union(outer_terms, field, [join_col])
+        return (
+            outer.join(F.broadcast(keys), join_col)
+            .orderBy(F.desc("score"), F.asc("shard"), F.asc("doc_id"))
+            .limit(k)
+            .select("shard", "doc_id", join_col, "score")
+        )
+
     def export(self, terms: list[str], sort: str, fl: list[str],
                field: str = "code.content"):
         """Distributed sorted export (Solr /export with shards=): each

@@ -47,6 +47,30 @@ def test_hybrid_rrf_no_single_partition_sort_or_window(spark):
                 (line, child)
 
 
+def test_collapse_expand_plan_shape(spark):
+    """collapse_expand: the within-group rank must be a PARTITIONED
+    window (partitionBy source — never a corpus-sized single-partition
+    sort), the page cut a TakeOrderedAndProject, and the expand
+    section's join with the ≤ k page groups a broadcast join. Same
+    assertion for xjoin_filter's key semi-join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["collapse_expand"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1]
+            assert ("HashAggregate(keys=[], functions=[partial_" in child
+                    or "TakeOrderedAndProject" in child
+                    or "LocalLimit" in child), (line, child)
+
+    xplan = _plan(e.queries()["xjoin_filter"](spark, SF))
+    assert "TakeOrderedAndProject" in xplan
+    assert "BroadcastHashJoin" in xplan
+
+
 def test_ranked_helper_cut_then_rank_identity(spark):
     """_ranked == full-frame row_number ranking on the same total
     order (the refactor's correctness contract), and the plan carries

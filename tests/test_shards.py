@@ -97,6 +97,59 @@ def test_guards(setup):
     assert shards.topk(["zzz_nothing"], k=5) == []
 
 
+def _nat(spark, path):
+    docs = (spark.read.parquet(f"{path}/docs")
+            .select("doc_id", "repo", "path", "commit").collect())
+    return {r["doc_id"]: (r["repo"], r["path"], r["commit"]) for r in docs}
+
+
+def test_sharded_expand_equals_monolithic(spark, setup):
+    """Distributed collapse+expand: page structure, group membership
+    and per-doc scores equal the monolithic index (global stats make
+    scores shard-invariant; the group window spans shards)."""
+    mono, shards = setup
+    mk = _nat(spark, str(mono.path))
+    sk = [_nat(spark, str(sh.path)) for sh in shards.shards]
+    me = mono.expand_topk(TERMS, group_col="lang", k=5,
+                          expand_rows=2).collect()
+    se = shards.expand_topk(TERMS, group_col="lang", k=5,
+                            expand_rows=2).collect()
+    key = lambda r: (r["hit_rank"], r["section"], r["member_rank"])
+    m, s = sorted(me, key=key), sorted(se, key=key)
+    assert len(m) == len(s) > 5
+    for a, b in zip(m, s):
+        assert key(a) == key(b)
+        assert a["group_value"] == b["group_value"]
+        assert mk[a["doc_id"]] == sk[b["shard"]][b["doc_id"]]
+        assert b["score"] == pytest.approx(a["score"], rel=1e-9)
+
+
+def test_sharded_join_equals_monolithic(spark, setup):
+    """Distributed {!join}: keys discovered in ANY shard filter every
+    shard's outer scoring (the broadcast replaces Solr's replicated
+    from-collection); result equals the monolithic join."""
+    mono, shards = setup
+    mk = _nat(spark, str(mono.path))
+    sk = [_nat(spark, str(sh.path)) for sh in shards.shards]
+    # full lists (no cut): membership is tie-closed, so the natural-key
+    # sets must be identical and per-doc scores equal; the k-cut is
+    # then checked against the full list's score sequence (exact-tie
+    # docs may swap between deployments AT the boundary — same rule as
+    # the sharded topk tie discipline)
+    big = 10**6
+    mm = {mk[r["doc_id"]]: (r["lang"], r["score"]) for r in
+          mono.join_topk(["alpha"], ["def"], k=big, join_col="lang").collect()}
+    ss = {sk[r["shard"]][r["doc_id"]]: (r["lang"], r["score"]) for r in
+          shards.join_topk(["alpha"], ["def"], k=big, join_col="lang").collect()}
+    assert set(mm) == set(ss) and len(mm) > 8
+    for key, (lang, score) in mm.items():
+        assert ss[key][0] == lang
+        assert ss[key][1] == pytest.approx(score, rel=1e-9)
+    sj = shards.join_topk(["alpha"], ["def"], k=8, join_col="lang").collect()
+    want = sorted((s for _, s in mm.values()), reverse=True)[:8]
+    assert [r["score"] for r in sj] == pytest.approx(want, rel=1e-9)
+
+
 def test_sharded_facets_equal_monolithic(setup):
     """Distributed facet merge: summed per-shard constraint lists equal
     the monolithic index's facet counts exactly (complete lists — the
