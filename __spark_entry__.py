@@ -1072,6 +1072,82 @@ def q_xjoin_filter(spark, sf_dir):
         .select("rank", "doc_id", "lang", "score_r")
 
 
+def _term_contribs(docs_frame, terms: list[str]):
+    """Per-(doc, term) BM25 contributions over ONE field frame
+    (doc_id, text) with that field's OWN tf/dl/df/avgdl statistics —
+    the un-aggregated sibling of _bm25_scored, for per-term dismax
+    combination (engine twin FtIndex._term_scored_df)."""
+    tok = (
+        docs_frame
+        .select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9_]+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).cast("double").alias("avgdl"),
+    )
+    m = tf.filter(F.col("term").isin(terms))
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = m.join(F.broadcast(dfreq), "term").join(dl, "doc_id").crossJoin(F.broadcast(stats))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    return j.select("doc_id", "term", contrib.alias("contrib"))
+
+
+def q_edismax_full(spark, sf_dir):
+    """The COMPOSED edismax request (engine twin FtIndex.edismax):
+    qf = text^1.0 + lead^2.0 (lead = first 80 chars as a second field
+    with its OWN statistics), per-TERM dismax with tie=0.3, mm=2,
+    bq=fast^0.5 (additive, over the main match set only — the main
+    query is the required clause), bf = 0.2·ln(1+n_chars) additive,
+    boost = recip(n_chars) multiplicative. Every Solr request that
+    sets more than one dismax parameter exercises this composition;
+    the dedicated per-parameter rows (bm25_dismax, bm25_boost_query,
+    bm25_boosted…) cover the degenerate forms."""
+    docs = _docs(spark, sf_dir)
+    a = _term_contribs(docs.select("doc_id", "text"), BM25_TERMS) \
+        .withColumn("wc", F.lit(1.0) * F.col("contrib"))
+    lead = docs.select("doc_id", F.substring("text", 1, 80).alias("text"))
+    b = _term_contribs(lead, BM25_TERMS) \
+        .withColumn("wc", F.lit(2.0) * F.col("contrib"))
+    per_term = (
+        a.unionByName(b)
+        .groupBy("doc_id", "term")
+        .agg(F.max("wc").alias("mx"), F.sum("wc").alias("sm"))
+        .withColumn("tscore", F.col("mx") + F.lit(0.3) *
+                    (F.col("sm") - F.col("mx")))
+    )
+    base = (
+        per_term.groupBy("doc_id")
+        .agg(F.sum("tscore").alias("base"),
+             F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= 2)
+    )
+    bqs = (
+        _term_contribs(docs.select("doc_id", "text"), ["fast"])
+        .groupBy("doc_id")
+        .agg(F.round(F.lit(0.5) * F.sum("contrib"), 5).alias("bq_r"))
+    )
+    out = (
+        base.join(bqs, "doc_id", "left")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("bf_r", F.round(
+            F.lit(0.2) * F.log(F.lit(1.0) + F.col("n_chars")), 5))
+        .withColumn("boost_r", F.round(
+            F.lit(100.0) / (F.lit(0.05) * F.col("n_chars") + F.lit(100.0)), 5))
+        .withColumn("final_r", F.round(
+            (F.col("base") + F.coalesce(F.col("bq_r"), F.lit(0.0))
+             + F.col("bf_r")) * F.col("boost_r"), 5))
+        .withColumn("score_r", F.round(F.col("base"), 5))
+    )
+    return _ranked(out, [F.desc("final_r"), F.asc("doc_id")], 10) \
+        .select("rank", "doc_id", "n_matched", "score_r", "final_r")
+
+
 def q_bm25_boost_mult(spark, sf_dir):
     """Multiplicative boost function (edismax ``boost=``, vs ``bf=``'s
     additive bonus): final = BM25 × recip(n_chars) — the Solr
@@ -2594,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- unchecked remainder: rotate into the window next round ---
         "collapse_expand": q_collapse_expand,
         "xjoin_filter": q_xjoin_filter,
+        "edismax_full": q_edismax_full,
         "nb_scores": q_nb_scores,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
@@ -3970,6 +4047,82 @@ def oracle_sql() -> dict[str, str]:
               JOIN keys USING (lang)
             ) WHERE rank <= 10
         """.format(k1p1=K1 + 1.0, k1=K1, b1=1.0 - B, b=B),
+        "edismax_full": f"""
+            WITH atok AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+                FROM documents
+              ) WHERE term <> ''
+            ),
+            btok AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(substr(text, 1, 80)), '[^a-z0-9_]+')) AS term
+                FROM documents
+              ) WHERE term <> ''
+            ),
+            atf AS (SELECT doc_id, term, count(*) AS tf FROM atok GROUP BY doc_id, term),
+            adl AS (SELECT doc_id, count(*) AS dl FROM atok GROUP BY doc_id),
+            ast AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM adl),
+            am AS (SELECT * FROM atf WHERE term IN ('spark', 'merge', 'window')),
+            adf AS (SELECT term, count(*) AS df FROM am GROUP BY term),
+            ac AS (
+              SELECT m.doc_id, m.term,
+                     1.0 * (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {K1 + 1.0}
+                       / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl))) AS wc
+              FROM am m JOIN adf d USING (term) JOIN adl dl USING (doc_id)
+              CROSS JOIN ast s
+            ),
+            btf AS (SELECT doc_id, term, count(*) AS tf FROM btok GROUP BY doc_id, term),
+            bdl AS (SELECT doc_id, count(*) AS dl FROM btok GROUP BY doc_id),
+            bst AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM bdl),
+            bm AS (SELECT * FROM btf WHERE term IN ('spark', 'merge', 'window')),
+            bdf AS (SELECT term, count(*) AS df FROM bm GROUP BY term),
+            bc AS (
+              SELECT m.doc_id, m.term,
+                     2.0 * (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {K1 + 1.0}
+                       / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl))) AS wc
+              FROM bm m JOIN bdf d USING (term) JOIN bdl dl USING (doc_id)
+              CROSS JOIN bst s
+            ),
+            pt AS (
+              SELECT doc_id, term,
+                     max(wc) + 0.3 * (sum(wc) - max(wc)) AS tscore
+              FROM (SELECT * FROM ac UNION ALL SELECT * FROM bc)
+              GROUP BY doc_id, term
+            ),
+            base AS (
+              SELECT doc_id, sum(tscore) AS base, count(*) AS n_matched
+              FROM pt GROUP BY doc_id HAVING count(*) >= 2
+            ),
+            fm AS (SELECT * FROM atf WHERE term = 'fast'),
+            fdf AS (SELECT term, count(*) AS df FROM fm GROUP BY term),
+            bqs AS (
+              SELECT m.doc_id,
+                     round(0.5 * sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * m.tf * {K1 + 1.0}
+                       / (m.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl))), 5) AS bq_r
+              FROM fm m JOIN fdf d USING (term) JOIN adl dl USING (doc_id)
+              CROSS JOIN ast s
+              GROUP BY m.doc_id
+            )
+            SELECT rank, doc_id, n_matched, score_r, final_r FROM (
+              SELECT row_number() OVER (ORDER BY final_r DESC, doc_id) AS rank, *
+              FROM (
+                SELECT b.doc_id, b.n_matched, round(b.base, 5) AS score_r,
+                       round((b.base + coalesce(q.bq_r, 0.0)
+                              + round(0.2 * ln(1.0 + d.n_chars), 5))
+                             * round(100.0 / (0.05 * d.n_chars + 100.0), 5),
+                             5) AS final_r
+                FROM base b
+                LEFT JOIN bqs q USING (doc_id)
+                JOIN documents d USING (doc_id)
+              )
+            ) WHERE rank <= 10
+        """,
         "bm25_boost_mult": _BM25_CTE + """
             SELECT rank, doc_id, score_r, boost_r, final_r FROM (
               SELECT row_number() OVER (ORDER BY final_r DESC, doc_id)

@@ -1594,6 +1594,133 @@ class FtIndex:
         return prows.groupBy("bucket").applyInPandas(
             score_all, schema="doc_id long, score double")
 
+    def _term_scored_df(self, terms: list[str], field: str) -> DataFrame:
+        """Per-term distributed scoring: (doc_id, term, contrib) for
+        every (matching doc, query term) pair, tombstones dropped —
+        the un-aggregated sibling of :meth:`_scored_df`, needed by
+        scorers that combine PER TERM across fields (edismax's
+        DisjunctionMaxQuery is per query clause, not per field
+        total). Duplicate (doc, term) rows from delta segments sum
+        inside the kernel, so downstream max/sum combinations see one
+        row per pair."""
+        qterms = sorted(set(terms))
+        prows = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(qterms)
+        )
+        df_by_term = {
+            r["term"]: int(r["df_global"])
+            for r in prows.groupBy("term").agg(
+                F.sum("df").alias("df_global")).collect()
+        }
+        n_docs, avgdl = self.stats.get(field, (0, 1.0))
+        idfs = {t: bm25_idf(n_docs, d) for t, d in df_by_term.items()}
+        tombs = self._tombstones
+
+        def score_terms(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as _np
+
+            parts = []
+            for term, grp in pdf.groupby("term", sort=True):
+                tl = TermList(term, grp.to_dict("records"), idfs[term])
+                ids, tfs, dls = tl.decode_all()
+                c = bm25_contrib(tfs, dls, tl.idf, avgdl)
+                uniq, inv = _np.unique(ids, return_inverse=True)
+                summed = _np.bincount(inv, weights=c, minlength=uniq.size)
+                parts.append(pd.DataFrame({
+                    "doc_id": uniq.astype(_np.int64),
+                    "term": term, "contrib": summed}))
+            if not parts:
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype="object"),
+                    "contrib": pd.Series(dtype="float64")})
+            out = pd.concat(parts, ignore_index=True)
+            if tombs:
+                out = out[~out["doc_id"].isin(list(tombs))]
+            return out
+
+        return prows.groupBy("bucket").applyInPandas(
+            score_terms, schema="doc_id long, term string, contrib double")
+
+    def edismax(self, terms: list[str],
+                qf: dict[str, float] | None = None, k: int = 10,
+                tie: float = 0.0, mm: int = 0,
+                bq: dict[str, float] | None = None,
+                bf: str | None = None,
+                boost: str | None = None) -> DataFrame:
+        """The COMPOSED edismax query (Solr ``defType=edismax`` with
+        ``qf`` + ``tie`` + ``mm`` + ``bq`` + ``bf`` + ``boost`` in ONE
+        request — the dedicated methods :meth:`topk_fields`,
+        :meth:`topk_boost_query`, :meth:`topk_boosted` each cover one
+        parameter; real Solr requests combine them):
+
+        - per query term, dismax across the ``qf`` fields (each scored
+          with its own idf/avgdl, scaled by its weight):
+          ``max + tie·(sum − max)`` — Lucene's DisjunctionMaxQuery is
+          per clause, which is why this needs the per-term frame, not
+          field totals;
+        - ``mm``: keep docs matching at least ``mm`` distinct query
+          terms in ANY field (minimum-should-match over the main
+          clauses);
+        - ``bq``: additive optional clauses — ``Σ w·BM25(t)`` over the
+          FIRST qf field, boosting docs in the main match set (the
+          main query is the required clause: a doc matching only a
+          boost term does not surface — exactly ``+main bq``);
+        - ``bf``: additive function over stored columns;
+        - ``boost``: multiplicative function (applied last).
+
+        Returns (doc_id, score, final) — ``score`` the dismax base,
+        ``final`` after boosts — ordered (final DESC, doc_id ASC).
+
+        Scale shape: one per-bucket kernel per qf field (executor-side
+        scoring), the per-term combine and the mm count are one
+        doc_id+term-keyed aggregation, bq/bf/boost are id-keyed
+        column-pruned joins, and the cut is one global
+        TakeOrderedAndProject. Nothing corpus-sized crosses a single
+        partition."""
+        qf = qf or {"code.content": 1.0}
+        fields = sorted(qf)
+        uni = None
+        for f in fields:
+            fr = self._term_scored_df(terms, f).withColumn(
+                "wc", F.lit(float(qf[f])) * F.col("contrib"))
+            uni = fr if uni is None else uni.unionByName(fr)
+        per_term = (
+            uni.groupBy("doc_id", "term")
+            .agg(F.max("wc").alias("mx"), F.sum("wc").alias("sm"))
+            .withColumn("tscore", F.col("mx") + F.lit(float(tie)) *
+                        (F.col("sm") - F.col("mx")))
+        )
+        base = per_term.groupBy("doc_id").agg(
+            F.sum("tscore").alias("score"),
+            F.count(F.lit(1)).alias("n_matched"))
+        if mm > 0:
+            base = base.filter(F.col("n_matched") >= mm)
+        final = F.col("score")
+        if bq:
+            bq_scored = None
+            for t in sorted(bq):
+                fr = self._term_scored_df([t], fields[0]).withColumn(
+                    "wc", F.lit(float(bq[t])) * F.col("contrib"))
+                bq_scored = fr if bq_scored is None \
+                    else bq_scored.unionByName(fr)
+            bq_sum = bq_scored.groupBy("doc_id").agg(
+                F.sum("wc").alias("bq_score"))
+            base = base.join(bq_sum, "doc_id", "left")
+            final = final + F.coalesce(F.col("bq_score"), F.lit(0.0))
+        if bf is not None or boost is not None:
+            docs = self.spark.read.parquet(str(self.path / "docs"))
+            base = base.join(docs, "doc_id")
+            if bf is not None:
+                final = final + F.expr(bf).cast("double")
+            if boost is not None:
+                final = final * F.expr(boost).cast("double")
+        return (
+            base.withColumn("final", final)
+            .orderBy(F.desc("final"), F.asc("doc_id")).limit(k)
+            .select("doc_id", "score", "final")
+        )
+
     def topk_grouped(self, terms: list[str], group_col: str = "lang",
                      k_groups: int = 10, group_limit: int = 1,
                      field: str = "code.content") -> DataFrame:

@@ -232,6 +232,41 @@ def _make_handler(idx, lock: threading.Lock):
                         {"doc_id": r["doc_id"], on: r[on],
                          "score": r["score"]} for r in rows
                     ]})
+                elif u.path == "/edismax":
+                    # the composed edismax request: qf + tie + mm +
+                    # bq + bf + boost in ONE query (each param alone
+                    # is also served by the dedicated /search params)
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    qf_spec = qs.get("qf", [""])[0]
+                    qf = None
+                    if qf_spec:
+                        qf = {}
+                        for part in qf_spec.split(","):
+                            f_name, _, w = part.partition("^")
+                            qf[f_name.strip()] = float(w or 1.0)
+                    bq_spec = qs.get("bq", [""])[0]
+                    bq = None
+                    if bq_spec:
+                        bq = {}
+                        for part in bq_spec.split():
+                            t, _, w = part.partition("^")
+                            bq[t] = float(w or 1.0)
+                    k = int(qs.get("k", ["10"])[0])
+                    tie = float(qs.get("tie", ["0.0"])[0])
+                    mm = int(qs.get("mm", ["0"])[0])
+                    bf = qs.get("bf", [""])[0] or None
+                    boost = qs.get("boost", [""])[0] or None
+                    with lock:
+                        rows = idx.edismax(
+                            terms, qf=qf, k=k, tie=tie, mm=mm,
+                            bq=bq, bf=bf, boost=boost).collect()
+                    self._json(200, {"docs": [
+                        {"doc_id": r["doc_id"], "score": r["score"],
+                         "final": r["final"]} for r in rows
+                    ]})
                 elif u.path == "/export":
                     # Solr ExportHandler: the FULL sorted match set,
                     # streamed — close-delimited JSON written row by

@@ -18,7 +18,7 @@ def _plan(df) -> str:
 @pytest.mark.parametrize("name", [
     "bm25_topk", "bm25_topk_and", "bm25_topk_filtered", "bm25_dismax",
     "bm25_boosted", "bm25_ltr", "parent_block_join", "sorted_page",
-    "terms_component",
+    "terms_component", "edismax_full",
 ])
 def test_topk_contract_queries_plan_take_ordered(spark, name):
     import __spark_entry__ as e

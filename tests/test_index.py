@@ -539,6 +539,64 @@ def test_expand_topk(spark, built):
         assert all(hr == want_rank[g] for _, _, hr in gotm)
 
 
+def test_edismax_identities(spark, built):
+    """The composed scorer degenerates correctly: single field ==
+    plain topk; two fields at tie=1 == the weighted-sum multi-field
+    path."""
+    idx = open_index(spark, built[0])
+    terms = ["def", "value"]
+    got = idx.edismax(terms, qf={"code.content": 1.0}, k=10).collect()
+    want = idx.topk(terms, k=10, kernel="exhaustive")
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["final"] == pytest.approx(s, rel=1e-9)
+
+    w = {"code.content": 1.0, "code.ident.split": 2.0}
+    got2 = idx.edismax(terms, qf=w, tie=1.0, k=10).collect()
+    want2 = idx.topk_fields(terms, fields=w, k=10)
+    assert [r["doc_id"] for r in got2] == [d for d, _ in want2]
+    for r, (_, s) in zip(got2, want2):
+        assert r["final"] == pytest.approx(s, rel=1e-9)
+
+
+def test_edismax_composed_brute_force(spark, built):
+    """qf + tie + mm + bq + bf + boost in ONE query, verified against
+    a pure-Python composition of per-(term, field) contribution maps
+    taken from the public single-term API."""
+    idx = open_index(spark, built[0])
+    f1, f2 = "code.content", "code.ident.split"
+    terms = ["def", "value", "posting"]
+    w, tie, mm = {f1: 1.0, f2: 2.0}, 0.3, 2
+    big = 10**6
+    per = {(t, f): dict(idx.topk([t], k=big, field=f, kernel="exhaustive"))
+           for t in terms for f in (f1, f2)}
+    bq_map = dict(idx.topk(["alpha"], k=big, field=f1, kernel="exhaustive"))
+    meta = {r["doc_id"]: len(r["path"]) for r in
+            spark.read.parquet(f"{built[0]}/docs").collect()}
+    expect = []
+    for d in {d for m in per.values() for d in m}:
+        tot, n = 0.0, 0
+        for t in terms:
+            vals = [w[f] * per[(t, f)][d] for f in (f1, f2)
+                    if d in per[(t, f)]]
+            if vals:
+                n += 1
+                tot += max(vals) + tie * (sum(vals) - max(vals))
+        if n >= mm:
+            final = (tot + 0.7 * bq_map.get(d, 0.0)
+                     + 0.01 * meta[d]) * (1.0 + 0.001 * meta[d])
+            expect.append((d, tot, final))
+    expect.sort(key=lambda x: (-x[2], x[0]))
+    got = idx.edismax(terms, qf=w, tie=tie, mm=mm, bq={"alpha": 0.7},
+                      bf="0.01 * length(path)",
+                      boost="1.0 + 0.001 * length(path)", k=10).collect()
+    assert len(expect) > 10
+    assert [r["doc_id"] for r in got] == [d for d, _, _ in expect[:10]]
+    for r, (_, tot, fin) in zip(got, expect):
+        assert r["score"] == pytest.approx(tot, rel=1e-9)
+        assert r["final"] == pytest.approx(fin, rel=1e-9)
+
+
 def test_join_topk_cross_index(spark, built, tmp_path):
     """{!join fromIndex=other}: the inner query evaluates on ANOTHER
     index whose matches produce the key set; from_index=self must

@@ -217,6 +217,30 @@ def test_slop_group_sort_endpoints(served):
         [r["doc_id"] for r in expect_c]
 
 
+def test_edismax_endpoint(served):
+    """The composed edismax request over live HTTP equals the library
+    call; missing q is a 400."""
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, out = _get(
+        f"{base}/edismax?q=def+value&qf=code.content^1.0,code.ident.split^2.0"
+        f"&tie=0.3&mm=2&bq=alpha^0.7&bf=0.01+*+length(path)"
+        f"&boost=1.0+%2B+0.001+*+length(path)&k=5")
+    assert status == 200
+    want = idx.edismax(["def", "value"],
+                       qf={"code.content": 1.0, "code.ident.split": 2.0},
+                       tie=0.3, mm=2, bq={"alpha": 0.7},
+                       bf="0.01 * length(path)",
+                       boost="1.0 + 0.001 * length(path)", k=5).collect()
+    assert [(d["doc_id"], d["score"], d["final"]) for d in out["docs"]] == \
+        [(r["doc_id"], r["score"], r["final"]) for r in want]
+    assert len(out["docs"]) == 5
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/edismax?k=5")
+    assert e.value.code == 400
+
+
 def test_expand_param(served):
     """collapse + expand over live HTTP equals the library call:
     collapsed page in rank order, expansion keyed by group."""
