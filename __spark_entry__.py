@@ -2422,6 +2422,27 @@ def q_parent_block_join(spark, sf_dir):
                 "score_total", "score_avg", "score_min")
 
 
+def q_child_block_join(spark, sf_dir):
+    """Solr {!child of=...} / ToChildBlockJoinQuery (engine twin
+    FtIndex.child_topk — the inverse of parent_block_join): every
+    member doc of the parents (source containers) matching the query,
+    each carrying its parent's max-of-members score; top-20 by
+    (parent score DESC, parent, doc_id). The parent aggregate is
+    map-side combinable; the member expansion is one broadcast join
+    of the parent frame; the cut is cut-then-rank."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    parents = (
+        _bm25_scored(spark, sf_dir).join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.round(F.max("score_r"), 5).alias("pscore"))
+    )
+    return _ranked(
+        docs.join(F.broadcast(parents), "source"),
+        [F.desc("pscore"), F.asc("source"), F.asc("doc_id")], 20) \
+        .select("rank", "doc_id", "source", "n_hits", "pscore")
+
+
 def q_dup_spans(spark, sf_dir):
     """Cross-document repeated spans (exact-substring dedup, the
     Lee-et-al training-data op): strided 48-char gram hashes present in
@@ -2671,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_expand": q_collapse_expand,
         "xjoin_filter": q_xjoin_filter,
         "edismax_full": q_edismax_full,
+        "child_block_join": q_child_block_join,
         "nb_scores": q_nb_scores,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
@@ -2881,6 +2903,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM heads h LEFT JOIN rr r USING (doc_id)
               )
             ) WHERE rank <= 10
+        """,
+        "child_block_join": _BM25_CTE + """
+            SELECT rank, doc_id, source, n_hits, pscore FROM (
+              SELECT row_number() OVER (ORDER BY pscore DESC, source, doc_id)
+                       AS rank, *
+              FROM (
+                SELECT d.doc_id, d.source, p.n_hits, p.pscore
+                FROM documents d
+                JOIN (
+                  SELECT dd.source, count(*) AS n_hits,
+                         round(max(b.score_r), 5) AS pscore
+                  FROM bm25 b JOIN documents dd USING (doc_id)
+                  GROUP BY dd.source
+                ) p USING (source)
+              )
+            ) WHERE rank <= 20
         """,
         "parent_block_join": _BM25_CTE + """
             SELECT rank, source, n_children, score_max, score_total,

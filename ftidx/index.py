@@ -1854,6 +1854,45 @@ class FtIndex:
             .limit(k)
         )
 
+    def child_topk(self, terms: list[str], parent_col: str = "repo",
+                   score_mode: str = "max", k: int = 20,
+                   field: str = "code.content") -> DataFrame:
+        """Block join to children (Solr ``{!child of=...}`` /
+        ToChildBlockJoinQuery — the inverse of :meth:`parent_topk`):
+        the query matches at PARENT granularity (the parent's score is
+        the ``score_mode`` aggregate of its matching members), and the
+        result is every member doc of the matching parents, each
+        carrying its parent's score — "give me all files of the repos
+        that match this query". Lucene's ToChildBlockJoinQuery assigns
+        each child its parent's score the same way.
+
+        Returns (doc_id, parent, n_hits, score) ordered (score DESC,
+        parent ASC, doc_id ASC) — ``n_hits`` the parent's matching-
+        member count, ``score`` the parent aggregate. Scale shape: the
+        parent aggregate is map-side combinable and bounded by the
+        match set; the expansion back to members is one id-keyed join
+        of the (small) parent frame broadcast against the docs table's
+        column-pruned (doc_id, parent) scan; the cut is one global
+        TakeOrderedAndProject."""
+        aggs = {"max": F.max, "total": F.sum, "avg": F.avg, "min": F.min}
+        if score_mode not in aggs:
+            raise ValueError(f"score_mode must be one of {sorted(aggs)}")
+        scored = self._scored_df(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs")).select(
+            "doc_id", F.col(parent_col).alias("parent"))
+        parents = (
+            scored.join(docs, "doc_id")
+            .groupBy("parent")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 aggs[score_mode]("score").alias("score"))
+        )
+        return (
+            docs.join(F.broadcast(parents), "parent")
+            .orderBy(F.desc("score"), F.asc("parent"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "parent", "n_hits", "score")
+        )
+
     def search_sorted(self, terms: list[str], sort_col: str,
                       ascending: bool = True, start: int = 0,
                       rows: int = 10,

@@ -660,6 +660,27 @@ def _make_handler(idx, lock: threading.Lock):
                     fpath = qs.get("path", ["p"])[0]
                     self._json(200, {"fields": tokenize_doc(
                         text, lang, repo, fpath)})
+                elif u.path == "/child":
+                    # Solr {!child} block join: all member docs of
+                    # the matching parents, each carrying its
+                    # parent's aggregate score
+                    terms = qs.get("q", [""])[0].split()
+                    if not terms:
+                        self._json(400, {"error": "missing q"})
+                        return
+                    on = qs.get("on", ["repo"])[0]
+                    mode = qs.get("score", ["max"])[0]
+                    k = int(qs.get("k", ["20"])[0])
+                    field = qs.get("field", ["code.content"])[0]
+                    with lock:
+                        rows = idx.child_topk(
+                            terms, parent_col=on, score_mode=mode,
+                            k=k, field=field).collect()
+                    self._json(200, {"docs": [
+                        {"doc_id": r["doc_id"], "parent": r["parent"],
+                         "n_hits": r["n_hits"], "score": r["score"]}
+                        for r in rows
+                    ]})
                 elif u.path == "/parent":
                     # Solr {!parent} block join: rank parent entities
                     # by an aggregate (score=max|total|avg|min) of

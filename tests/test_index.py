@@ -539,6 +539,31 @@ def test_expand_topk(spark, built):
         assert all(hr == want_rank[g] for _, _, hr in gotm)
 
 
+def test_child_topk(spark, built):
+    """{!child}: every member of the matching parents carries its
+    parent's aggregate score; brute-forced from the public API."""
+    idx = open_index(spark, built[0])
+    got = idx.child_topk(["def"], parent_col="lang", score_mode="max",
+                         k=15).collect()
+    all_hits = dict(idx.topk(["def"], k=10**6, kernel="exhaustive"))
+    meta = {r["doc_id"]: r["lang"] for r in
+            spark.read.parquet(f"{built[0]}/docs").collect()}
+    pscore: dict[str, float] = {}
+    n_hits: dict[str, int] = {}
+    for d, s in all_hits.items():
+        g = meta[d]
+        pscore[g] = max(pscore.get(g, 0.0), s)
+        n_hits[g] = n_hits.get(g, 0) + 1
+    members = sorted(
+        ((pscore[g], g, d) for d, g in meta.items() if g in pscore),
+        key=lambda t: (-t[0], t[1], t[2]))
+    assert [(r["doc_id"], r["parent"]) for r in got] == \
+        [(d, g) for _, g, d in members[:15]]
+    for r in got:
+        assert r["score"] == pytest.approx(pscore[r["parent"]], rel=1e-9)
+        assert r["n_hits"] == n_hits[r["parent"]]
+
+
 def test_edismax_identities(spark, built):
     """The composed scorer degenerates correctly: single field ==
     plain topk; two fields at tie=1 == the weighted-sum multi-field

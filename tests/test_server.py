@@ -502,6 +502,24 @@ def test_rerank_param(served):
     assert [(h["doc_id"], h["score"]) for h in body["hits"]] == expect
 
 
+def test_child_endpoint(served):
+    srv, idx = served
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/child"
+        f"?q=def+return&on=lang&score=max&k=8")
+    assert status == 200
+    expect = idx.child_topk(["def", "return"], parent_col="lang",
+                            score_mode="max", k=8).collect()
+    assert [(d["doc_id"], d["parent"], d["n_hits"], d["score"])
+            for d in body["docs"]] == \
+        [(r["doc_id"], r["parent"], r["n_hits"], r["score"])
+         for r in expect]
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _get(f"http://{srv.host}:{srv.port}/child?q=")
+
+
 def test_parent_endpoint(served):
     srv, idx = served
     status, body = _get(
