@@ -1594,7 +1594,9 @@ class FtIndex:
         return prows.groupBy("bucket").applyInPandas(
             score_all, schema="doc_id long, score double")
 
-    def _term_scored_df(self, terms: list[str], field: str) -> DataFrame:
+    def _term_scored_df(self, terms: list[str], field: str,
+                        idfs: dict[str, float] | None = None,
+                        avgdl: float | None = None) -> DataFrame:
         """Per-term distributed scoring: (doc_id, term, contrib) for
         every (matching doc, query term) pair, tombstones dropped —
         the un-aggregated sibling of :meth:`_scored_df`, needed by
@@ -1602,18 +1604,22 @@ class FtIndex:
         DisjunctionMaxQuery is per query clause, not per field
         total). Duplicate (doc, term) rows from delta segments sum
         inside the kernel, so downstream max/sum combinations see one
-        row per pair."""
+        row per pair. ``idfs``/``avgdl`` override the local statistics
+        (FtShards passes GLOBAL values, like :meth:`_scored_df`)."""
         qterms = sorted(set(terms))
         prows = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(qterms)
         )
-        df_by_term = {
-            r["term"]: int(r["df_global"])
-            for r in prows.groupBy("term").agg(
-                F.sum("df").alias("df_global")).collect()
-        }
-        n_docs, avgdl = self.stats.get(field, (0, 1.0))
-        idfs = {t: bm25_idf(n_docs, d) for t, d in df_by_term.items()}
+        if avgdl is None:
+            _, avgdl = self.stats.get(field, (0, 1.0))
+        if idfs is None:
+            df_by_term = {
+                r["term"]: int(r["df_global"])
+                for r in prows.groupBy("term").agg(
+                    F.sum("df").alias("df_global")).collect()
+            }
+            n_docs, _ = self.stats.get(field, (0, 1.0))
+            idfs = {t: bm25_idf(n_docs, d) for t, d in df_by_term.items()}
         tombs = self._tombstones
 
         def score_terms(pdf: pd.DataFrame) -> pd.DataFrame:

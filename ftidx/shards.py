@@ -524,6 +524,85 @@ class FtShards:
                     "shard", "doc_id", "score"))
         return hits.unionByName(expand)
 
+    def _term_scored_union(self, terms: list[str], field: str):
+        """Union of per-shard PER-TERM scoring frames (doc_id, term,
+        contrib, shard) under GLOBAL idf/avgdl — the sharded sibling
+        of FtIndex._term_scored_df, for per-clause dismax
+        combination."""
+        n_docs, avgdl = self.global_stats(field)
+        qterms, _, gdf = self._gather(terms, field)
+        idfs = {t: bm25_idf(n_docs, gdf[t]) for t in qterms if gdf[t] > 0}
+        uni = None
+        for si, sh in enumerate(self.shards):
+            fr = sh._term_scored_df(terms, field, idfs=idfs,
+                                    avgdl=avgdl).withColumn(
+                "shard", F.lit(si))
+            uni = fr if uni is None else uni.unionByName(fr)
+        return uni
+
+    def edismax(self, terms: list[str],
+                qf: dict[str, float] | None = None, k: int = 10,
+                tie: float = 0.0, mm: int = 0,
+                bq: dict[str, float] | None = None,
+                bf: str | None = None, boost: str | None = None):
+        """The composed edismax request under shards= (SolrCloud's
+        default parser): identical semantics to FtIndex.edismax over
+        the union corpus — per-term dismax across qf fields, mm, bq,
+        bf, boost — with every per-field statistic GLOBAL, so scores
+        are shard-invariant (pinned by test). The per-term combine
+        groups on (shard, doc_id, term) because ids are shard-local;
+        bf/boost expressions evaluate against each doc's OWN shard's
+        docs table (one union of column-pruned scans). Returns
+        (shard, doc_id, score, final), tie discipline
+        (final DESC, shard ASC, doc_id ASC)."""
+        qf = qf or {"code.content": 1.0}
+        fields = sorted(qf)
+        uni = None
+        for f in fields:
+            fr = self._term_scored_union(terms, f).withColumn(
+                "wc", F.lit(float(qf[f])) * F.col("contrib"))
+            uni = fr if uni is None else uni.unionByName(fr)
+        per_term = (
+            uni.groupBy("shard", "doc_id", "term")
+            .agg(F.max("wc").alias("mx"), F.sum("wc").alias("sm"))
+            .withColumn("tscore", F.col("mx") + F.lit(float(tie)) *
+                        (F.col("sm") - F.col("mx")))
+        )
+        base = per_term.groupBy("shard", "doc_id").agg(
+            F.sum("tscore").alias("score"),
+            F.count(F.lit(1)).alias("n_matched"))
+        if mm > 0:
+            base = base.filter(F.col("n_matched") >= mm)
+        final = F.col("score")
+        if bq:
+            bq_scored = None
+            for t in sorted(bq):
+                fr = self._term_scored_union([t], fields[0]).withColumn(
+                    "wc", F.lit(float(bq[t])) * F.col("contrib"))
+                bq_scored = fr if bq_scored is None \
+                    else bq_scored.unionByName(fr)
+            bq_sum = bq_scored.groupBy("shard", "doc_id").agg(
+                F.sum("wc").alias("bq_score"))
+            base = base.join(bq_sum, ["shard", "doc_id"], "left")
+            final = final + F.coalesce(F.col("bq_score"), F.lit(0.0))
+        if bf is not None or boost is not None:
+            docs = None
+            for si, sh in enumerate(self.shards):
+                fr = sh.spark.read.parquet(
+                    str(sh.path / "docs")).withColumn("shard", F.lit(si))
+                docs = fr if docs is None else docs.unionByName(fr)
+            base = base.join(docs, ["shard", "doc_id"])
+            if bf is not None:
+                final = final + F.expr(bf).cast("double")
+            if boost is not None:
+                final = final * F.expr(boost).cast("double")
+        return (
+            base.withColumn("final", final)
+            .orderBy(F.desc("final"), F.asc("shard"), F.asc("doc_id"))
+            .limit(k)
+            .select("shard", "doc_id", "score", "final")
+        )
+
     def join_topk(self, inner_terms: list[str], outer_terms: list[str],
                   k: int = 10, join_col: str = "repo",
                   field: str = "code.content"):

@@ -150,6 +150,31 @@ def test_sharded_join_equals_monolithic(spark, setup):
     assert [r["score"] for r in sj] == pytest.approx(want, rel=1e-9)
 
 
+def test_sharded_edismax_equals_monolithic(spark, setup):
+    """The composed edismax under shards: full-match-set natural-key
+    and score equality with the monolithic index (global per-field
+    stats), and the k-cut matches the full score sequence."""
+    mono, shards = setup
+    mk = _nat(spark, str(mono.path))
+    sk = [_nat(spark, str(sh.path)) for sh in shards.shards]
+    kw = dict(qf={"code.content": 1.0, "code.ident.split": 2.0},
+              tie=0.3, mm=2, bq={"alpha": 0.7},
+              bf="0.01 * length(path)",
+              boost="1.0 + 0.001 * length(path)")
+    big = 10**6
+    mm_ = {mk[r["doc_id"]]: (r["score"], r["final"]) for r in
+           mono.edismax(TERMS, k=big, **kw).collect()}
+    ss = {sk[r["shard"]][r["doc_id"]]: (r["score"], r["final"]) for r in
+          shards.edismax(TERMS, k=big, **kw).collect()}
+    assert set(mm_) == set(ss) and len(mm_) > 8
+    for key, (score, final) in mm_.items():
+        assert ss[key][0] == pytest.approx(score, rel=1e-9)
+        assert ss[key][1] == pytest.approx(final, rel=1e-9)
+    cut = shards.edismax(TERMS, k=8, **kw).collect()
+    want = sorted((f for _, f in mm_.values()), reverse=True)[:8]
+    assert [r["final"] for r in cut] == pytest.approx(want, rel=1e-9)
+
+
 def test_sharded_facets_equal_monolithic(setup):
     """Distributed facet merge: summed per-shard constraint lists equal
     the monolithic index's facet counts exactly (complete lists — the
