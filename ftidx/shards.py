@@ -524,6 +524,59 @@ class FtShards:
                     "shard", "doc_id", "score"))
         return hits.unionByName(expand)
 
+    def parent_topk(self, terms: list[str], parent_col: str = "repo",
+                    score_mode: str = "max", k: int = 10,
+                    field: str = "code.content"):
+        """Distributed {!parent} block join: parents ranked by the
+        score-mode aggregate of their matching members across ALL
+        shards — a parent whose members straddle shards aggregates
+        correctly because the union happens BEFORE the groupBy (the
+        one thing per-shard aggregation would get wrong; max/min/total
+        would merge, avg would not). Global-stats scored; returns
+        (parent, n_children, score) like the monolithic call."""
+        return (
+            self._parent_agg(terms, parent_col, score_mode, field)
+            .withColumnRenamed("n_hits", "n_children")
+            .orderBy(F.desc("score"), F.asc("parent"))
+            .limit(k)
+        )
+
+    def _parent_agg(self, terms, parent_col, score_mode, field):
+        aggs = {"max": F.max, "total": F.sum, "avg": F.avg, "min": F.min}
+        if score_mode not in aggs:
+            raise ValueError(f"score_mode must be one of {sorted(aggs)}")
+        uni = self._scored_union(terms, field,
+                                 [F.col(parent_col).alias("parent")])
+        return (
+            uni.groupBy("parent")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 aggs[score_mode]("score").alias("score"))
+        )
+
+    def child_topk(self, terms: list[str], parent_col: str = "repo",
+                   score_mode: str = "max", k: int = 20,
+                   field: str = "code.content"):
+        """Distributed {!child} block join: every member doc of the
+        matching parents across all shards, carrying the parent's
+        cross-shard aggregate score. The parent frame (bounded by
+        matching parents) broadcasts into each shard's docs scan;
+        members surface regardless of which shard holds them.
+        Returns (shard, doc_id, parent, n_hits, score)."""
+        parents = self._parent_agg(terms, parent_col, score_mode, field)
+        docs = None
+        for si, sh in enumerate(self.shards):
+            fr = (sh.spark.read.parquet(str(sh.path / "docs"))
+                  .select("doc_id", F.col(parent_col).alias("parent"))
+                  .withColumn("shard", F.lit(si)))
+            docs = fr if docs is None else docs.unionByName(fr)
+        return (
+            docs.join(F.broadcast(parents), "parent")
+            .orderBy(F.desc("score"), F.asc("parent"),
+                     F.asc("shard"), F.asc("doc_id"))
+            .limit(k)
+            .select("shard", "doc_id", "parent", "n_hits", "score")
+        )
+
     def _term_scored_union(self, terms: list[str], field: str):
         """Union of per-shard PER-TERM scoring frames (doc_id, term,
         contrib, shard) under GLOBAL idf/avgdl — the sharded sibling

@@ -175,6 +175,35 @@ def test_sharded_edismax_equals_monolithic(spark, setup):
     assert [r["final"] for r in cut] == pytest.approx(want, rel=1e-9)
 
 
+def test_sharded_block_joins_equal_monolithic(spark, setup):
+    """{!parent}/{!child} under shards: parents straddling shards
+    aggregate correctly (union BEFORE groupBy); members carry the
+    cross-shard parent score. Pinned against the monolithic calls."""
+    mono, shards = setup
+    for mode in ("max", "total", "avg", "min"):
+        mp = mono.parent_topk(TERMS, parent_col="lang",
+                              score_mode=mode, k=100).collect()
+        sp = shards.parent_topk(TERMS, parent_col="lang",
+                                score_mode=mode, k=100).collect()
+        assert [r["parent"] for r in mp] == [r["parent"] for r in sp]
+        for a, b in zip(mp, sp):
+            assert b["n_children"] == a["n_children"]
+            assert b["score"] == pytest.approx(a["score"], rel=1e-9)
+
+    mk = _nat(spark, str(mono.path))
+    sk = [_nat(spark, str(sh.path)) for sh in shards.shards]
+    big = 10**6
+    mc = {mk[r["doc_id"]]: (r["parent"], r["n_hits"], r["score"]) for r in
+          mono.child_topk(TERMS, parent_col="lang", k=big).collect()}
+    sc = {sk[r["shard"]][r["doc_id"]]: (r["parent"], r["n_hits"], r["score"])
+          for r in shards.child_topk(TERMS, parent_col="lang",
+                                     k=big).collect()}
+    assert set(mc) == set(sc) and len(mc) > 10
+    for key, (parent, n, score) in mc.items():
+        assert sc[key][0] == parent and sc[key][1] == n
+        assert sc[key][2] == pytest.approx(score, rel=1e-9)
+
+
 def test_sharded_facets_equal_monolithic(setup):
     """Distributed facet merge: summed per-shard constraint lists equal
     the monolithic index's facet counts exactly (complete lists — the
