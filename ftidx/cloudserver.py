@@ -1,0 +1,247 @@
+"""SolrCloud-style coordinator daemon over :class:`ftidx.shards.FtShards`.
+
+The reference's production shape is never one Solr core: real
+deployments front N shards with a coordinator node that fans the query
+out and merges (SolrCloud's distributed request handler). This module
+is that analog for ftidx — one HTTP daemon owning an FtShards handle,
+every response merged from complete per-shard constraint lists or
+global-stats scoring, so results are layout-invariant (the same
+guarantees the FtShards methods pin in tests/test_shards.py).
+
+Routes (GET unless noted):
+
+- ``/health``       — per-shard doc counts + build ids (CLUSTERSTATUS)
+- ``/search``       — q/k/field/mode → global top-k (shard, doc_id, score)
+- ``/count``        — numFound across shards
+- ``/facet``        — exact distributed facet merge
+- ``/terms``        — vocabulary enumeration, global df + GLOBAL mincount
+- ``/suggest``      — prefix completion by global df
+- ``/stem``         — stem-class expansion (global classes)
+- ``/spellcheck``   — collated suggestions by global df
+- ``/stats``        — stats component over the union match set
+- ``/parent`` ``/child`` — distributed block joins
+- ``/edismax``      — the composed edismax request under shards
+
+Error discipline mirrors ftidx.server: 400 only for caller faults
+(ValueError / Spark Parse+AnalysisException), everything else is a 500.
+
+CLI: ``python -m ftidx.cloudserver shard1 shard2 ... --port 8983``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def _make_cloud_handler(shards, lock: threading.Lock):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj, qtime_ms: int | None = None) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            if qtime_ms is not None:
+                self.send_header("X-QTime", str(qtime_ms))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib name)
+            u = urlparse(self.path)
+            qs = parse_qs(u.query)
+            t0 = time.monotonic()
+            try:
+                if u.path == "/health":
+                    out = []
+                    for si, sh in enumerate(shards.shards):
+                        n, avgdl = sh.stats.get("code.content", (0, 1.0))
+                        out.append({"shard": si, "path": str(sh.path),
+                                    "build_id": sh.manifest.get("build_id"),
+                                    "n_docs": n})
+                    self._json(200, {"status": "ok", "shards": out})
+                    return
+
+                terms = qs.get("q", [""])[0].split()
+                k = int(qs.get("k", ["10"])[0])
+                field = qs.get("field", ["code.content"])[0]
+                need_q = ("/search", "/count", "/facet", "/stats",
+                          "/parent", "/child", "/edismax", "/spellcheck")
+                if u.path in need_q and not terms:
+                    self._json(400, {"error": "missing q"})
+                    return
+
+                with lock:
+                    if u.path == "/search":
+                        hits = shards.topk(
+                            terms, k=k, field=field,
+                            require_all=qs.get("mode", [""])[0] == "and")
+                        body = {"hits": [
+                            {"shard": s, "doc_id": d, "score": sc}
+                            for s, d, sc in hits]}
+                    elif u.path == "/count":
+                        body = {"numFound": shards.count(terms, field=field)}
+                    elif u.path == "/facet":
+                        facet = qs.get("on", ["lang"])[0]
+                        body = {"facets": [
+                            {"value": v, "n_docs": n} for v, n in
+                            shards.facet_counts(terms, facet=facet,
+                                                k_facets=k, field=field)]}
+                    elif u.path == "/terms":
+                        body = {"terms": [
+                            {"term": t, "df": df} for t, df in
+                            shards.terms_enum(
+                                field=field,
+                                prefix=qs.get("prefix", [None])[0],
+                                regex=qs.get("regex", [None])[0],
+                                mincount=int(qs.get("mincount", ["1"])[0]),
+                                limit=k,
+                                sort=qs.get("sort", ["count"])[0])]}
+                    elif u.path == "/suggest":
+                        prefix = qs.get("prefix", [""])[0]
+                        if not prefix:
+                            self._json(400, {"error": "missing prefix"})
+                            return
+                        body = {"suggestions": [
+                            {"term": t, "df": df} for t, df in
+                            shards.suggest_terms(prefix, field=field,
+                                                 limit=k)]}
+                    elif u.path == "/stem":
+                        term = qs.get("term", [""])[0]
+                        if not term:
+                            self._json(400, {"error": "missing term"})
+                            return
+                        body = {"expansions": [
+                            {"term": t, "df": df} for t, df in
+                            shards.stem_terms(
+                                term, field=field, limit=k,
+                                algo=qs.get("algo", ["porter"])[0])]}
+                    elif u.path == "/spellcheck":
+                        body = {"spellcheck": shards.spellcheck(
+                            terms, field=field,
+                            max_dist=int(qs.get("max_dist", ["2"])[0]))}
+                    elif u.path == "/stats":
+                        row = shards.match_stats(
+                            terms,
+                            stat_col=qs.get("on", ["length(path)"])[0],
+                            field=field).collect()[0]
+                        body = {"stats": row.asDict()}
+                    elif u.path == "/parent":
+                        rows = shards.parent_topk(
+                            terms, parent_col=qs.get("on", ["repo"])[0],
+                            score_mode=qs.get("score", ["max"])[0],
+                            k=k, field=field).collect()
+                        body = {"parents": [
+                            {"parent": r["parent"],
+                             "n_children": r["n_children"],
+                             "score": r["score"]} for r in rows]}
+                    elif u.path == "/child":
+                        rows = shards.child_topk(
+                            terms, parent_col=qs.get("on", ["repo"])[0],
+                            score_mode=qs.get("score", ["max"])[0],
+                            k=k, field=field).collect()
+                        body = {"docs": [
+                            {"shard": r["shard"], "doc_id": r["doc_id"],
+                             "parent": r["parent"], "n_hits": r["n_hits"],
+                             "score": r["score"]} for r in rows]}
+                    elif u.path == "/edismax":
+                        qf_spec = qs.get("qf", [""])[0]
+                        qf = None
+                        if qf_spec:
+                            qf = {}
+                            for part in qf_spec.split(","):
+                                name, _, w = part.partition("^")
+                                qf[name.strip()] = float(w or 1.0)
+                        bq_spec = qs.get("bq", [""])[0]
+                        bq = None
+                        if bq_spec:
+                            bq = {}
+                            for part in bq_spec.split():
+                                t, _, w = part.partition("^")
+                                bq[t] = float(w or 1.0)
+                        rows = shards.edismax(
+                            terms, qf=qf, k=k,
+                            tie=float(qs.get("tie", ["0.0"])[0]),
+                            mm=int(qs.get("mm", ["0"])[0]), bq=bq,
+                            bf=qs.get("bf", [""])[0] or None,
+                            boost=qs.get("boost", [""])[0] or None).collect()
+                        body = {"docs": [
+                            {"shard": r["shard"], "doc_id": r["doc_id"],
+                             "score": r["score"], "final": r["final"]}
+                            for r in rows]}
+                    else:
+                        self._json(404, {"error": f"no route {u.path}"})
+                        return
+                body["QTime"] = int((time.monotonic() - t0) * 1000)
+                self._json(200, body)
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — fault routing below
+                name = type(e).__name__
+                if name in ("AnalysisException", "ParseException"):
+                    self._json(400, {"error": str(e)})
+                else:
+                    self._json(500, {"error": f"{name}: {e}"})
+
+    return Handler
+
+
+class FtCloudServer:
+    """Owns the coordinator HTTP server; ``start()`` serves on a daemon
+    thread (test/embedded mode), ``serve_forever()`` blocks (CLI)."""
+
+    def __init__(self, shards, host: str = "127.0.0.1", port: int = 0):
+        self._lock = threading.Lock()
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_cloud_handler(shards, self._lock))
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "FtCloudServer":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def main() -> None:
+    import argparse
+
+    from ftidx.session import get_spark
+    from ftidx.shards import FtShards
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("shard_paths", nargs="+")
+    ap.add_argument("--port", type=int, default=8983)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--cores", type=int, default=4)
+    args = ap.parse_args()
+
+    spark = get_spark(cores=args.cores, app_name="ftidx-cloud")
+    shards = FtShards.open(spark, args.shard_paths)
+    srv = FtCloudServer(shards, args.host, args.port)
+    print(f"ftidx coordinator over {len(args.shard_paths)} shards on "
+          f"http://{srv.host}:{srv.port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

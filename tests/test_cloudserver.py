@@ -1,0 +1,122 @@
+"""SolrCloud-style coordinator daemon: every route merged from the
+FtShards handle, responses equal to the library calls (which are
+themselves pinned monolithic-equal in test_shards.py)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.cloudserver import FtCloudServer
+from ftidx.index import build_index
+from ftidx.shards import FtShards
+from ftidx.synth import synth_source
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cloud")
+    corpus = synth_source(spark, 240).cache()
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2))
+    build_index(spark, corpus.filter(split == 0), str(root / "s0"),
+                n_buckets=2)
+    build_index(spark, corpus.filter(split == 1), str(root / "s1"),
+                n_buckets=2)
+    corpus.unpersist()
+    shards = FtShards.open(spark, [str(root / "s0"), str(root / "s1")])
+    srv = FtCloudServer(shards).start()
+    yield srv, shards
+    srv.stop()
+
+
+def test_cloud_health(served):
+    srv, shards = served
+    status, body = _get(f"http://{srv.host}:{srv.port}/health")
+    assert status == 200 and body["status"] == "ok"
+    assert len(body["shards"]) == 2
+    assert all(s["n_docs"] > 0 and s["build_id"] for s in body["shards"])
+
+
+def test_cloud_search_count_facet(served):
+    srv, shards = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _get(f"{base}/search?q=def+value&k=7")
+    assert status == 200
+    want = shards.topk(["def", "value"], k=7)
+    assert [(h["shard"], h["doc_id"], h["score"]) for h in body["hits"]] == \
+        [(s, d, sc) for s, d, sc in want]
+
+    _, cnt = _get(f"{base}/count?q=def")
+    assert cnt["numFound"] == shards.count(["def"])
+
+    _, fac = _get(f"{base}/facet?q=def&on=lang&k=5")
+    assert [(f["value"], f["n_docs"]) for f in fac["facets"]] == \
+        shards.facet_counts(["def"], facet="lang", k_facets=5)
+
+
+def test_cloud_vocab_routes(served):
+    srv, shards = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, terms = _get(f"{base}/terms?prefix=va&k=5")
+    assert [(t["term"], t["df"]) for t in terms["terms"]] == \
+        shards.terms_enum(prefix="va", limit=5)
+    _, sug = _get(f"{base}/suggest?prefix=val&k=5")
+    assert [(s["term"], s["df"]) for s in sug["suggestions"]] == \
+        shards.suggest_terms("val", limit=5)
+    _, spell = _get(f"{base}/spellcheck?q=valxe")
+    # JSON turns tuples into lists — compare through a round-trip
+    assert spell["spellcheck"] == json.loads(
+        json.dumps(shards.spellcheck(["valxe"])))
+
+
+def test_cloud_block_joins_and_edismax(served):
+    srv, shards = served
+    base = f"http://{srv.host}:{srv.port}"
+    _, par = _get(f"{base}/parent?q=def&on=lang&score=total&k=4")
+    want = shards.parent_topk(["def"], parent_col="lang",
+                              score_mode="total", k=4).collect()
+    assert [(p["parent"], p["n_children"], p["score"])
+            for p in par["parents"]] == \
+        [(r["parent"], r["n_children"], r["score"]) for r in want]
+
+    _, ch = _get(f"{base}/child?q=def&on=lang&k=6")
+    wantc = shards.child_topk(["def"], parent_col="lang", k=6).collect()
+    assert [(c["shard"], c["doc_id"]) for c in ch["docs"]] == \
+        [(r["shard"], r["doc_id"]) for r in wantc]
+
+    _, ed = _get(
+        f"{base}/edismax?q=def+value"
+        f"&qf=code.content^1.0,code.ident.split^2.0&tie=0.3&mm=2&k=5")
+    wante = shards.edismax(
+        ["def", "value"],
+        qf={"code.content": 1.0, "code.ident.split": 2.0},
+        tie=0.3, mm=2, k=5).collect()
+    assert [(d["shard"], d["doc_id"], d["final"]) for d in ed["docs"]] == \
+        [(r["shard"], r["doc_id"], r["final"]) for r in wante]
+
+
+def test_cloud_stats_and_errors(served):
+    srv, shards = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, st = _get(f"{base}/stats?q=def&on=length(path)")
+    assert status == 200 and st["stats"]["n_matched"] > 0
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/search?k=5")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/nope")
+    assert e.value.code == 404
+    # caller-fault SQL in the stats expression → 400, not 500
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/stats?q=def&on=no_such_column")
+    assert e.value.code == 400
