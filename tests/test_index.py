@@ -325,6 +325,32 @@ def test_term_predicate_pushdown(spark, tmp_path):
     assert "tfs" not in read and "dls" not in read, read
 
 
+def test_edismax_plan_shape(spark, built):
+    """The composed scorer's plan: global cut is TakeOrderedAndProject;
+    the only single-partition exchanges feed bounded frames (the final
+    limit), never a Sort/Window over corpus-proportional rows; the
+    postings term predicate reaches the scan."""
+    idx = open_index(spark, built[0])
+    df = idx.edismax(["def", "value"],
+                     qf={"code.content": 1.0, "code.ident.split": 2.0},
+                     tie=0.3, mm=2, bq={"alpha": 0.7},
+                     bf="0.01 * length(path)", k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1]
+            assert ("HashAggregate(keys=[], functions=[partial_" in child
+                    or "TakeOrderedAndProject" in child
+                    or "LocalLimit" in child), (line, child)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    pushed = [ln for ln in formatted.splitlines() if "PushedFilters" in ln]
+    assert any("term" in ln for ln in pushed), pushed
+
+
 def test_facet_counts(spark, tmp_path):
     """Facets over matching docs == brute-force recount from the docs
     table; tombstoned docs drop out."""
