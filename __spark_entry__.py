@@ -2443,6 +2443,21 @@ def q_child_block_join(spark, sf_dir):
         .select("rank", "doc_id", "source", "n_hits", "pscore")
 
 
+def q_tag_counts(spark, sf_dir):
+    """SolrTextTagger corpus pass (ftidx.tagger.tag_corpus — the
+    'annotate every doc against a catalog' shape: broadcast trie, one
+    mapInPandas, no shuffle): per-doc occurrence counts of the
+    dictionary values. A single-token dictionary has no overlapping
+    tags, so the result reduces exactly to word-occurrence counts —
+    which is what makes this SQL-oracle-able; the multi-token greedy
+    overlap rule is pinned by tests/test_tagger.py."""
+    from ftidx.tagger import TextTagger, tag_corpus
+
+    docs = _docs(spark, sf_dir)
+    tg = TextTagger(list(BM25_TERMS))
+    return tag_corpus(docs, tg).select("doc_id", "value", "n")
+
+
 def q_dup_spans(spark, sf_dir):
     """Cross-document repeated spans (exact-substring dedup, the
     Lee-et-al training-data op): strided 48-char gram hashes present in
@@ -2693,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xjoin_filter": q_xjoin_filter,
         "edismax_full": q_edismax_full,
         "child_block_join": q_child_block_join,
+        "tag_counts": q_tag_counts,
         "nb_scores": q_nb_scores,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
@@ -2903,6 +2919,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM heads h LEFT JOIN rr r USING (doc_id)
               )
             ) WHERE rank <= 10
+        """,
+        "tag_counts": f"""
+            WITH {_TOK_CTE}
+            SELECT doc_id, term AS value, count(*) AS n
+            FROM tok WHERE term IN ('spark', 'merge', 'window')
+            GROUP BY doc_id, term
         """,
         "child_block_join": _BM25_CTE + """
             SELECT rank, doc_id, source, n_hits, pscore FROM (

@@ -840,6 +840,9 @@ class FtIndex:
         self._filter_cache_bytes = 0
         self._result_cache: OrderedDict[tuple, list] = OrderedDict()
         self._result_cache_bytes = 0
+        # memoized SolrTextTagger dictionaries (POST /tag) — rebuilt
+        # lazily after maintenance rewrites the docs table
+        self._taggers = {}
 
     # -- maintenance -----------------------------------------------------
     def delete(self, doc_ids: list[int]) -> None:

@@ -1036,6 +1036,42 @@ def _make_handler(idx, lock: threading.Lock):
         def do_POST(self):
             self._t0 = time.monotonic()
             path = urlparse(self.path).path
+            if path == "/tag":
+                # SolrTextTagger: post text, get every dictionary
+                # phrase it mentions (dictionary = a stored column's
+                # distinct values, built once and memoized)
+                from ftidx import tagger as _tagger
+
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(body, dict) or "text" not in body:
+                        raise ValueError(
+                            "/tag body must be a JSON object with 'text'")
+                    column = body.get("field", "repo")
+                    overlaps = body.get(
+                        "overlaps", "LONGEST_DOMINANT_RIGHT")
+                    with lock:
+                        cache = getattr(idx, "_taggers", None)
+                        if cache is None:
+                            cache = idx._taggers = {}
+                        if column not in cache:
+                            cache[column] = _tagger.from_index_column(
+                                idx, column)
+                        tags = cache[column].tag(body["text"],
+                                                 overlaps=overlaps)
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:
+                    if type(e).__name__ in ("AnalysisException",
+                                            "ParseException"):
+                        self._json(400, {"error": str(e).split("\n")[0]})
+                        return
+                    raise
+                self._json(200, {"tagsCount": len(tags), "tags": tags})
+                return
             if path == "/select":
                 # Solr JSON Request API: query + filter + paging +
                 # fields + facets in one JSON body

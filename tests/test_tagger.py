@@ -1,0 +1,107 @@
+"""SolrTextTagger analog: trie phrase spotting, Solr's
+LONGEST_DOMINANT_RIGHT overlap rule, the index-column dictionary, the
+distributed corpus pass, and the POST /tag route."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from ftidx.tagger import TextTagger, from_index_column, tag_corpus
+
+
+def test_tag_all_and_offsets():
+    tg = TextTagger(["New York", "York City", "New York City", "city"])
+    tags = tg.tag("welcome to New York City limits", overlaps="ALL")
+    got = {(t["value"], t["start"], t["end"]) for t in tags}
+    assert got == {("New York", 2, 4), ("New York City", 2, 5),
+                   ("York City", 3, 5), ("city", 4, 5)}
+    full = [t for t in tags if t["value"] == "New York City"][0]
+    text = "welcome to New York City limits"
+    assert text[full["startOffset"]:full["endOffset"]] == "New York City"
+
+
+def test_longest_dominant_right():
+    """Solr's documented rule: iteratively emit the longest tag (ties
+    right-most), drop overlaps, repeat — NOT left-to-right greedy: the
+    longer tag starting later must beat the shorter earlier one."""
+    tg = TextTagger(["alpha beta", "beta gamma delta"])
+    tags = tg.tag("alpha beta gamma delta")
+    assert [(t["value"], t["start"], t["end"]) for t in tags] == \
+        [("beta gamma delta", 1, 4)]
+    # ties by character length go right-most
+    tg2 = TextTagger(["alpha beta", "beta gamma"])
+    tags2 = tg2.tag("alpha beta gamma")
+    assert [t["value"] for t in tags2] == ["beta gamma"]
+    # non-overlapping tags all surface, in text order
+    tg3 = TextTagger(["alpha", "gamma"])
+    assert [t["value"] for t in tg3.tag("alpha beta gamma")] == \
+        ["alpha", "gamma"]
+
+
+def test_tagger_normalization_and_guards():
+    tg = TextTagger(["FooBar/Baz", ""])
+    tags = tg.tag("path foobar baz end")
+    assert [(t["value"], t["start"], t["end"]) for t in tags] == \
+        [("FooBar/Baz", 1, 3)]
+    assert tg.tag("") == []
+    with pytest.raises(ValueError):
+        tg.tag("x", overlaps="NO_SUB")
+
+
+def test_from_index_column_and_http(spark, tmp_path):
+    from ftidx.index import build_index, open_index
+    from ftidx.server import FtServer
+    from ftidx.synth import synth_source
+
+    out = str(tmp_path / "idx")
+    build_index(spark, synth_source(spark, 120), out, n_buckets=2)
+    idx = open_index(spark, out)
+    tg = from_index_column(idx, "repo")
+    repos = [r["repo"] for r in
+             spark.read.parquet(f"{out}/docs").select("repo")
+             .distinct().collect()]
+    sample = repos[0]
+    text = f"this mentions {sample} explicitly"
+    tags = tg.tag(text)
+    assert any(t["value"] == sample for t in tags)
+
+    srv = FtServer(idx).start()
+    try:
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/tag",
+            data=json.dumps({"text": text, "field": "repo"}).encode(),
+            headers={"Content-Type": "application/json"})
+        body = json.loads(urllib.request.urlopen(req).read())
+        assert body["tagsCount"] == len(tags)
+        assert body["tags"] == json.loads(json.dumps(tags))
+        # memoized dictionary: second call hits the cache (same tags,
+        # QTime drops from the build cost to ~0)
+        body2 = json.loads(urllib.request.urlopen(req).read())
+        assert body2["tags"] == body["tags"]
+        assert body2["QTime"] <= body["QTime"]
+        bad = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/tag",
+            data=b'{"no_text": 1}',
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code == 400
+    finally:
+        srv.stop()
+
+
+def test_tag_corpus_distributed(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta and alpha beta again"),
+         (2, "gamma only here"),
+         (3, None),
+         (4, "nothing matches")],
+        "doc_id long, text string")
+    tg = TextTagger(["alpha beta", "gamma"])
+    rows = {(r["doc_id"], r["value"]): (r["n"], r["first_start"])
+            for r in tag_corpus(docs, tg).collect()}
+    assert rows == {(1, "alpha beta"): (2, 0), (2, "gamma"): (1, 0)}
