@@ -1648,6 +1648,35 @@ def q_bm25_boosted(spark, sf_dir):
         .select("rank", "doc_id", "score_r", "boost_r", "final_r")
 
 
+# Solr function-query source for q_func_boost — parsed ONCE and
+# emitted as BOTH engines' SQL by ftidx.funcquery (the LTR twin
+# discipline: the oracle runs the literal same tree). Exercises
+# recip / if+exists / 5-arg map / product / ln / nested sum.
+_FUNC_BOOST_SRC = ("sum(recip(n_chars,0.001,1,1),"
+                   "if(exists(lang),map(n_chars,0,500,0.5,0.1),0),"
+                   "product(0.05,ln(sum(1,n_chars))))")
+
+
+def q_func_boost(spark, sf_dir):
+    """Solr FUNCTION-QUERY boost (``bf=`` with real Solr syntax —
+    engine twin: FtIndex.topk_funcquery / ftidx.funcquery): final =
+    BM25 + compile(recip + conditional map + log-length), top 10.
+    The boost SQL is EMITTED from the parsed function-query AST; the
+    oracle emits the DuckDB dialect from the same tree, so the
+    contract pins the compiler itself, not a hand-written twin."""
+    from ftidx import funcquery as FQ
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars", "lang")
+    boost_sql = FQ.compile_spark(FQ.parse(_FUNC_BOOST_SRC))
+    return _ranked(
+        _bm25_scored(spark, sf_dir).join(docs, "doc_id")
+        .withColumn("boost_r", F.round(F.expr(boost_sql), 5))
+        .withColumn("final_r",
+                    F.round(F.col("score_r") + F.col("boost_r"), 5)),
+        [F.desc("final_r"), F.asc("doc_id")], 10) \
+        .select("rank", "doc_id", "score_r", "boost_r", "final_r")
+
+
 def q_score_explain(spark, sf_dir):
     """Score decomposition (Solr debugQuery — engine twin:
     FtIndex.explain): per-term tf/df/dl/contrib for the global BM25
@@ -2675,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "unigram_loglik": q_unigram_loglik,
         "bm25_boosted": q_bm25_boosted,
+        "func_boost": q_func_boost,
         "score_explain": q_score_explain,
         "collocations": q_collocations,
         "terms_component": q_terms_component,
@@ -2869,6 +2899,7 @@ def _s_stem_terms_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ftidx.funcquery import compile_duckdb
     from ftidx.geo import heatmap_sql, polygon_sql
 
     return {
@@ -4680,6 +4711,24 @@ def oracle_sql() -> dict[str, str]:
             boosted AS (
               SELECT b.doc_id, b.score_r,
                      round(0.1 * ln(1.0 + d.n_chars), 5) AS boost_r
+              FROM bm25 b JOIN documents d USING (doc_id)
+            )
+            SELECT rank, doc_id, score_r, boost_r, final_r FROM (
+              SELECT doc_id, score_r, boost_r,
+                     round(score_r + boost_r, 5) AS final_r,
+                     row_number() OVER (
+                       ORDER BY round(score_r + boost_r, 5) DESC, doc_id
+                     ) AS rank
+              FROM boosted
+            ) WHERE rank <= 10
+        """,
+        # the boost expression below is EMITTED from the same parsed
+        # function-query tree the Spark side compiles — import-time
+        # generation, the LTR-oracle discipline
+        "func_boost": _BM25_CTE + f""",
+            boosted AS (
+              SELECT b.doc_id, b.score_r,
+                     round({compile_duckdb(_FUNC_BOOST_SRC)}, 5) AS boost_r
               FROM bm25 b JOIN documents d USING (doc_id)
             )
             SELECT rank, doc_id, score_r, boost_r, final_r FROM (

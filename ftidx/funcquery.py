@@ -1,0 +1,606 @@
+"""Solr function queries: parse ``recip(ms(NOW,modified),3.16e-11,1,1)``
+and friends into an AST and emit it as a Spark SQL expression AND a
+DuckDB SQL expression (twin emission — the contract oracle runs the
+literal same tree, the LTR-model discipline).
+
+Solr exposes function queries in the ``bf=`` / ``boost=`` slots of
+edismax, in ``sort=``, and as pseudo-fields; the reference's stack gets
+them for free from Solr (rawrepo-solr-indexer delegates all query
+processing to Solr 9 — `/root/reference/pom.xml:32-36`). Engine-side
+the compiled expression lands in the slots that already accept SQL
+(`FtIndex.topk_boosted` / `search_sorted` / `edismax(bf=,boost=)`), so
+the whole function-query surface stays a codegen'd column expression —
+never a UDF, never a driver loop.
+
+Grammar (Solr's actual one — functions only, no infix operators):
+
+    expr := NUMBER | 'quoted string' | field | name '(' expr,* ')'
+
+Two function families:
+
+* **Pure** functions compile directly to SQL over docs-table columns:
+  arithmetic (``sum sub product div mod linear recip abs log ln sqrt
+  cbrt exp pow ceil floor rint min max``), conditionals (``if exists
+  def not and or gt gte lt lte eq map``), and dates (``ms`` over NOW /
+  ISO-8601 literals / timestamp columns).
+* **Corpus/index-dependent** functions (``scale termfreq docfreq idf
+  ttf maxdoc numdocs norm``) cannot be a pure per-row expression —
+  they need one corpus aggregate or a postings join. :func:`resolve`
+  rewrites them into literals / generated join columns given an
+  ``FtIndex``-shaped provider, BEFORE emission; plain :func:`compile_*`
+  on an unresolved tree raises, naming the function.
+
+Determinism: ``NOW`` requires an explicit ``now_ms`` (a benchmark or
+contract run must pin its clock); an ISO date literal is folded to
+epoch-ms at compile time identically in both dialects.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+
+# --- AST ---------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Num:
+    value: float
+
+    def __repr__(self):  # stable across engines: repr of a Python float
+        return f"Num({self.value!r})"
+
+
+@dataclass(frozen=True)
+class Str:
+    value: str
+
+
+@dataclass(frozen=True)
+class Field:
+    name: str
+
+
+@dataclass(frozen=True)
+class Call:
+    name: str
+    args: tuple
+
+    @property
+    def arity(self) -> int:
+        return len(self.args)
+
+
+# Raw SQL splice — only produced by resolve() (generated column names,
+# pre-computed literals); never by the parser, so user input can't
+# reach it.
+@dataclass(frozen=True)
+class Sql:
+    spark: str
+    duck: str
+
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*\Z")
+_NUMBER = re.compile(r"-?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
+_ISO_DATE = re.compile(
+    r"\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?)?\Z")
+
+# name -> (min_arity, max_arity); None = unbounded
+_FUNCS: dict[str, tuple[int, int | None]] = {
+    "sum": (2, None), "sub": (2, 2), "product": (2, None), "mul": (2, None),
+    "div": (2, 2), "mod": (2, 2), "linear": (3, 3), "recip": (4, 4),
+    "abs": (1, 1), "log": (1, 1), "ln": (1, 1), "sqrt": (1, 1),
+    "cbrt": (1, 1), "exp": (1, 1), "pow": (2, 2), "ceil": (1, 1),
+    "floor": (1, 1), "rint": (1, 1), "min": (2, None), "max": (2, None),
+    "if": (3, 3), "exists": (1, 1), "def": (2, 2), "not": (1, 1),
+    "and": (2, None), "or": (2, None),
+    "gt": (2, 2), "gte": (2, 2), "lt": (2, 2), "lte": (2, 2), "eq": (2, 2),
+    "map": (4, 5), "ms": (0, 2),
+    # index/corpus-dependent — parseable everywhere, emittable only
+    # after resolve()
+    "scale": (3, 3), "termfreq": (2, 2), "docfreq": (2, 2),
+    "idf": (2, 2), "ttf": (2, 2), "maxdoc": (0, 0), "numdocs": (0, 0),
+    "norm": (1, 1),
+}
+
+_NEEDS_RESOLVE = {"scale", "termfreq", "docfreq", "idf", "ttf",
+                  "maxdoc", "numdocs", "norm"}
+
+# functions whose value is boolean (usable as if()'s test / in and/or)
+_BOOL_FUNCS = {"exists", "not", "and", "or", "gt", "gte", "lt", "lte", "eq"}
+
+
+class FuncQueryError(ValueError):
+    """Malformed function query — the caller's fault (HTTP 400 path)."""
+
+
+# --- parser ------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.pos = 0
+
+    def _ws(self):
+        while self.pos < len(self.src) and self.src[self.pos].isspace():
+            self.pos += 1
+
+    def _peek(self) -> str:
+        return self.src[self.pos] if self.pos < len(self.src) else ""
+
+    def parse(self):
+        self._ws()
+        node = self._expr()
+        self._ws()
+        if self.pos != len(self.src):
+            raise FuncQueryError(
+                f"trailing input at {self.pos}: {self.src[self.pos:]!r}")
+        return node
+
+    def _expr(self):
+        self._ws()
+        c = self._peek()
+        if not c:
+            raise FuncQueryError("unexpected end of input")
+        if c in "'\"":
+            return self._string(c)
+        m = _NUMBER.match(self.src, self.pos)
+        if m and (c.isdigit() or c in "-."):
+            # a bare date literal also starts with a digit — look ahead
+            word = self._word_ahead()
+            if word and _ISO_DATE.match(word):
+                self.pos += len(word)
+                return Num(float(_iso_to_ms(word)))
+            self.pos = m.end()
+            return Num(float(m.group()))
+        word = self._word_ahead()
+        if not word:
+            raise FuncQueryError(
+                f"expected expression at {self.pos}: {self.src[self.pos:]!r}")
+        self.pos += len(word)
+        self._ws()
+        if self._peek() == "(":
+            name = word.lower()
+            if name not in _FUNCS:
+                raise FuncQueryError(f"unknown function {word!r}")
+            self.pos += 1
+            args = []
+            self._ws()
+            if self._peek() == ")":
+                self.pos += 1
+            else:
+                while True:
+                    args.append(self._expr())
+                    self._ws()
+                    c = self._peek()
+                    if c == ",":
+                        self.pos += 1
+                        continue
+                    if c == ")":
+                        self.pos += 1
+                        break
+                    raise FuncQueryError(
+                        f"expected ',' or ')' at {self.pos} in {name}()")
+            lo, hi = _FUNCS[name]
+            if len(args) < lo or (hi is not None and len(args) > hi):
+                raise FuncQueryError(
+                    f"{name}() takes {lo}"
+                    + ("" if hi == lo else f"..{hi if hi is not None else 'N'}")
+                    + f" args, got {len(args)}")
+            return Call(name, tuple(args))
+        if word == "NOW":
+            return Call("ms", ())  # NOW == ms() == current epoch millis
+        if _ISO_DATE.match(word):
+            return Num(float(_iso_to_ms(word)))
+        if not _IDENT.match(word):
+            raise FuncQueryError(f"bad field name {word!r}")
+        return Field(word)
+
+    def _word_ahead(self) -> str:
+        m = re.match(r"[A-Za-z0-9_.:\-]+", self.src[self.pos:])
+        return m.group() if m else ""
+
+    def _string(self, quote: str) -> Str:
+        end = self.src.find(quote, self.pos + 1)
+        if end < 0:
+            raise FuncQueryError("unterminated string literal")
+        s = self.src[self.pos + 1:end]
+        self.pos = end + 1
+        return Str(s)
+
+
+def _iso_to_ms(s: str) -> int:
+    """Epoch milliseconds of an ISO-8601 literal, UTC. Date-only forms
+    mean midnight UTC (Solr's convention)."""
+    s = s.rstrip("Z")
+    fmt = ("%Y-%m-%dT%H:%M:%S.%f" if "." in s
+           else "%Y-%m-%dT%H:%M:%S" if "T" in s else "%Y-%m-%d")
+    try:
+        dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+    except ValueError as e:
+        raise FuncQueryError(f"bad date literal {s!r}: {e}") from None
+    return int(dt.timestamp() * 1000)
+
+
+def parse(src: str):
+    """Parse a Solr function query string into an AST."""
+    if not isinstance(src, str) or not src.strip():
+        raise FuncQueryError("empty function query")
+    return _Parser(src).parse()
+
+
+def fields_of(node) -> set[str]:
+    """Every docs-table column the expression references."""
+    if isinstance(node, Field):
+        return {node.name}
+    if isinstance(node, Call):
+        out: set[str] = set()
+        for a in node.args:
+            out |= fields_of(a)
+        return out
+    return set()
+
+
+# --- emission ----------------------------------------------------------
+
+def _num(v: float, dialect: str) -> str:
+    # DuckDB parses bare decimal literals as DECIMAL and folds products
+    # exactly; Spark folds in IEEE doubles. Cast every literal to DOUBLE
+    # in BOTH dialects so the trees compute bit-identically.
+    if v == int(v) and abs(v) < 2**53:
+        body = repr(int(v))
+    else:
+        body = repr(v)
+    return f"CAST({body} AS DOUBLE)"
+
+
+def _emit(node, dialect: str, now_ms: int | None) -> str:
+    """Emit `node` as a scalar DOUBLE-valued SQL expression."""
+    if isinstance(node, Num):
+        return _num(node.value, dialect)
+    if isinstance(node, Str):
+        raise FuncQueryError(
+            "string literal outside termfreq/docfreq/idf/ttf")
+    if isinstance(node, Field):
+        return f"CAST({node.name} AS DOUBLE)"
+    if isinstance(node, Sql):
+        return node.spark if dialect == "spark" else node.duck
+    assert isinstance(node, Call)
+    if node.name in _NEEDS_RESOLVE:
+        raise FuncQueryError(
+            f"{node.name}() needs an index/corpus — query it through "
+            "FtIndex.topk_funcquery (or resolve() the tree first)")
+    args = node.args
+
+    def e(n):
+        return _emit(n, dialect, now_ms)
+
+    def b(n):
+        return _emit_bool(n, dialect, now_ms)
+
+    n = node.name
+    if n in ("sum",):
+        return "(" + " + ".join(e(a) for a in args) + ")"
+    if n == "sub":
+        return f"({e(args[0])} - {e(args[1])})"
+    if n in ("product", "mul"):
+        return "(" + " * ".join(e(a) for a in args) + ")"
+    if n == "div":
+        return f"({e(args[0])} / {e(args[1])})"
+    if n == "mod":
+        # both dialects: mod() on doubles
+        return f"mod({e(args[0])}, {e(args[1])})"
+    if n == "linear":  # linear(x, m, c) = m*x + c
+        x, m, c = (e(a) for a in args)
+        return f"(({m} * {x}) + {c})"
+    if n == "recip":  # recip(x, m, a, b) = a / (m*x + b)
+        x, m, a_, b_ = (e(a) for a in args)
+        return f"({a_} / (({m} * {x}) + {b_}))"
+    if n == "abs":
+        return f"abs({e(args[0])})"
+    if n == "log":
+        return f"log10({e(args[0])})"
+    if n == "ln":
+        return f"ln({e(args[0])})"
+    if n == "sqrt":
+        return f"sqrt({e(args[0])})"
+    if n == "cbrt":
+        return f"cbrt({e(args[0])})"
+    if n == "exp":
+        return f"exp({e(args[0])})"
+    if n == "pow":
+        return f"power({e(args[0])}, {e(args[1])})"
+    if n == "ceil":
+        return f"CAST(ceil({e(args[0])}) AS DOUBLE)"
+    if n == "floor":
+        return f"CAST(floor({e(args[0])}) AS DOUBLE)"
+    if n == "rint":
+        return f"CAST(round({e(args[0])}, 0) AS DOUBLE)"
+    if n == "min":
+        return f"least({', '.join(e(a) for a in args)})"
+    if n == "max":
+        return f"greatest({', '.join(e(a) for a in args)})"
+    if n == "if":
+        return (f"(CASE WHEN {b(args[0])} THEN {e(args[1])} "
+                f"ELSE {e(args[2])} END)")
+    if n == "def":  # def(field, default) = coalesce
+        if not isinstance(args[0], (Field, Sql)):
+            raise FuncQueryError("def() first arg must be a field")
+        return f"coalesce({e(args[0])}, {e(args[1])})"
+    if n == "map":  # map(x, min, max, target [, default]) — else x
+        x, lo, hi, target = (e(a) for a in args[:4])
+        els = e(args[4]) if len(args) == 5 else x
+        return (f"(CASE WHEN {x} >= {lo} AND {x} <= {hi} "
+                f"THEN {target} ELSE {els} END)")
+    if n in _BOOL_FUNCS:
+        # boolean function used in a numeric slot: Solr renders true=1
+        return f"(CASE WHEN {b(node)} THEN 1.0 ELSE 0.0 END)"
+    if n == "ms":
+        return _emit_ms(args, dialect, now_ms)
+    raise FuncQueryError(f"unknown function {n!r}")  # pragma: no cover
+
+
+def _emit_bool(node, dialect: str, now_ms: int | None) -> str:
+    """Emit `node` as a BOOLEAN SQL expression (if()-test slot)."""
+    def e(n):
+        return _emit(n, dialect, now_ms)
+
+    def b(n):
+        return _emit_bool(n, dialect, now_ms)
+
+    if isinstance(node, Call):
+        n, args = node.name, node.args
+        if n == "exists":
+            if not isinstance(args[0], (Field, Sql)):
+                raise FuncQueryError("exists() takes a field")
+            ref = (args[0].name if isinstance(args[0], Field)
+                   else e(args[0]))
+            return f"({ref} IS NOT NULL)"
+        if n == "not":
+            return f"(NOT {b(args[0])})"
+        if n == "and":
+            return "(" + " AND ".join(b(a) for a in args) + ")"
+        if n == "or":
+            return "(" + " OR ".join(b(a) for a in args) + ")"
+        if n in ("gt", "gte", "lt", "lte", "eq"):
+            op = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<=",
+                  "eq": "="}[n]
+            return f"({e(args[0])} {op} {e(args[1])})"
+    # numeric expression in a boolean slot: Solr treats nonzero as true
+    return f"({_emit(node, dialect, now_ms)} <> 0.0)"
+
+
+def _emit_ms(args: tuple, dialect: str, now_ms: int | None) -> str:
+    """ms() = NOW epoch millis; ms(a) = millis of a; ms(a,b) = a - b.
+    A timestamp FIELD converts via the dialect's epoch function
+    (timestamps are stored timezone-naive UTC in the docs table — both
+    engines read the same parquet int96/int64); numeric args are
+    already millis."""
+    def one(a) -> str:
+        if isinstance(a, Call) and a.name == "ms" and not a.args:
+            if now_ms is None:
+                raise FuncQueryError(
+                    "NOW requires an explicit now_ms (deterministic "
+                    "clocks only — pass now_ms= to the compile/query)")
+            return _num(float(now_ms), dialect)
+        if isinstance(a, Num):
+            return _num(a.value, dialect)
+        if isinstance(a, Field):
+            if dialect == "spark":
+                return (f"(CAST(unix_micros(CAST({a.name} AS "
+                        f"TIMESTAMP)) AS DOUBLE) / 1000.0)")
+            return (f"(CAST(epoch_us(CAST({a.name} AS TIMESTAMP)) AS "
+                    f"DOUBLE) / 1000.0)")
+        if isinstance(a, Sql):
+            return a.spark if dialect == "spark" else a.duck
+        raise FuncQueryError("ms() args must be NOW, a date, or a field")
+
+    if len(args) == 0:
+        if now_ms is None:
+            raise FuncQueryError(
+                "NOW requires an explicit now_ms (deterministic clocks "
+                "only — pass now_ms= to the compile/query)")
+        return _num(float(now_ms), dialect)
+    if len(args) == 1:
+        return one(args[0])
+    return f"({one(args[0])} - {one(args[1])})"
+
+
+def compile_spark(node, now_ms: int | None = None) -> str:
+    """Spark SQL text of a parsed (and, if needed, resolved) tree."""
+    if isinstance(node, str):
+        node = parse(node)
+    return _emit(node, "spark", now_ms)
+
+
+def compile_duckdb(node, now_ms: int | None = None) -> str:
+    """DuckDB SQL twin — same tree, same literal discipline, so the
+    contract oracle computes bit-identical doubles."""
+    if isinstance(node, str):
+        node = parse(node)
+    return _emit(node, "duck", now_ms)
+
+
+# --- pure-Python evaluator (the third twin, for property tests) --------
+
+def evaluate(node, row: dict, now_ms: int | None = None):
+    """Evaluate over one row dict. Timestamp fields may be epoch-ms
+    numbers or datetime objects. Mirrors the SQL emission exactly —
+    used by tests to pin Spark == DuckDB == Python three ways."""
+    import math
+
+    def ev(n):
+        return evaluate(n, row, now_ms)
+
+    def evb(n):
+        if isinstance(n, Call) and n.name in _BOOL_FUNCS:
+            a = n.args
+            if n.name == "exists":
+                return row.get(a[0].name) is not None
+            if n.name == "not":
+                return not evb(a[0])
+            if n.name == "and":
+                return all(evb(x) for x in a)
+            if n.name == "or":
+                return any(evb(x) for x in a)
+            l, r = ev(a[0]), ev(a[1])
+            return {"gt": l > r, "gte": l >= r, "lt": l < r,
+                    "lte": l <= r, "eq": l == r}[n.name]
+        return ev(n) != 0.0
+
+    if isinstance(node, str):
+        node = parse(node)
+    if isinstance(node, Num):
+        return node.value
+    if isinstance(node, Field):
+        v = row[node.name]
+        return None if v is None else float(v)
+    if isinstance(node, Sql):
+        raise FuncQueryError("resolved splice not evaluable in Python")
+    assert isinstance(node, Call)
+    n, a = node.name, node.args
+    if n in _NEEDS_RESOLVE:
+        raise FuncQueryError(f"{n}() needs an index/corpus")
+    if n == "ms":
+        def one(x):
+            if isinstance(x, Call) and x.name == "ms" and not x.args:
+                if now_ms is None:
+                    raise FuncQueryError("NOW requires now_ms")
+                return float(now_ms)
+            if isinstance(x, Num):
+                return x.value
+            v = row[x.name]
+            if isinstance(v, datetime):
+                v = v.replace(tzinfo=timezone.utc).timestamp() * 1000
+                return float(v)
+            return float(v)
+        if not a:
+            if now_ms is None:
+                raise FuncQueryError("NOW requires now_ms")
+            return float(now_ms)
+        if len(a) == 1:
+            return one(a[0])
+        return one(a[0]) - one(a[1])
+    if n in _BOOL_FUNCS:
+        return 1.0 if evb(node) else 0.0
+    if n == "if":
+        return ev(a[1]) if evb(a[0]) else ev(a[2])
+    if n == "def":
+        v = row.get(a[0].name)
+        return float(v) if v is not None else ev(a[1])
+    if n == "map":
+        x, lo, hi, t = ev(a[0]), ev(a[1]), ev(a[2]), ev(a[3])
+        if lo <= x <= hi:
+            return t
+        return ev(a[4]) if len(a) == 5 else x
+    vals = [ev(x) for x in a]
+    if n == "sum":
+        return _chain(vals, "+")
+    if n == "sub":
+        return vals[0] - vals[1]
+    if n in ("product", "mul"):
+        return _chain(vals, "*")
+    if n == "div":
+        return vals[0] / vals[1]
+    if n == "mod":
+        return math.fmod(vals[0], vals[1])
+    if n == "linear":
+        return vals[1] * vals[0] + vals[2]
+    if n == "recip":
+        return vals[2] / (vals[1] * vals[0] + vals[3])
+    if n == "abs":
+        return abs(vals[0])
+    if n == "log":
+        return math.log10(vals[0])
+    if n == "ln":
+        return math.log(vals[0])
+    if n == "sqrt":
+        return math.sqrt(vals[0])
+    if n == "cbrt":
+        return math.copysign(abs(vals[0]) ** (1 / 3), vals[0])
+    if n == "exp":
+        return math.exp(vals[0])
+    if n == "pow":
+        return vals[0] ** vals[1]
+    if n == "ceil":
+        return float(math.ceil(vals[0]))
+    if n == "floor":
+        return float(math.floor(vals[0]))
+    if n == "rint":
+        # SQL round(x, 0) rounds half away from zero — mirror that,
+        # not Python's bankers' rounding
+        return float(math.floor(vals[0] + 0.5) if vals[0] >= 0
+                     else math.ceil(vals[0] - 0.5))
+    if n == "min":
+        return min(vals)
+    if n == "max":
+        return max(vals)
+    raise FuncQueryError(f"unknown function {n!r}")  # pragma: no cover
+
+
+def _chain(vals, op):
+    """Left-to-right fold, matching SQL's left-assoc + / * chains (IEEE
+    doubles are not associative — the fold ORDER is part of the spec)."""
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = acc + v if op == "+" else acc * v
+    return acc
+
+
+# --- resolution of index/corpus-dependent functions ---------------------
+
+def resolve(node, provider, now_ms: int | None = None):
+    """Rewrite scale/termfreq/docfreq/idf/ttf/maxdoc/numdocs/norm nodes
+    into literals or Sql splices using `provider` — duck-typed:
+
+    * ``provider.scalar(call) -> float`` for the scalar functions
+      (docfreq/idf/ttf/maxdoc/numdocs);
+    * ``provider.minmax(x_node) -> (min, max)`` for scale()'s corpus
+      bounds (one aggregate over the compiled inner expression);
+    * ``provider.termfreq_column(field, term) -> (spark_sql, duck_sql)``
+      and ``provider.norm_column(field)`` for per-doc splices.
+
+    Returns a pure tree :func:`compile_spark` / :func:`compile_duckdb`
+    accept. scale(x,a,b) resolves its corpus min/max THROUGH the
+    provider (one aggregate job) and becomes pure arithmetic on x."""
+    if not isinstance(node, Call):
+        return node
+    if node.name not in _NEEDS_RESOLVE:
+        return Call(node.name,
+                    tuple(resolve(a, provider, now_ms) for a in node.args))
+    if node.name == "scale":
+        x = resolve(node.args[0], provider, now_ms)
+        lo_t, hi_t = node.args[1], node.args[2]
+        if not isinstance(lo_t, Num) or not isinstance(hi_t, Num):
+            raise FuncQueryError("scale() bounds must be numeric")
+        mn, mx = provider.minmax(x)
+        span = (mx - mn) or 1.0  # constant column: everything maps to lo
+        # (x - mn) / span * (hi - lo) + lo
+        return Call("sum", (
+            Call("product", (
+                Call("div", (Call("sub", (x, Num(mn))), Num(span))),
+                Num(hi_t.value - lo_t.value))),
+            lo_t))
+    if node.name in ("docfreq", "idf", "ttf"):
+        _check_ft(node, 2)
+        return Num(float(provider.scalar(node)))
+    if node.name in ("maxdoc", "numdocs"):
+        return Num(float(provider.scalar(node)))
+    if node.name == "termfreq":
+        _check_ft(node, 2)
+        spark, duck = provider.termfreq_column(
+            node.args[0].name, node.args[1].value)
+        return Sql(spark, duck)
+    if node.name == "norm":
+        if not isinstance(node.args[0], Field):
+            raise FuncQueryError("norm() takes a field")
+        spark, duck = provider.norm_column(node.args[0].name)
+        return Sql(spark, duck)
+    raise FuncQueryError(f"unresolvable {node.name!r}")  # pragma: no cover
+
+
+def _check_ft(node: Call, n: int):
+    if not (isinstance(node.args[0], Field) and isinstance(node.args[1], Str)):
+        raise FuncQueryError(
+            f"{node.name}(field, 'term') — got {node.args!r}")

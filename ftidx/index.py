@@ -1472,6 +1472,53 @@ class FtIndex:
             .select("doc_id", "score", "boost", "final")
         )
 
+    def topk_funcquery(self, terms: list[str], fq: str, k: int = 10,
+                       field: str = "code.content", mode: str = "add",
+                       now_ms: int | None = None) -> DataFrame:
+        """Solr function-query boost (``bf=recip(ms(NOW,modified),
+        3.16e-11,1,1)`` — the actual Solr syntax, not raw SQL): parse
+        via :mod:`ftidx.funcquery`, resolve the index-dependent
+        functions against THIS index, and run the compiled expression
+        through the :meth:`topk_boosted` engine. ``mode`` maps to
+        ``bf=`` (add) / ``boost=`` (mult) exactly as there.
+
+        Index/corpus-dependent functions and their resolution cost:
+
+        * ``scale(x,lo,hi)`` — ONE aggregate over the docs table for
+          x's corpus min/max, then pure arithmetic;
+        * ``docfreq/idf/ttf(field,'t')``, ``maxdoc()``, ``numdocs()``
+          — scalar literals from the stats/postings tables (the df
+          scan is term-pruned, same shape as query scoring);
+        * ``termfreq(field,'t')`` — a (doc_id, tf) frame decoded from
+          that term's postings (bucket-parallel, term-pruned scan),
+          left-joined onto the docs side of the boost join; missing
+          docs coalesce to 0 like Lucene;
+        * ``norm(field)`` — 1/sqrt(dl) from the doclen table.
+
+        ``NOW`` needs an explicit ``now_ms`` (deterministic clocks
+        only — a replayed query must produce the identical ranking)."""
+        from ftidx import funcquery as FQ
+
+        if mode not in ("add", "mult"):
+            raise ValueError(f"mode must be 'add' or 'mult', got {mode!r}")
+        prov = _FuncQueryProvider(self, field, now_ms)
+        resolved = FQ.resolve(FQ.parse(fq), prov, now_ms)
+        boost_sql = FQ.compile_spark(resolved, now_ms)
+        scored = self._scored_df(terms, field)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        for col_name, frame in prov.join_frames:
+            docs = docs.join(frame, "doc_id", "left").withColumn(
+                col_name, F.coalesce(F.col(col_name), F.lit(0.0)))
+        combine = (F.col("score") + F.col("boost") if mode == "add"
+                   else F.col("score") * F.col("boost"))
+        return (
+            scored.join(docs, "doc_id")
+            .withColumn("boost", F.expr(boost_sql).cast("double"))
+            .withColumn("final", combine)
+            .orderBy(F.desc("final"), F.asc("doc_id")).limit(k)
+            .select("doc_id", "score", "boost", "final")
+        )
+
     def topk_ltr(self, terms: list[str], model: dict[str, float],
                  k: int = 10, bm25_weight: float = 1.0,
                  field: str = "code.content") -> DataFrame:
@@ -3677,6 +3724,117 @@ class FtIndex:
             score_bucket, schema="doc_id long, score double"
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+class _FuncQueryProvider:
+    """:func:`ftidx.funcquery.resolve` provider over one FtIndex:
+    scalar functions come from the stats/postings tables (term-pruned
+    scans, the same shape query scoring uses); per-doc functions
+    (termfreq, norm) register (doc_id, value) frames that
+    :meth:`FtIndex.topk_funcquery` left-joins onto the docs side."""
+
+    def __init__(self, idx: FtIndex, default_field: str,
+                 now_ms: int | None = None):
+        self.idx = idx
+        self.default_field = default_field
+        self.now_ms = now_ms
+        self.join_frames: list[tuple[str, DataFrame]] = []
+
+    def scalar(self, call) -> float:
+        name = call.name
+        if name in ("maxdoc", "numdocs"):
+            n_docs, _ = self.idx.stats.get(self.default_field, (0, 1.0))
+            return float(n_docs)
+        field, term = call.args[0].name, call.args[1].value
+        if name in ("docfreq", "idf"):
+            row = self.idx._postings.filter(
+                (F.col("field") == field) & (F.col("term") == term)
+            ).agg(F.sum("df").alias("df")).collect()[0]
+            df_global = int(row["df"] or 0)
+            if name == "docfreq":
+                return float(df_global)
+            if df_global == 0:
+                return 0.0
+            n_docs, _ = self.idx.stats.get(field, (0, 1.0))
+            return float(bm25_idf(n_docs, df_global))
+        # ttf: total term frequency across the corpus — sum of the
+        # term's decoded tf column (one term-pruned decode pass)
+        row = self._tf_frame(field, term).agg(
+            F.sum("tf").alias("s")).collect()[0]
+        return float(row["s"] or 0.0)
+
+    def minmax(self, x_node) -> tuple[float, float]:
+        from ftidx import funcquery as FQ
+
+        def has_splice(n) -> bool:
+            if isinstance(n, FQ.Sql):
+                return True
+            return isinstance(n, FQ.Call) and any(
+                has_splice(a) for a in n.args)
+
+        if has_splice(x_node):
+            raise FQ.FuncQueryError(
+                "scale() over termfreq()/norm() is not supported — "
+                "scale the joined column with explicit bounds instead")
+        sql = FQ.compile_spark(x_node, self.now_ms)
+        docs = self.idx.spark.read.parquet(str(self.idx.path / "docs"))
+        row = docs.select(F.expr(sql).alias("x")).agg(
+            F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+        if row["mn"] is None:
+            raise FQ.FuncQueryError("scale() over an all-NULL expression")
+        return float(row["mn"]), float(row["mx"])
+
+    def termfreq_column(self, field: str, term: str) -> tuple[str, str]:
+        col = f"__fq_tf{len(self.join_frames)}"
+        self.join_frames.append(
+            (col, self._tf_frame(field, term).withColumnRenamed("tf", col)))
+        ref = f"CAST({col} AS DOUBLE)"
+        return ref, ref
+
+    def norm_column(self, field: str) -> tuple[str, str]:
+        col = f"__fq_norm{len(self.join_frames)}"
+        dl = (
+            self.idx.spark.read.parquet(str(self.idx.path / "doclen"))
+            .filter(F.col("field") == field)
+            # a doc's dl can be split across base + delta segment rows
+            .groupBy("doc_id").agg(F.sum("len").alias("len"))
+            .select("doc_id",
+                    (F.lit(1.0) / F.sqrt(F.col("len"))).alias(col))
+        )
+        self.join_frames.append((col, dl))
+        ref = f"CAST({col} AS DOUBLE)"
+        return ref, ref
+
+    def _tf_frame(self, field: str, term: str) -> DataFrame:
+        """(doc_id, tf) for ONE (field, term): term-pruned postings
+        scan, executor-side varint decode, delta-segment rows summed.
+        Tombstoned ids never surface because the boost join is inner
+        against the (already tombstone-filtered) scored frame."""
+        prows = self.idx._postings.filter(
+            (F.col("field") == field) & (F.col("term") == term)
+        ).select("doc_ids", "tfs")
+
+        def decode(batches):
+            from ftidx.codec import delta_decode, varint_decode
+
+            for pdf in batches:
+                ids_out, tf_out = [], []
+                for id_blob, tf_blob in zip(pdf["doc_ids"], pdf["tfs"]):
+                    ids_out.append(delta_decode(
+                        varint_decode(id_blob)).astype("int64"))
+                    tf_out.append(
+                        varint_decode(tf_blob).astype("float64"))
+                if ids_out:
+                    yield pd.DataFrame({
+                        "doc_id": np.concatenate(ids_out),
+                        "tf": np.concatenate(tf_out)})
+                else:
+                    yield pd.DataFrame({
+                        "doc_id": pd.Series(dtype="int64"),
+                        "tf": pd.Series(dtype="float64")})
+
+        return (prows.mapInPandas(decode, schema="doc_id long, tf double")
+                .groupBy("doc_id").agg(F.sum("tf").alias("tf")))
 
 
 def open_index(spark: SparkSession, path: str) -> FtIndex:

@@ -943,10 +943,35 @@ def _make_handler(idx, lock: threading.Lock):
                         elif bf or boost:
                             # Solr bf= additive / edismax boost=
                             # multiplicative function over stored
-                            # metadata columns
-                            rows = idx.topk_boosted(
-                                terms, bf or boost, k=k, field=field,
-                                mode="add" if bf else "mult").collect()
+                            # metadata columns. Actual Solr FUNCTION
+                            # syntax (recip(ms(NOW,modified),...)) is
+                            # tried first — its grammar has no infix
+                            # operators, so a raw-SQL expression like
+                            # 0.1*ln(1+n_chars) never parses as one
+                            # and falls through to the SQL slot.
+                            from ftidx import funcquery as _FQ
+                            expr, mode = (bf or boost,
+                                          "add" if bf else "mult")
+                            now_ms = qs.get("now", [""])[0]
+                            try:
+                                _FQ.parse(expr)
+                                is_fq = True
+                            except _FQ.FuncQueryError:
+                                is_fq = False
+                            if is_fq:
+                                # resolution errors (NOW without now=,
+                                # bad termfreq args) are the caller's —
+                                # FuncQueryError is a ValueError, the
+                                # route's 400 path
+                                rows = idx.topk_funcquery(
+                                    terms, expr, k=k, field=field,
+                                    mode=mode,
+                                    now_ms=int(now_ms) if now_ms
+                                    else None).collect()
+                            else:
+                                rows = idx.topk_boosted(
+                                    terms, expr, k=k, field=field,
+                                    mode=mode).collect()
                             self._json(200, {"docs": [
                                 {"doc_id": r["doc_id"], "score": r["score"],
                                  "boost": r["boost"], "final": r["final"]}

@@ -1,0 +1,225 @@
+"""Solr function queries (ftidx/funcquery.py): parse + twin-emission
+identity (Spark == DuckDB == pure Python, the LTR-model discipline),
+date/NOW handling, and the FtIndex.topk_funcquery path including the
+index-dependent functions (termfreq/docfreq/idf/ttf/norm/scale)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx import funcquery as FQ
+from ftidx.index import build_index, open_index
+from ftidx.synth import synth_source
+
+NOW_MS = 1_700_000_000_000  # pinned clock — determinism is the contract
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fqidx") / "main")
+    src = synth_source(spark, 300, partitions=3)
+    build_index(spark, src, out, n_buckets=4, hot_df_threshold=50)
+    return out
+
+
+# --- parser ------------------------------------------------------------
+
+def test_parse_shapes_and_refusals():
+    n = FQ.parse("recip(ms(NOW,modified),3.16e-11,1,1)")
+    assert isinstance(n, FQ.Call) and n.name == "recip" and n.arity == 4
+    assert FQ.fields_of(n) == {"modified"}
+    # bare NOW == ms()
+    assert FQ.parse("NOW") == FQ.Call("ms", ())
+    # ISO literals fold to epoch ms at parse time, both forms
+    assert FQ.parse("2024-01-01").value == 1704067200000.0
+    assert FQ.parse("2024-01-01T00:00:10Z").value == 1704067210000.0
+    # numbers incl. scientific notation and leading '-'
+    assert FQ.parse("-3.5e2").value == -350.0
+    for bad in ["nosuch(1)", "recip(1,2)", "sum(1,2) trailing",
+                "if(1,2)", "'unterminated", "", "sum(1,)", "map(1,2,3)"]:
+        with pytest.raises(FQ.FuncQueryError):
+            FQ.parse(bad)
+    # NOW without a pinned clock refuses at compile, not silently now()
+    with pytest.raises(FQ.FuncQueryError):
+        FQ.compile_spark("ms(NOW,modified)")
+    # index-dependent functions refuse pure compilation
+    with pytest.raises(FQ.FuncQueryError):
+        FQ.compile_spark("termfreq(code.content,'def')")
+
+
+# --- three-way emission identity ---------------------------------------
+
+EXPRS = [
+    "sum(x, y, 2)",
+    "sub(product(x, y), div(y, 4))",
+    "linear(x, 2, 5)",
+    "recip(x, 0.5, 1, 1)",
+    "sum(abs(sub(x, y)), sqrt(x), ln(sum(x, 1)), log(sum(x, 1)))",
+    "pow(x, 2)",
+    "max(x, y, 3)",
+    "min(x, y, 3)",
+    "if(gt(x, y), x, y)",
+    "if(exists(z), z, -1)",
+    "def(z, 99)",
+    "map(x, 0, 5, 100)",
+    "map(x, 0, 5, 100, -7)",
+    "if(and(gt(x, 0), lt(x, 100)), 1, 0)",
+    "if(or(eq(x, 3), gte(y, 50)), x, y)",
+    "not(lte(x, 2))",
+    "rint(div(y, 7))",
+    "floor(div(y, 7))",
+    "ceil(div(y, 7))",
+    "mod(y, 5)",
+    "cbrt(sum(x, 19))",
+    "exp(div(x, 10))",
+]
+
+ROWS = [
+    {"x": 3.0, "y": 42.0, "z": None},
+    {"x": 0.0, "y": 7.5, "z": 2.0},
+    {"x": 8.0, "y": -3.0, "z": 0.0},
+]
+
+
+def test_three_way_identity(spark):
+    """Spark, DuckDB and the Python evaluator compute bit-identical
+    doubles for every pure expression — the property that makes the
+    DuckDB twin a valid contract oracle."""
+    sdf = spark.createDataFrame(
+        [(r["x"], r["y"], r["z"]) for r in ROWS],
+        "x double, y double, z double")
+    pdf = sdf.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for src in EXPRS:
+        node = FQ.parse(src)
+        s_sql = FQ.compile_spark(node)
+        d_sql = FQ.compile_duckdb(node)
+        got_s = [r["v"] for r in
+                 sdf.select(F.expr(s_sql).alias("v")).collect()]
+        got_d = [r[0] for r in
+                 con.execute(f"SELECT {d_sql} AS v FROM t").fetchall()]
+        got_p = [FQ.evaluate(node, r) for r in ROWS]
+        for a, b, c in zip(got_s, got_d, got_p):
+            # arithmetic is bit-identical; transcendentals (ln, exp,
+            # cbrt) may differ by 1 ulp between JVM Math and libm
+            assert a == pytest.approx(b, rel=1e-14, abs=1e-300) and \
+                a == pytest.approx(c, rel=1e-14, abs=1e-300), \
+                f"{src}: spark={a} duck={b} py={c}"
+    con.close()
+
+
+def test_ms_now_and_timestamp_fields(spark):
+    ts = datetime(2024, 6, 1, 12, 0, 0)
+    sdf = spark.createDataFrame([(ts,)], "modified timestamp")
+    node = FQ.parse("recip(ms(NOW,modified),3.16e-11,1,1)")
+    s_val = sdf.select(F.expr(
+        FQ.compile_spark(node, now_ms=NOW_MS)).alias("v")).collect()[0]["v"]
+    con = duckdb.connect()
+    con.register("t", sdf.toPandas())
+    d_val = con.execute(
+        f"SELECT {FQ.compile_duckdb(node, now_ms=NOW_MS)} FROM t"
+    ).fetchall()[0][0]
+    con.close()
+    age_ms = NOW_MS - ts.replace(tzinfo=timezone.utc).timestamp() * 1000
+    want = 1.0 / (3.16e-11 * age_ms + 1.0)
+    assert s_val == d_val == pytest.approx(want, rel=1e-12)
+    # fresher docs boost higher — the canonical recency decay
+    old = datetime(2020, 1, 1)
+    py = FQ.evaluate(node, {"modified": old}, now_ms=NOW_MS)
+    assert py < want
+
+
+# --- index path ---------------------------------------------------------
+
+def test_topk_funcquery_matches_sql_twin(spark, built):
+    idx = open_index(spark, built)
+    fq = "recip(ms(NOW,modified),3.16e-13,1,1)"
+    got = idx.topk_funcquery(["def", "spark"], fq, k=10,
+                             now_ms=NOW_MS).collect()
+    assert got
+    want = idx.topk_boosted(
+        ["def", "spark"],
+        FQ.compile_spark(FQ.parse(fq), now_ms=NOW_MS), k=10).collect()
+    assert [(r["doc_id"], r["final"]) for r in got] == \
+        [(r["doc_id"], r["final"]) for r in want]
+    for r in got:
+        # synth modified dates straddle the pinned NOW: a doc newer
+        # than NOW has a small negative age, recip > 1 — still finite
+        # and positive (b=1 dominates m·x at these magnitudes)
+        assert 0.0 < r["boost"] < 2.0
+        assert abs(r["final"] - (r["score"] + r["boost"])) < 1e-12
+    # multiplicative mode mirrors topk_boosted's
+    m = idx.topk_funcquery(["def"], "linear(ms(NOW,modified), 0, 1)",
+                           k=5, mode="mult", now_ms=NOW_MS).collect()
+    p = idx.topk(["def"], k=5)
+    assert [(r["doc_id"], round(r["final"], 6)) for r in m] == \
+        [(d, round(s, 6)) for d, s in p]
+    with pytest.raises(ValueError):
+        idx.topk_funcquery(["def"], "sum(1,1)", mode="nope")
+
+
+def test_termfreq_and_norm_boost(spark, built):
+    idx = open_index(spark, built)
+    # boost == termfreq: final - score must equal the doc's tf of 'def'
+    got = idx.topk_funcquery(
+        ["def"], "termfreq(code.content,'def')", k=5).collect()
+    assert got
+    for r in got:
+        tv = dict(idx.doc_term_vector(r["doc_id"], top_m=1000))
+        assert r["boost"] == float(tv["def"])
+    # norm == 1/sqrt(dl): strictly decreasing in dl, positive
+    nm = idx.topk_funcquery(["def"], "norm(code.content)", k=5).collect()
+    for r in nm:
+        tv = dict(idx.doc_term_vector(r["doc_id"], top_m=100000))
+        assert r["boost"] == pytest.approx(
+            1.0 / math.sqrt(sum(tv.values())), rel=1e-9)
+
+
+def test_scalar_functions_resolve(spark, built):
+    idx = open_index(spark, built)
+    n_docs, _ = idx.stats["code.content"]
+    # numdocs/maxdoc are the corpus size; docfreq('def') matches the
+    # stats the scorer itself uses; idf positive for a present term
+    got = idx.topk_funcquery(
+        ["def"],
+        "if(gt(docfreq(code.content,'def'), 0),"
+        "   div(docfreq(code.content,'def'), numdocs()), -1)",
+        k=3).collect()
+    assert got
+    frac = got[0]["boost"]
+    assert 0.0 < frac <= 1.0
+    assert all(r["boost"] == frac for r in got)  # scalar: same every doc
+    # ttf >= docfreq (every matching doc contributes >= 1 occurrence)
+    t = idx.topk_funcquery(
+        ["def"],
+        "div(ttf(code.content,'def'), docfreq(code.content,'def'))",
+        k=1).collect()
+    assert t[0]["boost"] >= 1.0
+    # idf matches the scorer's own value
+    i = idx.topk_funcquery(["def"], "idf(code.content,'def')",
+                           k=1).collect()
+    from ftidx.wand import bm25_idf
+    df_row = idx._postings.filter(
+        (F.col("field") == "code.content") & (F.col("term") == "def")
+    ).agg(F.sum("df")).collect()[0][0]
+    assert i[0]["boost"] == pytest.approx(
+        bm25_idf(n_docs, int(df_row)), rel=1e-12)
+
+
+def test_scale_resolves_corpus_bounds(spark, built):
+    idx = open_index(spark, built)
+    got = idx.topk_funcquery(
+        ["def"], "scale(ms(2030-01-01,modified), 0, 1)", k=50).collect()
+    assert got
+    vals = [r["boost"] for r in got]
+    assert all(-1e-9 <= v <= 1 + 1e-9 for v in vals)
+    # scale over an index-dependent splice refuses
+    with pytest.raises(FQ.FuncQueryError):
+        idx.topk_funcquery(
+            ["def"], "scale(termfreq(code.content,'def'), 0, 1)", k=1)

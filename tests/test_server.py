@@ -351,6 +351,35 @@ def test_boost_function_param(served):
     assert finals == sorted(finals, reverse=True)
 
 
+def test_boost_solr_function_syntax(served):
+    """bf= accepts actual Solr FUNCTION syntax (no infix operators):
+    recip(ms(NOW,modified),...) with a pinned now= routes through
+    topk_funcquery; raw-SQL bf= (covered above) still falls through to
+    the SQL slot; NOW without now= is the caller's fault → 400."""
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    now_ms = 1_700_000_000_000
+    url = (f"{base}/search?q=def+spark&k=5&now={now_ms}"
+           f"&bf=recip(ms(NOW,modified),3.16e-13,1,1)")
+    status, body = _get(url)
+    assert status == 200 and body["docs"]
+    for d in body["docs"]:
+        assert abs(d["final"] - (d["score"] + d["boost"])) < 1e-12
+        assert 0.0 < d["boost"] < 2.0
+    want = idx.topk_funcquery(
+        ["def", "spark"], "recip(ms(NOW,modified),3.16e-13,1,1)",
+        k=5, now_ms=now_ms).collect()
+    assert [d["doc_id"] for d in body["docs"]] == \
+        [r["doc_id"] for r in want]
+    # NOW without a pinned clock: deterministic refusal, 400
+    code = 200
+    try:
+        _get(f"{base}/search?q=def&k=5&bf=recip(ms(NOW,modified),1,1,1)")
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+
 def test_terms_endpoint(served):
     srv, idx = served
     base = f"http://{srv.host}:{srv.port}"
