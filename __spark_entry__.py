@@ -452,6 +452,38 @@ def q_facet_pivot(spark, sf_dir):
     )
 
 
+def q_facet_multiselect(spark, sf_dir):
+    """Multi-select faceting (Solr ``{!tag=}`` filters + JSON facet
+    ``domain.excludeTags`` — engine twin: FtIndex.select_json facet
+    domains): docs matching the query carry TWO filters —
+    lang='python' (tagged L) and n_chars >= 200 — and the lang facet
+    EXCLUDES the tagged lang filter from its own counting domain (the
+    multi-select UI contract: your language selection must not
+    collapse the language facet to one bar), while the source facet
+    applies every filter."""
+    docs = _docs(spark, sf_dir)
+    matched = _tokens(spark, sf_dir).filter(F.col("term") == "merge") \
+        .select("doc_id").distinct()
+    m = docs.join(matched, "doc_id")
+    langs = (
+        m.filter(F.col("n_chars") >= 200)          # lang filter excluded
+        .groupBy(F.col("lang").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("facet", F.lit("langs"))
+    )
+    sources = (
+        m.filter((F.col("n_chars") >= 200) & (F.col("lang") == "python"))
+        .groupBy(F.col("source").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("facet", F.lit("sources"))
+    )
+    return (
+        langs.unionByName(sources)
+        .select("facet", "value", "n_docs")
+        .orderBy("facet", F.desc("n_docs"), F.asc("value"))
+    )
+
+
 def q_facet_stats(spark, sf_dir):
     """Stats-over-facet (Solr stats.field+stats.facet / JSON facet aggs
     — engine twin: FtIndex.facet_metric_stats): per-language
@@ -2724,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03 row; the six standard ops they displace
         # (fingerprints … events_window_topn) carry driver-green rows
         # from rounds 1-2 and move just below the window ---
+        "facet_multiselect": q_facet_multiselect,
         "semdedup": q_semdedup,
         "geo_radius": q_geo_radius,
         "geo_knn": q_geo_knn,
@@ -3431,6 +3464,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN matched USING (doc_id)
             GROUP BY d.lang, d.source
             ORDER BY n_docs DESC, value1, value2
+        """,
+        "facet_multiselect": f"""
+            WITH {_TOK_CTE},
+            m AS (
+              SELECT DISTINCT d.doc_id, d.lang, d.source, d.n_chars
+              FROM documents d JOIN tok USING (doc_id)
+              WHERE tok.term = 'merge'
+            ),
+            langs AS (
+              SELECT 'langs' AS facet, lang AS value, count(*) AS n_docs
+              FROM m WHERE n_chars >= 200 GROUP BY lang
+            ),
+            sources AS (
+              SELECT 'sources' AS facet, source AS value,
+                     count(*) AS n_docs
+              FROM m WHERE n_chars >= 200 AND lang = 'python'
+              GROUP BY source
+            )
+            SELECT facet, value, n_docs FROM (
+              SELECT * FROM langs UNION ALL SELECT * FROM sources
+            ) ORDER BY facet, n_docs DESC, value
         """,
         "facet_stats": f"""
             WITH {_TOK_CTE},

@@ -680,6 +680,22 @@ def _sig_score_cut(agg: DataFrame, fg_n: int, bg_n: int, limit: int,
     )
 
 
+_TAG_RE = re.compile(r"^\{!tag=([A-Za-z0-9_,-]+)\}\s*(\S.*)$", re.S)
+
+
+def _filter_tags(pred: str) -> tuple[frozenset, str]:
+    """Split a /select filter's optional Solr localParams tag prefix:
+    ``"{!tag=L}lang = 'python'"`` → ({'L'}, "lang = 'python'");
+    ``"{!tag=a,b}…"`` carries two tags. An untagged predicate gets the
+    empty tag set (never excludable). The predicate text after the
+    prefix is what reaches the filterCache, so the SAME predicate
+    tagged differently across requests still shares one cache entry."""
+    m = _TAG_RE.match(pred.strip())
+    if not m:
+        return frozenset(), pred
+    return frozenset(t for t in m.group(1).split(",") if t), m.group(2)
+
+
 def _idset_cost(ids: frozenset) -> int:
     """Approximate resident bytes of a cached filter id-set: ~28 bytes
     per int object + ~2× 8-byte hash slots (frozenset overallocates),
@@ -3285,7 +3301,28 @@ class FtIndex:
         ``fields`` enriches only the returned page
         (:meth:`fetch_docs`). Sorting is score DESC, id ASC (use
         :meth:`search_sorted` for sort-by-field/function over term
-        queries). Unsupported keys raise ValueError → HTTP 400."""
+        queries). Unsupported keys raise ValueError → HTTP 400.
+
+        Multi-select faceting (Solr localParams ``{!tag=}`` + JSON
+        facet ``domain.excludeTags``): a filter may carry tags —
+        ``"{!tag=L}lang = 'python'"`` (comma for several) — and a
+        facet may exclude tagged filters from its OWN counting
+        domain::
+
+            {"query": "merge",
+             "filter": ["{!tag=L}lang = 'python'", "n_chars >= 100"],
+             "facet": {"langs": {"type": "terms", "field": "lang",
+                                 "domain": {"excludeTags": ["L"]}},
+                       "fast": {"type": "query", "q": "fast"}}}
+
+        ``langs`` then counts over query ∩ (n_chars filter) — the
+        user's own language selection does not collapse the language
+        facet to one bar, which is the whole point of multi-select
+        UIs — while ``response`` and un-excluding facets still apply
+        every filter. ``type: "query"`` facets (JSON facet API) count
+        the domain docs ALSO matching a second query string. Filter
+        id-sets come from the filterCache, so alternate domains are
+        driver-side set intersections, not extra scans."""
         known = {"query", "filter", "offset", "limit", "fields",
                  "facet", "params"}
         unknown = set(body) - known
@@ -3309,7 +3346,7 @@ class FtIndex:
         # full filtered match set: numFound and facets need it all —
         # the ranking itself is the driver-side serving kernel, which
         # already materializes every candidate before the cut
-        hits = self.query_string(q, k=1 << 30, field=field, min_match=mm)
+        qhits = self.query_string(q, k=1 << 30, field=field, min_match=mm)
         filters = body.get("filter") or []
         if isinstance(filters, str):
             filters = [filters]
@@ -3317,7 +3354,11 @@ class FtIndex:
                 not all(isinstance(p, str) for p in filters):
             raise ValueError("'filter' must be a predicate string or a "
                              "list of predicate strings")
-        for pred in filters:
+        # (tags, predicate) pairs — the {!tag=a,b} localParams prefix
+        # names a filter so facet domains can exclude it
+        parsed = [_filter_tags(pred) for pred in filters]
+        hits = qhits
+        for _, pred in parsed:
             keep = self.predicate_ids(pred)
             hits = [(d, s) for d, s in hits if d in keep]
 
@@ -3344,23 +3385,68 @@ class FtIndex:
                 not all(isinstance(s, dict) for s in facet_spec.values()):
             raise ValueError("'facet' must be {name: {type/field/limit}}")
         if facet_spec:
-            # ship the match-id set ONCE: N facet entries share one
-            # broadcast id frame instead of re-building it per facet
-            match_ids = [d for d, _ in hits]
-            id_df = self.spark.createDataFrame(
-                [(int(d),) for d in match_ids], "doc_id long") \
-                if match_ids else None
             docs_tbl = self.spark.read.parquet(str(self.path / "docs"))
+            # a facet's domain = query hits ∩ the non-excluded filters;
+            # memoized per applied-filter mask so N facets sharing a
+            # domain share ONE id list (and the all-applied domain is
+            # just `hits`, already computed)
+            domain_memo: dict[tuple, list[int]] = {
+                tuple(range(len(parsed))): [d for d, _ in hits]}
+            id_df_memo: dict[tuple, object] = {}
+
+            def domain(exclude: frozenset) -> tuple[tuple, list[int]]:
+                key = tuple(i for i, (tags, _) in enumerate(parsed)
+                            if not (tags & exclude))
+                ids = domain_memo.get(key)
+                if ids is None:
+                    out_ids = [d for d, _ in qhits]
+                    for i in key:
+                        keep = self.predicate_ids(parsed[i][1])
+                        out_ids = [d for d in out_ids if d in keep]
+                    ids = domain_memo[key] = out_ids
+                return key, ids
+
             out["facets"] = {}
             for name, spec in facet_spec.items():
-                if spec.get("type", "terms") != "terms":
+                ftype = spec.get("type", "terms")
+                allowed = {"terms": {"type", "field", "limit", "domain"},
+                           "query": {"type", "q", "domain"}}.get(ftype)
+                if allowed is None:
+                    raise ValueError(f"facet {name!r}: unsupported type "
+                                     f"{ftype!r} (terms, query)")
+                extra = set(spec) - allowed
+                if extra:
                     raise ValueError(
-                        f"facet {name!r}: only type=terms is supported")
+                        f"facet {name!r}: unsupported keys {sorted(extra)}")
+                dom = spec.get("domain") or {}
+                if not isinstance(dom, dict) or set(dom) - {"excludeTags"}:
+                    raise ValueError(f"facet {name!r}: 'domain' supports "
+                                     "only excludeTags")
+                exclude = dom.get("excludeTags") or []
+                if isinstance(exclude, str):
+                    exclude = [exclude]
+                key, ids = domain(frozenset(exclude))
+                if ftype == "query":
+                    if not isinstance(spec.get("q"), str) or \
+                            not spec["q"].strip():
+                        raise ValueError(
+                            f"facet {name!r}: query facet needs 'q'")
+                    sub = {d for d, _ in self.query_string(
+                        spec["q"], k=1 << 30, field=field)}
+                    out["facets"][name] = {
+                        "count": sum(1 for d in ids if d in sub)}
+                    continue
                 if "field" not in spec:
                     raise ValueError(f"facet {name!r}: missing 'field'")
-                if id_df is None:
+                if not ids:
                     out["facets"][name] = []
                     continue
+                # one broadcast id frame per DISTINCT domain — N facet
+                # entries over the same domain share it
+                id_df = id_df_memo.get(key)
+                if id_df is None:
+                    id_df = id_df_memo[key] = self.spark.createDataFrame(
+                        [(int(d),) for d in ids], "doc_id long")
                 rows = (
                     docs_tbl.join(F.broadcast(id_df), "doc_id")
                     .groupBy(F.col(spec["field"]).alias("value"))

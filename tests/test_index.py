@@ -1564,6 +1564,65 @@ def test_select_json(spark, built):
                                          "field": "lang"}}})
 
 
+def test_select_json_multiselect(spark, built):
+    """Multi-select faceting ({!tag=} + domain.excludeTags, Solr JSON
+    facet API): a facet excluding the tagged filter counts over the
+    query ∩ remaining filters — the user's own selection does not
+    collapse its facet — while the response and un-excluding facets
+    apply everything; type=query facets count a sub-query over the
+    facet's domain; the tag prefix never reaches the filterCache key."""
+    out, _ = built
+    idx = open_index(spark, out)
+    qids = [d for d, _ in idx.query_string("def return", k=10**6)]
+    lang = idx.predicate_ids("lang = 'python'")
+    size = idx.predicate_ids("pmod(doc_id, 2) = 0")
+    applied = [d for d in qids if d in lang and d in size]
+    no_lang = [d for d in qids if d in size]
+    assert applied and len(applied) < len(no_lang)
+
+    body = idx.select_json({
+        "query": "def return",
+        "filter": ["{!tag=L}lang = 'python'", "pmod(doc_id, 2) = 0"],
+        "limit": 3,
+        "facet": {
+            "langs": {"type": "terms", "field": "lang", "limit": 10,
+                      "domain": {"excludeTags": ["L"]}},
+            "langs_applied": {"type": "terms", "field": "lang",
+                              "limit": 10},
+            "has_fast": {"type": "query", "q": "fast"},
+            "has_fast_nolang": {"type": "query", "q": "fast",
+                                "domain": {"excludeTags": "L"}},
+        }})
+    assert body["response"]["numFound"] == len(applied)
+    assert body["facets"]["langs"] == [
+        {"value": v, "count": n}
+        for v, n in idx.facet_counts_for_ids(no_lang, "lang", 10)]
+    assert len(body["facets"]["langs"]) > 1  # > one language bar
+    assert body["facets"]["langs_applied"] == [
+        {"value": "python", "count": len(applied)}]
+    fast = {d for d, _ in idx.query_string("fast", k=10**6)}
+    assert body["facets"]["has_fast"] == {
+        "count": sum(1 for d in applied if d in fast)}
+    assert body["facets"]["has_fast_nolang"] == {
+        "count": sum(1 for d in no_lang if d in fast)}
+    # the tag prefix is stripped before caching: tagged and untagged
+    # spellings of one predicate share a single filterCache entry
+    assert "lang = 'python'" in idx._filter_cache
+    assert not any(k.startswith("{!tag") for k in idx._filter_cache)
+
+    with pytest.raises(ValueError):  # unknown domain key
+        idx.select_json({"query": "def",
+                         "facet": {"x": {"type": "terms", "field": "lang",
+                                         "domain": {"include": "all"}}}})
+    with pytest.raises(ValueError):  # query facet without q
+        idx.select_json({"query": "def",
+                         "facet": {"x": {"type": "query"}}})
+    with pytest.raises(ValueError):  # stray key on a terms facet
+        idx.select_json({"query": "def",
+                         "facet": {"x": {"type": "terms", "field": "lang",
+                                         "q": "fast"}}})
+
+
 def test_metrics(spark, built):
     """admin/metrics analog: cache counters move with usage, the
     ledger summary reflects the finished build."""
