@@ -1,0 +1,89 @@
+"""topic() pub-sub polls: full first delivery, new-docs-only later
+deliveries, empty when nothing arrived, refusal after base rewrite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.index import FtIndex, build_index
+from ftidx.streaming import index_microbatch, prepare_docs_hashid
+from ftidx.synth import synth_source
+from ftidx.topic import topic_poll
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    src = synth_source(spark, 80, partitions=2).cache()
+    build_index(spark, src, out, n_buckets=4)
+    return out, src
+
+
+def _ids(df):
+    return {int(r["doc_id"]) for r in df.collect()}
+
+
+def test_topic_polls_deliver_each_doc_once(spark, base, tmp_path):
+    out, src = base
+    ck = str(tmp_path / "ck")
+    idx = FtIndex(spark, out)
+    terms = ["def", "alpha"]
+
+    first = _ids(topic_poll(idx, "t1", terms, ck))
+    want_base = _ids(idx._matched_ids(terms, "code.content"))
+    assert first == want_base and first  # full current match set
+
+    # nothing arrived -> empty delivery, checkpoint unchanged
+    assert _ids(topic_poll(idx, "t1", terms, ck)) == set()
+
+    # stream in new docs; only the NEW matching ones deliver
+    extra = synth_source(spark, 120, partitions=2).subtract(
+        synth_source(spark, 80, partitions=2))
+    index_microbatch(extra, 0, out, n_buckets=4)
+    idx.refresh()
+    third = _ids(topic_poll(idx, "t1", terms, ck))
+    live = prepare_docs_hashid(extra, 4).filter(
+        (~F.col("deleted")) & F.col("content").isNotNull())
+    new_matched = _ids(idx._matched_ids(terms, "code.content")) - want_base
+    assert third == new_matched and third
+    assert third.isdisjoint(first)
+
+    # second epoch delivers only its own docs; earlier epochs are done
+    extra2 = synth_source(spark, 150, partitions=2).subtract(
+        synth_source(spark, 120, partitions=2))
+    index_microbatch(extra2, 1, out, n_buckets=4)
+    idx.refresh()
+    fourth = _ids(topic_poll(idx, "t1", terms, ck))
+    assert fourth == _ids(
+        idx._matched_ids(terms, "code.content")) - first - third
+    assert _ids(topic_poll(idx, "t1", terms, ck)) == set()
+
+
+def test_topic_independent_subscriptions_and_fl(spark, base, tmp_path):
+    out, _ = base
+    ck = str(tmp_path / "ck")
+    idx = FtIndex(spark, out)
+    a = topic_poll(idx, "a", ["def"], ck, fl=["repo", "path"])
+    assert set(a.columns) == {"doc_id", "repo", "path"}
+    rows = a.collect()
+    assert rows and all(r["repo"] is not None for r in rows)
+    # a second topic id starts from scratch (its own checkpoint)
+    b = _ids(topic_poll(idx, "b", ["def"], ck))
+    assert b == {int(r["doc_id"]) for r in rows}
+
+
+def test_topic_refuses_after_base_rewrite(spark, base, tmp_path):
+    out, src = base
+    ck = str(tmp_path / "ck")
+    idx = FtIndex(spark, out)
+    topic_poll(idx, "t", ["def"], ck)
+    # upsert rewrites the base under a new build_id
+    from ftidx.maintenance import upsert
+
+    upsert(spark, out, src.limit(60))
+    idx2 = FtIndex(spark, out)
+    with pytest.raises(ValueError, match="resubscribe"):
+        topic_poll(idx2, "t", ["def"], ck)
+    with pytest.raises(ValueError, match="empty term"):
+        topic_poll(idx2, "t", [], ck)
