@@ -1270,8 +1270,13 @@ def _make_handler(idx, lock: threading.Lock):
                     with lock:
                         docs = idx.spark.read.parquet(
                             str(idx.path / "docs"))
-                        ctx = StreamContext(tables={"docs": docs},
-                                            indexes={"idx": idx})
+                        # topic() checkpoint collections persist under
+                        # the served index dir (survive server restarts
+                        # like Solr's checkpoint collection does)
+                        ctx = StreamContext(
+                            tables={"docs": docs},
+                            indexes={"idx": idx},
+                            checkpoint_dir=str(idx.path / "topics"))
                         rows = evaluate(expr, ctx).limit(cap).collect()
                     out = [{k: (v.isoformat()
                                 if hasattr(v, "isoformat") else v)

@@ -37,6 +37,11 @@ Sources
   cosine knn over the attached embedding table.
 - ``table(name)`` — a DataFrame bound in the context; the analog of
   Solr's ``jdbc()`` stream source (external relations as streams).
+- ``topic(checkpointCollection, collection, q=, id=, fl=)`` — Solr's
+  checkpointed pub-sub: each evaluation delivers only docs that
+  arrived since the previous one with the same id (ftidx.topic,
+  at-least-once; checkpoints persist under the context's
+  ``checkpoint_dir``/checkpointCollection).
 
 Decorators
 ----------
@@ -52,6 +57,11 @@ memory), ``merge`` (sorted union), ``intersect`` / ``complement``
 (left-semi / left-anti joins on the ``on`` key), ``fetch`` (stored-
 field enrichment from a collection's docs table), ``having`` (boolean
 ops ``eq, gt, lt, gteq, lteq, and, or, not`` over rollup output),
+``update`` (index the inner stream's tuples into a destination
+collection — maintenance.upsert_docs at evaluation time; emits one
+(batchIndexed, bucketsRebuilt) summary tuple), ``commit`` (refresh the
+destination's handle so later search()es see the wrapped update's
+writes — the openSearcher analog),
 ``cartesianProduct`` (one tuple per element of a multivalued field —
 explode), ``nodes`` (ONE graph hop per wrapping, Solr's gatherNodes:
 distinct gather-field values of edges whose walk-from matches the
@@ -297,13 +307,18 @@ def _bool(node: Node):
 
 class StreamContext:
     """Bindings for a /stream evaluation: ``tables`` (name → DataFrame,
-    the jdbc()-analog sources) and ``indexes`` (name → FtIndex, the
-    search() collections)."""
+    the jdbc()-analog sources), ``indexes`` (name → FtIndex, the
+    search() collections), and ``checkpoint_dir`` (the root under which
+    ``topic()`` checkpoint collections live — Solr keeps topic
+    checkpoints in a collection; here each checkpoint collection is a
+    subdirectory of this root)."""
 
     def __init__(self, tables: dict | None = None,
-                 indexes: dict | None = None):
+                 indexes: dict | None = None,
+                 checkpoint_dir: str | None = None):
         self.tables = tables or {}
         self.indexes = indexes or {}
+        self.checkpoint_dir = checkpoint_dir
 
 
 def evaluate(expr: str | Node, ctx: StreamContext) -> DataFrame:
@@ -706,15 +721,81 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
             min_term_length=int(node.params.get("minTermLength", 1)),
         )
 
+    if name == "topic":
+        # Solr topic() stream source: checkpointed pub-sub — each
+        # evaluation delivers only the docs matching q that arrived
+        # since the previous evaluation with the same id (ftidx.topic,
+        # at-least-once, epoch-keyed over streamed deltas). First
+        # positional arg is the checkpoint COLLECTION name (a
+        # subdirectory of ctx.checkpoint_dir — Solr persists topic
+        # checkpoints in a collection), second the collection to poll.
+        if (len(node.args) < 2 or not isinstance(node.args[0], str)
+                or not isinstance(node.args[1], str)):
+            raise ValueError(
+                'topic() needs (checkpointCollection, collection, '
+                'q="…", id="…")')
+        if ctx.checkpoint_dir is None:
+            raise ValueError(
+                "topic() needs a checkpoint_dir bound in the stream "
+                "context (where checkpoint collections persist)")
+        coll = node.args[1]
+        if coll not in ctx.indexes:
+            raise ValueError(f"unknown collection {coll!r}")
+        idx = ctx.indexes[coll]
+        q = node.params.get("q")
+        if not isinstance(q, str) or not q.split():
+            raise ValueError('topic() needs q="term …" (disjunction)')
+        tid = node.params.get("id")
+        if not isinstance(tid, str) or not tid:
+            raise ValueError('topic() needs id="…" (the subscription)')
+        from ftidx.topic import topic_poll
+
+        fl = [c.strip() for c in str(node.params.get("fl", "")).split(",")
+              if c.strip()]
+        import os as _os
+
+        return topic_poll(
+            idx, tid, q.split(),
+            _os.path.join(ctx.checkpoint_dir, node.args[0]),
+            field=str(node.params.get("field", "code.content")),
+            fl=fl or None)
+
+    if name == "update":
+        # Solr update() stream decorator: index the inner stream's
+        # tuples into the destination collection (add-or-replace by
+        # unique key — maintenance.upsert_docs, O(affected buckets)).
+        # The inner stream must carry the source schema columns; the
+        # write happens AT EVALUATION (Solr's update stream likewise
+        # indexes as it is read). batchSize= is accepted and ignored:
+        # the write is one Spark job, not a client-side doc loop.
+        # Emits one summary tuple (batchIndexed, bucketsRebuilt) —
+        # Solr emits one per batch; one job = one batch.
+        idx = _collection(node, ctx)
+        inner = _eval(_stream_arg(node), ctx)
+        n = inner.count()
+        from ftidx.maintenance import upsert_docs
+
+        res = upsert_docs(idx.spark, str(idx.path), inner)
+        return idx.spark.createDataFrame(
+            [(int(n), len(res.get("buckets_rebuilt", [])))],
+            "batchIndexed long, bucketsRebuilt long")
+
+    if name == "commit":
+        # Solr commit() stream decorator: wrap an update() stream and
+        # make its writes visible to readers. upsert writes are
+        # already durable+atomic here; the visibility step is
+        # refreshing the named collection's handle, so a search() on
+        # it later in this context (or on the served handle) sees the
+        # new docs — Solr's openSearcher analog.
+        idx = _collection(node, ctx)
+        out = _eval(_stream_arg(node), ctx)  # update() writes AT eval
+        idx.refresh()
+        return out
+
     redirect = {
         "daemon": "recurring execution is Structured Streaming's job — "
                   "see ftidx.streaming (or schedule the expression "
                   "externally)",
-        "topic": "checkpointed pub-sub over an index is served by "
-                 "ftidx.streaming's delta ingestion + FtIndex.refresh",
-        "update": "writes go through POST /update "
-                  "(maintenance.upsert_docs / atomic_update)",
-        "commit": "POST /compact folds deltas and tombstones",
     }
     if name in redirect:
         raise ValueError(

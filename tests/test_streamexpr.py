@@ -382,10 +382,50 @@ def test_redirect_errors_name_the_real_surface(ctx):
     c, _, _ = ctx
     with pytest.raises(ValueError, match="Structured Streaming"):
         evaluate('daemon(table(t))', c)
-    with pytest.raises(ValueError, match="streaming"):
-        evaluate('topic(idx, q="x")', c)
-    with pytest.raises(ValueError, match="POST /update"):
-        evaluate('update(idx, table(t))', c)
+
+
+def test_topic_source_polls_and_errors(stream_idx, tmp_path_factory):
+    ck_root = str(tmp_path_factory.mktemp("ckpt"))
+    c = StreamContext(indexes={"idx": stream_idx}, checkpoint_dir=ck_root)
+    first = evaluate('topic(ck, idx, q="def", id="s1", fl="lang")', c)
+    assert set(first.columns) == {"doc_id", "lang"}
+    assert first.count() > 0
+    # same subscription, nothing arrived -> empty; new id -> full again
+    assert evaluate('topic(ck, idx, q="def", id="s1")', c).count() == 0
+    assert evaluate('topic(ck, idx, q="def", id="s2")', c).count() > 0
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        evaluate('topic(ck, idx, q="def", id="x")',
+                 StreamContext(indexes={"idx": stream_idx}))
+    with pytest.raises(ValueError, match="id="):
+        evaluate('topic(ck, idx, q="def")', c)
+    with pytest.raises(ValueError, match="unknown collection"):
+        evaluate('topic(ck, nope, q="def", id="x")', c)
+
+
+def test_update_and_commit_index_stream_tuples(spark, tmp_path_factory):
+    from ftidx.index import build_index, open_index
+    from ftidx.synth import synth_source
+
+    out = str(tmp_path_factory.mktemp("upd") / "idx")
+    src = synth_source(spark, 60).cache()
+    build_index(spark, src, out, n_buckets=4, store_content=True)
+    dest = open_index(spark, out)
+    n_before = dest.stats["code.content"][0]
+
+    extra = synth_source(spark, 80).subtract(src)
+    n_live = extra.filter(
+        (~F.col("deleted")) & F.col("content").isNotNull()).count()
+    c = StreamContext(tables={"newdocs": extra}, indexes={"dest": dest})
+    got = evaluate('commit(dest, update(dest, table(newdocs)))', c).collect()
+    assert len(got) == 1
+    assert got[0]["batchIndexed"] == extra.count()
+    assert got[0]["bucketsRebuilt"] >= 1
+    # commit refreshed the handle: collection stats now include the
+    # streamed-in docs, and a search() in the same context serves them
+    assert dest.stats["code.content"][0] == n_before + n_live
+    assert evaluate('search(dest, q="def return", k=5)', c).count() > 0
+    with pytest.raises(ValueError, match="unknown collection"):
+        evaluate('update(nope, table(newdocs))', c)
 
 
 def test_parse_never_crashes():
