@@ -2372,7 +2372,8 @@ class FtIndex:
 
     def topk_elevated(self, terms: list[str], elevate: list[int],
                       k: int = 10, field: str = "code.content",
-                      ) -> list[dict]:
+                      exclude: list[int] | None = None,
+                      mark_excludes: bool = False) -> list[dict]:
         """Query elevation (Solr QueryElevationComponent): the doc ids
         in ``elevate`` are pinned to the top of the result list in the
         given order — even when they match no query term (Solr
@@ -2385,16 +2386,36 @@ class FtIndex:
         is the same cached-postings kernel (over-fetched by
         len(elevate) to keep k organic candidates), and each pinned
         doc's score is one binary-search probe of postings already
-        resident in the term cache — no extra Spark job."""
+        resident in the term cache — no extra Spark job.
+
+        ``exclude`` is elevate.xml's ``exclude="true"`` list: those ids
+        drop from the results entirely (exclusion beats elevation when
+        an id is in both, matching Solr). ``mark_excludes=True`` is the
+        ``markExcludes`` param: excluded docs stay in the ranking but
+        carry ``excluded: True`` (the ``[excluded]`` transformer) so a
+        downstream editor can see what a live exclusion would remove.
+        """
+        excl = {int(d) for d in (exclude or [])}
         pins = [int(d) for d in dict.fromkeys(elevate)
-                if int(d) not in self._tombstones]
-        organic = self.topk(terms, k=k + len(pins), field=field)
+                if int(d) not in self._tombstones and int(d) not in excl]
+        over = len(pins) + (0 if mark_excludes else len(excl))
+        organic = self.topk(terms, k=k + over, field=field)
         out = [{"doc_id": d,
                 "score": self.explain(terms, d, field=field)["score"],
                 "elevated": True} for d in pins]
+        if excl:
+            for h in out:
+                h["excluded"] = False
         pinned = set(pins)
-        out.extend({"doc_id": d, "score": s, "elevated": False}
-                   for d, s in organic if d not in pinned)
+        for d, s in organic:
+            if d in pinned:
+                continue
+            if d in excl and not mark_excludes:
+                continue
+            hit = {"doc_id": d, "score": s, "elevated": False}
+            if excl:
+                hit["excluded"] = d in excl
+            out.append(hit)
         return out[:k]
 
     def join_topk(self, inner_terms: list[str], outer_terms: list[str],

@@ -36,6 +36,8 @@ Endpoints (all JSON):
   ``boost=100/(100+n_chars)`` → multiplicative (edismax boost=)
 - ``GET /explain?q=a+b&id=123`` → per-term BM25 score decomposition
   (Solr debugQuery explain)
+- ``excludeIds=5,9`` on /search → elevation excludes (docs dropped;
+  ``markExcludes=true`` keeps them flagged ``excluded`` instead)
 - ``elevate=3,17`` on /search → query elevation: those ids pinned to
   the top in order, organic ranking fills (Solr QueryElevationComponent)
 - ``GET /terms?prefix=sp&mincount=2&limit=20&sort=count`` → vocabulary
@@ -75,6 +77,10 @@ Endpoints (all JSON):
   terms facets in one JSON body
 - ``GET /metrics``       → admin/metrics: term-cache hit-rate/bytes,
   filterCache entries, last build's ledger summary
+- ``GET /replication?command=details|backup`` → ReplicationHandler:
+  served-generation info / consistent point-in-time snapshot into
+  ``location=``/``name=`` (restore stays offline: new generation +
+  alias publish)
 - ``GET /mlt?id=`` / ``GET /tv?id=`` → MoreLikeThis / term vectors
 - ``GET /wildcard?pattern=pre*`` → wildcard expansion;
   ``GET /cluster?q=...`` → result clustering (Carrot2 analog);
@@ -99,6 +105,7 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
 
@@ -203,6 +210,60 @@ def _make_handler(idx, lock: threading.Lock):
                         stats = {f: {"n_docs": n, "avgdl": a}
                                  for f, (n, a) in idx.stats.items()}
                     self._json(200, stats)
+                elif u.path == "/replication":
+                    # Solr ReplicationHandler: command=details reports
+                    # the served generation (build_id, file count,
+                    # index bytes); command=backup snapshots a
+                    # consistent point-in-time image into
+                    # location/name (maintenance.snapshot — refused
+                    # with 409 if a rewrite/append lands mid-copy,
+                    # Solr's retriable backup failure). restore is
+                    # deliberately NOT served: this engine restores
+                    # into a NEW generation published over an alias
+                    # (maintenance.restore + ftidx.alias.publish) —
+                    # a served dir is never mutated under readers.
+                    cmd = qs.get("command", [""])[0]
+                    if cmd == "details":
+                        files = n_bytes = 0
+                        for p in idx.path.rglob("*"):
+                            if p.is_file():
+                                files += 1
+                                n_bytes += p.stat().st_size
+                        with lock:
+                            bid = idx.manifest.get("build_id")
+                        self._json(200, {
+                            "details": {"build_id": bid,
+                                        "indexFileCount": files,
+                                        "indexSize": n_bytes}})
+                    elif cmd == "backup":
+                        loc = qs.get("location", [""])[0]
+                        name = qs.get("name", ["snapshot"])[0]
+                        if not loc:
+                            self._json(400, {"error":
+                                             "backup needs location="})
+                            return
+                        from ftidx.maintenance import snapshot
+
+                        dest = str(Path(loc) / name)
+                        try:
+                            with lock:
+                                out = snapshot(str(idx.path), dest)
+                        except RuntimeError as e:
+                            self._json(409, {"error": str(e)})
+                            return
+                        self._json(200, {"status": "OK",
+                                         "snapshot": out,
+                                         "location": dest})
+                    elif cmd == "restore":
+                        self._json(400, {"error":
+                                         "restore is an offline op here: "
+                                         "maintenance.restore creates a "
+                                         "NEW generation; publish it via "
+                                         "ftidx.alias — a served dir is "
+                                         "never mutated under readers"})
+                    else:
+                        self._json(400, {"error":
+                                         "command must be details|backup"})
                 elif u.path == "/suggest":
                     prefix = qs.get("prefix", [""])[0]
                     if not prefix:
@@ -910,13 +971,21 @@ def _make_handler(idx, lock: threading.Lock):
                                 for d, s in hits
                             ]})
                             return
-                        elif elevate:
+                        elif elevate or qs.get("excludeIds", [""])[0]:
                             # Solr QueryElevationComponent: pinned ids
-                            # first (in order), organic fills the rest
+                            # first (in order), organic fills the rest;
+                            # excludeIds= drops docs (markExcludes=true
+                            # keeps them flagged instead)
                             pins = [int(x) for x in elevate.split(",")
                                     if x.strip()]
+                            excl = [int(x) for x in
+                                    qs.get("excludeIds", [""])[0].split(",")
+                                    if x.strip()]
+                            mark = qs.get("markExcludes", [""])[0] \
+                                in ("true", "1")
                             rows = idx.topk_elevated(
-                                terms, pins, k=k, field=field)
+                                terms, pins, k=k, field=field,
+                                exclude=excl, mark_excludes=mark)
                             self._json(200, {"docs": rows})
                             return
                         elif qs.get("ltr", [""])[0]:

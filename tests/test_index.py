@@ -955,6 +955,21 @@ def test_topk_elevated(spark, built):
     # a pin that matches no query term still appears, score 0 (forceElevation)
     forced = idx.topk_elevated(["zzzznotaterm"], [plain[0][0]], k=5)
     assert forced[0]["doc_id"] == plain[0][0] and forced[0]["score"] == 0.0
+    # exclude="true" list: the doc drops, the tail closes up, and the
+    # page stays k-deep (over-fetch covers the removal)
+    excl = idx.topk_elevated(terms, [], k=4, exclude=[plain[0][0]])
+    assert [h["doc_id"] for h in excl] == [d for d, _ in plain[1:5]]
+    assert all(h["excluded"] is False for h in excl)
+    # exclusion beats elevation when an id is in both lists (Solr rule)
+    both = idx.topk_elevated(terms, [plain[0][0]], k=4,
+                             exclude=[plain[0][0]])
+    assert plain[0][0] not in [h["doc_id"] for h in both]
+    # markExcludes: the doc stays, flagged, ranking otherwise organic
+    marked = idx.topk_elevated(terms, [], k=4, exclude=[plain[0][0]],
+                               mark_excludes=True)
+    assert [h["doc_id"] for h in marked] == [d for d, _ in plain[:4]]
+    assert marked[0]["excluded"] and not any(
+        h["excluded"] for h in marked[1:])
 
 
 def test_join_topk(spark, built):

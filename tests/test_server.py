@@ -400,6 +400,47 @@ def test_elevate_param(served):
     assert docs[0]["doc_id"] == pin and docs[0]["elevated"]
     assert [d["doc_id"] for d in docs[1:]] == \
         [d for d, _ in plain if d != pin][:4]
+    # excludeIds drops a doc; markExcludes flags it instead
+    top = plain[0][0]
+    status, body = _get(
+        f"{base}/search?q=def+return&k=4&excludeIds={top}")
+    assert status == 200
+    assert top not in [d["doc_id"] for d in body["docs"]]
+    status, body = _get(
+        f"{base}/search?q=def+return&k=4&excludeIds={top}"
+        "&markExcludes=true")
+    assert status == 200
+    assert body["docs"][0]["doc_id"] == top and body["docs"][0]["excluded"]
+
+
+def test_replication_details_backup_restore(served, tmp_path):
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _get(f"{base}/replication?command=details")
+    assert status == 200
+    d = body["details"]
+    assert d["build_id"] == idx.manifest["build_id"]
+    assert d["indexFileCount"] > 0 and d["indexSize"] > 0
+    # backup produces a restorable snapshot
+    status, body = _get(
+        f"{base}/replication?command=backup&location={tmp_path}&name=s1")
+    assert status == 200 and body["status"] == "OK"
+    assert body["snapshot"]["build_id"] == idx.manifest["build_id"]
+    from ftidx.maintenance import restore
+
+    restored = restore(str(tmp_path / "s1"), str(tmp_path / "restored"))
+    from ftidx.index import open_index
+
+    r = open_index(idx.spark, restored)
+    assert r.topk(["def", "return"], k=5) == idx.topk(["def", "return"], k=5)
+    # restore over HTTP is refused toward the offline alias flow
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/replication?command=restore")
+    assert e.value.code == 400
+    assert "alias" in json.loads(e.value.read())["error"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/replication?command=bogus")
+    assert e.value.code == 400
 
 
 def test_join_endpoint(served):
