@@ -982,6 +982,27 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_fold_hash(spark, sf_dir):
+    """ASCII folding (Solr ASCIIFoldingFilterFactory, ftidx.fold):
+    both engines inject accents deterministically (translate over
+    eight 1:1-mapped letters; s→ß for the multi-char path) and fold
+    them back with their OWN emission of the same fold table
+    (fold_expr vs fold_sql) — the row pins the compiler twins, not a
+    hand-written mapping. The 1:1 injection is exactly inverted by the
+    fold (``roundtrip``); ß→ss is not, so ``fold_multi_md5`` pins the
+    replace-chain path. Pure per-row codegen, zero exchanges."""
+    from ftidx.fold import fold_expr
+
+    inj = F.translate(F.col("text"), "aeiouzyc", "àéîöüžýç")
+    multi = F.regexp_replace(F.col("text"), "s", "ß")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(fold_expr(inj)).alias("fold_md5"),
+        (fold_expr(inj) == F.col("text")).alias("roundtrip"),
+        F.md5(fold_expr(multi)).alias("fold_multi_md5"),
+    )
+
+
 def q_phrase_near(spark, sf_dir):
     """Proximity query ("merge window"~5 analog, unordered): docs where
     an occurrence of 'merge' and one of 'window' sit ≤5 token positions
@@ -2766,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup": q_stream_rollup,
         "stream_join_top": q_stream_join_top,
         "sig_terms_fg": q_sig_terms_fg,
+        "fold_hash": q_fold_hash,
         # --- unchecked remainder: rotate into the window next round ---
         "collapse_expand": q_collapse_expand,
         "xjoin_filter": q_xjoin_filter,
@@ -2932,6 +2954,7 @@ def _s_stem_terms_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ftidx.fold import fold_sql as _fold_sql
     from ftidx.funcquery import compile_duckdb
     from ftidx.geo import heatmap_sql, polygon_sql
 
@@ -5274,6 +5297,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_custkey, 'big_only' AS class FROM (
                 SELECT o_custkey FROM big EXCEPT ALL SELECT o_custkey FROM recent)
             ) GROUP BY class
+        """,
+        # fold_hash's oracle is EMITTED from the same fold table the
+        # Spark side compiles (ftidx.fold.fold_sql) — pins the
+        # compiler twins, like func_boost does for function queries
+        "fold_hash": f"""
+            SELECT doc_id,
+                   md5({_fold_sql("translate(text,'aeiouzyc','àéîöüžýç')")}) AS fold_md5,
+                   ({_fold_sql("translate(text,'aeiouzyc','àéîöüžýç')")} = text) AS roundtrip,
+                   md5({_fold_sql("replace(text,'s','ß')")}) AS fold_multi_md5
+            FROM documents
         """,
         "fingerprints": """
             WITH words AS (

@@ -1,0 +1,105 @@
+"""ASCII folding (Solr ``ASCIIFoldingFilterFactory``): map accented /
+ligature Latin characters to their ASCII base so "café" matches
+"cafe" — the one analysis filter family the schema still lacked. The
+reference delegates analysis chains to Solr (pom.xml:32-36); Lucene's
+ASCIIFoldingFilter covers the full Latin repertoire — this module
+implements the Latin-1 Supplement + Latin Extended-A subset (the part
+with unambiguous ASCII folds), exactly Lucene's mappings for those
+blocks.
+
+Three twin emissions from ONE table (the stem.py / funcquery.py
+discipline — the compiler is pinned, not a hand-written copy):
+
+- :func:`fold_py` — the Python spec (str.translate).
+- :func:`fold_expr` — a pure-codegen Spark Column: one ``translate``
+  for the 1→1 map plus a short ``regexp_replace`` chain for the
+  multi-char folds (æ→ae, ß→ss, …). No UDF.
+- :func:`fold_sql` — the DuckDB twin generated from the same table
+  (``translate`` + nested ``replace``).
+
+All three are pinned character-identical in tests. Scale shape:
+folding is a per-row codegen expression — a pure mapper with zero
+exchanges, safe inside any hot path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 1→1 folds: Latin-1 Supplement + Latin Extended-A letters with a
+# single-character ASCII base (Lucene ASCIIFoldingFilter's mappings
+# restricted to those blocks). Paired strings consumed by translate().
+_SRC = ("ÀÁÂÃÄÅàáâãäåĀāĂăĄą"
+        "ÇçĆćĈĉĊċČč"
+        "ÐĎĐďđ"
+        "ÈÉÊËèéêëĒēĔĕĖėĘęĚě"
+        "ĜĞĠĢĝğġģ"
+        "ĤĦĥħ"
+        "ÌÍÎÏìíîïĨĩĪīĬĭĮįİı"
+        "Ĵĵ"
+        "Ķķ"
+        "ĹĻĽĿŁĺļľŀł"
+        "ÑñŃńŅņŇň"
+        "ÒÓÔÕÖØòóôõöøŌōŎŏŐő"
+        "ŔŖŘŕŗř"
+        "ŚŜŞŠśŝşš"
+        "ŢŤŦţťŧ"
+        "ÙÚÛÜùúûüŨũŪūŬŭŮůŰűŲų"
+        "Ŵŵ"
+        "ÝŶŸýÿŷ"
+        "ŹŻŽźżž")
+_DST = ("AAAAAAaaaaaaAaAaAa"
+        "CcCcCcCcCc"
+        "DDDdd"
+        "EEEEeeeeEeEeEeEeEe"
+        "GGGGgggg"
+        "HHhh"
+        "IIIIiiiiIiIiIiIiIi"
+        "Jj"
+        "Kk"
+        "LLLLLlllll"
+        "NnNnNnNn"
+        "OOOOOOooooooOoOoOo"
+        "RRRrrr"
+        "SSSSssss"
+        "TTTttt"
+        "UUUUuuuuUuUuUuUuUuUu"
+        "Ww"
+        "YYYyyy"
+        "ZZZzzz")
+assert len(_SRC) == len(_DST), (len(_SRC), len(_DST))
+
+# multi-char folds (ligatures & letters with two-char ASCII bases)
+_MULTI = [("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"),
+          ("ß", "ss"), ("Þ", "TH"), ("þ", "th"),
+          ("Ĳ", "IJ"), ("ĳ", "ij")]
+
+_PY_TABLE = str.maketrans(
+    {**{ord(s): d for s, d in zip(_SRC, _DST)},
+     **{ord(s): d for s, d in _MULTI}})
+
+
+def fold_py(s: str) -> str:
+    """Python spec: fold ``s`` to its ASCII base form."""
+    return s.translate(_PY_TABLE)
+
+
+def fold_expr(col: Column | str) -> Column:
+    """Spark codegen twin: translate + replace chain, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.translate(c, _SRC, _DST)
+    for s, d in _MULTI:
+        out = F.regexp_replace(out, s, d)
+    return out
+
+
+def fold_sql(expr: str) -> str:
+    """DuckDB twin generated from the same tables: translate() for the
+    1→1 map, nested replace() for the multi-char folds."""
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    out = f"translate({expr}, {q(_SRC)}, {q(_DST)})"
+    for s, d in _MULTI:
+        out = f"replace({out}, {q(s)}, {q(d)})"
+    return out

@@ -719,8 +719,18 @@ def _make_handler(idx, lock: threading.Lock):
                     lang = qs.get("lang", ["python"])[0]
                     repo = qs.get("repo", ["r"])[0]
                     fpath = qs.get("path", ["p"])[0]
-                    self._json(200, {"fields": tokenize_doc(
-                        text, lang, repo, fpath)})
+                    out = {}
+                    if qs.get("fold", [""])[0] in ("true", "1"):
+                        # ASCIIFoldingFilterFactory stage: fold BEFORE
+                        # tokenization (the tokenizer's [a-z0-9_] char
+                        # class drops unfolded accents) — the analysis
+                        # screen shows the folded text alongside
+                        from ftidx.fold import fold_py
+
+                        text = fold_py(text)
+                        out["folded"] = text
+                    out["fields"] = tokenize_doc(text, lang, repo, fpath)
+                    self._json(200, out)
                 elif u.path == "/child":
                     # Solr {!child} block join: all member docs of
                     # the matching parents, each carrying its

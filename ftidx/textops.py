@@ -23,6 +23,20 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def fold_text(docs: DataFrame, text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """ASCII-fold a text column (Solr ASCIIFoldingFilterFactory as a
+    corpus-normalization stage — the standard unicode-cleanup step a
+    training pipeline runs BEFORE tokenization, so "café"/"cafe"
+    variants collapse). Pure per-row codegen (ftidx.fold's translate +
+    replace chain, no UDF, zero exchanges); ``out_col=None`` replaces
+    the column in place."""
+    from ftidx.fold import fold_expr
+
+    return docs.withColumn(out_col or text_col,
+                           fold_expr(F.col(text_col)))
+
+
 def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (
         docs.select(

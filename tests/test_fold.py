@@ -1,0 +1,57 @@
+"""ASCII folding: Python spec == Spark codegen == DuckDB twin on the
+full mapped repertoire, idempotence, ASCII invariance, the corpus
+normalization op, and the /analyze fold stage."""
+
+from __future__ import annotations
+
+import duckdb
+
+from ftidx.fold import _MULTI, _SRC, fold_py, fold_sql
+from ftidx.textops import fold_text
+
+BATTERY = [
+    "Café Œdipus straße Ĳssel ñoño ÅŽĚ",
+    _SRC,                       # every 1→1 mapped char
+    "".join(s for s, _ in _MULTI) * 2,
+    "plain ascii stays put 123_abc",
+    "",
+    "mixed: Ångström–façade ÆON überführt",
+]
+
+
+def test_three_way_twin_identity(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(BATTERY)],
+                               "i long, s string")
+    got = {r["i"]: r["f"] for r in fold_text(
+        df, "s", out_col="f").collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(BATTERY):
+        want = fold_py(s)
+        assert got[i] == want, (s, got[i], want)
+        dk = con.execute(f"select {fold_sql('?')}", [s]).fetchone()[0]
+        assert dk == want, (s, dk, want)
+
+
+def test_fold_properties():
+    for s in BATTERY:
+        f = fold_py(s)
+        assert fold_py(f) == f                      # idempotent
+        # total on the documented scope: Latin LETTERS (punctuation
+        # like the en-dash is outside the subset, as documented)
+        assert all(ch.isascii() for ch in f if ch.isalpha()), f
+    assert fold_py("no accents") == "no accents"
+    assert fold_py("ß") == "ss" and fold_py("Æ") == "AE"
+
+
+def test_fold_text_in_place_and_out_col(spark):
+    df = spark.createDataFrame([("Café",)], "text string")
+    assert fold_text(df).collect()[0]["text"] == "Cafe"
+    row = fold_text(df, out_col="norm").collect()[0]
+    assert row["text"] == "Café" and row["norm"] == "Cafe"
+
+
+def test_fold_plan_is_pure_codegen(spark):
+    df = spark.createDataFrame([("Café",)], "text string")
+    plan = fold_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -680,6 +680,17 @@ def test_analyze_endpoint(served):
     assert status == 200
     assert body["fields"] == tokenize_doc(text, "python", "r1", "a/b.py")
     assert any(k.startswith("code.") for k in body["fields"])
+    # fold=true runs ASCIIFolding BEFORE tokenization: "Café" becomes
+    # the token "cafe"; unfolded, the é splits it into "caf"
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/analyze"
+        f"?text={quote('Café time')}&fold=true")
+    assert status == 200 and body["folded"] == "Cafe time"
+    assert "cafe" in body["fields"]["code.content"]
+    status, body = _get(
+        f"http://{srv.host}:{srv.port}/analyze?text={quote('Café time')}")
+    assert "folded" not in body
+    assert "caf" in body["fields"]["code.content"]
 
 
 def test_sort_by_function_with_spaces(served):
