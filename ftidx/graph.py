@@ -67,6 +67,81 @@ def graph_expand(edges: DataFrame, seeds: DataFrame, max_depth: int = 3,
     return visited
 
 
+def shortest_path(edges: DataFrame, src, dst, *,
+                  from_col: str = "src", to_col: str = "dst",
+                  max_depth: int = 10,
+                  max_paths: int = 1000) -> DataFrame:
+    """All shortest paths from ``src`` to ``dst`` (Solr's
+    ``shortestPath()`` stream source: breadth-first, emits one tuple
+    per shortest path with the node sequence). Returns a DataFrame
+    ``(path: array, length: long)`` — empty when ``dst`` is not within
+    ``max_depth`` hops; a single ``([src], 0)`` row when src == dst.
+
+    Distributed shape: the BFS is :func:`graph_expand`'s frontier
+    discipline (frontier-only edge joins, visited anti-join,
+    localCheckpoint per round) ADDITIONALLY recording every
+    (node, parent) pair the round a node is FIRST reached — all
+    minimum-hop predecessors, which is exactly the all-shortest-paths
+    DAG. Reconstruction then walks that parent table backward from
+    ``dst`` in ``length`` keyed joins, building the node array as it
+    goes — path fan-out is data, never a driver loop over paths.
+    ``max_paths`` caps combinatorial blow-up (Solr likewise truncates
+    its path queue); the cap cuts deterministically (path ASC) and is
+    applied per round so an exponential DAG never materializes."""
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    spark = edges.sparkSession
+    dt = edges.schema[from_col].dataType
+    e = (edges.select(F.col(from_col).alias("_src"),
+                      F.col(to_col).alias("_dst")).distinct())
+    lit_src = F.lit(src).cast(dt)
+    lit_dst = F.lit(dst).cast(dt)
+    one = spark.range(1)
+    if src == dst:
+        return one.select(F.array(lit_src).alias("path"),
+                          F.lit(0).cast("long").alias("length"))
+    frontier = one.select(lit_src.alias("node")).localCheckpoint(eager=True)
+    visited = frontier
+    parents = None
+    found = None
+    for d in range(1, max_depth + 1):
+        step = (frontier.join(e, frontier["node"] == e["_src"])
+                .select(F.col("_dst").alias("node"),
+                        F.col("_src").alias("parent"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti"))
+        step = step.localCheckpoint(eager=True)
+        if not step.take(1):
+            break
+        parents = step if parents is None else \
+            parents.unionByName(step).localCheckpoint(eager=True)
+        fresh = step.select("node").distinct().localCheckpoint(eager=True)
+        if fresh.filter(F.col("node") == lit_dst).take(1):
+            found = d
+            break
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    if found is None:
+        return one.limit(0).select(
+            F.array(lit_src).alias("path"),
+            F.lit(0).cast("long").alias("length"))
+    # walk the shortest-path DAG backward: heads start at dst and step
+    # to every recorded parent, prepending as they go; `found` rounds
+    # later every head is src (parents only hold minimum-hop edges)
+    walk = one.select(lit_dst.alias("head"),
+                      F.array(lit_dst).alias("path"))
+    for _ in range(found):
+        walk = (walk.join(parents, walk["head"] == parents["node"])
+                .select(F.col("parent").alias("head"),
+                        F.concat(F.array(F.col("parent")),
+                                 F.col("path")).alias("path"))
+                .orderBy("path").limit(max_paths)
+                .localCheckpoint(eager=True))
+    return (walk.filter(F.col("head") == lit_src)
+            .select("path", F.lit(found).cast("long").alias("length"))
+            .orderBy("path").limit(max_paths))
+
+
 def graph_reachable(edges: DataFrame, seeds: DataFrame, max_iter: int = 20,
                     from_col: str = "src", to_col: str = "dst") -> DataFrame:
     """Transitive closure from the seed set (unbounded depth, cycle-

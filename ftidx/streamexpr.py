@@ -37,6 +37,12 @@ Sources
   cosine knn over the attached embedding table.
 - ``table(name)`` — a DataFrame bound in the context; the analog of
   Solr's ``jdbc()`` stream source (external relations as streams).
+- ``random(collection, q=, rows=, seed=, fl=)`` — pseudo-random
+  sample of the match set; explicitly seeded (replay-deterministic),
+  one md5-keyed TakeOrdered.
+- ``shortestPath(collection, from=, to=, edge="f=t", maxDepth=)`` —
+  all minimum-hop paths as (path, length) tuples; distributed BFS +
+  parent-DAG walk-back (ftidx.graph.shortest_path).
 - ``topic(checkpointCollection, collection, q=, id=, fl=)`` — Solr's
   checkpointed pub-sub: each evaluation delivers only docs that
   arrived since the previous one with the same id (ftidx.topic,
@@ -720,6 +726,66 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
             max_doc_freq=float(node.params.get("maxDocFreq", 0.3)),
             min_term_length=int(node.params.get("minTermLength", 1)),
         )
+
+    if name == "random":
+        # Solr random() stream source: a pseudo-random sample of the
+        # match set. Solr reseeds per request; replayable pipelines
+        # need determinism, so the seed is explicit (seed="…",
+        # default "0" — rerunning the expression returns the same
+        # sample; vary the seed to resample: the NOW/now_ms
+        # discipline). One md5-keyed TakeOrdered over the decoded
+        # match ids — never a global sort, never rand().
+        idx = _collection(node, ctx)
+        q = node.params.get("q")
+        if not isinstance(q, str) or not q.split():
+            raise ValueError('random() needs q="term …" (disjunction)')
+        rows = int(node.params.get("rows", 10))
+        seed = str(node.params.get("seed", "0"))
+        field = str(node.params.get("field", "code.content"))
+        ids = idx._matched_ids(q.split(), field)
+        out = (ids.orderBy(
+            F.md5(F.concat_ws(":", F.lit(seed),
+                              F.col("doc_id").cast("string"))),
+            F.asc("doc_id")).limit(rows))
+        fl = [c.strip() for c in str(node.params.get("fl", "")).split(",")
+              if c.strip() and c != "doc_id"]
+        if fl:
+            docs = idx.spark.read.parquet(str(idx.path / "docs")) \
+                .select("doc_id", *fl)
+            out = out.join(docs, "doc_id", "left")
+        return out
+
+    if name == "shortestPath":
+        # Solr shortestPath() stream source: all minimum-hop paths
+        # between two nodes over an edge relation — one tuple per
+        # path (path array + length), distributed BFS + parent-DAG
+        # walk-back in ftidx.graph.shortest_path. The edge set is a
+        # bound table or a collection's docs table (the nodes()
+        # convention); edge="fromField=toField" names the columns.
+        if not node.args or not isinstance(node.args[0], str):
+            raise ValueError("shortestPath() needs a collection name first")
+        coll = node.args[0]
+        if coll in ctx.indexes:
+            edges = ctx.indexes[coll].spark.read.parquet(
+                str(ctx.indexes[coll].path / "docs"))
+        elif coll in ctx.tables:
+            edges = ctx.tables[coll]
+        else:
+            raise ValueError(f"unknown collection {coll!r}")
+        edge = _req(node, "edge")
+        if "=" not in edge:
+            raise ValueError('shortestPath() edge must be "fromField=toField"')
+        from_col, to_col = (x.strip() for x in edge.split("=", 1))
+        for c in (from_col, to_col):
+            if c not in edges.columns:
+                raise ValueError(f"unknown edge field {c!r}")
+        from ftidx.graph import shortest_path
+
+        return shortest_path(
+            edges, _req(node, "from"), _req(node, "to"),
+            from_col=from_col, to_col=to_col,
+            max_depth=int(node.params.get("maxDepth", 10)),
+            max_paths=int(node.params.get("maxPaths", 1000)))
 
     if name == "topic":
         # Solr topic() stream source: checkpointed pub-sub — each

@@ -104,3 +104,63 @@ def test_traversal_filter_prefilter(spark, edges):
     got = {r["node"] for r in
            graph_expand(filtered, _seeds(spark, 1), max_depth=3).collect()}
     assert got == {1, 2, 3, 4}
+
+
+def test_shortest_path_all_min_hop_paths(spark):
+    from ftidx.graph import shortest_path
+
+    # diamond a->{b,c}->d plus a longer detour a->x->y->d and a cycle
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+         ("a", "x"), ("x", "y"), ("y", "d"), ("d", "a")],
+        "src string, dst string")
+    got = [(list(r["path"]), r["length"])
+           for r in shortest_path(e, "a", "d").orderBy("path").collect()]
+    assert got == [(["a", "b", "d"], 2), (["a", "c", "d"], 2)]
+    # single hop, identity, unreachable, depth cutoff
+    assert [list(r["path"]) for r in
+            shortest_path(e, "a", "b").collect()] == [["a", "b"]]
+    assert [(list(r["path"]), r["length"]) for r in
+            shortest_path(e, "a", "a").collect()] == [(["a"], 0)]
+    assert shortest_path(e, "a", "zzz").count() == 0
+    assert shortest_path(e, "a", "d", max_depth=1).count() == 0
+    # max_paths truncates deterministically
+    assert shortest_path(e, "a", "d", max_paths=1).count() == 1
+    with pytest.raises(ValueError):
+        shortest_path(e, "a", "d", max_depth=-1)
+
+
+def test_shortest_path_python_bfs_recount(spark):
+    """md5-generated graph; every (src,dst) minimum distance recounted
+    by a pure-Python BFS, path endpoints + lengths verified."""
+    import hashlib
+
+    from ftidx.graph import shortest_path
+
+    n = 40
+    pairs = sorted({
+        (i, int(hashlib.md5(f"sp{i}{j}".encode()).hexdigest()[:4], 16) % n)
+        for i in range(n) for j in range(2)})
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    # python BFS from 0
+    dist = {0: 0}
+    frontier = {0}
+    while frontier:
+        nxt = {d for s in frontier for d in adj.get(s, ())} - dist.keys()
+        for d in nxt:
+            dist[d] = dist[next(iter(
+                {s for s in frontier if d in adj.get(s, ())}))] + 1
+        frontier = nxt
+    targets = sorted(dist)[1:6]
+    for t in targets:
+        rows = shortest_path(e, 0, t, max_depth=12).collect()
+        assert rows, t
+        for r in rows:
+            p = list(r["path"])
+            assert p[0] == 0 and p[-1] == t
+            assert r["length"] == dist[t] == len(p) - 1
+            for a, b in zip(p, p[1:]):      # every hop a real edge
+                assert b in adj[a]

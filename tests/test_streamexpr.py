@@ -402,6 +402,42 @@ def test_topic_source_polls_and_errors(stream_idx, tmp_path_factory):
         evaluate('topic(ck, nope, q="def", id="x")', c)
 
 
+def test_shortest_path_source(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "f string, t string")
+    c = StreamContext(tables={"g": e})
+    got = [(list(r["path"]), r["length"]) for r in evaluate(
+        'sort(shortestPath(g, from="a", to="d", edge="f=t"), by="path asc")',
+        c).collect()]
+    assert got == [(["a", "b", "d"], 2), (["a", "c", "d"], 2)]
+    with pytest.raises(ValueError, match="fromField=toField"):
+        evaluate('shortestPath(g, from="a", to="d", edge="f")', c)
+    with pytest.raises(ValueError, match="unknown edge field"):
+        evaluate('shortestPath(g, from="a", to="d", edge="f=zz")', c)
+
+
+def test_random_source_seeded_sample(stream_idx):
+    c = StreamContext(indexes={"idx": stream_idx})
+    a = [r["doc_id"] for r in
+         evaluate('random(idx, q="def", rows=5, seed="7")', c).collect()]
+    b = [r["doc_id"] for r in
+         evaluate('random(idx, q="def", rows=5, seed="7")', c).collect()]
+    assert a == b and len(a) == 5            # replay-deterministic
+    other = [r["doc_id"] for r in
+             evaluate('random(idx, q="def", rows=5, seed="8")', c).collect()]
+    assert other != a                        # reseeding resamples
+    # sample ⊆ match set; fl joins metadata
+    match = {r["doc_id"] for r in
+             stream_idx._matched_ids(["def"], "code.content").collect()}
+    assert set(a) <= match
+    row = evaluate('random(idx, q="def", rows=1, seed="7", fl="lang")',
+                   c).collect()[0]
+    assert set(row.asDict()) == {"doc_id", "lang"}
+    with pytest.raises(ValueError, match="needs q"):
+        evaluate('random(idx, rows=3)', c)
+
+
 def test_update_and_commit_index_stream_tuples(spark, tmp_path_factory):
     from ftidx.index import build_index, open_index
     from ftidx.synth import synth_source
