@@ -982,6 +982,30 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, ftidx.textops
+    c4_rules). The synthetic corpus has no newlines/punctuation, so
+    both engines INJECT structure identically first (the fold_hash
+    discipline): ' merge ' becomes a sentence break + newline, a
+    terminal period is appended, and deterministic doc_id-keyed
+    suffixes plant the lorem/brace/policy page-drop triggers so every
+    rule's verdict separates. Badwords fitted to the corpus vocabulary
+    (vector|spark) like gopher_rules' stopword fit."""
+    from ftidx.textops import c4_rules
+
+    t = F.concat(F.regexp_replace(F.col("text"), " merge ", ".\n"),
+                 F.lit("."))
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(t, F.lit("\nsee our privacy policy."))).otherwise(t)
+    t = F.when(F.col("doc_id") % 11 == 0,
+               F.concat(t, F.lit(" {"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 13 == 0,
+               F.concat(t, F.lit("\nlorem ipsum dolor sit amet."))
+               ).otherwise(t)
+    return c4_rules(_docs(spark, sf_dir).withColumn("text", t),
+                    badwords=["vector", "spark"])
+
+
 def q_fold_hash(spark, sf_dir):
     """ASCII folding (Solr ASCIIFoldingFilterFactory, ftidx.fold):
     both engines inject accents deterministically (translate over
@@ -2788,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_top": q_stream_join_top,
         "sig_terms_fg": q_sig_terms_fg,
         "fold_hash": q_fold_hash,
+        "c4_rules": q_c4_rules,
         # --- unchecked remainder: rotate into the window next round ---
         "collapse_expand": q_collapse_expand,
         "xjoin_filter": q_xjoin_filter,
@@ -5297,6 +5322,61 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_custkey, 'big_only' AS class FROM (
                 SELECT o_custkey FROM big EXCEPT ALL SELECT o_custkey FROM recent)
             ) GROUP BY class
+        """,
+        "c4_rules": """
+            WITH inj AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0
+                     THEN b3 || chr(10) || 'lorem ipsum dolor sit amet.'
+                     ELSE b3 END AS text
+              FROM (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 11 = 0 THEN b2 || ' {' ELSE b2 END AS b3
+                FROM (
+                  SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 0
+                         THEN b1 || chr(10) || 'see our privacy policy.'
+                         ELSE b1 END AS b2
+                  FROM (
+                    SELECT doc_id,
+                           replace(text, ' merge ', '.' || chr(10)) || '.' AS b1
+                    FROM documents)))),
+            r AS (
+              SELECT doc_id, text,
+                string_split(text, chr(10)) AS ls,
+                list_filter(string_split(text, chr(10)), l ->
+                  regexp_matches(trim(l), '[.!?]["”’]? *$')
+                  AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                                      w -> w <> '')) >= 5
+                  AND NOT regexp_matches(lower(trim(l)),
+                          '(^|[^a-z0-9_])javascript([^a-z0-9_]|$)')) AS kept
+              FROM inj),
+            m AS (
+              SELECT doc_id, text, ls, kept,
+                -- DuckDB array_to_string([]) is NULL; Spark
+                -- array_join([]) is '' — coalesce to match
+                length(regexp_replace(
+                    coalesce(array_to_string(kept, chr(10)), ''),
+                    '[^.!?]', '', 'g'))::BIGINT AS n_sent,
+                contains(lower(text), 'lorem ipsum') AS has_lorem,
+                contains(text, '{') AS has_brace,
+                (contains(lower(text), 'terms of use')
+                 OR contains(lower(text), 'privacy policy')
+                 OR contains(lower(text), 'cookie policy')
+                 OR contains(lower(text), 'uses cookies')) AS has_policy,
+                regexp_matches(lower(text),
+                  '(^|[^a-z0-9_])(vector|spark)([^a-z0-9_]|$)') AS has_badword
+              FROM r)
+            SELECT doc_id,
+                   len(ls)::BIGINT AS n_lines,
+                   len(kept)::BIGINT AS n_kept_lines,
+                   n_sent AS n_sentences,
+                   has_lorem, has_brace, has_policy, has_badword,
+                   md5(coalesce(array_to_string(kept, chr(10)), ''))
+                       AS kept_md5,
+                   (NOT has_lorem AND NOT has_brace AND NOT has_policy
+                    AND NOT has_badword AND n_sent >= 3) AS keep
+            FROM m
         """,
         # fold_hash's oracle is EMITTED from the same fold table the
         # Spark side compiles (ftidx.fold.fold_sql) — pins the

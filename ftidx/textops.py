@@ -1327,6 +1327,96 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50,
     )
 
 
+C4_POLICY_PHRASES = ["terms of use", "privacy policy", "cookie policy",
+                     "uses cookies"]
+
+
+def c4_rules(docs: DataFrame, *, min_words_per_line: int = 5,
+             min_sentences: int = 3,
+             badwords: list[str] | None = None,
+             policy_phrases: list[str] | None = None,
+             text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """The C4 cleaning-rule bundle (Raffel et al. 2020 §2.2's
+    deterministic subset) — line-level retention plus page-level
+    drops, emitting per-rule evidence beside the verdict (the
+    :func:`gopher_rules` discipline):
+
+    line filters (C4 "retained lines that…"):
+    - end in a terminal punctuation mark (. ! ? or a closing quote)
+    - contain at least ``min_words_per_line`` words
+    - do not contain the word "javascript"
+
+    page filters (C4 "removed any page that…"):
+    - fewer than ``min_sentences`` sentences across the KEPT lines
+      (sentence ≈ terminal-punct occurrence, C4's sentence proxy)
+    - contains "lorem ipsum"
+    - contains a curly brace ``{`` (code leakage into prose — N.B.
+      inverted meaning on a source-code corpus; parameterize your
+      pipeline accordingly)
+    - contains a boilerplate policy phrase (``policy_phrases``)
+    - contains a word from ``badwords`` (whole-token match; the
+      paper's blocklist — parameterize to the corpus, empty default)
+
+    Output: (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, has_policy, has_badword, kept_md5, keep). ``kept_md5``
+    hashes the retained text (lines joined with \\n) so downstream
+    stages can verify the exact surviving content.
+
+    Scale shape: ZERO shuffle — line split/filter/join and every page
+    predicate are per-row codegen expressions (higher-order array
+    functions + regexes); the op is a pure mapper like gopher_rules.
+    """
+    low = F.lower(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_ok(l):
+        t = F.trim(l)
+        n = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        # token boundaries via the engine's [a-z0-9_] token class, not
+        # \b — keeps the Spark and DuckDB twins regex-dialect-identical
+        return (t.rlike(r'[.!?]["”’]? *$')
+                & (n >= min_words_per_line)
+                & ~F.lower(t).rlike(
+                    "(^|[^a-z0-9_])javascript([^a-z0-9_]|$)"))
+
+    kept = F.filter(lines, _line_ok)
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.length(
+        F.regexp_replace(kept_text, r"[^.!?]", "")).cast("long")
+    phrases = [p.lower() for p in (policy_phrases or C4_POLICY_PHRASES)]
+    has_policy = None
+    for p in phrases:
+        c = low.contains(p)
+        has_policy = c if has_policy is None else (has_policy | c)
+    bad = [b.lower() for b in (badwords or [])]
+    if bad:
+        import re as _re
+
+        pat = ("(^|[^a-z0-9_])("
+               + "|".join(_re.escape(b) for b in bad)
+               + ")([^a-z0-9_]|$)")
+        has_badword = low.rlike(pat)
+    else:
+        has_badword = F.lit(False)
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    keep = (~has_lorem & ~has_brace & ~has_policy & ~has_badword
+            & (n_sentences >= min_sentences))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_policy.alias("has_policy"),
+        has_badword.alias("has_badword"),
+        F.md5(kept_text).alias("kept_md5"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

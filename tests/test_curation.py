@@ -1459,6 +1459,56 @@ def test_gopher_rules_recount_and_edges(spark):
     assert got[5]["n_stop"] == 0 and got[5]["keep"] is False
 
 
+def test_c4_rules_recount_and_edges(spark):
+    """Line retention + page drops against a hand recount: short
+    lines and unterminated lines drop, javascript lines drop, each
+    page-level trigger fires alone, kept_md5 hashes exactly the
+    surviving lines."""
+    import hashlib
+
+    from ftidx.textops import c4_rules
+
+    good = ("this line has six words total.\n"
+            "too short line.\n"
+            "this line never terminates so it drops\n"
+            "the javascript word kills this long line.\n"
+            "a second proper sentence closes the page!\n"
+            'and a third one ends with a question, yes?')
+    rows = [
+        (1, good),
+        (2, good + "\nplease read our privacy policy."),
+        (3, good + " lorem ipsum"),
+        (4, good.replace("words", "{words")),
+        (5, good + "\nthe badger word is here in this line."),
+        (6, "one terminated sentence only, five words here.\n"
+            "another good line of six words here."),   # < 3 sentences
+        (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in c4_rules(docs, badwords=["badger"]).collect()}
+    kept = [l for l in good.split("\n")
+            if l.rstrip()[-1:] in '.!?"' and len(l.split()) >= 5
+            and "javascript" not in l]
+    assert got[1]["n_lines"] == 6
+    assert got[1]["n_kept_lines"] == len(kept) == 3
+    assert got[1]["n_sentences"] == 3 and got[1]["keep"] is True
+    assert got[1]["kept_md5"] == hashlib.md5(
+        "\n".join(kept).encode()).hexdigest()
+    assert got[2]["has_policy"] and got[2]["keep"] is False
+    assert got[3]["has_lorem"] and got[3]["keep"] is False
+    assert got[4]["has_brace"] and got[4]["keep"] is False
+    assert got[5]["has_badword"] and got[5]["keep"] is False
+    # substring of a token is NOT a badword match (badgerly ≠ badger)
+    sub = c4_rules(spark.createDataFrame(
+        [(1, "the badgerly word is not a hit here.")],
+        "doc_id long, text string"), badwords=["badger"]).collect()[0]
+    assert sub["has_badword"] is False
+    assert got[6]["n_sentences"] == 2 and got[6]["keep"] is False
+    assert got[7]["n_kept_lines"] == 0 and got[7]["keep"] is False
+    assert got[7]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
 def _py_winnow(text, k, w):
     import hashlib
     import re as _re
