@@ -2323,20 +2323,33 @@ class FtIndex:
                 "changed": changed}
 
     def suggest_terms(self, prefix: str, field: str = "code.content",
-                      limit: int = 10) -> list[tuple[str, int]]:
-        """Prefix autocomplete (Solr suggester analog): vocabulary
-        terms starting with ``prefix``, ranked (df DESC, term ASC).
-        The startswith predicate pushes into the parquet scan as a
-        range filter on the dictionary-sorted term column."""
+                      limit: int = 10,
+                      infix: bool = False) -> list[tuple[str, int]]:
+        """Autocomplete (Solr suggester analog): vocabulary terms
+        starting with ``prefix``, ranked (df DESC, term ASC). The
+        startswith predicate pushes into the parquet scan as a range
+        filter on the dictionary-sorted term column.
+
+        ``infix=True`` is the AnalyzingInfixSuggester behavior: match
+        the fragment ANYWHERE in the term ("serial" suggests
+        "deserialize"), with prefix hits ranked above pure-infix hits
+        at equal df — Lucene's infix suggester applies the same
+        prefix-first preference. Costs a full vocab scan instead of a
+        range-pruned one (contains can't push down), still
+        column-pruned and posting-blob-free."""
         if not prefix:
             return []
-        vocab = (
-            self._postings.filter(F.col("field") == field)
-            .filter(F.col("term").startswith(prefix))
-            .groupBy("term").agg(F.sum("df").alias("df"))
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(limit)
-        )
+        vocab = self._postings.filter(F.col("field") == field)
+        if infix:
+            vocab = vocab.filter(F.col("term").contains(prefix))
+            pref_first = F.when(
+                F.col("term").startswith(prefix), 0).otherwise(1)
+            order = [F.asc(pref_first), F.desc("df"), F.asc("term")]
+        else:
+            vocab = vocab.filter(F.col("term").startswith(prefix))
+            order = [F.desc("df"), F.asc("term")]
+        vocab = (vocab.groupBy("term").agg(F.sum("df").alias("df"))
+                 .orderBy(*order).limit(limit))
         return [(r["term"], int(r["df"])) for r in vocab.collect()]
 
     def terms_enum(self, field: str = "code.content",

@@ -270,8 +270,10 @@ def _make_handler(idx, lock: threading.Lock):
                         self._json(400, {"error": "missing prefix"})
                         return
                     field = qs.get("field", ["code.content"])[0]
+                    infix = qs.get("infix", [""])[0] in ("true", "1")
                     with lock:
-                        out = idx.suggest_terms(prefix, field=field)
+                        out = idx.suggest_terms(prefix, field=field,
+                                                infix=infix)
                     self._json(200, {"terms": [
                         {"term": t, "df": df} for t, df in out
                     ]})

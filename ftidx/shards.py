@@ -187,14 +187,29 @@ class FtShards:
         return [(t, df) for t, df in merged if df >= mincount][:limit]
 
     def suggest_terms(self, prefix: str, field: str = "code.content",
-                      limit: int = 10) -> list[tuple[str, int]]:
+                      limit: int = 10,
+                      infix: bool = False) -> list[tuple[str, int]]:
         """Distributed suggester: prefix completion ranked by GLOBAL
-        df (df DESC, term ASC)."""
+        df (df DESC, term ASC). ``infix=True`` mirrors the monolithic
+        AnalyzingInfixSuggester rank (prefix hits before pure-infix
+        hits, then global df) — per-shard matches are complete (the
+        contains predicate prunes shard-side), dfs sum exactly
+        because doc sets are disjoint across shards."""
         if not prefix:
             return []
-        per = [sh.suggest_terms(prefix, field=field, limit=(1 << 31) - 1)
+        per = [sh.suggest_terms(prefix, field=field, limit=(1 << 31) - 1,
+                                infix=infix)
                for sh in self.shards]
-        return self._merge_vocab(per, "count", limit)
+        if not infix:
+            return self._merge_vocab(per, "count", limit)
+        agg: dict[str, int] = {}
+        for lst in per:
+            for t, df in lst:
+                agg[t] = agg.get(t, 0) + df
+        ranked = sorted(agg.items(),
+                        key=lambda kv: (0 if kv[0].startswith(prefix)
+                                        else 1, -kv[1], kv[0]))
+        return ranked[:limit]
 
     def wildcard_terms(self, pattern: str, field: str = "code.content",
                        limit: int = 50) -> list[tuple[str, int]]:

@@ -931,6 +931,29 @@ def test_terms_enum(spark, built):
     assert idx.terms_enum(prefix="zzzznope") == []
 
 
+def test_suggest_infix(spark, built):
+    """AnalyzingInfixSuggester behavior: the fragment matches anywhere
+    in the term, prefix hits rank above pure-infix hits, then df DESC;
+    infix=False stays the pushdown prefix path."""
+    out, _ = built
+    idx = open_index(spark, out)
+    frag = "al"   # 'value' contains it; terms starting 'al*' may exist
+    got = idx.suggest_terms(frag, limit=30, infix=True)
+    assert got and all(frag in t for t, _ in got)
+    # superset of the prefix answer, and the prefix block leads
+    pref = idx.suggest_terms(frag, limit=30)
+    assert set(pref) <= set(got) or len(got) == 30
+    flags = [t.startswith(frag) for t, _ in got]
+    assert flags == sorted(flags, reverse=True)   # prefix block first
+    for block in (True, False):
+        dfs = [df for (t, df) in got if t.startswith(frag) == block]
+        assert dfs == sorted(dfs, reverse=True)
+    # a pure-infix fragment that no term starts with
+    inner = idx.suggest_terms("alu", limit=10, infix=True)
+    assert any(not t.startswith("alu") for t, _ in inner)
+    assert idx.suggest_terms("", infix=True) == []
+
+
 def test_topk_elevated(spark, built):
     """QueryElevationComponent analog: pins first in given order,
     organic fills without duplicates, non-matching pin scores 0."""

@@ -229,6 +229,8 @@ def test_sharded_vocab_components(setup):
         mono.terms_enum(mincount=10, limit=50)
     assert shards.suggest_terms("re") == mono.suggest_terms("re")
     assert shards.suggest_terms("") == []
+    assert shards.suggest_terms("al", infix=True, limit=20) == \
+        mono.suggest_terms("al", infix=True, limit=20)
     assert shards.wildcard_terms("re*") == mono.wildcard_terms("re*")
     assert shards.wildcard_terms("v?lue") == mono.wildcard_terms("v?lue")
     assert shards.terms_enum(limit=15)  # non-trivial
