@@ -1242,3 +1242,153 @@ def merge_delta_tier(spark: SparkSession, index_path: str,
             shutil.rmtree(fam / v, ignore_errors=True)
     return {"merged": victims, "into": f"batch={merged_id}",
             "n_batches": max_batches}
+
+
+def rebalance_shards(spark: SparkSession, paths: list[str], *,
+                     plan: dict[int, int] | None = None) -> dict:
+    """Move whole bucket partitions between sibling shards (the
+    SolrCloud Collections-API MIGRATE role: re-assigning hash-range
+    units across shards without touching doc bytes). ``plan`` maps
+    bucket ordinal → destination shard ordinal; ``plan=None`` computes
+    the deterministic even-out plan (repeatedly move the smallest
+    bucket id from the fullest shard to the emptiest until bucket
+    counts differ by at most 1 — ties to the smallest shard ordinal).
+
+    Like split/merge, a move is a FILE-LEVEL copy of the bucket's
+    partitions (doc_ids embed their bucket, so they survive verbatim;
+    at 10^12 files this is an object-store server-side copy, no data
+    plane job) with crash-safe ordering: copy to a temp dir, atomic
+    rename into the destination, delete the source copy LAST — a
+    re-run after a crash completes the interrupted move (the
+    destination copy is replaced wholesale, never merged). Tombstone
+    and ledger rows re-route to each bucket's FINAL owner (rows whose
+    bucket no shard owns — unresolved streamed ids — stay where they
+    are); per-shard stats recompute afterwards, so every shard remains
+    indistinguishable from a fresh build over its slice.
+
+    After an arbitrary rebalance the ``bucket % n_children`` routing
+    rule from split_index no longer holds, so every manifest records
+    the explicit final ``owned_buckets`` list and ``router:
+    "explicit"`` — exactly SolrCloud's move from compositeId ranges to
+    explicitly-assigned ranges after MIGRATE. Pinned by test:
+    FtShards over the rebalanced layout is rank- and score-identical
+    to the pre-move layout (results are a pure function of the data,
+    never the layout)."""
+    shards = [Path(p) for p in paths]
+    if len(shards) < 2:
+        raise ValueError("rebalance_shards needs at least 2 shards")
+    manifests = [_require_compacted(s, "rebalance_shards") for s in shards]
+    if len({m.get("n_buckets") for m in manifests}) != 1:
+        raise ValueError("rebalance_shards: shards disagree on n_buckets "
+                         "— not one bucket universe")
+    owned = [set(_live_buckets(s)) for s in shards]
+    owner: dict[int, int] = {}
+    for i, bs in enumerate(owned):
+        for b in bs:
+            if b in owner:
+                raise ValueError(
+                    f"rebalance_shards: bucket {b} exists in both "
+                    f"{shards[owner[b]]} and {shards[i]} — overlapping "
+                    "shards cannot be rebalanced (an interrupted move? "
+                    "the destination copy is authoritative: remove the "
+                    "source's partition and retry)")
+            owner[b] = i
+
+    counts_before = [len(bs) for bs in owned]
+    if plan is None:
+        plan = {}
+        work = [set(bs) for bs in owned]
+        while True:
+            sizes = [len(w) for w in work]
+            hi = sizes.index(max(sizes))
+            lo = sizes.index(min(sizes))
+            if sizes[hi] - sizes[lo] <= 1:
+                break
+            b = min(work[hi])
+            work[hi].remove(b)
+            work[lo].add(b)
+            plan[b] = lo
+    for b, dest in plan.items():
+        if b not in owner:
+            raise ValueError(f"rebalance_shards: bucket {b} not owned by "
+                             "any shard")
+        if not (0 <= dest < len(shards)):
+            raise ValueError(f"rebalance_shards: destination ordinal "
+                             f"{dest} out of range")
+        if owner[b] == dest:
+            raise ValueError(f"rebalance_shards: bucket {b} already lives "
+                             f"on shard {dest}")
+
+    moves = {}
+    for b, dest in sorted(plan.items()):
+        src = shards[owner[b]]
+        dst = shards[dest]
+        for kind in _BUCKET_TABLES:
+            part = src / kind / f"bucket={b}"
+            if not part.exists():
+                continue
+            target = dst / kind / f"bucket={b}"
+            if target.exists():          # interrupted-move leftover
+                shutil.rmtree(target)
+            tmp = dst / kind / f".bucket={b}.tmp"
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            target.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copytree(part, tmp)
+            tmp.rename(target)
+        for kind in _BUCKET_TABLES:      # source removal LAST
+            part = src / kind / f"bucket={b}"
+            if part.exists():
+                shutil.rmtree(part)
+        moves[b] = {"from": owner[b], "to": dest}
+        owner[b] = dest
+
+    touched = sorted({m["from"] for m in moves.values()}
+                     | {m["to"] for m in moves.values()})
+    # tombstones + ledger re-route to each bucket's FINAL owner. The
+    # rows are pinned off the source files (localCheckpoint) before
+    # any rewrite — the lazy-recompute trap update_fields documents.
+    for table, bucket_expr in (
+            ("tombstones", F.shiftright(F.col("doc_id"), 40)),
+            ("ledger", F.col("bucket"))):
+        frames = []
+        for i in touched:
+            d = shards[i] / table
+            if not _has_files(d):
+                continue
+            reader = spark.read.option("mergeSchema", "true") \
+                if table == "ledger" else spark.read
+            frames.append(
+                reader.parquet(str(d))
+                .withColumn("_home", F.lit(i))
+                .withColumn("_b", bucket_expr.cast("long")))
+        if not frames:
+            continue
+        allrows = frames[0]
+        for f in frames[1:]:
+            allrows = allrows.unionByName(f, allowMissingColumns=True)
+        allrows = allrows.localCheckpoint(eager=True)
+        # only MOVED buckets re-route; everything else stays home —
+        # the when-chain is sized by the move plan, not the universe
+        route = F.coalesce(
+            *[F.when(F.col("_b") == bb, F.lit(mm["to"]))
+              for bb, mm in moves.items()],
+            F.col("_home"))
+        allrows = allrows.withColumn("_dest", route)
+        for i in touched:
+            mine = allrows.filter(F.col("_dest") == i) \
+                .drop("_home", "_b", "_dest")
+            d = shards[i] / table
+            if d.exists():
+                shutil.rmtree(d)
+            mine.write.parquet(str(d))
+    for i in touched:
+        _refresh_child_stats(spark, shards[i])
+        man = json.loads((shards[i] / "_manifest.json").read_text())
+        man["owned_buckets"] = sorted(b for b, o in owner.items() if o == i)
+        man["router"] = "explicit"
+        (shards[i] / "_manifest.json").write_text(json.dumps(man))
+    counts_after = [len([b for b, o in owner.items() if o == i])
+                    for i in range(len(shards))]
+    return {"moves": moves, "counts_before": counts_before,
+            "counts_after": counts_after}

@@ -173,3 +173,99 @@ def test_sharded_knn_equals_parent(spark, setup):
     got = [(d, c) for _, d, c in shards.knn(q, k=9)]
     assert got == exp and len(got) == 9
     assert shards.knn(q, k=0) == []
+
+
+def test_rebalance_moves_buckets_query_identical(spark, setup, tmp_path):
+    """Explicit one-bucket move + default even-out plan: file-level
+    bucket relocation, tombstones re-routed to the final owner,
+    FtShards rank/score-identical before and after, manifests record
+    explicit ownership."""
+    import shutil
+
+    from ftidx.maintenance import rebalance_shards
+
+    _, parent, _, _ = setup
+    # fresh 2-way split (uneven universe: 4 + 4 buckets over 8)
+    p2 = str(tmp_path / "p2")
+    shutil.copytree(parent, p2)
+    mono = open_index(spark, p2)
+    victim = mono.topk(TERMS, k=1, kernel="exhaustive")[0][0]
+    mono.delete([victim])
+    kids = [str(tmp_path / "rk0"), str(tmp_path / "rk1")]
+    split_index(spark, p2, kids)
+    shards = FtShards.open(spark, kids)
+    big = 10**6
+    # ties break (score, shard, doc) — the documented one place layout
+    # shows — so the cross-layout pin is membership + per-doc score
+    before = {d: round(s, 9) for _, d, s in shards.topk(TERMS, k=big)}
+    vb = victim >> 40
+
+    # move the victim's bucket to the other shard
+    src_ord = vb % 2
+    info = rebalance_shards(spark, kids, plan={vb: 1 - src_ord})
+    assert info["moves"] == {vb: {"from": src_ord, "to": 1 - src_ord}}
+    assert sum(info["counts_after"]) == sum(info["counts_before"]) == 8
+    assert not (tmp_path / f"rk{src_ord}" / "docs" / f"bucket={vb}").exists()
+    assert (tmp_path / f"rk{1 - src_ord}" / "docs" / f"bucket={vb}").exists()
+    # tombstone re-routed with its bucket
+    tomb = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / f"rk{1 - src_ord}" / "tombstones")).collect()}
+    assert victim in tomb
+    # manifests: explicit router + final ownership recorded
+    for i, k in enumerate(kids):
+        man = json.loads((tmp_path / f"rk{i}" / "_manifest.json").read_text())
+        assert man["router"] == "explicit"
+        got = {int(d.name.split("=")[1]) for d in
+               (tmp_path / f"rk{i}" / "docs").iterdir()
+               if d.name.startswith("bucket=")}
+        assert set(man["owned_buckets"]) == got
+    # the layout changed; the answer must not
+    after = {d: round(s, 9)
+             for _, d, s in FtShards.open(spark, kids).topk(TERMS, k=big)}
+    assert after == before and victim not in after
+
+
+def test_rebalance_default_plan_evens_counts(spark, setup, tmp_path):
+    import shutil
+
+    from ftidx.maintenance import rebalance_shards
+
+    _, parent, _, _ = setup
+    p3 = str(tmp_path / "p3")
+    shutil.copytree(parent, p3)
+    kids = [str(tmp_path / f"e{i}") for i in range(2)]
+    split_index(spark, p3, kids)
+    # skew shard 0: push all of shard 1's buckets onto it first
+    b1 = sorted(int(d.name.split("=")[1]) for d in
+                (tmp_path / "e1" / "docs").iterdir())
+    rebalance_shards(spark, kids, plan={b: 0 for b in b1[:-1]})
+    info = rebalance_shards(spark, kids)  # default plan evens out
+    assert max(info["counts_after"]) - min(info["counts_after"]) <= 1
+    assert sum(info["counts_after"]) == 8
+    mono = open_index(spark, p3)
+    big = 10**6
+    sh = {d: round(s, 9) for _, d, s in
+          FtShards.open(spark, kids).topk(TERMS, k=big)}
+    mo = {d: round(s, 9) for d, s in
+          mono.topk(TERMS, k=big, kernel="exhaustive")}
+    assert sh == mo
+
+
+def test_rebalance_refusals(spark, setup, tmp_path):
+    import shutil
+
+    from ftidx.maintenance import rebalance_shards
+
+    _, parent, _, _ = setup
+    p4 = str(tmp_path / "p4")
+    shutil.copytree(parent, p4)
+    kids = [str(tmp_path / f"r{i}") for i in range(2)]
+    split_index(spark, p4, kids)
+    with pytest.raises(ValueError, match="not owned"):
+        rebalance_shards(spark, kids, plan={99: 0})
+    with pytest.raises(ValueError, match="out of range"):
+        rebalance_shards(spark, kids, plan={0: 5})
+    with pytest.raises(ValueError, match="already lives"):
+        rebalance_shards(spark, kids, plan={0: 0})
+    with pytest.raises(ValueError, match="at least 2"):
+        rebalance_shards(spark, kids[:1])
