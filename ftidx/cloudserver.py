@@ -109,8 +109,10 @@ def _make_cloud_handler(shards, lock: threading.Lock):
                             return
                         body = {"suggestions": [
                             {"term": t, "df": df} for t, df in
-                            shards.suggest_terms(prefix, field=field,
-                                                 limit=k)]}
+                            shards.suggest_terms(
+                                prefix, field=field, limit=k,
+                                infix=qs.get("infix", [""])[0]
+                                in ("true", "1"))]}
                     elif u.path == "/stem":
                         term = qs.get("term", [""])[0]
                         if not term:
@@ -125,6 +127,9 @@ def _make_cloud_handler(shards, lock: threading.Lock):
                         body = {"spellcheck": shards.spellcheck(
                             terms, field=field,
                             max_dist=int(qs.get("max_dist", ["2"])[0]))}
+                        if qs.get("wordbreak", [""])[0] in ("true", "1"):
+                            body["wordbreak"] = shards.spellcheck_wordbreak(
+                                terms, field=field)
                     elif u.path == "/stats":
                         row = shards.match_stats(
                             terms,

@@ -712,6 +712,41 @@ def _entry_cost(rows: list[dict]) -> int:
     return blob * 9 + 1024 * max(len(rows), 1)
 
 
+def wordbreak_candidates(qs: list[str], min_part_len: int) -> set[str]:
+    """Every vocabulary lookup a wordbreak pass needs: the original
+    terms, both halves of every legal split, and every adjacent join —
+    O(Σ term length) strings, query-sized."""
+    cands: set[str] = set(qs)
+    for t in qs:
+        for i in range(min_part_len, len(t) - min_part_len + 1):
+            cands.add(t[:i])
+            cands.add(t[i:])
+    for a, b in zip(qs, qs[1:]):
+        cands.add(a + b)
+    return cands
+
+
+def assemble_wordbreak(qs: list[str], dfs: dict[str, int],
+                       min_part_len: int, limit: int) -> dict:
+    """Pure assembly over resolved dfs (shared by the monolithic and
+    sharded paths — the sharded caller passes GLOBALLY summed dfs, so
+    both deployments rank identically)."""
+    breaks = []
+    for t in qs:
+        if t in dfs:
+            continue              # known terms don't break (Solr rule)
+        opts = []
+        for i in range(min_part_len, len(t) - min_part_len + 1):
+            left, right = t[:i], t[i:]
+            if left in dfs and right in dfs:
+                opts.append((-min(dfs[left], dfs[right]), i, left, right))
+        for _, _, left, right in sorted(opts)[:limit]:
+            breaks.append((t, left, right, dfs[left], dfs[right]))
+    combines = [(a, b, a + b, dfs[a + b])
+                for a, b in zip(qs, qs[1:]) if a + b in dfs]
+    return {"breaks": breaks, "combines": combines}
+
+
 class FtIndex:
     """Query-side handle on a persisted index.
 
@@ -2321,6 +2356,43 @@ class FtIndex:
         return {"terms": out,
                 "collation": " ".join(c for _, c, _, _ in out),
                 "changed": changed}
+
+    def _vocab_dfs(self, terms: set[str],
+                   field: str = "code.content") -> dict[str, int]:
+        """Global df for an arbitrary term set: ONE column-pruned,
+        isin-pushed vocabulary scan (posting blobs never read)."""
+        if not terms:
+            return {}
+        rows = (self._postings.filter(F.col("field") == field)
+                .filter(F.col("term").isin(sorted(terms)))
+                .groupBy("term").agg(F.sum("df").alias("df")).collect())
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def spellcheck_wordbreak(self, terms: list[str],
+                             field: str = "code.content",
+                             min_part_len: int = 2,
+                             limit: int = 3) -> dict:
+        """WordBreakSolrSpellChecker analog: suggest BREAKING an
+        unknown query term into two vocabulary words ("helloworld" →
+        "hello world") and COMBINING adjacent query terms into one
+        vocabulary word ("data base" → "database").
+
+        Returns ``{"breaks": [(term, left, right, df_left, df_right)],
+        "combines": [(a, b, joined, df)]}`` — breaks only for terms
+        absent from the vocabulary, ranked per term by
+        (min(df_left, df_right) DESC, split position ASC), ≤ ``limit``
+        each; combines for every adjacent pair whose concatenation is
+        indexed. Both halves of a break must be ≥ ``min_part_len``
+        chars (Solr's minBreakLength).
+
+        Cost shape: the query's originals, every split half and every
+        adjacent join resolve in ONE isin-pushed vocabulary scan
+        (:meth:`_vocab_dfs`) — candidate count is O(Σ term length),
+        query-sized, never corpus-sized."""
+        qs = [t.lower() for t in terms]
+        dfs = self._vocab_dfs(
+            wordbreak_candidates(qs, min_part_len), field)
+        return assemble_wordbreak(qs, dfs, min_part_len, limit)
 
     def suggest_terms(self, prefix: str, field: str = "code.content",
                       limit: int = 10,

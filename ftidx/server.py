@@ -608,16 +608,30 @@ def _make_handler(idx, lock: threading.Lock):
                         return
                     d = int(qs.get("d", ["2"])[0])
                     field = qs.get("field", ["code.content"])[0]
+                    wb = qs.get("wordbreak", [""])[0] in ("true", "1")
                     with lock:
                         res = idx.spellcheck(q, field=field, max_dist=d)
-                    self._json(200, {
+                        wbres = idx.spellcheck_wordbreak(q, field=field) \
+                            if wb else None
+                    out = {
                         "collation": res["collation"],
                         "changed": res["changed"],
                         "terms": [
                             {"term": t, "correction": c, "df": df,
                              "dist": dist}
                             for t, c, df, dist in res["terms"]
-                        ]})
+                        ]}
+                    if wbres is not None:
+                        # WordBreakSolrSpellChecker merge: split/join
+                        # suggestions alongside the fuzzy corrections
+                        out["breaks"] = [
+                            {"term": t, "suggestion": f"{l} {r}",
+                             "df_left": dl, "df_right": dr}
+                            for t, l, r, dl, dr in wbres["breaks"]]
+                        out["combines"] = [
+                            {"terms": [a, b], "suggestion": j, "df": df}
+                            for a, b, j, df in wbres["combines"]]
+                    self._json(200, out)
                 elif u.path == "/get":
                     try:
                         doc_id = int(qs.get("id", [""])[0])

@@ -434,6 +434,24 @@ class FtShards:
                 "collation": " ".join(c for _, c, _, _ in out),
                 "changed": changed}
 
+    def spellcheck_wordbreak(self, terms: list[str],
+                             field: str = "code.content",
+                             min_part_len: int = 2,
+                             limit: int = 3) -> dict:
+        """Distributed WordBreakSolrSpellChecker: the candidate set is
+        a pure function of the query, so every shard resolves the SAME
+        lookups (one isin-pushed vocab scan each), dfs sum exactly
+        (disjoint doc sets), and the shared assembly ranks identically
+        to the monolithic index — pinned by test."""
+        from ftidx.index import assemble_wordbreak, wordbreak_candidates
+
+        qs = [t.lower() for t in terms]
+        cands = wordbreak_candidates(qs, min_part_len)
+        dfs: dict[str, int] = {}
+        for sh in self.shards:
+            for t, df in sh._vocab_dfs(cands, field).items():
+                dfs[t] = dfs.get(t, 0) + df
+        return assemble_wordbreak(qs, dfs, min_part_len, limit)
 
     # -- distributed analytics --------------------------------------------
 

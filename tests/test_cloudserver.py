@@ -76,6 +76,12 @@ def test_cloud_vocab_routes(served):
     # JSON turns tuples into lists — compare through a round-trip
     assert spell["spellcheck"] == json.loads(
         json.dumps(shards.spellcheck(["valxe"])))
+    _, sug_i = _get(f"{base}/suggest?prefix=al&k=20&infix=true")
+    assert [(s["term"], s["df"]) for s in sug_i["suggestions"]] == \
+        shards.suggest_terms("al", limit=20, infix=True)
+    _, wb = _get(f"{base}/spellcheck?q=defreturn+def+return&wordbreak=true")
+    assert wb["wordbreak"] == json.loads(json.dumps(
+        shards.spellcheck_wordbreak(["defreturn", "def", "return"])))
 
 
 def test_cloud_block_joins_and_edismax(served):

@@ -1923,3 +1923,61 @@ def test_query_result_cache(spark, built):
     # refresh drops everything
     idx.refresh()
     assert idx.metrics()["result_cache"]["entries"] == 0
+
+
+def test_spellcheck_wordbreak(spark, tmp_path):
+    """WordBreakSolrSpellChecker analog: unknown concatenations break
+    into vocabulary halves (min-df DESC, split ASC rank), adjacent
+    known terms combine when their join is indexed, known terms never
+    break, and the min-part-length guard holds."""
+    from datetime import datetime, timezone
+
+    rows = [
+        ("r", f"f{i}.py", "c", "python", text, False,
+         datetime(2024, 1, 1, tzinfo=timezone.utc))
+        for i, text in enumerate([
+            "hello world again hello world",
+            "database stuff here",
+            "data base systems",
+            "world peace data",
+        ])
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, deleted boolean, modified timestamp")
+    out = str(tmp_path / "wb")
+    build_index(spark, src, out, n_buckets=2)
+    idx = open_index(spark, out)
+
+    res = idx.spellcheck_wordbreak(["helloworld", "data", "base"])
+    assert res["breaks"] == [("helloworld", "hello", "world",
+                              idx._vocab_dfs({"hello"})["hello"],
+                              idx._vocab_dfs({"world"})["world"])]
+    assert res["combines"] == [("data", "base", "database",
+                                idx._vocab_dfs({"database"})["database"])]
+    # a known term never breaks, even if splittable
+    assert idx.spellcheck_wordbreak(["database"])["breaks"] == []
+    # min_part_len guard: 1-char halves are not candidates
+    assert idx.spellcheck_wordbreak(["aworld"],
+                                    min_part_len=2)["breaks"] == []
+    # nothing matches -> both empty
+    none = idx.spellcheck_wordbreak(["zzzz", "qqqq"])
+    assert none == {"breaks": [], "combines": []}
+
+
+def test_spellcheck_wordbreak_sharded(spark, tmp_path):
+    """2-shard wordbreak equals monolithic: candidate set is a pure
+    function of the query, dfs sum exactly across disjoint shards."""
+    from ftidx.maintenance import split_index
+    from ftidx.shards import FtShards
+    from ftidx.synth import synth_source
+
+    out = str(tmp_path / "p")
+    build_index(spark, synth_source(spark, 200), out, n_buckets=4)
+    kids = [str(tmp_path / "s0"), str(tmp_path / "s1")]
+    split_index(spark, out, kids)
+    mono = open_index(spark, out)
+    shards = FtShards.open(spark, kids)
+    probe = ["defreturn", "value", "data", "zzznope"]
+    assert shards.spellcheck_wordbreak(probe) == \
+        mono.spellcheck_wordbreak(probe)

@@ -301,6 +301,17 @@ def test_spellcheck_and_get_endpoints(served):
     assert by_term["def"]["dist"] == 0 and by_term["def"]["df"] > 0
     assert by_term["deff"]["correction"] == "def" and by_term["deff"]["dist"] == 1
 
+    # wordbreak=true adds split/join suggestions
+    _, body = _get(f"{base}/spellcheck?q=defreturn+def+return&wordbreak=true")
+    wb = idx.spellcheck_wordbreak(["defreturn", "def", "return"])
+    assert [b["suggestion"] for b in body["breaks"]] == \
+        [f"{l} {r}" for _, l, r, _, _ in wb["breaks"]]
+    assert body["breaks"][0]["suggestion"] == "def return"
+    assert [c["suggestion"] for c in body["combines"]] == \
+        [j for _, _, j, _ in wb["combines"]]
+    _, body = _get(f"{base}/spellcheck?q=defreturn")
+    assert "breaks" not in body
+
     some_id = idx.topk(["def"], k=1)[0][0]
     _, body = _get(f"{base}/get?id={some_id}")
     assert body["doc"]["doc_id"] == some_id and body["doc"]["path"]
