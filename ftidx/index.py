@@ -155,7 +155,8 @@ def _deserialize_meta(blob: bytes) -> pd.DataFrame:
     return pa.ipc.open_stream(pa.py_buffer(blob)).read_all().to_pandas()
 
 
-def _bucket_local_encode(batches, stem_field: bool = False):
+def _bucket_local_encode(batches, stem_field: bool = False,
+                         shingle_field: bool = False):
     """mapInPandas kernel for the bucket-local build strategy: input is
     raw docs hash-partitioned by bucket (the ONLY shuffle — raw docs
     are ~25× smaller than the tf rows the grouped strategy shuffles).
@@ -205,7 +206,7 @@ def _bucket_local_encode(batches, stem_field: bool = False):
         if len(live):
             part = tokenize_tf_batch(
                 live[["doc_id", "content", "lang", "repo", "path"]],
-                stem_field=stem_field)
+                stem_field=stem_field, shingle_field=shingle_field)
             if len(part):
                 tf_parts.append(part)
     if not meta_parts:
@@ -389,7 +390,8 @@ def _write_stats_rows(stats_dir: Path, rows) -> None:
 
 def _build_bucket_group(spark, docs, group, out, ledger_dir, build_id,
                         tracking_id, clustered, t0, _t,
-                        store_content=False, stem_field=False) -> None:
+                        store_content=False, stem_field=False,
+                        shingle_field=False) -> None:
     """One bucket group of a build pass: encode + write postings, then
     metrics/doclen/docs explodes off the WRITTEN postings, then the
     group's "done" ledger rows. Factored out of :func:`build_index` so
@@ -411,7 +413,8 @@ def _build_bucket_group(spark, docs, group, out, ledger_dir, build_id,
 
     postings = (
         enc_in
-        .mapInPandas(partial(_bucket_local_encode, stem_field=stem_field),
+        .mapInPandas(partial(_bucket_local_encode, stem_field=stem_field,
+                             shingle_field=shingle_field),
                      schema=POSTINGS_SCHEMA)
         .withColumn(
             "n_bytes",
@@ -507,6 +510,7 @@ def build_index(
     positions: bool = False,
     store_content: bool = False,
     stem_field: bool = False,
+    shingle_field: bool = False,
 ) -> dict:
     """Build (or resume) a persistent index under ``out_dir``.
 
@@ -528,6 +532,16 @@ def build_index(
     roughly doubles content-field postings. Recorded in the manifest;
     resume/upsert keep it consistent.
 
+    ``shingle_field=True`` additionally indexes ``code.content.shingle``
+    — adjacent content-token bigrams (Solr ShingleFilterFactory,
+    size 2, no unigrams): a shingle's tf is the doc's
+    adjacent-occurrence count, so a plain BM25 term query on the field
+    answers two-word phrase queries WITHOUT positional postings (the
+    classic Lucene phrase-speedup tradeoff: ~vocabulary² growth bought
+    for position-free phrase matching; membership pinned equal to the
+    positional engine in tests). Same manifest/resume/upsert/streaming
+    consistency discipline as ``stem_field``.
+
     Returns a summary dict (buckets built/skipped, totals).
     """
     out = Path(out_dir)
@@ -545,8 +559,16 @@ def build_index(
                 f"{prev.get('stem_field', False)!r}, caller passed "
                 f"{stem_field!r} — a half-stemmed index would rank "
                 f"inconsistently across buckets")
-    manifest_path.write_text(json.dumps({**params, "stem_field": bool(stem_field),
-                                         "status": "building", "build_id": build_id}))
+        if resume and bool(prev.get("shingle_field", False)) != bool(shingle_field):
+            raise ValueError(
+                f"resume with mismatched shingle_field: index has "
+                f"{prev.get('shingle_field', False)!r}, caller passed "
+                f"{shingle_field!r} — a half-shingled index would answer "
+                f"phrase queries inconsistently across buckets")
+    manifest_path.write_text(json.dumps({
+        **params, "stem_field": bool(stem_field),
+        "shingle_field": bool(shingle_field),
+        "status": "building", "build_id": build_id}))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -593,7 +615,8 @@ def build_index(
             _build_bucket_group(
                 spark, docs, group, out, ledger_dir, build_id,
                 tracking_id, clustered, t0, _t,
-                store_content=store_content, stem_field=stem_field)
+                store_content=store_content, stem_field=stem_field,
+                shingle_field=shingle_field)
         except Exception as exc:
             # S27 failure-reason persistence (queueFail analog,
             # RawRepoQueueBean.java:28-34): record WHY the group's
@@ -630,6 +653,7 @@ def build_index(
     _write_stats_rows(out / "stats", stats)
     manifest_path.write_text(
         json.dumps({**params, "stem_field": bool(stem_field),
+                    "shingle_field": bool(shingle_field),
                     "status": "done", "build_id": build_id})
     )
     return {"built": built, "skipped": skipped, "n_buckets": n_buckets, "build_id": build_id}

@@ -537,13 +537,15 @@ def upsert(spark: SparkSession, index_path: str, new_source: DataFrame,
     # the stem analyzer is a manifest property, not an on-disk dir —
     # rebuilt buckets must keep emitting code.content.stem or the
     # stemmed field would silently go partial
-    has_stem = bool(json.loads((path / "_manifest.json").read_text())
-                    .get("stem_field", False))
+    man = json.loads((path / "_manifest.json").read_text())
+    has_stem = bool(man.get("stem_field", False))
+    has_shingle = bool(man.get("shingle_field", False))
     _clear_bucket_partitions(path, dirty)
     _clear_ledger_rows(spark, path, dirty)
     summary = build_index(spark, new_source, str(path), n_buckets=n_buckets,
                           resume=True, positions=has_positions,
                           store_content=has_stored, stem_field=has_stem,
+                          shingle_field=has_shingle,
                           **build_kwargs)
     return {"buckets_rebuilt": summary["built"], "skipped": summary["skipped"]}
 

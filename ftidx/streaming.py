@@ -110,11 +110,12 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, index_path: str,
     # rule as the positional deltas below)
     import json as _json
 
-    has_stem = bool(_json.loads((out / "_manifest.json").read_text())
-                    .get("stem_field", False)) \
-        if (out / "_manifest.json").exists() else False
+    man = _json.loads((out / "_manifest.json").read_text()) \
+        if (out / "_manifest.json").exists() else {}
+    has_stem = bool(man.get("stem_field", False))
+    has_shingle = bool(man.get("shingle_field", False))
     tf_len = (
-        tokenize_tf(live, stem_field=has_stem)
+        tokenize_tf(live, stem_field=has_stem, shingle_field=has_shingle)
         .withColumnRenamed("dl", "len")
         .join(bucket_of, "doc_id")
     )

@@ -108,13 +108,21 @@ def collections_for(lang: str, repo: str) -> list[str]:
 
 
 def tokenize_doc(content: str | None, lang: str, repo: str, path: str,
-                 stem_field: bool = False) -> dict[str, list[str]]:
+                 stem_field: bool = False,
+                 shingle_field: bool = False) -> dict[str, list[str]]:
     """Pure-function spec: one doc → {field: [terms]} (duplicates kept,
     order = occurrence order). The golden-file contract.
 
     ``stem_field=True`` additionally emits ``code.content.stem`` — the
     content tokens Porter-stemmed in place (Solr index-time
-    PorterStemFilterFactory on a copyField; opt-in, see build_index)."""
+    PorterStemFilterFactory on a copyField; opt-in, see build_index).
+
+    ``shingle_field=True`` additionally emits ``code.content.shingle``
+    — adjacent content-token bigrams joined with a space (Solr
+    ShingleFilterFactory, maxShingleSize=2 outputUnigrams=false on a
+    copyField; unigrams live in the base field). tf of a shingle ==
+    the doc's adjacent-occurrence count, so querying the field answers
+    two-word phrase queries WITHOUT positional postings."""
     fields: dict[str, list[str]] = {}
     text = content or ""
 
@@ -124,6 +132,10 @@ def tokenize_doc(content: str | None, lang: str, repo: str, path: str,
 
         fields["code.content.stem"] = [porter_stem(t)
                                        for t in fields["code.content"]]
+    if shingle_field:
+        cc = fields["code.content"]
+        fields["code.content.shingle"] = [
+            f"{a} {b}" for a, b in zip(cc, cc[1:])]
 
     idents = re.findall(IDENT_RE, text)
     compound = [t for t in idents if re.search(COMPOUND_RE, t)]
@@ -197,7 +209,8 @@ def _explode_joined(doc_ids: pd.Series, texts: pd.Series, creg,
     return pd.DataFrame({"doc_id": ids, "field": field, "term": terms})
 
 
-def tokenize_batch(pdf: pd.DataFrame, stem_field: bool = False) -> pd.DataFrame:
+def tokenize_batch(pdf: pd.DataFrame, stem_field: bool = False,
+                   shingle_field: bool = False) -> pd.DataFrame:
     """Vectorized batch tokenizer: pandas DataFrame with columns
     (doc_id, content, lang, repo, path) → rows (doc_id, field, term).
 
@@ -225,6 +238,21 @@ def tokenize_batch(pdf: pd.DataFrame, stem_field: bool = False) -> pd.DataFrame:
             "term": cc["term"].map(memo),
         })
         parts.append(stemmed)
+    if shingle_field:
+        # adjacent bigrams: _explode_joined emits content tokens in
+        # occurrence order with same-doc rows contiguous, so a shifted
+        # compare finds every adjacent pair vectorized
+        cc = parts[0]
+        d = cc["doc_id"].to_numpy()
+        t = cc["term"].to_numpy()
+        if len(cc) > 1:
+            same = d[1:] == d[:-1]
+            parts.append(pd.DataFrame({
+                "doc_id": d[:-1][same],
+                "field": "code.content.shingle",
+                "term": (pd.Series(t[:-1][same], dtype=object) + " "
+                         + pd.Series(t[1:][same], dtype=object)),
+            }))
 
     # compound identifiers → keep; subtoken-split the compound ones
     id_row, id_terms = _findall_joined(content, _IDENT_C)
@@ -297,7 +325,8 @@ def tokenize_batch(pdf: pd.DataFrame, stem_field: bool = False) -> pd.DataFrame:
     return out
 
 
-def tokenize(docs: DataFrame, stem_field: bool = False) -> DataFrame:
+def tokenize(docs: DataFrame, stem_field: bool = False,
+             shingle_field: bool = False) -> DataFrame:
     """Spark entry point: docs (doc_id, content, lang, repo, path, …) →
     token stream (doc_id, field, term).
 
@@ -308,13 +337,15 @@ def tokenize(docs: DataFrame, stem_field: bool = False) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            yield tokenize_batch(pdf, stem_field=stem_field)
+            yield tokenize_batch(pdf, stem_field=stem_field,
+                                 shingle_field=shingle_field)
 
     return cols.mapInPandas(run, schema=TOKEN_SCHEMA)
 
 
 def tokenize_tf_batch(pdf: pd.DataFrame,
-                      stem_field: bool = False) -> pd.DataFrame:
+                      stem_field: bool = False,
+                      shingle_field: bool = False) -> pd.DataFrame:
     """Batch tokenize + doc-local aggregation: since every doc is fully
     contained in its batch, tf per (doc, field, term) and dl per
     (doc, field) are computed INSIDE the kernel — the map-side-combine
@@ -323,7 +354,8 @@ def tokenize_tf_batch(pdf: pd.DataFrame,
     (doc_id, field, term, tf, dl)."""
     import numpy as np
 
-    tokens = tokenize_batch(pdf, stem_field=stem_field)
+    tokens = tokenize_batch(pdf, stem_field=stem_field,
+                            shingle_field=shingle_field)
     if not len(tokens):
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "field": pd.Series(dtype=object),
@@ -359,7 +391,8 @@ def tokenize_tf_batch(pdf: pd.DataFrame,
 TF_SCHEMA = "doc_id long, field string, term string, tf long, dl long"
 
 
-def tokenize_tf(docs: DataFrame, stem_field: bool = False) -> DataFrame:
+def tokenize_tf(docs: DataFrame, stem_field: bool = False,
+                shingle_field: bool = False) -> DataFrame:
     """Fused tokenize → per-doc tf/dl (no shuffle). The build's hot
     path; equivalence with term_frequencies(tokenize(…)) is asserted in
     tests."""
@@ -367,6 +400,7 @@ def tokenize_tf(docs: DataFrame, stem_field: bool = False) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            yield tokenize_tf_batch(pdf, stem_field=stem_field)
+            yield tokenize_tf_batch(pdf, stem_field=stem_field,
+                                    shingle_field=shingle_field)
 
     return cols.mapInPandas(run, schema=TF_SCHEMA)
