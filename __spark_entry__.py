@@ -876,6 +876,121 @@ def q_graph_expand(spark, sf_dir):
     return graph_expand(edges, seeds, max_depth=4)
 
 
+def q_shortest_paths(spark, sf_dir):
+    """All shortest paths (Solr shortestPath(), ftidx.graph
+    .shortest_path): same md5-derived edge table as graph_expand;
+    src=0, dst = the SMALLEST node first reached at BFS depth 3 (a
+    pure function of the data, computed by the same engine BFS the
+    graph_expand row pins). One row per minimum-hop path, rendered
+    '0->a->b->dst' + length. The DuckDB twin re-derives the dst choice
+    and enumerates cycle-free bounded walks of exactly that length —
+    equivalent to the engine's first-reach parent DAG because every
+    node on a shortest path sits at its own BFS depth (were an
+    intermediate X at a shallower depth, dst would be reachable
+    shallower too, contradiction). Path count is far below the
+    engine's max_paths cap, so the cap never cuts."""
+    from ftidx.graph import graph_expand, shortest_path
+    from ftidx.textops import _md5_uniform
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = None
+    for seed in (9, 10):
+        e = docs.select(
+            F.floor(_md5_uniform(F.col("doc_id"), seed) * F.lit(float(n)))
+            .cast("long").alias("src"),
+            F.col("doc_id").alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    seeds = spark.createDataFrame([(0,)], "node long")
+    depths = graph_expand(edges, seeds, max_depth=3)
+    dst = depths.filter(F.col("depth") == 3).agg(F.min("node")).collect()[0][0]
+    return shortest_path(edges, 0, int(dst), max_depth=3).select(
+        F.array_join(F.col("path"), "->").alias("path_str"), "length")
+
+
+_WB_PROBES = ["mergesort", "datascan", "hashjoin", "filtersort",
+              "sort", "zzzqq"]
+
+
+def q_wordbreak_splits(spark, sf_dir):
+    """WordBreakSolrSpellChecker split ranking as a distributed twin
+    over raw parquet (the engine path is FtIndex.spellcheck_wordbreak
+    over the postings vocab, pinned in pytest): for each UNKNOWN probe
+    term, every split whose halves are both vocabulary words, ranked
+    per probe by (min(df_left, df_right) DESC, split position ASC),
+    top 3. 'sort' is a known term (never breaks); 'zzzqq' has no
+    vocabulary split."""
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.explode(
+                F.split(F.lower("text"), "[^a-z0-9_]+")).alias("term"))
+            .filter(F.col("term") != ""))
+    vocab = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    probes = spark.createDataFrame([(p,) for p in _WB_PROBES],
+                                   "probe string")
+    unknown = probes.join(vocab, probes.probe == vocab.term, "left_anti")
+    splits = (unknown.filter(F.length("probe") >= 4)
+              .select("probe",
+                      F.explode(F.sequence(
+                          F.lit(2), F.length("probe") - 2)).alias("i"))
+              .select("probe", "i",
+                      F.expr("substring(probe, 1, i)").alias("left_part"),
+                      F.expr("substring(probe, i + 1, length(probe))")
+                      .alias("right_part")))
+    vl = vocab.select(F.col("term").alias("left_part"),
+                      F.col("df").alias("df_left"))
+    vr = vocab.select(F.col("term").alias("right_part"),
+                      F.col("df").alias("df_right"))
+    cand = splits.join(vl, "left_part").join(vr, "right_part")
+    w = Window.partitionBy("probe").orderBy(
+        F.desc(F.least("df_left", "df_right")), F.asc("i"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select(F.col("probe").alias("term"), "left_part",
+                    "right_part", "df_left", "df_right", "rk"))
+
+
+def q_infix_suggest(spark, sf_dir):
+    """AnalyzingInfixSuggester rank over the raw-parquet vocabulary:
+    terms containing the fragment anywhere, prefix hits before
+    pure-infix hits, then df DESC, term ASC (a total order), top 30 —
+    the FtIndex.suggest_terms(infix=True) ordering, pinned vs SQL."""
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.explode(
+                F.split(F.lower("text"), "[^a-z0-9_]+")).alias("term"))
+            .filter(F.col("term") != ""))
+    vocab = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    hits = vocab.filter(F.col("term").contains("a"))
+    pref = F.when(F.col("term").startswith("a"), 0).otherwise(1)
+    return _ranked(hits, [F.asc(pref), F.desc("df"), F.asc("term")],
+                   30, "rk")
+
+
+def q_shingle_stats(spark, sf_dir):
+    """ShingleFilterFactory twin over raw parquet (the index-time
+    field is build_index(shingle_field=True), pinned in pytest against
+    the positional engine): adjacent-token bigrams with df/cf, top 50
+    by (df DESC, cf DESC, bigram ASC). Adjacency = lead() inside a
+    doc-partitioned window over occurrence positions — token-sequence
+    adjacency, exactly what the fused kernel's shifted compare emits.
+    """
+    t = (_docs(spark, sf_dir)
+         .select("doc_id", F.posexplode(
+             F.split(F.lower("text"), "[^a-z0-9_]+")).alias("pos", "term"))
+         .filter(F.col("term") != ""))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (t.withColumn("nxt", F.lead("term").over(w))
+           .filter(F.col("nxt").isNotNull())
+           .select("doc_id",
+                   F.concat_ws(" ", "term", "nxt").alias("shingle")))
+    agg = big.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("cf"))
+    return _ranked(agg, [F.desc("df"), F.desc("cf"), F.asc("shingle")],
+                   50, "rk")
+
+
 def q_stream_rollup(spark, sf_dir):
     # Solr Streaming Expressions: select(having(rollup(table(...))))
     # compiled to ONE DataFrame plan; table() is the jdbc()-source
@@ -2813,6 +2928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms_fg": q_sig_terms_fg,
         "fold_hash": q_fold_hash,
         "c4_rules": q_c4_rules,
+        "shortest_paths": q_shortest_paths,
+        "wordbreak_splits": q_wordbreak_splits,
+        "infix_suggest": q_infix_suggest,
+        "shingle_stats": q_shingle_stats,
         # --- unchecked remainder: rotate into the window next round ---
         "collapse_expand": q_collapse_expand,
         "xjoin_filter": q_xjoin_filter,
@@ -4108,6 +4227,99 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.depth < 4
             )
             SELECT node, min(depth)::INT AS depth FROM walk GROUP BY node
+        """,
+        "shortest_paths": f"""
+            WITH RECURSIVE edges AS (
+              SELECT floor({_md5_u_sql('doc_id', 9)}
+                           * (SELECT count(*) FROM documents))::BIGINT AS src,
+                     doc_id AS dst
+              FROM documents
+              UNION ALL
+              SELECT floor({_md5_u_sql('doc_id', 10)}
+                           * (SELECT count(*) FROM documents))::BIGINT AS src,
+                     doc_id AS dst
+              FROM documents
+            ),
+            walk(node, depth) AS (
+              SELECT 0::BIGINT, 0
+              UNION ALL
+              SELECT e.dst, w.depth + 1
+              FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.depth < 3
+            ),
+            dmin AS (SELECT node, min(depth) AS d FROM walk GROUP BY node),
+            tgt AS (SELECT min(node) AS n FROM dmin WHERE d = 3),
+            paths(node, path) AS (
+              SELECT 0::BIGINT, [0::BIGINT]
+              UNION ALL
+              SELECT e.dst, list_append(p.path, e.dst)
+              FROM paths p JOIN edges e ON e.src = p.node
+              WHERE len(p.path) <= 3 AND NOT list_contains(p.path, e.dst)
+            )
+            SELECT array_to_string(path, '->') AS path_str,
+                   3::BIGINT AS length
+            FROM paths
+            WHERE node = (SELECT n FROM tgt) AND len(path) = 4
+        """,
+        "wordbreak_splits": f"""
+            WITH {_TOK_CTE},
+            vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM tok GROUP BY term),
+            probes(probe) AS (VALUES ('mergesort'), ('datascan'),
+                              ('hashjoin'), ('filtersort'), ('sort'),
+                              ('zzzqq')),
+            unknown AS (SELECT probe FROM probes
+                        WHERE probe NOT IN (SELECT term FROM vocab)
+                          AND length(probe) >= 4),
+            -- constant-range cross join + filter: DuckDB's
+            -- generate_series can't take lateral column args
+            splits AS (SELECT u.probe, g.i,
+                              substr(u.probe, 1, g.i) AS left_part,
+                              substr(u.probe, g.i + 1) AS right_part
+                       FROM unknown u, generate_series(2, 30) g(i)
+                       WHERE g.i <= length(u.probe) - 2),
+            cand AS (SELECT s.probe, s.i, s.left_part, s.right_part,
+                            vl.df AS df_left, vr.df AS df_right
+                     FROM splits s
+                     JOIN vocab vl ON vl.term = s.left_part
+                     JOIN vocab vr ON vr.term = s.right_part)
+            SELECT probe AS term, left_part, right_part,
+                   df_left, df_right, rk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY probe
+                      ORDER BY least(df_left, df_right) DESC, i) AS rk
+                  FROM cand)
+            WHERE rk <= 3
+        """,
+        "infix_suggest": f"""
+            WITH {_TOK_CTE},
+            vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM tok GROUP BY term),
+            h AS (SELECT term, df FROM vocab WHERE contains(term, 'a'))
+            SELECT term, df, rk FROM (
+              SELECT term, df, row_number() OVER (
+                  ORDER BY (CASE WHEN term LIKE 'a%' THEN 0 ELSE 1 END),
+                           df DESC, term) AS rk
+              FROM h
+            ) WHERE rk <= 30
+        """,
+        "shingle_stats": f"""
+            WITH {_TOKPOS_CTE},
+            led AS (
+              SELECT doc_id,
+                     term || ' ' || lead(term) OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS shingle
+              FROM tokpos),
+            big AS (SELECT doc_id, shingle FROM led
+                    WHERE shingle IS NOT NULL),
+            agg AS (SELECT shingle, count(DISTINCT doc_id)::BIGINT AS df,
+                           count(*)::BIGINT AS cf
+                    FROM big GROUP BY shingle)
+            SELECT shingle, df, cf, rk FROM (
+              SELECT *, row_number() OVER (
+                  ORDER BY df DESC, cf DESC, shingle) AS rk
+              FROM agg
+            ) WHERE rk <= 50
         """,
         "stream_rollup": """
             SELECT lang, count(*) AS cnt, sum(n_chars)::BIGINT AS sum_chars
