@@ -1577,3 +1577,121 @@ def mine_hard_negatives(docs: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score_r"))
+
+
+def stack_rules(docs: DataFrame, *, max_line_len: int = 1000,
+                max_mean_line_len: float = 100.0,
+                min_alnum_frac: float = 0.25,
+                autogen_head_lines: int = 5,
+                autogen_markers: list[str] | None = None,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """The Stack / StarCoderData code-file filter bundle (Kocetkov et
+    al. 2022 §2; Li et al. 2023 §3.1's deterministic subset) — the
+    source-code analog of :func:`gopher_rules`, emitting per-rule
+    evidence beside the verdict:
+
+    - longest line <= ``max_line_len`` chars (minified / generated
+      bundles have kilobyte lines)
+    - mean line length <= ``max_mean_line_len``
+    - alphanumeric character fraction >= ``min_alnum_frac`` (drops
+      encoded-data blobs: base64 walls pass, hex/binary dumps with
+      heavy punctuation and whitespace do not)
+    - no auto-generation marker in the first ``autogen_head_lines``
+      lines ("auto-generated", "autogenerated", "generated by",
+      "do not edit" — the published detector phrases)
+    - not an XML document (``<?xml version=`` within the first 100
+      chars — The Stack routes XML out of the code split)
+
+    Output: (doc_id, n_lines, max_line_len, mean_line_r, alnum_frac_r,
+    is_autogen, is_xml, keep).
+
+    Scale shape: ZERO shuffle — every metric is a per-row codegen
+    expression over the line array (transform/aggregate higher-order
+    functions + one regexp strip); a pure mapper like gopher_rules, so
+    it pipelines into whatever stage follows at any corpus size."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    line_lens = F.transform(lines, lambda l: F.length(l))
+    n_lines = F.size(lines).cast("long")
+    max_line = F.array_max(line_lens).cast("long")
+    sum_len = F.aggregate(line_lens, F.lit(0),
+                          lambda acc, x: acc + x)
+    mean_line = F.round(F.when(n_lines > 0, sum_len / n_lines), 5)
+    n_chars = F.length(text)
+    n_alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", ""))
+    alnum_frac = F.round(F.when(n_chars > 0, n_alnum / n_chars), 5)
+    markers = [m.lower() for m in
+               (autogen_markers or ["auto-generated", "autogenerated",
+                                    "generated by", "do not edit"])]
+    head = F.lower(F.array_join(
+        F.slice(lines, 1, autogen_head_lines), "\n"))
+    is_autogen = None
+    for m in markers:
+        c = head.contains(m)
+        is_autogen = c if is_autogen is None else (is_autogen | c)
+    is_xml = F.substring(text, 1, 100).contains("<?xml version=")
+    keep = ((max_line <= max_line_len)
+            & (mean_line <= max_mean_line_len)
+            & (alnum_frac >= min_alnum_frac)
+            & ~is_autogen & ~is_xml)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        max_line.alias("max_line_len"),
+        mean_line.alias("mean_line_r"),
+        alnum_frac.alias("alnum_frac_r"),
+        is_autogen.alias("is_autogen"),
+        is_xml.alias("is_xml"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+# Secret-detection patterns (The Stack / StarCoder PII pipeline's
+# regex-detectable subset). Written in the common Java-regex/RE2
+# dialect intersection: no lookarounds, no backreferences, explicit
+# character classes — the SAME pattern strings drive the Spark
+# expressions and any SQL-twin oracle.
+AWS_KEY_RE = "AKIA[0-9A-Z]{16}"
+PRIVATE_KEY_RE = "-----BEGIN [A-Z ]*PRIVATE KEY-----"
+IPV4_RE = ("(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+           "(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}")
+ASSIGNED_SECRET_RE = ("(api_key|apikey|secret|token|passwd|password)"
+                      "[ ]*[=:][ ]*[\"'][^\"']{8,}[\"']")
+
+
+def scrub_secrets(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Code-secret scrubbing (The Stack v2 / StarCoder PII pass,
+    Lozhkov et al. 2024 §4 — the deterministic regex-detectable
+    subset): count and redact AWS access-key ids, PEM private-key
+    headers, hardcoded assigned secrets (``api_key = "…"`` shapes,
+    case-insensitive on the key name), and IPv4 literals, emitting
+    per-doc counts and the md5 of the scrubbed text so downstream
+    stages can verify the exact surviving content.
+
+    Redaction order is fixed (AWS -> private key -> assigned ->
+    IPv4), each replacing with an angle-bracket placeholder; counts
+    are taken against the text as it stood when that rule ran, so an
+    IPv4 inside an already-redacted secret counts once, as the
+    secret. Pure regexp column expressions — codegen'd,
+    partition-local, zero shuffle (the :func:`scrub_text`
+    discipline, extended to the code-corpus secret families)."""
+    text = F.col(text_col)
+    aws_gone = F.regexp_replace(text, AWS_KEY_RE, "<AWSKEY>")
+    pk_gone = F.regexp_replace(aws_gone, PRIVATE_KEY_RE, "<PRIVKEY>")
+    asg_re = "(?i)" + ASSIGNED_SECRET_RE
+    asg_gone = F.regexp_replace(pk_gone, asg_re, "<SECRET>")
+    clean = F.regexp_replace(asg_gone, IPV4_RE, "<IP>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text, F.lit(AWS_KEY_RE), 0))
+        .cast("long").alias("n_aws"),
+        F.size(F.regexp_extract_all(aws_gone, F.lit(PRIVATE_KEY_RE), 0))
+        .cast("long").alias("n_privkey"),
+        F.size(F.regexp_extract_all(pk_gone, F.lit(asg_re), 0))
+        .cast("long").alias("n_assigned"),
+        F.size(F.regexp_extract_all(asg_gone, F.lit(IPV4_RE), 0))
+        .cast("long").alias("n_ipv4"),
+        F.md5(clean).alias("clean_hash"),
+    )
