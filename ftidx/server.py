@@ -77,6 +77,9 @@ Endpoints (all JSON):
   terms facets in one JSON body
 - ``GET /metrics``       → admin/metrics: term-cache hit-rate/bytes,
   filterCache entries, last build's ledger summary
+- ``GET /stream?action=list|stop|kill&id=…`` → daemon admin over the
+  server-lifetime daemon map (stream-expression ``daemon(id=…,
+  runInterval=…, expr)`` registered via POST /stream)
 - ``GET /replication?command=details|backup`` → ReplicationHandler:
   served-generation info / consistent point-in-time snapshot into
   ``location=``/``name=`` (restore stays offline: new generation +
@@ -163,7 +166,8 @@ def _apply_add(idx, docs) -> int:
     return len(rows)
 
 
-def _make_handler(idx, lock: threading.Lock):
+def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
+    daemons = {} if daemons is None else daemons
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; serving logs belong to WSGI tiers
             pass
@@ -1135,6 +1139,31 @@ def _make_handler(idx, lock: threading.Lock):
                     if highlighting is not None:
                         body["highlighting"] = highlighting
                     self._json(200, body)
+                elif u.path == "/stream":
+                    # Solr daemon admin (GET /stream?action=…): list /
+                    # stop / kill over the server-lifetime daemon map.
+                    # No Spark work → no server lock (a stop must not
+                    # queue behind a long-running daemon iteration).
+                    action = qs.get("action", [""])[0]
+                    if action == "list":
+                        self._json(200, {"daemons": [
+                            daemons[k].info() for k in sorted(daemons)]})
+                    elif action in ("stop", "kill"):
+                        did = qs.get("id", [""])[0]
+                        d = daemons.get(did)
+                        if d is None:
+                            self._json(404, {"error":
+                                             f"no daemon {did!r}"})
+                            return
+                        d.stop(timeout=5.0)
+                        if action == "kill":  # Solr: kill also forgets
+                            daemons.pop(did, None)
+                        self._json(200, {"id": did, "state": d.state,
+                                         "action": action})
+                    else:
+                        raise ValueError(
+                            "GET /stream needs action=list|stop|kill "
+                            "(POST /stream evaluates expressions)")
                 else:
                     self._json(404, {"error": "unknown path"})
             except ValueError as e:  # bad k, missing positions table, ...
@@ -1371,7 +1400,8 @@ def _make_handler(idx, lock: threading.Lock):
                         ctx = StreamContext(
                             tables={"docs": docs},
                             indexes={"idx": idx},
-                            checkpoint_dir=str(idx.path / "topics"))
+                            checkpoint_dir=str(idx.path / "topics"),
+                            daemons=daemons, run_lock=lock)
                         rows = evaluate(expr, ctx).limit(cap).collect()
                     out = [{k: (v.isoformat()
                                 if hasattr(v, "isoformat") else v)
@@ -1455,8 +1485,11 @@ class FtServer:
 
     def __init__(self, idx, host: str = "127.0.0.1", port: int = 0):
         self._lock = threading.Lock()
+        # Solr's server-lifetime daemon map: stream-expression
+        # daemon()s registered by any request live here until stopped
+        self.daemons: dict = {}
         self.httpd = ThreadingHTTPServer(
-            (host, port), _make_handler(idx, self._lock))
+            (host, port), _make_handler(idx, self._lock, self.daemons))
         self.host, self.port = self.httpd.server_address[:2]
         self._thread: threading.Thread | None = None
 
@@ -1470,6 +1503,9 @@ class FtServer:
         self.httpd.serve_forever()
 
     def stop(self) -> None:
+        for d in list(self.daemons.values()):
+            d.stop(timeout=2.0)
+        self.daemons.clear()
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:

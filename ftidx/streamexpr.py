@@ -314,17 +314,112 @@ def _bool(node: Node):
 class StreamContext:
     """Bindings for a /stream evaluation: ``tables`` (name → DataFrame,
     the jdbc()-analog sources), ``indexes`` (name → FtIndex, the
-    search() collections), and ``checkpoint_dir`` (the root under which
+    search() collections), ``checkpoint_dir`` (the root under which
     ``topic()`` checkpoint collections live — Solr keeps topic
     checkpoints in a collection; here each checkpoint collection is a
-    subdirectory of this root)."""
+    subdirectory of this root), ``daemons`` (id → StreamDaemon — the
+    registry daemon() registers into; pass ONE shared dict across
+    requests to get Solr's server-lifetime daemon map), and
+    ``run_lock`` (optional lock each daemon iteration acquires, so a
+    serving tier can serialize daemon work against request work)."""
 
     def __init__(self, tables: dict | None = None,
                  indexes: dict | None = None,
-                 checkpoint_dir: str | None = None):
+                 checkpoint_dir: str | None = None,
+                 daemons: dict | None = None,
+                 run_lock=None):
         self.tables = tables or {}
         self.indexes = indexes or {}
         self.checkpoint_dir = checkpoint_dir
+        self.daemons = daemons
+        self.run_lock = run_lock
+
+
+class StreamDaemon:
+    """Solr DaemonStream: wrap an inner stream expression and
+    re-evaluate it every ``runInterval`` ms on a background thread —
+    the vehicle for continuous incremental work (a daemon wrapping
+    ``update(dest, topic(...))`` is Solr's canonical "follow a query
+    and index the matches forever" loop).
+
+    Semantics matched to Solr (DaemonStream.java, public docs):
+
+    - the first iteration runs immediately at start; later iterations
+      are spaced by ``runInterval`` ms,
+    - an iteration that THROWS is recorded (``last_error``) and the
+      daemon keeps running — transient failures don't kill the loop,
+    - ``terminate=True`` shuts the daemon down after an iteration
+      that yields zero tuples (Solr terminates when the wrapped topic
+      returns no docs), and
+    - re-registering an id replaces (stops) the previous daemon.
+
+    Each iteration re-evaluates the inner NODE, so eval-time side
+    effects repeat: topic() advances its checkpoint, update() indexes
+    the batch — exactly the recurring behavior Solr's daemon exists
+    for. Inner compile errors (unknown collection, bad params)
+    surface in ``last_error`` after the first run rather than at
+    registration: validating by evaluation would fire those side
+    effects once outside the schedule."""
+
+    def __init__(self, daemon_id: str, inner: Node, ctx: "StreamContext",
+                 interval_ms: int = 1000, terminate: bool = False,
+                 run_lock=None):
+        import threading
+
+        self.id = daemon_id
+        self.interval_ms = int(interval_ms)
+        self.terminate = bool(terminate)
+        self._inner = inner
+        self._ctx = ctx
+        self._run_lock = run_lock
+        self._stop = threading.Event()
+        self.iterations = 0
+        self.last_tuples: int | None = None
+        self.last_error: str | None = None
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True,
+            name=f"ftidx-daemon-{daemon_id}")
+
+    def start(self) -> "StreamDaemon":
+        self._thread.start()
+        return self
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            n = None
+            try:
+                if self._run_lock is not None:
+                    with self._run_lock:
+                        n = _eval(self._inner, self._ctx).count()
+                else:
+                    n = _eval(self._inner, self._ctx).count()
+                self.last_tuples = int(n)
+                self.last_error = None
+            except Exception as e:  # noqa: BLE001 — Solr daemons log + continue
+                self.last_error = f"{type(e).__name__}: {e}".split("\n")[0]
+            self.iterations += 1
+            if self.terminate and n == 0:
+                break
+            if self._stop.wait(self.interval_ms / 1000.0):
+                break
+
+    @property
+    def state(self) -> str:
+        return "RUNNING" if self._thread.is_alive() else "TERMINATED"
+
+    def stop(self, timeout: float = 10.0) -> None:
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout)
+
+    def info(self) -> dict:
+        """The Solr daemon ``action=list`` row."""
+        return {"id": self.id, "state": self.state,
+                "runInterval": self.interval_ms,
+                "terminate": self.terminate,
+                "iterations": self.iterations,
+                "lastTuples": self.last_tuples,
+                "lastError": self.last_error}
 
 
 def evaluate(expr: str | Node, ctx: StreamContext) -> DataFrame:
@@ -858,16 +953,53 @@ def _eval(node: Node, ctx: StreamContext) -> DataFrame:  # noqa: C901
         idx.refresh()
         return out
 
-    redirect = {
-        "daemon": "recurring execution is Structured Streaming's job — "
-                  "see ftidx.streaming (or schedule the expression "
-                  "externally)",
-    }
-    if name in redirect:
-        raise ValueError(
-            f"stream function {name!r} is not part of this surface: "
-            f"{redirect[name]}")
+    if name == "daemon":
+        # Solr daemon(): register a background re-evaluation loop for
+        # the wrapped stream and answer with its status tuple. The
+        # daemon lives in ctx.daemons — the serving tier passes ONE
+        # shared dict so daemons outlive the request, exactly Solr's
+        # server-lifetime daemon map; re-registering an id replaces
+        # the old daemon (Solr's put-replaces semantics).
+        if ctx.daemons is None:
+            raise ValueError(
+                "daemon() needs a StreamContext with a daemon registry "
+                "(daemons={}) — the serving tier owns one; for library "
+                "use pass your own dict and stop() what you start")
+        inner = _stream_arg(node)
+        did = _req(node, "id")
+        try:
+            interval = int(node.params.get("runInterval", "1000"))
+        except (TypeError, ValueError):
+            raise ValueError("runInterval must be an integer (ms)")
+        if interval <= 0:
+            raise ValueError("runInterval must be > 0 ms")
+        term = str(node.params.get("terminate", "false")).lower() == "true"
+        old = ctx.daemons.get(did)
+        if old is not None:
+            # short join: the caller may hold the run_lock the old
+            # daemon's in-flight iteration wants — signal it and move
+            # on; its loop exits after that iteration
+            old.stop(timeout=0.2)
+        d = StreamDaemon(did, inner, ctx, interval_ms=interval,
+                         terminate=term, run_lock=ctx.run_lock)
+        ctx.daemons[did] = d
+        d.start()
+        spark = _ctx_spark(ctx)
+        return spark.createDataFrame(
+            [(did, "RUNNING", interval, term)],
+            "id string, state string, runInterval long, terminate boolean")
+
     raise ValueError(f"unsupported stream function {name!r}")
+
+
+def _ctx_spark(ctx: StreamContext):
+    """A SparkSession from whatever the context has bound."""
+    for idx in ctx.indexes.values():
+        return idx.spark
+    for df in ctx.tables.values():
+        return df.sparkSession
+    raise ValueError("context binds no index or table to take a "
+                     "SparkSession from")
 
 
 _MATH_FNS = {"describe", "mean", "sum", "min", "max", "stddev",

@@ -1317,3 +1317,52 @@ def test_facet_range_other_matches_recount_and_route(served):
     assert n == {"before": 0, "between": len(ids), "after": 0}
     with pytest.raises(ValueError, match="precede"):
         idx.facet_range_other(["def"], "bucket", 5, 5)
+
+
+def test_stream_daemon_lifecycle_over_http(served):
+    """Solr daemon over the serving tier: POST /stream registers the
+    daemon, GET /stream?action=list shows it iterating, stop
+    terminates it in place, kill forgets it. The daemon's iterations
+    share the server lock with request work (run_lock wiring)."""
+    import time
+
+    srv, idx = served
+    base = f"http://{srv.host}:{srv.port}"
+    status, body = _post_json(f"{base}/stream", {
+        "expr": 'daemon(id="hd1", runInterval="100", '
+                'search(idx, q="def", k=3))'})
+    assert status == 200
+    row = body["result-set"]["docs"][0]
+    assert row["id"] == "hd1" and row["state"] == "RUNNING"
+
+    deadline = time.time() + 30
+    while True:
+        status, body = _get(f"{base}/stream?action=list")
+        assert status == 200
+        (info,) = [d for d in body["daemons"] if d["id"] == "hd1"]
+        if info["iterations"] >= 2:
+            break
+        assert time.time() < deadline, info
+        time.sleep(0.05)
+    assert info["state"] == "RUNNING" and info["lastTuples"] == 3
+    # requests still served while the daemon loops (lock is shared,
+    # not monopolized)
+    status, h = _get(f"{base}/search?q=def&k=2")
+    assert status == 200 and len(h["hits"]) == 2
+
+    status, body = _get(f"{base}/stream?action=stop&id=hd1")
+    assert status == 200 and body["state"] == "TERMINATED"
+    status, body = _get(f"{base}/stream?action=list")
+    assert [d["id"] for d in body["daemons"]] == ["hd1"]  # stopped, listed
+
+    status, body = _get(f"{base}/stream?action=kill&id=hd1")
+    assert status == 200
+    status, body = _get(f"{base}/stream?action=list")
+    assert body["daemons"] == []
+
+    import urllib.error
+
+    for bad, code in [("action=stop&id=nosuch", 404), ("action=bogus", 400)]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/stream?{bad}")
+        assert ei.value.code == code

@@ -378,10 +378,89 @@ def test_facet_source_full_match_set(stream_idx):
     assert got == exp and sum(got.values()) > 10
 
 
-def test_redirect_errors_name_the_real_surface(ctx):
+def test_daemon_needs_registry_and_params(ctx):
     c, _, _ = ctx
-    with pytest.raises(ValueError, match="Structured Streaming"):
-        evaluate('daemon(table(t))', c)
+    # no registry bound (library default) → directed error
+    with pytest.raises(ValueError, match="registry"):
+        evaluate('daemon(id="x", table(t))', c)
+    reg: dict = {}
+    c2 = StreamContext(tables=c.tables, daemons=reg)
+    with pytest.raises(ValueError, match="id"):
+        evaluate('daemon(table(t))', c2)
+    with pytest.raises(ValueError, match="runInterval"):
+        evaluate('daemon(id="x", runInterval="0", table(t))', c2)
+    assert reg == {}  # nothing half-registered
+
+
+def _wait(pred, timeout=30.0):
+    import time
+
+    deadline = time.time() + timeout
+    while not pred():
+        if time.time() > deadline:
+            raise AssertionError("timed out waiting for daemon")
+        time.sleep(0.05)
+
+
+def test_daemon_runs_repeatedly_and_stops(stream_idx):
+    reg: dict = {}
+    c = StreamContext(indexes={"idx": stream_idx}, daemons=reg)
+    out = evaluate('daemon(id="d1", runInterval="100", '
+                   'search(idx, q="def", k=5))', c).collect()
+    assert [(r["id"], r["state"]) for r in out] == [("d1", "RUNNING")]
+    d = reg["d1"]
+    try:
+        _wait(lambda: d.iterations >= 2)
+        assert d.last_error is None and d.last_tuples == 5
+        assert d.info()["state"] == "RUNNING"
+    finally:
+        d.stop()
+    assert d.state == "TERMINATED"
+    # stopped daemon stays listed (Solr list shows stopped daemons
+    # until killed) with its final stats
+    assert reg["d1"].info()["iterations"] >= 2
+
+
+def test_daemon_terminate_on_empty_run(stream_idx):
+    reg: dict = {}
+    c = StreamContext(indexes={"idx": stream_idx}, daemons=reg)
+    evaluate('daemon(id="d2", runInterval="50", terminate="true", '
+             'search(idx, q="zzzznotaword", k=5))', c)
+    d = reg["d2"]
+    _wait(lambda: d.state == "TERMINATED")
+    assert d.iterations == 1 and d.last_tuples == 0 and d.last_error is None
+
+
+def test_daemon_error_recorded_and_loop_survives(stream_idx):
+    reg: dict = {}
+    c = StreamContext(indexes={"idx": stream_idx}, daemons=reg)
+    evaluate('daemon(id="d3", runInterval="50", '
+             'search(nosuch, q="def", k=5))', c)
+    d = reg["d3"]
+    try:
+        _wait(lambda: d.iterations >= 2)  # still looping after failures
+        assert d.state == "RUNNING" and "nosuch" in d.last_error
+        assert d.last_tuples is None
+    finally:
+        d.stop()
+
+
+def test_daemon_reregister_replaces(stream_idx):
+    reg: dict = {}
+    c = StreamContext(indexes={"idx": stream_idx}, daemons=reg)
+    evaluate('daemon(id="d4", runInterval="100", '
+             'search(idx, q="def", k=5))', c)
+    first = reg["d4"]
+    _wait(lambda: first.iterations >= 1)
+    evaluate('daemon(id="d4", runInterval="100", '
+             'search(idx, q="def", k=3))', c)
+    second = reg["d4"]
+    try:
+        assert second is not first
+        _wait(lambda: first.state == "TERMINATED")
+        _wait(lambda: second.last_tuples == 3)
+    finally:
+        second.stop()
 
 
 def test_topic_source_polls_and_errors(stream_idx, tmp_path_factory):
