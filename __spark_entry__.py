@@ -1175,6 +1175,20 @@ def q_secret_scrub(spark, sf_dir):
     return scrub_secrets(_docs(spark, sf_dir).withColumn("text", t))
 
 
+def q_piece_seed(spark, sf_dir):
+    """Unigram-LM tokenizer seed vocabulary (ftidx.unigram.seed_vocab,
+    Kudo 2018): every ≤6-char substring of every corpus word weighted
+    by word count — the one corpus-shaped pass of SentencePiece
+    training (EM and pruning after it are vocabulary-sized). Top 50 by
+    (cnt DESC, piece ASC) plus ALL single characters (the un-prunable
+    coverage floor). Pure codegen: nested sequence/transform + one
+    explode + one groupBy."""
+    from ftidx.unigram import seed_vocab, word_counts
+
+    return seed_vocab(word_counts(_docs(spark, sf_dir)),
+                      max_piece_len=6, seed_size=50)
+
+
 def q_fold_hash(spark, sf_dir):
     """ASCII folding (Solr ASCIIFoldingFilterFactory, ftidx.fold):
     both engines inject accents deterministically (translate over
@@ -2984,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "stack_rules": q_stack_rules,
         "secret_scrub": q_secret_scrub,
+        "piece_seed": q_piece_seed,
         "shortest_paths": q_shortest_paths,
         "wordbreak_splits": q_wordbreak_splits,
         "infix_suggest": q_infix_suggest,
@@ -5757,6 +5772,27 @@ def oracle_sql() -> dict[str, str]:
                   || '(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}',
                   '<IP>', 'g')) AS clean_hash
             FROM s3
+        """,
+        "piece_seed": """
+            WITH w AS (
+              SELECT word, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9_]+')) AS word
+                FROM documents) WHERE word <> '' GROUP BY word
+            ),
+            subs AS (
+              SELECT substr(word, i, l) AS piece, n
+              FROM w, unnest(range(1, length(word) + 1)) AS t(i),
+                   unnest(range(1, least(6, length(word) - i + 1) + 1))
+                     AS u(l)
+            ),
+            agg AS (SELECT piece, sum(n)::BIGINT AS cnt
+                    FROM subs GROUP BY piece),
+            top AS (SELECT piece, cnt FROM agg
+                    ORDER BY cnt DESC, piece ASC LIMIT 50),
+            chars AS (SELECT piece, cnt FROM agg WHERE length(piece) = 1)
+            SELECT DISTINCT piece, cnt
+            FROM (SELECT * FROM top UNION ALL SELECT * FROM chars)
         """,
         # fold_hash's oracle is EMITTED from the same fold table the
         # Spark side compiles (ftidx.fold.fold_sql) — pins the

@@ -1,0 +1,338 @@
+"""Distributed unigram-LM (SentencePiece) tokenizer training and
+encoding — Kudo 2018's subword model, done the way its statistics
+decompose at corpus scale: on the WORD-COUNT table, never the raw
+corpus (the :mod:`ftidx.bpe` observation, which holds for unigram
+exactly as it does for BPE — every EM statistic is a pure function of
+the (word, count) table, which is vocabulary-sized at any corpus
+size).
+
+Pipeline shape:
+
+- **one corpus-sized pass**: ``bpe.word_counts`` (map-side-combinable
+  groupBy) → the (word, n) table;
+- **seed vocabulary**: every substring (length ≤ ``max_piece_len``)
+  of every word, weighted by word count — pure codegen (nested
+  sequence/transform + explode), cut to ``seed_size`` by
+  (count DESC, piece ASC) with ALL single characters force-kept
+  (coverage floor, sentencepiece's required_chars);
+- **EM rounds**: the piece→logp model broadcasts into an Arrow
+  kernel over the word table; per word, forward-backward over the
+  segmentation lattice yields expected piece counts (the E-step),
+  summed per piece in ONE groupBy and renormalized driver-side on
+  the model-sized table (the M-step). Expected counts are emitted as
+  ``decimal(28,12)`` so the distributed sum is EXACT and therefore
+  layout-invariant — a float sum's partition order would leak into
+  the model;
+- **prune rounds**: Viterbi-segment the word table under the current
+  model, count piece usage (integer, weighted by word count), and
+  keep the top pieces by (usage DESC, piece ASC) until the vocab
+  meets ``vocab_size`` — single characters are never pruned. This is
+  the usage-based simplification of sentencepiece's loss-based prune
+  (drop what optimal segmentations use least); it is deterministic
+  and needs no second lattice pass;
+- **encoding**: Viterbi per word (longest-piece-wins on exact score
+  ties — deterministic), memoized per distinct word inside each
+  Arrow batch, exactly :func:`ftidx.bpe.bpe_encode`'s discipline.
+  Characters outside the vocabulary pass through as themselves (the
+  byte-fallback analog).
+
+Scale: the corpus is touched ONCE (word_counts); everything else is
+vocabulary-sized work under a broadcast model, so training cost is
+independent of corpus size past the first pass — the property that
+makes tokenizer training feasible at 10^12 files. Reference frame:
+the reference delegates analysis chains to Solr
+(schema ``solrconfig`` fieldTypes); subword tokenizers are the
+training-pipeline extension of that analysis tier.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftidx.bpe import word_counts
+
+__all__ = ["word_counts", "seed_vocab", "train_unigram",
+           "unigram_encode", "viterbi_segment"]
+
+
+def seed_vocab(words: DataFrame, max_piece_len: int = 6,
+               seed_size: int = 2000) -> DataFrame:
+    """Candidate pieces: every substring of length ≤ ``max_piece_len``
+    of every word, weighted by word count (an occurrence inside a word
+    counts once per position), cut to the top ``seed_size`` by
+    (count DESC, piece ASC) — with every single character kept
+    regardless of rank (the coverage floor; a lattice with a missing
+    character has unreachable words). Pure codegen: nested
+    sequence/transform builds the substring array per word, one
+    explode + groupBy aggregates.
+
+    Output: (piece, cnt) — cnt is the summed word-count weight."""
+    w = F.col("word")
+    n = F.length(w)
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - i + 1)),
+            lambda l: F.substring(w, i, l)),
+    ))
+    pieces = (words.select(F.explode(subs).alias("piece"),
+                           F.col("n").alias("w"))
+              .groupBy("piece").agg(F.sum("w").alias("cnt")))
+    chars = pieces.filter(F.length("piece") == 1)
+    top = (pieces.orderBy(F.desc("cnt"), F.asc("piece")).limit(seed_size))
+    return top.unionByName(chars).distinct()
+
+
+# ------------------------------------------------------------ lattice math
+
+
+def _forward_backward(word: str, lp: dict[str, float],
+                      max_len: int) -> tuple[dict[str, float], float]:
+    """E-step for one word: expected count per piece over all
+    segmentations, and the word's log-likelihood. Summation order is
+    fixed (positions ascending) so the result is bit-deterministic."""
+    n = len(word)
+    NEG = float("-inf")
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for j in range(1, n + 1):
+        acc = NEG
+        for i in range(max(0, j - max_len), j):
+            p = lp.get(word[i:j])
+            if p is None or alpha[i] == NEG:
+                continue
+            x = alpha[i] + p
+            acc = x if acc == NEG else (
+                max(acc, x) + math.log1p(math.exp(-abs(acc - x))))
+        alpha[j] = acc
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        acc = NEG
+        for j in range(i + 1, min(i + max_len, n) + 1):
+            p = lp.get(word[i:j])
+            if p is None or beta[j] == NEG:
+                continue
+            x = p + beta[j]
+            acc = x if acc == NEG else (
+                max(acc, x) + math.log1p(math.exp(-abs(acc - x))))
+        beta[i] = acc
+    z = alpha[n]
+    exp: dict[str, float] = {}
+    if z == NEG:  # unreachable word (cannot happen with char floor)
+        return exp, z
+    for i in range(n):
+        if alpha[i] == NEG:
+            continue
+        for j in range(i + 1, min(i + max_len, n) + 1):
+            piece = word[i:j]
+            p = lp.get(piece)
+            if p is None or beta[j] == NEG:
+                continue
+            e = math.exp(alpha[i] + p + beta[j] - z)
+            exp[piece] = exp.get(piece, 0.0) + e
+    return exp, z
+
+
+def viterbi_segment(word: str, lp: dict[str, float],
+                    max_len: int) -> list[str]:
+    """Best segmentation under the model. Ties (exact float equality)
+    go to the LONGER piece at each boundary — deterministic. A
+    character absent from the model scores at the model's floor minus
+    one nat and passes through as itself (byte-fallback analog)."""
+    n = len(word)
+    if n == 0:
+        return []
+    floor = (min(lp.values()) - 1.0) if lp else -1.0
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        # i ascending = longest candidate first; strict > keeps it on ties
+        for i in range(max(0, j - max_len), j):
+            if best[i] == NEG:
+                continue
+            piece = word[i:j]
+            p = lp.get(piece)
+            if p is None:
+                if j - i != 1:
+                    continue
+                p = floor  # single-char fallback
+            s = best[i] + p
+            if s > best[j]:
+                best[j] = s
+                back[j] = i
+    out = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+# ------------------------------------------------------------ EM + prune
+
+
+def _estep_counts(symtab: DataFrame, lp: dict[str, float],
+                  max_len: int) -> DataFrame:
+    """Distributed E-step: (piece, c) expected counts over the word
+    table, weighted by word count. Emitted as decimal(28,12) so the
+    groupBy sum is exact → layout-invariant (float order would leak
+    partitioning into the model)."""
+    from decimal import Decimal
+
+    ZERO = Decimal(0)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # accumulate as Decimal of per-WORD 12-dp contributions:
+            # each word's lattice is computed alone (layout can't
+            # change it) and decimal addition is exact, so the sums
+            # are identical under ANY partitioning / batch split —
+            # a float accumulator here would leak batch boundaries
+            # into the model
+            acc: dict[str, Decimal] = {}
+            for word, cnt in zip(pdf["word"], pdf["n"]):
+                exp, _ = _forward_backward(word, lp, max_len)
+                w = int(cnt)
+                for piece, e in exp.items():
+                    acc[piece] = acc.get(piece, ZERO) \
+                        + Decimal(f"{e * w:.12f}")
+            yield pd.DataFrame({
+                "piece": list(acc.keys()),
+                "c": list(acc.values()),
+            })
+
+    out = symtab.mapInPandas(kern, "piece string, c decimal(28,12)")
+    return out.groupBy("piece").agg(F.sum("c").alias("c"))
+
+
+def _viterbi_usage(symtab: DataFrame, lp: dict[str, float],
+                   max_len: int) -> DataFrame:
+    """Piece usage counts under Viterbi segmentation (LONG, weighted
+    by word count) — the prune statistic. Integer sums: exact."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            memo: dict[str, list[str]] = {}
+            for word, cnt in zip(pdf["word"], pdf["n"]):
+                segs = memo.get(word)
+                if segs is None:
+                    segs = viterbi_segment(word, lp, max_len)
+                    memo[word] = segs
+                for piece in segs:
+                    acc[piece] = acc.get(piece, 0) + int(cnt)
+            yield pd.DataFrame({"piece": list(acc.keys()),
+                                "used": list(acc.values())})
+
+    out = symtab.mapInPandas(kern, "piece string, used long")
+    return out.groupBy("piece").agg(F.sum("used").alias("used"))
+
+
+def _mstep(counts: DataFrame, chars: set[str]) -> dict[str, float]:
+    """M-step on the model-sized count table: logp = log(c / Σc).
+    Rows sort by piece before the total is summed — collect() order
+    is arbitrary and float addition is order-sensitive, so an
+    unsorted sum would leak scheduling into the model. Characters
+    with ~zero expected mass keep a log(1e-12) floor (never dropped:
+    the lattice needs full character coverage)."""
+    rows = sorted(counts.collect(), key=lambda r: r["piece"])
+    tot = sum(float(r["c"]) for r in rows)
+    lp = {r["piece"]: math.log(float(r["c"]) / tot)
+          for r in rows if float(r["c"]) > 0.0}
+    for ch in chars:
+        if ch not in lp:
+            lp[ch] = math.log(1e-12)
+    return lp
+
+
+def train_unigram(docs: DataFrame, vocab_size: int = 300,
+                  max_piece_len: int = 6, seed_size: int = 2000,
+                  em_rounds: int = 2, shrink: float = 0.75,
+                  text_col: str = "text") -> dict[str, float]:
+    """Train the unigram LM: seed → (EM ×``em_rounds`` → prune to
+    max(target, ⌈|V|·shrink⌉)) until the vocabulary reaches
+    ``vocab_size``. Returns {piece: logp} (natural log, normalized).
+
+    Deterministic end-to-end: exact decimal E-step sums, fixed
+    summation order in the lattice, (usage DESC, piece ASC) prune
+    order — the same corpus yields the same model at any parallelism
+    (pinned by test against a pure-Python run of the same spec)."""
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    words = word_counts(docs, text_col).localCheckpoint()
+    seed = seed_vocab(words, max_piece_len, seed_size).collect()
+    total = sum(r["cnt"] for r in seed)
+    lp = {r["piece"]: math.log(r["cnt"] / total) for r in seed}
+    chars = {p for p in lp if len(p) == 1}
+    if vocab_size < len(chars):
+        raise ValueError(
+            f"vocab_size {vocab_size} < {len(chars)} corpus characters "
+            "(the un-prunable coverage floor)")
+
+    while True:
+        for _ in range(em_rounds):
+            lp = _mstep(_estep_counts(words, lp, max_piece_len), chars)
+        if len(lp) <= vocab_size:
+            return lp
+        target = max(vocab_size, int(math.ceil(len(lp) * shrink)))
+        usage = {r["piece"]: r["used"]
+                 for r in _viterbi_usage(words, lp, max_piece_len).collect()}
+        multi = sorted((p for p in lp if len(p) > 1),
+                       key=lambda p: (-usage.get(p, 0), p))
+        keep_multi = multi[:max(0, target - len(chars))]
+        kept = set(keep_multi) | chars
+        lp = {p: v for p, v in lp.items() if p in kept}
+        if len(lp) <= vocab_size:
+            # renormalize once over the kept set before returning
+            return _mstep(_estep_counts(words, lp, max_piece_len), chars)
+
+
+def unigram_encode(docs: DataFrame, model: dict[str, float],
+                   max_piece_len: int | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Viterbi-encode every doc against a trained model: (doc_id,
+    pieces array<string>, n_pieces). The model broadcasts in the
+    kernel closure (model-sized); per-word segmentations memoize per
+    distinct word inside each Arrow batch (:func:`ftidx.bpe.
+    bpe_encode`'s discipline). The corpus stays partition-local —
+    zero shuffle."""
+    from ftidx.textops import TOKEN_SPLIT
+
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in model), default=1)
+    mpl = int(max_piece_len)
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                 lambda x: x != "").alias("words"))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            out = []
+            for ws in pdf["words"]:
+                pieces: list[str] = []
+                for w in ws:
+                    segs = memo.get(w)
+                    if segs is None:
+                        segs = viterbi_segment(w, model, mpl)
+                        memo[w] = segs
+                    pieces.extend(segs)
+                out.append(pieces)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pieces": out})
+
+    enc = toks.mapInPandas(kern, "doc_id long, pieces array<string>")
+    return enc.select("doc_id", "pieces",
+                      F.size("pieces").cast("long").alias("n_pieces"))

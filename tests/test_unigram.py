@@ -1,0 +1,199 @@
+"""Unigram-LM (SentencePiece) tokenizer training: lattice math pinned
+against brute-force segmentation enumeration, the trained model pinned
+against a pure-Python run of the same spec, layout invariance, and the
+encode path."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftidx.unigram import (seed_vocab, train_unigram, unigram_encode,
+                           viterbi_segment, word_counts,
+                           _forward_backward)
+
+
+def _all_segs(word: str, vocab: set[str], max_len: int):
+    if word == "":
+        return [[]]
+    out = []
+    for l in range(1, min(max_len, len(word)) + 1):
+        p = word[:l]
+        if p in vocab:
+            for rest in _all_segs(word[l:], vocab, max_len):
+                out.append([p] + rest)
+    return out
+
+
+def test_forward_backward_matches_enumeration():
+    """Expected piece counts from the lattice == the brute-force sum
+    over ALL segmentations (prob-weighted occurrence counts)."""
+    lp = {p: math.log(v) for p, v in
+          {"a": 0.2, "b": 0.15, "ab": 0.3, "ba": 0.1, "aba": 0.25}.items()}
+    for word in ["ab", "aba", "abab", "baba", "aab"]:
+        exp, z = _forward_backward(word, lp, 3)
+        segs = _all_segs(word, set(lp), 3)
+        probs = [math.exp(sum(lp[p] for p in s)) for s in segs]
+        zz = sum(probs)
+        assert math.exp(z) == pytest.approx(zz, rel=1e-12)
+        brute: dict[str, float] = {}
+        for s, pr in zip(segs, probs):
+            for p in s:
+                brute[p] = brute.get(p, 0.0) + pr / zz
+        assert set(exp) == set(brute)
+        for p in brute:
+            assert exp[p] == pytest.approx(brute[p], rel=1e-10), (word, p)
+
+
+def test_forward_backward_unreachable_word():
+    exp, z = _forward_backward("xyz", {"a": -1.0}, 3)
+    assert exp == {} and z == float("-inf")
+
+
+def test_viterbi_matches_enumeration_and_ties_go_long():
+    lp = {p: math.log(v) for p, v in
+          {"a": 0.2, "b": 0.15, "ab": 0.3, "aba": 0.25, "c": 0.1}.items()}
+    for word in ["ab", "aba", "abab", "abc", "cab"]:
+        got = viterbi_segment(word, lp, 3)
+        segs = _all_segs(word, set(lp), 3)
+        best = max(sum(lp[p] for p in s) for s in segs)
+        assert sum(lp[p] for p in got) == pytest.approx(best, rel=1e-12)
+    # exact tie: p(xy) == p(x)*p(y) — longer piece wins
+    tie = {"x": math.log(0.5), "y": math.log(0.5), "xy": math.log(0.25)}
+    assert viterbi_segment("xy", tie, 2) == ["xy"]
+    # OOV char passes through as itself
+    assert viterbi_segment("xqy", tie, 2) == ["x", "q", "y"]
+
+
+def test_seed_vocab_recount_and_char_floor(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc ab abc"), (2, "zb")], "doc_id long, text string")
+    words = word_counts(docs)
+    got = {r["piece"]: r["cnt"]
+           for r in seed_vocab(words, max_piece_len=3,
+                               seed_size=4).collect()}
+    # hand recount over words {abc:2, ab:1, zb:1}
+    full = {}
+    for w, n in {"abc": 2, "ab": 1, "zb": 1}.items():
+        for i in range(len(w)):
+            for l in range(1, min(3, len(w) - i) + 1):
+                full[w[i:i + l]] = full.get(w[i:i + l], 0) + n
+    top4 = sorted(full, key=lambda p: (-full[p], p))[:4]
+    chars = {p for p in full if len(p) == 1}
+    assert set(got) == set(top4) | chars  # z kept though beyond the cut
+    for p, c in got.items():
+        assert c == full[p], p
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [(i, t) for i, t in enumerate(
+        ["the cat sat on the mat", "the cats sat", "a cat on a mat",
+         "mats and cats", "the the the cat"] * 3)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _train_pure_python(wc: dict[str, int], vocab_size: int,
+                       max_piece_len: int, seed_size: int,
+                       em_rounds: int, shrink: float) -> dict[str, float]:
+    """Independent reference: same spec, brute-force enumeration for
+    the E-step (no lattice), plain dict arithmetic — any divergence
+    in the distributed path is a real bug, not a shared one."""
+    from decimal import Decimal
+
+    full: dict[str, int] = {}
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                full[w[i:i + l]] = full.get(w[i:i + l], 0) + n
+    top = sorted(full, key=lambda p: (-full[p], p))[:seed_size]
+    chars = {p for p in full if len(p) == 1}
+    keep = set(top) | chars
+    total = sum(full[p] for p in keep)
+    lp = {p: math.log(full[p] / total) for p in keep}
+
+    def estep():
+        acc: dict[str, Decimal] = {}
+        for w, n in wc.items():
+            segs = _all_segs(w, set(lp), max_piece_len)
+            probs = [math.exp(sum(lp[p] for p in s)) for s in segs]
+            z = sum(probs)
+            exp: dict[str, float] = {}
+            for s, pr in zip(segs, probs):
+                for p in s:
+                    exp[p] = exp.get(p, 0.0) + pr / z
+            for p, e in exp.items():
+                acc[p] = acc.get(p, Decimal(0)) + Decimal(f"{e * n:.12f}")
+        rows = sorted(acc.items())
+        tot = sum(float(c) for _, c in rows)
+        out = {p: math.log(float(c) / tot) for p, c in rows if float(c) > 0}
+        for ch in chars:
+            if ch not in out:
+                out[ch] = math.log(1e-12)
+        return out
+
+    while True:
+        for _ in range(em_rounds):
+            lp = estep()
+        if len(lp) <= vocab_size:
+            return lp
+        target = max(vocab_size, int(math.ceil(len(lp) * shrink)))
+        usage: dict[str, int] = {}
+        for w, n in wc.items():
+            for p in viterbi_segment(w, lp, max_piece_len):
+                usage[p] = usage.get(p, 0) + n
+        multi = sorted((p for p in lp if len(p) > 1),
+                       key=lambda p: (-usage.get(p, 0), p))
+        kept = set(multi[:max(0, target - len(chars))]) | chars
+        lp = {p: v for p, v in lp.items() if p in kept}
+        if len(lp) <= vocab_size:
+            lp = estep()
+            return lp
+
+
+def test_train_matches_pure_python_reference(tiny_docs):
+    wc = {r["word"]: r["n"] for r in word_counts(tiny_docs).collect()}
+    kw = dict(vocab_size=18, max_piece_len=4, seed_size=30,
+              em_rounds=2, shrink=0.75)
+    ref = _train_pure_python(wc, **kw)
+    got = train_unigram(tiny_docs, **kw)
+    assert set(got) == set(ref)
+    for p in ref:
+        assert got[p] == pytest.approx(ref[p], abs=1e-9), p
+
+
+def test_train_layout_invariant(tiny_docs):
+    kw = dict(vocab_size=18, max_piece_len=4, seed_size=30)
+    a = train_unigram(tiny_docs.repartition(1), **kw)
+    b = train_unigram(tiny_docs.repartition(7), **kw)
+    assert a == b  # EXACT equality — the decimal E-step's whole point
+
+
+def test_train_vocab_floor_errors(tiny_docs):
+    with pytest.raises(ValueError, match="coverage floor"):
+        train_unigram(tiny_docs, vocab_size=3)
+
+
+def test_encode_rejoins_and_counts(tiny_docs):
+    model = train_unigram(tiny_docs, vocab_size=18, max_piece_len=4,
+                          seed_size=30)
+    enc = unigram_encode(tiny_docs, model)
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    texts = {r["doc_id"]: r["text"] for r in tiny_docs.collect()}
+    for i, row in rows.items():
+        assert "".join(row["pieces"]) == texts[i].replace(" ", "")
+        assert row["n_pieces"] == len(row["pieces"])
+        # every piece is in-model (this corpus has full coverage)
+        assert all(p in model for p in row["pieces"])
+
+
+def test_encode_oov_char_passthrough(spark, tiny_docs):
+    model = train_unigram(tiny_docs, vocab_size=18, max_piece_len=4,
+                          seed_size=30)
+    docs = spark.createDataFrame([(1, "cat zq mat")],
+                                 "doc_id long, text string")
+    (row,) = unigram_encode(docs, model).collect()
+    assert "".join(row["pieces"]) == "catzqmat"
+    assert "q" in row["pieces"] or "zq" not in model
