@@ -1937,6 +1937,30 @@ def q_func_boost(spark, sf_dir):
         .select("rank", "doc_id", "score_r", "boost_r", "final_r")
 
 
+_FRANGE_SRC = "recip(n_chars,0.001,1,1)"  # 1/(0.001·n+1) ∈ (0,1]
+
+
+def q_frange_filter(spark, sf_dir):
+    """Solr {!frange} function-range filter (FtIndex.topk_frange /
+    FunctionRangeQParser): BM25 top-10 among docs whose
+    FUNCTION-QUERY value lies in [0.7, 0.85] — the filter reading of
+    a function query (bf= is the boost reading). The value SQL is
+    EMITTED from the parsed tree; the oracle emits the DuckDB dialect
+    from the same tree (the func_boost compiler-pinning discipline).
+    Rounded to 5 BEFORE the range test so the boundary is
+    engine-identical."""
+    from ftidx import funcquery as FQ
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    val_sql = FQ.compile_spark(FQ.parse(_FRANGE_SRC))
+    return _ranked(
+        _bm25_scored(spark, sf_dir).join(docs, "doc_id")
+        .withColumn("fval_r", F.round(F.expr(val_sql).cast("double"), 5))
+        .filter((F.col("fval_r") >= 0.7) & (F.col("fval_r") <= 0.85)),
+        [F.desc("score_r"), F.asc("doc_id")], 10) \
+        .select("rank", "doc_id", "score_r", "fval_r")
+
+
 def q_score_explain(spark, sf_dir):
     """Score decomposition (Solr debugQuery — engine twin:
     FtIndex.explain): per-term tf/df/dl/contrib for the global BM25
@@ -2999,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stack_rules": q_stack_rules,
         "secret_scrub": q_secret_scrub,
         "piece_seed": q_piece_seed,
+        "frange_filter": q_frange_filter,
         "shortest_paths": q_shortest_paths,
         "wordbreak_splits": q_wordbreak_splits,
         "infix_suggest": q_infix_suggest,
@@ -5110,6 +5135,19 @@ def oracle_sql() -> dict[str, str]:
         # the boost expression below is EMITTED from the same parsed
         # function-query tree the Spark side compiles — import-time
         # generation, the LTR-oracle discipline
+        "frange_filter": _BM25_CTE + f""",
+            vals AS (
+              SELECT b.doc_id, b.score_r,
+                     round({compile_duckdb(_FRANGE_SRC)}, 5) AS fval_r
+              FROM bm25 b JOIN documents d USING (doc_id)
+            )
+            SELECT rank, doc_id, score_r, fval_r FROM (
+              SELECT doc_id, score_r, fval_r,
+                     row_number() OVER (
+                       ORDER BY score_r DESC, doc_id) AS rank
+              FROM vals WHERE fval_r BETWEEN 0.7 AND 0.85
+            ) WHERE rank <= 10
+        """,
         "func_boost": _BM25_CTE + f""",
             boosted AS (
               SELECT b.doc_id, b.score_r,

@@ -1594,6 +1594,50 @@ class FtIndex:
             .select("doc_id", "score", "boost", "final")
         )
 
+    def topk_frange(self, terms: list[str], func: str, k: int = 10,
+                    l: float | None = None, u: float | None = None,
+                    incl_l: bool = True, incl_u: bool = True,
+                    field: str = "code.content",
+                    now_ms: int | None = None) -> DataFrame:
+        """Solr ``{!frange}`` filter query (FunctionRangeQParser):
+        keep only match-set docs whose FUNCTION-QUERY value lies in
+        the range — ``fq={!frange l=0 u=100}sum(...)`` semantics, with
+        ``incl_l``/``incl_u`` mapping to Solr's ``incl``/``inch``
+        bound-inclusivity flags. The function uses the same Solr
+        syntax, resolution (scale/docfreq/termfreq/...) and compiled
+        codegen expression as :meth:`topk_funcquery` — frange is the
+        FILTER reading of a function query where bf= is the boost
+        reading. Returns (doc_id, score, fval) ranked by BM25.
+
+        Scale shape: the value is a codegen column over the docs scan
+        (plus any termfreq join frames), the range predicate filters
+        BEFORE the id-keyed join with the distributed scorer, and the
+        cut is one global TakeOrderedAndProject — docs outside the
+        range never reach the ranking."""
+        from ftidx import funcquery as FQ
+
+        if l is None and u is None:
+            raise ValueError("frange needs l= and/or u=")
+        prov = _FuncQueryProvider(self, field, now_ms)
+        resolved = FQ.resolve(FQ.parse(func), prov, now_ms)
+        val_sql = FQ.compile_spark(resolved, now_ms)
+        docs = self.spark.read.parquet(str(self.path / "docs"))
+        for col_name, frame in prov.join_frames:
+            docs = docs.join(frame, "doc_id", "left").withColumn(
+                col_name, F.coalesce(F.col(col_name), F.lit(0.0)))
+        val = F.expr(val_sql).cast("double")
+        cond = F.lit(True)
+        if l is not None:
+            cond = cond & (val >= float(l) if incl_l else val > float(l))
+        if u is not None:
+            cond = cond & (val <= float(u) if incl_u else val < float(u))
+        keep = (docs.withColumn("fval", val).filter(cond)
+                .select("doc_id", "fval"))
+        scored = self._scored_df(terms, field)
+        return (scored.join(keep, "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .select("doc_id", "score", "fval"))
+
     def topk_ltr(self, terms: list[str], model: dict[str, float],
                  k: int = 10, bm25_weight: float = 1.0,
                  field: str = "code.content") -> DataFrame:

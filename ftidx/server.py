@@ -34,6 +34,9 @@ Endpoints (all JSON):
 - ``bf=0.1*ln(1+n_chars)`` on /search → additive function boost
   (Solr bf=; expression over stored metadata columns);
   ``boost=100/(100+n_chars)`` → multiplicative (edismax boost=)
+- ``fq={!frange l=0 u=100}func`` on /search → function range filter
+  (Solr FunctionRangeQParser; ``incl``/``inch`` bound flags); any
+  other ``fq=`` string filters as a metadata predicate (topk_where)
 - ``GET /explain?q=a+b&id=123`` → per-term BM25 score decomposition
   (Solr debugQuery explain)
 - ``excludeIds=5,9`` on /search → elevation excludes (docs dropped;
@@ -1000,6 +1003,59 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                                 {"doc_id": d, "score": s}
                                 for d, s in hits
                             ]})
+                            return
+                        elif qs.get("fq", [""])[0]:
+                            # Solr fq= on /search: {!frange l= u=
+                            # incl= inch=}funcsrc routes to the
+                            # FunctionRangeQParser analog; any other
+                            # fq string is the metadata-predicate
+                            # reading (topk_where, the filterCache
+                            # path of POST /select)
+                            fq_raw = qs.get("fq", [""])[0]
+                            if fq_raw.startswith("{!frange"):
+                                head, sep, src = fq_raw.partition("}")
+                                if not sep or not src.strip():
+                                    raise ValueError(
+                                        "frange needs {!frange …}func")
+                                lp = {}
+                                for tokp in head[len("{!frange"):].split():
+                                    kk, _, vv = tokp.partition("=")
+                                    lp[kk.strip()] = vv.strip()
+                                unknown = set(lp) - {"l", "u", "incl",
+                                                     "inch", ""}
+                                unknown.discard("")
+                                if unknown:
+                                    raise ValueError(
+                                        f"unknown frange param(s): "
+                                        f"{sorted(unknown)}")
+                                now_ms = qs.get("now", [""])[0]
+                                rows = idx.topk_frange(
+                                    terms, src,
+                                    k=k, field=field,
+                                    l=float(lp["l"]) if "l" in lp
+                                    else None,
+                                    u=float(lp["u"]) if "u" in lp
+                                    else None,
+                                    incl_l=lp.get("incl", "true")
+                                    != "false",
+                                    incl_u=lp.get("inch", "true")
+                                    != "false",
+                                    now_ms=int(now_ms) if now_ms
+                                    else None).collect()
+                                self._json(200, {"docs": [
+                                    {"doc_id": r["doc_id"],
+                                     "score": r["score"],
+                                     "fval": r["fval"]} for r in rows
+                                ]})
+                            else:
+                                rows = idx.topk_where(
+                                    terms, fq_raw, k=k,
+                                    field=field).collect()
+                                self._json(200, {"docs": [
+                                    {"doc_id": r["doc_id"],
+                                     "score": r["score"]}
+                                    for r in rows
+                                ]})
                             return
                         elif elevate or qs.get("excludeIds", [""])[0]:
                             # Solr QueryElevationComponent: pinned ids

