@@ -2046,6 +2046,18 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_bigram_scores(_docs(spark, sf_dir))
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (classify.kn_bigram_scores,
+    Kneser & Ney 1995 — the KenLM family CCNet actually uses): per-doc
+    mean bigram log-likelihood under the corpus's own KN model
+    (D=0.75, absolute discounting + continuation-probability backoff
+    with the add-1 OOV floor). Complements lm_perplexity's
+    Jelinek-Mercer mixture."""
+    from ftidx.classify import kn_bigram_scores
+
+    return kn_bigram_scores(_docs(spark, sf_dir))
+
+
 def q_stream_regress(spark, sf_dir):
     """Math Expressions through the /stream grammar
     (streamexpr let + regress): OLS of doc length in tokens against
@@ -3037,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_scores": q_nb_scores,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
+        "kn_perplexity": q_kn_perplexity,
         "stream_regress": q_stream_regress,
         "rule_tags": q_rule_tags,
         "kl_divergence": q_kl_divergence,
@@ -5115,6 +5128,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ua ON s.a = ua.term
             JOIN uni ub ON s.b = ub.term
             CROSS JOIN tot
+            GROUP BY s.doc_id
+        """,
+        "kn_perplexity": f"""
+            WITH {_TOKPOS_CTE},
+            seq AS (
+              SELECT doc_id, term AS a,
+                     lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+              FROM tokpos
+            ),
+            cab AS (SELECT a, b, count(*) AS c_ab
+                    FROM seq WHERE b IS NOT NULL GROUP BY a, b),
+            hist AS (SELECT a, sum(c_ab)::BIGINT AS c_a,
+                            count(*) AS n1p_a FROM cab GROUP BY a),
+            contb AS (SELECT b, count(*) AS n1p_b FROM cab GROUP BY b),
+            tot AS (SELECT count(*)::DOUBLE AS n1p_tot FROM cab),
+            vs AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM tokpos)
+            SELECT s.doc_id, count(*) AS n_bigrams,
+                   round(sum(ln(
+                     greatest(cab.c_ab - 0.75, 0.0) / hist.c_a
+                     + 0.75 * hist.n1p_a / hist.c_a
+                       * (contb.n1p_b + 1.0) / (n1p_tot + v + 1.0)
+                   )) / count(*), 5) AS avg_ll_r
+            FROM (SELECT * FROM seq WHERE b IS NOT NULL) s
+            JOIN cab USING (a, b)
+            JOIN hist USING (a)
+            JOIN contb ON s.b = contb.b
+            CROSS JOIN tot CROSS JOIN vs
             GROUP BY s.doc_id
         """,
         "bm25_boosted": _BM25_CTE + """,

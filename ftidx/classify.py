@@ -226,3 +226,82 @@ def lm_bigram_scores(docs: DataFrame, ref: DataFrame | None = None,
             .alias("avg_ll_r"),
         )
     )
+
+
+def kn_bigram_scores(docs: DataFrame, ref: DataFrame | None = None,
+                     discount: float = 0.75, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean bigram log-likelihood under an INTERPOLATED
+    KNESER-NEY bigram model (Kneser & Ney 1995; the KenLM family —
+    what CCNet's reference models actually are) trained on ``ref``
+    (omitted = self-trained, the contract-query configuration):
+
+        P(b | a) = max(c_ab − D, 0) / c_a
+                 + D · N1+(a,·) / c_a · P_cont(b)      when c_a > 0
+        P(b | a) = P_cont(b)                           when a unseen
+        P_cont(b) = (N1+(·,b) + 1) / (N1+(·,·) + V + 1)
+
+    where c_a = Σ_b c_ab (bigram-token history count), N1+(a,·) /
+    N1+(·,b) are the distinct-successor / distinct-predecessor type
+    counts, and N1+(·,·) is the distinct-bigram total. The
+    continuation distribution carries an add-1 floor over the model
+    vocabulary V (the :func:`lm_bigram_scores` OOV discipline) so a
+    reference-trained model scores unseen words finitely; on a
+    SELF-trained run the floor is inert for histories (every scored
+    bigram's b has a predecessor by construction) and the formula is
+    textbook KN. This is the absolute-discounting complement to the
+    Jelinek-Mercer mixture in :func:`lm_bigram_scores` — KN's
+    continuation probability ranks "appears in many contexts" above
+    raw frequency, the property that made it the n-gram standard.
+
+    Returns (doc_id, n_bigrams, avg_ll_r) — same contract as
+    lm_bigram_scores; sub-2-token docs are omitted.
+
+    Scale shape: identical to lm_bigram_scores — bigrams via
+    lead(term) over a doc-partitioned window (one doc-keyed shuffle,
+    never a positional self-join); ALL model statistics are one
+    groupBy over the distinct-pair table (c_a, N1+(a,·) in the same
+    aggregate); scoring is (a,b)/a/b-keyed LEFT joins. Model tables
+    are reference-vocabulary-sized → broadcastable at 100 TB; the
+    corpus side never shuffles for the joins."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    D = float(discount)
+    tok = _pos_tokens(docs, text_col, id_col)
+    rtok = tok if ref is None else _pos_tokens(ref, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+
+    def bigrams(t: DataFrame) -> DataFrame:
+        return (t.withColumn("nxt", F.lead("term").over(w))
+                .filter(F.col("nxt").isNotNull())
+                .select("doc_id", F.col("term").alias("a"),
+                        F.col("nxt").alias("b")))
+
+    seq = bigrams(tok)
+    rseq = seq if ref is None else bigrams(rtok)
+    c_ab = rseq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    hist = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"),
+                                 F.count(F.lit(1)).alias("n1p_a"))
+    contb = c_ab.groupBy("b").agg(F.count(F.lit(1)).alias("n1p_b"))
+    stats = (c_ab.agg(F.count(F.lit(1)).cast("double").alias("n1p_tot"))
+             .crossJoin(rtok.agg(F.countDistinct("term").cast("double")
+                                 .alias("v"))))
+    pcont = ((F.coalesce(F.col("n1p_b"), F.lit(0)) + F.lit(1.0))
+             / (F.col("n1p_tot") + F.col("v") + F.lit(1.0)))
+    p = F.when(
+        F.coalesce(F.col("c_a"), F.lit(0)) > 0,
+        F.greatest(F.coalesce(F.col("c_ab"), F.lit(0)) - F.lit(D),
+                   F.lit(0.0)) / F.col("c_a")
+        + F.lit(D) * F.col("n1p_a") / F.col("c_a") * pcont,
+    ).otherwise(pcont)
+    return (
+        seq.join(c_ab, ["a", "b"], "left")
+        .join(hist, "a", "left").join(contb, "b", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(F.log(p)) / F.count(F.lit(1)), 5)
+            .alias("avg_ll_r"),
+        )
+    )

@@ -177,3 +177,94 @@ def test_lm_lam_bounds(spark, docs_df):
     for bad in (1.0, -0.1, 2.0):
         with pytest.raises(ValueError):
             lm_bigram_scores(docs_df, lam=bad)
+
+
+def _py_kn(train_pairs, score_seqs, vocab_size, D=0.75):
+    """Pure-Python interpolated Kneser-Ney recount (same spec)."""
+    cab: Counter = Counter()
+    for pairs in train_pairs.values():
+        cab.update(pairs)
+    c_a: Counter = Counter()
+    n1p_a: Counter = Counter()
+    n1p_b: Counter = Counter()
+    for (a, b), c in cab.items():
+        c_a[a] += c
+        n1p_a[a] += 1
+        n1p_b[b] += 1
+    n1p_tot = float(len(cab))
+    v = float(vocab_size)
+    out = {}
+    for doc_id, pairs in score_seqs.items():
+        if not pairs:
+            continue
+        ll = 0.0
+        for a, b in pairs:
+            pc = (n1p_b.get(b, 0) + 1.0) / (n1p_tot + v + 1.0)
+            if c_a.get(a, 0) > 0:
+                p = (max(cab.get((a, b), 0) - D, 0.0) / c_a[a]
+                     + D * n1p_a[a] / c_a[a] * pc)
+            else:
+                p = pc
+            ll += math.log(p)
+        out[doc_id] = (len(pairs), round(ll / len(pairs), 5))
+    return out
+
+
+def test_kn_bigram_scores_match_recount(spark, docs_df):
+    from ftidx.classify import kn_bigram_scores
+
+    seqs = {}
+    vocab = set()
+    for doc_id, text, _ in DOCS:
+        ts = _toks(text)
+        vocab.update(ts)
+        seqs[doc_id] = list(zip(ts, ts[1:]))
+    exp = _py_kn(seqs, seqs, len(vocab))
+    rows = {r["doc_id"]: (r["n_bigrams"], r["avg_ll_r"])
+            for r in kn_bigram_scores(docs_df).collect()}
+    assert set(rows) == set(exp)  # single-token docs omitted
+    for d, (n, ll) in exp.items():
+        assert rows[d][0] == n
+        assert rows[d][1] == pytest.approx(ll, abs=2e-5), d
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """THE Kneser-Ney property: a word frequent only in one context
+    ('francisco' after 'san') gets LOW continuation probability, so a
+    novel bigram ending in it scores below a novel bigram ending in a
+    many-context word of the same raw frequency."""
+    from ftidx.classify import kn_bigram_scores
+
+    schema = "doc_id long, text string"
+    ref_rows = [(i, "san francisco") for i in range(6)]
+    # 'door' appears 6 times too, but after six DIFFERENT words
+    ref_rows += [(10 + j, f"{w} door") for j, w in enumerate(
+        ["red", "blue", "old", "new", "big", "small"])]
+    ref = spark.createDataFrame(ref_rows, schema)
+    probe = spark.createDataFrame(
+        [(100, "old francisco"), (101, "old door")], schema)
+    got = {r["doc_id"]: r["avg_ll_r"]
+           for r in kn_bigram_scores(probe, ref=ref).collect()}
+    # both are unseen bigrams under the SAME history ('old'), so the
+    # backoff weight cancels — the many-context continuation must win
+    assert got[101] > got[100]
+
+
+def test_kn_oov_and_unseen_history_finite(spark, docs_df):
+    from ftidx.classify import kn_bigram_scores
+
+    probe = spark.createDataFrame(
+        [(100, "zzz qqq www")], "doc_id long, text string")
+    (row,) = kn_bigram_scores(probe, ref=docs_df).collect()
+    assert row["n_bigrams"] == 2 and math.isfinite(row["avg_ll_r"])
+    with pytest.raises(ValueError, match="discount"):
+        kn_bigram_scores(docs_df, discount=1.0)
+
+
+def test_kn_self_trained_floor_inert(spark, docs_df):
+    """Self-trained: every scored bigram's continuation count is >= 1
+    by construction, so no probability collapses to the bare floor."""
+    from ftidx.classify import kn_bigram_scores
+
+    rows = kn_bigram_scores(docs_df).collect()
+    assert rows and all(math.isfinite(r["avg_ll_r"]) for r in rows)
