@@ -2302,6 +2302,22 @@ def q_ann_sq_topk(spark, sf_dir):
     return sq_cosine_topk(emb, query, k=20)
 
 
+def q_ann_bq_topk(spark, sf_dir):
+    """Binary-quantized ANN with exact rescore (ann.bq_hamming_topk —
+    the modern 1-bit BQ recipe): sign-bit codes packed 32/word,
+    Hamming shortlist of k·rescore, exact-cosine rescore of the
+    shortlist's full-precision vectors. The oracle computes Hamming
+    from the per-dim sign DEFINITION (count of sign mismatches), so
+    the row also pins that the packed popcount path equals the
+    semantic definition."""
+    from ftidx.ann import bq_hamming_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x)
+             for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return bq_hamming_topk(emb, query, k=10, rescore=4)
+
+
 def q_join_filter(spark, sf_dir):
     """Join query (Solr ``{!join from=source to=source}merge`` +
     outer q=scan — engine twin: FtIndex.join_topk): docs containing
@@ -3050,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
         "kn_perplexity": q_kn_perplexity,
+        "ann_bq_topk": q_ann_bq_topk,
         "stream_regress": q_stream_regress,
         "rule_tags": q_rule_tags,
         "kl_divergence": q_kl_divergence,
@@ -5129,6 +5146,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ub ON s.b = ub.term
             CROSS JOIN tot
             GROUP BY s.doc_id
+        """,
+        "ann_bq_topk": f"""
+            WITH {_EMB_FLAT_CTE},
+            qf AS (SELECT x AS qx, i FROM flat WHERE vec_id = 0),
+            ham AS (
+              SELECT f.vec_id,
+                     sum(CASE WHEN (f.x >= 0) <> (qf.qx >= 0)
+                         THEN 1 ELSE 0 END)::BIGINT AS hamming
+              FROM flat f JOIN qf USING (i) GROUP BY f.vec_id
+            ),
+            cand AS (SELECT vec_id, hamming FROM ham
+                     ORDER BY hamming ASC, vec_id ASC LIMIT 40),
+            cos AS (
+              SELECT f.vec_id,
+                     round(sum(f.x * qf.qx)
+                           / (sqrt(sum(f.x * f.x))
+                              * sqrt(sum(qf.qx * qf.qx))), 5) AS cosine
+              FROM flat f JOIN qf USING (i)
+              WHERE f.vec_id IN (SELECT vec_id FROM cand)
+              GROUP BY f.vec_id
+            )
+            SELECT c.vec_id, cand.hamming, c.cosine
+            FROM cos c JOIN cand USING (vec_id)
+            ORDER BY c.cosine DESC, c.vec_id ASC LIMIT 10
         """,
         "kn_perplexity": f"""
             WITH {_TOKPOS_CTE},

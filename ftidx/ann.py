@@ -700,3 +700,92 @@ def mmr_rerank(embeddings: DataFrame, query: list[float], k: int = 5,
             picks, f"rank int, {id_col} bigint, qcos_r double, mmr_r double")
     finally:
         cand.unpersist()
+
+
+def _pack_sign_bits(vec: list[float], bits_per_word: int = 32) -> list[int]:
+    """Driver-side twin of :func:`binary_quantize`'s packing: big-endian
+    within each word (first dimension = most significant bit),
+    zero-padded tail word."""
+    words = []
+    for w0 in range(0, len(vec), bits_per_word):
+        acc = 0
+        for b in range(bits_per_word):
+            i = w0 + b
+            bit = 1 if (i < len(vec) and float(vec[i]) >= 0.0) else 0
+            acc = acc * 2 + bit
+        words.append(acc)
+    return words
+
+
+def binary_quantize(embeddings: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    bits_per_word: int = 32) -> DataFrame:
+    """1-bit binary quantization (the modern BQ/RaBitQ-family first
+    stage): bit_i = (x_i >= 0), packed ``bits_per_word`` dims per
+    64-bit word, big-endian within the word, tail zero-padded —
+    32× smaller than float32 codes, and Hamming distance between
+    codes approximates angular distance well enough to shortlist.
+    Pure codegen (nested sequence/aggregate builds each word by
+    acc·2+bit — no shiftleft-by-column, no UDF). Output (id, bcode
+    array<long>).
+
+    ``bits_per_word`` stays ≤ 62 so the accumulator can never reach
+    the sign bit under ANSI mode's overflow-throws semantics."""
+    if not 1 <= bits_per_word <= 62:
+        raise ValueError("bits_per_word must be in [1, 62]")
+    v = F.col(vec_col)
+    d = F.size(v)
+    n_words = F.ceil(d / F.lit(bits_per_word)).cast("int")
+
+    def word(w):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits_per_word - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + F.when(
+                (w * bits_per_word + b < d)
+                & (F.element_at(v, (w * bits_per_word + b + 1)
+                                .cast("int")).cast("double") >= 0),
+                F.lit(1)).otherwise(F.lit(0)).cast("long"))
+
+    code = F.transform(F.sequence(F.lit(0), n_words - 1), word)
+    return embeddings.select(F.col(id_col), code.alias("bcode"))
+
+
+def bq_hamming_topk(embeddings: DataFrame, query: list[float],
+                    k: int = 10, rescore: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    bits_per_word: int = 32) -> DataFrame:
+    """Binary-quantized top-k with exact rescore — the standard
+    two-stage BQ recipe: (1) Hamming distance between the corpus's
+    1-bit codes and the query's code (popcount of XOR per word, an
+    integer fold — bit-deterministic) shortlists ``k·rescore``
+    candidates, (2) the shortlist's ORIGINAL vectors rescore by exact
+    cosine, final top-k by (cosine DESC, id ASC). Returns (id,
+    hamming, cosine).
+
+    Scale shape: stage 1 scans 1/32nd of the float bytes; the
+    shortlist (KB) broadcasts into the full-precision scan, so the
+    expensive vectors are read once for exactly the candidate set —
+    the same candidates-broadcast discipline as IVF's cell probe.
+    Recall is governed by ``rescore`` (the BQ oversampling knob)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if rescore < 1:
+        raise ValueError("rescore must be >= 1")
+    codes = binary_quantize(embeddings, id_col, vec_col, bits_per_word)
+    qwords = _pack_sign_bits(query, bits_per_word)
+    qarr = F.array(*[F.lit(w).cast("long") for w in qwords])
+    ham = F.aggregate(
+        F.zip_with(F.col("bcode"), qarr,
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0), lambda acc, x: acc + x)
+    cands = (codes.withColumn("hamming", ham)
+             .orderBy(F.asc("hamming"), F.asc(id_col))
+             .limit(k * rescore)
+             .select(id_col, "hamming"))
+    joined = embeddings.select(id_col, vec_col).join(
+        F.broadcast(cands), id_col)
+    scored = with_cosine(joined, vec_col, query)
+    return (scored.select(id_col, "hamming", "cosine")
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))

@@ -1875,3 +1875,54 @@ def test_scrub_secrets_counts_order_and_hash(spark):
         t = re.sub(IPV4_RE, "<IP>", t)
         assert got[doc_id]["clean_hash"] == hashlib.md5(
             t.encode()).hexdigest(), doc_id
+
+
+def test_binary_quantize_packing_matches_signs(emb):
+    """The packed words decode back to exactly the per-dim sign bits
+    (big-endian, zero-padded tail), and the Spark packing equals the
+    driver-side twin used for queries."""
+    import numpy as np
+
+    from ftidx.ann import binary_quantize, _pack_sign_bits
+
+    raw = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    got = {r["vec_id"]: list(r["bcode"])
+           for r in binary_quantize(emb, bits_per_word=5).collect()}
+    for vid, vec in raw.items():
+        assert got[vid] == _pack_sign_bits(vec, bits_per_word=5), vid
+        # decode and compare to signs
+        bits = []
+        for w in got[vid]:
+            bits.extend(int(b) for b in format(w, "05b"))
+        signs = [1 if float(x) >= 0 else 0 for x in vec]
+        assert bits[:len(signs)] == signs
+        assert all(b == 0 for b in bits[len(signs):])  # padding
+    with pytest.raises(ValueError):
+        binary_quantize(emb, bits_per_word=63)
+
+
+def test_bq_hamming_topk_recall_and_recount(emb):
+    """Stage-1 Hamming equals a numpy sign-mismatch recount; the
+    two-stage result finds the exact top-1/2 (the planted near-dup
+    pair), and cosine values match the exact path for shared ids."""
+    import numpy as np
+
+    from ftidx.ann import bq_hamming_topk, cosine_topk
+
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    query = [float(x) for x in raw[100]]
+    got = bq_hamming_topk(emb, query, k=3, rescore=8).collect()
+    qs = np.array(query) >= 0
+    for r in got:
+        want_h = int(np.sum((raw[r["vec_id"]] >= 0) != qs))
+        assert r["hamming"] == want_h, r["vec_id"]
+    exact = cosine_topk(emb, query, k=3).collect()
+    assert [r["vec_id"] for r in got][:2] == \
+        [r["vec_id"] for r in exact][:2] == [100, 101]
+    ex = {r["vec_id"]: r["cosine"] for r in exact}
+    for r in got:
+        if r["vec_id"] in ex:
+            assert r["cosine"] == ex[r["vec_id"]]
+    with pytest.raises(ValueError):
+        bq_hamming_topk(emb, query, rescore=0)
