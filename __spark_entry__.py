@@ -2302,6 +2302,34 @@ def q_ann_sq_topk(spark, sf_dir):
     return sq_cosine_topk(emb, query, k=20)
 
 
+def q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 random projection (ann.jl_project,
+    Achlioptas matrix from the SRP-LSH md5 sign family): 64 → 4 dims,
+    one codegen fold per output component, zero shuffle. Exploded to
+    (vec_id, j, y_r) rows; the oracle's sign table is EMITTED from
+    the SAME _plane_sign generator (the fold_sql discipline), so the
+    row pins the deterministic matrix itself."""
+    from ftidx.ann import jl_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (jl_project(emb, out_dim=4)
+            .select("vec_id", F.posexplode("proj").alias("j", "y"))
+            .select("vec_id", F.col("j").cast("long").alias("j"),
+                    F.round("y", 6).alias("y_r")))
+
+
+def _jl_signs_values(out_dim: int = 4, dim: int = 64) -> str:
+    """The oracle's (j, i, s) sign table, emitted from ann._plane_sign
+    — i is 1-based to match generate_subscripts."""
+    from ftidx.ann import _plane_sign
+
+    rows = []
+    for j in range(out_dim):
+        for i in range(dim):
+            rows.append(f"({j}, {i + 1}, {_plane_sign(j, i)})")
+    return ", ".join(rows)
+
+
 def q_ann_bq_topk(spark, sf_dir):
     """Binary-quantized ANN with exact rescore (ann.bq_hamming_topk —
     the modern 1-bit BQ recipe): sign-bit codes packed 32/word,
@@ -3067,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "kn_perplexity": q_kn_perplexity,
         "ann_bq_topk": q_ann_bq_topk,
+        "jl_project": q_jl_project,
         "stream_regress": q_stream_regress,
         "rule_tags": q_rule_tags,
         "kl_divergence": q_kl_divergence,
@@ -5146,6 +5175,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ub ON s.b = ub.term
             CROSS JOIN tot
             GROUP BY s.doc_id
+        """,
+        "jl_project": f"""
+            WITH {_EMB_FLAT_CTE},
+            signs(j, i, s) AS (VALUES {_jl_signs_values(4, 64)})
+            SELECT f.vec_id, g.j::BIGINT AS j,
+                   round(round(sum(f.x * g.s) / sqrt(4.0), 9), 6) AS y_r
+            FROM flat f JOIN signs g ON f.i = g.i
+            GROUP BY f.vec_id, g.j
         """,
         "ann_bq_topk": f"""
             WITH {_EMB_FLAT_CTE},

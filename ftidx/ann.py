@@ -789,3 +789,147 @@ def bq_hamming_topk(embeddings: DataFrame, query: list[float],
     return (scored.select(id_col, "hamming", "cosine")
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))
+
+
+def jl_project(embeddings: DataFrame, out_dim: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int | None = None, table: int = 0) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions with the Achlioptas ±1 matrix: y_j = (1/√out_dim) ·
+    Σ_i s(j,i)·x_i, where s(j,i) is the deterministic md5-derived ±1
+    already used for SRP-LSH (:func:`_plane_sign`; ``table`` offsets
+    into an independent sign family). Distances and inner products are
+    preserved within JL distortion, so downstream ANN runs on 4×-16×
+    fewer floats — the standard pre-ANN compression when PQ/SQ codes
+    are still too wide to train over.
+
+    The signs bake in as plan literals (out_dim × dim of them) and
+    each output component is one codegen fold — zero shuffle, zero
+    UDF, and bit-deterministic: the fold order is the array order, so
+    the same vector projects identically under any layout. Output
+    (id, proj array<double>), values rounded to 9 (absorbs nothing —
+    the fold is already deterministic — but keeps parity with any SQL
+    twin that must round somewhere)."""
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(_plane_sign(table * out_dim + j, i))
+                          for i in range(dim)])
+        comps.append(F.round(_dot(v, signs) * F.lit(inv), 9))
+    return embeddings.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def pca_model(embeddings: DataFrame, n_components: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int | None = None) -> dict:
+    """PCA over the embedding table in ONE distributed pass, EXACTLY
+    layout-invariant: each vector quantizes to 1e-6 fixed point
+    (np.rint — a pure function of the value), so its mean/second-
+    moment contribution is an integer; int64 chunk matmuls accumulate
+    into arbitrary-precision Python ints, ship as decimal(38,0)
+    partials (d + d² rows per partition — KB), and one exact decimal
+    groupBy sum makes the covariance — hence the eigendecomposition —
+    identical under ANY partitioning. (A float tree-reduce, even a
+    per-partition-quantized one, lets within-partition association
+    leak ~1e-12 into the eigenvectors.) PCA is thus computed over the
+    quantized values — a defined spec, 1e-6 off the float ideal,
+    invisible next to embedding noise.
+
+    Driver side: ``numpy.linalg.eigh`` on the d×d matrix
+    (microseconds at embedding dims; the corpus never leaves the
+    executors), eigenvector signs fixed largest-|component|-positive.
+
+    Returns {"mean": [...], "components": [[...] per component],
+    "explained_var": [...]} — feed to :func:`pca_project`."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if not 1 <= n_components <= dim:
+        raise ValueError(f"n_components must be in [1, {dim}]")
+
+    from decimal import Decimal
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    d = dim
+    SCALE = 10 ** 6
+    CHUNK = 8192  # int64 C.T@C stays far from overflow at this size
+
+    def kern(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        tot_s = np.zeros(d, dtype=object)
+        tot_ss = np.zeros((d, d), dtype=object)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            Xq = np.rint(X * SCALE).astype(np.int64)
+            for c0 in range(0, len(Xq), CHUNK):
+                C = Xq[c0:c0 + CHUNK]
+                tot_s += C.sum(axis=0)
+                tot_ss += C.T @ C
+            n += len(Xq)
+        flat = ([Decimal(int(v)) for v in tot_s]
+                + [Decimal(int(v)) for v in tot_ss.ravel()])
+        yield _pd.DataFrame({
+            "i": list(range(d + d * d)),
+            "val": flat,
+            "n": [n] * (d + d * d),
+        })
+
+    parts = embeddings.select(vec_col).mapInPandas(
+        kern, "i int, val decimal(38,0), n long")
+    agg = (parts.groupBy("i")
+           .agg(F.sum("val").alias("val"), F.sum("n").alias("n"))
+           .orderBy("i").collect())
+    n_total = int(agg[0]["n"]) if agg else 0
+    if n_total < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    vals = np.array([float(r["val"]) for r in agg])
+    mean = vals[:d] / (n_total * SCALE)
+    second = vals[d:].reshape(d, d) / (n_total * float(SCALE) ** 2)
+    cov = second - np.outer(mean, mean)
+    w, vecs = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps = []
+    evar = []
+    for idx in order:
+        e = vecs[:, idx]
+        if e[np.argmax(np.abs(e))] < 0:    # deterministic sign
+            e = -e
+        comps.append([float(x) for x in e])
+        evar.append(float(max(w[idx], 0.0)))
+    return {"mean": [float(x) for x in mean], "components": comps,
+            "explained_var": evar}
+
+
+def pca_project(embeddings: DataFrame, model: dict,
+                whiten: bool = False, eps: float = 1e-9,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Project onto a :func:`pca_model`: y_j = (x − mean)·e_j, with
+    ``whiten=True`` dividing by √(λ_j + eps) (unit-variance
+    components — the usual preprocessing before cosine ANN on
+    anisotropic embeddings). The mean and components bake in as plan
+    literals; each output is one codegen fold — zero shuffle. Output
+    (id, proj array<double>)."""
+    mean = model["mean"]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(v, F.array(*[F.lit(float(m)) for m in mean]),
+                          lambda x, m: x - m)
+    comps = []
+    for j, e in enumerate(model["components"]):
+        arr = F.array(*[F.lit(float(x)) for x in e])
+        y = _dot(centered, arr)
+        if whiten:
+            y = y / F.lit(math.sqrt(model["explained_var"][j] + eps))
+        comps.append(y)
+    return embeddings.select(F.col(id_col), F.array(*comps).alias("proj"))

@@ -1926,3 +1926,60 @@ def test_bq_hamming_topk_recall_and_recount(emb):
             assert r["cosine"] == ex[r["vec_id"]]
     with pytest.raises(ValueError):
         bq_hamming_topk(emb, query, rescore=0)
+
+
+def test_jl_project_recount_and_distortion(emb):
+    import numpy as np
+
+    from ftidx.ann import jl_project, _plane_sign
+
+    got = {r["vec_id"]: np.array(r["proj"])
+           for r in jl_project(emb, out_dim=4).collect()}
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    S = np.array([[_plane_sign(j, i) for i in range(8)]
+                  for j in range(4)])
+    for vid, x in raw.items():
+        want = np.round(S @ x / np.sqrt(4.0), 9)
+        assert np.allclose(got[vid], want, atol=1e-12), vid
+    # the planted near-dup pair stays near in the projected space
+    d_dup = np.linalg.norm(got[100] - got[101])
+    d_other = min(np.linalg.norm(got[100] - got[i]) for i in range(30))
+    assert d_dup < d_other
+    with pytest.raises(ValueError):
+        jl_project(emb, out_dim=0)
+
+
+def test_pca_model_matches_numpy_and_layout(emb):
+    import numpy as np
+
+    from ftidx.ann import pca_model, pca_project
+
+    X = np.array([r["embedding"] for r in
+                  emb.orderBy("vec_id").collect()], dtype=np.float64)
+    X = np.rint(X * 1e6) / 1e6  # the model's defined fixed-point spec
+    m = pca_model(emb, n_components=3)
+    assert np.allclose(m["mean"], X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    for j, idx in enumerate(order):
+        # same subspace direction up to sign; model fixes the sign
+        assert abs(float(np.dot(m["components"][j], v[:, idx]))) == \
+            pytest.approx(1.0, abs=1e-9)
+        assert m["explained_var"][j] == pytest.approx(w[idx], abs=1e-9)
+    # EXACT layout invariance — the decimal-quantized covariance sums
+    m1 = pca_model(emb.repartition(1), n_components=3)
+    m7 = pca_model(emb.repartition(7), n_components=3)
+    assert m1 == m7 == m
+
+    # projected variance == eigenvalues; whitening normalizes it
+    proj = np.array([r["proj"] for r in
+                     pca_project(emb, m).orderBy("vec_id").collect()])
+    assert np.allclose(proj.var(axis=0), m["explained_var"], atol=1e-8)
+    white = np.array([r["proj"] for r in
+                      pca_project(emb, m, whiten=True)
+                      .orderBy("vec_id").collect()])
+    assert np.allclose(white.var(axis=0), 1.0, atol=1e-6)
+    with pytest.raises(ValueError):
+        pca_model(emb, n_components=99)

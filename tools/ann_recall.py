@@ -25,9 +25,9 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from ftidx.ann import (cosine_topk, ivf_cosine_topk, ivfpq_topk,  # noqa: E402
-                       kmeans_centroids, lsh_cosine_topk, pq_adc_topk,
-                       sq_cosine_topk)
+from ftidx.ann import (bq_hamming_topk, cosine_topk,  # noqa: E402
+                       ivf_cosine_topk, ivfpq_topk, kmeans_centroids,
+                       lsh_cosine_topk, pq_adc_topk, sq_cosine_topk)
 from ftidx.session import get_spark  # noqa: E402
 
 
@@ -73,6 +73,12 @@ def main():
          "cosine"),
         ("sq_int8", "per-vector int8", "4x smaller, full scan",
          lambda q: sq_cosine_topk(emb, q, k), "cosine"),
+        ("bq_1bit", "rescore 2x", "32x smaller + 2k float reads",
+         lambda q: bq_hamming_topk(emb, q, k, rescore=2), "cosine"),
+        ("bq_1bit", "rescore 4x", "32x smaller + 4k float reads",
+         lambda q: bq_hamming_topk(emb, q, k, rescore=4), "cosine"),
+        ("bq_1bit", "rescore 8x", "32x smaller + 8k float reads",
+         lambda q: bq_hamming_topk(emb, q, k, rescore=8), "cosine"),
         ("pq", "m=4, ks=16", "64 floats -> 4 codes (64x)",
          lambda q: pq_adc_topk(emb, q, k, m=4, ks=16), "l2"),
         ("pq", "m=8, ks=64", "64 floats -> 8 codes (32x)",
