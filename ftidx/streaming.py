@@ -495,3 +495,53 @@ def run_trending_terms(spark: SparkSession, src_dir: str,
     wait_for_stream(q)
     q.awaitTermination(60)
     return rows
+
+
+def session_counts(spark: SparkSession, src_dir: str,
+                   ts_col: str = "ts", key_col: str = "repo",
+                   gap: str = "5 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Event-time SESSION windows (``F.session_window`` — the
+    streaming twin of the batch ``sessionize`` contract op): per-key
+    activity sessions that close after ``gap`` of inactivity, emitted
+    in append mode exactly once when the watermark passes a session's
+    end (last event + gap). Output (sess_start, sess_end, key,
+    n_events).
+
+    Scale shape: session state is per OPEN session per key —
+    watermarking closes and frees sessions, so a perpetual stream
+    holds O(active keys) state, never O(history); adjacent sessions
+    merge executor-side as events arrive (Spark's session-window
+    state store does the merging — no custom stateful code needed
+    where the built-in operator expresses the semantics)."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"),
+                 F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("sess_start"),
+                F.col("win.end").alias("sess_end"),
+                F.col("key").alias(key_col), "n_events")
+    )
+
+
+def run_session_counts(spark: SparkSession, src_dir: str,
+                       checkpoint: str, **kwargs) -> list:
+    """One availableNow drain of :func:`session_counts` (the
+    :func:`run_windowed_counts` discipline): returns the sessions THIS
+    run finalized, exactly once each, checkpoint carrying watermark +
+    open-session state across runs."""
+    rows: list = []
+    q = (
+        session_counts(spark, src_dir, **kwargs)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _eid: rows.extend(df.collect()))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    wait_for_stream(q)
+    q.awaitTermination(60)
+    return rows

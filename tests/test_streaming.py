@@ -357,3 +357,48 @@ def test_streamed_docs_phrase_queryable(spark, tmp_path):
     # base-built phrases still served from the folded table
     assert idx.phrase_topk(["zebra", "quantum"]) == [(phrase_doc, pytest.approx(
         idx.phrase_topk(["zebra", "quantum"])[0][1]))]
+
+
+def test_session_windows_merge_close_and_late_drop(spark, tmp_path):
+    """Streaming session windows: events within the gap merge into one
+    session (end = last event + gap), a quiet period closes it
+    (emitted exactly once when the watermark passes), a later burst
+    opens a NEW session, and a sub-watermark straggler can't reopen a
+    closed session."""
+    from datetime import datetime
+
+    from ftidx.streaming import run_session_counts
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(sec):
+        return datetime(2026, 1, 1, 0, sec // 60, sec % 60)
+
+    # r1: events at 0s and 100s — one session (gap 3 min merges them),
+    # spanning [0, 100+180). An event at 1000s advances the watermark
+    # (10 min short) far enough? 1000-120(wm 2min)=880 > 280 → closes it.
+    spark.createDataFrame(
+        [(ts(0), "r1"), (ts(100), "r1"), (ts(1000), "r2")],
+        "ts timestamp, repo string",
+    ).write.parquet(f"{src}/b1")
+    out1 = run_session_counts(spark, f"{src}/b*", ckpt,
+                              gap="3 minutes", watermark="2 minutes")
+    assert [(r["repo"], r["n_events"],
+             r["sess_start"].minute * 60 + r["sess_start"].second,
+             r["sess_end"].minute * 60 + r["sess_end"].second)
+            for r in out1] == [("r1", 2, 0, 280)]
+
+    # b2: straggler at 150s (< watermark 880s → dropped, session
+    # already closed); r2 burst at 1900s closes r2's 1000s session
+    # ([1000, 1180)) since wm → 1780
+    spark.createDataFrame(
+        [(ts(150), "r1"), (ts(1900), "r2")],
+        "ts timestamp, repo string",
+    ).write.mode("append").parquet(f"{src}/b2")
+    out2 = run_session_counts(spark, f"{src}/b*", ckpt,
+                              gap="3 minutes", watermark="2 minutes")
+    assert [(r["repo"], r["n_events"],
+             r["sess_start"].minute * 60 + r["sess_start"].second)
+            for r in out2] == [("r2", 1, 1000)]
