@@ -58,6 +58,7 @@ def curate_corpus(
     *,
     min_tokens: int = 5,
     min_quality: float = 0.2,
+    code_rules: bool = False,
     near_dup_threshold: float = 0.8,
     contamination_ngram: int = 8,
     transitive: bool = False,
@@ -72,6 +73,11 @@ def curate_corpus(
     """The composed pipeline; returns the surviving docs (same schema
     as the input). Stages:
 
+    0. code-file gate (when ``code_rules=True`` — a source-code
+       corpus): The Stack/StarCoderData filters
+       (:func:`ftidx.textops.stack_rules` keep verdict) — drops
+       minified/generated/XML/low-alnum files before anything else
+       pays for them (the gate is a zero-shuffle mapper)
     1. quality gate: ≥ min_tokens word tokens and composite quality
        ≥ min_quality (one token-stats agg, then a filter)
     2. exact dedup: keep one doc per md5(text) group
@@ -93,6 +99,14 @@ def curate_corpus(
     6. decontamination (when ``probes`` given): drop docs sharing an
        n-gram shingle with any probe
     """
+    if code_rules:
+        from ftidx.textops import stack_rules
+
+        keep_c = (stack_rules(docs, text_col=text_col, id_col=id_col)
+                  .filter(F.col("keep"))
+                  .select(F.col("doc_id").alias(id_col)))
+        docs = docs.join(keep_c, id_col)
+
     q = quality_scores(docs, text_col=text_col, id_col=id_col)
     keep_q = q.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)

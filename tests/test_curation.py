@@ -1983,3 +1983,22 @@ def test_pca_model_matches_numpy_and_layout(emb):
     assert np.allclose(white.var(axis=0), 1.0, atol=1e-6)
     with pytest.raises(ValueError):
         pca_model(emb, n_components=99)
+
+
+def test_curate_corpus_code_rules_stage(spark):
+    """code_rules=True gates The-Stack losers before any other stage:
+    the minified one-liner drops, the normal file survives every
+    later stage untouched."""
+    from ftidx.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "def f(x):\n    return x + one\nprint(f(two))"),
+         (2, "x" * 1500),
+         (3, "# auto-generated by tool\nwhatever body here")],
+        "doc_id long, text string")
+    clean = curate_corpus(docs, min_tokens=1, min_quality=0.0,
+                          code_rules=True)
+    assert [r["doc_id"] for r in clean.orderBy("doc_id").collect()] == [1]
+    # off by default: nothing code-gated
+    loose = curate_corpus(docs, min_tokens=1, min_quality=0.0)
+    assert {r["doc_id"] for r in loose.collect()} == {1, 2, 3}
