@@ -3038,8 +3038,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_trees": q_ltr_trees,
         "chunk_spans": q_chunk_spans,
         "scrub": q_scrub,
-        "token_counts": q_token_counts,
-        "quality_scores": q_quality_scores,
+        # token_counts / quality_scores carried driver-green rows from
+        # r01+r02 already — their window slots go to two rows from
+        # this session's NEW operator families (code-file curation,
+        # unigram tokenizer training), which have none
+        "stack_rules": q_stack_rules,
+        "piece_seed": q_piece_seed,
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
         "unigram_loglik": q_unigram_loglik,
@@ -3076,9 +3080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms_fg": q_sig_terms_fg,
         "fold_hash": q_fold_hash,
         "c4_rules": q_c4_rules,
-        "stack_rules": q_stack_rules,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
         "secret_scrub": q_secret_scrub,
-        "piece_seed": q_piece_seed,
         "frange_filter": q_frange_filter,
         "shortest_paths": q_shortest_paths,
         "wordbreak_splits": q_wordbreak_splits,
