@@ -848,3 +848,128 @@ class FtShards:
             aggs.append(F.approx_count_distinct(c, rsd=rsd)
                         .alias("cardinality"))
         return u.agg(*aggs)
+    def topk_frange(self, terms, func, k=10, l=None, u=None,  # noqa: E741
+                    incl_l=True, incl_u=True,
+                    field="code.content", now_ms=None):
+        """Sharded ``{!frange}`` (:meth:`FtIndex.topk_frange` over
+        SolrCloud shards): the function-query FILTER evaluates on each
+        shard's own docs/postings (per-doc facts are shard-local truth),
+        corpus scalars resolve globally via :class:`_ShardsFQProvider`,
+        and scoring uses global idf/avgdl — pinned per-doc identical to
+        the monolithic index. Returns (shard, doc_id, score, fval) ranked
+        (score DESC, shard ASC, doc_id ASC)."""
+        from ftidx import funcquery as FQ
+
+        if l is None and u is None:
+            raise ValueError("frange needs l= and/or u=")
+        n_docs, avgdl = self.global_stats(field)
+        qterms, _, gdf = self._gather(terms, field)
+        idfs = {t: bm25_idf(n_docs, gdf[t]) for t in qterms if gdf[t] > 0}
+        cache: dict = {}
+        frames = []
+        for si, sh in enumerate(self.shards):
+            prov = _ShardsFQProvider(sh, field, now_ms, self, cache)
+            resolved = FQ.resolve(FQ.parse(func), prov, now_ms)
+            val_sql = FQ.compile_spark(resolved, now_ms)
+            docs = sh.spark.read.parquet(str(sh.path / "docs"))
+            for col_name, frame in prov.join_frames:
+                docs = docs.join(frame, "doc_id", "left").withColumn(
+                    col_name, F.coalesce(F.col(col_name), F.lit(0.0)))
+            val = F.expr(val_sql).cast("double")
+            cond = F.lit(True)
+            if l is not None:
+                cond = cond & (val >= float(l) if incl_l else val > float(l))
+            if u is not None:
+                cond = cond & (val <= float(u) if incl_u else val < float(u))
+            keep = (docs.withColumn("fval", val).filter(cond)
+                    .select("doc_id", "fval"))
+            frames.append(
+                sh._scored_df(terms, field, idfs=idfs, avgdl=avgdl)
+                .join(keep, "doc_id")
+                .withColumn("shard", F.lit(si)))
+        uni = frames[0]
+        for fr in frames[1:]:
+            uni = uni.unionByName(fr)
+        return (uni.orderBy(F.desc("score"), F.asc("shard"), F.asc("doc_id"))
+                .limit(k).select("shard", "doc_id", "score", "fval"))
+
+
+
+class _ShardsFQProvider:
+    """Function-query resolution for the SHARDED surface: per-doc
+    splices (termfreq/norm) come from the doc's OWN shard — a doc's
+    postings and doclen live in exactly one shard, so shard-local
+    frames are already the global truth — while every CORPUS-level
+    scalar (docfreq / idf / ttf / maxdoc / numdocs, scale() bounds)
+    computes ACROSS all shards (the SolrCloud ExactStatsCache
+    discipline the sharded BM25 path already follows), memoized in a
+    cache shared by every shard's resolution pass so N shards pay for
+    each global statistic once."""
+
+    def __init__(self, shard_idx, default_field: str, now_ms,
+                 shards: "FtShards", cache: dict):
+        from ftidx.index import _FuncQueryProvider
+
+        self._local = _FuncQueryProvider(shard_idx, default_field, now_ms)
+        self._shards = shards
+        self._cache = cache
+        self.default_field = default_field
+        self.now_ms = now_ms
+
+    @property
+    def join_frames(self):
+        return self._local.join_frames
+
+    def termfreq_column(self, field: str, term: str):
+        return self._local.termfreq_column(field, term)
+
+    def norm_column(self, field: str):
+        return self._local.norm_column(field)
+
+    def scalar(self, call) -> float:
+        from ftidx import funcquery as FQ
+        from ftidx.index import _FuncQueryProvider
+
+        key = ("scalar", call.name, str(call.args))
+        if key in self._cache:
+            return self._cache[key]
+        if call.name in ("maxdoc", "numdocs"):
+            n_docs, _ = self._shards.global_stats(self.default_field)
+            v = float(n_docs)
+        elif call.name in ("docfreq", "idf"):
+            df_call = FQ.Call("docfreq", call.args)
+            df_g = sum(
+                _FuncQueryProvider(sh, self.default_field,
+                                   self.now_ms).scalar(df_call)
+                for sh in self._shards.shards)
+            if call.name == "docfreq":
+                v = float(df_g)
+            elif df_g <= 0:
+                v = 0.0
+            else:
+                n_docs, _ = self._shards.global_stats(call.args[0].name)
+                v = float(bm25_idf(n_docs, int(df_g)))
+        else:  # ttf: per-shard totals sum exactly
+            v = sum(
+                _FuncQueryProvider(sh, self.default_field,
+                                   self.now_ms).scalar(call)
+                for sh in self._shards.shards)
+        self._cache[key] = v
+        return v
+
+    def minmax(self, x_node):
+        from ftidx import funcquery as FQ
+        from ftidx.index import _FuncQueryProvider
+
+        key = ("minmax", FQ.compile_spark(x_node, self.now_ms))
+        if key in self._cache:
+            return self._cache[key]
+        mns, mxs = [], []
+        for sh in self._shards.shards:
+            mn, mx = _FuncQueryProvider(
+                sh, self.default_field, self.now_ms).minmax(x_node)
+            mns.append(mn)
+            mxs.append(mx)
+        v = (min(mns), max(mxs))
+        self._cache[key] = v
+        return v

@@ -403,3 +403,46 @@ def test_sharded_stem_topk_equals_monolithic(spark, setup):
     for key, s in mk.items():
         assert sk[key] == pytest.approx(s, rel=1e-9), key
     assert shards.stem_topk([], k=5) == []
+
+
+def test_sharded_frange_equals_monolithic(spark, setup):
+    """Sharded {!frange} == monolithic on the same corpus, with an
+    INDEX-dependent function (termfreq x global idf) so both the
+    shard-local splice path and the cross-shard scalar path are
+    exercised — shard-local docfreq would shift the idf factor and
+    change fval."""
+    mono, shards = setup
+    func = "product(termfreq(code.content,'def'), idf(code.content,'def'))"
+    m = mono.topk_frange(["def", "return"], func, k=50, l=0.5)
+    s = shards.topk_frange(["def", "return"], func, k=50, l=0.5)
+
+    def keyed_mono(rows):
+        docs = {r["doc_id"]: (r["repo"], r["path"], r["commit"])
+                for r in spark.read.parquet(f"{mono.path}/docs")
+                .select("doc_id", "repo", "path", "commit").collect()}
+        return {docs[r["doc_id"]]: (round(r["score"], 9),
+                                    round(r["fval"], 9)) for r in rows}
+
+    def keyed_sh(rows):
+        maps = []
+        for sh in shards.shards:
+            maps.append({r["doc_id"]: (r["repo"], r["path"], r["commit"])
+                         for r in spark.read.parquet(f"{sh.path}/docs")
+                         .select("doc_id", "repo", "path",
+                                 "commit").collect()})
+        return {maps[r["shard"]][r["doc_id"]]: (round(r["score"], 9),
+                                                round(r["fval"], 9))
+                for r in rows}
+
+    got_m = keyed_mono(m.collect())
+    got_s = keyed_sh(s.collect())
+    assert got_m and got_m == got_s
+    # a metadata-only function + both bounds, exclusive lower
+    f2 = "mod(doc_id, 7)"
+    m2 = {r["fval"] for r in mono.topk_frange(
+        ["def"], f2, k=100, l=1, u=5, incl_l=False).collect()}
+    s2 = {r["fval"] for r in shards.topk_frange(
+        ["def"], f2, k=100, l=1, u=5, incl_l=False).collect()}
+    assert m2 == s2 and all(1 < v <= 5 for v in m2)
+    with pytest.raises(ValueError, match="frange"):
+        shards.topk_frange(["def"], f2, k=5)
