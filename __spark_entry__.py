@@ -1175,6 +1175,47 @@ def q_secret_scrub(spark, sf_dir):
     return scrub_secrets(_docs(spark, sf_dir).withColumn("text", t))
 
 
+def q_license_tags(spark, sf_dir):
+    """License detection (textops.license_tags — The Stack's
+    permissive-license gate): SPDX tag wins over header phrases,
+    phrase table most-specific-first, NULL when nothing detected.
+    Both engines INJECT license headers identically (doc_id-keyed
+    prepends); the oracle's phrase CASE chain is EMITTED from the
+    same LICENSE_PHRASES table (compiler-pinning discipline)."""
+    from ftidx.textops import license_tags
+
+    d = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(d % 5 == 0,
+               F.concat(F.lit("# SPDX-License-Identifier: MIT\n"), t)
+               ).otherwise(t)
+    t = F.when(d % 7 == 0,
+               F.concat(F.lit("// Licensed under the Apache License,"
+                              " Version 2.0\n"), t)).otherwise(t)
+    t = F.when(d % 11 == 0,
+               F.concat(F.lit("# GNU General Public License\n"), t)
+               ).otherwise(t)
+    return license_tags(_docs(spark, sf_dir).withColumn("text", t))
+
+
+def _license_case_sql(var: str) -> str:
+    """The oracle's phrase CASE chain, emitted from the SAME
+    LICENSE_PHRASES table the Spark side compiles (first match wins,
+    like the reversed-when chain)."""
+    from ftidx.textops import LICENSE_PHRASES
+
+    whens = " ".join(
+        f"WHEN contains({var}, '{frag}') THEN '{lic}'"
+        for frag, lic in LICENSE_PHRASES)
+    return f"(CASE {whens} END)"
+
+
+def _license_allow_sql() -> str:
+    from ftidx.textops import PERMISSIVE_LICENSES
+
+    return ", ".join(f"'{x}'" for x in sorted(PERMISSIVE_LICENSES))
+
+
 def q_piece_seed(spark, sf_dir):
     """Unigram-LM tokenizer seed vocabulary (ftidx.unigram.seed_vocab,
     Kudo 2018): every ≤6-char substring of every corpus word weighted
@@ -3083,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "secret_scrub": q_secret_scrub,
+        "license_tags": q_license_tags,
         "frange_filter": q_frange_filter,
         "shortest_paths": q_shortest_paths,
         "wordbreak_splits": q_wordbreak_splits,
@@ -5932,6 +5974,50 @@ def oracle_sql() -> dict[str, str]:
                   || '(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}',
                   '<IP>', 'g')) AS clean_hash
             FROM s3
+        """,
+        "license_tags": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0
+                     THEN '# GNU General Public License' || chr(10) || b2
+                     ELSE b2 END AS text
+              FROM (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN '// Licensed under the Apache License,'
+                            || ' Version 2.0' || chr(10) || b1
+                       ELSE b1 END AS b2
+                FROM (
+                  SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN '# SPDX-License-Identifier: MIT' || chr(10)
+                              || text
+                         ELSE text END AS b1
+                  FROM documents))),
+            h AS (
+              SELECT doc_id,
+                     array_to_string(
+                       (string_split(text, chr(10)))[1:30], chr(10))
+                       AS head
+              FROM aug),
+            x AS (
+              SELECT doc_id,
+                nullif(regexp_extract(head,
+                  'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1),
+                  '') AS spdx,
+                lower(head) AS low
+              FROM h),
+            y AS (
+              SELECT doc_id, spdx,
+                     {_license_case_sql('low')} AS phrase_license,
+                     coalesce(spdx, {_license_case_sql('low')}) AS license
+              FROM x)
+            SELECT doc_id, spdx, phrase_license, license,
+                   coalesce(license IN ({_license_allow_sql()}), false)
+                     AS permissive,
+                   coalesce(license IN ({_license_allow_sql()}), false)
+                     AS keep
+            FROM y
         """,
         "piece_seed": """
             WITH w AS (

@@ -1695,3 +1695,75 @@ def scrub_secrets(docs: DataFrame, text_col: str = "text",
         .cast("long").alias("n_ipv4"),
         F.md5(clean).alias("clean_hash"),
     )
+
+
+LICENSE_PHRASES = [
+    # phrase fragments (lowercased containment) → canonical license id,
+    # ordered MOST specific first: detection takes the first hit, so
+    # "apache license" must not shadow "apache license, version 2.0"
+    ("apache license, version 2.0", "Apache-2.0"),
+    ("apache license version 2.0", "Apache-2.0"),
+    ("gnu lesser general public license", "LGPL"),
+    ("gnu affero general public license", "AGPL"),
+    ("gnu general public license", "GPL"),
+    ("mozilla public license", "MPL-2.0"),
+    ("mit license", "MIT"),
+    ("permission is hereby granted, free of charge", "MIT"),
+    ("bsd 3-clause", "BSD-3-Clause"),
+    ("bsd 2-clause", "BSD-2-Clause"),
+    ("redistribution and use in source and binary forms", "BSD"),
+    ("unlicense", "Unlicense"),
+    ("creative commons", "CC"),
+]
+
+PERMISSIVE_LICENSES = {"Apache-2.0", "MIT", "BSD", "BSD-2-Clause",
+                       "BSD-3-Clause", "Unlicense", "ISC", "0BSD",
+                       "MPL-2.0"}
+
+SPDX_RE = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
+
+
+def license_tags(docs: DataFrame, *, head_lines: int = 30,
+                 permissive: set[str] | None = None,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """License detection for code files (The Stack's license filter,
+    Kocetkov et al. 2022 §3 — the gate that decides whether a file may
+    enter a permissively-licensed corpus): an explicit
+    ``SPDX-License-Identifier:`` tag anywhere in the first
+    ``head_lines`` lines wins verbatim; otherwise the first matching
+    header phrase (most-specific-first table, lowercased containment)
+    names the license; otherwise NULL (no license detected — The
+    Stack routes those to the non-permissive split).
+
+    Output: (doc_id, spdx, phrase_license, license, permissive, keep)
+    — ``keep`` is the permissive-corpus verdict: license detected AND
+    in ``permissive`` (defaults to :data:`PERMISSIVE_LICENSES`; an
+    SPDX expression like ``Apache-2.0 OR MIT`` keeps its verbatim
+    string and matches only if that exact string is allowed — refine
+    the allowlist rather than parsing expressions silently).
+
+    Scale shape: ZERO shuffle — one head-slice + one regexp_extract +
+    a fixed CASE chain of containments, all per-row codegen (the
+    stack_rules discipline)."""
+    allowed = permissive if permissive is not None else PERMISSIVE_LICENSES
+    lines = F.split(F.col(text_col), "\n")
+    head = F.array_join(F.slice(lines, 1, head_lines), "\n")
+    spdx = F.regexp_extract(head, SPDX_RE, 1)
+    spdx = F.when(spdx != "", spdx)          # '' → NULL
+    low = F.lower(head)
+    phrase = F.lit(None).cast("string")
+    # build the CASE chain in REVERSE so the first table entry wins
+    for frag, lic in reversed(LICENSE_PHRASES):
+        phrase = F.when(low.contains(frag), F.lit(lic)).otherwise(phrase)
+    license_ = F.coalesce(spdx, phrase)
+    perm = F.when(license_.isNull(), F.lit(False)).otherwise(
+        license_.isin(*sorted(allowed)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        spdx.alias("spdx"),
+        phrase.alias("phrase_license"),
+        license_.alias("license"),
+        perm.alias("permissive"),
+        perm.alias("keep"),
+    )

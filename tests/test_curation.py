@@ -2002,3 +2002,43 @@ def test_curate_corpus_code_rules_stage(spark):
     # off by default: nothing code-gated
     loose = curate_corpus(docs, min_tokens=1, min_quality=0.0)
     assert {r["doc_id"] for r in loose.collect()} == {1, 2, 3}
+
+
+def test_license_tags_detection_and_precedence(spark):
+    """SPDX tag beats phrases; most-specific phrase wins; below the
+    head window nothing is seen; permissive verdict follows the
+    allowlist; expression strings stay verbatim."""
+    from ftidx.textops import license_tags
+
+    rows = [
+        (1, "# SPDX-License-Identifier: MIT\ncode()"),
+        (2, "/* Licensed under the Apache License, Version 2.0 */\nx"),
+        (3, "# This file is under the GNU General Public License v3\nx"),
+        # phrase says GPL but SPDX wins
+        (4, "# SPDX-License-Identifier: BSD-3-Clause\n"
+            "# GNU General Public License text follows\nx"),
+        (5, "no license at all here"),
+        # tag BELOW the head window — not seen
+        (6, "\n" * 40 + "# SPDX-License-Identifier: MIT"),
+        (7, "# SPDX-License-Identifier: Apache-2.0+\nx"),
+        # MIT body phrase without the name
+        (8, "Permission is hereby granted, free of charge, to any\nx"),
+        (9, "# SPDX-License-Identifier: GPL-3.0-only\nx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in license_tags(docs, head_lines=30).collect()}
+    assert got[1]["license"] == "MIT" and got[1]["keep"] is True
+    assert got[2]["license"] == "Apache-2.0" and got[2]["keep"] is True
+    assert got[3]["license"] == "GPL" and got[3]["keep"] is False
+    assert got[4]["spdx"] == "BSD-3-Clause"
+    assert got[4]["license"] == "BSD-3-Clause" and got[4]["keep"] is True
+    assert got[5]["license"] is None and got[5]["keep"] is False
+    assert got[6]["license"] is None  # beyond head window
+    assert got[7]["license"] == "Apache-2.0+" and got[7]["keep"] is False
+    assert got[8]["license"] == "MIT"
+    assert got[9]["license"] == "GPL-3.0-only" and got[9]["keep"] is False
+    # custom allowlist flips the verdict
+    strict = {r["doc_id"]: r["keep"] for r in license_tags(
+        docs, permissive={"GPL-3.0-only"}).collect()}
+    assert strict[9] is True and strict[1] is False
