@@ -59,6 +59,7 @@ def curate_corpus(
     min_tokens: int = 5,
     min_quality: float = 0.2,
     code_rules: bool = False,
+    permissive_only: bool = False,
     near_dup_threshold: float = 0.8,
     contamination_ngram: int = 8,
     transitive: bool = False,
@@ -77,7 +78,10 @@ def curate_corpus(
        corpus): The Stack/StarCoderData filters
        (:func:`ftidx.textops.stack_rules` keep verdict) — drops
        minified/generated/XML/low-alnum files before anything else
-       pays for them (the gate is a zero-shuffle mapper)
+       pays for them (the gate is a zero-shuffle mapper); with
+       ``permissive_only=True`` the license gate
+       (:func:`ftidx.textops.license_tags` keep verdict — The Stack's
+       permissive filter) runs first of all
     1. quality gate: ≥ min_tokens word tokens and composite quality
        ≥ min_quality (one token-stats agg, then a filter)
     2. exact dedup: keep one doc per md5(text) group
@@ -99,6 +103,14 @@ def curate_corpus(
     6. decontamination (when ``probes`` given): drop docs sharing an
        n-gram shingle with any probe
     """
+    if permissive_only:
+        from ftidx.textops import license_tags
+
+        keep_l = (license_tags(docs, text_col=text_col, id_col=id_col)
+                  .filter(F.col("keep"))
+                  .select(F.col("doc_id").alias(id_col)))
+        docs = docs.join(keep_l, id_col)
+
     if code_rules:
         from ftidx.textops import stack_rules
 

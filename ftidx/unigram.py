@@ -336,3 +336,71 @@ def unigram_encode(docs: DataFrame, model: dict[str, float],
     enc = toks.mapInPandas(kern, "doc_id long, pieces array<string>")
     return enc.select("doc_id", "pieces",
                       F.size("pieces").cast("long").alias("n_pieces"))
+
+
+def encode_stats(docs: DataFrame, model: dict[str, float],
+                 max_piece_len: int | None = None,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer evaluation metrics per document — the numbers a
+    tokenizer comparison actually reads: ``fertility_r`` (pieces per
+    word; lower = the vocabulary covers the domain better) and
+    ``bits_per_char_r`` (Viterbi negative log₂-likelihood per
+    character — the compression-rate reading of the unigram LM; OOV
+    fallback pieces score at the model floor exactly as
+    :func:`viterbi_segment` ranks them). Output (doc_id, n_words,
+    n_pieces, fertility_r, bits_per_char_r), rounded to 5; zero-word
+    docs emit NULL metrics.
+
+    Same scale shape as :func:`unigram_encode`: broadcast model,
+    per-word memo per Arrow batch, zero shuffle."""
+    from ftidx.textops import TOKEN_SPLIT
+
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in model), default=1)
+    mpl = int(max_piece_len)
+    floor = (min(model.values()) - 1.0) if model else -1.0
+    LN2 = math.log(2.0)
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                 lambda x: x != "").alias("words"))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[int, float, int]] = {}
+        for pdf in batches:
+            n_words, n_pieces, nll, n_chars = [], [], [], []
+            for ws in pdf["words"]:
+                tp = tl = tc = 0
+                for w in ws:
+                    hit = memo.get(w)
+                    if hit is None:
+                        segs = viterbi_segment(w, model, mpl)
+                        ll = sum(model.get(p, floor) for p in segs)
+                        hit = (len(segs), ll, len(w))
+                        memo[w] = hit
+                    tp += hit[0]
+                    tl += hit[1]
+                    tc += hit[2]
+                n_words.append(len(ws))
+                n_pieces.append(tp)
+                nll.append(-tl / LN2)
+                n_chars.append(tc)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "n_words": n_words,
+                "n_pieces": n_pieces, "nll_bits": nll,
+                "n_chars": n_chars})
+
+    enc = toks.mapInPandas(
+        kern, "doc_id long, n_words long, n_pieces long, "
+              "nll_bits double, n_chars long")
+    return enc.select(
+        "doc_id", "n_words", "n_pieces",
+        F.round(F.when(F.col("n_words") > 0,
+                       F.col("n_pieces") / F.col("n_words")), 5)
+        .alias("fertility_r"),
+        F.round(F.when(F.col("n_chars") > 0,
+                       F.col("nll_bits") / F.col("n_chars")), 5)
+        .alias("bits_per_char_r"),
+    )

@@ -197,3 +197,35 @@ def test_encode_oov_char_passthrough(spark, tiny_docs):
     (row,) = unigram_encode(docs, model).collect()
     assert "".join(row["pieces"]) == "catzqmat"
     assert "q" in row["pieces"] or "zq" not in model
+
+
+def test_encode_stats_recount(spark, tiny_docs):
+    """fertility and bits-per-char against a pure-Python recount over
+    the same Viterbi segmentations; zero-word doc emits NULLs."""
+    model = train_unigram(tiny_docs, vocab_size=18, max_piece_len=4,
+                          seed_size=30)
+    from ftidx.unigram import encode_stats
+
+    got = {r["doc_id"]: r.asDict()
+           for r in encode_stats(tiny_docs, model).collect()}
+    texts = {r["doc_id"]: r["text"] for r in tiny_docs.collect()}
+    import re
+
+    mpl = max(len(p) for p in model)
+    for i, text in texts.items():
+        ws = [w for w in re.split("[^a-z0-9_]+", text.lower()) if w]
+        segs = [viterbi_segment(w, model, mpl) for w in ws]
+        n_pieces = sum(len(s) for s in segs)
+        ll = sum(model[p] for s in segs for p in s)
+        n_chars = sum(len(w) for w in ws)
+        assert got[i]["n_words"] == len(ws)
+        assert got[i]["n_pieces"] == n_pieces
+        assert got[i]["fertility_r"] == pytest.approx(
+            round(n_pieces / len(ws), 5))
+        assert got[i]["bits_per_char_r"] == pytest.approx(
+            round(-ll / math.log(2) / n_chars, 5), abs=2e-5)
+
+    empty = spark.createDataFrame([(99, "!!!")],
+                                  "doc_id long, text string")
+    (r,) = encode_stats(empty, model).collect()
+    assert r["n_words"] == 0 and r["fertility_r"] is None
