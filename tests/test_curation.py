@@ -2042,3 +2042,16 @@ def test_license_tags_detection_and_precedence(spark):
     strict = {r["doc_id"]: r["keep"] for r in license_tags(
         docs, permissive={"GPL-3.0-only"}).collect()}
     assert strict[9] is True and strict[1] is False
+
+
+def test_curate_corpus_license_gate(spark):
+    from ftidx.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "# SPDX-License-Identifier: MIT\ngood code body one"),
+         (2, "# SPDX-License-Identifier: GPL-3.0-only\nbody two"),
+         (3, "plain file, no license header at all")],
+        "doc_id long, text string")
+    clean = curate_corpus(docs, min_tokens=1, min_quality=0.0,
+                          permissive_only=True)
+    assert [r["doc_id"] for r in clean.collect()] == [1]
