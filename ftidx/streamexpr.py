@@ -72,7 +72,13 @@ writes — the openSearcher analog),
 explode), ``nodes`` (ONE graph hop per wrapping, Solr's gatherNodes:
 distinct gather-field values of edges whose walk-from matches the
 inner stream; scatter="branches,leaves" unions the frontier in;
-multi-hop cycle-safe closures live in ftidx.graph).
+multi-hop cycle-safe closures live in ftidx.graph), ``daemon``
+(Solr's DaemonStream, REAL: registers a background thread
+re-evaluating the wrapped stream every ``runInterval`` ms on the
+context's daemon registry — eval-time side effects repeat, so
+``daemon(update(dest, topic(...)))`` is the continuous-indexing
+loop; ``terminate="true"`` self-stops after a zero-tuple run; the
+serving tier lists/stops/kills via ``GET /stream?action=``).
 
 Math Expressions
 ----------------
