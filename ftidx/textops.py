@@ -1626,10 +1626,9 @@ def stack_rules(docs: DataFrame, *, max_line_len: int = 1000,
                                     "generated by", "do not edit"])]
     head = F.lower(F.array_join(
         F.slice(lines, 1, autogen_head_lines), "\n"))
-    is_autogen = None
+    is_autogen = F.lit(False)  # an empty marker list disables the rule
     for m in markers:
-        c = head.contains(m)
-        is_autogen = c if is_autogen is None else (is_autogen | c)
+        is_autogen = is_autogen | head.contains(m)
     is_xml = F.substring(text, 1, 100).contains("<?xml version=")
     keep = ((max_line <= max_line_len)
             & (mean_line <= max_mean_line_len)
