@@ -404,3 +404,30 @@ def encode_stats(docs: DataFrame, model: dict[str, float],
                        F.col("nll_bits") / F.col("n_chars")), 5)
         .alias("bits_per_char_r"),
     )
+
+
+def model_to_json(model: dict[str, float]) -> str:
+    """Serialize a trained model ({piece: logp}) to JSON — sorted
+    keys, full float precision (json round-trips IEEE doubles
+    exactly), so save→load→encode is bit-identical to the in-memory
+    model."""
+    import json
+
+    return json.dumps({"type": "unigram", "pieces": model},
+                      sort_keys=True)
+
+
+def model_from_json(s: str) -> dict[str, float]:
+    import json
+
+    obj = json.loads(s)
+    if not isinstance(obj, dict) or obj.get("type") != "unigram" \
+            or not isinstance(obj.get("pieces"), dict):
+        raise ValueError('expected {"type": "unigram", "pieces": {…}}')
+    out = {}
+    for k, v in obj["pieces"].items():
+        if not isinstance(k, str) or not k \
+                or not isinstance(v, (int, float)):
+            raise ValueError(f"bad piece entry {k!r}: {v!r}")
+        out[k] = float(v)
+    return out

@@ -91,3 +91,36 @@ def test_ranked_helper_cut_then_rank_identity(spark):
            .filter(F.col("rank") <= 25).collect()]
     assert sorted(got) == sorted(exp) and len(got) == 25
     assert "TakeOrderedAndProject" in _plan(_ranked(df, order, 25))
+
+
+@pytest.mark.parametrize("name", [
+    "stack_rules", "secret_scrub", "license_tags",
+])
+def test_code_curation_bundles_are_pure_mappers(spark, name):
+    """The code-corpus curation bundles (The Stack filters, secret
+    scrub, license detection) are per-row codegen — their contract
+    plans must contain NO exchange of any kind: a mapper pipelines
+    into whatever follows at any corpus size."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()[name](spark, SF))
+    assert "Exchange" not in plan, (name, plan)
+
+
+def test_piece_seed_single_shuffle(spark):
+    """The unigram seed pass is explode -> ONE aggregation: its only
+    exchanges are the groupBy hash exchange and the bounded top-cut;
+    no single-partition sort of the piece stream (the cut is
+    TakeOrderedAndProject)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["piece_seed"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1]
+            assert ("TakeOrderedAndProject" in child
+                    or "LocalLimit" in child
+                    or "HashAggregate(keys=[], functions=[partial_"
+                    in child), (line, child)

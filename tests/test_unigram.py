@@ -229,3 +229,17 @@ def test_encode_stats_recount(spark, tiny_docs):
                                   "doc_id long, text string")
     (r,) = encode_stats(empty, model).collect()
     assert r["n_words"] == 0 and r["fertility_r"] is None
+
+
+def test_model_json_roundtrip_bit_identical(tiny_docs):
+    from ftidx.unigram import model_from_json, model_to_json
+
+    model = train_unigram(tiny_docs, vocab_size=18, max_piece_len=4,
+                          seed_size=30)
+    back = model_from_json(model_to_json(model))
+    assert back == model  # exact float equality — IEEE round-trip
+    for bad in ["[]", '{"type": "bpe", "pieces": {}}',
+                '{"type": "unigram", "pieces": {"": -1}}',
+                '{"type": "unigram", "pieces": {"a": "x"}}']:
+        with pytest.raises(ValueError):
+            model_from_json(bad)
