@@ -78,12 +78,48 @@ def _make_cloud_handler(shards, lock: threading.Lock):
 
                 with lock:
                     if u.path == "/search":
-                        hits = shards.topk(
-                            terms, k=k, field=field,
-                            require_all=qs.get("mode", [""])[0] == "and")
-                        body = {"hits": [
-                            {"shard": s, "doc_id": d, "score": sc}
-                            for s, d, sc in hits]}
+                        fq_raw = qs.get("fq", [""])[0]
+                        if fq_raw.startswith("{!frange"):
+                            # Solr fq={!frange l= u= incl= inch=}func
+                            # over the cluster — FtShards.topk_frange
+                            # (global scalars, shard-local splices)
+                            head, sep, src = fq_raw.partition("}")
+                            if not sep or not src.strip():
+                                raise ValueError(
+                                    "frange needs {!frange …}func")
+                            lp = {}
+                            for tokp in head[len("{!frange"):].split():
+                                kk, _, vv = tokp.partition("=")
+                                lp[kk.strip()] = vv.strip()
+                            unknown = set(lp) - {"l", "u", "incl",
+                                                 "inch", ""}
+                            unknown.discard("")
+                            if unknown:
+                                raise ValueError(
+                                    f"unknown frange param(s): "
+                                    f"{sorted(unknown)}")
+                            now_ms = qs.get("now", [""])[0]
+                            rows = shards.topk_frange(
+                                terms, src, k=k, field=field,
+                                l=float(lp["l"]) if "l" in lp else None,
+                                u=float(lp["u"]) if "u" in lp else None,
+                                incl_l=lp.get("incl", "true") != "false",
+                                incl_u=lp.get("inch", "true") != "false",
+                                now_ms=int(now_ms) if now_ms
+                                else None).collect()
+                            body = {"hits": [
+                                {"shard": r["shard"],
+                                 "doc_id": r["doc_id"],
+                                 "score": r["score"],
+                                 "fval": r["fval"]} for r in rows]}
+                        else:
+                            hits = shards.topk(
+                                terms, k=k, field=field,
+                                require_all=qs.get("mode", [""])[0]
+                                == "and")
+                            body = {"hits": [
+                                {"shard": s, "doc_id": d, "score": sc}
+                                for s, d, sc in hits]}
                     elif u.path == "/count":
                         body = {"numFound": shards.count(terms, field=field)}
                     elif u.path == "/facet":

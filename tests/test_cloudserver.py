@@ -126,3 +126,31 @@ def test_cloud_stats_and_errors(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base}/stats?q=def&on=no_such_column")
     assert e.value.code == 400
+
+
+def test_cloud_frange(served):
+    """fq={!frange} on the coordinator == FtShards.topk_frange; bad
+    local params 400."""
+    import urllib.parse
+
+    srv, shards = served
+    base = f"http://{srv.host}:{srv.port}"
+    func = "mod(doc_id, 1000)"
+    q = urllib.parse.urlencode(
+        {"q": "def return", "k": "5",
+         "fq": "{!frange l=0 u=600}" + func})
+    status, body = _get(f"{base}/search?{q}")
+    assert status == 200
+    lib = shards.topk_frange(["def", "return"], func,
+                             k=5, l=0, u=600).collect()
+    assert [(h["shard"], h["doc_id"], h["fval"]) for h in body["hits"]] \
+        == [(r["shard"], r["doc_id"], r["fval"]) for r in lib]
+    assert body["hits"]
+
+    import urllib.error
+
+    q2 = urllib.parse.urlencode(
+        {"q": "def", "fq": "{!frange l=0 zz=1}" + func})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{base}/search?{q2}")
+    assert ei.value.code == 400
