@@ -2371,6 +2371,24 @@ def _jl_signs_values(out_dim: int = 4, dim: int = 64) -> str:
     return ", ".join(rows)
 
 
+def q_maxsim_topk(spark, sf_dir):
+    """Late-interaction MaxSim top-k (ann.maxsim_topk, ColBERT's
+    scoring rule): the embeddings table grouped into multi-vector
+    docs (vec_id % 500), scored by sum-over-queries of
+    max-over-doc-vectors cosine against the vectors of ids 0 and 1.
+    Per-row cosines are one codegen projection; per-doc maxes are a
+    map-side-combinable groupBy."""
+    from ftidx.ann import maxsim_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = [float(x)
+          for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    q1 = [float(x)
+          for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    grouped = emb.selectExpr("vec_id % 500 AS doc_id", "embedding")
+    return maxsim_topk(grouped, [q0, q1], k=10)
+
+
 def q_ann_bq_topk(spark, sf_dir):
     """Binary-quantized ANN with exact rescore (ann.bq_hamming_topk —
     the modern 1-bit BQ recipe): sign-bit codes packed 32/word,
@@ -3142,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": q_kn_perplexity,
         "ann_bq_topk": q_ann_bq_topk,
         "jl_project": q_jl_project,
+        "maxsim_topk": q_maxsim_topk,
         "stream_regress": q_stream_regress,
         "rule_tags": q_rule_tags,
         "kl_divergence": q_kl_divergence,
@@ -5221,6 +5240,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ub ON s.b = ub.term
             CROSS JOIN tot
             GROUP BY s.doc_id
+        """,
+        "maxsim_topk": f"""
+            WITH {_EMB_FLAT_CTE},
+            q0 AS (SELECT x AS qx0, i FROM flat WHERE vec_id = 0),
+            q1 AS (SELECT x AS qx1, i FROM flat WHERE vec_id = 1),
+            c AS (
+              SELECT f.vec_id,
+                sum(f.x * q0.qx0)
+                  / (sqrt(sum(f.x * f.x)) * sqrt(sum(q0.qx0 * q0.qx0)))
+                  AS c0,
+                sum(f.x * q1.qx1)
+                  / (sqrt(sum(f.x * f.x)) * sqrt(sum(q1.qx1 * q1.qx1)))
+                  AS c1
+              FROM flat f JOIN q0 USING (i) JOIN q1 ON f.i = q1.i
+              GROUP BY f.vec_id),
+            m AS (SELECT vec_id % 500 AS doc_id,
+                         max(c0) AS m0, max(c1) AS m1
+                  FROM c GROUP BY vec_id % 500)
+            SELECT doc_id, round(m0 + m1, 5) AS score
+            FROM m ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "jl_project": f"""
             WITH {_EMB_FLAT_CTE},

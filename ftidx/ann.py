@@ -933,3 +933,44 @@ def pca_project(embeddings: DataFrame, model: dict,
             y = y / F.lit(math.sqrt(model["explained_var"][j] + eps))
         comps.append(y)
     return embeddings.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def maxsim_topk(vecs: DataFrame, query_vecs: list[list[float]],
+                k: int = 10, doc_col: str = "doc_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) top-k over a
+    MULTI-VECTOR corpus — ``vecs`` holds one row per (document,
+    passage/token vector): score(doc) = Σ_q max_v cos(q, v), each
+    query vector matching its best vector within the document
+    (Khattab & Zaharia 2020's scoring rule, reduced to its exact
+    DataFrame form).
+
+    Scale shape: the per-row cosines against all |Q| query vectors are
+    ONE codegen projection (query vectors bake in as literals — |Q| is
+    a query's token count, tens), the per-doc maxes are a map-side-
+    combinable groupBy (partial max per partition — the corpus-sized
+    stream collapses before the exchange), the Σ over query vectors is
+    arithmetic on the aggregated row, and the cut is one
+    TakeOrderedAndProject. One doc-keyed shuffle of |docs| rows total,
+    never |rows| × |Q|. Returns (doc_id, score) with score rounded to
+    5, ties (score DESC, doc ASC)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if not query_vecs:
+        raise ValueError("need at least one query vector")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos_cols = []
+    for j, q in enumerate(query_vecs):
+        qarr = F.array(*[F.lit(float(x)) for x in q])
+        cos_cols.append(
+            (_dot(v, qarr) / (_norm(v) * _norm(qarr))).alias(f"_c{j}"))
+    per_row = vecs.select(F.col(doc_col).alias("doc_id"), *cos_cols)
+    agg = per_row.groupBy("doc_id").agg(
+        *[F.max(f"_c{j}").alias(f"_m{j}")
+          for j in range(len(query_vecs))])
+    total = None
+    for j in range(len(query_vecs)):
+        c = F.col(f"_m{j}")
+        total = c if total is None else total + c
+    return (agg.select("doc_id", F.round(total, 5).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

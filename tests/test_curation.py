@@ -2055,3 +2055,46 @@ def test_curate_corpus_license_gate(spark):
     clean = curate_corpus(docs, min_tokens=1, min_quality=0.0,
                           permissive_only=True)
     assert [r["doc_id"] for r in clean.collect()] == [1]
+
+
+def test_maxsim_topk_recount(emb):
+    """MaxSim == a numpy recount of sum-of-max cosines over a
+    multi-vector grouping; single-vector degenerates to brute cosine
+    ranking; empty-query refusal."""
+    import numpy as np
+
+    from ftidx.ann import maxsim_topk, cosine_topk
+
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    # group the 32 vectors into docs of ~4 vectors each
+    grouped = emb.selectExpr("vec_id % 8 AS doc_id", "embedding")
+    q = [list(raw[100]), list(raw[5]), list(-raw[7])]
+    got = maxsim_topk(grouped, q, k=8).collect()
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want = {}
+    for vid, vec in raw.items():
+        d = vid % 8
+        cs = [cos(np.array(qq), vec) for qq in q]
+        cur = want.setdefault(d, [-2.0] * len(q))
+        want[d] = [max(a, b) for a, b in zip(cur, cs)]
+    want_scores = {d: round(sum(ms), 5) for d, ms in want.items()}
+    assert {r["doc_id"]: r["score"] for r in got} == \
+        {d: pytest.approx(s, abs=2e-5)
+         for d, s in sorted(want_scores.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[:8]}
+    # ranking matches the recount's order
+    order = [d for d, _ in sorted(want_scores.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))][:8]
+    assert [r["doc_id"] for r in got] == order
+
+    # one query vector over one-vector docs == brute cosine
+    single = maxsim_topk(emb.withColumnRenamed("vec_id", "doc_id"),
+                         [list(raw[100])], k=5).collect()
+    brute = cosine_topk(emb, list(raw[100]), k=5).collect()
+    assert [r["doc_id"] for r in single] == [r["vec_id"] for r in brute]
+    with pytest.raises(ValueError):
+        maxsim_topk(emb, [], k=5)
