@@ -1175,6 +1175,12 @@ def q_secret_scrub(spark, sf_dir):
     return scrub_secrets(_docs(spark, sf_dir).withColumn("text", t))
 
 
+# the oracle regex is EMITTED from the engine constant (single quotes
+# escaped for the SQL literal) so the two dialects can never drift
+from ftidx.textops import SPDX_RE as _SPDX_RE_CONST
+_SPDX_RE_SQL = _SPDX_RE_CONST.replace("'", "''")
+
+
 def q_license_tags(spark, sf_dir):
     """License detection (textops.license_tags — The Stack's
     permissive-license gate): SPDX tag wins over header phrases,
@@ -6042,7 +6048,7 @@ def oracle_sql() -> dict[str, str]:
             x AS (
               SELECT doc_id,
                 nullif(regexp_extract(head,
-                  'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1),
+                  '{_SPDX_RE_SQL}', 1),
                   '') AS spdx,
                 lower(head) AS low
               FROM h),

@@ -204,3 +204,27 @@ def bpe_vocab(spark: SparkSession, merges: list[tuple[str, str]]) -> DataFrame:
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank long, a string, b string, merged string")
+
+
+def merges_to_json(merges: list[tuple[str, str]]) -> str:
+    """Serialize a trained merge list to JSON (ordered — rank IS the
+    position), the shape a tokenizer registry stores."""
+    import json
+
+    return json.dumps({"type": "bpe", "merges": [list(m) for m in merges]})
+
+
+def merges_from_json(s: str) -> list[tuple[str, str]]:
+    import json
+
+    obj = json.loads(s)
+    if not isinstance(obj, dict) or obj.get("type") != "bpe" \
+            or not isinstance(obj.get("merges"), list):
+        raise ValueError('expected {"type": "bpe", "merges": [[a,b]…]}')
+    out = []
+    for m in obj["merges"]:
+        if (not isinstance(m, list) or len(m) != 2
+                or not all(isinstance(x, str) and x for x in m)):
+            raise ValueError(f"bad merge entry {m!r}")
+        out.append((m[0], m[1]))
+    return out

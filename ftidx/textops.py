@@ -1719,7 +1719,8 @@ PERMISSIVE_LICENSES = {"Apache-2.0", "MIT", "BSD", "BSD-2-Clause",
                        "BSD-3-Clause", "Unlicense", "ISC", "0BSD",
                        "MPL-2.0"}
 
-SPDX_RE = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
+SPDX_RE = ("SPDX-License-Identifier:[ \\t]*"
+           "([A-Za-z0-9.+-]+(?: (?:OR|AND|WITH) [A-Za-z0-9.+-]+)*)")
 
 
 def license_tags(docs: DataFrame, *, head_lines: int = 30,
@@ -1737,10 +1738,11 @@ def license_tags(docs: DataFrame, *, head_lines: int = 30,
 
     Output: (doc_id, spdx, phrase_license, license, permissive, keep)
     — ``keep`` is the permissive-corpus verdict: license detected AND
-    in ``permissive`` (defaults to :data:`PERMISSIVE_LICENSES`; an
-    SPDX expression like ``Apache-2.0 OR MIT`` keeps its verbatim
-    string and matches only if that exact string is allowed — refine
-    the allowlist rather than parsing expressions silently).
+    in ``permissive`` (defaults to :data:`PERMISSIVE_LICENSES`). An
+    SPDX EXPRESSION (``Apache-2.0 OR MIT``) is captured whole and
+    kept verbatim, so it matches only if that exact string is in the
+    allowlist — conservative by default; add the expressions you
+    accept rather than having them parsed silently.
 
     Scale shape: ZERO shuffle — one head-slice + one regexp_extract +
     a fixed CASE chain of containments, all per-row codegen (the

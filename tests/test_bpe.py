@@ -200,3 +200,19 @@ def test_encode_null_text(spark):
     got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
            for r in bpe_encode(df, []).collect()}
     assert got == {1: (0, 0), 2: (1, 2)}
+
+
+def test_merges_json_roundtrip(spark):
+    from ftidx.bpe import (merges_from_json, merges_to_json, train_bpe)
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=8)
+    assert merges_from_json(merges_to_json(merges)) == merges
+    import pytest as _pt
+    for bad in ["{}", '{"type": "bpe", "merges": [["a"]]}',
+                '{"type": "unigram", "merges": []}',
+                '{"type": "bpe", "merges": [["a", ""]]}']:
+        with _pt.raises(ValueError):
+            merges_from_json(bad)

@@ -2024,6 +2024,7 @@ def test_license_tags_detection_and_precedence(spark):
         # MIT body phrase without the name
         (8, "Permission is hereby granted, free of charge, to any\nx"),
         (9, "# SPDX-License-Identifier: GPL-3.0-only\nx"),
+        (10, "# SPDX-License-Identifier: Apache-2.0 OR MIT\nx"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict()
@@ -2038,6 +2039,13 @@ def test_license_tags_detection_and_precedence(spark):
     assert got[7]["license"] == "Apache-2.0+" and got[7]["keep"] is False
     assert got[8]["license"] == "MIT"
     assert got[9]["license"] == "GPL-3.0-only" and got[9]["keep"] is False
+    # SPDX EXPRESSIONS are captured whole and stay verbatim —
+    # conservative: not in the allowlist unless added explicitly
+    assert got[10]["license"] == "Apache-2.0 OR MIT"
+    assert got[10]["keep"] is False
+    dual = {r["doc_id"]: r["keep"] for r in license_tags(
+        docs, permissive={"Apache-2.0 OR MIT"}).collect()}
+    assert dual[10] is True
     # custom allowlist flips the verdict
     strict = {r["doc_id"]: r["keep"] for r in license_tags(
         docs, permissive={"GPL-3.0-only"}).collect()}
