@@ -962,8 +962,14 @@ def maxsim_topk(vecs: DataFrame, query_vecs: list[list[float]],
     cos_cols = []
     for j, q in enumerate(query_vecs):
         qarr = F.array(*[F.lit(float(x)) for x in q])
+        # the query norm is a constant — computing it driver-side
+        # halves the per-row fold work (the aggregate over a literal
+        # array is NOT constant-folded by Catalyst)
+        qn = math.sqrt(sum(float(x) * float(x) for x in q))
+        if qn == 0.0:
+            raise ValueError(f"query vector {j} is all-zero")
         cos_cols.append(
-            (_dot(v, qarr) / (_norm(v) * _norm(qarr))).alias(f"_c{j}"))
+            (_dot(v, qarr) / (_norm(v) * F.lit(qn))).alias(f"_c{j}"))
     per_row = vecs.select(F.col(doc_col).alias("doc_id"), *cos_cols)
     agg = per_row.groupBy("doc_id").agg(
         *[F.max(f"_c{j}").alias(f"_m{j}")

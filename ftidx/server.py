@@ -1202,8 +1202,13 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                     # queue behind a long-running daemon iteration).
                     action = qs.get("action", [""])[0]
                     if action == "list":
-                        self._json(200, {"daemons": [
-                            daemons[k].info() for k in sorted(daemons)]})
+                        # list(values()) snapshots atomically under the
+                        # GIL — a concurrent kill must not blow up the
+                        # listing mid-iteration
+                        snap = sorted(list(daemons.values()),
+                                      key=lambda d: d.id)
+                        self._json(200, {"daemons": [d.info()
+                                                     for d in snap]})
                     elif action in ("stop", "kill"):
                         did = qs.get("id", [""])[0]
                         d = daemons.get(did)
