@@ -1406,7 +1406,7 @@ class FtIndex:
         return out[:k]
 
     def topk_phrase_boosted(self, terms: list[str], k: int = 10,
-                            pf_weight: float = 2.0,
+                            pf_weight: float = 2.0, slop: int = 0,
                             field: str = "code.content") -> list[tuple[int, float]]:
         """Solr edismax ``pf=`` analog: the ordinary bag-of-words BM25
         ranking over the query terms, plus an additive phrase bonus —
@@ -1415,15 +1415,22 @@ class FtIndex:
         hits float to the top but partial matches still rank. The bonus
         is idf-scaled (rare phrases boost more) and document-length
         independent, which keeps it engine-reproducible (no second
-        tf-normalization to disagree on).
+        tf-normalization to disagree on). ``slop`` is Solr's ``ps=``:
+        with slop > 0 the bonus goes to docs whose terms fit a
+        minimum covering window of ≤ (n_terms − 1 + slop) positions
+        (the unordered proximity reading every dedicated ``~N``
+        surface here uses), exact adjacency when 0.
 
         Requires ``build_index(..., positions=True)``; phrase
         verification is the positions-only check of
-        :func:`ftidx.positions.phrase_docs`, scoring reuses the warm
+        :func:`ftidx.positions.phrase_docs` /
+        :func:`~ftidx.positions.near_docs`, scoring reuses the warm
         term cache — one cache probe per term, no Spark job."""
-        from ftidx.positions import phrase_docs
+        from ftidx.positions import near_docs, phrase_docs
         from ftidx.wand import _topk_from_scores, score_exhaustive
 
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
         if k <= 0 or not terms:
             return []
         lists, avgdl = self._term_lists(terms, field)
@@ -1431,7 +1438,11 @@ class FtIndex:
             return []
         ids, scores = score_exhaustive(lists, avgdl, 1 << 31)
         by_term = self._positions_by_term(sorted(set(terms)), field)
-        pdocs = phrase_docs(by_term, list(terms))
+        if slop > 0:
+            pdocs = near_docs(by_term, list(terms),
+                              window=len(terms) - 1 + slop)
+        else:
+            pdocs = phrase_docs(by_term, list(terms))
         if pdocs.size:
             bonus = pf_weight * float(sum(tl.idf for tl in lists))
             scores = scores + bonus * np.isin(ids.astype(np.int64), pdocs)

@@ -22,7 +22,7 @@ Endpoints (all JSON):
 - ``GET /fuzzy?term=deff&d=1``  → fuzzy vocabulary expansion
 - ``qf=fieldA^2,fieldB`` on /search → multi-field weighted BM25
   (``tie=0.1`` switches to dismax: best field + tie × the rest);
-  ``pf=2.0`` exact-phrase boost, ``bq=term^1.5`` boost queries
+  ``pf=2.0`` exact-phrase boost (``ps=N`` phrase slop), ``bq=term^1.5`` boost queries
 - ``GET /query?q=...`` → full Lucene/Solr query-string syntax
   (``+must -not field:term "a b"~slop term^boost``) via ftidx.qparse
 - ``GET /phrase?q=a+b&k=10``  → exact-phrase top-k (positional index)
@@ -1151,7 +1151,9 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                                 terms, boosts, k=k, field=field)
                         elif pf:
                             hits = idx.topk_phrase_boosted(
-                                terms, k=k, pf_weight=float(pf), field=field)
+                                terms, k=k, pf_weight=float(pf),
+                                slop=int(qs.get("ps", ["0"])[0]),
+                                field=field)
                         elif weights:
                             hits = idx.topk_fields(
                                 terms, weights, k=k,

@@ -221,3 +221,47 @@ def test_topk_phrase_boosted(spark, pidx):
     # k=0 / unknown term guards
     assert idx.topk_phrase_boosted(phrase, k=0) == []
     assert idx.topk_phrase_boosted(["zzz_never"], k=5) == []
+
+
+def test_phrase_boost_slop_ps(spark, tmp_path):
+    """ps= (Solr phrase slop on the pf bonus): terms within the slop
+    window earn the bonus that exact adjacency alone would miss;
+    slop=0 stays the strict phrase; negative slop refuses."""
+    from ftidx.index import build_index, open_index
+
+    docs = [
+        ("r", f"a{i}.py", "c", "python",
+         {0: "alpha beta gap gap tail",     # adjacent
+          1: "alpha gap beta tail tail",    # 1 apart (slop 1)
+          2: "alpha gap gap gap beta",      # 4-window (slop 3)
+          3: "beta only here with filler"}[i], False)
+        for i in range(4)
+    ]
+    from datetime import datetime
+
+    src = spark.createDataFrame(
+        [(r, p, c, l, t, d, datetime(2026, 1, 1))
+         for r, p, c, l, t, d in docs],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, modified timestamp")
+    out = str(tmp_path / "psidx")
+    build_index(spark, src, out, n_buckets=2, positions=True)
+    idx = open_index(spark, out)
+
+    base = dict(idx.topk_phrase_boosted(
+        ["alpha", "beta"], k=4, pf_weight=0.0))
+
+    def boosted(slop):
+        got = dict(idx.topk_phrase_boosted(
+            ["alpha", "beta"], k=4, pf_weight=5.0, slop=slop))
+        return {d for d, s in got.items() if s > base[d] + 1e-9}
+
+    strict = boosted(0)
+    one = boosted(1)
+    wide = boosted(3)
+    assert len(strict) == 1          # only the adjacent doc
+    assert strict < one < wide       # each slop level adds its doc
+    assert len(wide) == 3
+    import pytest as _pt
+    with _pt.raises(ValueError, match="slop"):
+        idx.topk_phrase_boosted(["alpha", "beta"], slop=-1)
