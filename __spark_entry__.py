@@ -2377,6 +2377,22 @@ def _jl_signs_values(out_dim: int = 4, dim: int = 64) -> str:
     return ", ".join(rows)
 
 
+def q_dense_rerank(spark, sf_dir):
+    """Retrieve-then-rerank (ann.rerank_dense): BM25 top-50 shortlist
+    reordered by exact cosine to query vector 0 (vec_id aligns with
+    doc_id in the testdata), top 10 — the standard two-stage serving
+    shape; the candidate page broadcasts into the embedding scan."""
+    from ftidx.ann import rerank_dense
+
+    cands = _ranked(_bm25_scored(spark, sf_dir),
+                    [F.desc("score_r"), F.asc("doc_id")], 50) \
+        .select("doc_id", "score_r")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = [float(x)
+          for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return rerank_dense(cands, emb, q0, k=10)
+
+
 def q_maxsim_topk(spark, sf_dir):
     """Late-interaction MaxSim top-k (ann.maxsim_topk, ColBERT's
     scoring rule): the embeddings table grouped into multi-vector
@@ -3167,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bq_topk": q_ann_bq_topk,
         "jl_project": q_jl_project,
         "maxsim_topk": q_maxsim_topk,
+        "dense_rerank": q_dense_rerank,
         "stream_regress": q_stream_regress,
         "rule_tags": q_rule_tags,
         "kl_divergence": q_kl_divergence,
@@ -5246,6 +5263,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ub ON s.b = ub.term
             CROSS JOIN tot
             GROUP BY s.doc_id
+        """,
+        "dense_rerank": _BM25_CTE + f""",
+            cand AS (
+              SELECT doc_id, score_r FROM (
+                SELECT doc_id, score_r,
+                       row_number() OVER (
+                         ORDER BY score_r DESC, doc_id) AS rnk
+                FROM bm25) WHERE rnk <= 50),
+            {_EMB_FLAT_CTE.lstrip().rstrip()},
+            qf AS (SELECT x AS qx, i FROM flat WHERE vec_id = 0),
+            cos AS (
+              SELECT f.vec_id AS doc_id,
+                     round(sum(f.x * qf.qx)
+                           / (sqrt(sum(f.x * f.x))
+                              * sqrt(sum(qf.qx * qf.qx))), 5) AS cosine
+              FROM flat f JOIN qf USING (i)
+              WHERE f.vec_id IN (SELECT doc_id FROM cand)
+              GROUP BY f.vec_id)
+            SELECT c.doc_id, c.score_r, k.cosine
+            FROM cand c JOIN cos k USING (doc_id)
+            ORDER BY k.cosine DESC, c.doc_id ASC LIMIT 10
         """,
         "maxsim_topk": f"""
             WITH {_EMB_FLAT_CTE},

@@ -980,3 +980,31 @@ def maxsim_topk(vecs: DataFrame, query_vecs: list[list[float]],
         total = c if total is None else total + c
     return (agg.select("doc_id", F.round(total, 5).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def rerank_dense(candidates: DataFrame, embeddings: DataFrame,
+                 query: list[float], k: int = 10,
+                 cand_id: str = "doc_id", id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Retrieve-then-rerank: exact dense (cosine) second-stage scoring
+    of a first-stage candidate page — the standard two-stage serving
+    shape (BM25 or ANN shortlist → full-precision semantic rerank).
+    ``candidates`` is the head-sized first-stage frame keyed by
+    ``cand_id``; every OTHER column it carries (the lexical score, a
+    rank) rides through to the output for downstream fusion/display.
+    Returns the candidates reordered by (cosine DESC, id ASC), cut at
+    k, with ``cosine`` appended.
+
+    Scale shape: the candidate page (KB) broadcasts into the
+    embedding scan, so the full-precision vectors are read for
+    exactly the candidate set — the same candidates-broadcast
+    discipline as :func:`bq_hamming_topk`'s rescore stage; zero
+    corpus-sized shuffle."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    extra = [c for c in candidates.columns if c != cand_id]
+    cand = candidates.select(F.col(cand_id).alias(id_col), *extra)
+    j = embeddings.select(id_col, vec_col).join(F.broadcast(cand), id_col)
+    scored = with_cosine(j, vec_col, query)
+    return (scored.select(F.col(id_col).alias(cand_id), *extra, "cosine")
+            .orderBy(F.desc("cosine"), F.asc(cand_id)).limit(k))

@@ -2106,3 +2106,32 @@ def test_maxsim_topk_recount(emb):
     assert [r["doc_id"] for r in single] == [r["vec_id"] for r in brute]
     with pytest.raises(ValueError):
         maxsim_topk(emb, [], k=5)
+
+
+def test_rerank_dense_reorders_candidates(emb):
+    """Dense rerank of a candidate page == cosine ranking restricted
+    to the candidate set; carried columns survive; candidates without
+    vectors drop (inner join semantics)."""
+    import numpy as np
+
+    from ftidx.ann import cosine_topk, rerank_dense
+
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    spark = emb.sparkSession
+    cands = spark.createDataFrame(
+        [(101, 0.9), (3, 0.8), (7, 0.7), (100, 0.6), (999, 0.5)],
+        "doc_id long, bm25 double")
+    q = [float(x) for x in raw[100]]
+    got = rerank_dense(cands, emb, q, k=5).collect()
+    # 999 has no vector -> dropped; order = cosine among {101,3,7,100}
+    exact = {r["vec_id"]: r["cosine"]
+             for r in cosine_topk(emb, q, k=100).collect()}
+    want = sorted([101, 3, 7, 100],
+                  key=lambda d: (-exact[d], d))
+    assert [r["doc_id"] for r in got] == want
+    assert got[0]["doc_id"] == 100 and got[0]["cosine"] == 1.0
+    assert {r["doc_id"]: r["bm25"] for r in got} == \
+        {101: 0.9, 3: 0.8, 7: 0.7, 100: 0.6}
+    for r in got:
+        assert r["cosine"] == exact[r["doc_id"]]
