@@ -876,6 +876,29 @@ def q_graph_expand(spark, sf_dir):
     return graph_expand(edges, seeds, max_depth=4)
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (ftidx.graph.pagerank): 2 power
+    iterations with damping 0.85 over the same md5-derived edge table
+    as graph_expand, every intermediate rank rounded to 9 before the
+    next iteration (the ann_ivf_kmeans unrollable-oracle discipline)
+    — the oracle unrolls both iterations in SQL, dangling mass
+    redistributed uniformly in both engines."""
+    from ftidx.graph import pagerank
+    from ftidx.textops import _md5_uniform
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    edges = None
+    for seed in (9, 10):
+        e = docs.select(
+            F.floor(_md5_uniform(F.col("doc_id"), seed) * F.lit(float(n)))
+            .cast("long").alias("src"),
+            F.col("doc_id").alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return pagerank(edges, iters=2)
+
+
 def q_shortest_paths(spark, sf_dir):
     """All shortest paths (Solr shortestPath(), ftidx.graph
     .shortest_path): same md5-derived edge table as graph_expand;
@@ -3166,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scrub": q_secret_scrub,
         "license_tags": q_license_tags,
         "frange_filter": q_frange_filter,
+        "pagerank": q_pagerank,
         "shortest_paths": q_shortest_paths,
         "wordbreak_splits": q_wordbreak_splits,
         "infix_suggest": q_infix_suggest,
@@ -4448,6 +4472,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE {heatmap_sql(*_HEATMAP_BOX)[0]}
             GROUP BY 1, 2
             ORDER BY cell_y, cell_x
+        """,
+        "pagerank": f"""
+            WITH edges AS (
+              SELECT floor({_md5_u_sql('doc_id', 9)}
+                           * (SELECT count(*) FROM documents))::BIGINT AS src,
+                     doc_id AS dst
+              FROM documents
+              UNION ALL
+              SELECT floor({_md5_u_sql('doc_id', 10)}
+                           * (SELECT count(*) FROM documents))::BIGINT AS src,
+                     doc_id AS dst
+              FROM documents
+            ),
+            nodes AS (SELECT DISTINCT node FROM (
+              SELECT src AS node FROM edges
+              UNION SELECT dst AS node FROM edges)),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            od AS (SELECT src, count(*)::DOUBLE AS od
+                   FROM edges GROUP BY src),
+            r0 AS (SELECT node, round(1.0 / n, 9) AS r
+                   FROM nodes CROSS JOIN nn),
+            c1 AS (SELECT e.dst AS node, sum(r0.r / od.od) AS c
+                   FROM edges e JOIN r0 ON e.src = r0.node
+                   JOIN od ON e.src = od.src GROUP BY e.dst),
+            d1 AS (SELECT coalesce(sum(r0.r), 0) AS dang
+                   FROM r0 LEFT JOIN od ON r0.node = od.src
+                   WHERE od.src IS NULL),
+            r1 AS (SELECT nodes.node,
+                     round((1 - 0.85) / n
+                           + 0.85 * (coalesce(c1.c, 0) + d1.dang / n), 9)
+                       AS r
+                   FROM nodes CROSS JOIN nn CROSS JOIN d1
+                   LEFT JOIN c1 ON nodes.node = c1.node),
+            c2 AS (SELECT e.dst AS node, sum(r1.r / od.od) AS c
+                   FROM edges e JOIN r1 ON e.src = r1.node
+                   JOIN od ON e.src = od.src GROUP BY e.dst),
+            d2 AS (SELECT coalesce(sum(r1.r), 0) AS dang
+                   FROM r1 LEFT JOIN od ON r1.node = od.src
+                   WHERE od.src IS NULL),
+            r2 AS (SELECT nodes.node,
+                     round((1 - 0.85) / n
+                           + 0.85 * (coalesce(c2.c, 0) + d2.dang / n), 9)
+                       AS r
+                   FROM nodes CROSS JOIN nn CROSS JOIN d2
+                   LEFT JOIN c2 ON nodes.node = c2.node)
+            SELECT node, round(r, 5) AS rank_r FROM r2
         """,
         "graph_expand": f"""
             WITH RECURSIVE edges AS (

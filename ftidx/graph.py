@@ -150,3 +150,63 @@ def graph_reachable(edges: DataFrame, seeds: DataFrame, max_iter: int = 20,
     Returns (node, depth) like graph_expand."""
     return graph_expand(edges, seeds, max_depth=max_iter,
                         from_col=from_col, to_col=to_col)
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             from_col: str = "src", to_col: str = "dst",
+             round_digits: int = 9) -> DataFrame:
+    """Fixed-iteration PageRank over an edge table — the canonical
+    iterative graph computation, in the deterministic unrollable form
+    (the ``ann_ivf_kmeans`` discipline): a FIXED number of power
+    iterations with every intermediate rank rounded to
+    ``round_digits`` before feeding the next, so each iteration is a
+    pure function any engine reproduces and an oracle can unroll.
+
+    Per iteration: r' = (1−d)/N + d·(Σ_in r/outdeg + dangling/N),
+    with the dangling mass (ranks of sink nodes) redistributed
+    uniformly — the standard stochastic-matrix completion. The node
+    universe is distinct(src) ∪ distinct(dst).
+
+    Scale shape: ranks and out-degrees are node-keyed tables; each
+    iteration is one src-keyed join + one dst-keyed
+    map-side-combinable groupBy — the classic two-shuffle PageRank
+    round, with ``localCheckpoint`` cutting lineage so N iterations
+    never stack N plans; the dangling mass is the only driver scalar
+    (one 1-row collect per iteration). Returns (node, rank_r) with
+    rank_r rounded to 5."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    e = edges.select(F.col(from_col).alias("src"),
+                     F.col(to_col).alias("dst")).localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_r", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    d = float(damping)
+    base = (1.0 - d) / n
+    ranks = nodes.withColumn("r", F.round(F.lit(1.0 / n), round_digits))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("r") / F.col("od")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("c")))
+        dang_row = (ranks.join(outdeg,
+                               ranks["node"] == outdeg["src"], "left_anti")
+                    .agg(F.sum("r").alias("s")).collect()[0])
+        dang = float(dang_row["s"] or 0.0)
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select("node",
+                    F.round(F.lit(base)
+                            + F.lit(d) * (F.coalesce(F.col("c"), F.lit(0.0))
+                                          + F.lit(dang / n)),
+                            round_digits).alias("r"))
+            .localCheckpoint())
+    return ranks.select("node", F.round("r", 5).alias("rank_r"))

@@ -164,3 +164,54 @@ def test_shortest_path_python_bfs_recount(spark):
             assert r["length"] == dist[t] == len(p) - 1
             for a, b in zip(p, p[1:]):      # every hop a real edge
                 assert b in adj[a]
+
+
+def test_pagerank_recount_and_properties(spark):
+    """Fixed-iteration PageRank against a pure-Python recount with the
+    SAME per-iteration rounding; mass conservation; the hub out-ranks
+    leaves; dangling mass redistributes (a sink doesn't swallow
+    rank)."""
+    from ftidx.graph import pagerank
+
+    # star into 0 plus a chain with a sink: 1..4 -> 0, 0 -> 5 (sink)
+    edge_list = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 5)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank_r"]
+           for r in pagerank(edges, iters=3).collect()}
+
+    nodes = sorted({x for e in edge_list for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: round(1.0 / n, 9) for v in nodes}
+    d = 0.85
+    for _ in range(3):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edge_list:
+            contrib[t] += r[s] / outdeg[s]
+        dang = sum(r[v] for v in nodes if v not in outdeg)
+        r = {v: round((1 - d) / n + d * (contrib[v] + dang / n), 9)
+             for v in nodes}
+    want = {v: round(x, 5) for v, x in r.items()}
+    assert got == want
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
+    # the hub and its sole sink (which inherits the hub's entire
+    # mass) both out-rank the pointed-from leaves
+    assert min(got[0], got[5]) > got[1] == got[2] == got[3] == got[4]
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(edges, damping=1.0)
+
+
+def test_pagerank_layout_invariant(spark):
+    from ftidx.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(40)], "src long, dst long")
+    a = {r["node"]: r["rank_r"]
+         for r in pagerank(edges.repartition(1), iters=2).collect()}
+    b = {r["node"]: r["rank_r"]
+         for r in pagerank(edges.repartition(5), iters=2).collect()}
+    assert a == b
