@@ -49,3 +49,41 @@ def test_spark_submit_pyfiles_build(spark, tmp_path):
 
     idx = open_index(spark, str(tmp_path / "idx"))
     assert idx.topk(["def"], k=5)
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_curate(spark, tmp_path):
+    """The curation job through the same fresh-JVM --py-files path:
+    every import from the zip, survivors written, summary JSON with
+    the gates recorded."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from package_pyfiles import build_zip
+
+    zip_path = build_zip(tmp_path / "ftidx.zip")
+    docs_dir = tmp_path / "docs"
+    rows = [(i, f"sample text number {i} with shared words body filler")
+            for i in range(40)]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]  # exact dups
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(docs_dir))
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", str(zip_path),
+         str(REPO / "tools" / "submit_curate.py"),
+         "--docs", str(docs_dir), "--out", str(tmp_path / "clean"),
+         "--min-tokens", "3", "--min-quality", "0.0"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["docs_in"] == 42
+    assert 0 < summary["docs_out"] < 42  # the dups dropped
+    got = spark.read.parquet(str(tmp_path / "clean"))
+    assert got.count() == summary["docs_out"]
+    assert set(got.columns) == {"doc_id", "text"}

@@ -1,0 +1,89 @@
+"""spark-submit job entry point: curate a training corpus.
+
+The training-data twin of :mod:`tools.submit_build` — same deployment
+shape (``--py-files dist/ftidx.zip``, all configuration as CLI args,
+SparkSession from spark-submit's conf) driving
+:func:`ftidx.curate.curate_corpus` end-to-end: optional license gate →
+optional code-file gate → quality gate → exact dedup → near-dup
+(pairwise or transitive) → optional SemDeDup → optional LM gate →
+optional decontamination, survivors written as parquet plus a one-line
+JSON summary on stdout (docs in, docs out, per-stage config).
+
+Package + submit:
+
+    python tools/package_pyfiles.py dist/ftidx.zip
+    spark-submit --master local[8] \
+        --py-files dist/ftidx.zip \
+        tools/submit_curate.py \
+        --docs /path/to/documents_parquet --out /path/to/clean \
+        [--code-rules] [--permissive-only] [--transitive] \
+        [--probes /path/to/eval_parquet] \
+        [--embeddings /path/to/embeddings_parquet] \
+        [--min-tokens 5] [--min-quality 0.2] [--near-dup 0.8]
+
+``--docs`` needs (doc_id, text[, …]) columns; ``--probes`` the same
+shape; ``--embeddings`` (vec_id, embedding) keyed by doc id.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--docs", required=True, help="documents parquet dir")
+    ap.add_argument("--out", required=True, help="survivors output dir")
+    ap.add_argument("--code-rules", action="store_true")
+    ap.add_argument("--permissive-only", action="store_true")
+    ap.add_argument("--transitive", action="store_true")
+    ap.add_argument("--probes", default=None)
+    ap.add_argument("--embeddings", default=None)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--near-dup", type=float, default=0.8)
+    args = ap.parse_args()
+
+    # SparkSession comes from spark-submit's conf — do NOT build one
+    # with local-mode defaults here, or cluster submission breaks.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("ftidx-curate").getOrCreate()
+
+    from ftidx.curate import curate_corpus
+
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    clean = curate_corpus(
+        docs,
+        probes=spark.read.parquet(args.probes) if args.probes else None,
+        embeddings=(spark.read.parquet(args.embeddings)
+                    if args.embeddings else None),
+        code_rules=args.code_rules,
+        permissive_only=args.permissive_only,
+        transitive=args.transitive,
+        min_tokens=args.min_tokens,
+        min_quality=args.min_quality,
+        near_dup_threshold=args.near_dup,
+    )
+    clean.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "docs_in": n_in, "docs_out": n_out,
+        "stages": {
+            "permissive_only": args.permissive_only,
+            "code_rules": args.code_rules,
+            "min_tokens": args.min_tokens,
+            "min_quality": args.min_quality,
+            "near_dup_threshold": args.near_dup,
+            "transitive": args.transitive,
+            "semdedup": bool(args.embeddings),
+            "decontamination": bool(args.probes),
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
