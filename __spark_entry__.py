@@ -4500,9 +4500,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM r0 LEFT JOIN od ON r0.node = od.src
                    WHERE od.src IS NULL),
             r1 AS (SELECT nodes.node,
-                     round((1 - 0.85) / n
-                           + 0.85 * (coalesce(c1.c, 0) + d1.dang / n), 9)
-                       AS r
+                     round((1 - 0.85 + 0.85 * d1.dang) * (1.0 / n)
+                           + 0.85 * coalesce(c1.c, 0), 9) AS r
                    FROM nodes CROSS JOIN nn CROSS JOIN d1
                    LEFT JOIN c1 ON nodes.node = c1.node),
             c2 AS (SELECT e.dst AS node, sum(r1.r / od.od) AS c
@@ -4512,9 +4511,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM r1 LEFT JOIN od ON r1.node = od.src
                    WHERE od.src IS NULL),
             r2 AS (SELECT nodes.node,
-                     round((1 - 0.85) / n
-                           + 0.85 * (coalesce(c2.c, 0) + d2.dang / n), 9)
-                       AS r
+                     round((1 - 0.85 + 0.85 * d2.dang) * (1.0 / n)
+                           + 0.85 * coalesce(c2.c, 0), 9) AS r
                    FROM nodes CROSS JOIN nn CROSS JOIN d2
                    LEFT JOIN c2 ON nodes.node = c2.node)
             SELECT node, round(r, 5) AS rank_r FROM r2

@@ -154,6 +154,7 @@ def graph_reachable(edges: DataFrame, seeds: DataFrame, max_iter: int = 20,
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              from_col: str = "src", to_col: str = "dst",
+             seeds: DataFrame | None = None,
              round_digits: int = 9) -> DataFrame:
     """Fixed-iteration PageRank over an edge table — the canonical
     iterative graph computation, in the deterministic unrollable form
@@ -164,8 +165,15 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
 
     Per iteration: r' = (1−d)/N + d·(Σ_in r/outdeg + dangling/N),
     with the dangling mass (ranks of sink nodes) redistributed
-    uniformly — the standard stochastic-matrix completion. The node
-    universe is distinct(src) ∪ distinct(dst).
+    over the teleport distribution — the standard stochastic-matrix
+    completion. The node universe is distinct(src) ∪ distinct(dst).
+
+    ``seeds`` switches to PERSONALIZED PageRank (the recommendation /
+    "related to these" reading): the teleport distribution
+    concentrates uniformly on the seed set instead of all nodes —
+    (1−d) mass and the dangling mass land only on seeds, so ranks
+    measure proximity to the seeds under the random surfer. Seeds
+    start with rank 1/|S| each; non-seeds with 0.
 
     Scale shape: ranks and out-degrees are node-keyed tables; each
     iteration is one src-keyed join + one dst-keyed
@@ -188,8 +196,23 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         return nodes.withColumn("rank_r", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     d = float(damping)
-    base = (1.0 - d) / n
-    ranks = nodes.withColumn("r", F.round(F.lit(1.0 / n), round_digits))
+    if seeds is not None:
+        scol = seeds.columns[0]
+        seed_nodes = (seeds.select(F.col(scol).alias("node")).distinct()
+                      .join(nodes, "node").localCheckpoint())
+        n_seeds = seed_nodes.count()
+        if n_seeds == 0:
+            raise ValueError("no seed is a graph node")
+        # teleport vector: 1/|S| on seeds, 0 elsewhere
+        tele = nodes.join(
+            seed_nodes.withColumn("_t", F.lit(1.0 / n_seeds)),
+            "node", "left").select(
+            "node", F.coalesce(F.col("_t"), F.lit(0.0)).alias("t"))
+    else:
+        tele = nodes.withColumn("t", F.lit(1.0 / n))
+    tele = tele.localCheckpoint()
+    ranks = tele.select(
+        "node", F.round(F.col("t"), round_digits).alias("r"))
     for _ in range(iters):
         contrib = (
             e.join(ranks.select(F.col("node").alias("src"), "r"), "src")
@@ -202,11 +225,12 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                     .agg(F.sum("r").alias("s")).collect()[0])
         dang = float(dang_row["s"] or 0.0)
         ranks = (
-            nodes.join(contrib, "node", "left")
+            tele.join(contrib, "node", "left")
             .select("node",
-                    F.round(F.lit(base)
-                            + F.lit(d) * (F.coalesce(F.col("c"), F.lit(0.0))
-                                          + F.lit(dang / n)),
+                    F.round((F.lit(1.0 - d) + F.lit(d * dang))
+                            * F.col("t")
+                            + F.lit(d) * F.coalesce(F.col("c"),
+                                                    F.lit(0.0)),
                             round_digits).alias("r"))
             .localCheckpoint())
     return ranks.select("node", F.round("r", 5).alias("rank_r"))

@@ -2,6 +2,8 @@
 Python BFS recount, cycle termination, max_depth cutoff, returnRoot
 semantics, and multi-seed min-depth."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -191,7 +193,7 @@ def test_pagerank_recount_and_properties(spark):
         for s, t in edge_list:
             contrib[t] += r[s] / outdeg[s]
         dang = sum(r[v] for v in nodes if v not in outdeg)
-        r = {v: round((1 - d) / n + d * (contrib[v] + dang / n), 9)
+        r = {v: round((1 - d + d * dang) * (1.0 / n) + d * contrib[v], 9)
              for v in nodes}
     want = {v: round(x, 5) for v, x in r.items()}
     assert got == want
@@ -215,3 +217,46 @@ def test_pagerank_layout_invariant(spark):
     b = {r["node"]: r["rank_r"]
          for r in pagerank(edges.repartition(5), iters=2).collect()}
     assert a == b
+
+
+def test_personalized_pagerank(spark):
+    """seeds= concentrates the teleport mass: ranks measure proximity
+    to the seeds (nodes downstream of the seed out-rank the rest);
+    pure-Python recount with the identical arithmetic; seeds outside
+    the graph refuse."""
+    from ftidx.graph import pagerank
+
+    # two disjoint chains: 0->1->2 and 10->11->12
+    edge_list = [(0, 1), (1, 2), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["rank_r"]
+           for r in pagerank(edges, iters=3, seeds=seeds).collect()}
+
+    nodes = sorted({x for e in edge_list for x in e})
+    outdeg = {}
+    for s_, _ in edge_list:
+        outdeg[s_] = outdeg.get(s_, 0) + 1
+    t = {v: (1.0 if v == 0 else 0.0) for v in nodes}
+    r = {v: round(t[v], 9) for v in nodes}
+    d = 0.85
+    for _ in range(3):
+        contrib = {v: 0.0 for v in nodes}
+        for s_, t_ in edge_list:
+            contrib[t_] += r[s_] / outdeg[s_]
+        dang = sum(r[v] for v in nodes if v not in outdeg)
+        r = {v: round((1 - d + d * dang) * t[v] + d * contrib[v], 9)
+             for v in nodes}
+    # final cut rounds HALF-UP in both engines (F.round / DuckDB);
+    # Python's round() is banker's — use the floor-shift form
+    def r5(x):
+        return math.floor(x * 1e5 + 0.5) / 1e5
+
+    assert got == {v: r5(x) for v, x in r.items()}
+    # the seed's chain carries ALL the mass; the other chain none
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    assert got[10] == got[11] == got[12] == 0.0
+
+    bad = spark.createDataFrame([(999,)], "node long")
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(edges, seeds=bad)
