@@ -748,6 +748,11 @@ def binary_quantize(embeddings: DataFrame, id_col: str = "vec_id",
                 F.lit(1)).otherwise(F.lit(0)).cast("long"))
 
     code = F.transform(F.sequence(F.lit(0), n_words - 1), word)
+    # d = 0 → n_words = 0, and sequence(0, -1) is the DESCENDING
+    # sequence [0, -1] in Spark, which would emit two garbage words;
+    # an empty embedding gets an explicitly empty bcode instead
+    code = F.when(d > 0, code).otherwise(
+        F.array().cast("array<long>"))
     return embeddings.select(F.col(id_col), code.alias("bcode"))
 
 
@@ -779,6 +784,14 @@ def bq_hamming_topk(embeddings: DataFrame, query: list[float],
         F.zip_with(F.col("bcode"), qarr,
                    lambda a, b: F.bit_count(a.bitwiseXOR(b))),
         F.lit(0), lambda acc, x: acc + x)
+    # a corpus row whose dimension differs from the query's would
+    # null-pad through zip_with into a NULL hamming (nulls-last →
+    # silently unranked); fail loudly instead
+    ham = F.when(F.size(F.col("bcode")) == len(qwords), ham).otherwise(
+        F.raise_error(F.format_string(
+            "bq_hamming_topk: corpus code has %d words, query has "
+            + str(len(qwords)) + " — embedding dimension mismatch",
+            F.size(F.col("bcode")))))
     cands = (codes.withColumn("hamming", ham)
              .orderBy(F.asc("hamming"), F.asc(id_col))
              .limit(k * rescore)
@@ -1003,6 +1016,16 @@ def rerank_dense(candidates: DataFrame, embeddings: DataFrame,
     if k < 0:
         raise ValueError("k must be >= 0")
     extra = [c for c in candidates.columns if c != cand_id]
+    # ride-through columns join against the embedding scan and gain a
+    # 'cosine' column: a candidate column named like the embedding
+    # id/vector (ambiguous join) or 'cosine' (silently shadowed) must
+    # be renamed by the caller, not guessed at here
+    clash = {c for c in extra if c in (id_col, vec_col, "cosine")}
+    if clash:
+        raise ValueError(
+            f"rerank_dense: candidate column(s) {sorted(clash)} collide "
+            f"with the embedding scan ({id_col!r}/{vec_col!r}) or the "
+            "appended 'cosine' score — rename them before reranking")
     cand = candidates.select(F.col(cand_id).alias(id_col), *extra)
     j = embeddings.select(id_col, vec_col).join(F.broadcast(cand), id_col)
     scored = with_cosine(j, vec_col, query)

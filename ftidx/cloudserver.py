@@ -80,7 +80,7 @@ def _make_cloud_handler(shards, lock: threading.Lock):
                     if u.path == "/search":
                         fq_raw = qs.get("fq", [""])[0]
                         if fq_raw.startswith("{!frange"):
-                            # Solr fq={!frange l= u= incl= inch=}func
+                            # Solr fq={!frange l= u= incl= incu=}func
                             # over the cluster — FtShards.topk_frange
                             # (global scalars, shard-local splices)
                             head, sep, src = fq_raw.partition("}")
@@ -92,7 +92,7 @@ def _make_cloud_handler(shards, lock: threading.Lock):
                                 kk, _, vv = tokp.partition("=")
                                 lp[kk.strip()] = vv.strip()
                             unknown = set(lp) - {"l", "u", "incl",
-                                                 "inch", ""}
+                                                 "incu", "inch", ""}
                             unknown.discard("")
                             if unknown:
                                 raise ValueError(
@@ -104,7 +104,9 @@ def _make_cloud_handler(shards, lock: threading.Lock):
                                 l=float(lp["l"]) if "l" in lp else None,
                                 u=float(lp["u"]) if "u" in lp else None,
                                 incl_l=lp.get("incl", "true") != "false",
-                                incl_u=lp.get("inch", "true") != "false",
+                                incl_u=lp.get(
+                                    "incu", lp.get("inch", "true"))
+                                != "false",
                                 now_ms=int(now_ms) if now_ms
                                 else None).collect()
                             body = {"hits": [

@@ -1613,7 +1613,7 @@ class FtIndex:
         """Solr ``{!frange}`` filter query (FunctionRangeQParser):
         keep only match-set docs whose FUNCTION-QUERY value lies in
         the range — ``fq={!frange l=0 u=100}sum(...)`` semantics, with
-        ``incl_l``/``incl_u`` mapping to Solr's ``incl``/``inch``
+        ``incl_l``/``incl_u`` mapping to Solr's ``incl``/``incu``
         bound-inclusivity flags. The function uses the same Solr
         syntax, resolution (scale/docfreq/termfreq/...) and compiled
         codegen expression as :meth:`topk_funcquery` — frange is the

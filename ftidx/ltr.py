@@ -333,10 +333,33 @@ feats AS (
 )"""
 
 
+def round5(col: Column) -> Column:
+    """Deterministic 5-decimal round for the MODEL SCORE: features are
+    already rounded to 5 decimals and weights/leaf values are short
+    decimals, so the score lands on exact decimal half-boundaries at
+    digit 6 SYSTEMATICALLY — where Spark's round(x, 5) (HALF_UP on the
+    shortest decimal repr, BigDecimal.valueOf) and DuckDB's round
+    (binary value) disagree by 1e-5.  Scaling to integer magnitude
+    first makes the tie representable: x·1e5 at a true decimal tie IS
+    exactly N.5 in binary (|N| < 2^51), and round-to-integer of N.5 is
+    half-away-from-zero in BOTH engines.  round5_sql/round5_np are the
+    oracle/serving twins — one definition, three dialects."""
+    return F.round(col * F.lit(1e5)) / F.lit(1e5)
+
+
+def round5_sql(expr: str) -> str:
+    return f"(round(({expr}) * 100000.0) / 100000.0)"
+
+
+def round5_np(x: np.ndarray) -> np.ndarray:
+    y = np.asarray(x, dtype=np.float64) * 1e5
+    return np.copysign(np.floor(np.abs(y) + 0.5), y) / 1e5
+
+
 def score_features(feats: DataFrame, model, out: str = "ltr_score") -> DataFrame:
     """Apply a model to a feature frame — one codegen expression, the
     Solr rescoring arithmetic run corpus-wide (feature-logging mode)."""
-    return feats.withColumn(out, F.round(model.score_col(), 5))
+    return feats.withColumn(out, round5(model.score_col()))
 
 
 # --------------------------------------------------------------------------

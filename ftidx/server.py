@@ -35,7 +35,7 @@ Endpoints (all JSON):
   (Solr bf=; expression over stored metadata columns);
   ``boost=100/(100+n_chars)`` → multiplicative (edismax boost=)
 - ``fq={!frange l=0 u=100}func`` on /search → function range filter
-  (Solr FunctionRangeQParser; ``incl``/``inch`` bound flags); any
+  (Solr FunctionRangeQParser; ``incl``/``incu`` bound flags, ``inch`` kept as a legacy alias); any
   other ``fq=`` string filters as a metadata predicate (topk_where)
 - ``GET /explain?q=a+b&id=123`` → per-term BM25 score decomposition
   (Solr debugQuery explain)
@@ -1022,7 +1022,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                                     kk, _, vv = tokp.partition("=")
                                     lp[kk.strip()] = vv.strip()
                                 unknown = set(lp) - {"l", "u", "incl",
-                                                     "inch", ""}
+                                                     "incu", "inch", ""}
                                 unknown.discard("")
                                 if unknown:
                                     raise ValueError(
@@ -1038,7 +1038,8 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                                     else None,
                                     incl_l=lp.get("incl", "true")
                                     != "false",
-                                    incl_u=lp.get("inch", "true")
+                                    incl_u=lp.get(
+                                        "incu", lp.get("inch", "true"))
                                     != "false",
                                     now_ms=int(now_ms) if now_ms
                                     else None).collect()

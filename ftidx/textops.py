@@ -1696,8 +1696,23 @@ def scrub_secrets(docs: DataFrame, text_col: str = "text",
     )
 
 
+def license_phrase_re(frag: str) -> str:
+    """Word-boundary regex for a license phrase fragment: bare
+    containment tags 'unlicensed' (common in PROPRIETARY headers —
+    "Unlicensed copying of this file is prohibited") as Unlicense
+    with keep=true, the opposite of the permissive gate's documented
+    conservative bias; 'permit licensee' would likewise contain
+    'mit license'.  `(^|[^a-z0-9])frag($|[^a-z0-9])` is expressible
+    identically in Java regex (Spark rlike) and RE2 (DuckDB
+    regexp_matches), so the oracle compiler emits the same pattern."""
+    import re as _re
+
+    return "(^|[^a-z0-9])" + _re.escape(frag) + "($|[^a-z0-9])"
+
+
 LICENSE_PHRASES = [
-    # phrase fragments (lowercased containment) → canonical license id,
+    # phrase fragments (lowercased word-boundary regex match, see
+    # license_phrase_re) → canonical license id,
     # ordered MOST specific first: detection takes the first hit, so
     # "apache license" must not shadow "apache license, version 2.0"
     ("apache license, version 2.0", "Apache-2.0"),
@@ -1756,7 +1771,8 @@ def license_tags(docs: DataFrame, *, head_lines: int = 30,
     phrase = F.lit(None).cast("string")
     # build the CASE chain in REVERSE so the first table entry wins
     for frag, lic in reversed(LICENSE_PHRASES):
-        phrase = F.when(low.contains(frag), F.lit(lic)).otherwise(phrase)
+        phrase = F.when(low.rlike(license_phrase_re(frag)),
+                        F.lit(lic)).otherwise(phrase)
     license_ = F.coalesce(spdx, phrase)
     perm = F.when(license_.isNull(), F.lit(False)).otherwise(
         license_.isin(*sorted(allowed)))

@@ -154,3 +154,22 @@ def test_cloud_frange(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{base}/search?{q2}")
     assert ei.value.code == 400
+
+    # Solr's REAL upper-inclusivity flag is incu (FunctionRangeQParser)
+    # — a client sending genuine Solr syntax must not get a 400; incu
+    # excludes the u=600 boundary rows exactly like the library call
+    q3 = urllib.parse.urlencode(
+        {"q": "def return", "k": "5",
+         "fq": "{!frange l=0 u=600 incu=false}" + func})
+    status3, body3 = _get(f"{base}/search?{q3}")
+    assert status3 == 200
+    lib3 = shards.topk_frange(["def", "return"], func,
+                              k=5, l=0, u=600, incl_u=False).collect()
+    assert [(h["shard"], h["doc_id"], h["fval"]) for h in body3["hits"]] \
+        == [(r["shard"], r["doc_id"], r["fval"]) for r in lib3]
+    # the pre-fix alias still works
+    q4 = urllib.parse.urlencode(
+        {"q": "def return", "k": "5",
+         "fq": "{!frange l=0 u=600 inch=false}" + func})
+    status4, body4 = _get(f"{base}/search?{q4}")
+    assert status4 == 200 and body4 == body3

@@ -1,0 +1,46 @@
+"""Pin __spark_entry__._CONTRACT_COLS (the static ORDER BY source for
+the DuckDB oracles) against the LIVE Spark schemas of every contract
+query, and pin the sortability invariant the _pin_query/_pin_oracle
+pair relies on: all contract outputs are scalar-typed columns where
+Spark and DuckDB share total-order semantics.  A query whose output
+schema drifts from the dict would ORDER BY the wrong columns on the
+oracle side and flip the driver row red — this test catches that at
+commit time."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# types where Spark and DuckDB agree on comparison semantics (binary
+# strings, NaN-greatest doubles, false<true booleans).  map/struct/
+# array/binary are NOT listed: adding a query that emits one must
+# extend _pin_query with an explicit sortable projection first.
+SORTABLE = {"tinyint", "smallint", "int", "bigint", "float", "double",
+            "boolean", "string", "date", "timestamp"}
+
+
+def _entry():
+    import __spark_entry__ as e
+    return e
+
+
+def test_every_query_has_cols_entry():
+    e = _entry()
+    assert set(e._CONTRACT_COLS) == set(e.queries())
+
+
+def test_every_oracle_is_pinned():
+    e = _entry()
+    for name, sql in e.oracle_sql().items():
+        assert "__pin ORDER BY" in sql, name
+
+
+@pytest.mark.parametrize("name", sorted(
+    __import__("__spark_entry__")._CONTRACT_COLS))
+def test_cols_match_live_schema(spark, name):
+    e = _entry()
+    df = e.queries()[name](spark, SF)
+    assert sorted(df.columns) == e._CONTRACT_COLS[name], name
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    bad = {c: t for c, t in kinds.items() if t not in SORTABLE}
+    assert not bad, (name, bad)

@@ -1901,6 +1901,24 @@ def test_binary_quantize_packing_matches_signs(emb):
         binary_quantize(emb, bits_per_word=63)
 
 
+def test_binary_quantize_empty_vector_empty_code(spark):
+    """d=0 → bcode=[] (NOT sequence(0,-1)'s descending [0,-1] garbage
+    words); a dimension-mismatched corpus row makes bq_hamming_topk
+    raise instead of silently null-ranking it last."""
+    from ftidx.ann import binary_quantize, bq_hamming_topk
+
+    emb0 = spark.createDataFrame(
+        [(1, [1.0, -1.0, 2.0]), (2, [])],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: list(r["bcode"])
+           for r in binary_quantize(emb0).collect()}
+    assert got[2] == []
+    assert len(got[1]) == 1
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception, match="dimension mismatch|SparkRuntimeException"):
+        bq_hamming_topk(emb0, [1.0, -1.0, 2.0], k=2).collect()
+
+
 def test_bq_hamming_topk_recall_and_recount(emb):
     """Stage-1 Hamming equals a numpy sign-mismatch recount; the
     two-stage result finds the exact top-1/2 (the planted near-dup
@@ -2052,6 +2070,31 @@ def test_license_tags_detection_and_precedence(spark):
     assert strict[9] is True and strict[1] is False
 
 
+def test_license_phrases_are_word_bounded(spark):
+    """Phrase detection is word-boundary regex, not substring: a
+    proprietary 'Unlicensed copying …' header must NOT tag Unlicense
+    (keep=true — the opposite of the gate's conservative bias), and
+    'permit licensee' must not contain-match 'mit license'.  Real
+    boundary-separated mentions still hit."""
+    from ftidx.textops import license_tags
+
+    rows = [
+        (1, "// Unlicensed copying of this file is prohibited.\nx"),
+        (2, "# Released under the Unlicense.\nx"),
+        (3, "we permit licensee to use this internally only\nx"),
+        (4, "# MIT License\nx"),
+        (5, "see unlicense, full text below\nx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in license_tags(docs, head_lines=30).collect()}
+    assert got[1]["license"] is None and got[1]["keep"] is False
+    assert got[2]["license"] == "Unlicense" and got[2]["keep"] is True
+    assert got[3]["license"] is None and got[3]["keep"] is False
+    assert got[4]["license"] == "MIT"
+    assert got[5]["license"] == "Unlicense"
+
+
 def test_curate_corpus_license_gate(spark):
     from ftidx.curate import curate_corpus
 
@@ -2135,3 +2178,8 @@ def test_rerank_dense_reorders_candidates(emb):
         {101: 0.9, 3: 0.8, 7: 0.7, 100: 0.6}
     for r in got:
         assert r["cosine"] == exact[r["doc_id"]]
+    # ride-through columns colliding with the embedding scan or the
+    # appended score raise loudly instead of ambiguous-join/shadowing
+    for bad in ("embedding", "vec_id", "cosine"):
+        with pytest.raises(ValueError, match="collide"):
+            rerank_dense(cands.withColumn(bad, F.lit(0.0)), emb, q, k=5)

@@ -244,3 +244,32 @@ def test_ltr_rerank_duplicate_terms_count_once(spark, tmp_path):
     hits = idx.ltr_rerank(["merge", "merge"],
                           LinearModel({"matched": 1.0}), k=10)
     assert hits and all(s == 1.0 for _, s in hits)
+
+
+def test_round5_three_dialects_agree_on_decimal_ties(spark):
+    """The ltr_score round: pre-rounded features x short-decimal
+    weights land on EXACT decimal half-boundaries at digit 6 (e.g.
+    1.06243 * 0.5 = 0.531215), where Spark's round(x, 5) (HALF_UP on
+    the shortest decimal repr) and DuckDB's round (binary) disagree by
+    1e-5 — the sf0.001 ltr_linear mismatch.  round5 scales to integer
+    magnitude first, where the tie is exactly representable and both
+    engines round half away from zero; this pins Spark == DuckDB ==
+    numpy on a grid of systematic tie values."""
+    import duckdb
+    import numpy as np
+
+    from ftidx.ltr import round5, round5_np, round5_sql
+
+    vals = [1.06243 * 0.5, 6.532835, -6.532835, 0.000005, -0.000005,
+            2.718285, 1.0 / 3.0, -1.0 / 3.0, 123456.000015, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [r["y"] for r in
+                 df.select(round5(F.col("x")).alias("y")).collect()]
+    con = duckdb.connect()
+    got_duck = [con.sql(f"SELECT {round5_sql(repr(v) + '::DOUBLE')} AS y"
+                        ).fetchone()[0] for v in vals]
+    got_np = list(round5_np(np.array(vals)))
+    assert got_spark == got_duck == got_np
+    # the tie really is a tie: scaled value is exactly N.5
+    assert (1.06243 * 0.5) * 1e5 == 53121.5
+    assert got_duck[0] == 0.53122  # half away from zero, both engines

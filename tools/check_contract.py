@@ -1,6 +1,10 @@
 """Local mimic of the driver's correctness gate: run each
 __spark_entry__.queries() entry and its oracle_sql() twin on the same
-parquet, compare row count + column names + order-insensitive values.
+parquet, compare row count + column names + IN-ORDER values (the
+driver's hash is row-order sensitive; since round 4 every contract
+query and oracle carries a total ORDER BY over all columns, so the
+local gate compares in order too and labels order-only divergence
+separately from value mismatches).
 
 Usage: python tools/check_contract.py [sf_dir] [name ...]
 """
@@ -63,7 +67,12 @@ def dtype_mismatches(sdf, odf) -> list[str]:
     return out
 
 
-def canon(rows, cols):
+def canon(rows, cols, in_order=True):
+    """Canonicalize rows for comparison.  in_order=True (the default
+    since round 4) preserves row order — the driver's value hash is
+    order-sensitive, and round 3's one red row (collocations) was
+    bit-identical values in different order, invisible to the old
+    sorted comparison."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -74,7 +83,7 @@ def canon(rows, cols):
                 v = round(v, 9)
             vals.append(v)
         out.append(tuple(vals))
-    return sorted(out, key=repr)
+    return out if in_order else sorted(out, key=repr)
 
 
 def main():
@@ -121,14 +130,18 @@ def main():
         a, b = canon(srows, scols), canon(orows, ocols)
         ok_rows = len(a) == len(b)
         ok_vals = a == b
+        # distinguish order-only divergence (sorted-equal) from a real
+        # value mismatch — both FAIL, but the fix differs
+        ok_sorted = ok_vals or sorted(a, key=repr) == sorted(b, key=repr)
         status = "OK" if (ok_cols and ok_rows and ok_vals and not bad_dtypes) else "FAIL"
-        print(f"{name:28s} rows={len(a):6d}/{len(b):6d} cols={'OK' if ok_cols else scols+ocols} vals={'OK' if ok_vals else 'MISMATCH'} dtypes={'OK' if not bad_dtypes else bad_dtypes} -> {status}")
+        vals_s = "OK" if ok_vals else ("ORDER-ONLY" if ok_sorted else "MISMATCH")
+        print(f"{name:28s} rows={len(a):6d}/{len(b):6d} cols={'OK' if ok_cols else scols+ocols} vals={vals_s} dtypes={'OK' if not bad_dtypes else bad_dtypes} -> {status}")
         if status == "FAIL":
             failures.append(name)
             if not ok_vals and ok_rows:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                for x, y in diff:
-                    print(f"   spark={x}\n   duck ={y}")
+                diff = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+                for i, x, y in diff:
+                    print(f"   row {i}: spark={x}\n          duck ={y}")
             elif not ok_rows:
                 print(f"   spark-only sample: {[r for r in a if r not in set(map(repr, b))][:2]}")
     if failures:
