@@ -103,8 +103,41 @@ def _merge_kernel(a: str, b: str):
 _SYMTAB_SCHEMA = "word string, n long, syms array<string>"
 
 
+def _train_on_word_counts(pairs: list[tuple[str, int]],
+                          n_merges: int) -> list[tuple[str, str]]:
+    """The merge loop on a COLLECTED (word, n) table — plain Python,
+    same statistics and the same (count DESC, a ASC, b ASC) argmax as
+    the distributed loop (Python str comparison == Spark's binary
+    UTF-8 order: UTF-8 byte order is code-point order)."""
+    tab: list[tuple[int, list[str]]] = []
+    for word, n in pairs:
+        syms = list(word[:-1]) + [word[-1] + END]
+        tab.append((n, syms))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        cnt: dict[tuple[str, str], int] = {}
+        for n, syms in tab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + n
+        if not cnt:
+            break
+        a, b = min(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+        merges.append((a, b))
+        ab = a + b
+        for row in tab:
+            syms = row[1]
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i:i + 2] = [ab]
+                i += 1
+    return merges
+
+
 def train_bpe(docs: DataFrame, n_merges: int = 50,
-              text_col: str = "text") -> list[tuple[str, str]]:
+              text_col: str = "text",
+              driver_side: bool = False) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from ``docs``. Deterministic: the
     argmax tie-break is (count DESC, a ASC, b ASC), so the merge list
     is a pure function of the corpus.
@@ -114,7 +147,24 @@ def train_bpe(docs: DataFrame, n_merges: int = 50,
     a groupBy (pair counts), a 1-row TakeOrdered to the driver (the
     argmax), and one Arrow kernel pass. localCheckpoint every few
     rounds truncates the growing lineage exactly like the
-    connected-components loop in :mod:`ftidx.dedup`."""
+    connected-components loop in :mod:`ftidx.dedup`.
+
+    ``driver_side=True`` changes WHERE the merge loop runs, not what
+    it computes: one corpus pass + ONE collect of the
+    vocabulary-sized word-count table, then the loop in driver
+    memory — pinned bit-identical to the distributed path (and to the
+    pure-Python reference in tests/test_bpe.py).  Crossover: the
+    distributed loop costs ~3 Spark jobs per merge, so a real 32k-
+    merge vocabulary is ~10^5 sequential jobs — days of scheduler
+    round-trips for state that is only vocabulary-sized (the same
+    observation :mod:`ftidx.unigram` exploits).  Prefer driver_side
+    whenever the distinct-word table fits driver memory (10^6-10^8
+    rows — it does on any sane driver); keep the distributed loop for
+    a pathological vocabulary or for plan-shape tests."""
+    if driver_side:
+        rows = word_counts(docs, text_col).collect()
+        return _train_on_word_counts(
+            [(r["word"], r["n"]) for r in rows], n_merges)
     symtab = _init_symbols(word_counts(docs, text_col)).cache()
     symtab.count()  # materialize before the loop
     merges: list[tuple[str, str]] = []

@@ -643,7 +643,10 @@ def trim_duplicate_spans(docs: DataFrame, gram: int = 48, stride: int = 16,
 def semdedup(embeddings: DataFrame, threshold: float = 0.95,
              n_centroids: int = 16, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             centroids: DataFrame | None = None) -> DataFrame:
+             centroids: DataFrame | None = None,
+             cell_cap: int | None = None,
+             peel_rounds: int = 4,
+             stats: dict | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — cluster the vectors with
     the IVF coarse quantizer, then compare pairs ONLY within a
@@ -662,13 +665,50 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
     Σ_c |c|², so size ``n_centroids`` ≈ n / target_cell (SemDeDup uses
     50k clusters for LAION-440M). Assignment is a broadcast centroid
     crossJoin (the corpus never shuffles for it); the pair join
-    shuffles once on centroid_id. K-means keeps cells near-balanced;
-    a degenerate hot cell is capped the same way hot shingles are —
-    sub-split it on an extra SRP-LSH bit before the self-join.
-    Duplicates across cluster boundaries are missed by construction —
-    the paper's accepted recall trade; raise n_probe-style recall by
-    unioning verdicts across two quantizers if needed."""
-    from .ann import _dot, _norm, ivf_assign, ivf_centroids
+    shuffles once on the cell key. Duplicates across cluster
+    boundaries are missed by construction — the paper's accepted
+    recall trade; raise n_probe-style recall by unioning verdicts
+    across two quantizers if needed.
+
+    **Hot-cell enforcement** (the hot-shingle cap discipline): a
+    near-dup-heavy corpus — exactly what SemDeDup is FOR — can
+    concentrate near-identical embeddings into one k-means cell and
+    recreate the n² blowup the clustering exists to avoid.
+    ``cell_cap`` (default: max(256, 8·⌈n/n_centroids⌉); 0 disables)
+    bounds every pair-join group:
+
+    1. Cell sizes come from one aggregate (≤ n_centroids rows to the
+       driver — model-sized).  Cells over the cap are SUB-SPLIT on
+       extra SRP-LSH bits (enough bits to bring a uniform cell under
+       the cap, ≤ 12); SRP preserves angular locality, so a ≥thr pair
+       separates only when a hyperplane passes between near-parallel
+       vectors — the same accepted miss as SRP-LSH dedup itself.
+    2. A sub-cell STILL over the cap is angular-degenerate (vectors
+       so aligned the hyperplanes cannot separate them — the
+       all-near-identical regime).  Those groups skip the pair join
+       entirely and resolve by ANCHOR PEELING, ``peel_rounds``
+       rounds, each O(|group|): the group's min unresolved id is the
+       anchor; every member compares to the anchor only.  Members
+       above the anchor at cos ≥ thr resolve as dups (their nn_cos is
+       the anchor cosine — a valid lower-id witness, possibly below
+       the true max); the anchor resolves as dup iff some LOWER-id
+       member (dup or not) matches it, else as a non-dup.  In the
+       degenerate regime round 1 resolves the whole group against the
+       true min id — exact verdicts, n comparisons instead of n².
+       Members still unresolved after ``peel_rounds`` return
+       is_dup=false with nn_cos = their best anchor cosine (a true
+       but possibly non-maximal lower-id witness) — the bounded-work
+       recall trade, reachable only by an adversarial ball of
+       pairwise-sub-threshold vectors.
+
+    A corpus with no cell over the cap takes the identical pair join
+    as ``cell_cap=0`` — enforcement costs one model-sized aggregate
+    until it is needed.  ``stats`` (optional dict) receives
+    cap/hot-cell/pair-budget telemetry so tests and operators can see
+    the bound working."""
+    import math
+
+    from .ann import _dot, _norm, _plane_sign, ivf_assign, ivf_centroids
 
     cents = centroids if centroids is not None else ivf_centroids(
         embeddings, n_centroids, id_col, vec_col)
@@ -677,32 +717,137 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .join(assigned.withColumnRenamed(id_col, "id"), "id")
     )
-    lo = e.select(F.col("id").alias("prior_id"), F.col("v").alias("vp"),
-                  "centroid_id")
-    hi = e.select(F.col("id").alias("dup_id"), F.col("v").alias("vd"),
-                  "centroid_id")
-    vp = F.transform(F.col("vp"), lambda x: x.cast("double"))
-    vd = F.transform(F.col("vd"), lambda x: x.cast("double"))
-    cos = F.round(_dot(vp, vd) / (_norm(vp) * _norm(vd)), 5)
-    nn = (
-        hi.join(lo, "centroid_id")
-        .filter(F.col("prior_id") < F.col("dup_id"))
-        .select("dup_id", cos.alias("cos"))
-        .groupBy("dup_id")
-        .agg(F.max("cos").alias("nn_cos"))
-        .withColumnRenamed("dup_id", "id")
-    )
-    return (
-        e.select("id", "centroid_id")
-        .join(nn, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "centroid_id",
-            "nn_cos",
-            F.coalesce(F.col("nn_cos") >= F.lit(threshold),
-                       F.lit(False)).alias("is_dup"),
+
+    def _cos(a, b):
+        aa = F.transform(a, lambda x: x.cast("double"))
+        bb = F.transform(b, lambda x: x.cast("double"))
+        return F.round(_dot(aa, bb) / (_norm(aa) * _norm(bb)), 5)
+
+    def _pair_nn(cells: DataFrame) -> DataFrame:
+        # within-cell lower-id max-cosine — the paper's pair join,
+        # keyed on whatever 'cell' the caller built
+        lo = cells.select(F.col("id").alias("prior_id"),
+                          F.col("v").alias("vp"), "cell")
+        hi = cells.select(F.col("id").alias("dup_id"),
+                          F.col("v").alias("vd"), "cell")
+        return (
+            hi.join(lo, "cell")
+            .filter(F.col("prior_id") < F.col("dup_id"))
+            .select("dup_id", _cos(F.col("vp"), F.col("vd")).alias("cos"))
+            .groupBy("dup_id")
+            .agg(F.max("cos").alias("nn_cos"))
+            .withColumnRenamed("dup_id", "id")
         )
-    )
+
+    def _emit(nn: DataFrame) -> DataFrame:
+        return (
+            e.select("id", "centroid_id")
+            .join(nn, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                "centroid_id",
+                "nn_cos",
+                F.coalesce(F.col("nn_cos") >= F.lit(threshold),
+                           F.lit(False)).alias("is_dup"),
+            )
+        )
+
+    cells = e.withColumn("cell", F.col("centroid_id").cast("string"))
+    if cell_cap == 0:
+        return _emit(_pair_nn(cells))
+
+    sizes = {r["cell"]: r["n"] for r in
+             cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    n_total = sum(sizes.values())
+    cap = cell_cap if cell_cap is not None else max(
+        256, 8 * math.ceil(n_total / max(1, n_centroids)))
+    hot = sorted(c for c, s in sizes.items() if s > cap)
+    if stats is not None:
+        stats.update(cap=cap, n_total=n_total, hot_cells=list(hot),
+                     pair_budget_uncapped=sum(s * s for s in sizes.values()))
+    if not hot:
+        if stats is not None:
+            stats.update(still_hot=[], n_peeled=0, split_bits=0,
+                         pair_budget=stats["pair_budget_uncapped"])
+        return _emit(_pair_nn(cells))
+
+    # 1. sub-split hot cells on SRP bits (plane table offset 7000 —
+    # clear of the SRP-LSH/JL families' plane ids)
+    bits = min(12, max(
+        math.ceil(math.log2(sizes[c] / cap)) + 2 for c in hot))
+    dim = len(e.select("v").first()[0])
+    vdd = F.transform(F.col("v"), lambda x: x.cast("double"))
+    sub = F.concat(*[
+        F.when(_dot(vdd, F.array(*[F.lit(_plane_sign(7000 + j, i))
+                                   for i in range(dim)])) > 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for j in range(bits)])
+    cells = cells.withColumn(
+        "cell",
+        F.when(F.col("cell").isin(hot),
+               F.concat_ws(":", F.col("cell"), sub))
+        .otherwise(F.col("cell")))
+
+    # 2. groups still over the cap are angular-degenerate → peel
+    split_sizes = (cells.filter(F.col("cell").contains(":"))
+                   .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    still_hot = [r["cell"] for r in
+                 split_sizes.filter(F.col("n") > cap).collect()]
+    pair_cells = cells.filter(~F.col("cell").isin(still_hot))
+    verdicts = [_pair_nn(pair_cells)]
+
+    n_peeled = 0
+    if still_hot:
+        group = (cells.filter(F.col("cell").isin(still_hot))
+                 .select("cell", "id", "v").localCheckpoint())
+        n_peeled = group.count()
+        unres = group.select("cell", "id")
+        for _ in range(peel_rounds):
+            anch = unres.groupBy("cell").agg(F.min("id").alias("aid"))
+            anchv = (group.join(F.broadcast(anch), "cell")
+                     .filter(F.col("id") == F.col("aid"))
+                     .select("cell", "aid", F.col("v").alias("av")))
+            # every member (resolved or not) compares to the anchor:
+            # already-resolved lower-id dups are still valid witnesses
+            # for resolving the ANCHOR itself
+            j = (group.join(F.broadcast(anchv), "cell")
+                 .filter(F.col("id") != F.col("aid"))
+                 .select("cell", "id", "aid",
+                         _cos(F.col("v"), F.col("av")).alias("cos")))
+            # unresolved members emit their anchor cosine whether or
+            # not it clears the threshold — a sub-threshold cosine is
+            # still a true lower-id witness, so a member that never
+            # resolves reports its best seen nn_cos instead of NULL
+            mem_cmp = (j.filter(F.col("id") > F.col("aid"))
+                       .join(unres, ["cell", "id"], "left_semi")
+                       .select("id", F.col("cos").alias("nn_cos")))
+            mem_hits = mem_cmp.filter(F.col("nn_cos") >= F.lit(threshold))
+            a_wit = (j.filter(F.col("id") < F.col("aid"))
+                     .groupBy("aid").agg(F.max("cos").alias("nn_cos"))
+                     .withColumnRenamed("aid", "id"))
+            verdicts.append(mem_cmp)
+            verdicts.append(a_wit)
+            unres = (unres
+                     .join(mem_hits.select("id"), "id", "left_anti")
+                     .join(anch.select(F.col("aid").alias("id")),
+                           "id", "left_anti")
+                     .localCheckpoint())
+            if unres.isEmpty():
+                break
+        # leftovers after peel_rounds stay unresolved → no verdict
+        # row → nn_cos NULL / is_dup false via _emit's left join (the
+        # documented bounded-work recall trade)
+    if stats is not None:
+        budget = sum(min(s, cap) ** 2 for s in sizes.values())
+        stats.update(still_hot=still_hot, n_peeled=n_peeled,
+                     split_bits=bits,
+                     pair_budget=budget + n_peeled * peel_rounds)
+    nn = verdicts[0]
+    for vdf in verdicts[1:]:
+        nn = nn.unionByName(vdf)
+    nn = nn.groupBy("id").agg(F.max("nn_cos").alias("nn_cos"))
+    return _emit(nn)
 
 
 def prototype_prune(embeddings: DataFrame, drop_permille: int = 300,

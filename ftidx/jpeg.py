@@ -3,11 +3,13 @@
 Decoder: ITU T.81 baseline sequential DCT (SOF0/SOF1) — marker parse,
 canonical Huffman entropy decode (spec F.2.2 DECODE with
 mincode/maxcode/valptr), dequantization, orthonormal 8x8 IDCT,
-restart-marker segments, byte destuffing. Output is the LUMA plane as
-uint8 (H, W): JPEG's Y channel *is* BT.601 luma, so this is exactly
-the plane ``bmp_decode``/``png_decode`` reduce to — chroma blocks are
-entropy-decoded (the bitstream cannot be advanced otherwise) but never
-reconstructed, which skips 2/3 of the IDCT work on 4:2:0 files.
+restart-marker segments, byte destuffing. EVERY component is
+reconstructed: ``jpeg_decode`` returns the luma plane as uint8 (H, W)
+— JPEG's Y channel *is* BT.601 luma, exactly the plane
+``bmp_decode``/``png_decode`` reduce to — and ``jpeg_decode_rgb``
+upsamples the subsampled Cb/Cr planes (sample replication) and
+inverts BT.601 to full (H, W, 3) RGB, so color features are real on
+color JPEGs.
 
 Encoder: baseline sequential with the Annex K quantization tables
 (libjpeg quality scaling) and Annex K Huffman tables, grayscale or
@@ -218,12 +220,66 @@ _GATE = {
 
 
 def jpeg_decode(b: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → luma (H, W) uint8 plane.
+    """Baseline JPEG bytes → luma (H, W) uint8 plane (the Y channel
+    IS BT.601 luma).  :func:`jpeg_decode_rgb` returns full color.
+    Non-baseline modes raise ``NotImplementedError`` with the
+    honest-gate contract of the other native codecs."""
+    h, w, comps, planes, hmax, vmax, interleaved = _decode_components(b)
+    lum_cid, lum_h, lum_v, _ = comps[0]
+    if not interleaved:
+        lum_h = lum_v = 1
+    out_h = h if (not interleaved or lum_v == vmax) else -(-h * lum_v // vmax)
+    out_w = w if (not interleaved or lum_h == hmax) else -(-w * lum_h // hmax)
+    plane = planes[lum_cid]
+    return np.clip(plane[:out_h, :out_w].round(), 0, 255).astype(np.uint8)
 
-    Decodes every component's entropy data (mandatory to advance the
-    bitstream) but reconstructs pixels only for the first (luma)
-    component. Non-baseline modes raise ``NotImplementedError`` with
-    the honest-gate contract of the other native codecs."""
+
+def jpeg_decode_rgb(b: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W, 3) uint8 RGB.
+
+    Every component is reconstructed (not just luma): subsampled
+    Cb/Cr planes are upsampled by sample replication to the luma
+    raster (integer factors — 4:2:0/4:2:2/4:4:4 all qualify in
+    baseline), then converted with the BT.601 inverse the encoder
+    uses (R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) −
+    0.714136·(Cr−128), B = Y + 1.772·(Cb−128)).  A grayscale (one-
+    component) JPEG returns its luma replicated across the three
+    channels."""
+    h, w, comps, planes, hmax, vmax, interleaved = _decode_components(b)
+    lum_cid = comps[0][0]
+    y = np.clip(planes[lum_cid][:h, :w], 0.0, 255.0)
+    if len(comps) == 1:
+        g = y.round().astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(comps) != 3:
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (CMYK/YCCK) requires a real "
+            f"codec backend; native decodes grayscale and YCbCr")
+    up = []
+    for cid, ch, cv, _ in comps[1:]:
+        if not interleaved:
+            ch = cv = 1
+        if hmax % ch or vmax % cv:
+            raise NotImplementedError(
+                "non-integer chroma subsampling requires a real codec")
+        nat_h = -(-h * cv // vmax)
+        nat_w = -(-w * ch // hmax)
+        p = planes[cid][:nat_h, :nat_w]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        up.append(np.clip(p[:h, :w], 0.0, 255.0))
+    cb, cr = up
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, bl], axis=-1).round(),
+                   0, 255).astype(np.uint8)
+
+
+def _decode_components(b: bytes):
+    """Shared baseline decoder: parse markers, entropy-decode and
+    reconstruct EVERY component's plane with its own quantization
+    table.  Returns (h, w, comps, {cid: float plane}, hmax, vmax,
+    interleaved); planes are padded to whole MCUs (callers crop)."""
     if len(b) < 4 or b[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
 
@@ -327,16 +383,19 @@ def jpeg_decode(b: bytes) -> np.ndarray:
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     interleaved = len(comps) > 1
-    lum_cid, lum_h, lum_v, lum_tq = comps[0]
     if interleaved:
         mcus_x = -(-w // (8 * hmax))
         mcus_y = -(-h // (8 * vmax))
     else:
         mcus_x = -(-w // 8)
         mcus_y = -(-h // 8)
-        lum_h = lum_v = 1
-    plane = np.zeros((mcus_y * lum_v * 8, mcus_x * lum_h * 8), np.float64)
-    lum_q = qt[lum_tq].reshape(8, 8).astype(np.float64)
+    planes, qtab = {}, {}
+    for cid, ch, cv, ctq in comps:
+        if not interleaved:
+            ch = cv = 1
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8),
+                               np.float64)
+        qtab[cid] = qt[ctq].reshape(8, 8).astype(np.float64)
 
     # per-component (dc huff, ac huff) from the scan's table selectors
     tables = {}
@@ -357,7 +416,6 @@ def jpeg_decode(b: bytes) -> np.ndarray:
             if not interleaved:
                 ch = cv = 1
             dc_tab, ac_tab = tables[cid]
-            is_lum = cid == lum_cid
             for by in range(cv):
                 for bx in range(ch):
                     coeffs[:] = 0.0
@@ -379,18 +437,13 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                             raise ValueError("corrupt JPEG: AC overrun")
                         coeffs[ZIGZAG[k]] = _extend(br.receive(s), s)
                         k += 1
-                    if not is_lum:
-                        continue  # entropy-advanced; skip reconstruction
-                    blk = coeffs.reshape(8, 8) * lum_q
+                    blk = coeffs.reshape(8, 8) * qtab[cid]
                     px = _DCT_M.T @ blk @ _DCT_M + 128.0
-                    r0 = (my * lum_v + by) * 8
-                    c0 = (mx * lum_h + bx) * 8
-                    plane[r0 : r0 + 8, c0 : c0 + 8] = px
+                    r0 = (my * cv + by) * 8
+                    c0 = (mx * ch + bx) * 8
+                    planes[cid][r0 : r0 + 8, c0 : c0 + 8] = px
 
-    # crop to the luma component's natural raster
-    out_h = h if (not interleaved or lum_v == vmax) else -(-h * lum_v // vmax)
-    out_w = w if (not interleaved or lum_h == hmax) else -(-w * lum_h // hmax)
-    return np.clip(plane[:out_h, :out_w].round(), 0, 255).astype(np.uint8)
+    return h, w, comps, planes, hmax, vmax, interleaved
 
 
 # --------------------------------------------------------------- encoder

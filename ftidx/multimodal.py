@@ -18,9 +18,14 @@ batch shapes) is real and tested. Decode backends:
 - ``backend="fake"`` (default): a deterministic, pure-numpy fake
   decoder driven by a hash of the payload — stable outputs for tests
   and benchmarks of the plumbing, independent of payload format.
-- ``backend="real"``: raises ``NotImplementedError`` with the exact
-  dependency needed (PIL / soundfile / av) — the marked integration
-  point for compressed formats (PNG/JPEG/MP3/H.264) whose codecs are
+- ``backend="real"``: the pluggable production seam — a cluster with
+  the real codec libraries installs them via
+  :func:`register_real_decoder` (Pillow-class image, pyav-class
+  video, soundfile-class audio) and the SAME feature/phash/resize/
+  frame-sample pipeline runs on their output; with no decoder
+  registered it raises ``NotImplementedError`` naming the exact
+  dependency — the honest gate for long-GOP video (H.264/VP9),
+  perceptual audio (MP3/Ogg) and progressive JPEG, whose codecs are
   not in this container.
 
 Scale notes: media rows are orders of magnitude wider than text rows,
@@ -88,9 +93,68 @@ def _require_real_backend(what: str, dep: str):
     raise NotImplementedError(
         f"real {what} decode requires `{dep}`, which is not installed in "
         f"this container; run with backend='fake' for the deterministic "
-        f"plumbing-test decoder, or install {dep} and implement the "
-        f"marked kernel."
+        f"plumbing-test decoder, backend='native' for the pure-python "
+        f"codecs, or install {dep} and register_real_decoder('{what}', fn)."
     )
+
+
+# --------------------------------------------------------- real-backend seam
+#
+# A cluster that DOES have the production codec libraries (Pillow,
+# pyav/ffmpeg, soundfile) plugs them in here and gets the exact same
+# downstream pipeline — feature extraction, phash, resize, frame
+# sampling stay THIS module's code; only the bytes→pixels step is
+# swapped.  The decoder callable is captured into the mapInPandas
+# kernel closure at PLAN BUILD time (driver side) and ships to the
+# executors via the normal closure serialization, so it must be
+# picklable (a module-level function, e.g. a thin Pillow wrapper —
+# not a lambda over an open handle).
+
+_REAL_DECODERS: dict[str, object] = {}
+
+
+def register_real_decoder(kind: str, fn) -> None:
+    """Install the production decoder for ``backend='real'``.
+
+    Contracts by ``kind``:
+
+    - ``'image'``: ``fn(payload: bytes) -> np.uint8 array`` — (H, W)
+      luma, or (H, W, 3) RGB (reduced to BT.601 luma here, the same
+      reduction the native PNG path applies).  Long-GOP stills,
+      progressive JPEG, WebP etc. become decodable without touching
+      the feature pipeline.
+    - ``'video'``: ``fn(payload: bytes, every_ms: int) ->
+      iterable[(frame_idx: int, plane: np.uint8 (H, W))]`` — the
+      H.264/VP9 seam; frame_idx is the source frame index.
+    - ``'audio'``: ``fn(payload: bytes) -> (np.int16 samples, rate)``
+      — the MP3/Ogg/AAC seam.
+
+    Pass ``fn=None`` to uninstall (restores the honest
+    ``NotImplementedError`` gate)."""
+    if kind not in ("image", "video", "audio"):
+        raise ValueError(f"unknown media kind {kind!r}")
+    if fn is None:
+        _REAL_DECODERS.pop(kind, None)
+    else:
+        _REAL_DECODERS[kind] = fn
+
+
+def _real_decoder(kind: str, dep: str):
+    fn = _REAL_DECODERS.get(kind)
+    if fn is None:
+        _require_real_backend(kind, dep)
+    return fn
+
+
+def _to_luma(px: np.ndarray) -> np.ndarray:
+    """Injected-decoder output → (H, W) uint8 luma (RGB reduced with
+    the same BT.601 weights the native PNG path uses)."""
+    px = np.asarray(px)
+    if px.ndim == 3:
+        rgb = px[..., :3].astype(np.float64)
+        px = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+              + 0.114 * rgb[..., 2]).round()
+    return np.clip(px, 0, 255).astype(np.uint8)
 
 
 def _fake_pixels(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
@@ -358,9 +422,10 @@ def image_features(media: DataFrame, backend: str = "fake") -> DataFrame:
     the raw payload + hash-seeded plane for the phash.
     ``backend="native"``: REAL stats over the bmp_decode'd pixel plane
     (uncompressed 24-bit BMP; other formats raise through the codec
-    gate)."""
-    if backend == "real":
-        _require_real_backend("image", "Pillow")
+    gate).  ``backend="real"``: the decoder installed via
+    :func:`register_real_decoder` (Pillow-class libraries) feeds the
+    SAME feature pipeline; without one the honest gate raises."""
+    dec = _real_decoder("image", "Pillow") if backend == "real" else None
     native = backend == "native"
 
     def kernel(batches):
@@ -368,7 +433,10 @@ def image_features(media: DataFrame, backend: str = "fake") -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                if native:
+                if dec is not None:
+                    plane = _to_luma(dec(b))
+                    mean, std, entropy, phash = _plane_features(plane)
+                elif native:
                     plane = image_decode(b)
                     mean, std, entropy, phash = _plane_features(plane)
                 else:
@@ -404,9 +472,10 @@ def resize_images(media: DataFrame, w: int = 8, h: int = 8,
                   backend: str = "fake") -> DataFrame:
     """Thumbnail stage: payload → fixed-size grayscale plane.
     ``native`` decodes real BMP pixels and nearest-neighbour
-    resamples; ``fake`` emits the hash-seeded plane."""
-    if backend == "real":
-        _require_real_backend("image", "Pillow")
+    resamples; ``fake`` emits the hash-seeded plane; ``real`` routes
+    through the injected :func:`register_real_decoder` image decoder
+    into the same resampler."""
+    dec = _real_decoder("image", "Pillow") if backend == "real" else None
     native = backend == "native"
 
     def kernel(batches):
@@ -414,7 +483,9 @@ def resize_images(media: DataFrame, w: int = 8, h: int = 8,
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p or b"")
-                if native:
+                if dec is not None:
+                    thumb = _nn_downsample(_to_luma(dec(b)), h, w)
+                elif native:
                     thumb = _nn_downsample(image_decode(b), h, w)
                 else:
                     thumb = _fake_pixels(b, w, h)
@@ -436,9 +507,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     baseline JPEG codec; ``frame_idx`` is the SOURCE frame index.
     Other video codecs (H.264, VP9, …) raise through the honest gate
     inside ``avi_meta``. ``fake``: one hash-seeded plane per sampled
-    slot (frame k deterministic in the payload)."""
-    if backend == "real":
-        _require_real_backend("video", "av")
+    slot (frame k deterministic in the payload). ``real``: the
+    injected :func:`register_real_decoder` video decoder (pyav-class)
+    yields (frame_idx, plane) pairs into the same downstream shape —
+    the H.264/VP9 seam."""
+    dec = _real_decoder("video", "av") if backend == "real" else None
     native = backend == "native"
 
     def kernel(batches):
@@ -448,6 +521,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
             rows = []
             for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 b = bytes(p) if p is not None else b""
+                if dec is not None:
+                    for src_idx, plane in dec(b, every_ms):
+                        rows.append((int(mid), int(src_idx),
+                                     _to_luma(plane).tobytes()))
+                    continue
                 if native:
                     for src_idx, plane in avi_decode_frames(b, every_ms):
                         rows.append((int(mid), src_idx, plane.tobytes()))
@@ -469,11 +547,13 @@ def audio_features(media: DataFrame, backend: str = "fake") -> DataFrame:
     stats. ``native``: wav_decode the payload (16-bit PCM) and compute
     REAL sample stats — mean/std in sample units, entropy over the
     8-bit-quantized amplitude histogram, and a 64-bit envelope hash
-    (|amplitude| per 64 time buckets vs its mean) as the ahash."""
-    if backend == "real":
-        _require_real_backend("audio", "soundfile")
+    (|amplitude| per 64 time buckets vs its mean) as the ahash.
+    ``real``: the injected :func:`register_real_decoder` audio
+    decoder (soundfile-class) feeds the same PCM feature kernel —
+    the MP3/Ogg seam."""
+    dec = _real_decoder("audio", "soundfile") if backend == "real" else None
     audio = media.filter(F.col("kind") == "audio")
-    if backend != "native":
+    if backend not in ("native", "real"):
         return image_features(
             audio.withColumn("kind", F.lit("image")), backend=backend,
         ).withColumnRenamed("phash", "ahash")
@@ -483,7 +563,8 @@ def audio_features(media: DataFrame, backend: str = "fake") -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p or b"")
-                samples, _rate = audio_decode(b)
+                samples, _rate = dec(b) if dec is not None \
+                    else audio_decode(b)
                 q = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
                 counts = np.bincount(q, minlength=256)
                 pr = counts[counts > 0] / max(q.size, 1)

@@ -93,6 +93,18 @@ def test_merge_list_identical_to_reference(spark, docs_df):
     assert "est" + END in merged or "est" in merged
 
 
+def test_driver_side_train_bit_identical(spark, docs_df):
+    """driver_side=True (one collect of the word-count table, merge
+    loop in driver memory) == the distributed loop == the pure-Python
+    reference — WHERE the loop runs must not change what it learns."""
+    exp = _py_train(CORPUS, 20)
+    assert train_bpe(docs_df, n_merges=20, driver_side=True) == exp
+    # exhaustion parity on a tiny corpus too
+    tiny = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    assert train_bpe(tiny, n_merges=50, driver_side=True) \
+        == train_bpe(tiny, n_merges=50)
+
+
 def test_train_exhausts_gracefully(spark):
     """More merges requested than pairs exist: the loop stops when the
     pair table drains instead of erroring."""

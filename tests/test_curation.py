@@ -1286,6 +1286,90 @@ def test_semdedup_matches_brute_force(emb):
             assert r["is_dup"] == (exp_nn >= thr)
 
 
+def test_semdedup_cap_off_equals_cap_on_benign(emb):
+    """On a benign corpus (no cell over the cap) the capped path is
+    the SAME pair join — verdicts identical to cell_cap=0, and stats
+    confirm the cap never fired."""
+    from ftidx.dedup import semdedup
+
+    st = {}
+    capped = sorted(map(tuple, semdedup(
+        emb, threshold=0.9, n_centroids=4, stats=st).collect()))
+    uncapped = sorted(map(tuple, semdedup(
+        emb, threshold=0.9, n_centroids=4, cell_cap=0).collect()))
+    assert capped == uncapped
+    assert st["hot_cells"] == [] and st["n_peeled"] == 0
+    assert st["pair_budget"] == st["pair_budget_uncapped"]
+
+
+def test_semdedup_hot_cell_peel_pathological(spark):
+    """The adversarial SemDeDup input: EVERY embedding near-identical
+    (pairwise cosine ≥ thr), so k-means concentrates one giant cell
+    and SRP sub-bits cannot separate it (angular-degenerate).  The
+    cap must route the group through anchor peeling: ONE round
+    resolves all members against the true min id — exact verdicts
+    (everyone but the min id is a dup) at O(n) comparisons, with the
+    stats pair budget collapsing from n² to n·peel_rounds scale."""
+    import numpy as np
+
+    from ftidx.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    n = 600
+    rows = [(i, (base + rng.normal(scale=1e-4, size=16)).tolist())
+            for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    st = {}
+    got = {r["vec_id"]: r for r in semdedup(
+        emb, threshold=0.95, n_centroids=4, cell_cap=50,
+        stats=st).collect()}
+    assert len(got) == n
+    assert not got[0]["is_dup"] and got[0]["nn_cos"] is None
+    assert all(got[i]["is_dup"] and got[i]["nn_cos"] >= 0.95
+               for i in range(1, n))
+    # the bound actually fired: one hot cell, SRP could not split it,
+    # peel handled every member; pair budget nowhere near n²
+    assert st["hot_cells"] and st["n_peeled"] > 0
+    assert st["still_hot"]
+    assert st["pair_budget"] < n * n / 10
+    assert st["pair_budget_uncapped"] >= n * n * 0.9  # all in one cell
+
+
+def test_semdedup_hot_cell_split_spreads_mixed_corpus(spark):
+    """A hot cell that is NOT angular-degenerate (several distinct
+    near-dup families crammed into one k-means cell) gets separated
+    by the SRP sub-split — no peel needed — and per-family verdicts
+    match the exact (cap-off) path: each family keeps its min id and
+    flags the rest, spread singletons stay non-dup."""
+    import numpy as np
+
+    from ftidx.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _ in range(6):                      # 6 well-separated families
+        c = rng.normal(size=16)
+        c /= np.linalg.norm(c)
+        for _ in range(30):
+            rows.append((vid, (c + rng.normal(scale=1e-4, size=16)).tolist()))
+            vid += 1
+    for _ in range(40):                     # spread singletons
+        rows.append((vid, rng.normal(size=16).tolist()))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    st = {}
+    capped = {r["vec_id"]: (r["is_dup"],) for r in semdedup(
+        emb, threshold=0.95, n_centroids=2, cell_cap=60,
+        stats=st).collect()}
+    exact = {r["vec_id"]: (r["is_dup"],) for r in semdedup(
+        emb, threshold=0.95, n_centroids=2, cell_cap=0).collect()}
+    assert st["hot_cells"]                  # the cap fired
+    assert capped == exact                  # verdicts survived the split
+
+
 def test_semdedup_threshold_monotone(emb):
     from ftidx.dedup import semdedup
 

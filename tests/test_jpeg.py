@@ -204,3 +204,74 @@ def test_jpeg_through_native_spark_pipeline(spark):
     # the synth rotation now emits image/jpeg rows alongside bmp/png
     mimes = {r["mime"] for r in synth_native_media(spark, 24).collect()}
     assert {"image/bmp", "image/png", "image/jpeg"} <= mimes
+
+
+def test_decode_rgb_reconstructs_chroma_golden():
+    """jpeg_decode_rgb against the in-repo encoder's KNOWN color
+    planes: constant Y/Cb/Cr survive 4:2:0 + quantization almost
+    exactly, and the decoded RGB matches a numpy BT.601 inverse of
+    the same constants within codec tolerance — the luma-only gap
+    (chroma entropy-advanced, never reconstructed) is closed."""
+    import numpy as np
+
+    from ftidx.jpeg import jpeg_decode, jpeg_decode_rgb, jpeg_encode
+
+    h = w = 32
+    y = np.full((h, w), 128, np.uint8)
+    cb = np.full((h, w), 200, np.uint8)
+    cr = np.full((h, w), 60, np.uint8)
+    b = jpeg_encode(y, quality=95, color=True, chroma=(cb, cr))
+    rgb = jpeg_decode_rgb(b)
+    assert rgb.shape == (h, w, 3) and rgb.dtype == np.uint8
+    exp_r = 128 + 1.402 * (60 - 128)
+    exp_g = 128 - 0.344136 * (200 - 128) - 0.714136 * (60 - 128)
+    exp_b = 128 + 1.772 * (200 - 128)
+    got = rgb.reshape(-1, 3).mean(axis=0)
+    assert abs(got[0] - exp_r) < 3, (got, exp_r)
+    assert abs(got[1] - exp_g) < 3, (got, exp_g)
+    assert abs(got[2] - exp_b) < 3, (got, exp_b)
+    # luma channel of the decode equals the luma-only API
+    lum = jpeg_decode(b)
+    yc = (0.299 * rgb[..., 0].astype(np.float64)
+          + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+    assert np.abs(yc - lum.astype(np.float64)).mean() < 2.5
+
+
+def test_decode_rgb_spatial_color_structure():
+    """Color varies ACROSS the image (16-aligned halves, so 4:2:0
+    cells never straddle the boundary): the red-tinted half decodes
+    red-dominant, the blue-tinted half blue-dominant — chroma is
+    really reconstructed per-position, not a global average."""
+    import numpy as np
+
+    from ftidx.jpeg import jpeg_decode_rgb, jpeg_encode
+
+    h, w = 32, 64
+    y = np.full((h, w), 140, np.uint8)
+    cb = np.full((h, w), 128, np.uint8)
+    cr = np.full((h, w), 128, np.uint8)
+    cr[:, : w // 2] = 200        # left: red push
+    cb[:, w // 2 :] = 200        # right: blue push
+    rgb = jpeg_decode_rgb(
+        jpeg_encode(y, quality=95, color=True, chroma=(cb, cr)))
+    left = rgb[:, : w // 2].reshape(-1, 3).mean(axis=0)
+    right = rgb[:, w // 2 :].reshape(-1, 3).mean(axis=0)
+    assert left[0] > left[2] + 40    # left clearly red over blue
+    assert right[2] > right[0] + 40  # right clearly blue over red
+    assert abs(left[0] - (140 + 1.402 * 72)) < 4
+    assert abs(right[2] - min(255.0, 140 + 1.772 * 72)) < 4  # clips
+
+
+def test_decode_rgb_grayscale_replicates_luma():
+    import numpy as np
+
+    from ftidx.jpeg import jpeg_decode, jpeg_decode_rgb, jpeg_encode
+
+    rng = np.random.default_rng(3)
+    y = (rng.integers(0, 256, (24, 40))).astype(np.uint8)
+    b = jpeg_encode(y, quality=90)
+    rgb = jpeg_decode_rgb(b)
+    lum = jpeg_decode(b)
+    assert rgb.shape == (24, 40, 3)
+    assert (rgb[..., 0] == lum).all()
+    assert (rgb[..., 1] == lum).all() and (rgb[..., 2] == lum).all()

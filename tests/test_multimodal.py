@@ -261,3 +261,78 @@ def test_png_bmp_feature_identity(spark):
     t = {r["media_id"]: bytes(r["thumb"]) for r in
          resize_images(media, w=8, h=8, backend="native").collect()}
     assert t[0] == t[1]
+
+
+# ------------------------------------------------------ real-backend seam
+
+def test_real_backend_seam_injected_decoders(spark, media):
+    """backend='real' with injected decoders drives the SAME
+    feature/phash/resize/frame pipeline the native path uses — the
+    pluggable production-codec seam; uninstalling restores the honest
+    NotImplementedError gate."""
+    import hashlib
+
+    import numpy as np
+
+    from ftidx.multimodal import (_plane_features, _to_luma,
+                                  register_real_decoder)
+
+    # nested (not module-level) so cloudpickle ships them BY VALUE to
+    # executors — the exact constraint a real Pillow/pyav wrapper in an
+    # installed package does not have
+    def _inj_image(payload):
+        seed = int.from_bytes(
+            hashlib.sha256(payload or b"").digest()[:8], "big")
+        rng = np.random.default_rng(seed ^ 0xBEEF)
+        return rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+
+    def _inj_video(payload, every_ms):
+        for k in range(3):
+            yield k * 7, np.full((8, 8), 10 * k, np.uint8)
+
+    def _inj_audio(payload):
+        t = np.arange(800)
+        return (1000 * np.sin(t / 9.0)).astype(np.int16), 8000
+
+    register_real_decoder("image", _inj_image)
+    register_real_decoder("video", _inj_video)
+    register_real_decoder("audio", _inj_audio)
+    try:
+        imgs = [r for r in media.collect() if r["kind"] == "image"]
+        feats = {r["media_id"]: r
+                 for r in image_features(media, backend="real").collect()}
+        assert len(feats) == len(imgs)
+        # the phash is _plane_features of the injected decoder's luma —
+        # proof the downstream pipeline is this module's, not the stub's
+        some = imgs[0]
+        plane = _to_luma(_inj_image(bytes(some["payload"])))
+        exp_mean, exp_std, exp_ent, exp_phash = _plane_features(plane)
+        got = feats[some["media_id"]]
+        assert got["phash"] == exp_phash
+        assert got["mean_byte"] == pytest.approx(exp_mean, abs=1e-4)
+        # n_bytes still reports the PAYLOAD size (plumbing untouched)
+        assert got["n_bytes"] == len(bytes(some["payload"]))
+
+        th = resize_images(media, w=4, h=4, backend="real").collect()
+        assert all(r["thumb_w"] == 4 and len(r["thumb"]) == 16 for r in th)
+
+        fr = sample_frames(media, backend="real").collect()
+        vids = [r for r in media.collect() if r["kind"] == "video"]
+        assert len(fr) == 3 * len(vids)
+        assert sorted({r["frame_idx"] for r in fr}) == [0, 7, 14]
+
+        au = audio_features(media, backend="real").collect()
+        s, _ = _inj_audio(b"")
+        assert au and all(
+            r["mean_byte"] == pytest.approx(round(float(s.mean()), 5))
+            for r in au)
+    finally:
+        register_real_decoder("image", None)
+        register_real_decoder("video", None)
+        register_real_decoder("audio", None)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        image_features(media, backend="real")
+    with pytest.raises(NotImplementedError, match="av"):
+        sample_frames(media, backend="real")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        audio_features(media, backend="real")

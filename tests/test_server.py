@@ -1366,3 +1366,39 @@ def test_stream_daemon_lifecycle_over_http(served):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _get(f"{base}/stream?{bad}")
         assert ei.value.code == code
+
+
+def test_metrics_surface_persisted_failure_reasons_over_http(spark, tmp_path):
+    """S27 over the wire: a poisoned bucket's persisted ledger reason
+    must reach an operator through GET /metrics AFTER the fixed resume
+    — the HTTP tier of the queueFail-parity forensic record
+    (RawRepoQueueBean.java:28-34; library tier pinned in
+    tests/test_index.py::test_failed_bucket_reason_persisted)."""
+    out = str(tmp_path / "idx_poison_http")
+    src = synth_source(spark, 120, partitions=3)
+
+    def poison(batches):
+        for pdf in batches:
+            raise RuntimeError("poisoned partition: disk XYZ stanza")
+            yield pdf  # pragma: no cover
+
+    bad = src.mapInPandas(poison, schema=src.schema)
+    with pytest.raises(Exception):
+        build_index(spark, bad, out, n_buckets=4, build_id="badrun")
+    build_index(spark, src, out, n_buckets=4, build_id="goodrun")
+
+    srv = FtServer(open_index(spark, out)).start()
+    try:
+        status, m = _get(f"http://{srv.host}:{srv.port}/metrics")
+        assert status == 200
+        assert m["failures"]["count"] == 4
+        assert m["failures"]["unresolved_buckets"] == []
+        rec = m["failures"]["rows"][0]
+        assert rec["build_id"] == "badrun"
+        assert "disk XYZ" in rec["error"]
+        assert m["last_build"]["buckets_done"] == 4
+        # health still green after the resumed build
+        hstatus, h = _get(f"http://{srv.host}:{srv.port}/health")
+        assert hstatus == 200 and h["status"] == "ok"
+    finally:
+        srv.stop()
