@@ -98,13 +98,21 @@ def test_ranked_helper_cut_then_rank_identity(spark):
 ])
 def test_code_curation_bundles_are_pure_mappers(spark, name):
     """The code-corpus curation bundles (The Stack filters, secret
-    scrub, license detection) are per-row codegen — their contract
-    plans must contain NO exchange of any kind: a mapper pipelines
-    into whatever follows at any corpus size."""
+    scrub, license detection) are per-row codegen — the OPERATOR plan
+    must contain NO exchange of any kind: a mapper pipelines into
+    whatever follows at any corpus size.  The contract wrapper
+    (_pin_query) adds exactly one rangepartitioning sort for the
+    driver's order-sensitive hash; assert that is the ONLY exchange
+    it adds."""
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()[name](spark, SF))
+    raw = getattr(e, f"q_{name}")(spark, SF)
+    plan = _plan(raw)
     assert "Exchange" not in plan, (name, plan)
+    pinned = _plan(e.queries()[name](spark, SF))
+    exchanges = [ln for ln in pinned.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0], \
+        (name, exchanges)
 
 
 def test_piece_seed_single_shuffle(spark):
