@@ -819,6 +819,17 @@ class FtIndex:
         self._result_cache_bytes = 0
         self._result_hits = 0
         self._result_misses = 0
+        # fat-corpus query routing (the 32M-file probe's finding): a
+        # hot term at n_docs=32M has df in the millions, and the
+        # driver-kernel path COLLECTS its full postings — ~100 s for
+        # one cold query.  Above this doc count, cold queries score in
+        # the executors (topk_distributed — same kernels, same boolean
+        # surface, one task per bucket, k rows per bucket to the
+        # driver); below it the driver kernel plus its caches stays
+        # the low-latency serving path.  The queryResultCache applies
+        # to both, so repeat queries stay O(µs) either way.
+        self._driver_score_max_docs = int(
+            _os.environ.get("FTIDX_DRIVER_SCORE_MAX_DOCS", "2000000"))
         self.refresh()
 
     def refresh(self) -> None:
@@ -1039,6 +1050,15 @@ class FtIndex:
 
     def _topk_uncached(self, terms, k, field, kernel, mode,
                        exclude, min_match) -> list[tuple[int, float]]:
+        # beyond the driver-scoring doc budget, route to the executor
+        # path (see __init__ — identical kernels/boolean surface,
+        # pinned by test_topk_routes_distributed_beyond_doc_budget)
+        n_docs_f, _ = self.stats.get(field, (0, 1.0))
+        if kernel == "block_max" and n_docs_f > self._driver_score_max_docs:
+            rows = self.topk_distributed(
+                terms, k, field, mode=mode, exclude=exclude,
+                min_match=min_match).collect()
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
         lists, avgdl = self._term_lists(terms, field)
         if not lists:
             return []

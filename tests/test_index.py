@@ -72,6 +72,34 @@ def test_topk_distributed_matches(spark, built, oracle):
         assert [d for d, _ in got] == [d for d, _ in want], terms
 
 
+def test_topk_routes_distributed_beyond_doc_budget(spark, built, oracle):
+    """Fat-corpus routing (the 32M-probe finding): above
+    _driver_score_max_docs, cold topk() scores in the executors via
+    topk_distributed instead of collecting full postings to the
+    driver — results must be IDENTICAL, the term cache must stay
+    cold (nothing collected), and the queryResultCache must still
+    serve repeats."""
+    idx = open_index(spark, built[0])
+    idx._driver_score_max_docs = 1  # force the routed path
+    for terms, k, field in QUERIES[:4]:
+        got = idx.topk(terms, k=k, field=field)
+        want = oracle.topk(terms, k, field=field)
+        assert [d for d, _ in got] == [d for d, _ in want], terms
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+    assert idx._cache_misses == 0  # no driver postings collect happened
+    # boolean surface routes too
+    dist = [(int(r["doc_id"]), float(r["score"]))
+            for r in idx.topk_distributed(["def"], k=5,
+                                          mode="and").collect()]
+    assert idx.topk(["def"], k=5, mode="and") == dist
+    # repeat query: served from the result cache, no new Spark job
+    misses0 = idx._result_misses
+    idx.topk(*QUERIES[0][0:1], k=QUERIES[0][1], field=QUERIES[0][2])
+    idx.topk(*QUERIES[0][0:1], k=QUERIES[0][1], field=QUERIES[0][2])
+    assert idx._result_hits >= 1 and idx._result_misses <= misses0 + 1
+
+
 def test_hot_terms_were_salted(spark, built):
     """The ledger must show skew handled: hot terms exist and the
     postings table still has ONE row per (term, field, bucket)."""
