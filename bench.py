@@ -135,8 +135,12 @@ def main():
         idx = open_index(spark, f"{tmp}/idx_synth0")
         for terms in SYNTH_QUERIES:  # warm-up (term cache)
             idx.topk(terms, k=10, use_cache=False)
+        # 10 rounds × 6 queries = 60 samples: a p95 over 18 samples is
+        # decided by the single worst draw (one JVM GC pause swung it
+        # 20→118 ms run-to-run); 60 samples makes the tail estimate
+        # about the engine, not one pause
         lats = []
-        for _ in range(3):
+        for _ in range(10):
             for terms in SYNTH_QUERIES:
                 t0 = time.time()
                 idx.topk(terms, k=10, use_cache=False)
