@@ -3138,18 +3138,43 @@ def _pin_query(fn: Callable[[SparkSession, str], DataFrame]
     @functools.wraps(fn)
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = fn(spark, sf_dir)
+        # IEEE signed-zero normalization on every double output: Spark's
+        # round() goes through BigDecimal (no -0), DuckDB's keeps the
+        # sign of a tiny negative — the two zeros compare == everywhere
+        # but hash differently byte-level (round 4's one red driver row:
+        # collocations pmi, +0.0 vs -0.0).  x + 0.0 maps -0.0 -> +0.0
+        # and is the identity on every other value incl. NaN/±inf, so
+        # normalizing ALL doubles is free; _pin_oracle applies the same
+        # + 0.0 to the DuckDB twin (double cols pinned by
+        # _CONTRACT_DOUBLE_COLS / tests/test_contract_cols.py).
+        proj = [
+            (F.col(f.name) + F.lit(0.0)).alias(f.name)
+            if f.dataType.simpleString() == "double" else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        df = df.select(*proj)
         return df.orderBy(*[F.asc_nulls_first(c) for c in sorted(df.columns)])
 
     return run
 
 
-def _pin_oracle(sql: str, cols: list[str]) -> str:
+def _pin_oracle(sql: str, cols: list[str],
+                dcols: tuple[str, ...] = ()) -> str:
     """DuckDB twin of ``_pin_query``: wrap the oracle in a subquery
     with the same name-sorted all-columns ORDER BY.  NULLS FIRST is
     explicit because DuckDB defaults to NULLS LAST on ASC while Spark
-    defaults to nulls-first."""
+    defaults to nulls-first.  ``dcols`` (the query's double-typed
+    outputs, pinned by _CONTRACT_DOUBLE_COLS) get the same ``+ 0.0``
+    signed-zero normalization _pin_query applies Spark-side — DuckDB's
+    round() of a tiny negative yields -0.0 where Spark yields +0.0,
+    equal under == but not under the driver's byte hash.  The ORDER BY
+    is unaffected (-0.0 and +0.0 sort as equals)."""
+    sel = ", ".join(
+        f'("{c}" + 0.0) AS "{c}"' if c in dcols else f'"{c}"'
+        for c in cols
+    )
     ob = ", ".join(f'"{c}" ASC NULLS FIRST' for c in sorted(cols))
-    return f"SELECT * FROM (\n{sql}\n) __pin ORDER BY {ob}"
+    return f"SELECT {sel} FROM (\n{sql}\n) __pin ORDER BY {ob}"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3323,7 +3348,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
     }
-    return {name: _pin_query(fn) for name, fn in base.items()}
+    # Round-5 driver window (first 50 of the dict — the driver checks a
+    # 50-query prefix per round): the two standing anchors lead
+    # (collocations — r4's one red row, a signed zero now normalized by
+    # _pin_query/_pin_oracle; field_stats — the twice-red dtype fix),
+    # then the LAST 5 queries with no driver row across r01–r04
+    # (cursor_page, events_hopping, sorted_page, tfidf_vectors,
+    # top_fraction → cumulative driver coverage 160/160), then the
+    # least-recently-checked queries: all 9 last seen in r01 and the
+    # alphabetically-first 34 last seen in r02.
+    _r5_window = [
+        "collocations", "field_stats", "cursor_page", "events_hopping",
+        "sorted_page", "tfidf_vectors", "top_fraction", "agg_pricing_summary",
+        "broadcast_dim_join", "events_tumbling", "fingerprints", "lang_id",
+        "quality_scores", "set_ops", "token_counts", "window_topk_orders",
+        "ann_batch_topk", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
+        "ann_lsh_topk", "bm25_ltr", "bm25_multifield", "bm25_rerank",
+        "bm25_scores", "bm25_topk", "bm25_topk_and", "bm25_topk_filtered",
+        "bm25_wildcard", "collection_facet", "composite_field", "contamination",
+        "date_normalize", "dedup_exact", "dedup_lsh_bands", "dedup_minhash",
+        "dedup_ngram_jaccard", "dedup_simhash", "doc_lengths", "doc_term_vector",
+        "docid_projection", "dup_spans", "embedding_near_pairs", "facet_interval",
+        "facet_lang", "facet_nested", "facet_percentiles", "facet_pivot",
+        "facet_range", "first_snippet",
+    ]
+    ordered = {n: base[n] for n in _r5_window}
+    ordered.update((n, fn) for n, fn in base.items() if n not in ordered)
+    return {name: _pin_query(fn) for name, fn in ordered.items()}
 
 
 def _ltr_oracle(model, keep_cols: str) -> str:
@@ -6685,7 +6736,8 @@ def oracle_sql() -> dict[str, str]:
         "ltr_trees": _ltr_oracle(_ltr_trees_model(),
                                  "f_dl, f_lang_en"),
     }
-    return {name: _pin_oracle(sql, _CONTRACT_COLS[name])
+    return {name: _pin_oracle(sql, _CONTRACT_COLS[name],
+                              _CONTRACT_DOUBLE_COLS.get(name, ()))
             for name, sql in base.items()}
 
 
@@ -6854,4 +6906,99 @@ _CONTRACT_COLS: dict[str, list[str]] = {
     'sorted_page': ['doc_id', 'lang', 'page_rank', 'score_r'],
     'cursor_page': ['doc_id', 'lang', 'page_rank', 'score_r'],
     'tfidf_vectors': ['doc_id', 'term', 'tfidf_r'],
+}
+
+
+# Double-typed output columns of every contract query (subset of
+# _CONTRACT_COLS), generated from the live Spark schemas and pinned by
+# tests/test_contract_cols.py — the signed-zero normalization source
+# for _pin_oracle (the Spark side introspects df.schema dynamically in
+# _pin_query; the SQL string cannot).  Queries absent here emit no
+# double column.
+_CONTRACT_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
+    'collocations': ('pmi',),
+    'field_stats': ('avgdl',),
+    'sig_terms_fg': ('score',),
+    'frange_filter': ('fval_r', 'score_r'),
+    'pagerank': ('rank_r',),
+    'collapse_expand': ('score_r',),
+    'xjoin_filter': ('score_r',),
+    'edismax_full': ('final_r', 'score_r'),
+    'child_block_join': ('pscore',),
+    'nb_scores': ('score_r',),
+    'nb_classify': ('score_r',),
+    'lm_perplexity': ('avg_ll_r',),
+    'kn_perplexity': ('avg_ll_r',),
+    'ann_bq_topk': ('cosine',),
+    'jl_project': ('y_r',),
+    'maxsim_topk': ('score',),
+    'dense_rerank': ('cosine', 'score_r'),
+    'stream_regress': ('intercept', 'r2', 'slope'),
+    'kl_divergence': ('kl_r',),
+    'gopher_rules': ('alpha_ratio_r', 'bullet_ratio_r', 'ellipsis_ratio_r', 'mean_wlen_r'),
+    'prototype_prune': ('proto_cos',),
+    'mmr_rerank': ('mmr_r', 'qcos_r'),
+    'weighted_sample': ('key_r', 'weight'),
+    'json_extract_agg': ('avg_k',),
+    'ann_ivfpq_topk': ('dist2',),
+    'bm25_min_match': ('score_r',),
+    'bm25_dismax': ('score_d',),
+    'bm25_phrase_boost': ('score_b',),
+    'bm25_boost_query': ('score_r',),
+    'ann_ivf_kmeans': ('cosine',),
+    'sorted_page': ('score_r',),
+    'cursor_page': ('score_r',),
+    'tfidf_vectors': ('tfidf_r',),
+    'events_hopping': ('total',),
+    'facet_stats': ('avg_chars',),
+    'repetition': ('dup_bigram_ratio', 'dup_token_ratio', 'top_token_ratio'),
+    'dsir_weights': ('log_w_r',),
+    'dsir_select': ('log_w_r', 'sel_key_r'),
+    'collapse_by_source': ('score_r',),
+    'group_topm': ('score_r',),
+    'bm25_boost_mult': ('boost_r', 'final_r', 'score_r'),
+    'hard_negatives': ('score_r',),
+    'ltr_linear': ('f_bm25', 'f_matched', 'ltr_score'),
+    'ltr_trees': ('f_dl', 'f_lang_en', 'ltr_score'),
+    'stack_rules': ('alnum_frac_r', 'mean_line_r'),
+    'unigram_loglik': ('avg_ll',),
+    'bm25_boosted': ('boost_r', 'final_r', 'score_r'),
+    'func_boost': ('boost_r', 'final_r', 'score_r'),
+    'score_explain': ('contrib_r', 'idf_r'),
+    'significant_terms': ('score',),
+    'hybrid_rrf': ('rrf',),
+    'bm25_synonyms': ('score_r',),
+    'passage_topk': ('score_r',),
+    'ann_pq_topk': ('dist2',),
+    'bm25_elevated': ('score_r',),
+    'ann_sq_topk': ('cosine',),
+    'semdedup': ('nn_cos',),
+    'geo_radius': ('dist_km_r',),
+    'geo_knn': ('dist_km_r',),
+    'geo_polygon': ('lat', 'lon'),
+    'quality_scores': ('alnum_ratio', 'avg_token_len', 'quality', 'uniq_ratio'),
+    'agg_pricing_summary': ('avg_qty', 'sum_base_price', 'sum_disc_price', 'sum_qty'),
+    'broadcast_dim_join': ('revenue',),
+    'window_topk_orders': ('price',),
+    'events_tumbling': ('total',),
+    'bm25_topk': ('score_r',),
+    'bm25_rerank': ('final_r',),
+    'parent_block_join': ('score_avg', 'score_max', 'score_min', 'score_total'),
+    'span_dup_stats': ('dup_frac',),
+    'bm25_ltr': ('final_r',),
+    'bm25_scores': ('score_r',),
+    'bm25_topk_and': ('score_r',),
+    'facet_percentiles': ('p50_chars', 'p95_chars'),
+    'facet_range': ('bucket_start',),
+    'mlt': ('score_r',),
+    'bm25_topk_filtered': ('score_r',),
+    'result_clusters': ('tfidf_r',),
+    'bm25_wildcard': ('score_r',),
+    'bm25_multifield': ('score_r',),
+    'dedup_ngram_jaccard': ('jaccard',),
+    'ann_cosine_topk': ('cosine',),
+    'ann_lsh_topk': ('cosine',),
+    'ann_batch_topk': ('cosine',),
+    'ann_ivf_topk': ('cosine',),
+    'embedding_near_pairs': ('cosine',),
 }

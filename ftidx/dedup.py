@@ -756,6 +756,16 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
     if cell_cap == 0:
         return _emit(_pair_nn(cells))
 
+    # enforcement takes several driver actions (cell-size collect, dim
+    # probe, split-size collect) plus the pair join and peel rounds,
+    # all over the same ivf_centroids + ivf_assign lineage — pin it
+    # ONCE so assignment isn't recomputed per action (the peel loop
+    # below already localCheckpoints its own working set).  Strictly
+    # fewer full-corpus passes even when no cell is hot: one
+    # materialize + cheap reads vs one full recompute per action.
+    e = e.localCheckpoint()
+    cells = e.withColumn("cell", F.col("centroid_id").cast("string"))
+
     sizes = {r["cell"]: r["n"] for r in
              cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
              .collect()}

@@ -246,8 +246,20 @@ def jpeg_decode_rgb(b: bytes) -> np.ndarray:
     component) JPEG returns its luma replicated across the three
     channels."""
     h, w, comps, planes, hmax, vmax, interleaved = _decode_components(b)
-    lum_cid = comps[0][0]
-    y = np.clip(planes[lum_cid][:h, :w], 0.0, 255.0)
+    # the first component is normally max-sampled (factors == hmax/vmax,
+    # so the repeat below is the identity copy), but a valid baseline
+    # stream may subsample it relative to another component — upsample
+    # it to the full raster exactly like chroma instead of slicing a
+    # too-small plane into a broadcast error
+    lum_cid, lum_h, lum_v, _ = comps[0]
+    if not interleaved:
+        lum_h = lum_v = 1
+    if hmax % lum_h or vmax % lum_v:
+        raise NotImplementedError(
+            "non-integer luma subsampling requires a real codec")
+    y = planes[lum_cid][:-(-h * lum_v // vmax), :-(-w * lum_h // hmax)]
+    y = np.repeat(np.repeat(y, vmax // lum_v, axis=0), hmax // lum_h, axis=1)
+    y = np.clip(y[:h, :w], 0.0, 255.0)
     if len(comps) == 1:
         g = y.round().astype(np.uint8)
         return np.stack([g, g, g], axis=-1)

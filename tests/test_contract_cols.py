@@ -44,3 +44,12 @@ def test_cols_match_live_schema(spark, name):
     kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     bad = {c: t for c, t in kinds.items() if t not in SORTABLE}
     assert not bad, (name, bad)
+    # pin the signed-zero normalization source: _CONTRACT_DOUBLE_COLS
+    # must list exactly the double-typed outputs, so a query growing a
+    # double column cannot dodge _pin_oracle's + 0.0 (the Spark side
+    # introspects the live schema and needs no pin).  NOTE kinds here
+    # are POST-pin (queries() wraps in _pin_query, which preserves
+    # dtypes: double + 0.0 stays double).
+    live_doubles = sorted(c for c, t in kinds.items() if t == "double")
+    pinned = sorted(e._CONTRACT_DOUBLE_COLS.get(name, ()))
+    assert live_doubles == pinned, (name, live_doubles, pinned)

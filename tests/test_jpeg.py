@@ -275,3 +275,36 @@ def test_decode_rgb_grayscale_replicates_luma():
     assert rgb.shape == (24, 40, 3)
     assert (rgb[..., 0] == lum).all()
     assert (rgb[..., 1] == lum).all() and (rgb[..., 2] == lum).all()
+
+
+def test_rgb_subsampled_luma_upsamples_not_broadcast_error(monkeypatch):
+    """A valid baseline stream may subsample its FIRST component
+    relative to another (lum_v < vmax); jpeg_decode_rgb must upsample
+    the luma plane by replication like chroma, not slice a too-small
+    plane into a numpy broadcast ValueError (round-4 advice).  The
+    native encoder always emits max-sampled luma, so the component
+    layout is injected at the _decode_components seam."""
+    import ftidx.jpeg as J
+
+    h, w = 8, 8
+    # luma natively 4x4 (sampled 1,1 against hmax=vmax=2); chroma 8x8
+    y_nat = np.arange(16, dtype=np.float64).reshape(4, 4) * 10 + 16.0
+    flat = np.full((h, w), 128.0)
+    fake = (h, w,
+            [(1, 1, 1, 0), (2, 2, 2, 1), (3, 2, 2, 1)],
+            {1: y_nat, 2: flat, 3: flat},
+            2, 2, True)
+    monkeypatch.setattr(J, "_decode_components", lambda b: fake)
+    rgb = J.jpeg_decode_rgb(b"ignored")
+    assert rgb.shape == (8, 8, 3)
+    # chroma at 128 makes RGB == replicated luma exactly
+    want = np.repeat(np.repeat(y_nat, 2, axis=0), 2, axis=1)
+    assert np.array_equal(rgb[..., 0].astype(np.float64), want)
+    assert np.array_equal(rgb[..., 1], rgb[..., 0])
+    # non-integer luma subsampling stays an honest gate
+    fake3 = (6, 6, [(1, 2, 2, 0), (2, 3, 3, 1), (3, 3, 3, 1)],
+             {1: np.zeros((4, 4)), 2: np.zeros((6, 6)), 3: np.zeros((6, 6))},
+             3, 3, True)
+    monkeypatch.setattr(J, "_decode_components", lambda b: fake3)
+    with pytest.raises(NotImplementedError, match="luma subsampling"):
+        J.jpeg_decode_rgb(b"ignored")

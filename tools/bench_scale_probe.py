@@ -61,6 +61,25 @@ t2 = time.time()
 hits2 = idx.topk(["def", "return"], k=10)
 q_repeat_sec = time.time() - t2
 assert hits2 == hits
+
+# peak RSS of the driver JVM (this worker's java child) — Spark driver
+# state (ledger/manifest reads, collect buffers) lives in the JVM heap,
+# not this python process; measured BEFORE spark.stop() tears it down
+jvm_rss = 0
+for pid in os.listdir("/proc"):
+    if not pid.isdigit():
+        continue
+    try:
+        with open(f"/proc/{{pid}}/comm") as f:
+            if f.read().strip() != "java":
+                continue
+        with open(f"/proc/{{pid}}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM"):
+                    jvm_rss = max(jvm_rss, int(line.split()[1]) // 1024)
+    except OSError:
+        continue
+
 print(json.dumps({{"cores": cores, "n_files": n, "sec": elapsed,
                    "files_per_sec": n / elapsed,
                    "n_buckets": n_buckets,
@@ -68,6 +87,7 @@ print(json.dumps({{"cores": cores, "n_files": n, "sec": elapsed,
                    "manifest_bytes": man_bytes,
                    "driver_py_rss_mb_before": rss0,
                    "driver_py_rss_mb_after": rss1,
+                   "driver_jvm_rss_mb": jvm_rss,
                    "first_query_sec": q_sec,
                    "repeat_query_sec": q_repeat_sec,
                    "n_hits": len(hits)}}))
@@ -84,25 +104,6 @@ spark = get_spark(cores=32, app_name="gen", shuffle_partitions=128)
 synth_source(spark, n, partitions=256).write.mode("overwrite").parquet(out + "/src")
 spark.stop()
 """
-
-
-def _jvm_rss_mb() -> int:
-    """Peak RSS of the largest java process (the driver JVM)."""
-    best = 0
-    for pid in os.listdir("/proc"):
-        if not pid.isdigit():
-            continue
-        try:
-            with open(f"/proc/{pid}/comm") as f:
-                if f.read().strip() != "java":
-                    continue
-            with open(f"/proc/{pid}/status") as f:
-                for line in f:
-                    if line.startswith("VmHWM"):
-                        best = max(best, int(line.split()[1]) // 1024)
-        except OSError:
-            continue
-    return best
 
 
 def main():
@@ -159,6 +160,7 @@ synth corpus (seed 42), shuffle_partitions=256, ~62.5k docs/bucket.
 | ledger rows | {r['ledger_rows']:,} |
 | manifest bytes | {r['manifest_bytes']:,} |
 | driver python RSS after | {r['driver_py_rss_mb_after']:,} MB |
+| driver JVM peak RSS (VmHWM) | {r.get('driver_jvm_rss_mb', 0):,} MB |
 | first top-k query (cold, auto-routed to executors) | {r['first_query_sec']:.2f} s ({r['n_hits']} hits) |
 | repeat top-k query (queryResultCache) | {r.get('repeat_query_sec', 0) * 1000:.2f} ms |
 
@@ -167,7 +169,9 @@ count (corpus / 62.5k), not corpus rows — at 10^12 files that is
 ~16M buckets → a ledger in the tens of millions of rows, still a
 parquet table read lazily, and a manifest of ~GB read once.  The
 python driver RSS stays flat because nothing corpus-sized is ever
-collected.
+collected; the JVM peak RSS row is where Spark driver state
+(ledger/manifest scans, collect buffers, block-manager bookkeeping)
+actually lives — measured at its high-water mark before teardown.
 """)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -72,7 +72,12 @@ def canon(rows, cols, in_order=True):
     since round 4) preserves row order — the driver's value hash is
     order-sensitive, and round 3's one red row (collocations) was
     bit-identical values in different order, invisible to the old
-    sorted comparison."""
+    sorted comparison.  Zeros are SIGN-sensitive (round 4's one red
+    row was Spark +0.0 vs DuckDB -0.0 — equal under Python ==, so the
+    old canon passed while the driver's byte hash failed): a negative
+    zero canonicalizes to the string '-0.0', distinct under == from
+    the float 0.0."""
+    import math
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -81,6 +86,8 @@ def canon(rows, cols, in_order=True):
             v = r[i]
             if isinstance(v, float):
                 v = round(v, 9)
+                if v == 0.0 and math.copysign(1.0, v) < 0:
+                    v = "-0.0"
             vals.append(v)
         out.append(tuple(vals))
     return out if in_order else sorted(out, key=repr)
@@ -143,7 +150,8 @@ def main():
                 for i, x, y in diff:
                     print(f"   row {i}: spark={x}\n          duck ={y}")
             elif not ok_rows:
-                print(f"   spark-only sample: {[r for r in a if r not in set(map(repr, b))][:2]}")
+                bset = set(map(repr, b))
+                print(f"   spark-only sample: {[r for r in a if repr(r) not in bset][:2]}")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
