@@ -719,6 +719,18 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, threshold=0.35, n_centroids=16)
 
 
+def q_semdedup_union(spark, sf_dir):
+    # two hash-rotated quantizers, unioned verdicts (the cross-cell
+    # recall path): is_dup = OR, nn_cos = greatest non-null witness —
+    # every CTE is deterministic (md5 sample + rounded cosines), so
+    # the DuckDB twin replays both chains exactly
+    from ftidx.dedup import semdedup_union
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_union(emb, threshold=0.35, n_centroids=16,
+                          n_quantizers=2)
+
+
 def _geo_points(spark, sf_dir):
     # deterministic per-doc coordinates from the engine's salted-md5
     # uniform (u7 -> lat, u8 -> lon) — portable verbatim to the oracle
@@ -1694,6 +1706,51 @@ flat AS (
   )
 )
 """
+
+
+def _semdedup_chain(sfx: str, salt: str) -> str:
+    """One semdedup quantizer chain (cents → assign → within-cell
+    lower-id max-cosine) as DuckDB CTEs, suffixed so the union oracle
+    can instantiate two.  ``salt`` rotates the md5 centroid sample —
+    the SQL twin of ftidx.ann.ivf_centroids(salt=...)."""
+    h = (f"md5(vec_id::VARCHAR || '{salt}')" if salt
+         else "md5(vec_id::VARCHAR)")
+    return f"""
+            cents{sfx} AS (
+              SELECT vec_id AS cid FROM embeddings
+              ORDER BY {h}, vec_id LIMIT 16
+            ),
+            cflat{sfx} AS (
+              SELECT c.cid, f.i, f.x FROM flat f JOIN cents{sfx} c ON f.vec_id = c.cid
+            ),
+            adots{sfx} AS (
+              SELECT f.vec_id, c.cid, sum(f.x * c.x) AS dot,
+                     sum(f.x * f.x) AS na, sum(c.x * c.x) AS nc
+              FROM flat f JOIN cflat{sfx} c USING (i) GROUP BY f.vec_id, c.cid
+            ),
+            assign{sfx} AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY round(dot / (sqrt(na) * sqrt(nc)), 5) DESC, cid) AS rn
+                FROM adots{sfx}) WHERE rn = 1
+            ),
+            pairs{sfx} AS (
+              SELECT a.vec_id AS pid, b.vec_id AS did
+              FROM assign{sfx} a JOIN assign{sfx} b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+            ),
+            pcos{sfx} AS (
+              SELECT p.did,
+                     round(sum(fa.x * fb.x)
+                           / (sqrt(sum(fa.x * fa.x)) * sqrt(sum(fb.x * fb.x))),
+                           5) AS c
+              FROM pairs{sfx} p
+              JOIN flat fa ON fa.vec_id = p.pid
+              JOIN flat fb ON fb.vec_id = p.did AND fb.i = fa.i
+              GROUP BY p.pid, p.did
+            ),
+            nn{sfx} AS (SELECT did, max(c) AS nn_cos FROM pcos{sfx} GROUP BY did)"""
 
 
 def _ann_bucket_cte(n_planes: int) -> str:
@@ -3347,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "semdedup_union": q_semdedup_union,
     }
     # Round-5 driver window (first 50 of the dict — the driver checks a
     # 50-query prefix per round): the two standing anchors lead
@@ -4482,6 +4540,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, a.cid AS centroid_id, nn.nn_cos,
                    coalesce(nn.nn_cos >= 0.35, FALSE) AS is_dup
             FROM assign a LEFT JOIN nn ON nn.did = a.vec_id
+        """,
+        "semdedup_union": f"""
+            WITH {_EMB_FLAT_CTE},
+            {_semdedup_chain('0', '')},
+            {_semdedup_chain('1', ':q1')}
+            SELECT a.vec_id, a.cid AS centroid_id,
+                   greatest(n0.nn_cos, n1.nn_cos) AS nn_cos,
+                   (coalesce(n0.nn_cos >= 0.35, FALSE)
+                    OR coalesce(n1.nn_cos >= 0.35, FALSE)) AS is_dup
+            FROM assign0 a
+            LEFT JOIN nn0 n0 ON n0.did = a.vec_id
+            LEFT JOIN nn1 n1 ON n1.did = a.vec_id
         """,
         "geo_radius": f"""
             WITH {_geo_sql(37.0, -5.0)[0]},
@@ -6906,6 +6976,7 @@ _CONTRACT_COLS: dict[str, list[str]] = {
     'sorted_page': ['doc_id', 'lang', 'page_rank', 'score_r'],
     'cursor_page': ['doc_id', 'lang', 'page_rank', 'score_r'],
     'tfidf_vectors': ['doc_id', 'term', 'tfidf_r'],
+    'semdedup_union': ['centroid_id', 'is_dup', 'nn_cos', 'vec_id'],
 }
 
 
@@ -7001,4 +7072,5 @@ _CONTRACT_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     'ann_batch_topk': ('cosine',),
     'ann_ivf_topk': ('cosine',),
     'embedding_near_pairs': ('cosine',),
+    'semdedup_union': ('nn_cos',),
 }

@@ -181,18 +181,25 @@ def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95,
 
 
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  salt: str = "") -> DataFrame:
     """Deterministic IVF 'coarse quantizer' centroids: the n_centroids
     vectors with the smallest md5(id) — a hash-random sample,
     reproducible across engines with no RNG state. At 100 TB a hash
     sample is the standard first-epoch init; iterative k-means
     refinement is an optional offline job that would only move the
     cell boundaries, not the algorithm shape. Executes as
-    TakeOrderedAndProject (top-N by hash), never a global sort."""
+    TakeOrderedAndProject (top-N by hash), never a global sort.
+
+    ``salt`` rotates the hash sample deterministically — a second,
+    independent quantizer over the same corpus (md5(id||salt) picks a
+    different centroid set, hence different cell boundaries).  Used by
+    :func:`ftidx.dedup.semdedup_union` to recover cross-cell recall."""
     return (
         embeddings
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
+        .orderBy(F.md5(F.concat(F.col("centroid_id").cast("string"),
+                                F.lit(salt))), F.col("centroid_id"))
         .limit(n_centroids)
     )
 

@@ -860,6 +860,56 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
     return _emit(nn)
 
 
+def semdedup_union(embeddings: DataFrame, threshold: float = 0.95,
+                   n_centroids: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_quantizers: int = 2,
+                   cell_cap: int | None = None, peel_rounds: int = 4,
+                   stats: dict | None = None) -> DataFrame:
+    """Cross-cell recall for :func:`semdedup` — the n_probe analog its
+    docstring promises: run the paper's within-cell pass under
+    ``n_quantizers`` hash-rotated coarse quantizers
+    (:func:`ftidx.ann.ivf_centroids` with per-quantizer ``salt``) and
+    UNION the verdicts.  A near-dup pair that one clustering splits
+    across a cell boundary is caught if ANY rotation co-locates it —
+    each rotation's cell boundaries are independent draws, so misses
+    multiply (a pair missed with probability p under one quantizer
+    survives ~p^q under q of them).
+
+    Verdict algebra: ``is_dup`` = OR across quantizers; ``nn_cos`` =
+    greatest non-null across quantizers (every contributing value is a
+    true lower-id witness cosine, so the max is still a true witness);
+    ``centroid_id`` reports quantizer 0's assignment.  Cost: q × one
+    semdedup pass + (q−1) id-keyed joins of model-thin verdict tables
+    — the corpus-sized work stays within each pass, nothing all-pairs.
+
+    ``stats`` (optional) receives per-quantizer telemetry under keys
+    ``q0`` … ``q{n-1}``."""
+    from .ann import ivf_centroids
+
+    base = None
+    for q in range(n_quantizers):
+        cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col,
+                              salt=f":q{q}" if q else "")
+        st: dict | None = {} if stats is not None else None
+        o = semdedup(embeddings, threshold, n_centroids, id_col, vec_col,
+                     centroids=cents, cell_cap=cell_cap,
+                     peel_rounds=peel_rounds, stats=st)
+        if stats is not None:
+            stats[f"q{q}"] = st
+        if base is None:
+            base = o
+            continue
+        extra = (o.select(F.col(id_col), F.col("nn_cos").alias(f"nn_{q}"),
+                          F.col("is_dup").alias(f"d_{q}")))
+        base = (
+            base.join(extra, id_col)
+            .withColumn("nn_cos", F.greatest("nn_cos", f"nn_{q}"))
+            .withColumn("is_dup", F.col("is_dup") | F.col(f"d_{q}"))
+            .drop(f"nn_{q}", f"d_{q}")
+        )
+    return base
+
+
 def prototype_prune(embeddings: DataFrame, drop_permille: int = 300,
                     n_centroids: int = 16, id_col: str = "vec_id",
                     vec_col: str = "embedding",

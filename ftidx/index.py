@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 import time
 import uuid
 from pathlib import Path
@@ -830,13 +831,32 @@ class FtIndex:
         # to both, so repeat queries stay O(µs) either way.
         self._driver_score_max_docs = int(
             _os.environ.get("FTIDX_DRIVER_SCORE_MAX_DOCS", "2000000"))
+        # guards ALL cache bookkeeping (term/filter/result caches,
+        # counters) and handle-state swaps (refresh) in SHORT critical
+        # sections — Spark fetches run outside it, so concurrent
+        # queries overlap in the scheduler instead of serializing.
+        # Reentrant: refresh() takes it and is called under it by
+        # maintenance wrappers.
+        self._cache_lock = threading.RLock()
+        # df-probe cache for fat-corpus routing: (field, term) → total
+        # df (an int — postings-free, so memory is negligible).  Lets
+        # _topk_uncached keep thin-term queries on the driver kernel
+        # when the corpus itself is over the doc budget.
+        self._df_cache: OrderedDict[tuple[str, str], int] = OrderedDict()
         self.refresh()
 
     def refresh(self) -> None:
         """Re-read manifest/postings/stats/tombstones and drop the term
         cache. Call after maintenance ops (compact_tombstones,
         compact_deltas, upsert) rewrite the index under this path — a
-        stale handle would otherwise keep serving cached postings/idf."""
+        stale handle would otherwise keep serving cached postings/idf.
+        Holds the cache lock for the whole swap so a concurrent query
+        never sees half-new handle state (refresh is rare; queries are
+        short)."""
+        with self._cache_lock:
+            self._refresh_inner()
+
+    def _refresh_inner(self) -> None:
         spark = self.spark
         self.manifest = json.loads((self.path / "_manifest.json").read_text())
         # postings/stats may be absent: a delete_by_query(match_all=True)
@@ -917,6 +937,7 @@ class FtIndex:
             )
         self._term_cache.clear()
         self._cache_bytes = 0
+        self._df_cache.clear()  # maintenance rewrites change dfs
         # Solr filterCache analog: fq-predicate → frozen doc-id set;
         # invalidated with the rest of the handle state; LRU-bounded
         # (entries + bytes) — see predicate_ids
@@ -937,10 +958,11 @@ class FtIndex:
         :func:`ftidx.maintenance.compact` folds them in."""
         df = self.spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
         df.write.mode("append").parquet(str(self.path / "tombstones"))
-        self._tombstones.update(int(d) for d in doc_ids)
-        # cached result pages may hold a just-tombstoned doc
-        self._result_cache.clear()
-        self._result_cache_bytes = 0
+        with self._cache_lock:
+            self._tombstones.update(int(d) for d in doc_ids)
+            # cached result pages may hold a just-tombstoned doc
+            self._result_cache.clear()
+            self._result_cache_bytes = 0
 
     def delete_by_query(self, *, terms: list[str] | None = None,
                         field: str = "code.content", where: str | None = None,
@@ -957,47 +979,69 @@ class FtIndex:
 
     # -- queries ---------------------------------------------------------
     def _fetch_term_rows(self, terms: list[str], field: str) -> dict[str, list[dict]]:
-        """Term rows via the driver cache; only cache misses touch Spark."""
-        missing = [t for t in terms if (field, t) not in self._term_cache]
-        self._cache_misses += len(missing)
-        self._cache_hits += len(terms) - len(missing)
+        """Term rows via the driver cache; only cache misses touch Spark.
+
+        Cache bookkeeping runs under ``_cache_lock`` in short critical
+        sections; the Spark postings fetch runs OUTSIDE the lock so
+        concurrent cold queries overlap in the scheduler instead of
+        serializing behind one collect (the concurrent-serving bench's
+        finding).  Two threads missing the same term fetch it twice —
+        benign: identical rows, second insert wins, bytes stay exact.
+        The resolve loop re-checks the cache after each fetch because
+        an entry seen present can be evicted by another thread before
+        we copy it out — such a term simply joins the next fetch."""
+        out: dict[str, list[dict]] = {}
         grouped: dict[str, list[dict]] = {}
-        if missing:
+        pending = list(dict.fromkeys(terms))
+        first_pass = True
+        while True:
+            with self._cache_lock:
+                unresolved = []
+                for t in pending:
+                    key = (field, t)
+                    if key in self._term_cache:
+                        rows = self._term_cache.pop(key)  # re-insert → most recent
+                        self._cache_bytes -= _entry_cost(rows)
+                    elif t in grouped:
+                        rows = grouped[t]
+                    else:
+                        unresolved.append(t)
+                        continue
+                    out[t] = rows
+                    self._term_cache[key] = rows
+                    self._cache_bytes += _entry_cost(rows)
+                if first_pass:
+                    self._cache_misses += len(unresolved)
+                    self._cache_hits += len(pending) - len(unresolved)
+                    first_pass = False
+                # LRU eviction, BYTE-aware: entries end up carrying
+                # decoded numpy arrays (~9× the varint blob — wand
+                # memoizes into the row dicts), so an entry-count cap
+                # alone would let a few thousand high-df terms exhaust
+                # driver memory. Drop oldest until under both budgets;
+                # `out` keeps its references, so the current query is
+                # unaffected even if its own entries fall out.
+                while self._term_cache and (
+                    len(self._term_cache) > self._term_cache_max
+                    or self._cache_bytes > self._term_cache_max_bytes
+                ):
+                    _, old_rows = self._term_cache.popitem(last=False)
+                    self._cache_bytes -= _entry_cost(old_rows)
+            if not unresolved:
+                return out
             fetched = (
                 self._postings.filter(
-                    (F.col("field") == field) & F.col("term").isin(missing)
+                    (F.col("field") == field) & F.col("term").isin(unresolved)
                 )
                 .select("term", "df", "cf", "doc_ids", "tfs", "dls",
                         "block_max_tf", "block_min_dl", "block_last_docid")
                 .collect()
             )
-            grouped = {t: [] for t in missing}
+            for t in unresolved:
+                grouped.setdefault(t, [])
             for r in fetched:
                 grouped[r["term"]].append(r.asDict())
-        out = {}
-        for t in terms:
-            key = (field, t)
-            if key in self._term_cache:
-                rows = self._term_cache.pop(key)  # re-insert → most recent
-                self._cache_bytes -= _entry_cost(rows)
-            else:
-                rows = grouped.get(t, [])
-            out[t] = rows
-            self._term_cache[key] = rows
-            self._cache_bytes += _entry_cost(rows)
-        # LRU eviction, BYTE-aware: entries end up carrying decoded
-        # numpy arrays (~9× the varint blob — wand memoizes into the
-        # row dicts), so an entry-count cap alone would let a few
-        # thousand high-df terms exhaust driver memory. Drop oldest
-        # until under both budgets; `out` keeps its references, so the
-        # current query is unaffected even if its own entries fall out.
-        while self._term_cache and (
-            len(self._term_cache) > self._term_cache_max
-            or self._cache_bytes > self._term_cache_max_bytes
-        ):
-            _, old_rows = self._term_cache.popitem(last=False)
-            self._cache_bytes -= _entry_cost(old_rows)
-        return out
+            pending = unresolved
 
     def _term_lists(self, terms: list[str], field: str):
         qterms = sorted(set(terms))
@@ -1032,33 +1076,79 @@ class FtIndex:
                                        exclude, min_match)
         ckey = ("topk", field, tuple(terms), k, kernel, mode,
                 tuple(exclude or ()), min_match)
-        hit = self._result_cache.get(ckey)
-        if hit is not None:
-            self._result_cache.move_to_end(ckey)
-            self._result_hits += 1
-            return list(hit)
-        self._result_misses += 1
+        with self._cache_lock:
+            hit = self._result_cache.get(ckey)
+            if hit is not None:
+                self._result_cache.move_to_end(ckey)
+                self._result_hits += 1
+                return list(hit)
+            self._result_misses += 1
+        # scoring runs OUTSIDE the lock — concurrent cold queries
+        # overlap; two threads racing the same ckey both score and the
+        # second insert is skipped (identical page either way)
         out = self._topk_uncached(terms, k, field, kernel, mode,
                                   exclude, min_match)
-        self._result_cache[ckey] = out
-        self._result_cache_bytes += 40 * len(out) + 96
-        while (len(self._result_cache) > self._result_cache_max
-               or self._result_cache_bytes > self._result_cache_max_bytes):
-            _, old = self._result_cache.popitem(last=False)
-            self._result_cache_bytes -= 40 * len(old) + 96
+        with self._cache_lock:
+            if ckey not in self._result_cache:
+                self._result_cache[ckey] = out
+                self._result_cache_bytes += 40 * len(out) + 96
+                while (len(self._result_cache) > self._result_cache_max
+                       or self._result_cache_bytes > self._result_cache_max_bytes):
+                    _, old = self._result_cache.popitem(last=False)
+                    self._result_cache_bytes -= 40 * len(old) + 96
         return list(out)
+
+    def _df_total(self, terms: list[str], field: str) -> int | None:
+        """Total df across ``terms`` via the df-probe cache; one cheap
+        (term, df)-column aggregate fills misses.  The fat-corpus
+        router uses this to keep THIN-term queries on the driver
+        kernel: routing on corpus size alone sent a df=100 rare-term
+        query through a full distributed scoring job when collecting
+        its few hundred postings is the same latency as the probe and
+        seeds the term cache for every later query sharing the term
+        (the concurrent-serving bench's finding).  df values are ints:
+        the cache is tiny (LRU 64k entries) and NEVER holds postings."""
+        with self._cache_lock:
+            missing = [t for t in terms if (field, t) not in self._df_cache]
+        if missing:
+            fetched = {
+                r["term"]: int(r["total_df"])
+                for r in self._postings.filter(
+                    (F.col("field") == field) & F.col("term").isin(missing))
+                .groupBy("term").agg(F.sum("df").alias("total_df"))
+                .collect()
+            }
+            with self._cache_lock:
+                for t in missing:
+                    self._df_cache[(field, t)] = fetched.get(t, 0)
+                while len(self._df_cache) > 65536:
+                    self._df_cache.popitem(last=False)
+        with self._cache_lock:
+            out = 0
+            for t in terms:
+                v = self._df_cache.get((field, t))
+                if v is None:
+                    return None  # raced out of the LRU — treat as fat
+                out += v
+            return out
 
     def _topk_uncached(self, terms, k, field, kernel, mode,
                        exclude, min_match) -> list[tuple[int, float]]:
         # beyond the driver-scoring doc budget, route to the executor
         # path (see __init__ — identical kernels/boolean surface,
-        # pinned by test_topk_routes_distributed_beyond_doc_budget)
+        # pinned by test_topk_routes_distributed_beyond_doc_budget) —
+        # UNLESS a df probe shows the query's postings are small
+        # (thin/rare terms): those collect + cache driver-side, same
+        # cold latency, µs-warm for later queries sharing the terms
         n_docs_f, _ = self.stats.get(field, (0, 1.0))
         if kernel == "block_max" and n_docs_f > self._driver_score_max_docs:
-            rows = self.topk_distributed(
-                terms, k, field, mode=mode, exclude=exclude,
-                min_match=min_match).collect()
-            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+            probe_terms = sorted(set(terms) | set(exclude or ()))
+            df_total = self._df_total(probe_terms, field)
+            if df_total is None or df_total > self._driver_score_max_docs:
+                rows = self.topk_distributed(
+                    terms, k, field, mode=mode, exclude=exclude,
+                    min_match=min_match).collect()
+                return [(int(r["doc_id"]), float(r["score"])) for r in rows]
         lists, avgdl = self._term_lists(terms, field)
         if not lists:
             return []
@@ -3323,6 +3413,10 @@ class FtIndex:
         reference's S30 progress metrics, read back from the persisted
         per-bucket ledger, KB-sized). Cheap: no postings scan — the
         only job is the ledger read, a tiny parquet."""
+        with self._cache_lock:
+            return self._metrics_inner()
+
+    def _metrics_inner(self) -> dict:
         probes = self._cache_hits + self._cache_misses
         out = {
             "term_cache": {
@@ -3433,26 +3527,31 @@ class FtIndex:
         Driver memory holds one long per matching doc — the serving
         trade the term cache already makes; an analytic-scale filter
         belongs in :meth:`topk_where`, which stays distributed."""
-        cached = self._filter_cache.get(predicate)
-        if cached is not None:
-            self._filter_cache.move_to_end(predicate)  # LRU touch
-        else:
+        with self._cache_lock:
+            cached = self._filter_cache.get(predicate)
+            if cached is not None:
+                self._filter_cache.move_to_end(predicate)  # LRU touch
+        if cached is None:
+            # the docs scan runs OUTSIDE the lock (concurrent queries
+            # overlap); a raced duplicate insert is identical + skipped
             docs = self.spark.read.parquet(str(self.path / "docs"))
             cached = frozenset(
                 int(r["doc_id"])
                 for r in docs.filter(F.expr(predicate))
                 .select("doc_id").collect()
             )
-            self._filter_cache[predicate] = cached
-            self._filter_cache_bytes += _idset_cost(cached)
-            # same discipline as the term cache: user-supplied
-            # predicate strings are unbounded, driver memory is not
-            while self._filter_cache and (
-                len(self._filter_cache) > self._filter_cache_max
-                or self._filter_cache_bytes > self._filter_cache_max_bytes
-            ):
-                _, old = self._filter_cache.popitem(last=False)
-                self._filter_cache_bytes -= _idset_cost(old)
+            with self._cache_lock:
+                if predicate not in self._filter_cache:
+                    self._filter_cache[predicate] = cached
+                    self._filter_cache_bytes += _idset_cost(cached)
+                    # same discipline as the term cache: user-supplied
+                    # predicate strings are unbounded, driver memory is not
+                    while self._filter_cache and (
+                        len(self._filter_cache) > self._filter_cache_max
+                        or self._filter_cache_bytes > self._filter_cache_max_bytes
+                    ):
+                        _, old = self._filter_cache.popitem(last=False)
+                        self._filter_cache_bytes -= _idset_cost(old)
         # tombstones subtract at LOOKUP time: delete() grows the
         # tombstone set without refresh(), and a baked-in subtraction
         # would keep serving deleted ids from the cache

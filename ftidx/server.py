@@ -98,9 +98,13 @@ Endpoints (all JSON):
 
 Scale shape: one server process serves one index replica; the index
 directory is immutable between maintenance ops, so replicas scale
-horizontally behind any balancer with no coordination. Requests are
-serialized through a lock — the handle's cache is not thread-safe and
-queries are short; run more replicas, not more threads, for QPS.
+horizontally behind any balancer with no coordination. Within a
+replica, the hot query endpoints run CONCURRENTLY under a shared
+readers-writer lock (FtIndex's caches are internally locked; Spark
+schedules concurrent jobs from multiple threads), while mutating
+endpoints (/update /compact /refresh /tag) and stream-daemon
+iterations take it exclusively — see ``_RWLock``.  Replicas remain
+the cross-machine QPS path; threads are now the in-machine one.
 
 Run: ``python -m ftidx.server /path/to/index --port 8080``
 """
@@ -110,10 +114,65 @@ from __future__ import annotations
 import json
 import threading
 import time
+from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
+
+class _RWLock:
+    """Readers-writer lock for the serving tier.
+
+    ``with lock:`` (the historical interface — also handed to stream
+    daemons as ``run_lock``) stays EXCLUSIVE: mutating endpoints
+    (/update /compact /refresh /tag), daemon iterations, and the long
+    tail of handlers keep their one-at-a-time semantics unchanged.
+    ``with lock.shared():`` lets the hot query endpoints (/search,
+    /phrase, /query, /get, /select, /knn, /ltr, /mlt, /explain, /tv,
+    /health, /metrics, /stats) run CONCURRENTLY — FtIndex's caches are
+    internally locked (``_cache_lock``) and Spark accepts concurrent
+    jobs from multiple threads, so reads need no mutual exclusion
+    among themselves (the concurrent-serving bench's finding: a single
+    global lock made N clients exactly as slow as 1 client × N).
+    Write-preferring: a waiting writer blocks NEW readers, so
+    maintenance can't be starved by a query stream."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def __enter__(self) -> "_RWLock":
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                self._cond.wait_for(
+                    lambda: not self._writer and self._readers == 0)
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+        return False
+
+    @contextmanager
+    def shared(self):
+        with self._cond:
+            self._cond.wait_for(
+                lambda: not self._writer and not self._writers_waiting)
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if not self._readers:
+                    self._cond.notify_all()
 
 
 def _parse_labeled_spec(spec: str) -> dict[str, list[str]]:
@@ -169,7 +228,7 @@ def _apply_add(idx, docs) -> int:
     return len(rows)
 
 
-def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
+def _make_handler(idx, lock: "_RWLock", daemons: dict | None = None):
     daemons = {} if daemons is None else daemons
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; serving logs belong to WSGI tiers
@@ -196,7 +255,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
             qs = parse_qs(u.query)
             try:
                 if u.path == "/health":
-                    with lock:
+                    with lock.shared():
                         fields = {f: n for f, (n, _) in idx.stats.items()}
                     self._json(200, {
                         "status": "ok",
@@ -210,10 +269,10 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                 elif u.path == "/metrics":
                     # Solr admin/metrics: cache effectiveness, tomb-
                     # stone pressure, last build's ledger summary
-                    with lock:
+                    with lock.shared():
                         self._json(200, idx.metrics())
                 elif u.path == "/stats":
-                    with lock:
+                    with lock.shared():
                         stats = {f: {"n_docs": n, "avgdl": a}
                                  for f, (n, a) in idx.stats.items()}
                     self._json(200, stats)
@@ -645,7 +704,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                     except ValueError:
                         self._json(400, {"error": "missing/invalid id"})
                         return
-                    with lock:
+                    with lock.shared():
                         row = idx.get_doc(doc_id)
                     if row is None:
                         self._json(404, {"error": "not found",
@@ -806,7 +865,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                     k = int(qs.get("k", ["10"])[0])
                     field = qs.get("field", ["code.content"])[0]
                     qmm = qs.get("mm", [""])[0]
-                    with lock:
+                    with lock.shared():
                         hits = idx.query_string(
                             q, k=k, field=field,
                             min_match=int(qmm) if qmm else None)
@@ -820,7 +879,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                         self._json(400, {"error": "need q and id"})
                         return
                     field = qs.get("field", ["code.content"])[0]
-                    with lock:
+                    with lock.shared():
                         out = idx.explain(terms, int(did), field=field)
                     self._json(200, out)
                 elif u.path == "/mlt":
@@ -832,7 +891,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                     field = qs.get("field", ["code.content"])[0]
                     k = int(qs.get("k", ["10"])[0])
                     mqt = int(qs.get("maxqt", ["12"])[0])
-                    with lock:
+                    with lock.shared():
                         out = idx.more_like_this(int(did), k=k,
                                                  field=field,
                                                  max_query_terms=mqt)
@@ -846,7 +905,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                         return
                     field = qs.get("field", ["code.content"])[0]
                     top_m = int(qs.get("top", ["50"])[0])
-                    with lock:
+                    with lock.shared():
                         out = idx.doc_term_vector(int(did), field=field,
                                                   top_m=top_m)
                     self._json(200, {"terms": [
@@ -883,7 +942,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                     elevate = qs.get("elevate", [""])[0]
                     syn = qs.get("syn", [""])[0]
                     rq = qs.get("rq", [""])[0]
-                    with lock:
+                    with lock.shared():
                         if u.path != "/search":
                             if slop > 0:
                                 hits = idx.near_topk(terms, window=slop,
@@ -1293,7 +1352,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                     body = json.loads(self.rfile.read(n) or b"{}")
                     if not isinstance(body, dict):
                         raise ValueError("/select body must be a JSON object")
-                    with lock:
+                    with lock.shared():
                         out = idx.select_json(body)
                 except (ValueError, KeyError, TypeError,
                         json.JSONDecodeError) as e:
@@ -1327,7 +1386,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                     k = int(body.get("k", 10))
                     rrd = int(body.get("reRankDocs", 100))
                     fld = str(body.get("field", "code.content"))
-                    with lock:
+                    with lock.shared():
                         hits = idx.ltr_rerank(terms, model, k=k,
                                               rerank_docs=rrd, field=fld)
                 except (ValueError, KeyError, TypeError,
@@ -1354,7 +1413,7 @@ def _make_handler(idx, lock: threading.Lock, daemons: dict | None = None):
                     k = int(body.get("k", 10))
                     terms = str(body.get("q", "")).split() or None
                     fld = str(body.get("field", "code.content"))
-                    with lock:
+                    with lock.shared():
                         rows = idx.knn(vec, k=k, terms=terms,
                                        field=fld).collect()
                 except (ValueError, KeyError, TypeError,
@@ -1548,7 +1607,7 @@ class FtServer:
     test/embedded mode), ``serve_forever()`` blocks (the CLI mode)."""
 
     def __init__(self, idx, host: str = "127.0.0.1", port: int = 0):
-        self._lock = threading.Lock()
+        self._lock = _RWLock()
         # Solr's server-lifetime daemon map: stream-expression
         # daemon()s registered by any request live here until stopped
         self.daemons: dict = {}

@@ -2009,3 +2009,67 @@ def test_spellcheck_wordbreak_sharded(spark, tmp_path):
     probe = ["defreturn", "value", "data", "zzznope"]
     assert shards.spellcheck_wordbreak(probe) == \
         mono.spellcheck_wordbreak(probe)
+
+
+def test_fat_corpus_thin_terms_stay_on_driver_kernel(spark, built, oracle):
+    """df-probe routing: above the doc budget, a query whose TOTAL df
+    fits the budget collects its (small) postings driver-side — same
+    cold latency as the probe, warms the term cache for every later
+    query sharing the term — while fat terms still score in the
+    executors.  Parity with the oracle on both routes."""
+    idx = open_index(spark, built[0])
+    # test_delete_tombstones persisted a tombstone into the module-
+    # scoped index dir; drop it so oracle parity sees the full corpus
+    idx._tombstones = set()
+    idx._driver_score_max_docs = 150  # rareterm df≈95 fits; 'def' ≈330 doesn't
+    got = idx.topk(["rareterm00001"], k=5)
+    want = oracle.topk(["rareterm00001"], 5)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert idx._cache_misses >= 1  # driver kernel fetched + cached it
+    assert ("code.content", "rareterm00001") in idx._term_cache
+    # a fat term still routes to the executors: term cache untouched
+    misses0 = idx._cache_misses
+    got2 = idx.topk(["def"], k=5)
+    want2 = oracle.topk(["def"], 5)
+    assert [d for d, _ in got2] == [d for d, _ in want2]
+    assert idx._cache_misses == misses0
+    assert ("code.content", "def") not in idx._term_cache
+    # mixed fat+thin: the SUM busts the budget → distributed, parity holds
+    got3 = idx.topk(["def", "rareterm00002"], k=8)
+    want3 = oracle.topk(["def", "rareterm00002"], 8)
+    assert [d for d, _ in got3] == [d for d, _ in want3]
+    assert idx._cache_misses == misses0
+
+
+def test_concurrent_topk_threads_agree(spark, built):
+    """8 threads hammer one handle with the same mixed query set:
+    results identical across threads (no torn cache state), cache
+    byte accounting exact afterwards (the LRU bookkeeping ran under
+    _cache_lock), and no thread raised."""
+    import threading
+
+    from ftidx.index import _entry_cost
+
+    idx = open_index(spark, built[0])
+    results: dict[int, list] = {}
+    errs: list[Exception] = []
+
+    def worker(i):
+        try:
+            out = []
+            for terms, k, field in QUERIES[:5]:
+                out.append(idx.topk(terms, k=k, field=field))
+            results[i] = out
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    base = results[0]
+    assert all(r == base for r in results.values())
+    assert idx._cache_bytes == sum(
+        _entry_cost(v) for v in idx._term_cache.values())
