@@ -652,12 +652,56 @@ def build_index(
         (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
     ).collect()
     _write_stats_rows(out / "stats", stats)
+    write_termstats(spark, str(out))
     manifest_path.write_text(
         json.dumps({**params, "stem_field": bool(stem_field),
                     "shingle_field": bool(shingle_field),
                     "status": "done", "build_id": build_id})
     )
     return {"built": built, "skipped": skipped, "n_buckets": n_buckets, "build_id": build_id}
+
+
+def _postings_fingerprint(index_path: Path) -> str:
+    """Content identity of the postings directory (relative file names
+    + sizes, hashed) — KB-cheap driver-side walk.  ``termstats``
+    carries the fingerprint it was derived from; a maintenance op that
+    rewrites postings changes the listing, FtIndex detects the
+    mismatch at refresh() and falls back to the postings aggregate
+    (routing stays semantics-preserving either way — both score paths
+    return identical pages, only latency differs)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    base = index_path / "postings"
+    if base.exists():
+        for f in sorted(base.rglob("*.parquet")):
+            h.update(f"{f.relative_to(base)}:{f.stat().st_size};".encode())
+    return h.hexdigest()
+
+
+def write_termstats(spark: SparkSession, index_path: str) -> None:
+    """Skinny (field, term, df_total) routing-stats table, ONE columnar
+    aggregate over postings at build time — so the fat-corpus df probe
+    (:meth:`FtIndex._df_total`) reads a vocabulary-sized sorted table
+    instead of scanning the multi-GB postings parquet once per cold
+    term (the concurrent-serving bench's finding: that scan dominated
+    cold-thin latency at 32M files).  Range-partitioned and sorted by
+    (field, term) so a term-equality probe prunes to a couple of row
+    groups via min/max stats.  Rebuild after maintenance with this
+    same function; a stale table is ignored via the postings
+    fingerprint."""
+    out = Path(index_path)
+    postings_dir = out / "postings"
+    ts_dir = out / "termstats"
+    if not (postings_dir.exists() and any(postings_dir.iterdir())):
+        return
+    p = spark.read.parquet(str(postings_dir))
+    (p.groupBy("field", "term").agg(F.sum("df").alias("df_total"))
+     .repartitionByRange(8, "field", "term")
+     .sortWithinPartitions("field", "term")
+     .write.mode("overwrite").parquet(str(ts_dir)))
+    (ts_dir / "_postings_fingerprint").write_text(
+        _postings_fingerprint(out))
 
 
 def _parse_sort_keys(sort: str) -> list:
@@ -843,6 +887,17 @@ class FtIndex:
         # _topk_uncached keep thin-term queries on the driver kernel
         # when the corpus itself is over the doc budget.
         self._df_cache: OrderedDict[tuple[str, str], int] = OrderedDict()
+        # giant-collect throttle: query surfaces without a distributed
+        # fallback (query_string/edismax/LTR/phrase call _term_lists
+        # directly) legitimately collect fat postings at a fat corpus.
+        # N serving threads doing that CONCURRENTLY multiplied the
+        # driver working set N× — the round-5 serving bench OOM-killed
+        # a 78 GB driver exactly this way.  Fetches whose probed df
+        # exceeds the routing budget serialize through this semaphore,
+        # bounding peak driver memory to ~one giant working set (the
+        # per-entry cache cap keeps them out of the term cache too).
+        self._big_fetch_sem = threading.Semaphore(
+            int(_os.environ.get("FTIDX_BIG_FETCH_CONCURRENCY", "1")))
         self.refresh()
 
     def refresh(self) -> None:
@@ -872,6 +927,7 @@ class FtIndex:
         # already handle multiple segments per term with overlapping
         # id ranges (streaming hash ids)
         deltas_dir = self.path / "deltas"
+        self._delta_postings = None
         if deltas_dir.exists() and any(deltas_dir.iterdir()):
             delta = (
                 spark.read.option("basePath", str(deltas_dir))
@@ -880,6 +936,21 @@ class FtIndex:
             self._postings = (
                 self._postings.select(_POSTINGS_COLS).unionByName(delta)
             )
+            # kept separately: the df probe adds a delta-only aggregate
+            # (small scan) on top of the termstats table, which covers
+            # base postings only
+            self._delta_postings = delta
+        # routing-stats table (see write_termstats): loaded only when
+        # its fingerprint matches the CURRENT postings listing — a
+        # maintenance rewrite invalidates it and the df probe falls
+        # back to the postings aggregate (identical results, slower
+        # cold probe) until write_termstats runs again
+        ts_dir = self.path / "termstats"
+        self._termstats = None
+        if ts_dir.exists() and any(ts_dir.iterdir()):
+            fp = ts_dir / "_postings_fingerprint"
+            if fp.exists() and fp.read_text() == _postings_fingerprint(self.path):
+                self._termstats = spark.read.parquet(str(ts_dir))
         stats_dir = self.path / "stats"
         self.stats = {
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
@@ -1008,8 +1079,16 @@ class FtIndex:
                         unresolved.append(t)
                         continue
                     out[t] = rows
+                    # per-entry cap: a single huge entry (fat term
+                    # collected under a generous routing budget) would
+                    # evict the WHOLE cache for one query's benefit —
+                    # serve it uncached instead (round-5 serving bench:
+                    # one 534 MB entry left `entries: 1` behind)
+                    cost = _entry_cost(rows)
+                    if cost * 4 > self._term_cache_max_bytes:
+                        continue
                     self._term_cache[key] = rows
-                    self._cache_bytes += _entry_cost(rows)
+                    self._cache_bytes += cost
                 if first_pass:
                     self._cache_misses += len(unresolved)
                     self._cache_hits += len(pending) - len(unresolved)
@@ -1029,14 +1108,32 @@ class FtIndex:
                     self._cache_bytes -= _entry_cost(old_rows)
             if not unresolved:
                 return out
-            fetched = (
-                self._postings.filter(
-                    (F.col("field") == field) & F.col("term").isin(unresolved)
+            # fat-corpus guard: at a corpus over the routing budget,
+            # probe the fetch's total df first (cheap termstats read)
+            # and serialize GIANT collects through the semaphore —
+            # callers on this path (query_string/edismax/LTR/phrase)
+            # have no distributed fallback, so the fetch must happen,
+            # but not 16× concurrently
+            n_docs_f, _ = self.stats.get(field, (0, 1.0))
+            fat_fetch = False
+            if n_docs_f > self._driver_score_max_docs:
+                dft = self._df_total(unresolved, field)
+                fat_fetch = (dft is None
+                             or dft > self._driver_score_max_docs)
+            if fat_fetch:
+                self._big_fetch_sem.acquire()
+            try:
+                fetched = (
+                    self._postings.filter(
+                        (F.col("field") == field) & F.col("term").isin(unresolved)
+                    )
+                    .select("term", "df", "cf", "doc_ids", "tfs", "dls",
+                            "block_max_tf", "block_min_dl", "block_last_docid")
+                    .collect()
                 )
-                .select("term", "df", "cf", "doc_ids", "tfs", "dls",
-                        "block_max_tf", "block_min_dl", "block_last_docid")
-                .collect()
-            )
+            finally:
+                if fat_fetch:
+                    self._big_fetch_sem.release()
             for t in unresolved:
                 grouped.setdefault(t, [])
             for r in fetched:
@@ -1111,13 +1208,31 @@ class FtIndex:
         with self._cache_lock:
             missing = [t for t in terms if (field, t) not in self._df_cache]
         if missing:
-            fetched = {
-                r["term"]: int(r["total_df"])
-                for r in self._postings.filter(
-                    (F.col("field") == field) & F.col("term").isin(missing))
-                .groupBy("term").agg(F.sum("df").alias("total_df"))
-                .collect()
-            }
+            if self._termstats is not None:
+                # skinny sorted (field, term, df_total) table — probe
+                # prunes to a couple of row groups; deltas (absent from
+                # termstats) contribute via a small delta-only aggregate
+                fetched = {
+                    r["term"]: int(r["df_total"])
+                    for r in self._termstats.filter(
+                        (F.col("field") == field)
+                        & F.col("term").isin(missing)).collect()
+                }
+                if self._delta_postings is not None:
+                    for r in (self._delta_postings.filter(
+                            (F.col("field") == field)
+                            & F.col("term").isin(missing))
+                            .groupBy("term").agg(F.sum("df").alias("d"))
+                            .collect()):
+                        fetched[r["term"]] = fetched.get(r["term"], 0) + int(r["d"])
+            else:
+                fetched = {
+                    r["term"]: int(r["total_df"])
+                    for r in self._postings.filter(
+                        (F.col("field") == field) & F.col("term").isin(missing))
+                    .groupBy("term").agg(F.sum("df").alias("total_df"))
+                    .collect()
+                }
             with self._cache_lock:
                 for t in missing:
                     self._df_cache[(field, t)] = fetched.get(t, 0)

@@ -210,7 +210,7 @@ def compact_tombstones(spark: SparkSession, index_path: str) -> dict:
 
 
 def _refresh_stats(spark: SparkSession, path: Path) -> None:
-    from ftidx.index import _write_stats_rows
+    from ftidx.index import _write_stats_rows, write_termstats
 
     doclen_all = spark.read.parquet(str(path / "doclen"))
     stats = doclen_all.groupBy("field").agg(
@@ -219,6 +219,10 @@ def _refresh_stats(spark: SparkSession, path: Path) -> None:
         (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
     ).collect()
     _write_stats_rows(path / "stats", stats)
+    # the rewrite changed dfs AND the postings fingerprint — rebuild
+    # the routing-stats table in place (else handles fall back to the
+    # slower postings-aggregate probe until someone does)
+    write_termstats(spark, str(path))
 
 
 def _replace_tombstones(spark: SparkSession, tomb_dir: Path,
@@ -433,7 +437,7 @@ def delete_by_query(
                 .select("doc_id").distinct().count()
             )
         for sub in ("postings", "doclen", "docs", "positions", "tombstones",
-                    "deltas", "delta_doclen", "stats", "ledger"):
+                    "deltas", "delta_doclen", "stats", "termstats", "ledger"):
             shutil.rmtree(path / sub, ignore_errors=True)
         return {"mode": "match_all", "docs_deleted": n_docs}
 

@@ -2073,3 +2073,63 @@ def test_concurrent_topk_threads_agree(spark, built):
     assert all(r == base for r in results.values())
     assert idx._cache_bytes == sum(
         _entry_cost(v) for v in idx._term_cache.values())
+
+
+def test_termstats_probe_and_staleness(spark, tmp_path):
+    """The df probe reads the skinny termstats table written at build
+    (values == the postings aggregate), and a stale fingerprint (a
+    maintenance rewrite changed postings without write_termstats)
+    makes refresh() fall back to the postings aggregate — identical
+    dfs, so routing never changes semantics."""
+    from pathlib import Path
+
+    out = str(tmp_path / "idx")
+    src = synth_source(spark, 300, partitions=3)
+    build_index(spark, src, out, n_buckets=4)
+    idx = open_index(spark, out)
+    assert idx._termstats is not None
+    want = {r["term"]: int(r["total_df"]) for r in
+            idx._postings.filter(F.col("field") == "code.content")
+            .filter(F.col("term").isin(["def", "rareterm00001"]))
+            .groupBy("term").agg(F.sum("df").alias("total_df")).collect()}
+    assert idx._df_total(["def"], "code.content") == want["def"]
+    assert idx._df_total(["rareterm00001"], "code.content") \
+        == want["rareterm00001"]
+    assert idx._df_total(["zzz_nothing"], "code.content") == 0
+    got_def = want["def"]
+    # corrupted fingerprint → handle ignores termstats, probe falls
+    # back to the postings aggregate with the same answers
+    (Path(out) / "termstats" / "_postings_fingerprint").write_text("stale")
+    idx.refresh()
+    assert idx._termstats is None
+    assert idx._df_total(["def"], "code.content") == got_def
+
+
+def test_fat_fetch_semaphore_path_correct(spark, built):
+    """query surfaces without a distributed fallback (query_string et
+    al.) fetch fat postings through the big-fetch semaphore — results
+    must be identical to the unguarded path, including under threads."""
+    import threading
+
+    idx = open_index(spark, built[0])
+    idx._driver_score_max_docs = 1  # every fetch takes the guarded path
+    ref = open_index(spark, built[0])
+    want = ref.query_string("def value", k=8)
+    got = idx.query_string("def value", k=8)
+    assert got == want
+    outs, errs = {}, []
+
+    def worker(i):
+        try:
+            outs[i] = idx.query_string("alpha omega", k=6)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    want2 = ref.query_string("alpha omega", k=6)
+    assert all(o == want2 for o in outs.values())

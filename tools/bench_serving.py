@@ -70,7 +70,7 @@ class Deck:
             "/search?q=def+value&k=10&mode=and",
             "/search?q=handler3+handler7&k=10",
             "/search?q=return+-handler5&k=10",
-            "/query?q=%2Bdef+%2Breturn+value&k=10",
+            "/query?q=%2Bhandler3+%2Bhandler7&k=10",
             "/search?q=def+handler11&k=10",
             "/search?q=alpha+omega&k=10",
             "/search?q=data+result&k=10&mode=and",
@@ -110,6 +110,14 @@ class Deck:
         i = self._next_cold()
         return (f"/search?q=def+rareterm{i % self.n_rare:05d}"
                 f"&k={5 + i % 11}&mode=and")
+
+    def fat_query_surface(self) -> str:
+        # /query (qparse) has NO distributed fallback: fat terms MUST
+        # collect driver-side (semaphore-serialized, cache-capped) —
+        # measured separately so the routed classes stay comparable
+        i = self._next_cold()
+        fats = ["def", "return", "value", "data", "result"]
+        return f"/query?q=%2B{fats[i % 5]}+{fats[(i + 1) % 5]}&k={10 + i % 7}"
 
 
 def run_class(base: str, fn, n: int) -> list[float]:
@@ -219,6 +227,7 @@ def main():
                            ("cold_mid", deck.cold_mid, 10),
                            ("cold_fat", deck.cold_fat, 8),
                            ("boolean", deck.boolean, 15),
+                           ("fat_query_surface", deck.fat_query_surface, 3),
                            ("warm", deck.warm, 60)):
             xs = run_class(base, fn, n)
             seq[cls] = {"n": n,
@@ -238,8 +247,9 @@ def main():
             "sequential": seq,
             "concurrency_sweep": sweep,
             "qps_scaling_16v1": round(
-                sweep[2]["qps"] / sweep[0]["qps"], 2) if sweep[0]["qps"]
-            else None,
+                (sweep[2]["requests"] / sweep[2]["wall_sec"])
+                / (sweep[0]["requests"] / sweep[0]["wall_sec"]), 2)
+            if sweep[0]["requests"] and sweep[2]["requests"] else None,
             "term_cache": metrics.get("term_cache", {}),
             "result_cache": metrics.get("result_cache", {}),
         }
