@@ -652,7 +652,15 @@ def build_index(
         (F.sum("len") / F.count(F.lit(1))).cast("double").alias("avgdl"),
     ).collect()
     _write_stats_rows(out / "stats", stats)
-    write_termstats(spark, str(out))
+    # routing-stats table only pays for itself at corpora big enough
+    # for the fat-corpus router to engage (serve-time budget default
+    # 2M docs); below the threshold the probe's postings-aggregate
+    # fallback is already cheap and the extra build job would be pure
+    # small-index overhead (~7% at the 100k bench scale)
+    import os as _os
+    if max((int(r["n_docs"]) for r in stats), default=0) > int(
+            _os.environ.get("FTIDX_TERMSTATS_MIN_DOCS", "1000000")):
+        write_termstats(spark, str(out))
     manifest_path.write_text(
         json.dumps({**params, "stem_field": bool(stem_field),
                     "shingle_field": bool(shingle_field),

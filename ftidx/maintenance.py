@@ -221,8 +221,12 @@ def _refresh_stats(spark: SparkSession, path: Path) -> None:
     _write_stats_rows(path / "stats", stats)
     # the rewrite changed dfs AND the postings fingerprint — rebuild
     # the routing-stats table in place (else handles fall back to the
-    # slower postings-aggregate probe until someone does)
-    write_termstats(spark, str(path))
+    # slower postings-aggregate probe until someone does); same
+    # small-index threshold as build_index
+    import os as _os
+    if max((int(r["n_docs"]) for r in stats), default=0) > int(
+            _os.environ.get("FTIDX_TERMSTATS_MIN_DOCS", "1000000")):
+        write_termstats(spark, str(path))
 
 
 def _replace_tombstones(spark: SparkSession, tomb_dir: Path,

@@ -2075,7 +2075,7 @@ def test_concurrent_topk_threads_agree(spark, built):
         _entry_cost(v) for v in idx._term_cache.values())
 
 
-def test_termstats_probe_and_staleness(spark, tmp_path):
+def test_termstats_probe_and_staleness(spark, tmp_path, monkeypatch):
     """The df probe reads the skinny termstats table written at build
     (values == the postings aggregate), and a stale fingerprint (a
     maintenance rewrite changed postings without write_termstats)
@@ -2083,6 +2083,7 @@ def test_termstats_probe_and_staleness(spark, tmp_path):
     dfs, so routing never changes semantics."""
     from pathlib import Path
 
+    monkeypatch.setenv("FTIDX_TERMSTATS_MIN_DOCS", "0")  # tiny fixture
     out = str(tmp_path / "idx")
     src = synth_source(spark, 300, partitions=3)
     build_index(spark, src, out, n_buckets=4)
